@@ -1,0 +1,372 @@
+"""Deterministic synthetic fixtures (FIXTURES.md T1-T4).
+
+Every generator is a pure function of (seed, index) — no RNG state, no
+wall clock — and exists in two exactly-matching forms:
+
+  *_df  : distributed Spark generation via spark.range + column
+          expressions / higher-order functions (JVM-side, no Python in
+          the hot path, never collected — scales to 10^12 rows)
+  *_np  : single-process numpy mirror producing IDENTICAL values,
+          used by the pytest oracle to compute golden outputs
+
+Determinism rules shared by both forms (so values are bit-identical):
+  - hash H(key) = splitmix64(key) on wrapping 64-bit arithmetic
+    (Java long and numpy uint64 wrap identically)
+  - bounded ints / uniforms are always derived via the *unsigned* top
+    53 bits: rnd_int = (h >>> 11) % k, rnd_u01 = (h >>> 11) / 2^53
+  - coordinates snap to fixed grids with floor (never round — Spark
+    rounds HALF_UP, numpy rounds half-even): points on 1e-7, zone
+    vertices on 1e-5 (per FIXTURES.md, avoids border-touching points)
+  - polygon vertices use a shared literal cos/sin table (COS8/SIN8) so
+    both engines run the same double arithmetic
+
+Modeled on the reference's canonical fixtures poly.shp (10 polygons,
+fields AREA/EAS_ID/PRFEDEA — autotest/ogr/data/, substrate of
+autotest/ogr/ogr_sql_test.py) and byte.tif (20x20 Byte, checksum 4672 —
+autotest/gcore/data/, asserted at autotest/utilities/test_gdalwarp.py:56).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import geomlite as G
+from .cells import EARTH_RADIUS
+
+SEED = 42
+KNN_SEED = 43
+
+# shared literal vertex table for the 8-gon polygon docs (radius 0.01 deg)
+COS8 = [1.0, 0.7071067811865476, 0.0, -0.7071067811865476,
+        -1.0, -0.7071067811865476, 0.0, 0.7071067811865476]
+SIN8 = [0.0, 0.7071067811865476, 1.0, 0.7071067811865476,
+        0.0, -0.7071067811865476, -1.0, -0.7071067811865476]
+POLY_RADIUS = 0.01
+
+_SM1 = -7046029254386353131  # 0x9E3779B97F4A7C15 as signed i64
+_SM2 = -4658895280553007687  # 0xBF58476D1CE4E5B9
+_SM3 = -7723592293110705685  # 0x94D049BB133111EB
+
+
+# ------------------------------------------------------ column-side hashing
+def sm64_col(x: Column) -> Column:
+    """splitmix64 as a Column expression (wrapping Java long arithmetic —
+    bit-identical to geomlite.splitmix64 on uint64)."""
+    z = x.cast("long") + F.lit(_SM1)
+    z = z.bitwiseXOR(F.shiftrightunsigned(z, 30)) * F.lit(_SM2)
+    z = z.bitwiseXOR(F.shiftrightunsigned(z, 27)) * F.lit(_SM3)
+    return z.bitwiseXOR(F.shiftrightunsigned(z, 31))
+
+
+def h_col(i: Column, stream: int, seed: int = SEED) -> Column:
+    return sm64_col(i * F.lit(1000003) + F.lit(stream * 7919 + seed))
+
+
+def rnd_int_col(h: Column, k: int) -> Column:
+    return F.shiftrightunsigned(h, 11) % F.lit(k)
+
+
+def rnd_u01_col(h: Column) -> Column:
+    return F.shiftrightunsigned(h, 11).cast("double") / float(1 << 53)
+
+
+def _grid7(x: Column) -> Column:
+    return F.floor(x * 1e7).cast("double") / 1e7
+
+
+# -------------------------------------------------------- numpy-side hashing
+def h_np(i, stream: int, seed: int = SEED) -> np.ndarray:
+    i = np.asarray(i, dtype=np.int64)
+    return G.splitmix64(
+        (i.astype(np.uint64) * np.uint64(1000003)) + np.uint64(stream * 7919 + seed)
+    )
+
+
+def rnd_int_np(h, k: int) -> np.ndarray:
+    return ((np.asarray(h, dtype=np.uint64) >> np.uint64(11)) % np.uint64(k)).astype(np.int64)
+
+
+def rnd_u01_np(h) -> np.ndarray:
+    return (np.asarray(h, dtype=np.uint64) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _grid7_np(x) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e7) / 1e7
+
+
+# ================================================================ T1 documents
+# layout: n_spans in 4..8; span p kind: p==3 -> 'geom' (exactly one),
+# else 'text' if p even else 'media'. offset == position index.
+def _doc_lonlat_cols(i: Column) -> tuple[Column, Column, Column]:
+    lon = _grid7(F.lit(-180.0) + rnd_u01_col(h_col(i, 1)) * 360.0)
+    lat = _grid7(F.lit(-85.0) + rnd_u01_col(h_col(i, 2)) * 170.0)
+    is_poly = rnd_int_col(h_col(i, 3), 20) == 0
+    return lon, lat, is_poly
+
+
+def _doc_wkt_col(i: Column) -> Column:
+    lon, lat, is_poly = _doc_lonlat_cols(i)
+    pt = F.format_string("POINT(%.7f %.7f)", lon, lat)
+    verts = [
+        F.format_string(
+            "%.7f %.7f",
+            _grid7(lon + F.lit(POLY_RADIUS * COS8[k])),
+            _grid7(lat + F.lit(POLY_RADIUS * SIN8[k])),
+        )
+        for k in range(8)
+    ]
+    first = verts[0]
+    ring = F.concat_ws(", ", *verts, first)
+    poly = F.concat(F.lit("POLYGON(("), ring, F.lit("))"))
+    return F.when(is_poly, poly).otherwise(pt)
+
+
+def documents_df(spark: SparkSession, n: int, seed: int = SEED, partitions: int | None = None) -> DataFrame:
+    """T1 interleaved documents: (doc_id string, spans array<struct<
+    kind,text,media_ref,offset>>). Fully JVM-side generation."""
+    rng = spark.range(0, n, 1, partitions or max(8, min(1024, n // 50000 + 1)))
+    i = F.col("id")
+    n_spans = (F.lit(4) + rnd_int_col(h_col(i, 0), 5)).cast("int")
+    wkt = _doc_wkt_col(i)
+
+    def span(p: Column) -> Column:
+        sk = i * F.lit(16) + p.cast("long")
+        hw = h_col(sk, 4)
+        words = F.format_string(
+            "w%04d w%04d w%04d",
+            rnd_int_col(hw, 10000),
+            rnd_int_col(h_col(sk, 5), 10000),
+            rnd_int_col(h_col(sk, 6), 10000),
+        )
+        kind = (
+            F.when(p == 3, F.lit("geom"))
+            .when(p % 2 == 0, F.lit("text"))
+            .otherwise(F.lit("media"))
+        )
+        text = (
+            F.when(p == 3, wkt).when(p % 2 == 0, words).otherwise(F.lit(""))
+        )
+        media = F.when(
+            (p != 3) & (p % 2 == 1),
+            F.format_string("media://%09d", rnd_int_col(h_col(sk, 7), 1000000000)),
+        ).otherwise(F.lit(""))
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            media.alias("media_ref"),
+            p.cast("int").alias("offset"),
+        )
+
+    spans = F.transform(F.sequence(F.lit(0), n_spans - 1), span)
+    return rng.select(
+        F.format_string("doc%09d", i).alias("doc_id"),
+        spans.alias("spans"),
+    )
+
+
+def documents_np(n: int, seed: int = SEED) -> pd.DataFrame:
+    """numpy mirror of documents_df — identical values."""
+    i = np.arange(n, dtype=np.int64)
+    n_spans = 4 + rnd_int_np(h_np(i, 0), 5)
+    lon = _grid7_np(-180.0 + rnd_u01_np(h_np(i, 1)) * 360.0)
+    lat = _grid7_np(-85.0 + rnd_u01_np(h_np(i, 2)) * 170.0)
+    is_poly = rnd_int_np(h_np(i, 3), 20) == 0
+
+    doc_ids = np.array([f"doc{k:09d}" for k in i], dtype=object)
+    wkts = np.empty(n, dtype=object)
+    pt_sel = ~is_poly
+    wkts[pt_sel] = [f"POINT({x:.7f} {y:.7f})" for x, y in zip(lon[pt_sel], lat[pt_sel])]
+    for k in np.where(is_poly)[0]:
+        vx = _grid7_np(lon[k] + POLY_RADIUS * np.array(COS8))
+        vy = _grid7_np(lat[k] + POLY_RADIUS * np.array(SIN8))
+        verts = [f"{x:.7f} {y:.7f}" for x, y in zip(vx, vy)]
+        wkts[k] = "POLYGON((" + ", ".join(verts + [verts[0]]) + "))"
+
+    rows = []
+    for k in range(n):
+        spans = []
+        for p in range(int(n_spans[k])):
+            sk = np.int64(k * 16 + p)
+            if p == 3:
+                kind, text, media = "geom", wkts[k], ""
+            elif p % 2 == 0:
+                a = int(rnd_int_np(h_np(sk, 4), 10000))
+                b = int(rnd_int_np(h_np(sk, 5), 10000))
+                c = int(rnd_int_np(h_np(sk, 6), 10000))
+                kind, text, media = "text", f"w{a:04d} w{b:04d} w{c:04d}", ""
+            else:
+                m = int(rnd_int_np(h_np(sk, 7), 1000000000))
+                kind, text, media = "media", "", f"media://{m:09d}"
+            spans.append({"kind": kind, "text": text, "media_ref": media, "offset": p})
+        rows.append({"doc_id": doc_ids[k], "spans": spans})
+    out = pd.DataFrame(rows)
+    out["lon"] = lon
+    out["lat"] = lat
+    out["is_poly"] = is_poly
+    out["geom_wkt"] = wkts
+    return out
+
+
+# ================================================================== T2 zones
+def zones_np(m: int, seed: int = SEED, holes: bool = True) -> pd.DataFrame:
+    """Jittered-grid convex-ish quads covering lon[-180,180] lat[-85,85].
+    m must be a perfect square (g x g zones from a (g+1)^2 node grid —
+    shared nodes guarantee no overlaps / no gaps beyond borders).
+    When `holes`, ~10% of zones are deterministically removed so the
+    left-join NULL leg is exercised (FIXTURES.md T2: ~92% of points in
+    exactly one zone, mirroring OGR's NULL-row LEFT JOIN semantics,
+    ogr_sql_dialect.rst:490). zone_id stays the grid id (stable)."""
+    g = int(round(math.sqrt(m)))
+    assert g * g == m, f"zone count {m} must be a perfect square"
+    ii, jj = np.meshgrid(np.arange(g + 1), np.arange(g + 1), indexing="ij")
+    node_key = (ii * 100003 + jj).astype(np.int64)
+    pitch_x, pitch_y = 360.0 / g, 170.0 / g
+    jx = (rnd_u01_np(h_np(node_key.ravel(), 8, seed)) - 0.5) * 0.4 * pitch_x
+    jy = (rnd_u01_np(h_np(node_key.ravel(), 9, seed)) - 0.5) * 0.4 * pitch_y
+    jx = jx.reshape(ii.shape)
+    jy = jy.reshape(ii.shape)
+    jx[0, :] = 0.0
+    jx[g, :] = 0.0
+    jy[:, 0] = 0.0
+    jy[:, g] = 0.0
+    nx = np.floor((-180.0 + ii * pitch_x + jx) * 1e5) / 1e5
+    ny = np.floor((-85.0 + jj * pitch_y + jy) * 1e5) / 1e5
+
+    rows = []
+    for zi in range(g):
+        for zj in range(g):
+            zone_id = zi * g + zj
+            if holes and int(rnd_int_np(h_np(np.int64(zone_id), 11, seed), 10)) == 0:
+                continue
+            xs = np.array([nx[zi, zj], nx[zi + 1, zj], nx[zi + 1, zj + 1], nx[zi, zj + 1]])
+            ys = np.array([ny[zi, zj], ny[zi + 1, zj], ny[zi + 1, zj + 1], ny[zi, zj + 1]])
+            verts = [f"{x:.5f} {y:.5f}" for x, y in zip(xs, ys)]
+            wkt = "POLYGON((" + ", ".join(verts + [verts[0]]) + "))"
+            rows.append(
+                {
+                    "zone_id": zone_id,
+                    "eas_id": 158 + zone_id * 7,
+                    "prfedea": f"35043{zone_id:04d}",
+                    "area": G.shoelace_area(xs, ys),
+                    "geom_wkt": wkt,
+                    "xs": xs.tolist(),
+                    "ys": ys.tolist(),
+                    "xmin": float(xs.min()),
+                    "ymin": float(ys.min()),
+                    "xmax": float(xs.max()),
+                    "ymax": float(ys.max()),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+ZONE_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("eas_id", T.LongType()),
+        T.StructField("prfedea", T.StringType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("geom_wkt", T.StringType()),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+def zones_df(spark: SparkSession, m: int, seed: int = SEED) -> DataFrame:
+    """Zones are the small/broadcast side — driver-side numpy generation
+    is fine at any target scale (10^4 zones ≈ a few MB)."""
+    return spark.createDataFrame(zones_np(m, seed), schema=ZONE_SCHEMA)
+
+
+# ============================================================= T4 kNN queries
+def knn_queries_np(n: int, seed: int = KNN_SEED) -> pd.DataFrame:
+    i = np.arange(n, dtype=np.int64)
+    lon = _grid7_np(-180.0 + rnd_u01_np(h_np(i, 1, seed)) * 360.0)
+    lat = _grid7_np(-85.0 + rnd_u01_np(h_np(i, 2, seed)) * 170.0)
+    return pd.DataFrame({"q_id": i, "lon": lon, "lat": lat, "k": 5})
+
+
+def knn_queries_df(spark: SparkSession, n: int, seed: int = KNN_SEED) -> DataFrame:
+    return spark.createDataFrame(knn_queries_np(n, seed))
+
+
+# ================================================================ T3 raster
+def tile_pixels_np(tile_x: int, tile_y: int, width: int = 256, height: int = 256,
+                   seed: int = SEED) -> np.ndarray:
+    """Deterministic tile raster: v(x,y) = (3x + 5y + h) % 251 + 4
+    (never equals nodata=0). Local pixel coords, row-major uint8."""
+    tid = np.int64(tile_x * 65537 + tile_y)
+    h = int(rnd_int_np(h_np(tid, 13, seed), 251))
+    yy, xx = np.mgrid[0:height, 0:width]
+    return ((3 * xx + 5 * yy + h) % 251 + 4).astype(np.uint8)
+
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("zoom", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dtype", T.StringType()),
+        T.StructField("nodata", T.DoubleType()),
+        T.StructField("crs", T.StringType()),
+        T.StructField("geotransform", T.ArrayType(T.DoubleType())),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def tiles_src_df(spark: SparkSession, ntx: int, nty: int, zoom: int = 12,
+                 raster_id: str = "byte_like", seed: int = SEED) -> DataFrame:
+    """T3 raster tile table: each row one 256x256 uint8 tile. Pixel data
+    is generated distributedly inside mapInPandas (numpy, batch)."""
+    base = spark.range(0, ntx * nty, 1, max(4, ntx * nty // 64 + 1)).select(
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        (F.col("id") / ntx).cast("int").alias("tile_y"),
+    )
+    res = 2 * math.pi * EARTH_RADIUS / 256 / (2**zoom)
+    origin = -math.pi * EARTH_RADIUS
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "raster_id": raster_id,
+                    "band": np.int32(1),
+                    "zoom": np.int32(zoom),
+                    "tile_x": pdf["tile_x"].astype(np.int32),
+                    "tile_y": pdf["tile_y"].astype(np.int32),
+                    "width": np.int32(256),
+                    "height": np.int32(256),
+                    "dtype": "uint8",
+                    "nodata": 0.0,
+                    "crs": "EPSG:3857",
+                    "geotransform": [
+                        [origin + tx * 256 * res, res, 0.0,
+                         origin + (ty + 1) * 256 * res, 0.0, -res]
+                        for tx, ty in zip(pdf["tile_x"], pdf["tile_y"])
+                    ],
+                    "data": [
+                        tile_pixels_np(int(tx), int(ty), seed=seed).tobytes()
+                        for tx, ty in zip(pdf["tile_x"], pdf["tile_y"])
+                    ],
+                }
+            )
+            yield out
+
+    return base.mapInPandas(gen, schema=TILE_SCHEMA)
