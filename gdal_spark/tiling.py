@@ -1,0 +1,367 @@
+"""Tiling: document tile assignment + raster tile-table operators.
+
+Tile assignment (the benchmark op) is pure column arithmetic — the
+gdal2tiles GlobalMercator math (osgeo_utils/gdal2tiles.py:355-466)
+compiled by Catalyst into whole-stage codegen: zero UDF, zero shuffle.
+
+Raster operators work on the tile table (FIXTURES.md T3): one row per
+256x256 tile, pixels packed as binary numpy bytes, decoded batch-wise in
+Arrow UDFs (the reference's own "ship numpy to the pixels" pattern —
+VRT Python pixel functions, frmts/vrt/vrtderivedrasterband.cpp:1205, and
+gdal_calc, osgeo_utils/gdal_calc.py:35-50):
+
+  translate       — window/cast/scale per tile      (apps/gdal_translate_lib.cpp:107-262)
+  build_overview  — 2x factor pyramid level          (gcore/overview.cpp:144 ff)
+  warp_affine     — chunked inverse-mapping resample (alg/gdalwarpoperation.cpp:116-157,
+                    kernels alg/gdalwarpkernel.cpp:101-137; Near/Bilinear v1)
+  checksum_table  — GDAL checksum per tile           (alg/gdalchecksum.cpp:64-180)
+  mosaic          — VRT-style priority resolve       (apps/gdalbuildvrt_lib.cpp:1684)
+
+Scale notes: translate/checksum are map-only. build_overview shuffles
+by parent tile (unavoidable 4->1 re-grouping; partial nothing to
+combine). warp shuffles only the src tiles each dst tile needs —
+GDAL's ChunkAndWarpImage chunk list (gdalwarpoperation.cpp:808)
+restated as a deterministic dst-tile table joined to its source
+window, with its 2-thread I/O-compute overlap (:992-1050) generalized
+to all executors.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from . import geomlite as G
+from .cells import (EARTH_RADIUS, ORIGIN_SHIFT, TILE_SIZE, lonlat_to_meters,
+                    meters_to_tile_tms, quadkey, resolution, tms_to_google)
+from .synth import TILE_SCHEMA
+
+
+# ----------------------------------------------------------- tile assignment
+def assign_tiles(docs: DataFrame, zoom: int, lon_col: str = "lon",
+                 lat_col: str = "lat") -> DataFrame:
+    """Add (zoom, tile_x, tile_y, quadkey) — Google tile convention for
+    x/y (gdal2tiles.py:445-449), Bing quadkey (:451-466). Pure columns."""
+    mx, my = lonlat_to_meters(F.col(lon_col), F.col(lat_col))
+    tx, ty_tms = meters_to_tile_tms(mx, my, zoom)
+    return (
+        docs.withColumn("zoom", F.lit(zoom))
+        .withColumn("tile_x", tx)
+        .withColumn("tile_y", tms_to_google(ty_tms, zoom))
+        .withColumn("quadkey", quadkey(tx, ty_tms, zoom))
+    )
+
+
+# ------------------------------------------------------------------ helpers
+def _decode(data: bytes, dtype: str, h: int, w: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.dtype(dtype)).reshape(h, w)
+
+
+_DTYPE_RANGES = {
+    "uint8": (0, 255), "uint16": (0, 65535), "int16": (-32768, 32767),
+    "uint32": (0, 4294967295), "int32": (-2147483648, 2147483647),
+}
+
+
+def _gdal_cast(arr: np.ndarray, out_dtype: str) -> np.ndarray:
+    """GDALCopyWords semantics for float->int: +0.5 then clamp+floor
+    (same convention the checksum uses, alg/gdalchecksum.cpp:118-131);
+    int->int clamps to the destination range."""
+    if out_dtype.startswith("float"):
+        return arr.astype(out_dtype)
+    lo, hi = _DTYPE_RANGES[out_dtype]
+    if arr.dtype.kind == "f":
+        v = np.floor(arr.astype(np.float64) + 0.5)
+    else:
+        v = arr.astype(np.float64)
+    return np.clip(v, lo, hi).astype(out_dtype)
+
+
+# ---------------------------------------------------------------- translate
+def translate(
+    tiles: DataFrame,
+    window: tuple[int, int, int, int] | None = None,
+    bands: list[int] | None = None,
+    cast_to: str | None = None,
+    scale: tuple[float, float] | None = None,
+) -> DataFrame:
+    """gdal_translate as a tile-table op (apps/gdal_translate_lib.cpp):
+    window = (tx0, ty0, tx1, ty1) inclusive tile range -> plain column
+    filter (partition/file pruning does the subsetting); band select ->
+    filter; scale (a, b): v*a + b; cast with GDAL float->int rounding.
+
+    Map-only: no shuffle at any scale."""
+    out = tiles
+    if window is not None:
+        tx0, ty0, tx1, ty1 = window
+        out = out.filter(
+            (F.col("tile_x") >= tx0) & (F.col("tile_x") <= tx1)
+            & (F.col("tile_y") >= ty0) & (F.col("tile_y") <= ty1)
+        )
+    if bands is not None:
+        out = out.filter(F.col("band").isin(bands))
+    if cast_to is None and scale is None:
+        return out
+
+    dst_dtype = cast_to
+    a, b = scale if scale is not None else (1.0, 0.0)
+
+    def xform(batches):
+        for pdf in batches:
+            new_data = []
+            new_dtype = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width)
+                if scale is not None:
+                    arr = arr.astype(np.float64) * a + b
+                # gdal_translate keeps the source type unless -ot is given
+                # (values clamp on write-back, GDALCopyWords semantics)
+                dd = dst_dtype or r.dtype
+                arr = _gdal_cast(arr, dd) if not (dd == str(arr.dtype)) else arr
+                new_data.append(arr.tobytes())
+                new_dtype.append(str(arr.dtype))
+            pdf = pdf.copy()
+            pdf["data"] = new_data
+            pdf["dtype"] = new_dtype
+            yield pdf
+
+    return out.mapInPandas(xform, schema=TILE_SCHEMA)
+
+
+# ------------------------------------------------------------------ overview
+def build_overview(tiles: DataFrame, kernel: str = "average") -> DataFrame:
+    """One pyramid level up (zoom-1): each output tile aggregates its
+    <=4 children with a 2x2 kernel (gcore/overview.cpp: average :144 ff,
+    nearest picks the upper-left source of each 2x2 block).
+
+    Shuffle: groupBy parent tile — 4->1 regrouping, keys are tile ids
+    (no skew possible: fan-in is bounded by 4)."""
+    if kernel not in ("average", "nearest"):
+        raise ValueError(f"unsupported overview kernel: {kernel}")
+
+    parent = tiles.withColumn("p_tx", F.floor(F.col("tile_x") / 2).cast("int")) \
+                  .withColumn("p_ty", F.floor(F.col("tile_y") / 2).cast("int"))
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raster_id, band, zoom, p_tx, p_ty = key
+        first = pdf.iloc[0]
+        w, h = int(first["width"]), int(first["height"])
+        mosaic = np.full((2 * h, 2 * w), np.float64(first["nodata"]))
+        valid = np.zeros((2 * h, 2 * w), dtype=bool)
+        for r in pdf.itertuples(index=False):
+            ox = (int(r.tile_x) - 2 * int(p_tx)) * w
+            oy = (int(r.tile_y) - 2 * int(p_ty)) * h
+            arr = _decode(r.data, r.dtype, r.height, r.width)
+            mosaic[oy : oy + h, ox : ox + w] = arr
+            valid[oy : oy + h, ox : ox + w] = arr != r.nodata
+        q = mosaic.reshape(h, 2, w, 2).transpose(0, 2, 1, 3).reshape(h, w, 4)
+        qv = valid.reshape(h, 2, w, 2).transpose(0, 2, 1, 3).reshape(h, w, 4)
+        if kernel == "average":
+            cnt = qv.sum(axis=2)
+            s = np.where(qv, q, 0.0).sum(axis=2)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(cnt > 0, s / np.maximum(cnt, 1), first["nodata"])
+        else:  # nearest: upper-left of each 2x2 block
+            out = mosaic[0 : 2 * h : 2, 0 : 2 * w : 2]
+        out = _gdal_cast(out, first["dtype"])
+        # parent tile geotransform: doubled pixel size, origin of block
+        gt = list(first["geotransform"])
+        res2 = gt[1] * 2
+        x0 = gt[0] - ((int(first["tile_x"]) - 2 * int(p_tx)) * w) * gt[1]
+        y0 = gt[3] - ((int(first["tile_y"]) - 2 * int(p_ty)) * h) * gt[5]
+        return pd.DataFrame(
+            [{
+                "raster_id": raster_id, "band": band, "zoom": int(zoom) - 1,
+                "tile_x": int(p_tx), "tile_y": int(p_ty),
+                "width": w, "height": h, "dtype": str(out.dtype),
+                "nodata": float(first["nodata"]), "crs": first["crs"],
+                "geotransform": [x0, res2, 0.0, y0, 0.0, gt[5] * 2],
+                "data": out.tobytes(),
+            }]
+        )
+
+    return parent.groupBy("raster_id", "band", "zoom", "p_tx", "p_ty").applyInPandas(
+        agg, schema=TILE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------- warp
+def warp_affine(
+    tiles: DataFrame,
+    src_zoom_origin: tuple[float, float],
+    src_res: float,
+    dst_origin: tuple[float, float],
+    dst_res: float,
+    dst_tiles_x: int,
+    dst_tiles_y: int,
+    kernel: str = "nearest",
+    dst_raster_id: str = "warped",
+) -> DataFrame:
+    """Warp between two affine grids (GDALWarpOperation restated).
+
+    The source is treated as a global pixel grid: tile (tx, ty) covers
+    pixels [tx*256,(tx+1)*256) x [ty*256,(ty+1)*256); world x = x0 +
+    px*res, y = y0 - py*res (north-up). The destination grid is given by
+    its own origin/res and tile extent.
+
+    Plan: enumerate dst tiles (deterministic, = GDAL's chunk list,
+    gdalwarpoperation.cpp:808) -> compute each dst tile's conservative
+    src tile window (the ComputeSourceWindow step) -> explode ->
+    shuffle-join src tiles -> per-dst-tile grouped pandas UDF assembles
+    the window and runs the numpy kernel (gdalwarpkernel.cpp:101-137).
+    Only the src tiles actually needed move through the shuffle.
+    """
+    if kernel not in ("nearest", "bilinear"):
+        raise ValueError(f"unsupported warp kernel: {kernel}")
+    sx0, sy0 = src_zoom_origin
+    dx0, dy0 = dst_origin
+    spark = tiles.sparkSession
+    ts = TILE_SIZE
+    margin = 2 if kernel == "bilinear" else 1
+
+    dst = spark.range(0, dst_tiles_x * dst_tiles_y, 1).select(
+        (F.col("id") % dst_tiles_x).cast("int").alias("d_tx"),
+        (F.col("id") / dst_tiles_x).cast("int").alias("d_ty"),
+    )
+    # dst tile world bounds -> src pixel bounds -> src tile range (pure cols)
+    wx0 = F.lit(dx0) + F.col("d_tx") * ts * dst_res
+    wx1 = F.lit(dx0) + (F.col("d_tx") + 1) * ts * dst_res
+    wy1 = F.lit(dy0) - F.col("d_ty") * ts * dst_res
+    wy0 = F.lit(dy0) - (F.col("d_ty") + 1) * ts * dst_res
+    spx0 = (wx0 - sx0) / src_res
+    spx1 = (wx1 - sx0) / src_res
+    spy0 = (F.lit(sy0) - wy1) / src_res
+    spy1 = (F.lit(sy0) - wy0) / src_res
+    stx0 = F.floor((spx0 - margin) / ts).cast("int")
+    stx1 = F.floor((spx1 + margin) / ts).cast("int")
+    sty0 = F.floor((spy0 - margin) / ts).cast("int")
+    sty1 = F.floor((spy1 + margin) / ts).cast("int")
+    needs = dst.select(
+        "d_tx", "d_ty",
+        F.explode(F.sequence(stx0, stx1)).alias("s_tx"), sty0.alias("_y0"), sty1.alias("_y1"),
+    ).select(
+        "d_tx", "d_ty", "s_tx", F.explode(F.sequence(F.col("_y0"), F.col("_y1"))).alias("s_ty")
+    )
+
+    joined = needs.join(
+        tiles.withColumnRenamed("tile_x", "s_tx").withColumnRenamed("tile_y", "s_ty"),
+        ["s_tx", "s_ty"],
+        "inner",
+    )
+
+    def warp_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        d_tx, d_ty = int(key[0]), int(key[1])
+        if len(pdf) == 0:
+            return pd.DataFrame([], columns=[f.name for f in TILE_SCHEMA.fields])
+        first = pdf.iloc[0]
+        nodata = float(first["nodata"])
+        tx_min, ty_min = int(pdf["s_tx"].min()), int(pdf["s_ty"].min())
+        tx_max, ty_max = int(pdf["s_tx"].max()), int(pdf["s_ty"].max())
+        W = (tx_max - tx_min + 1) * ts
+        H = (ty_max - ty_min + 1) * ts
+        mosaic = np.full((H, W), nodata, dtype=np.float64)
+        for r in pdf.itertuples(index=False):
+            arr = _decode(r.data, r.dtype, r.height, r.width)
+            ox, oy = (int(r.s_tx) - tx_min) * ts, (int(r.s_ty) - ty_min) * ts
+            mosaic[oy : oy + ts, ox : ox + ts] = arr
+
+        # dst pixel centers -> world -> global src pixel coords
+        jj, ii = np.mgrid[0:ts, 0:ts]
+        wx = dx0 + (d_tx * ts + ii + 0.5) * dst_res
+        wy = dy0 - (d_ty * ts + jj + 0.5) * dst_res
+        spx = (wx - sx0) / src_res - 0.5
+        spy = (sy0 - wy) / src_res - 0.5
+        lx = spx - tx_min * ts
+        ly = spy - ty_min * ts
+        if kernel == "nearest":
+            xi = np.clip(np.round(lx).astype(np.int64), 0, W - 1)
+            yi = np.clip(np.round(ly).astype(np.int64), 0, H - 1)
+            out = mosaic[yi, xi]
+        else:
+            x0i = np.clip(np.floor(lx).astype(np.int64), 0, W - 1)
+            y0i = np.clip(np.floor(ly).astype(np.int64), 0, H - 1)
+            x1i = np.clip(x0i + 1, 0, W - 1)
+            y1i = np.clip(y0i + 1, 0, H - 1)
+            fx = np.clip(lx - x0i, 0.0, 1.0)
+            fy = np.clip(ly - y0i, 0.0, 1.0)
+            v00, v10 = mosaic[y0i, x0i], mosaic[y0i, x1i]
+            v01, v11 = mosaic[y1i, x0i], mosaic[y1i, x1i]
+            out = (
+                v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
+                + v01 * (1 - fx) * fy + v11 * fx * fy
+            )
+        out = _gdal_cast(out, str(first["dtype"]))
+        return pd.DataFrame(
+            [{
+                "raster_id": dst_raster_id, "band": int(first["band"]),
+                "zoom": int(first["zoom"]), "tile_x": d_tx, "tile_y": d_ty,
+                "width": ts, "height": ts, "dtype": str(out.dtype),
+                "nodata": nodata, "crs": first["crs"],
+                "geotransform": [dx0 + d_tx * ts * dst_res, dst_res, 0.0,
+                                 dy0 - d_ty * ts * dst_res, 0.0, -dst_res],
+                "data": out.tobytes(),
+            }]
+        )
+
+    return joined.groupBy("d_tx", "d_ty").applyInPandas(warp_group, schema=TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------- checksum
+CHECKSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("zoom", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def checksum_table(tiles: DataFrame) -> DataFrame:
+    """Per-tile GDAL checksum (alg/gdalchecksum.cpp:64-180) — the
+    raster golden-test oracle. Map-only."""
+
+    def cks(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "raster_id": pdf["raster_id"],
+                    "band": pdf["band"].astype(np.int32),
+                    "zoom": pdf["zoom"].astype(np.int32),
+                    "tile_x": pdf["tile_x"].astype(np.int32),
+                    "tile_y": pdf["tile_y"].astype(np.int32),
+                    "checksum": [
+                        G.gdal_checksum(_decode(r.data, r.dtype, r.height, r.width))
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    return tiles.mapInPandas(cks, schema=CHECKSUM_SCHEMA)
+
+
+# ------------------------------------------------------------------ mosaic
+def mosaic(tile_tables: list[DataFrame]) -> DataFrame:
+    """VRT-style virtual mosaic (apps/gdalbuildvrt_lib.cpp:1684): later
+    tables take priority on overlapping tiles — unionByName + keep the
+    highest-priority row per tile key (row_number window)."""
+    tagged = [
+        t.withColumn("_prio", F.lit(i)) for i, t in enumerate(tile_tables)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t, allowMissingColumns=True)
+    w = Window.partitionBy("band", "zoom", "tile_x", "tile_y").orderBy(F.desc("_prio"))
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
