@@ -1,0 +1,289 @@
+"""Text analysis + deduplication operators for training-data pipelines.
+
+These extend the engine beyond the reference's own surface (GDAL has no
+text ops) with the operations a 100 TB document pipeline needs. Design
+rules are the same as everywhere else: JVM column expressions first
+(tokenize/count/score run in whole-stage codegen), Arrow-batched numpy
+UDFs only where bit-twiddling is genuinely needed (minhash/simhash),
+and every shuffle is on a narrow projected key — never on full rows
+with document bodies.
+
+Operators:
+  tokens / token_count      whitespace + BPE-ish regex counting (JVM)
+  lang_id                   stopword-overlap n-gram heuristic (JVM)
+  quality_score             length/alpha/stopword ratios (JVM)
+  fingerprint               winnowing min-rolling-hash (Arrow UDF)
+  exact_dedup               hash groupBy, canonical = min id
+  minhash_signatures + lsh_candidates + minhash_dedup
+                            shingle -> 64 minhashes -> banded LSH ->
+                            bucket join -> signature-estimated jaccard
+  simhash + simhash_pairs   64-bit simhash, banded hamming candidates
+  ngram_jaccard_pairs       exact character-n-gram jaccard verification
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+# BPE-ish token regex: words, numbers, or single non-space symbols
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "it", "that", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str, mode: str = "whitespace") -> Column:
+    """'whitespace': split count; 'bpe': regex token count (both JVM)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "whitespace":
+        return F.size(tokens(c))
+    if mode == "bpe":
+        return F.regexp_count(c, F.lit(TOKEN_RE))
+    raise ValueError(mode)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-overlap language heuristic: argmax over per-language
+    stopword hit counts; 'und' when nothing matches. Pure JVM
+    (array_intersect over the token array)."""
+    toks = F.array_distinct(tokens(col))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(_STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic from length, alphabetic
+    ratio, and mean word length — all JVM regexp/length arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    alpha = F.regexp_count(c, F.lit(r"[A-Za-z]")).cast("double")
+    nw = F.greatest(F.size(tokens(c)), F.lit(1)).cast("double")
+    len_score = F.least(n / 200.0, F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    wordlen = n / nw
+    wordlen_score = F.when((wordlen >= 3) & (wordlen <= 12), 1.0).otherwise(0.3)
+    return F.round((len_score * 0.3 + alpha_ratio * 0.5 + wordlen_score * 0.2), 6)
+
+
+FINGERPRINT_K = 8  # rolling window (chars)
+_FP_BASE = np.uint64(1099511628211)
+_FP_SEED = np.uint64(14695981039346656037)
+
+
+def _rolling_hashes(s: str) -> np.ndarray:
+    """All k-char rolling FNV-style hashes of s (k=FINGERPRINT_K)."""
+    b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < FINGERPRINT_K:
+        b = np.pad(b, (0, FINGERPRINT_K - len(b)), constant_values=32)
+    with np.errstate(over="ignore"):
+        h = np.full(len(b) - FINGERPRINT_K + 1, _FP_SEED, dtype=np.uint64)
+        for i in range(FINGERPRINT_K):
+            h = (h ^ b[i : i + len(h)].astype(np.uint64)) * _FP_BASE
+    return h
+
+
+@F.pandas_udf(T.LongType())
+def fingerprint(text: pd.Series) -> pd.Series:
+    """Winnowing-style document fingerprint: min rolling k-gram hash
+    (deterministic; robust to token order at window granularity)."""
+    out = np.empty(len(text), dtype=np.int64)
+    for i, s in enumerate(text):
+        out[i] = np.int64(_rolling_hashes(s or "").min().astype(np.int64))
+    return pd.Series(out)
+
+
+# ----------------------------------------------------------------- dedup
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate grouping: dup_group = xxhash64 of the normalized
+    text; is_canonical = min id within group. Shuffle carries only
+    (hash, id) via a window over the narrow projection."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    out = df.withColumn("dup_group", F.xxhash64(norm))
+    w = Window.partitionBy("dup_group")
+    return out.withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(w))
+
+
+def _shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-shingles of the normalized text (JVM: sequence +
+    transform + substring — no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+    )
+
+
+MINHASH_SCHEMA = T.ArrayType(T.LongType())
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n_hashes: int = 64, shingle_k: int = 5) -> DataFrame:
+    """(id, sig: array<long>[n_hashes]).
+
+    Shingling AND per-shingle hashing run JVM-side (xxhash64 — stable
+    across executors; Python's hash() is per-process randomized and
+    must never feed a distributed dedup key). The numpy UDF only does
+    the n_hashes odd-multiplier min-reductions, one vectorized matmul-
+    shaped pass per Arrow batch."""
+    sh = df.select(
+        F.col(id_col),
+        F.transform(_shingles(text_col, shingle_k), lambda s: F.xxhash64(s)).alias("sh"),
+    )
+
+    # seeds as odd multipliers (splitmix64-derived, deterministic)
+    from .. import geomlite as G
+
+    seeds = (G.splitmix64(np.arange(n_hashes)) | np.uint64(1)).astype(np.uint64)
+
+    @F.pandas_udf(MINHASH_SCHEMA)
+    def mh(hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashes:
+            if arr is None or len(arr) == 0:
+                out.append(np.zeros(n_hashes, dtype=np.int64).tolist())
+                continue
+            base = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                m = base[:, None] * seeds[None, :]  # (n_shingles, n_hashes)
+            out.append(m.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sh.select(F.col(id_col), mh("sh").alias("sig"))
+
+
+def lsh_candidates(sigs: DataFrame, id_col: str, bands: int = 16) -> DataFrame:
+    """Banded LSH: equal band-slice -> same bucket. Returns candidate
+    pairs (id_a < id_b) with the signature-estimated jaccard. Shuffles
+    only (band_key, id, sig)."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.slice(F.col("sig"), b * (F.size("sig") / bands).cast("int") + 1,
+                                   (F.size("sig") / bands).cast("int"))
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    a = banded.select(
+        F.col("band"), F.col("bkey"),
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("bkey"),
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    ).cast("double") / F.size("sig_a")
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
+                  threshold: float = 0.8, n_hashes: int = 64,
+                  bands: int = 16, shingle_k: int = 5) -> DataFrame:
+    """Near-duplicate pairs above the jaccard threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    return lsh_candidates(sigs, id_col, bands).filter(F.col("est_jaccard") >= threshold)
+
+
+# ----------------------------------------------------------------- simhash
+@F.pandas_udf(T.LongType())
+def _simhash_bits_udf(word_hashes: pd.Series) -> pd.Series:
+    """Bit-majority over pre-hashed words (hashing happened JVM-side —
+    deterministic xxhash64; only the 64-bit majority fold is numpy)."""
+    out = np.empty(len(word_hashes), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, arr in enumerate(word_hashes):
+        if arr is None or len(arr) == 0:
+            out[i] = 0
+            continue
+        hs = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        maj = (bits.sum(axis=0) * 2 > len(hs)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            out[i] = np.int64((maj << shifts).sum().astype(np.uint64).astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    wh = F.transform(tokens(text_col), lambda w: F.xxhash64(w))
+    return df.select(F.col(id_col), _simhash_bits_udf(wh).alias("simhash"))
+
+
+def simhash_pairs(sh: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs within hamming distance via 4x16-bit banding
+    (a pair within distance 3 shares at least one exact band)."""
+    bands = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
+        for i in range(4)
+    ]
+    banded = sh.select(F.col(id_col), F.col("simhash"), *bands)
+    pieces = []
+    for i in range(4):
+        a = banded.select(F.col(f"b{i}").alias("bk"), F.col(id_col).alias("id_a"),
+                          F.col("simhash").alias("h_a"))
+        b = banded.select(F.col(f"b{i}").alias("bk"), F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("h_b"))
+        pieces.append(a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
+                      .select("id_a", "id_b", "h_a", "h_b"))
+    cand = pieces[0]
+    for p in pieces[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ------------------------------------------------------------- exact jaccard
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
+                        id_col: str, k: int = 5) -> DataFrame:
+    """Exact character-k-gram jaccard for given (id_a, id_b) pairs —
+    the verification stage after LSH candidates (JVM array ops)."""
+    sh = df.select(F.col(id_col), _shingles(text_col, k).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select("id_a", "id_b", (inter / union).alias("jaccard"))

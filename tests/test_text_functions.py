@@ -1,0 +1,115 @@
+"""Tests for dedup + text analysis operators (training-data pipeline)."""
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import text as TX
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                     # exact dup of 1
+        Row(doc_id=3, text="  THE   quick brown fox jumps over the lazy dog and runs far away today "),  # ws/case dup
+        Row(doc_id=4, text=near),                     # near-dup of 1
+        Row(doc_id=5, text="completely different content about spark shuffles and partitions"),
+        Row(doc_id=6, text="el la de que y en un por con los amigos"),
+        Row(doc_id=7, text="le la de et les des en un du une maison"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    got = TX.exact_dedup(_docs(spark), "text", "doc_id").orderBy("doc_id").collect()
+    groups = {}
+    for r in got:
+        groups.setdefault(r["dup_group"], []).append((r["doc_id"], r["is_canonical"]))
+    g1 = [g for g in groups.values() if len(g) > 1]
+    assert len(g1) == 1 and sorted(x[0] for x in g1[0]) == [1, 2, 3]
+    assert [x[1] for x in sorted(g1[0])] == [True, False, False]  # min id canonical
+
+
+def test_minhash_near_dup(spark):
+    pairs = TX.minhash_dedup(_docs(spark), "text", "doc_id", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups + the near-dup pair must all be found
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+    assert any(p in got for p in [(1, 4), (2, 4), (3, 4)])
+    # unrelated docs must not pair
+    assert not any(5 in p or 6 in p or 7 in p for p in got)
+
+
+def test_minhash_deterministic_across_runs(spark):
+    s1 = TX.minhash_signatures(_docs(spark), "text", "doc_id").orderBy("doc_id").collect()
+    s2 = TX.minhash_signatures(_docs(spark), "text", "doc_id").orderBy("doc_id").collect()
+    assert [r["sig"] for r in s1] == [r["sig"] for r in s2]
+
+
+def test_simhash_pairs(spark):
+    sh = TX.simhash(_docs(spark), "text", "doc_id")
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert vals[1] == vals[2]  # identical text -> identical simhash
+    # 4x16 banding GUARANTEES recall only for hamming <= 3 (pigeonhole);
+    # beyond that candidates are best-effort.
+    pairs = TX.simhash_pairs(sh, "doc_id", max_hamming=10).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0 and got.get((1, 3)) == 0 and got.get((2, 3)) == 0
+    assert all(h <= 10 for h in got.values())
+    # near-dup of 1 sits at hamming 6 — may or may not share a band;
+    # what's guaranteed is it is NOT reported with a wrong distance
+    if (1, 4) in got:
+        assert got[(1, 4)] == 6
+
+
+def test_ngram_jaccard_verification(spark):
+    docs = _docs(spark)
+    cand = TX.minhash_dedup(docs, "text", "doc_id", threshold=0.4)
+    verified = TX.ngram_jaccard_pairs(docs, cand, "text", "doc_id").collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+    assert j[(1, 2)] == 1.0
+    if (1, 4) in j:
+        assert 0.5 < j[(1, 4)] < 1.0
+
+
+def test_lang_id_and_quality_and_tokens(spark):
+    df = _docs(spark)
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        TX.lang_id("text").alias("lang"),
+        TX.token_count("text").alias("ntok"),
+        TX.token_count("text", "bpe").alias("nbpe"),
+        TX.quality_score("text").alias("q"),
+    ).collect()}
+    assert got[1]["lang"] == "en"
+    assert got[6]["lang"] == "es"
+    assert got[7]["lang"] == "fr"
+    assert got[1]["ntok"] == 14
+    assert got[1]["nbpe"] >= got[1]["ntok"]
+    assert 0.0 <= got[1]["q"] <= 1.0
+    assert got[5]["q"] > 0.3
+
+
+def test_fingerprint_deterministic_and_ws_robust(spark):
+    df = _docs(spark)
+    fp = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", TX.fingerprint(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp")
+    ).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[5]
+
+
+def test_on_driver_documents_table(spark, sf_dir):
+    """Operators run on the driver's real documents parquet."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = docs.select(
+        "doc_id",
+        TX.token_count("text").alias("ntok"),
+        TX.lang_id("text").alias("lang"),
+        TX.quality_score("text").alias("q"),
+    )
+    assert out.count() == n
+    assert out.filter(F.col("ntok") > 0).count() == n
