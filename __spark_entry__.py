@@ -1,38 +1,569 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship pipeline on sf0.001: flat documents -> nested
+                interleaved-span shape -> zero-shuffle PIP zone join ->
+                Web-Mercator tile assignment.
+queries()     — one entry per implemented operator family (SURVEY.md §2);
+                spatial queries run the REAL engine machinery (cell
+                cover + broadcast join + Arrow UDF) while their oracles
+                are independent closed-form SQL.
+oracle_sql()  — DuckDB ANSI SQL equivalents. Omitted for genuinely
+                non-SQL ops (minhash/simhash/LSH/raster kernels), which
+                the driver records as rows-only checks.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark import derived as DRV
+from gdal_spark import ogrsql as Q
+from gdal_spark import synth, tiling
+from gdal_spark.functions import ann as ANN
+from gdal_spark.functions import text as TX
+from gdal_spark.index import auto_level, cover_df
+from gdal_spark.joins import extract_geom, pip_join
+from gdal_spark.knn import knn_join
+
+ZOOM = 12
+ZONE_G = 8
+KNUTH = DRV.KNUTH
+MOD32 = DRV.MOD32
 
 
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat documents + derived point + single-vertex geometry arrays
+    (no WKT roundtrip — exact parity with the closed-form oracle)."""
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    return d.withColumn("gx", F.array(F.col("lon"))).withColumn(
+        "gy", F.array(F.col("lat"))
+    )
+
+
+# ================================================================== entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    docs = DRV.docs_with_spans_from_flat(_read(spark, sf_dir, "documents"))
+    zones = DRV.rect_zone_grid(ZONE_G)
+    lvl = auto_level(len(zones))
+    cov = cover_df(spark, zones, lvl)
+    joined = pip_join(extract_geom(docs), cov, lvl, mode="first")
+    tiled = tiling.assign_tiles(joined, ZOOM)
+    return tiled.select(
+        "doc_id", "zone_id", "eas_id", "tile_x", "tile_y", "quadkey", "spans"
+    )
+
+
+# ================================================================ queries
+def _q_pip_zone_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_points(spark, sf_dir)
+    zones = DRV.rect_zone_grid(ZONE_G)
+    lvl = auto_level(len(zones))
+    cov = cover_df(spark, zones, lvl)
+    out = pip_join(docs, cov, lvl, mode="first")
+    return out.select("doc_id", "zone_id", "eas_id")
+
+
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    return tiling.assign_tiles(docs, ZOOM).select(
+        "doc_id", "tile_x", "tile_y", "quadkey"
+    )
+
+
+def _knn_queries_pdf(n: int = 40) -> pd.DataFrame:
+    rows = []
+    for q in range(n):
+        key = q * 7919 + 3
+        u1 = (key * KNUTH) % MOD32
+        u2 = ((key + 1) * KNUTH) % MOD32
+        rows.append(
+            {
+                "q_id": q,
+                "lon": -180.0 + 360.0 * u1 / MOD32,
+                "lat": -85.0 + 170.0 * u2 / MOD32,
+                "k": 5,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_points(spark, sf_dir)
+    out = knn_join(spark, docs, _knn_queries_pdf(), level=4, id_col="doc_id")
+    return out.select("q_id", "doc_id", "rank")
+
+
+def _q_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.extent(DRV.with_derived_points(_read(spark, sf_dir, "documents")))
+
+
+def _q_ogr_where_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    return c.filter(
+        Q.ci_eq("c_mktsegment", "BUILDING") & (F.col("c_acctbal") > 1000.0)
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def _q_ogr_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _read(spark, sf_dir, "part")
+    return p.filter(
+        Q.ogr_like("p_type", "%BRASS") | Q.ogr_ilike("p_brand", "brand#1%")
+    ).select("p_partkey", "p_type", "p_brand")
+
+
+def _q_ogr_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10.0, 20.0)
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+def _q_ogr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.count_distinct("l_returnflag").alias("cnt_rf"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+    )
+
+
+def _q_ogr_distinct_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return Q.distinct_ci(d, "lang", fid_col="doc_id")
+
+
+def _q_ogr_orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(5)
+        .limit(10)
+    )
+
+
+def _q_ogr_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    return Q.first_match_left_join(c, o, "c_custkey", right_order="o_orderkey").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+def _q_ogr_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _read(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("key"), F.col("r_name").alias("name")
+    )
+    n = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    return Q.union_all_layers([r, n], layer_names=["region", "nation"])
+
+
+def _q_ogr_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _read(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.concat(F.col("n_name"), F.lit("_"), F.col("n_regionkey").cast("string")).alias("tagged"),
+        Q.substr_ogr("n_name", -3).alias("tail3"),
+        Q.substr_ogr("n_name", 2, 3).alias("mid3"),
+        F.col("n_regionkey").cast("double").alias("rk_dbl"),
+    )
+
+
+def _q_ogr_avg_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("cnt"),
+        F.avg(F.unix_timestamp("ts")).alias("avg_ts_epoch"),
+    )
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_val")
+    )
+
+
+def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.select(
+        "event_id", "user_id", F.row_number().over(w).alias("rn")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return TX.exact_dedup(d, "text", "doc_id").select("doc_id", "is_canonical")
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("ntok"),
+        TX.token_count("text", "bpe").alias("nbpe"),
+    )
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score("text").alias("q"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id("text").alias("lang_guess"))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return TX.minhash_dedup(d, "text", "doc_id", threshold=0.8).select(
+        "id_a", "id_b"
+    )
+
+
+def _q_simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return TX.simhash(d, "text", "doc_id")
+
+
+def _ann_queries_pdf(spark: SparkSession, sf_dir: str) -> pd.DataFrame:
+    e = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    return pd.DataFrame({"q_id": e["vec_id"].astype("int64"), "embedding": e["embedding"]})
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    q = _ann_queries_pdf(spark, sf_dir)
+    return ANN.cosine_topk(emb, q, k=10).select("q_id", "vec_id", "rank")
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    q = _ann_queries_pdf(spark, sf_dir)
+    return ANN.lsh_topk(emb, q, k=10, n_bits=4, tables=16).select(
+        "q_id", "vec_id", "rank"
+    )
+
+
+def _q_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 4, 4)
+    return tiling.checksum_table(tiles)
+
+
+def _q_overview_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 4, 4)
+    return tiling.checksum_table(tiling.build_overview(tiles, "average"))
+
+
+def _q_warp_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    res = 2 * math.pi * 6378137 / 256 / (2**ZOOM)
+    origin = (-math.pi * 6378137, -math.pi * 6378137 + 2 * 256 * res)
+    warped = tiling.warp_affine(
+        tiles, src_zoom_origin=origin, src_res=res,
+        dst_origin=origin, dst_res=res * 2, dst_tiles_x=1, dst_tiles_y=1,
+        kernel="bilinear",
+    )
+    return tiling.checksum_table(warped)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pip_zone_join": _q_pip_zone_join,
+        "tile_assign": _q_tile_assign,
+        "knn_top5": _q_knn,
+        "extent_docs": _q_extent,
+        "ogr_where_ci": _q_ogr_where_ci,
+        "ogr_like": _q_ogr_like,
+        "ogr_in_between": _q_ogr_in_between,
+        "ogr_summary": _q_ogr_summary,
+        "ogr_distinct_ci": _q_ogr_distinct_ci,
+        "ogr_orderby_limit_offset": _q_ogr_orderby_limit_offset,
+        "ogr_first_match_join": _q_ogr_first_match_join,
+        "ogr_union_all": _q_ogr_union_all,
+        "ogr_scalar_funcs": _q_ogr_scalar_funcs,
+        "ogr_avg_timestamp": _q_ogr_avg_timestamp,
+        "json_props": _q_json_props,
+        "window_rank": _q_window_rank,
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_table": _q_simhash_table,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "raster_checksums": _q_raster_checksums,
+        "overview_checksums": _q_overview_checksums,
+        "warp_checksums": _q_warp_checksums,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ============================================================== oracle SQL
+_LON = DRV.DERIVED_LON_SQL
+_LAT = DRV.DERIVED_LAT_SQL
+
+_PX = 360.0 / ZONE_G
+_PY = 170.0 / ZONE_G
+
+_PIP_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+), z AS (
+  SELECT doc_id,
+         CAST(FLOOR((lon + 180.0) / {_PX}) AS BIGINT) * {ZONE_G}
+           + CAST(FLOOR((lat + 85.0) / {_PY}) AS BIGINT) AS zid
+  FROM pts
+)
+SELECT doc_id,
+       CASE WHEN (zid * {KNUTH} % {MOD32}) % 10 = 0 THEN NULL ELSE zid END AS zone_id,
+       CASE WHEN (zid * {KNUTH} % {MOD32}) % 10 = 0 THEN NULL ELSE 158 + zid * 7 END AS eas_id
+FROM z
+"""
+
+
+def _tile_sql_fragment(lon: str, lat: str, zoom: int) -> str:
+    """Closed-form gdal2tiles math in ANSI SQL (gdal2tiles.py:355-466)."""
+    o = 20037508.342789244
+    res = 2 * math.pi * 6378137 / 256 / (2**zoom)
+    nmax = 2**zoom - 1
+    # clamp to [0, 2^z-1]: the raw PixelsToTile formula yields -1 at the
+    # exact px=0 boundary (lon=-180) — matches cells.lonlat_to_tile
+    base = f"""
+      GREATEST(0, LEAST({nmax}, CAST(CEIL((({lon} * {o} / 180.0) + {o}) / {res} / 256.0) AS BIGINT) - 1)) AS tx,
+      {nmax} - GREATEST(0, LEAST({nmax}, CAST(CEIL(((LN(TAN((90.0 + {lat}) * PI() / 360.0)) / (PI() / 180.0) * {o} / 180.0) + {o}) / {res} / 256.0) AS BIGINT) - 1)) AS ty
     """
-    return {}
+    digits = " || ".join(
+        f"CAST((tx // {1 << (i - 1)}) % 2 + 2 * ((ty // {1 << (i - 1)}) % 2) AS VARCHAR)"
+        for i in range(zoom, 0, -1)
+    )
+    return base, digits
+
+
+_TILE_BASE, _TILE_DIGITS = _tile_sql_fragment("lon", "lat", ZOOM)
+
+_TILE_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+), t AS (
+  SELECT doc_id, {_TILE_BASE} FROM pts
+)
+SELECT doc_id, CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+       {_TILE_DIGITS} AS quadkey
+FROM t
+"""
+
+_KNN_SQL = f"""
+WITH q AS (
+  SELECT range AS q_id,
+         -180.0 + 360.0 * ((range * 7919 + 3) * {KNUTH} % {MOD32}) / {MOD32} AS q_lon,
+         -85.0 + 170.0 * ((range * 7919 + 4) * {KNUTH} % {MOD32}) / {MOD32} AS q_lat
+  FROM range(40)
+), pts AS (
+  SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+), d AS (
+  SELECT q.q_id, pts.doc_id,
+         2.0 * 6371008.8 * ASIN(SQRT(LEAST(1.0,
+             POW(SIN(RADIANS(lat - q_lat) / 2), 2)
+             + COS(RADIANS(q_lat)) * COS(RADIANS(lat))
+               * POW(SIN(RADIANS(lon - q_lon) / 2), 2)))) AS dist
+  FROM q CROSS JOIN pts
+)
+SELECT q_id, doc_id, rank FROM (
+  SELECT q_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, doc_id ASC) AS rank
+  FROM d
+) WHERE rank <= 5
+"""
+
+_QUALITY_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS DOUBLE) AS n,
+         CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+         GREATEST(LEN(list_filter(regexp_split_to_array(LOWER(text), '\\s+'), x -> x <> '')), 1) AS nw
+  FROM documents
+)
+SELECT doc_id,
+       FLOOR((LEAST(n / 200.0, 1.0) * 0.3
+             + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.5
+             + (CASE WHEN n / nw >= 3 AND n / nw <= 12 THEN 1.0 ELSE 0.3 END) * 0.2) * 1e6) / 1e6 AS q
+FROM b
+"""
+
+_LANG_WORDS = {
+    lang: ws for lang, ws in sorted(TX._STOPWORDS.items())
+}
+
+
+def _lang_sql() -> str:
+    hit_cols = []
+    for lang, ws in _LANG_WORDS.items():
+        arr = ", ".join(f"'{w}'" for w in ws)
+        hit_cols.append(
+            f"LEN(list_intersect(toks, [{arr}])) AS hits_{lang}"
+        )
+    hits = ",\n         ".join(hit_cols)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(LOWER(text), '\\s+'), x -> x <> '')) AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, {hits} FROM t
+), m AS (
+  SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+         GREATEST(hits_de, hits_en, hits_es, hits_fr) AS best
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN hits_fr = best THEN 'fr'
+            WHEN hits_es = best THEN 'es'
+            WHEN hits_en = best THEN 'en'
+            ELSE 'de' END AS lang_guess
+FROM m
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pip_zone_join": _PIP_SQL,
+        "tile_assign": _TILE_SQL,
+        "knn_top5": _KNN_SQL,
+        "extent_docs": f"""
+            SELECT MIN(lon) AS xmin, MIN(lat) AS ymin,
+                   MAX(lon) AS xmax, MAX(lat) AS ymax
+            FROM (SELECT {_LON} AS lon, {_LAT} AS lat FROM documents)
+        """,
+        "ogr_where_ci": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE LOWER(c_mktsegment) = LOWER('BUILDING') AND c_acctbal > 1000.0
+        """,
+        "ogr_like": """
+            SELECT p_partkey, p_type, p_brand FROM part
+            WHERE p_type LIKE '%BRASS' OR LOWER(p_brand) LIKE LOWER('brand#1%')
+        """,
+        "ogr_in_between": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+            WHERE l_returnflag IN ('A', 'R')
+              AND l_quantity BETWEEN 10.0 AND 20.0
+              AND l_shipdate IS NOT NULL
+        """,
+        "ogr_summary": """
+            SELECT COUNT(*) AS cnt,
+                   COUNT(DISTINCT l_returnflag) AS cnt_rf,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty,
+                   SUM(l_quantity) AS sum_qty,
+                   AVG(l_extendedprice) AS avg_price
+            FROM lineitem
+        """,
+        "ogr_distinct_ci": """
+            SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY LOWER(lang)
+        """,
+        "ogr_orderby_limit_offset": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10 OFFSET 5
+        """,
+        "ogr_first_match_join": """
+            SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            FROM customer c LEFT JOIN (
+              SELECT * FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+                FROM orders
+              ) WHERE rn = 1
+            ) o ON c.c_custkey = o.o_custkey
+        """,
+        "ogr_union_all": """
+            SELECT r_regionkey AS key, r_name AS name,
+                   CAST(NULL AS INTEGER) AS regionkey, 'region' AS layer_name
+            FROM region
+            UNION ALL
+            SELECT n_nationkey AS key, n_name AS name,
+                   n_regionkey AS regionkey, 'nation' AS layer_name
+            FROM nation
+        """,
+        "ogr_scalar_funcs": """
+            SELECT n_nationkey,
+                   n_name || '_' || CAST(n_regionkey AS VARCHAR) AS tagged,
+                   RIGHT(n_name, 3) AS tail3,
+                   SUBSTRING(n_name, 2, 3) AS mid3,
+                   CAST(n_regionkey AS DOUBLE) AS rk_dbl
+            FROM nation
+        """,
+        "ogr_avg_timestamp": """
+            SELECT COUNT(*) AS cnt, AVG(FLOOR(epoch(ts))) AS avg_ts_epoch FROM events
+        """,
+        "json_props": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
+        """,
+        "window_rank": """
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        """,
+        "dedup_exact": """
+            SELECT doc_id,
+                   doc_id = MIN(doc_id) OVER (
+                     PARTITION BY TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))
+                   ) AS is_canonical
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   LEN(list_filter(regexp_split_to_array(LOWER(text), '\\s+'), x -> x <> '')) AS ntok,
+                   LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS nbpe
+            FROM documents
+        """,
+        "quality_score": _QUALITY_SQL,
+        "lang_id": _lang_sql(),
+        "ann_cosine_topk": """
+            SELECT q_id, vec_id, rank FROM (
+              SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id ASC
+                     ) AS rank
+              FROM embeddings e
+              CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+            ) WHERE rank <= 10
+        """,
+        # minhash_pairs, simhash_table, ann_lsh_topk, raster/overview/
+        # warp_checksums: non-SQL-expressible (hash kernels / pixel
+        # kernels) -> rows-only checks; their value-level goldens live
+        # in tests/ (shared-formula oracles).
+    }

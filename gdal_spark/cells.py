@@ -65,11 +65,20 @@ def tms_to_google(ty_tms: Column, zoom: int) -> Column:
     return F.lit(2**zoom - 1) - ty_tms
 
 
+def clamp_tile(t: Column, zoom: int) -> Column:
+    """Clamp a tile coordinate into [0, 2^zoom - 1]. The raw
+    PixelsToTile formula (ceil(px/256)-1, gdal2tiles.py:391-396) yields
+    -1 at the exact px=0 domain edge (lon=-180); gdal2tiles never emits
+    it because raster pixel CENTERS are never at px=0 — for point
+    indexing we clamp so every point gets a valid tile."""
+    return F.greatest(F.lit(0).cast("long"), F.least(F.lit(2**zoom - 1).cast("long"), t))
+
+
 def lonlat_to_tile(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
     """lon/lat -> Google tile (tx, ty) at zoom. Pure column math."""
     mx, my = lonlat_to_meters(lon, lat)
     tx, ty_tms = meters_to_tile_tms(mx, my, zoom)
-    return tx, tms_to_google(ty_tms, zoom)
+    return clamp_tile(tx, zoom), clamp_tile(tms_to_google(ty_tms, zoom), zoom)
 
 
 def quadkey(tx: Column, ty_tms: Column, zoom: int) -> Column:
@@ -123,12 +132,15 @@ def np_lonlat_to_meters(lon, lat):
 
 
 def np_lonlat_to_tile(lon, lat, zoom: int):
-    """Google tile (tx, ty) — numpy mirror of lonlat_to_tile."""
+    """Google tile (tx, ty) — numpy mirror of lonlat_to_tile (clamped)."""
     mx, my = np_lonlat_to_meters(lon, lat)
     res = resolution(zoom)
+    nmax = 2**zoom - 1
     tx = np.ceil((mx + ORIGIN_SHIFT) / res / TILE_SIZE).astype(np.int64) - 1
     ty_tms = np.ceil((my + ORIGIN_SHIFT) / res / TILE_SIZE).astype(np.int64) - 1
-    return tx, (2**zoom - 1) - ty_tms
+    tx = np.clip(tx, 0, nmax)
+    ty_tms = np.clip(ty_tms, 0, nmax)
+    return tx, nmax - ty_tms
 
 
 def np_quadkey(tx, ty_tms, zoom: int):

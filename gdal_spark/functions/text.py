@@ -83,7 +83,9 @@ def quality_score(col: Column | str) -> Column:
     alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
     wordlen = n / nw
     wordlen_score = F.when((wordlen >= 3) & (wordlen <= 12), 1.0).otherwise(0.3)
-    return F.round((len_score * 0.3 + alpha_ratio * 0.5 + wordlen_score * 0.2), 6)
+    # floor-grid instead of round: floor is identical in every engine
+    # (Spark rounds HALF_UP, others half-even — floor avoids the divergence)
+    return F.floor((len_score * 0.3 + alpha_ratio * 0.5 + wordlen_score * 0.2) * 1e6) / 1e6
 
 
 FINGERPRINT_K = 8  # rolling window (chars)

@@ -38,8 +38,9 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from . import geomlite as G
-from .cells import (EARTH_RADIUS, ORIGIN_SHIFT, TILE_SIZE, lonlat_to_meters,
-                    meters_to_tile_tms, quadkey, resolution, tms_to_google)
+from .cells import (EARTH_RADIUS, ORIGIN_SHIFT, TILE_SIZE, clamp_tile,
+                    lonlat_to_meters, meters_to_tile_tms, quadkey, resolution,
+                    tms_to_google)
 from .synth import TILE_SCHEMA
 
 
@@ -50,6 +51,8 @@ def assign_tiles(docs: DataFrame, zoom: int, lon_col: str = "lon",
     x/y (gdal2tiles.py:445-449), Bing quadkey (:451-466). Pure columns."""
     mx, my = lonlat_to_meters(F.col(lon_col), F.col(lat_col))
     tx, ty_tms = meters_to_tile_tms(mx, my, zoom)
+    tx = clamp_tile(tx, zoom)
+    ty_tms = clamp_tile(ty_tms, zoom)
     return (
         docs.withColumn("zoom", F.lit(zoom))
         .withColumn("tile_x", tx)

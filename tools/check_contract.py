@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+parquet dir, compare row count / schema / order-insensitive values.
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            try:
+                pdf[c] = pdf[c].astype("string")
+            except Exception:
+                pass
+    return pdf.sort_values(list(pdf.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(a) != len(b):
+        errs.append(f"rowcount spark={len(a)} oracle={len(b)}")
+        return errs
+    if sorted(a.columns) != sorted(b.columns):
+        errs.append(f"columns spark={sorted(a.columns)} oracle={sorted(b.columns)}")
+        return errs
+    a, b = normalize(a), normalize(b)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            af = av.astype("float64").to_numpy()
+            bf = bv.astype("float64").to_numpy()
+            both_nan = np.isnan(af) & np.isnan(bf)
+            close = np.isclose(af, bf, rtol=1e-9, atol=1e-12) | both_nan
+            if not close.all():
+                k = int(np.argmin(close))
+                errs.append(f"col {c}: {(~close).sum()} diffs, e.g. row {k}: {af[k]} vs {bf[k]}")
+        else:
+            eq = (av.astype("string").fillna("<NULL>") == bv.astype("string").fillna("<NULL>"))
+            if not eq.all():
+                k = int(np.argmin(eq.to_numpy()))
+                errs.append(f"col {c}: {(~eq).sum()} diffs, e.g. row {k}: {av.iloc[k]!r} vs {bv.iloc[k]!r}")
+    return errs
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from gdal_spark.session import get_spark
+
+    spark = get_spark("contract_check", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows, cols={sorted(sdf.columns)}")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {ex}")
+            failures += 1
+            continue
+        errs = compare(name, sdf, odf)
+        if errs:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(errs))
+        else:
+            print(f"OK   {name}: {len(sdf)} rows")
+    # entry smoke
+    if not only:
+        n = E.entry(spark).count()
+        print(f"ENTRY rows={n}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
