@@ -1,0 +1,118 @@
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Headline = the north-rule benchmark: PIP spatial join + Web-Mercator
+tile assignment over N synthetic interleaved documents (default 2M,
+$SPARK_GRAFT_BENCH_DOCS) against 10,000 zones, measured as docs/sec.
+The document table is staged to parquet once (generation excluded from
+timing — the benchmark measures the engine, not the generator).
+
+Also times the driver-table operator queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1): kNN, minhash dedup, ANN, raster
+overview+warp, and a relational OGR-SQL representative.
+
+Scaling evidence (north rule N vs 4N executors) is produced by
+tools/scaling_bench.py which runs THIS benchmark at local[8] and
+local[32] in fresh JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gdal_spark import synth, tiling  # noqa: E402
+from gdal_spark.functions import ann as ANN  # noqa: E402
+from gdal_spark.functions import text as TX  # noqa: E402
+from gdal_spark.index import auto_level, cover_df  # noqa: E402
+from gdal_spark.joins import extract_geom, pip_join  # noqa: E402
+from gdal_spark.knn import knn_join  # noqa: E402
+from gdal_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+N_ZONES = int(os.environ.get("SPARK_GRAFT_BENCH_ZONES", "10000"))
+STAGE_DIR = os.environ.get(
+    "SPARK_GRAFT_STAGE_DIR", f"/tmp/gdal_spark_bench/docs_{N_DOCS}"
+)
+
+
+def _stage_docs(spark):
+    marker = os.path.join(STAGE_DIR, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth.documents_df(spark, N_DOCS).write.mode("overwrite").parquet(STAGE_DIR)
+    return spark.read.parquet(STAGE_DIR)
+
+
+def main():
+    spark = get_spark("gdal_spark_bench")
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---------------- headline: PIP join + tile assignment ----------------
+    docs = _stage_docs(spark)
+    zones = synth.zones_np(N_ZONES)
+    lvl = auto_level(len(zones))
+    cov = cover_df(spark, zones, lvl)
+
+    def pip_tile():
+        d = extract_geom(docs)
+        j = pip_join(d, cov, lvl, mode="first")
+        t = tiling.assign_tiles(j, 12)
+        # force full evaluation of every output column
+        return t.select(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("zone_id"), F.lit(0))).alias("zsum"),
+            F.sum("tile_x").alias("xsum"),
+            F.sum(F.length("quadkey")).alias("qsum"),
+        ).collect()[0]
+
+    head = timed("pip_tile_2m", pip_tile)
+    n_docs_done = int(head["n"])
+    docs_per_sec = round(n_docs_done / timings["pip_tile_2m"], 1)
+
+    # ---------------- operator suite at SF_DIR ----------------
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in [
+        "pip_zone_join", "tile_assign", "knn_top5", "ogr_summary",
+        "ogr_first_match_join", "dedup_exact", "minhash_pairs",
+        "ann_cosine_topk", "overview_checksums", "warp_checksums",
+    ]:
+        df_fn = qs[name]
+        timed(name, lambda f=df_fn: f(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pip_join_tile_assign_throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "bench_docs": n_docs_done,
+                "docs_per_sec": docs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

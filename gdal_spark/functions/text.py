@@ -93,16 +93,25 @@ _FP_BASE = np.uint64(1099511628211)
 _FP_SEED = np.uint64(14695981039346656037)
 
 
-def _rolling_hashes(s: str) -> np.ndarray:
-    """All k-char rolling FNV-style hashes of s (k=FINGERPRINT_K)."""
+def _rolling_hashes(s: str, k: int = FINGERPRINT_K) -> np.ndarray:
+    """All k-char rolling FNV-style hashes of s — ONE vectorized pass of
+    k xor-multiply steps over the whole byte array. This is the shingle
+    hasher for minhash too: JVM higher-order substring shingling
+    re-evaluates the outer normalization expression per element
+    (CollapseProject inlines it), which is O(len^2) regexp work — the
+    numpy rolling hash is the fast path."""
     b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
-    if len(b) < FINGERPRINT_K:
-        b = np.pad(b, (0, FINGERPRINT_K - len(b)), constant_values=32)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=32)
     with np.errstate(over="ignore"):
-        h = np.full(len(b) - FINGERPRINT_K + 1, _FP_SEED, dtype=np.uint64)
-        for i in range(FINGERPRINT_K):
+        h = np.full(len(b) - k + 1, _FP_SEED, dtype=np.uint64)
+        for i in range(k):
             h = (h ^ b[i : i + len(h)].astype(np.uint64)) * _FP_BASE
     return h
+
+
+def _norm_py(s: str) -> str:
+    return " ".join((s or "").lower().split())
 
 
 @F.pandas_udf(T.LongType())
@@ -126,17 +135,6 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return out.withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(w))
 
 
-def _shingles(col: Column | str, k: int = 5) -> Column:
-    """Character k-shingles of the normalized text (JVM: sequence +
-    transform + substring — no Python)."""
-    c = F.col(col) if isinstance(col, str) else col
-    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
-    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
-    )
-
-
 MINHASH_SCHEMA = T.ArrayType(T.LongType())
 
 
@@ -144,78 +142,83 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        n_hashes: int = 64, shingle_k: int = 5) -> DataFrame:
     """(id, sig: array<long>[n_hashes]).
 
-    Shingling AND per-shingle hashing run JVM-side (xxhash64 — stable
-    across executors; Python's hash() is per-process randomized and
-    must never feed a distributed dedup key). The numpy UDF only does
-    the n_hashes odd-multiplier min-reductions, one vectorized matmul-
-    shaped pass per Arrow batch."""
-    sh = df.select(
-        F.col(id_col),
-        F.transform(_shingles(text_col, shingle_k), lambda s: F.xxhash64(s)).alias("sh"),
-    )
-
-    # seeds as odd multipliers (splitmix64-derived, deterministic)
+    One Arrow UDF does normalize -> rolling k-gram hashes (vectorized,
+    deterministic — never Python's process-randomized hash()) ->
+    unique -> n_hashes odd-multiplier min-reductions in a single
+    (shingles x hashes) numpy pass per row."""
     from .. import geomlite as G
 
     seeds = (G.splitmix64(np.arange(n_hashes)) | np.uint64(1)).astype(np.uint64)
 
     @F.pandas_udf(MINHASH_SCHEMA)
-    def mh(hashes: pd.Series) -> pd.Series:
+    def mh(texts: pd.Series) -> pd.Series:
         out = []
-        for arr in hashes:
-            if arr is None or len(arr) == 0:
-                out.append(np.zeros(n_hashes, dtype=np.int64).tolist())
-                continue
-            base = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                m = base[:, None] * seeds[None, :]  # (n_shingles, n_hashes)
-            out.append(m.min(axis=0).astype(np.int64).tolist())
+        with np.errstate(over="ignore"):
+            for s in texts:
+                sh = np.unique(_rolling_hashes(_norm_py(s), shingle_k))
+                m = sh[:, None] * seeds[None, :]  # (n_shingles, n_hashes)
+                out.append(m.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return sh.select(F.col(id_col), mh("sh").alias("sig"))
+    return df.select(F.col(id_col), mh(F.col(text_col)).alias("sig"))
 
 
-def lsh_candidates(sigs: DataFrame, id_col: str, bands: int = 16) -> DataFrame:
+def lsh_candidates(sigs: DataFrame, id_col: str, bands: int = 16,
+                   max_bucket: int | None = 1000) -> DataFrame:
     """Banded LSH: equal band-slice -> same bucket. Returns candidate
-    pairs (id_a < id_b) with the signature-estimated jaccard. Shuffles
-    only (band_key, id, sig)."""
+    pairs (id_a < id_b) with the signature-estimated jaccard.
+
+    Scale design:
+      - signatures persist once (the minhash UDF lineage must not be
+        re-evaluated by each self-join branch)
+      - the bucket self-join runs on the NARROW (id, band, bkey)
+        projection only; full signatures rejoin after pair dedup
+      - `max_bucket` drops degenerate buckets (boilerplate-heavy
+        corpora produce near-global buckets whose |B|^2 pair blow-up is
+        the classic LSH skew; the dropped bucket's true dups still
+        surface via their other, more selective bands) — the explicit
+        hot-key mitigation the north rule requires.
+    """
+    sigs = sigs.persist()
+    slice_len = (F.size("sig") / bands).cast("int")
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
                     F.xxhash64(
-                        b, F.slice(F.col("sig"), b * (F.size("sig") / bands).cast("int") + 1,
-                                   (F.size("sig") / bands).cast("int"))
+                        b, F.slice(F.col("sig"), b * slice_len + 1, slice_len)
                     ).alias("bkey"),
                 ),
             )
         ).alias("bk"),
-    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
-    a = banded.select(
-        F.col("band"), F.col("bkey"),
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
-    )
-    b = banded.select(
-        F.col("band"), F.col("bkey"),
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
-    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bkey")
+        banded = banded.withColumn("_bc", F.count(F.lit(1)).over(w)).filter(
+            F.col("_bc") <= max_bucket
+        ).drop("_bc")
+
+    a = banded.select("band", "bkey", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "bkey", F.col(id_col).alias("id_b"))
     pairs = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    withsigs = pairs.join(sa, "id_a").join(sb, "id_b")
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
         )
     ).cast("double") / F.size("sig_a")
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    return withsigs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
 def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
@@ -280,12 +283,23 @@ def simhash_pairs(sh: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
                         id_col: str, k: int = 5) -> DataFrame:
     """Exact character-k-gram jaccard for given (id_a, id_b) pairs —
-    the verification stage after LSH candidates (JVM array ops)."""
-    sh = df.select(F.col(id_col), _shingles(text_col, k).alias("sh"))
+    the verification stage after LSH candidates. Texts join to the
+    (small) pair set; the set-jaccard runs batch-wise in one Arrow UDF
+    over the same deterministic rolling k-gram hashes as minhash."""
+    t = df.select(F.col(id_col), F.col(text_col).alias("_t"))
     j = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        pairs.join(t.withColumnRenamed(id_col, "id_a").withColumnRenamed("_t", "t_a"), "id_a")
+        .join(t.withColumnRenamed(id_col, "id_b").withColumnRenamed("_t", "t_b"), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta))
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            sa = set(np.unique(_rolling_hashes(_norm_py(a), k)).tolist())
+            sb = set(np.unique(_rolling_hashes(_norm_py(b), k)).tolist())
+            u = len(sa | sb)
+            out[i] = (len(sa & sb) / u) if u else 1.0
+        return pd.Series(out)
+
+    return j.select("id_a", "id_b", jac("t_a", "t_b").alias("jaccard"))
