@@ -60,20 +60,35 @@ def parse_wkt_batch(wkt: "np.ndarray") -> tuple[list[np.ndarray], list[np.ndarra
     POINT -> length-1 arrays; POLYGON -> exterior ring, closing vertex
     dropped. Mirrors OGRGeometryFactory::createFromWkt for the two types
     the fixtures use (gdal/ogr/ogrgeometryfactory.cpp:374).
+
+    The dominant POINT case is vectorized through pandas' C regex
+    engine; only polygons (and malformed rows) take the Python path.
     """
-    xs_out: list[np.ndarray] = []
-    ys_out: list[np.ndarray] = []
-    for s in wkt:
+    import pandas as pd
+
+    ser = pd.Series(wkt, dtype=object)
+    m = ser.str.extract(r"^POINT\(([-0-9.eE+]+) ([-0-9.eE+]+)\)$", expand=True)
+    px = pd.to_numeric(m[0], errors="coerce").to_numpy()
+    py_ = pd.to_numeric(m[1], errors="coerce").to_numpy()
+    is_pt = ~np.isnan(px)
+
+    xs_out: list[np.ndarray] = [None] * len(ser)  # type: ignore[list-item]
+    ys_out: list[np.ndarray] = [None] * len(ser)  # type: ignore[list-item]
+    for i in np.where(is_pt)[0]:
+        xs_out[i] = np.array([px[i]])
+        ys_out[i] = np.array([py_[i]])
+    for i in np.where(~is_pt)[0]:
+        s = ser.iloc[i]
         if s is None:
-            xs_out.append(np.empty(0))
-            ys_out.append(np.empty(0))
+            xs_out[i] = np.empty(0)
+            ys_out[i] = np.empty(0)
             continue
         s = s.strip()
         if s.startswith("POINT"):
             body = s[s.index("(") + 1 : s.rindex(")")]
             x, y = body.split()
-            xs_out.append(np.array([float(x)]))
-            ys_out.append(np.array([float(y)]))
+            xs_out[i] = np.array([float(x)])
+            ys_out[i] = np.array([float(y)])
         elif s.startswith("POLYGON"):
             body = s[s.index("((") + 2 : s.index("))")]
             pts = [p.split() for p in body.split(",")]
@@ -81,8 +96,8 @@ def parse_wkt_batch(wkt: "np.ndarray") -> tuple[list[np.ndarray], list[np.ndarra
             ys = np.array([float(p[1]) for p in pts])
             if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
                 xs, ys = xs[:-1], ys[:-1]
-            xs_out.append(xs)
-            ys_out.append(ys)
+            xs_out[i] = xs
+            ys_out[i] = ys
         else:
             raise ValueError(f"unsupported WKT: {s[:40]}")
     return xs_out, ys_out

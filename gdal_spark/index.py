@@ -125,33 +125,17 @@ def cover_df(spark: SparkSession, zones: pd.DataFrame, level: int,
 
 
 # ---------------------------------------------------------------- numpy side
-def match_candidates_np(
-    px: np.ndarray,
-    py: np.ndarray,
-    gxs: list[np.ndarray],
-    gys: list[np.ndarray],
-    cand_zone_id: list,
-    cand_eas_id: list,
-    cand_bbox: tuple[list, list, list, list],
-    cand_ring_x: list,
-    cand_ring_y: list,
-    cand_ring_len: list,
-) -> list[list[tuple[int, int]]]:
-    """Vectorized exact-match over a batch of documents with packed
-    candidates. Returns, per doc, the ordered list of matching
-    (zone_id, eas_id) — empty when no zone intersects.
-
-    Stage structure mirrors FilterGeometry (ogrlayer.cpp:1357):
-      1. candidate cells (caller's broadcast join) — quadtree analog
-      2. bbox reject (:1377-1382) — vectorized over all (doc,cand) pairs
-      3. exact intersects (:1449-1462) — pip_pairs / intersects_pairs
-    """
+def _eval_candidate_pairs(
+    px, py, gxs, gys, cand_zone_id, cand_eas_id, cand_bbox,
+    cand_ring_x, cand_ring_y, cand_ring_len,
+):
+    """Shared core: flatten (doc, candidate) pairs, run the staged test,
+    return (doc_idx, zone_id, eas_id) arrays of the HIT pairs only."""
     B = len(px)
     ncand = np.array([0 if c is None else len(c) for c in cand_zone_id], dtype=np.int64)
-    total = int(ncand.sum())
-    out: list[list[tuple[int, int]]] = [[] for _ in range(B)]
-    if total == 0:
-        return out
+    empty = (np.empty(0, np.int64),) * 3
+    if int(ncand.sum()) == 0:
+        return empty
 
     doc_idx = np.repeat(np.arange(B), ncand)
     zid = np.concatenate([np.asarray(c, dtype=np.int64) for c in cand_zone_id if c is not None and len(c)])
@@ -161,7 +145,6 @@ def match_candidates_np(
         for col in cand_bbox
     )
 
-    # per-pair doc bbox (point docs: the point; poly docs: vertex bbox)
     glen = np.array([len(a) for a in gxs], dtype=np.int64)
     dxmin = np.array([a.min() if len(a) else np.nan for a in gxs])
     dxmax = np.array([a.max() if len(a) else np.nan for a in gxs])
@@ -175,9 +158,8 @@ def match_candidates_np(
         & (dymin[doc_idx] <= bymax)
     )
     if not keep.any():
-        return out
+        return empty
 
-    # rebuild padded ring matrices for surviving pairs
     ring_lens = np.concatenate([np.asarray(c, dtype=np.int64) for c in cand_ring_len if c is not None and len(c)])
     flat_x = np.concatenate([np.asarray(c, dtype=np.float64) for c in cand_ring_x if c is not None and len(c)])
     flat_y = np.concatenate([np.asarray(c, dtype=np.float64) for c in cand_ring_y if c is not None and len(c)])
@@ -207,8 +189,62 @@ def match_candidates_np(
             RY[poly_rows],
             RL[poly_rows],
         )
+    hit_pairs = sel[hits]
+    return doc_idx[hit_pairs], zid[hit_pairs], eas[hit_pairs]
 
-    for r in np.where(hits)[0]:
-        pair = sel[r]
-        out[int(doc_idx[pair])].append((int(zid[pair]), int(eas[pair])))
+
+def first_match_np(
+    px, py, gxs, gys, cand_zone_id, cand_eas_id, cand_bbox,
+    cand_ring_x, cand_ring_y, cand_ring_len,
+):
+    """Fast path for OGR first-match semantics: per doc the hit with the
+    LOWEST zone_id, -1 sentinel when none — flat int64 outputs, no
+    per-row Python objects (this is the benchmark hot loop)."""
+    B = len(px)
+    zone_out = np.full(B, -1, dtype=np.int64)
+    eas_out = np.full(B, -1, dtype=np.int64)
+    doc_idx, zid, eas = _eval_candidate_pairs(
+        px, py, gxs, gys, cand_zone_id, cand_eas_id, cand_bbox,
+        cand_ring_x, cand_ring_y, cand_ring_len,
+    )
+    if len(doc_idx):
+        order = np.lexsort((zid, doc_idx))  # by doc, then zone_id asc
+        d_sorted = doc_idx[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = d_sorted[1:] != d_sorted[:-1]
+        zone_out[d_sorted[first]] = zid[order][first]
+        eas_out[d_sorted[first]] = eas[order][first]
+    return zone_out, eas_out
+
+
+def match_candidates_np(
+    px: np.ndarray,
+    py: np.ndarray,
+    gxs: list[np.ndarray],
+    gys: list[np.ndarray],
+    cand_zone_id: list,
+    cand_eas_id: list,
+    cand_bbox: tuple[list, list, list, list],
+    cand_ring_x: list,
+    cand_ring_y: list,
+    cand_ring_len: list,
+) -> list[list[tuple[int, int]]]:
+    """Vectorized exact-match over a batch of documents with packed
+    candidates. Returns, per doc, the ordered list of matching
+    (zone_id, eas_id) — empty when no zone intersects.
+
+    Stage structure mirrors FilterGeometry (ogrlayer.cpp:1357):
+      1. candidate cells (caller's broadcast join) — quadtree analog
+      2. bbox reject (:1377-1382) — vectorized over all (doc,cand) pairs
+      3. exact intersects (:1449-1462) — pip_pairs / intersects_pairs
+    """
+    B = len(px)
+    out: list[list[tuple[int, int]]] = [[] for _ in range(B)]
+    doc_idx, zid, eas = _eval_candidate_pairs(
+        px, py, gxs, gys, cand_zone_id, cand_eas_id, cand_bbox,
+        cand_ring_x, cand_ring_y, cand_ring_len,
+    )
+    order = np.lexsort((zid, doc_idx))
+    for k in order:
+        out[int(doc_idx[k])].append((int(zid[k]), int(eas[k])))
     return out

@@ -108,6 +108,54 @@ def _match_udf(
     )
 
 
+FIRST_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("eas_id", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(FIRST_SCHEMA)
+def _first_match_udf(
+    lon: pd.Series,
+    lat: pd.Series,
+    gx: pd.Series,
+    gy: pd.Series,
+    cand_zone_id: pd.Series,
+    cand_eas_id: pd.Series,
+    cand_xmin: pd.Series,
+    cand_ymin: pd.Series,
+    cand_xmax: pd.Series,
+    cand_ymax: pd.Series,
+    cand_ring_x: pd.Series,
+    cand_ring_y: pd.Series,
+    cand_ring_len: pd.Series,
+) -> pd.DataFrame:
+    """Benchmark hot path: flat int64 in/out, no per-row Python objects."""
+    gxs = [np.asarray(a, dtype=np.float64) for a in gx]
+    gys = [np.asarray(a, dtype=np.float64) for a in gy]
+    zone, eas = IX.first_match_np(
+        lon.to_numpy(dtype=np.float64),
+        lat.to_numpy(dtype=np.float64),
+        gxs,
+        gys,
+        cand_zone_id.tolist(),
+        cand_eas_id.tolist(),
+        (cand_xmin.tolist(), cand_ymin.tolist(), cand_xmax.tolist(), cand_ymax.tolist()),
+        cand_ring_x.tolist(),
+        cand_ring_y.tolist(),
+        cand_ring_len.tolist(),
+    )
+    miss = zone < 0
+    return pd.DataFrame(
+        {
+            "zone_id": pd.array(np.where(miss, 0, zone), dtype="Int64"),
+            "eas_id": pd.array(np.where(miss, 0, eas), dtype="Int64"),
+        }
+    ).mask(pd.DataFrame({"zone_id": miss, "eas_id": miss}))
+
+
 def pip_join(
     docs: DataFrame,
     cover: DataFrame,
@@ -125,23 +173,22 @@ def pip_join(
     """
     d = docs.withColumn("cell_id", geo_cell(F.col("lon"), F.col("lat"), level))
     j = d.join(F.broadcast(cover), "cell_id", "left")
-    j = j.withColumn(
-        "_matches",
-        _match_udf(
-            "lon", "lat", "gx", "gy",
-            "cand_zone_id", "cand_eas_id",
-            "cand_xmin", "cand_ymin", "cand_xmax", "cand_ymax",
-            "cand_ring_x", "cand_ring_y", "cand_ring_len",
-        ),
-    ).drop(*[f.name for f in IX.COVER_SCHEMA.fields if f.name != "cell_id"])
+    cand_cols = [f.name for f in IX.COVER_SCHEMA.fields if f.name != "cell_id"]
+    udf_args = (
+        "lon", "lat", "gx", "gy",
+        "cand_zone_id", "cand_eas_id",
+        "cand_xmin", "cand_ymin", "cand_xmax", "cand_ymax",
+        "cand_ring_x", "cand_ring_y", "cand_ring_len",
+    )
 
     if mode == "first":
-        m = F.element_at("_matches", 1)
+        j = j.withColumn("_m", _first_match_udf(*udf_args)).drop(*cand_cols)
         return (
-            j.withColumn("zone_id", m["zone_id"])
-            .withColumn("eas_id", m["eas_id"])
-            .drop("_matches")
+            j.withColumn("zone_id", F.col("_m.zone_id"))
+            .withColumn("eas_id", F.col("_m.eas_id"))
+            .drop("_m")
         )
+    j = j.withColumn("_matches", _match_udf(*udf_args)).drop(*cand_cols)
     if mode == "all":
         ex = j.select(
             "*", F.explode_outer("_matches").alias("_m")
