@@ -1,0 +1,339 @@
+"""Raster analytics operators over the tile table.
+
+  band_stats   min/max/mean/stddev (GDALRasterBand::ComputeStatistics,
+               gcore/gdalrasterband.cpp:4894) as the classic partial+
+               final aggregate: per-tile (count, sum, sumsq, min, max)
+               in one Arrow UDF, then a tiny groupBy — the map-side
+               combine GDAL does per scanline, distributed
+  histogram    bucketed counts (GetHistogram, gcore/gdalrasterband.cpp:
+               2927) — np.histogram per tile, vector-sum across tiles
+  locate       pixel value at world coords (gdallocationinfo,
+               apps/gdallocationinfo.cpp:92): inverse geotransform ->
+               tile id (pure columns) -> broadcast-join points to tiles
+               -> array index in one UDF
+  pixel_calc   band algebra on tiles (gdal_calc / VRT pixel functions,
+               osgeo_utils/gdal_calc.py:35-50, frmts/vrt/
+               vrtderivedrasterband.cpp:1205): named numpy expression
+               applied per tile, map-only
+  hillshade / slope
+               3x3 focal DEM ops (apps/gdaldem_lib.cpp:901-1035 Horn
+               hillshade, :1325 slope) with HALO EXCHANGE: every tile
+               joins its 8 neighbors' 1-px edge strips (self-join on
+               neighbor tile ids), then the kernel runs on the padded
+               array — the distributed form of GDAL's scanline window.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .synth import TILE_SCHEMA
+from .tiling import _decode, _gdal_cast
+
+# ------------------------------------------------------------------ stats
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("ss", T.DoubleType()),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def band_stats(tiles: DataFrame, exclude_nodata: bool = True) -> DataFrame:
+    """(raster_id, band, count, min, max, mean, stddev). Population
+    stddev, matching GDAL's ComputeStatistics."""
+
+    def partial(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                if exclude_nodata:
+                    arr = arr[arr != r.nodata]
+                if arr.size == 0:
+                    continue
+                rows.append(
+                    {
+                        "raster_id": r.raster_id, "band": r.band,
+                        "cnt": int(arr.size), "s": float(arr.sum()),
+                        "ss": float((arr * arr).sum()),
+                        "mn": float(arr.min()), "mx": float(arr.max()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _PARTIAL_SCHEMA.fields])
+
+    p = tiles.mapInPandas(partial, schema=_PARTIAL_SCHEMA)
+    agg = p.groupBy("raster_id", "band").agg(
+        F.sum("cnt").alias("count"),
+        F.min("mn").alias("min"),
+        F.max("mx").alias("max"),
+        (F.sum("s") / F.sum("cnt")).alias("mean"),
+        F.sqrt(
+            F.sum("ss") / F.sum("cnt") - F.pow(F.sum("s") / F.sum("cnt"), 2)
+        ).alias("stddev"),
+    )
+    return agg
+
+
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def histogram(tiles: DataFrame, vmin: float, vmax: float, buckets: int = 256,
+              include_out_of_range: bool = False) -> DataFrame:
+    """GetHistogram semantics: `buckets` equal bins over [vmin, vmax);
+    per-tile np.histogram partials, element-wise vector sum to finish."""
+
+    def partial(batches):
+        edges = np.linspace(vmin, vmax, buckets + 1)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64).ravel()
+                h, _ = np.histogram(arr, bins=edges)
+                if include_out_of_range:
+                    h[0] += int((arr < vmin).sum())
+                    h[-1] += int((arr >= vmax).sum())
+                rows.append(
+                    {"raster_id": r.raster_id, "band": r.band,
+                     "counts": h.astype(np.int64).tolist()}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in HIST_SCHEMA.fields])
+
+    p = tiles.mapInPandas(partial, schema=HIST_SCHEMA)
+    return p.groupBy("raster_id", "band").agg(
+        F.aggregate(
+            F.collect_list("counts"),
+            F.array_repeat(F.lit(0).cast("long"), buckets),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("counts")
+    )
+
+
+# ------------------------------------------------------------------ locate
+def locate(tiles: DataFrame, points: DataFrame, zoom_origin: tuple[float, float],
+           res: float, x_col: str = "x", y_col: str = "y",
+           id_col: str = "q_id") -> DataFrame:
+    """Raster value at world coords (gdallocationinfo): inverse affine
+    to global pixel -> tile id in pure columns -> broadcast join points
+    onto tiles -> per-tile vectorized pixel gather."""
+    x0, y0 = zoom_origin
+    gpx = F.floor((F.col(x_col) - x0) / res).cast("long")
+    gpy = F.floor((F.lit(y0) - F.col(y_col)) / res).cast("long")
+    pts = points.withColumn("_tx", F.floor(gpx / 256).cast("int")) \
+                .withColumn("_ty", F.floor(gpy / 256).cast("int")) \
+                .withColumn("_lx", (gpx % 256).cast("int")) \
+                .withColumn("_ly", (gpy % 256).cast("int"))
+    j = tiles.join(
+        F.broadcast(pts),
+        (tiles.tile_x == pts._tx) & (tiles.tile_y == pts._ty),
+        "inner",
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def pick(data: pd.Series, dtype: pd.Series, h: pd.Series, w: pd.Series,
+             lx: pd.Series, ly: pd.Series) -> pd.Series:
+        out = np.empty(len(data))
+        for i in range(len(data)):
+            arr = _decode(data.iloc[i], dtype.iloc[i], int(h.iloc[i]), int(w.iloc[i]))
+            out[i] = float(arr[int(ly.iloc[i]), int(lx.iloc[i])])
+        return pd.Series(out)
+
+    return j.select(
+        F.col(id_col),
+        F.col(x_col),
+        F.col(y_col),
+        pick("data", "dtype", "height", "width", "_lx", "_ly").alias("value"),
+    )
+
+
+# --------------------------------------------------------------- pixel calc
+_PIXEL_FUNCS = {
+    # gdal_calc-style named expressions (pixelfunctions.cpp:918-938 has
+    # the C analogs); each maps ndarray -> ndarray
+    "sqrt": np.sqrt,
+    "log10": lambda a: np.log10(np.maximum(a, 1e-30)),
+    "inv": lambda a: 1.0 / np.maximum(a, 1e-30),
+    "square": lambda a: a * a,
+    "negate": lambda a: -a,
+    "abs": np.abs,
+}
+
+
+def pixel_calc(tiles: DataFrame, func: str, out_dtype: str = "float64",
+               raster_id: str | None = None) -> DataFrame:
+    """Apply a named numpy pixel function per tile (map-only)."""
+    f = _PIXEL_FUNCS[func]
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            new = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                new.append(_gdal_cast(f(arr), out_dtype).tobytes())
+            pdf["data"] = new
+            pdf["dtype"] = out_dtype
+            if raster_id:
+                pdf["raster_id"] = raster_id
+            yield pdf
+
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+# ------------------------------------------------------------- focal (halo)
+def _neighbor_strips(tiles: DataFrame) -> DataFrame:
+    """Every tile contributes its 1-px edge strips to each of its 8
+    neighbors: (dst_tx, dst_ty, dx, dy, strip bytes). Strip volume is
+    ~1/128 of the data — the halo exchange shuffles edges, not tiles."""
+    STRIP_SCHEMA = T.StructType(
+        [
+            T.StructField("dst_tx", T.IntegerType()),
+            T.StructField("dst_ty", T.IntegerType()),
+            T.StructField("dx", T.IntegerType()),
+            T.StructField("dy", T.IntegerType()),
+            T.StructField("strip", T.BinaryType()),
+        ]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        # the piece of THIS tile adjacent to neighbor (tx+dx, ty+dy)
+                        sx = slice(0, 1) if dx < 0 else (slice(-1, None) if dx > 0 else slice(None))
+                        sy = slice(0, 1) if dy < 0 else (slice(-1, None) if dy > 0 else slice(None))
+                        piece = arr[sy, sx]
+                        rows.append(
+                            {
+                                "dst_tx": tx + dx, "dst_ty": ty + dy,
+                                # position of the piece relative to the dst tile
+                                "dx": -dx, "dy": -dy,
+                                "strip": piece.tobytes(),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in STRIP_SCHEMA.fields])
+
+    return tiles.mapInPandas(emit, schema=STRIP_SCHEMA)
+
+
+def _focal(tiles: DataFrame, kernel_fn, out_dtype: str, dst_raster_id: str,
+           res: float) -> DataFrame:
+    strips = _neighbor_strips(tiles).groupBy("dst_tx", "dst_ty").agg(
+        F.collect_list(F.struct("dx", "dy", "strip")).alias("halo")
+    )
+    j = tiles.join(
+        strips,
+        (tiles.tile_x == strips.dst_tx) & (tiles.tile_y == strips.dst_ty),
+        "left",
+    ).drop("dst_tx", "dst_ty")
+
+    def run(batches):
+        for pdf in batches:
+            out_rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                h, w = arr.shape
+                pad = np.pad(arr, 1, mode="edge")  # GDAL edge behavior
+                present = set()
+                if r.halo is not None:
+                    for s in r.halo:
+                        piece = np.frombuffer(s["strip"], dtype=np.float64)
+                        dx, dy = int(s["dx"]), int(s["dy"])
+                        present.add((dx, dy))
+                        if dx == 0 and dy != 0:
+                            row = 0 if dy < 0 else h + 1
+                            pad[row, 1 : w + 1] = piece
+                        elif dy == 0 and dx != 0:
+                            col = 0 if dx < 0 else w + 1
+                            pad[1 : h + 1, col] = piece
+                        else:
+                            pad[0 if dy < 0 else h + 1, 0 if dx < 0 else w + 1] = piece[0]
+                # corners with a missing DIAGONAL neighbor but a present
+                # straight neighbor replicate the straight neighbor's
+                # corner — the padded-global-mosaic edge semantics
+                for dx, dy in ((-1, -1), (1, -1), (-1, 1), (1, 1)):
+                    if (dx, dy) in present:
+                        continue
+                    cy = 0 if dy < 0 else h + 1
+                    cx = 0 if dx < 0 else w + 1
+                    if (0, dy) in present:
+                        pad[cy, cx] = pad[cy, 1 if dx < 0 else w]
+                    elif (dx, 0) in present:
+                        pad[cy, cx] = pad[1 if dy < 0 else h, cx]
+                out = kernel_fn(pad, res)
+                out_rows.append(
+                    {
+                        "raster_id": dst_raster_id, "band": int(r.band),
+                        "zoom": int(r.zoom), "tile_x": int(r.tile_x),
+                        "tile_y": int(r.tile_y), "width": w, "height": h,
+                        "dtype": out_dtype, "nodata": float(r.nodata),
+                        "crs": r.crs, "geotransform": list(r.geotransform),
+                        "data": _gdal_cast(out, out_dtype).tobytes(),
+                    }
+                )
+            yield pd.DataFrame(out_rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return j.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def _horn_gradients(pad: np.ndarray, res: float):
+    """Horn 3x3 gradients (apps/gdaldem_lib.cpp:901-957)."""
+    c = pad[1:-1, 1:-1]  # noqa: F841 (center, for clarity)
+    nw, n, ne = pad[:-2, :-2], pad[:-2, 1:-1], pad[:-2, 2:]
+    w_, e = pad[1:-1, :-2], pad[1:-1, 2:]
+    sw, s, se = pad[2:, :-2], pad[2:, 1:-1], pad[2:, 2:]
+    dzdx = ((ne + 2 * e + se) - (nw + 2 * w_ + sw)) / (8.0 * res)
+    dzdy = ((sw + 2 * s + se) - (nw + 2 * n + ne)) / (8.0 * res)
+    return dzdx, dzdy
+
+
+def hillshade(tiles: DataFrame, res: float, azimuth: float = 315.0,
+              altitude: float = 45.0, z_factor: float = 1.0,
+              dst_raster_id: str = "hillshade") -> DataFrame:
+    """Horn hillshade (gdaldem hillshade, apps/gdaldem_lib.cpp:901-1035),
+    output Byte 1..255 like GDAL."""
+    az = math.radians(360.0 - azimuth + 90.0)
+    alt = math.radians(altitude)
+
+    def kern(pad, r):
+        dzdx, dzdy = _horn_gradients(pad * z_factor, r)
+        slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        shade = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - aspect)
+        return 1.0 + 254.0 * np.maximum(shade, 0.0)
+
+    return _focal(tiles, kern, "uint8", dst_raster_id, res)
+
+
+def slope(tiles: DataFrame, res: float, z_factor: float = 1.0,
+          dst_raster_id: str = "slope") -> DataFrame:
+    """Slope in degrees (gdaldem slope, apps/gdaldem_lib.cpp:1325-1386)."""
+
+    def kern(pad, r):
+        dzdx, dzdy = _horn_gradients(pad * z_factor, r)
+        return np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+
+    return _focal(tiles, kern, "float64", dst_raster_id, res)
