@@ -26,8 +26,8 @@ from gdal_spark import ogrsql as Q
 from gdal_spark import synth, tiling
 from gdal_spark.functions import ann as ANN
 from gdal_spark.functions import text as TX
-from gdal_spark.index import auto_level, cover_df
-from gdal_spark.joins import extract_geom, pip_join
+from gdal_spark.index import zone_index
+from gdal_spark.joins import pip_join
 from gdal_spark.knn import knn_join
 
 ZOOM = 12
@@ -54,9 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     docs = DRV.docs_with_spans_from_flat(_read(spark, sf_dir, "documents"))
     zones = DRV.rect_zone_grid(ZONE_G)
-    lvl = auto_level(len(zones))
-    cov = cover_df(spark, zones, lvl)
-    joined = pip_join(extract_geom(docs), cov, lvl, mode="first")
+    joined = pip_join(docs, zone_index(spark, zones), mode="first")
     tiled = tiling.assign_tiles(joined, ZOOM)
     return tiled.select(
         "doc_id", "zone_id", "eas_id", "tile_x", "tile_y", "quadkey", "spans"
@@ -67,9 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_pip_zone_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_points(spark, sf_dir)
     zones = DRV.rect_zone_grid(ZONE_G)
-    lvl = auto_level(len(zones))
-    cov = cover_df(spark, zones, lvl)
-    out = pip_join(docs, cov, lvl, mode="first")
+    out = pip_join(docs, zone_index(spark, zones), mode="first")
     return out.select("doc_id", "zone_id", "eas_id")
 
 

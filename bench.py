@@ -32,8 +32,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from gdal_spark import synth, tiling  # noqa: E402
 from gdal_spark.functions import ann as ANN  # noqa: E402
 from gdal_spark.functions import text as TX  # noqa: E402
-from gdal_spark.index import auto_level, cover_df  # noqa: E402
-from gdal_spark.joins import extract_geom, pip_join  # noqa: E402
+from gdal_spark.index import zone_index  # noqa: E402
+from gdal_spark.joins import pip_join  # noqa: E402
 from gdal_spark.knn import knn_join  # noqa: E402
 from gdal_spark.session import get_spark  # noqa: E402
 
@@ -66,12 +66,10 @@ def main():
     # ---------------- headline: PIP join + tile assignment ----------------
     docs = _stage_docs(spark)
     zones = synth.zones_np(N_ZONES)
-    lvl = auto_level(len(zones))
-    cov = cover_df(spark, zones, lvl)
+    zidx = zone_index(spark, zones)
 
     def pip_tile():
-        d = extract_geom(docs)
-        j = pip_join(d, cov, lvl, mode="first")
+        j = pip_join(docs, zidx, mode="first")
         t = tiling.assign_tiles(j, 12)
         # force full evaluation of every output column
         return t.select(
@@ -85,7 +83,7 @@ def main():
     # builds the broadcast — one-time costs a long-running cluster job
     # amortizes away and the throughput metric should not include
     tiling.assign_tiles(
-        pip_join(extract_geom(docs.limit(20000)), cov, lvl, mode="first"), 12
+        pip_join(docs.limit(20000), zidx, mode="first"), 12
     ).select(F.count("*"), F.sum("tile_x")).collect()
 
     head = timed("pip_tile_2m", pip_tile)

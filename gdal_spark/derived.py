@@ -96,6 +96,27 @@ def rect_zone_oracle_sql(g: int = 8) -> str:
     """
 
 
+# ------------------------------------------------------------- doc squares
+def with_derived_squares(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Axis-aligned square geometry per document (for overlay-algebra
+    operators): center = the derived point, half-size 0.2..1.0 deg from
+    a third hash lane — identical closed form in Spark and SQL."""
+    d = with_derived_points(docs, id_col)
+    u3 = ((F.col(id_col).cast("long") + 2) * KNUTH) % MOD32
+    half = F.lit(0.2) + F.lit(0.8) * u3.cast("double") / MOD32
+    return (
+        d.withColumn("x0", F.col("lon") - half)
+        .withColumn("x1", F.col("lon") + half)
+        .withColumn("y0", F.col("lat") - half)
+        .withColumn("y1", F.col("lat") + half)
+    )
+
+
+DERIVED_HALF_SQL = (
+    "(0.2 + 0.8 * CAST(((doc_id + 2) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296)"
+)
+
+
 # -------------------------------------------------------- documents as docs
 def docs_with_spans_from_flat(docs: DataFrame) -> DataFrame:
     """Wrap the driver's flat documents rows in the interleaved-spans

@@ -166,3 +166,52 @@ def cosine_topk_sql(emb: DataFrame, queries: pd.DataFrame, k: int = 10) -> DataF
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+NEARDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ]
+)
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (a, b), a < b, with
+    cosine(a, b) >= threshold.
+
+    Brute-force baseline: the reference side of the comparison is
+    broadcast as a dense normalized matrix; each partition emits its
+    rows' hits via one matmul in mapInPandas — the embedding table
+    never shuffles and the output is only the (rare) duplicate pairs.
+    Scale path at 10^9+ vectors: LSH-banded candidate generation
+    (lsh_topk's signature machinery) before the exact re-rank.
+    """
+    spark = emb.sparkSession
+    ref = emb.select(id_col, vec_col).toPandas()
+    ref_ids = ref[id_col].to_numpy(dtype=np.int64)
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in ref[vec_col]])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((ref_ids, M))
+
+    def gen(batches):
+        ids_all, M_all = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_b = pdf[id_col].to_numpy(dtype=np.int64)
+            Mb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Mb /= np.maximum(np.linalg.norm(Mb, axis=1, keepdims=True), 1e-12)
+            S = Mb @ M_all.T
+            ia, ib = np.where(S >= threshold)
+            a = ids_b[ia]
+            b = ids_all[ib]
+            keep = a < b
+            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema=NEARDUP_SCHEMA)

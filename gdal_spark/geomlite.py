@@ -133,17 +133,17 @@ def pip_pairs(
     inside = np.zeros(N, dtype=bool)
     idx_j = (ring_len - 1).astype(np.int64)  # previous vertex, start at last
     rows = np.arange(N)
-    for i in range(L):
-        act = i < ring_len
-        xi = ring_x[rows, np.minimum(i, ring_len - 1)]
-        yi = ring_y[rows, np.minimum(i, ring_len - 1)]
-        xj = ring_x[rows, idx_j]
-        yj = ring_y[rows, idx_j]
-        cond = act & ((yi > py) != (yj > py))
-        with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(L):
+            act = i < ring_len
+            xi = ring_x[rows, np.minimum(i, ring_len - 1)]
+            yi = ring_y[rows, np.minimum(i, ring_len - 1)]
+            xj = ring_x[rows, idx_j]
+            yj = ring_y[rows, idx_j]
+            cond = act & ((yi > py) != (yj > py))
             xint = (xj - xi) * (py - yi) / (yj - yi) + xi
-        inside ^= cond & (px < xint)
-        idx_j = np.where(act, np.minimum(i, ring_len - 1), idx_j)
+            inside ^= cond & (px < xint)
+            idx_j = np.where(act, np.minimum(i, ring_len - 1), idx_j)
     return inside
 
 
@@ -226,6 +226,69 @@ def intersects_pairs(
         )
         out[k] = bool(cross.any())
     return out
+
+
+def intersects_pairs_padded(
+    dx: np.ndarray,
+    dy: np.ndarray,
+    dlen: np.ndarray,
+    ring_x: np.ndarray,
+    ring_y: np.ndarray,
+    ring_len: np.ndarray,
+) -> np.ndarray:
+    """Row-wise Intersects(doc_poly_k, zone_ring_k), fully vectorized
+    over pairs — the padded-array form of intersects_pairs. Both sides
+    are (N, L) padded rings with true lengths. Loops run only over
+    vertex/edge SLOTS (<= Ld, Lz, Ld*Lz), each step a vector op over all
+    N pairs — no per-pair Python.
+
+    Same staged test as the reference's exact stage (ogrlayer.cpp:
+    1389-1462): any doc vertex in zone, any zone vertex in doc, else any
+    edge crossing."""
+    N, Ld = dx.shape
+    Lz = ring_x.shape[1]
+    rows = np.arange(N)
+    hit = np.zeros(N, dtype=bool)
+
+    # a) any doc vertex inside the zone ring
+    for v in range(Ld):
+        act = (v < dlen) & ~hit
+        if not act.any():
+            break
+        hit |= act & pip_pairs(dx[:, v], dy[:, v], ring_x, ring_y, ring_len)
+    # b) any zone vertex inside the doc ring
+    for u in range(Lz):
+        act = (u < ring_len) & ~hit
+        if not act.any():
+            break
+        hit |= act & pip_pairs(ring_x[:, u], ring_y[:, u], dx, dy, dlen)
+    # c) any edge pair crossing
+    rem = ~hit
+    if rem.any():
+        dnx = lambda i: (i + 1) % np.maximum(dlen, 1)  # noqa: E731
+        znx = lambda j: (j + 1) % np.maximum(ring_len, 1)  # noqa: E731
+        for i in range(Ld):
+            ai = np.minimum(i, Ld - 1)
+            act_i = (i < dlen) & rem
+            if not act_i.any():
+                continue
+            ax = dx[rows, ai]
+            ay = dy[rows, ai]
+            bx = dx[rows, dnx(i)]
+            by = dy[rows, dnx(i)]
+            for j in range(Lz):
+                act = act_i & (j < ring_len) & ~hit
+                if not act.any():
+                    continue
+                cx = ring_x[rows, np.minimum(j, Lz - 1)]
+                cy = ring_y[rows, np.minimum(j, Lz - 1)]
+                ddx = ring_x[rows, znx(j)]
+                ddy = ring_y[rows, znx(j)]
+                hit |= act & _segs_cross(ax, ay, bx, by, cx, cy, ddx, ddy)
+            rem = ~hit
+            if not rem.any():
+                break
+    return hit
 
 
 # ------------------------------------------------------------------ metrics

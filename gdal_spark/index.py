@@ -6,20 +6,26 @@ and the in-memory CPLQuadTree (gdal/port/cpl_quad_tree.cpp:149) — but
 re-expressed for Spark's execution model:
 
   zone polygons (small side) -> every geodetic grid cell their dilated
-  bbox touches -> ONE row per cell with all candidate zones packed as
-  flat parallel primitive arrays (Arrow-friendly; rings flattened with
-  an offsets array).
+  bbox touches -> a CSR-packed numpy bundle (cell -> candidate zones,
+  zone -> bbox + exterior ring) shipped ONCE per executor as a Spark
+  broadcast variable.
 
-The big documents side joins this cover table 1:1 on its point's cell id
-via a broadcast hash join: candidate pruning costs zero shuffle and adds
-zero row duplication. The exact predicate then runs vectorized in a
-pandas UDF (joins.py), reproducing OGRLayer::FilterGeometry's staged
-test (generic/ogrlayer.cpp:1357: bbox reject :1377-1382, exact
-Intersects :1449-1462).
+The big documents side never joins, never shuffles, and never carries a
+byte of candidate data per row: a single vectorized pandas UDF looks its
+cell up in the broadcast index (np.searchsorted) and runs the staged
+exact test (OGRLayer::FilterGeometry, generic/ogrlayer.cpp:1357 — bbox
+reject :1377-1382, exact Intersects :1449-1462) over flat numpy arrays.
 
-Scale: cover size ~= 4-9 rows per zone; 10^4 zones -> ~10 MB broadcast.
-At 10^6+ zones, shard the cover by cell range and use a shuffle join on
-cell_id instead (same schema) — the API stays identical.
+Why not a broadcast hash JOIN against a cover DataFrame: that plan
+re-serializes the driver-local cover on every action and — worse —
+materializes the candidate arrays onto every matching document row, so
+at 10^12 docs the Arrow channel carries candidates ~per-doc (petabytes)
+instead of the index once per executor (megabytes).
+
+Scale: cover ~= 4-9 candidate slots per zone; 10^4 zones -> a few MB.
+At 10^6+ zones, shard the packed cover by cell-id range and turn the
+lookup into a shuffled join on cell prefix — the kernel below is
+unchanged, only the shipping strategy differs.
 """
 
 from __future__ import annotations
@@ -28,27 +34,10 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
+from pyspark.sql import SparkSession
 
 from . import geomlite as G
 from .cells import geo_cell_xy, pack_geo_cell
-
-COVER_SCHEMA = T.StructType(
-    [
-        T.StructField("cell_id", T.LongType(), False),
-        T.StructField("cand_zone_id", T.ArrayType(T.LongType()), False),
-        T.StructField("cand_eas_id", T.ArrayType(T.LongType()), False),
-        T.StructField("cand_xmin", T.ArrayType(T.DoubleType()), False),
-        T.StructField("cand_ymin", T.ArrayType(T.DoubleType()), False),
-        T.StructField("cand_xmax", T.ArrayType(T.DoubleType()), False),
-        T.StructField("cand_ymax", T.ArrayType(T.DoubleType()), False),
-        T.StructField("cand_ring_x", T.ArrayType(T.DoubleType()), False),
-        T.StructField("cand_ring_y", T.ArrayType(T.DoubleType()), False),
-        T.StructField("cand_ring_len", T.ArrayType(T.IntegerType()), False),
-    ]
-)
 
 
 def auto_level(n_zones: int) -> int:
@@ -58,193 +47,244 @@ def auto_level(n_zones: int) -> int:
     return min(14, max(3, int(math.ceil(math.log2(g))) + 1))
 
 
-def build_zone_cover(
+class PackedCover:
+    """Picklable CSR bundle: the whole spatial index as 12 flat numpy
+    arrays (no Python objects inside — unpickles in O(bytes))."""
+
+    __slots__ = (
+        "level", "cells", "off", "cand_zone",
+        "zone_id", "eas_id", "zxmin", "zymin", "zxmax", "zymax",
+        "ring_off", "ring_len", "ring_x", "ring_y",
+    )
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
+
+    def __getstate__(self):
+        return {k: getattr(self, k) for k in self.__slots__}
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
+
+
+def build_packed_cover(
     zones: pd.DataFrame, level: int, dilation: float = 0.011
-) -> pd.DataFrame:
+) -> PackedCover:
     """Driver-side cover build (zones are the broadcast side by design).
 
     dilation expands each zone bbox by the maximum document-geometry
     radius (0.01 deg polygon buffer + grid slack) so a document whose
     own polygon straddles a cell border still finds every zone it can
-    intersect in its center cell's candidate list.
+    intersect in its representative point's cell candidate list.
 
     Candidates within a cell are sorted by zone_id — "first match" is
-    then simply element 1, reproducing OGR SQL's one-to-first-match
-    LEFT JOIN determinism (ogr_sql_dialect.rst:483-490).
+    then the first hit in pair order, reproducing OGR SQL's
+    one-to-first-match LEFT JOIN determinism (ogr_sql_dialect.rst:483-490).
     """
-    cells: dict[int, list[int]] = {}
-    for idx, row in enumerate(zones.itertuples(index=False)):
-        x0, y0 = row.xmin - dilation, row.ymin - dilation
-        x1, y1 = row.xmax + dilation, row.ymax + dilation
-        cx0, cy0 = geo_cell_xy(x0, y0, level)
-        cx1, cy1 = geo_cell_xy(x1, y1, level)
-        for cx in range(cx0, cx1 + 1):
-            for cy in range(cy0, cy1 + 1):
-                cells.setdefault(pack_geo_cell(cx, cy, level), []).append(idx)
-
-    zid = zones["zone_id"].to_numpy()
-    eas = zones["eas_id"].to_numpy()
-    xmin = zones["xmin"].to_numpy()
-    ymin = zones["ymin"].to_numpy()
-    xmax = zones["xmax"].to_numpy()
-    ymax = zones["ymax"].to_numpy()
+    zid = zones["zone_id"].to_numpy(dtype=np.int64)
+    eas = zones["eas_id"].to_numpy(dtype=np.int64)
+    zxmin = zones["xmin"].to_numpy(dtype=np.float64)
+    zymin = zones["ymin"].to_numpy(dtype=np.float64)
+    zxmax = zones["xmax"].to_numpy(dtype=np.float64)
+    zymax = zones["ymax"].to_numpy(dtype=np.float64)
     xs_list = zones["xs"].tolist()
     ys_list = zones["ys"].tolist()
 
-    rows = []
-    for cell_id, idxs in cells.items():
-        idxs = sorted(idxs, key=lambda k: int(zid[k]))
-        ring_x: list[float] = []
-        ring_y: list[float] = []
-        ring_len: list[int] = []
-        for k in idxs:
-            ring_x.extend(xs_list[k])
-            ring_y.extend(ys_list[k])
-            ring_len.append(len(xs_list[k]))
-        rows.append(
-            {
-                "cell_id": cell_id,
-                "cand_zone_id": [int(zid[k]) for k in idxs],
-                "cand_eas_id": [int(eas[k]) for k in idxs],
-                "cand_xmin": [float(xmin[k]) for k in idxs],
-                "cand_ymin": [float(ymin[k]) for k in idxs],
-                "cand_xmax": [float(xmax[k]) for k in idxs],
-                "cand_ymax": [float(ymax[k]) for k in idxs],
-                "cand_ring_x": ring_x,
-                "cand_ring_y": ring_y,
-                "cand_ring_len": ring_len,
-            }
-        )
-    return pd.DataFrame(rows)
+    cell_keys: list[int] = []
+    zone_idxs: list[int] = []
+    for k in range(len(zid)):
+        cx0, cy0 = geo_cell_xy(zxmin[k] - dilation, zymin[k] - dilation, level)
+        cx1, cy1 = geo_cell_xy(zxmax[k] + dilation, zymax[k] + dilation, level)
+        for cx in range(cx0, cx1 + 1):
+            for cy in range(cy0, cy1 + 1):
+                cell_keys.append(pack_geo_cell(cx, cy, level))
+                zone_idxs.append(k)
+
+    cell_arr = np.asarray(cell_keys, dtype=np.int64)
+    zidx_arr = np.asarray(zone_idxs, dtype=np.int64)
+    order = np.lexsort((zid[zidx_arr], cell_arr))
+    cell_sorted = cell_arr[order]
+    cand_zone = zidx_arr[order].astype(np.int32)
+    cells, starts = np.unique(cell_sorted, return_index=True)
+    off = np.append(starts, len(cell_sorted)).astype(np.int64)
+
+    ring_len = np.array([len(a) for a in xs_list], dtype=np.int64)
+    ring_off = np.concatenate([[0], np.cumsum(ring_len)])[:-1]
+    ring_x = (
+        np.concatenate([np.asarray(a, dtype=np.float64) for a in xs_list])
+        if len(xs_list) else np.empty(0)
+    )
+    ring_y = (
+        np.concatenate([np.asarray(a, dtype=np.float64) for a in ys_list])
+        if len(ys_list) else np.empty(0)
+    )
+    return PackedCover(
+        level=level, cells=cells, off=off, cand_zone=cand_zone,
+        zone_id=zid, eas_id=eas,
+        zxmin=zxmin, zymin=zymin, zxmax=zxmax, zymax=zymax,
+        ring_off=ring_off, ring_len=ring_len, ring_x=ring_x, ring_y=ring_y,
+    )
 
 
-def cover_df(spark: SparkSession, zones: pd.DataFrame, level: int,
-             dilation: float = 0.011) -> DataFrame:
-    pdf = build_zone_cover(zones, level, dilation)
-    return spark.createDataFrame(pdf, schema=COVER_SCHEMA)
+class ZoneIndex:
+    """Handle pairing the broadcast PackedCover with its grid level."""
+
+    def __init__(self, bc, level: int):
+        self.bc = bc
+        self.level = level
+
+
+def zone_index(
+    spark: SparkSession,
+    zones: pd.DataFrame,
+    level: int | None = None,
+    dilation: float = 0.011,
+) -> ZoneIndex:
+    lvl = auto_level(len(zones)) if level is None else level
+    cov = build_packed_cover(zones, lvl, dilation)
+    return ZoneIndex(spark.sparkContext.broadcast(cov), lvl)
 
 
 # ---------------------------------------------------------------- numpy side
-def _eval_candidate_pairs(
-    px, py, gxs, gys, cand_zone_id, cand_eas_id, cand_bbox,
-    cand_ring_x, cand_ring_y, cand_ring_len,
-):
-    """Shared core: flatten (doc, candidate) pairs, run the staged test,
-    return (doc_idx, zone_id, eas_id) arrays of the HIT pairs only."""
-    B = len(px)
-    ncand = np.array([0 if c is None else len(c) for c in cand_zone_id], dtype=np.int64)
-    empty = (np.empty(0, np.int64),) * 3
-    if int(ncand.sum()) == 0:
-        return empty
-
-    doc_idx = np.repeat(np.arange(B), ncand)
-    zid = np.concatenate([np.asarray(c, dtype=np.int64) for c in cand_zone_id if c is not None and len(c)])
-    eas = np.concatenate([np.asarray(c, dtype=np.int64) for c in cand_eas_id if c is not None and len(c)])
-    bxmin, bymin, bxmax, bymax = (
-        np.concatenate([np.asarray(c, dtype=np.float64) for c in col if c is not None and len(c)])
-        for col in cand_bbox
-    )
-
-    glen = np.array([len(a) for a in gxs], dtype=np.int64)
-    dxmin = np.array([a.min() if len(a) else np.nan for a in gxs])
-    dxmax = np.array([a.max() if len(a) else np.nan for a in gxs])
-    dymin = np.array([a.min() if len(a) else np.nan for a in gys])
-    dymax = np.array([a.max() if len(a) else np.nan for a in gys])
-
-    keep = (
-        (dxmax[doc_idx] >= bxmin)
-        & (dxmin[doc_idx] <= bxmax)
-        & (dymax[doc_idx] >= bymin)
-        & (dymin[doc_idx] <= bymax)
-    )
-    if not keep.any():
-        return empty
-
-    ring_lens = np.concatenate([np.asarray(c, dtype=np.int64) for c in cand_ring_len if c is not None and len(c)])
-    flat_x = np.concatenate([np.asarray(c, dtype=np.float64) for c in cand_ring_x if c is not None and len(c)])
-    flat_y = np.concatenate([np.asarray(c, dtype=np.float64) for c in cand_ring_y if c is not None and len(c)])
-    ring_off = np.concatenate([[0], np.cumsum(ring_lens)])[:-1]
-
-    sel = np.where(keep)[0]
-    Lmax = int(ring_lens[sel].max())
-    take = ring_off[sel, None] + np.minimum(np.arange(Lmax)[None, :], ring_lens[sel, None] - 1)
-    RX = flat_x[take]
-    RY = flat_y[take]
-    RL = ring_lens[sel]
-    d_of_pair = doc_idx[sel]
-
-    pt_pair = glen[d_of_pair] == 1
-    hits = np.zeros(len(sel), dtype=bool)
-    if pt_pair.any():
-        pp = np.where(pt_pair)[0]
-        hits[pp] = G.pip_pairs(
-            px[d_of_pair[pp]], py[d_of_pair[pp]], RX[pp], RY[pp], RL[pp]
-        )
-    poly_rows = np.where(~pt_pair)[0]
-    if len(poly_rows):
-        hits[poly_rows] = G.intersects_pairs(
-            [gxs[d_of_pair[r]] for r in poly_rows],
-            [gys[d_of_pair[r]] for r in poly_rows],
-            RX[poly_rows],
-            RY[poly_rows],
-            RL[poly_rows],
-        )
-    hit_pairs = sel[hits]
-    return doc_idx[hit_pairs], zid[hit_pairs], eas[hit_pairs]
-
-
-def first_match_np(
-    px, py, gxs, gys, cand_zone_id, cand_eas_id, cand_bbox,
-    cand_ring_x, cand_ring_y, cand_ring_len,
-):
-    """Fast path for OGR first-match semantics: per doc the hit with the
-    LOWEST zone_id, -1 sentinel when none — flat int64 outputs, no
-    per-row Python objects (this is the benchmark hot loop)."""
-    B = len(px)
-    zone_out = np.full(B, -1, dtype=np.int64)
-    eas_out = np.full(B, -1, dtype=np.int64)
-    doc_idx, zid, eas = _eval_candidate_pairs(
-        px, py, gxs, gys, cand_zone_id, cand_eas_id, cand_bbox,
-        cand_ring_x, cand_ring_y, cand_ring_len,
-    )
-    if len(doc_idx):
-        order = np.lexsort((zid, doc_idx))  # by doc, then zone_id asc
-        d_sorted = doc_idx[order]
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = d_sorted[1:] != d_sorted[:-1]
-        zone_out[d_sorted[first]] = zid[order][first]
-        eas_out[d_sorted[first]] = eas[order][first]
-    return zone_out, eas_out
-
-
-def match_candidates_np(
+def eval_pairs_packed(
+    cov: PackedCover,
+    cell: np.ndarray,
     px: np.ndarray,
     py: np.ndarray,
-    gxs: list[np.ndarray],
-    gys: list[np.ndarray],
-    cand_zone_id: list,
-    cand_eas_id: list,
-    cand_bbox: tuple[list, list, list, list],
-    cand_ring_x: list,
-    cand_ring_y: list,
-    cand_ring_len: list,
-) -> list[list[tuple[int, int]]]:
-    """Vectorized exact-match over a batch of documents with packed
-    candidates. Returns, per doc, the ordered list of matching
-    (zone_id, eas_id) — empty when no zone intersects.
+    polys: dict | None = None,
+):
+    """Expand each doc to its cell's candidate zones and run the staged
+    test. Returns (doc_idx, zone_pos) arrays of HIT pairs only, ordered
+    by (doc, zone_id asc) — candidates are pre-sorted in the cover.
+
+    px/py: per-doc representative point (the point itself for point
+    docs). polys: sparse {row_index: (xs, ys)} for the minority of docs
+    that are polygons — point docs (the hot path) never touch Python
+    objects; None means every doc is a point.
 
     Stage structure mirrors FilterGeometry (ogrlayer.cpp:1357):
-      1. candidate cells (caller's broadcast join) — quadtree analog
+      1. candidate cells (np.searchsorted on the broadcast index) —
+         quadtree-probe analog
       2. bbox reject (:1377-1382) — vectorized over all (doc,cand) pairs
       3. exact intersects (:1449-1462) — pip_pairs / intersects_pairs
     """
     B = len(px)
-    out: list[list[tuple[int, int]]] = [[] for _ in range(B)]
-    doc_idx, zid, eas = _eval_candidate_pairs(
-        px, py, gxs, gys, cand_zone_id, cand_eas_id, cand_bbox,
-        cand_ring_x, cand_ring_y, cand_ring_len,
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if len(cov.cells) == 0 or B == 0:
+        return empty
+
+    pos = np.searchsorted(cov.cells, cell)
+    pos_c = np.minimum(pos, len(cov.cells) - 1)
+    found = cov.cells[pos_c] == cell
+    start = np.where(found, cov.off[pos_c], 0)
+    end = np.where(found, cov.off[pos_c + 1], 0)
+    ncand = end - start
+    total = int(ncand.sum())
+    if total == 0:
+        return empty
+
+    doc_idx = np.repeat(np.arange(B), ncand)
+    cum0 = np.cumsum(ncand) - ncand
+    within = np.arange(total) - np.repeat(cum0, ncand)
+    z = cov.cand_zone[np.repeat(start, ncand) + within].astype(np.int64)
+
+    if polys:
+        dxmin = px.copy()
+        dxmax = px.copy()
+        dymin = py.copy()
+        dymax = py.copy()
+        is_poly = np.zeros(B, dtype=bool)
+        for i, (xs, ys) in polys.items():
+            is_poly[i] = True
+            if len(xs):
+                dxmin[i] = xs.min()
+                dxmax[i] = xs.max()
+                dymin[i] = ys.min()
+                dymax[i] = ys.max()
+            else:
+                dxmin[i] = dxmax[i] = dymin[i] = dymax[i] = np.nan
+    else:
+        dxmin = dxmax = px
+        dymin = dymax = py
+        is_poly = None
+
+    keep = (
+        (dxmax[doc_idx] >= cov.zxmin[z])
+        & (dxmin[doc_idx] <= cov.zxmax[z])
+        & (dymax[doc_idx] >= cov.zymin[z])
+        & (dymin[doc_idx] <= cov.zymax[z])
     )
-    order = np.lexsort((zid, doc_idx))
-    for k in order:
+    if not keep.any():
+        return empty
+
+    sel = np.where(keep)[0]
+    zs = z[sel]
+    rl = cov.ring_len[zs]
+    Lmax = int(rl.max())
+    take = cov.ring_off[zs, None] + np.minimum(np.arange(Lmax)[None, :], rl[:, None] - 1)
+    RX = cov.ring_x[take]
+    RY = cov.ring_y[take]
+    d_of_pair = doc_idx[sel]
+
+    hits = np.zeros(len(sel), dtype=bool)
+    if is_poly is None:
+        hits[:] = G.pip_pairs(px[d_of_pair], py[d_of_pair], RX, RY, rl)
+    else:
+        pt_pair = ~is_poly[d_of_pair]
+        if pt_pair.any():
+            pp = np.where(pt_pair)[0]
+            hits[pp] = G.pip_pairs(
+                px[d_of_pair[pp]], py[d_of_pair[pp]], RX[pp], RY[pp], rl[pp]
+            )
+        poly_rows = np.where(~pt_pair)[0]
+        if len(poly_rows):
+            # pad the doc rings once, then one fully vectorized
+            # intersects over all polygon pairs (no per-pair Python)
+            plen = np.array(
+                [len(polys[int(d_of_pair[r])][0]) for r in poly_rows],
+                dtype=np.int64,
+            )
+            Ld = max(int(plen.max()), 1)
+            DX = np.zeros((len(poly_rows), Ld))
+            DY = np.zeros((len(poly_rows), Ld))
+            for k, r in enumerate(poly_rows):
+                xs, ys = polys[int(d_of_pair[r])]
+                DX[k, : len(xs)] = xs
+                DY[k, : len(ys)] = ys
+            ok = plen >= 1
+            res = G.intersects_pairs_padded(
+                DX, DY, plen, RX[poly_rows], RY[poly_rows], rl[poly_rows]
+            )
+            hits[poly_rows] = res & ok
+    hit_pairs = sel[hits]
+    return doc_idx[hit_pairs], z[hit_pairs]
+
+
+def first_match_packed(cov, cell, px, py, polys=None):
+    """Per doc the hit with the LOWEST zone_id, -1 sentinel when none —
+    flat int64 outputs, no per-row Python (the benchmark hot loop)."""
+    B = len(px)
+    zone_out = np.full(B, -1, dtype=np.int64)
+    eas_out = np.full(B, -1, dtype=np.int64)
+    doc_idx, zpos = eval_pairs_packed(cov, cell, px, py, polys)
+    if len(doc_idx):
+        # pairs are ordered (doc asc, zone_id asc) -> first hit per doc
+        d_first, first_at = np.unique(doc_idx, return_index=True)
+        zone_out[d_first] = cov.zone_id[zpos[first_at]]
+        eas_out[d_first] = cov.eas_id[zpos[first_at]]
+    return zone_out, eas_out
+
+
+def all_matches_packed(cov, cell, px, py, polys=None) -> list[list[tuple[int, int]]]:
+    """Per doc, the ordered list of matching (zone_id, eas_id) — empty
+    when no zone intersects (overlay-join semantics)."""
+    B = len(px)
+    out: list[list[tuple[int, int]]] = [[] for _ in range(B)]
+    doc_idx, zpos = eval_pairs_packed(cov, cell, px, py, polys)
+    zid = cov.zone_id[zpos]
+    eas = cov.eas_id[zpos]
+    for k in range(len(doc_idx)):
         out[int(doc_idx[k])].append((int(zid[k]), int(eas[k])))
     return out

@@ -41,8 +41,8 @@ def main(argv=None):
 
     from gdal_spark import synth, tiling
     from gdal_spark.checkpoint import Checkpointer
-    from gdal_spark.index import auto_level, cover_df
-    from gdal_spark.joins import extract_geom, pip_join
+    from gdal_spark.index import zone_index
+    from gdal_spark.joins import pip_join
     from gdal_spark.session import get_spark
 
     spark = get_spark("pip_tile_job", cpus=args.cpus)
@@ -50,14 +50,13 @@ def main(argv=None):
 
     docs = cp.stage("docs", lambda: synth.documents_df(spark, args.docs))
     zones = synth.zones_np(args.zones)
-    lvl = auto_level(len(zones))
-    cov = cover_df(spark, zones, lvl)
+    zidx = zone_index(spark, zones)
 
     t0 = time.time()
     result = cp.stage(
         "pip_tiles",
         lambda: tiling.assign_tiles(
-            pip_join(extract_geom(docs), cov, lvl, mode="first"), args.zoom
+            pip_join(docs, zidx, mode="first"), args.zoom
         ).select("doc_id", "zone_id", "eas_id", "tile_x", "tile_y", "quadkey", "spans"),
     )
     n = result.count()

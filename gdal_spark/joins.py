@@ -1,16 +1,19 @@
-"""Spatial joins: point-in-polygon (the benchmark op) and kNN.
+"""Spatial joins: point-in-polygon (the benchmark op) and kNN support.
 
 PIP join = the reference's spatial-filter / overlay candidate pattern
 (OGRLayer::FilterGeometry 3-stage test, generic/ogrlayer.cpp:1357;
 overlay Intersection's per-feature pushdown, :2128-2198) restated as:
 
-  docs --(broadcast hash join on geo_cell, 1:1, NO shuffle)--> cover
-       --(vectorized Arrow UDF: bbox reject + exact PIP)--> matches
+  zones --(driver build, CSR numpy)--> broadcast PackedCover (index.py)
+  docs  --(ONE vectorized pandas UDF: parse WKT -> rep point -> cell
+           lookup in the broadcast -> bbox reject -> exact PIP)--> matches
 
-The whole join is a single map stage: no shuffle, no row duplication,
-no per-row Python. Left/first-match semantics reproduce OGR SQL's
-one-to-first-match LEFT JOIN (ogr_sql_dialect.rst:483-490); 'all' mode
-reproduces the overlay join's every-intersecting-pair semantics.
+The whole join is a single map stage: no shuffle, no join, no row
+duplication, no per-row Python, and the only cross-task data movement
+is the broadcast index itself (megabytes, once per executor). Left /
+first-match semantics reproduce OGR SQL's one-to-first-match LEFT JOIN
+(ogr_sql_dialect.rst:483-490); 'all' mode reproduces the overlay join's
+every-intersecting-pair semantics (generic/ogrlayer.cpp:2062).
 
 Span-order invariant: `spans` stays a nested array column on the row
 through the join — shuffles (there are none here anyway) cannot reorder
@@ -21,49 +24,111 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import geomlite as G
 from . import index as IX
-from .cells import geo_cell
+from .cells import np_geo_cell
 
 
-# ------------------------------------------------------------ geometry prep
-def extract_geom(docs: DataFrame) -> DataFrame:
-    """Pull the single 'geom' span's WKT out of the nested spans array
-    (JVM higher-order function — no Python), then parse it to vertex
-    arrays + representative point in one Arrow UDF batch."""
-    wkt = F.element_at(
+def geom_wkt_col():
+    """The single 'geom' span's WKT, pulled out of the nested spans
+    array with JVM higher-order functions — no Python."""
+    return F.element_at(
         F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("geom")), 1
     )["text"]
-    docs = docs.withColumn("geom_wkt", wkt)
 
-    parse_schema = T.StructType(
+
+_POINT_RE = r"^POINT\(([-0-9.eE+]+) ([-0-9.eE+]+)\)$"
+
+
+def _fill_poly_rows(lon: np.ndarray, lat: np.ndarray, raw: np.ndarray) -> dict:
+    """Rows whose lon is NaN carry a non-point (or missing) WKT in
+    `raw`: parse them Python-side (bounded minority), fill their rep
+    point (vertex mean via sequential np.add.reduce — matches the
+    oracle's fold order, SURVEY.md §7.4) in place, and return the
+    sparse {row: (xs, ys)} dict. Point rows never touch Python: the JVM
+    already extracted their coordinates with codegen'd regexp + cast
+    (both sides parse decimal -> nearest double, so parity holds)."""
+    polys: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    miss = np.where(np.isnan(lon))[0]
+    if len(miss):
+        gxs, gys = G.parse_wkt_batch(raw[miss])
+        for k, i in enumerate(miss):
+            xs, ys = gxs[k], gys[k]
+            n = len(xs)
+            if n == 1:  # POINT the fast path didn't match (odd spacing)
+                lon[i] = xs[0]
+                lat[i] = ys[0]
+            elif n > 1:
+                lon[i] = np.add.reduce(xs) / n
+                lat[i] = np.add.reduce(ys) / n
+                polys[int(i)] = (xs, ys)
+            else:
+                polys[int(i)] = (xs, ys)  # empty geom -> never matches
+    return polys
+
+
+def extract_geom(docs: DataFrame) -> DataFrame:
+    """Pull geometry out of spans, parse to vertex arrays + rep point in
+    one Arrow UDF batch. Used by operators that need the vertex columns
+    JVM-side (kNN, tiling); pip_join fuses this work into its own UDF."""
+    docs = docs.withColumn("geom_wkt", geom_wkt_col())
+
+    schema = T.StructType(
         [
             T.StructField("gx", T.ArrayType(T.DoubleType())),
             T.StructField("gy", T.ArrayType(T.DoubleType())),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
         ]
     )
 
-    @F.pandas_udf(parse_schema)
+    @F.pandas_udf(schema)
     def parse_wkt(wkt_s: pd.Series) -> pd.DataFrame:
-        xs, ys = G.parse_wkt_batch(wkt_s.to_numpy())
-        return pd.DataFrame({"gx": [a.tolist() for a in xs], "gy": [a.tolist() for a in ys]})
+        gxs, gys = G.parse_wkt_batch(wkt_s.to_numpy())
+        n = len(gxs)
+        lon = np.full(n, np.nan)
+        lat = np.full(n, np.nan)
+        for i in range(n):
+            m = len(gxs[i])
+            if m == 1:
+                lon[i] = gxs[i][0]
+                lat[i] = gys[i][0]
+            elif m > 1:
+                lon[i] = np.add.reduce(gxs[i]) / m
+                lat[i] = np.add.reduce(gys[i]) / m
+        return pd.DataFrame(
+            {
+                "gx": [a.tolist() for a in gxs],
+                "gy": [a.tolist() for a in gys],
+                "lon": lon,
+                "lat": lat,
+            }
+        )
 
     docs = docs.withColumn("_g", parse_wkt(F.col("geom_wkt")))
-    docs = docs.withColumn("gx", F.col("_g.gx")).withColumn("gy", F.col("_g.gy")).drop("_g")
-    # representative point = mean of vertices (the point itself for
-    # point docs); JVM-side fold, same order as np.mean over <128 elems
-    n = F.size("gx").cast("double")
-    docs = docs.withColumn(
-        "lon", F.aggregate("gx", F.lit(0.0), lambda a, x: a + x) / n
-    ).withColumn("lat", F.aggregate("gy", F.lit(0.0), lambda a, x: a + x) / n)
-    return docs
+    return (
+        docs.withColumn("gx", F.col("_g.gx"))
+        .withColumn("gy", F.col("_g.gy"))
+        .withColumn("lon", F.col("_g.lon"))
+        .withColumn("lat", F.col("_g.lat"))
+        .drop("_g")
+    )
 
 
-MATCH_SCHEMA = T.ArrayType(
+_FUSED_FIRST = T.StructType(
+    [
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("eas_id", T.LongType()),
+    ]
+)
+
+_MATCHES = T.ArrayType(
     T.StructType(
         [
             T.StructField("zone_id", T.LongType()),
@@ -72,81 +137,16 @@ MATCH_SCHEMA = T.ArrayType(
     )
 )
 
-
-@F.pandas_udf(MATCH_SCHEMA)
-def _match_udf(
-    lon: pd.Series,
-    lat: pd.Series,
-    gx: pd.Series,
-    gy: pd.Series,
-    cand_zone_id: pd.Series,
-    cand_eas_id: pd.Series,
-    cand_xmin: pd.Series,
-    cand_ymin: pd.Series,
-    cand_xmax: pd.Series,
-    cand_ymax: pd.Series,
-    cand_ring_x: pd.Series,
-    cand_ring_y: pd.Series,
-    cand_ring_len: pd.Series,
-) -> pd.Series:
-    gxs = [np.asarray(a, dtype=np.float64) for a in gx]
-    gys = [np.asarray(a, dtype=np.float64) for a in gy]
-    matches = IX.match_candidates_np(
-        lon.to_numpy(dtype=np.float64),
-        lat.to_numpy(dtype=np.float64),
-        gxs,
-        gys,
-        cand_zone_id.tolist(),
-        cand_eas_id.tolist(),
-        (cand_xmin.tolist(), cand_ymin.tolist(), cand_xmax.tolist(), cand_ymax.tolist()),
-        cand_ring_x.tolist(),
-        cand_ring_y.tolist(),
-        cand_ring_len.tolist(),
-    )
-    return pd.Series(
-        [[{"zone_id": z, "eas_id": e} for z, e in m] for m in matches]
-    )
-
-
-FIRST_SCHEMA = T.StructType(
+_FUSED_ALL = T.StructType(
     [
-        T.StructField("zone_id", T.LongType()),
-        T.StructField("eas_id", T.LongType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("matches", _MATCHES),
     ]
 )
 
 
-@F.pandas_udf(FIRST_SCHEMA)
-def _first_match_udf(
-    lon: pd.Series,
-    lat: pd.Series,
-    gx: pd.Series,
-    gy: pd.Series,
-    cand_zone_id: pd.Series,
-    cand_eas_id: pd.Series,
-    cand_xmin: pd.Series,
-    cand_ymin: pd.Series,
-    cand_xmax: pd.Series,
-    cand_ymax: pd.Series,
-    cand_ring_x: pd.Series,
-    cand_ring_y: pd.Series,
-    cand_ring_len: pd.Series,
-) -> pd.DataFrame:
-    """Benchmark hot path: flat int64 in/out, no per-row Python objects."""
-    gxs = [np.asarray(a, dtype=np.float64) for a in gx]
-    gys = [np.asarray(a, dtype=np.float64) for a in gy]
-    zone, eas = IX.first_match_np(
-        lon.to_numpy(dtype=np.float64),
-        lat.to_numpy(dtype=np.float64),
-        gxs,
-        gys,
-        cand_zone_id.tolist(),
-        cand_eas_id.tolist(),
-        (cand_xmin.tolist(), cand_ymin.tolist(), cand_xmax.tolist(), cand_ymax.tolist()),
-        cand_ring_x.tolist(),
-        cand_ring_y.tolist(),
-        cand_ring_len.tolist(),
-    )
+def _mask_sentinel(zone: np.ndarray, eas: np.ndarray) -> pd.DataFrame:
     miss = zone < 0
     return pd.DataFrame(
         {
@@ -156,49 +156,191 @@ def _first_match_udf(
     ).mask(pd.DataFrame({"zone_id": miss, "eas_id": miss}))
 
 
+def _make_fused_udf(bc, level: int, mode: str):
+    """One UDF does rep point -> cell -> staged match against the
+    broadcast PackedCover. Point coordinates arrive pre-extracted by
+    JVM codegen (pip_join); only the minority polygon rows ship their
+    WKT into Python. Arrow traffic: two doubles + a rarely-non-null
+    string in, one small struct out — candidate data never rides on
+    document rows."""
+    if mode == "first":
+
+        @F.pandas_udf(_FUSED_FIRST)
+        def fused_first(
+            plon: pd.Series, plat: pd.Series, poly_wkt: pd.Series
+        ) -> pd.DataFrame:
+            cov = bc.value
+            lon = plon.to_numpy(dtype=np.float64, na_value=np.nan)
+            lat = plat.to_numpy(dtype=np.float64, na_value=np.nan)
+            polys = _fill_poly_rows(lon, lat, poly_wkt.to_numpy())
+            cell = np_geo_cell(np.nan_to_num(lon, nan=-999.0),
+                               np.nan_to_num(lat, nan=-999.0), level)
+            cell[np.isnan(lon)] = -1
+            zone, eas = IX.first_match_packed(cov, cell, lon, lat, polys)
+            out = _mask_sentinel(zone, eas)
+            out.insert(0, "lat", lat)
+            out.insert(0, "lon", lon)
+            return out
+
+        return fused_first
+
+    @F.pandas_udf(_FUSED_ALL)
+    def fused_all(
+        plon: pd.Series, plat: pd.Series, poly_wkt: pd.Series
+    ) -> pd.DataFrame:
+        cov = bc.value
+        lon = plon.to_numpy(dtype=np.float64, na_value=np.nan)
+        lat = plat.to_numpy(dtype=np.float64, na_value=np.nan)
+        polys = _fill_poly_rows(lon, lat, poly_wkt.to_numpy())
+        cell = np_geo_cell(np.nan_to_num(lon, nan=-999.0),
+                           np.nan_to_num(lat, nan=-999.0), level)
+        cell[np.isnan(lon)] = -1
+        matches = IX.all_matches_packed(cov, cell, lon, lat, polys)
+        return pd.DataFrame(
+            {
+                "lon": lon,
+                "lat": lat,
+                "matches": [
+                    [{"zone_id": z, "eas_id": e} for z, e in m] for m in matches
+                ],
+            }
+        )
+
+    return fused_all
+
+
+_PRE_FIRST = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("eas_id", T.LongType()),
+    ]
+)
+
+
+def _polys_from_lists(gx: pd.Series, gy: pd.Series) -> dict:
+    """Sparse {row: (xs, ys)} for rows whose vertex list is not a single
+    point (extract_geom output carries gx/gy as list columns)."""
+    polys: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for i, a in enumerate(gx):
+        if a is None or len(a) != 1:
+            xs = np.asarray(a, dtype=np.float64) if a is not None else np.empty(0)
+            ys_raw = gy.iloc[i]
+            ys = np.asarray(ys_raw, dtype=np.float64) if ys_raw is not None else np.empty(0)
+            polys[i] = (xs, ys)
+    return polys
+
+
+def _make_prepared_udf(bc, level: int, mode: str):
+    """Variant over already-extracted geometry columns (extract_geom
+    output) — avoids re-parsing when the caller needs gx/gy anyway."""
+    if mode == "first":
+
+        @F.pandas_udf(_PRE_FIRST)
+        def prep_first(
+            lon: pd.Series, lat: pd.Series, gx: pd.Series, gy: pd.Series
+        ) -> pd.DataFrame:
+            cov = bc.value
+            lo = lon.to_numpy(dtype=np.float64)
+            la = lat.to_numpy(dtype=np.float64)
+            polys = _polys_from_lists(gx, gy)
+            cell = np_geo_cell(np.nan_to_num(lo, nan=-999.0),
+                               np.nan_to_num(la, nan=-999.0), level)
+            cell[np.isnan(lo)] = -1
+            zone, eas = IX.first_match_packed(cov, cell, lo, la, polys)
+            return _mask_sentinel(zone, eas)
+
+        return prep_first
+
+    @F.pandas_udf(_MATCHES)
+    def prep_all(
+        lon: pd.Series, lat: pd.Series, gx: pd.Series, gy: pd.Series
+    ) -> pd.Series:
+        cov = bc.value
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        polys = _polys_from_lists(gx, gy)
+        cell = np_geo_cell(np.nan_to_num(lo, nan=-999.0),
+                           np.nan_to_num(la, nan=-999.0), level)
+        cell[np.isnan(lo)] = -1
+        matches = IX.all_matches_packed(cov, cell, lo, la, polys)
+        return pd.Series(
+            [[{"zone_id": z, "eas_id": e} for z, e in m] for m in matches]
+        )
+
+    return prep_all
+
+
 def pip_join(
     docs: DataFrame,
-    cover: DataFrame,
-    level: int,
+    zindex: IX.ZoneIndex,
     mode: str = "first",
 ) -> DataFrame:
     """Join documents to zones by geometric intersection.
 
-    docs: output of extract_geom (needs lon/lat/gx/gy columns).
-    cover: index.cover_df output (broadcast side).
+    docs: the raw document table (spans nested) OR extract_geom output.
+    zindex: index.zone_index(...) — the broadcast PackedCover.
     mode 'first': one row per doc, first (lowest zone_id) match, NULLs
       when none — OGR SQL LEFT JOIN semantics (ogr_sql_dialect.rst:490).
     mode 'all': one row per intersecting pair, NULL row when none —
       overlay-join semantics (generic/ogrlayer.cpp:2062).
     """
-    d = docs.withColumn("cell_id", geo_cell(F.col("lon"), F.col("lat"), level))
-    j = d.join(F.broadcast(cover), "cell_id", "left")
-    cand_cols = [f.name for f in IX.COVER_SCHEMA.fields if f.name != "cell_id"]
-    udf_args = (
-        "lon", "lat", "gx", "gy",
-        "cand_zone_id", "cand_eas_id",
-        "cand_xmin", "cand_ymin", "cand_xmax", "cand_ymax",
-        "cand_ring_x", "cand_ring_y", "cand_ring_len",
-    )
+    if mode not in ("first", "all"):
+        raise ValueError(f"mode must be 'first' or 'all', got {mode}")
 
-    if mode == "first":
-        j = j.withColumn("_m", _first_match_udf(*udf_args)).drop(*cand_cols)
-        return (
-            j.withColumn("zone_id", F.col("_m.zone_id"))
-            .withColumn("eas_id", F.col("_m.eas_id"))
+    if "gx" in docs.columns:  # pre-extracted geometry path
+        udf = _make_prepared_udf(zindex.bc, zindex.level, mode)
+        m = udf(F.col("lon"), F.col("lat"), F.col("gx"), F.col("gy"))
+        if mode == "first":
+            j = docs.withColumn("_m", m)
+            return (
+                j.withColumn("zone_id", F.col("_m.zone_id"))
+                .withColumn("eas_id", F.col("_m.eas_id"))
+                .drop("_m")
+            )
+        j = docs.withColumn("_matches", m)
+    else:  # fused path: parse + locate + match in one UDF
+        if "geom_wkt" in docs.columns:
+            src = docs
+        else:
+            src = docs.withColumn("geom_wkt", geom_wkt_col())
+        # point coords extracted JVM-side (whole-stage codegen regexp +
+        # cast); only non-point rows ship their WKT through Arrow
+        src = (
+            src.withColumn(
+                "_plon", F.regexp_extract("geom_wkt", _POINT_RE, 1).cast("double")
+            )
+            .withColumn(
+                "_plat", F.regexp_extract("geom_wkt", _POINT_RE, 2).cast("double")
+            )
+            .withColumn(
+                "_pwkt", F.when(F.col("_plon").isNull(), F.col("geom_wkt"))
+            )
+        )
+        udf = _make_fused_udf(zindex.bc, zindex.level, mode)
+        j = src.withColumn(
+            "_m", udf(F.col("_plon"), F.col("_plat"), F.col("_pwkt"))
+        ).drop("_plon", "_plat", "_pwkt")
+        if mode == "first":
+            return (
+                j.withColumn("lon", F.col("_m.lon"))
+                .withColumn("lat", F.col("_m.lat"))
+                .withColumn("zone_id", F.col("_m.zone_id"))
+                .withColumn("eas_id", F.col("_m.eas_id"))
+                .drop("_m")
+            )
+        j = (
+            j.withColumn("lon", F.col("_m.lon"))
+            .withColumn("lat", F.col("_m.lat"))
+            .withColumn("_matches", F.col("_m.matches"))
             .drop("_m")
         )
-    j = j.withColumn("_matches", _match_udf(*udf_args)).drop(*cand_cols)
-    if mode == "all":
-        ex = j.select(
-            "*", F.explode_outer("_matches").alias("_m")
-        )
-        return (
-            ex.withColumn("zone_id", F.col("_m.zone_id"))
-            .withColumn("eas_id", F.col("_m.eas_id"))
-            .drop("_matches", "_m")
-        )
-    raise ValueError(f"mode must be 'first' or 'all', got {mode}")
+
+    ex = j.select("*", F.explode_outer("_matches").alias("_e"))
+    return (
+        ex.withColumn("zone_id", F.col("_e.zone_id"))
+        .withColumn("eas_id", F.col("_e.eas_id"))
+        .drop("_matches", "_e")
+    )
 
 
 def pip_join_full(
@@ -208,7 +350,6 @@ def pip_join_full(
     level: int | None = None,
     mode: str = "first",
 ) -> DataFrame:
-    """Convenience: extract geometry, build + broadcast the cover, join."""
-    lvl = level if level is not None else IX.auto_level(len(zones_pdf))
-    cov = IX.cover_df(spark, zones_pdf, lvl)
-    return pip_join(extract_geom(docs), cov, lvl, mode=mode)
+    """Convenience: build + broadcast the packed cover, fused join."""
+    zidx = IX.zone_index(spark, zones_pdf, level)
+    return pip_join(docs, zidx, mode=mode)

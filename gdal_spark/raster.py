@@ -197,6 +197,105 @@ def pixel_calc(tiles: DataFrame, func: str, out_dtype: str = "float64",
     return tiles.mapInPandas(run, schema=TILE_SCHEMA)
 
 
+# --------------------------------------------------------------- rasterize
+def rasterize_zones(
+    spark,
+    zindex,
+    ntx: int,
+    nty: int,
+    tile_px: int = 128,
+    x0: float = -180.0,
+    y_top: float = 85.0,
+    res_x: float | None = None,
+    res_y: float | None = None,
+    extent_x: float = 360.0,
+    extent_y: float = 170.0,
+    raster_id: str = "zones_burn",
+) -> DataFrame:
+    """Vector -> raster burn (gdal_rasterize, alg/gdalrasterize.cpp;
+    app apps/gdal_rasterize_lib.cpp:598). GDAL default semantics: a
+    pixel is burned when its CENTER is inside a polygon (ALL_TOUCHED
+    off, gdalrasterize.cpp:573-613); burn value = zone_id with
+    MERGE_ALG=REPLACE resolved deterministically to the lowest zone_id.
+
+    Spark shape: the tile list is a spark.range map stage; each task
+    computes its pixel-center grid and runs the SAME broadcast-cover
+    first-match kernel as the PIP join (index.first_match_packed) over
+    all centers at once — rasterize IS a dense PIP join. No shuffle.
+    Output: int32 tiles, nodata -1 (outside every zone / hole zones).
+    """
+    from .cells import np_geo_cell
+    from .index import first_match_packed
+
+    rx = res_x if res_x is not None else extent_x / (ntx * tile_px)
+    ry = res_y if res_y is not None else extent_y / (nty * tile_px)
+    bc, level = zindex.bc, zindex.level
+    base = spark.range(0, ntx * nty, 1, max(4, min(64, ntx * nty))).select(
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        (F.col("id") / ntx).cast("int").alias("tile_y"),
+    )
+
+    def burn(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                gx = tx * tile_px + np.arange(tile_px)
+                gy = ty * tile_px + np.arange(tile_px)
+                lon = x0 + (gx + 0.5) * rx
+                lat = y_top - (gy + 0.5) * ry
+                LON, LAT = np.meshgrid(lon, lat)  # row-major, north-up
+                flat_lon = LON.ravel()
+                flat_lat = LAT.ravel()
+                cov = bc.value
+                cell = np_geo_cell(flat_lon, flat_lat, level)
+                zone, _ = first_match_packed(cov, cell, flat_lon, flat_lat)
+                arr = zone.astype(np.int32).reshape(tile_px, tile_px)
+                rows.append(
+                    {
+                        "raster_id": raster_id, "band": 1, "zoom": 0,
+                        "tile_x": tx, "tile_y": ty,
+                        "width": tile_px, "height": tile_px,
+                        "dtype": "int32", "nodata": -1.0, "crs": "EPSG:4326",
+                        "geotransform": [x0 + tx * tile_px * rx, rx, 0.0,
+                                         y_top - ty * tile_px * ry, 0.0, -ry],
+                        "data": arr.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return base.mapInPandas(burn, schema=TILE_SCHEMA)
+
+
+def value_counts(tiles: DataFrame) -> DataFrame:
+    """(tile_x, tile_y, value, npix) histogram of burned values per tile
+    — per-tile np.unique partial; no cross-tile shuffle needed beyond
+    the tiny result."""
+    VC_SCHEMA = T.StructType(
+        [
+            T.StructField("tile_x", T.IntegerType()),
+            T.StructField("tile_y", T.IntegerType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("npix", T.LongType()),
+        ]
+    )
+
+    def part(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width)
+                vals, cnts = np.unique(arr, return_counts=True)
+                for v, c in zip(vals, cnts):
+                    rows.append(
+                        {"tile_x": int(r.tile_x), "tile_y": int(r.tile_y),
+                         "value": int(v), "npix": int(c)}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VC_SCHEMA.fields])
+
+    return tiles.mapInPandas(part, schema=VC_SCHEMA)
+
+
 # ------------------------------------------------------------- focal (halo)
 def _neighbor_strips(tiles: DataFrame) -> DataFrame:
     """Every tile contributes its 1-px edge strips to each of its 8

@@ -130,7 +130,11 @@ def _doc_wkt_col(i: Column) -> Column:
 def documents_df(spark: SparkSession, n: int, seed: int = SEED, partitions: int | None = None) -> DataFrame:
     """T1 interleaved documents: (doc_id string, spans array<struct<
     kind,text,media_ref,offset>>). Fully JVM-side generation."""
-    rng = spark.range(0, n, 1, partitions or max(8, min(1024, n // 50000 + 1)))
+    # default partitioning: ~15k docs per partition, floor 64 — enough
+    # waves that a 32-core (or 4N-executor) scan is never starved or
+    # straggler-bound, small enough that each parquet file stays a
+    # single split at any maxPartitionBytes
+    rng = spark.range(0, n, 1, partitions or max(64, min(4096, n // 15000 + 1)))
     i = F.col("id")
     n_spans = (F.lit(4) + rnd_int_col(h_col(i, 0), 5)).cast("int")
     wkt = _doc_wkt_col(i)

@@ -69,11 +69,13 @@ def test_span_order_invariance_through_join(spark):
 
 
 def test_pip_join_plan_has_no_shuffle(spark):
-    """The join must compile to a single map stage: broadcast join only,
-    no Exchange in the physical plan."""
+    """The join must compile to a single map stage: the spatial index
+    rides a broadcast VARIABLE (not even a join node), so the physical
+    plan has no Exchange of any kind and exactly one Arrow Python eval
+    (the fused parse+locate+match UDF)."""
     docs = synth.documents_df(spark, 100)
     zones = synth.zones_np(N_ZONES)
     out = pip_join_full(spark, docs, zones, mode="first")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
