@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from gdal_spark import derived as DRV
 from gdal_spark import ogrsql as Q
+from gdal_spark import overlay as OV
+from gdal_spark import raster as RST
 from gdal_spark import synth, tiling
 from gdal_spark.functions import ann as ANN
 from gdal_spark.functions import text as TX
@@ -293,6 +295,89 @@ def _q_warp_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(warped)
 
 
+def _overlay_inputs(spark: SparkSession, sf_dir: str):
+    docs = DRV.with_derived_squares(_read(spark, sf_dir, "documents"))
+    # dilation must cover the max doc-square half size (1.0 deg) so a
+    # square's center cell lists every zone it can touch
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G), dilation=1.02)
+    return docs, zidx
+
+
+def _q_overlay_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, zidx = _overlay_inputs(spark, sf_dir)
+    out = OV.intersection(docs, zidx)
+    return out.select(
+        "doc_id", "zone_id", "eas_id", F.round("piece_area", 6).alias("piece_area")
+    )
+
+
+def _q_overlay_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, zidx = _overlay_inputs(spark, sf_dir)
+    return OV.clip(docs, zidx).select(
+        "doc_id", F.round("clip_area", 6).alias("clip_area")
+    )
+
+
+def _q_overlay_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, zidx = _overlay_inputs(spark, sf_dir)
+    return OV.erase(docs, zidx).select(
+        "doc_id", F.round("erase_area", 6).alias("erase_area")
+    )
+
+
+def _q_overlay_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, zidx = _overlay_inputs(spark, sf_dir)
+    return OV.identity(docs, zidx).select(
+        "doc_id", "zone_id", F.round("piece_area", 6).alias("piece_area")
+    )
+
+
+def _q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
+    burned = RST.rasterize_zones(spark, zidx, 4, 4, tile_px=128)
+    return RST.value_counts(burned)
+
+
+_R_EARTH = 6378137.0
+_R_RES12 = 2 * math.pi * _R_EARTH / 256 / (2**ZOOM)
+_R_X0 = -math.pi * _R_EARTH
+_R_Y0 = _R_X0 + 256 * _R_RES12  # top of tile row 0 (test-mosaic frame)
+
+
+def _q_raster_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 4, 4)
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    u1 = (F.col("doc_id").cast("long") * KNUTH) % MOD32
+    u2 = ((F.col("doc_id").cast("long") + 1) * KNUTH) % MOD32
+    px = u1.cast("double") * 1024.0 / MOD32  # global pixel col in [0,1024)
+    py = u2.cast("double") * 1024.0 / MOD32
+    pts = d.select(
+        F.col("doc_id").alias("q_id"),
+        (F.lit(_R_X0) + px * F.lit(_R_RES12)).alias("x"),
+        (F.lit(_R_Y0) - py * F.lit(_R_RES12)).alias("y"),
+    )
+    out = RST.locate(tiles, pts, (_R_X0, _R_Y0), _R_RES12)
+    return out.select(
+        F.col("q_id").alias("doc_id"), F.col("value").cast("long").alias("value")
+    )
+
+
+def _q_hstore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _read(spark, sf_dir, "nation")
+    hs = F.format_string("name=>%s,rk=>%d", F.col("n_name"), F.col("n_regionkey"))
+    return n.select(
+        "n_nationkey",
+        Q.hstore_get_value(hs, "name").alias("name_val"),
+        Q.hstore_get_value(hs, "rk").alias("rk_val"),
+        Q.hstore_get_value(hs, "missing").alias("missing_val"),
+    )
+
+
+def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return ANN.neardup_pairs(emb, threshold=0.4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_zone_join": _q_pip_zone_join,
@@ -322,6 +407,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_checksums": _q_raster_checksums,
         "overview_checksums": _q_overview_checksums,
         "warp_checksums": _q_warp_checksums,
+        "overlay_intersection": _q_overlay_intersection,
+        "overlay_clip": _q_overlay_clip,
+        "overlay_erase": _q_overlay_erase,
+        "overlay_identity": _q_overlay_identity,
+        "rasterize_counts": _q_rasterize_counts,
+        "raster_locate": _q_raster_locate,
+        "hstore_get": _q_hstore,
+        "embed_neardup": _q_embed_neardup,
     }
 
 
@@ -452,6 +545,91 @@ FROM m
 """
 
 
+_HALF = DRV.DERIVED_HALF_SQL
+
+# rect zones (ZONE_G x ZONE_G, ~10% holes) + doc squares + axis-aligned
+# rect-intersection pieces — closed form; the Spark side runs the real
+# machinery (broadcast cover + vectorized Sutherland-Hodgman clip)
+_OVERLAY_CTE = f"""
+WITH zs AS (
+  SELECT zid AS zone_id, 158 + zid * 7 AS eas_id,
+         -180.0 + CAST(zid // {ZONE_G} AS DOUBLE) * {360.0 / ZONE_G} AS zx0,
+         -180.0 + CAST(zid // {ZONE_G} + 1 AS DOUBLE) * {360.0 / ZONE_G} AS zx1,
+         -85.0 + CAST(zid % {ZONE_G} AS DOUBLE) * {170.0 / ZONE_G} AS zy0,
+         -85.0 + CAST(zid % {ZONE_G} + 1 AS DOUBLE) * {170.0 / ZONE_G} AS zy1
+  FROM (SELECT UNNEST(range({ZONE_G * ZONE_G})) AS zid)
+  WHERE (zid * {KNUTH} % {MOD32}) % 10 <> 0
+), b AS (
+  SELECT doc_id,
+         {_LON} - {_HALF} AS x0, {_LON} + {_HALF} AS x1,
+         {_LAT} - {_HALF} AS y0, {_LAT} + {_HALF} AS y1
+  FROM documents
+), pieces AS (
+  SELECT b.doc_id, z.zone_id, z.eas_id,
+         GREATEST(0.0, LEAST(x1, zx1) - GREATEST(x0, zx0))
+           * GREATEST(0.0, LEAST(y1, zy1) - GREATEST(y0, zy0)) AS pa
+  FROM b JOIN zs z
+    ON x1 >= zx0 AND x0 <= zx1 AND y1 >= zy0 AND y0 <= zy1
+), cov AS (
+  SELECT doc_id, SUM(pa) AS covered, SUM(CASE WHEN pa > 0 THEN 1 ELSE 0 END) AS nhit
+  FROM pieces GROUP BY doc_id
+)
+"""
+
+
+def _rasterize_sql() -> str:
+    rx = 360.0 / 512
+    ry = 170.0 / 512
+    zone = DRV.rect_zone_oracle_sql(ZONE_G)
+    return f"""
+WITH px AS (
+  SELECT a.range AS gx, b.range AS gy
+  FROM range(512) a CROSS JOIN range(512) b
+), c AS (
+  SELECT gx, gy,
+         -180.0 + (CAST(gx AS DOUBLE) + 0.5) * {rx} AS lon,
+         85.0 - (CAST(gy AS DOUBLE) + 0.5) * {ry} AS lat
+  FROM px
+), z AS (
+  SELECT CAST(gx // 128 AS INTEGER) AS tile_x,
+         CAST(gy // 128 AS INTEGER) AS tile_y,
+         COALESCE({zone}, -1) AS value
+  FROM c
+)
+SELECT tile_x, tile_y, CAST(value AS BIGINT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS npix
+FROM z GROUP BY tile_x, tile_y, value
+"""
+
+
+def _locate_sql() -> str:
+    # per-tile hash offsets inlined as fixture constants (deterministic,
+    # same generator as the Spark tile table: synth.tile_pixels_np)
+    hs = []
+    for tx in range(4):
+        for ty in range(4):
+            h = int(synth.tile_pixels_np(tx, ty, 1, 1)[0, 0]) - 4
+            hs.append(f"({tx}, {ty}, {h})")
+    vals = ", ".join(hs)
+    return f"""
+WITH th(tx, ty, h) AS (VALUES {vals}),
+pts AS (
+  SELECT doc_id,
+         CAST((doc_id * {KNUTH}) % {MOD32} AS DOUBLE) * 1024.0 / {MOD32} AS ppx,
+         CAST(((doc_id + 1) * {KNUTH}) % {MOD32} AS DOUBLE) * 1024.0 / {MOD32} AS ppy
+  FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT doc_id,
+         CAST(FLOOR((({_R_X0!r} + ppx * {_R_RES12!r}) - {_R_X0!r}) / {_R_RES12!r}) AS BIGINT) AS gpx,
+         CAST(FLOOR(({_R_Y0!r} - ({_R_Y0!r} - ppy * {_R_RES12!r})) / {_R_RES12!r}) AS BIGINT) AS gpy
+  FROM pts
+)
+SELECT doc_id,
+       CAST((3 * (gpx % 256) + 5 * (gpy % 256) + h) % 251 + 4 AS BIGINT) AS value
+FROM g JOIN th ON th.tx = gpx // 256 AND th.ty = gpy // 256
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pip_zone_join": _PIP_SQL,
@@ -557,6 +735,44 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e
               CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
             ) WHERE rank <= 10
+        """,
+        "overlay_intersection": _OVERLAY_CTE + """
+            SELECT doc_id, zone_id, eas_id, ROUND(pa, 6) AS piece_area
+            FROM pieces WHERE pa > 0
+        """,
+        "overlay_clip": _OVERLAY_CTE + """
+            SELECT doc_id, ROUND(covered, 6) AS clip_area
+            FROM cov WHERE nhit > 0
+        """,
+        "overlay_erase": _OVERLAY_CTE + """
+            SELECT b.doc_id,
+                   ROUND(GREATEST(0.0, (x1 - x0) * (y1 - y0)
+                         - COALESCE(c.covered, 0.0)), 6) AS erase_area
+            FROM b LEFT JOIN cov c USING (doc_id)
+        """,
+        "overlay_identity": _OVERLAY_CTE + """
+            SELECT doc_id, zone_id, ROUND(pa, 6) AS piece_area
+            FROM pieces WHERE pa > 0
+            UNION ALL
+            SELECT b.doc_id, CAST(NULL AS BIGINT) AS zone_id,
+                   ROUND(GREATEST(0.0, (x1 - x0) * (y1 - y0)
+                         - COALESCE(c.covered, 0.0)), 6) AS piece_area
+            FROM b LEFT JOIN cov c USING (doc_id)
+            WHERE GREATEST(0.0, (x1 - x0) * (y1 - y0)
+                  - COALESCE(c.covered, 0.0)) > 1e-9
+        """,
+        "rasterize_counts": _rasterize_sql(),
+        "raster_locate": _locate_sql(),
+        "hstore_get": """
+            SELECT n_nationkey, n_name AS name_val,
+                   CAST(n_regionkey AS VARCHAR) AS rk_val,
+                   CAST(NULL AS VARCHAR) AS missing_val
+            FROM nation
+        """,
+        "embed_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
         # minhash_pairs, simhash_table, ann_lsh_topk, raster/overview/
         # warp_checksums: non-SQL-expressible (hash kernels / pixel

@@ -98,6 +98,7 @@ def main():
         "pip_zone_join", "tile_assign", "knn_top5", "ogr_summary",
         "ogr_first_match_join", "dedup_exact", "minhash_pairs",
         "ann_cosine_topk", "overview_checksums", "warp_checksums",
+        "overlay_intersection", "rasterize_counts",
     ]:
         df_fn = qs[name]
         timed(name, lambda f=df_fn: f(spark, SF_DIR).count())
