@@ -378,6 +378,72 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.neardup_pairs(emb, threshold=0.4)
 
 
+def _q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.gridding import idw_grid
+
+    pts = DRV.with_derived_points(_read(spark, sf_dir, "documents")).withColumn(
+        "v", (F.col("doc_id") % 97).cast("double")
+    )
+    out = idw_grid(pts, "v", ntx=4, nty=4, tile_px=8, radius=30.0, power=2.0)
+    return out.filter(F.col("value").isNotNull()).select(
+        "gx", "gy", F.round("value", 6).alias("value")
+    )
+
+
+def _q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return TX.word_ngram_jaccard_dedup(d, "text", "doc_id", n=2, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+
+
+def _q_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-SQL dialect passthrough — the Spark-SQL analog of OGR's
+    SQLite dialect (layers as virtual tables with the host engine's
+    complete SQL: GROUP BY/JOIN that OGR SQL itself lacks,
+    sql_sqlite_dialect.rst:52; gdaldataset.cpp:6176-6187 dispatch)."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT l.l_returnflag AS rf, COUNT(*) AS cnt,
+               ROUND(SUM(l.l_quantity), 3) AS sum_qty,
+               COUNT(DISTINCT o.o_custkey) AS custs
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_returnflag
+        """
+    )
+
+
+def _q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # geom_wkt dropped for the oracle compare only because the two
+    # engines format doubles-in-strings differently; the WKT itself is
+    # covered by tests/test_raster_ops2.py
+    tiles = synth.tiles_src_df(spark, 3, 2)
+    return RST.tile_index(tiles).drop("geom_wkt")
+
+
+def _q_dem_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(RST.tri(tiles, res=1.0))
+
+
+def _q_dem_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(RST.aspect(tiles, res=1.0))
+
+
+def _q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ms = synth.tiles_src_df(spark, 2, 1, raster_id="ms")
+    ms2 = RST.pixel_calc(ms, "square", out_dtype="float64").withColumn(
+        "band", F.lit(2)
+    )
+    pan = synth.tiles_src_df(spark, 2, 1, raster_id="pan", seed=7)
+    return tiling.checksum_table(
+        RST.pansharpen(pan, ms.unionByName(ms2), weights=[0.5, 0.5])
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_zone_join": _q_pip_zone_join,
@@ -415,6 +481,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_locate": _q_raster_locate,
         "hstore_get": _q_hstore,
         "embed_neardup": _q_embed_neardup,
+        "idw_grid": _q_idw_grid,
+        "jaccard_dedup": _q_jaccard_dedup,
+        "sql_dialect": _q_sql_dialect,
+        "tile_index": _q_tile_index,
+        "dem_tri_checksums": _q_dem_tri,
+        "dem_aspect_checksums": _q_dem_aspect,
+        "pansharpen_checksums": _q_pansharpen,
     }
 
 
@@ -773,6 +846,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "idw_grid": f"""
+            WITH pts AS (
+              SELECT {_LON} AS lon, {_LAT} AS lat,
+                     CAST(doc_id % 97 AS DOUBLE) AS v
+              FROM documents
+            ), px AS (
+              SELECT a.range AS gx, b.range AS gy
+              FROM range(32) a CROSS JOIN range(32) b
+            ), c AS (
+              SELECT gx, gy,
+                     -180.0 + (CAST(gx AS DOUBLE) + 0.5) * {360.0 / 32} AS plon,
+                     85.0 - (CAST(gy AS DOUBLE) + 0.5) * {170.0 / 32} AS plat
+              FROM px
+            ), d AS (
+              SELECT gx, gy, v,
+                     (plon - lon) * (plon - lon) + (plat - lat) * (plat - lat) AS d2
+              FROM c CROSS JOIN pts
+            ), j AS (
+              SELECT gx, gy, SUM(v / d2) AS num, SUM(1.0 / d2) AS den
+              FROM d WHERE d2 <= 900.0 GROUP BY gx, gy
+            )
+            SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+                   ROUND(num / den, 6) AS value
+            FROM j
+        """,
+        "jaccard_dedup": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(LOWER(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS grams
+              FROM t WHERE len(toks) >= 2
+            ), e AS (
+              SELECT doc_id, UNNEST(grams) AS gram, len(grams) AS sz FROM g
+            )
+            SELECT id_a, id_b FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+                     ANY_VALUE(a.sz) AS sa, ANY_VALUE(b.sz) AS sb
+              FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ) WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5
+        """,
+        "sql_dialect": """
+            SELECT l.l_returnflag AS rf, COUNT(*) AS cnt,
+                   ROUND(SUM(l.l_quantity), 3) AS sum_qty,
+                   COUNT(DISTINCT o.o_custkey) AS custs
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_returnflag
+        """,
+        # tile_index: expected envelope is a closed-form fixture (synth
+        # geotransforms, 3x2 tiles of 256px at zoom-12 resolution)
+        # float association mirrors the engine exactly: per-tile corner
+        # = (origin + tx*256*res) +/- 256*res, then min/max
+        "tile_index": f"""
+            SELECT 'byte_like' AS location,
+                   CAST({_R_X0!r} AS DOUBLE) AS xmin,
+                   (CAST({_R_X0!r} AS DOUBLE) + 256.0 * CAST({_R_RES12!r} AS DOUBLE))
+                     - 256.0 * CAST({_R_RES12!r} AS DOUBLE) AS ymin,
+                   (CAST({_R_X0!r} AS DOUBLE) + 512.0 * CAST({_R_RES12!r} AS DOUBLE))
+                     + 256.0 * CAST({_R_RES12!r} AS DOUBLE) AS xmax,
+                   CAST({_R_X0!r} AS DOUBLE) + 512.0 * CAST({_R_RES12!r} AS DOUBLE) AS ymax
         """,
         # minhash_pairs, simhash_table, ann_lsh_topk, raster/overview/
         # warp_checksums: non-SQL-expressible (hash kernels / pixel

@@ -303,3 +303,60 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
         return pd.Series(out)
 
     return j.select("id_a", "id_b", jac("t_a", "t_b").alias("jaccard"))
+
+
+def word_ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-duplicate pairs over the WHOLE
+    table — no LSH approximation: an inverted index on n-grams
+    generates candidate pairs (only docs sharing >= 1 gram ever meet),
+    then |intersection| falls out of the join group count and
+    J = inter / (|A| + |B| - inter) filters at `threshold`.
+
+    Everything is JVM column math + one shuffle join keyed on the gram
+    string — no Python. Scale note: stop-phrase grams are hot keys; at
+    10^9+ docs cap gram document-frequency (drop grams above a DF
+    bound, standard practice) or fall back to minhash_dedup's banded
+    LSH — this operator is the exact verifier of that pipeline.
+
+    Jaccard here is a ratio of small integers, so the value (and the
+    threshold comparison) is bit-identical across engines — the oracle
+    can recompute it closed-form.
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_toks")) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(F.col("_toks"), i + j) for j in range(n)]),
+    )
+    d = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(F.col(id_col), F.array_distinct(grams).alias("_grams"))
+        .select(F.col(id_col), "_grams", F.size("_grams").alias("_sz"))
+    )
+    e = d.select(F.col(id_col), F.col("_sz"), F.explode("_grams").alias("_gram"))
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa"), "_gram"
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb"), "_gram"
+    )
+    pairs = (
+        a.join(b, "_gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_sa", "_sb")
+        .agg(F.count("*").alias("_inter"))
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_sa") + F.col("_sb") - F.col("_inter")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -436,3 +436,155 @@ def slope(tiles: DataFrame, res: float, z_factor: float = 1.0,
         return np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
 
     return _focal(tiles, kern, "float64", dst_raster_id, res)
+
+
+def aspect(tiles: DataFrame, res: float,
+           dst_raster_id: str = "aspect") -> DataFrame:
+    """Aspect in compass degrees, 0=N clockwise (gdaldem aspect,
+    apps/gdaldem_lib.cpp:1389-1440): atan2 of the Horn gradients
+    converted to azimuth; flat cells (both gradients 0) -> -9999 like
+    GDAL's default nodata."""
+
+    def kern(pad, r):
+        dzdx, dzdy = _horn_gradients(pad, r)
+        az = np.degrees(np.arctan2(dzdy, -dzdx))
+        compass = np.where(az > 90.0, 450.0 - az, 90.0 - az)
+        compass = np.where(compass == 360.0, 0.0, compass)
+        flat = (dzdx == 0) & (dzdy == 0)
+        return np.where(flat, -9999.0, compass)
+
+    return _focal(tiles, kern, "float64", dst_raster_id, res)
+
+
+def _neighbor_stack(pad: np.ndarray):
+    return np.stack(
+        [pad[:-2, :-2], pad[:-2, 1:-1], pad[:-2, 2:],
+         pad[1:-1, :-2], pad[1:-1, 2:],
+         pad[2:, :-2], pad[2:, 1:-1], pad[2:, 2:]]
+    )
+
+
+def tri(tiles: DataFrame, res: float, alg: str = "riley",
+        dst_raster_id: str = "tri") -> DataFrame:
+    """Terrain Ruggedness Index (gdaldem TRI, apps/gdaldem_lib.cpp:
+    2689-2700): Riley = sqrt(sum((center - neighbor)^2)) over the 8
+    neighbors (default since GDAL 3.3); Wilson = mean absolute
+    difference."""
+
+    def kern(pad, r):
+        c = pad[1:-1, 1:-1]
+        nb = _neighbor_stack(pad)
+        d = nb - c[None, :, :]
+        if alg == "riley":
+            return np.sqrt((d * d).sum(axis=0))
+        return np.abs(d).mean(axis=0)
+
+    return _focal(tiles, kern, "float64", dst_raster_id, res)
+
+
+def tpi(tiles: DataFrame, res: float,
+        dst_raster_id: str = "tpi") -> DataFrame:
+    """Topographic Position Index (gdaldem TPI): center minus the mean
+    of its 8 neighbors."""
+
+    def kern(pad, r):
+        c = pad[1:-1, 1:-1]
+        return c - _neighbor_stack(pad).mean(axis=0)
+
+    return _focal(tiles, kern, "float64", dst_raster_id, res)
+
+
+def roughness(tiles: DataFrame, res: float,
+              dst_raster_id: str = "roughness") -> DataFrame:
+    """Roughness (gdaldem roughness): max - min over the full 3x3
+    window (center included)."""
+
+    def kern(pad, r):
+        c = pad[1:-1, 1:-1]
+        nb = _neighbor_stack(pad)
+        mx = np.maximum(nb.max(axis=0), c)
+        mn = np.minimum(nb.min(axis=0), c)
+        return mx - mn
+
+    return _focal(tiles, kern, "float64", dst_raster_id, res)
+
+
+# --------------------------------------------------------------- pansharpen
+def pansharpen(pan: DataFrame, ms: DataFrame,
+               weights: list[float] | None = None,
+               dst_raster_id: str = "pansharp") -> DataFrame:
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp:509,
+    803-881): out_band = ms_band * pan / pseudo_pan where pseudo_pan =
+    sum(w_i * ms_band_i). pan and ms tile tables join on tile coords
+    (both at the pan resolution — upsample ms first via warp/overview
+    if needed); the per-tile ratio runs in one numpy kernel.
+    """
+
+    pan_t = pan.select(
+        F.col("tile_x"), F.col("tile_y"),
+        F.col("data").alias("_pan"), F.col("dtype").alias("_pan_dtype"),
+        F.col("width").alias("_w"), F.col("height").alias("_h"),
+    )
+    j = ms.join(pan_t, ["tile_x", "tile_y"], "inner")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bands = sorted(pdf["band"].unique())
+        w = weights if weights is not None else [1.0 / len(bands)] * len(bands)
+        arrs = {}
+        first = pdf.iloc[0]
+        h, wd = int(first["_h"]), int(first["_w"])
+        for r in pdf.itertuples(index=False):
+            arrs[int(r.band)] = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+        pan_arr = _decode(first["_pan"], first["_pan_dtype"], h, wd).astype(np.float64)
+        pseudo = np.zeros_like(pan_arr)
+        for wi, b in zip(w, bands):
+            pseudo += wi * arrs[b]
+        ratio = np.where(pseudo > 0, pan_arr / np.maximum(pseudo, 1e-30), 0.0)
+        rows = []
+        for r in pdf.itertuples(index=False):
+            out = arrs[int(r.band)] * ratio
+            rows.append(
+                {
+                    "raster_id": dst_raster_id, "band": int(r.band),
+                    "zoom": int(r.zoom), "tile_x": int(r.tile_x),
+                    "tile_y": int(r.tile_y), "width": int(r.width),
+                    "height": int(r.height), "dtype": "float64",
+                    "nodata": float(r.nodata), "crs": r.crs,
+                    "geotransform": list(r.geotransform),
+                    "data": out.tobytes(),
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return j.groupBy("tile_x", "tile_y").applyInPandas(run, schema=TILE_SCHEMA)
+
+
+# --------------------------------------------------------------- tile index
+def tile_index(tiles: DataFrame) -> DataFrame:
+    """gdaltindex (apps/gdaltindex.cpp:96): one footprint polygon per
+    raster — pure column math over per-tile geotransforms, then a tiny
+    envelope aggregate. location = raster_id (the 'file path')."""
+    gt = F.col("geotransform")
+    x0 = gt[0]
+    x1 = gt[0] + F.col("width") * gt[1]
+    ytop = gt[3]
+    ybot = gt[3] + F.col("height") * gt[5]
+    per_tile = tiles.select(
+        "raster_id",
+        F.least(x0, x1).alias("_xmin"), F.greatest(x0, x1).alias("_xmax"),
+        F.least(ytop, ybot).alias("_ymin"), F.greatest(ytop, ybot).alias("_ymax"),
+    )
+    env = per_tile.groupBy("raster_id").agg(
+        F.min("_xmin").alias("xmin"), F.min("_ymin").alias("ymin"),
+        F.max("_xmax").alias("xmax"), F.max("_ymax").alias("ymax"),
+    )
+    wkt = F.format_string(
+        "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymin"),
+        F.col("xmax"), F.col("ymax"), F.col("xmin"), F.col("ymax"),
+        F.col("xmin"), F.col("ymin"),
+    )
+    return env.select(
+        F.col("raster_id").alias("location"), "xmin", "ymin", "xmax", "ymax",
+        wkt.alias("geom_wkt"),
+    )

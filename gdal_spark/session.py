@@ -62,7 +62,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 40k rows/batch measured ~15% faster than the 10k default for
+        # the fused PIP UDF at 32 cores (fewer batch setups, same numpy
+        # work); candidate expansion stays < a few hundred k pairs/batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "40000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
