@@ -415,6 +415,41 @@ def _q_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.polygonize import polygonize
+
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
+    burned = RST.rasterize_zones(spark, zidx, 2, 2, tile_px=64)
+    return polygonize(burned).select("value", "npix", "xmin", "ymin", "xmax", "ymax")
+
+
+def _q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.contour import contour_totals
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return contour_totals(tiles, [64.0, 128.5, 200.0]).select(
+        "level", "n_segments", F.round("length", 6).alias("length")
+    )
+
+
+def _q_reproject_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warped-layer view (generic/ogrwarpedlayer.cpp:166) /
+    array-batched coordinate transform (ogr/ogrct.cpp:1822):
+    EPSG:4326 -> EPSG:3857 as pure column math (no UDF at all).
+    my is rounded to cm because LN/TAN differ by ulps across engines."""
+    from gdal_spark import cells
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    mx, my = cells.lonlat_to_meters(F.col("lon"), F.col("lat"))
+    return d.select("doc_id", mx.alias("mx"), F.round(my, 2).alias("my"))
+
+
+def _q_mosaic_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = synth.tiles_src_df(spark, 2, 2)
+    patch = synth.tiles_src_df(spark, 1, 1, raster_id="patch", seed=9)
+    return tiling.checksum_table(tiling.mosaic([base, patch]))
+
+
 def _q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # geom_wkt dropped for the oracle compare only because the two
     # engines format doubles-in-strings differently; the WKT itself is
@@ -485,9 +520,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dedup": _q_jaccard_dedup,
         "sql_dialect": _q_sql_dialect,
         "tile_index": _q_tile_index,
+        "reproject_3857": _q_reproject_3857,
+        "mosaic_checksums": _q_mosaic_checksums,
         "dem_tri_checksums": _q_dem_tri,
         "dem_aspect_checksums": _q_dem_aspect,
         "pansharpen_checksums": _q_pansharpen,
+        "polygonize_regions": _q_polygonize,
+        "contour_totals": _q_contour,
     }
 
 
@@ -902,6 +941,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # tile_index: expected envelope is a closed-form fixture (synth
         # geotransforms, 3x2 tiles of 256px at zoom-12 resolution)
+        "reproject_3857": f"""
+            SELECT doc_id,
+                   lon * 20037508.342789244 / 180.0 AS mx,
+                   ROUND(LN(TAN(((90.0 + lat) * PI()) / 360.0))
+                         / (PI() / 180.0) * (20037508.342789244 / 180.0), 2) AS my
+            FROM (SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents)
+        """,
         # float association mirrors the engine exactly: per-tile corner
         # = (origin + tx*256*res) +/- 256*res, then min/max
         "tile_index": f"""

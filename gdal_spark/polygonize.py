@@ -1,0 +1,234 @@
+"""Polygonize: connected regions of equal pixel value -> region table
+(raster -> vector), the reference's GDALPolygonize
+(alg/polygonize.cpp:538 four-connectedness, :912 8-conn variant;
+enumerator alg/gdalrasterpolygonenumerator.cpp).
+
+Distributed shape:
+
+  1. per-tile connected-component labeling in one mapInPandas pass —
+     run-based CCL: horizontal runs come out of one vectorized diff,
+     vertical run adjacencies out of one vectorized compare, and a
+     union-find over RUNS (not pixels) resolves labels. Each tile also
+     emits its border runs (edge, span, value, global label).
+  2. border runs are tiny (run-length compressed tile edges); a
+     union-find over cross-tile adjacencies produces a relabel map.
+     Here it runs driver-side (border data << interior); at extreme
+     tile counts the same pairs feed an iterative label-propagation
+     join instead — the per-tile stage is unchanged.
+  3. a broadcast remap + groupBy finishes global region stats.
+
+Output: one row per region — (region_id, value, npix, xmin, ymin,
+xmax, ymax) in global pixel coordinates. Ring tracing (the WKT polygon
+outline) is a per-region local computation on top of this table and is
+left as future work; region extraction is the distributed core.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("label", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("npix", T.LongType()),
+        T.StructField("xmin", T.LongType()),
+        T.StructField("ymin", T.LongType()),
+        T.StructField("xmax", T.LongType()),
+        T.StructField("ymax", T.LongType()),
+        T.StructField("edge", T.StringType()),
+        T.StructField("p0", T.LongType()),
+        T.StructField("p1", T.LongType()),
+    ]
+)
+
+REGION_SCHEMA = T.StructType(
+    [
+        T.StructField("region_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("npix", T.LongType()),
+        T.StructField("xmin", T.LongType()),
+        T.StructField("ymin", T.LongType()),
+        T.StructField("xmax", T.LongType()),
+        T.StructField("ymax", T.LongType()),
+    ]
+)
+
+
+class _UF:
+    __slots__ = ("p",)
+
+    def __init__(self):
+        self.p: dict = {}
+
+    def find(self, x):
+        p = self.p
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != x:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def tile_ccl(arr: np.ndarray):
+    """Run-based 4-connected CCL. Returns (labels, run-root map
+    applied) — labels are LOCAL small ints, deterministic (min run id
+    of the component)."""
+    H, W = arr.shape
+    change = np.ones((H, W), dtype=bool)
+    change[:, 1:] = arr[:, 1:] != arr[:, :-1]
+    run_id = np.cumsum(change.ravel()).reshape(H, W) - 1
+    same = arr[1:, :] == arr[:-1, :]
+    if same.any():
+        a = run_id[1:, :][same]
+        b = run_id[:-1, :][same]
+        pairs = np.unique(a.astype(np.int64) * (1 << 32) + b.astype(np.int64))
+        uf = _UF()
+        for p in pairs.tolist():
+            uf.union(p >> 32, p & 0xFFFFFFFF)
+        nruns = int(run_id[-1, -1]) + 1
+        remap = np.arange(nruns, dtype=np.int64)
+        for r in range(nruns):
+            remap[r] = uf.find(r)
+        labels = remap[run_id]
+    else:
+        labels = run_id.astype(np.int64)
+    return labels
+
+
+def _decode(data, dtype, h, w):
+    return np.frombuffer(data, dtype=np.dtype(dtype)).reshape(h, w)
+
+
+def _rle(vals: np.ndarray, labs: np.ndarray):
+    """Run-length encode an edge strip: [(p0, p1, value, label)]."""
+    n = len(vals)
+    change = np.ones(n, dtype=bool)
+    change[1:] = (vals[1:] != vals[:-1]) | (labs[1:] != labs[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    return [(int(s), int(e), float(vals[s]), int(labs[s])) for s, e in zip(starts, ends)]
+
+
+def polygonize(tiles: DataFrame, band: int = 1) -> DataFrame:
+    """Connected regions of equal value across the whole tile table.
+    See module docstring for the three-stage distributed shape."""
+    spark = tiles.sparkSession
+
+    def part(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if int(r.band) != band:
+                    continue
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                H, W = arr.shape
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                labels = tile_ccl(arr)
+                gbase = (np.int64(ty) * (1 << 20) + tx) * (1 << 22)
+                glab = labels + gbase
+                flat_l = glab.ravel()
+                flat_v = arr.ravel()
+                xs = np.tile(np.arange(W, dtype=np.int64) + tx * W, H)
+                ys = np.repeat(np.arange(H, dtype=np.int64) + ty * H, W)
+                order = np.argsort(flat_l, kind="stable")
+                sl = flat_l[order]
+                first = np.ones(len(sl), dtype=bool)
+                first[1:] = sl[1:] != sl[:-1]
+                starts = np.flatnonzero(first)
+                ends = np.append(starts[1:], len(sl))
+                for s, e in zip(starts.tolist(), ends.tolist()):
+                    idx = order[s:e]
+                    rows.append(
+                        {
+                            "kind": "region", "tile_x": tx, "tile_y": ty,
+                            "label": int(sl[s]), "value": float(flat_v[idx[0]]),
+                            "npix": int(e - s),
+                            "xmin": int(xs[idx].min()), "ymin": int(ys[idx].min()),
+                            "xmax": int(xs[idx].max()), "ymax": int(ys[idx].max()),
+                            "edge": None, "p0": None, "p1": None,
+                        }
+                    )
+                for edge, vv, ll in (
+                    ("l", arr[:, 0], glab[:, 0]),
+                    ("r", arr[:, -1], glab[:, -1]),
+                    ("t", arr[0, :], glab[0, :]),
+                    ("b", arr[-1, :], glab[-1, :]),
+                ):
+                    for p0, p1, v, lab in _rle(vv, ll):
+                        rows.append(
+                            {
+                                "kind": "border", "tile_x": tx, "tile_y": ty,
+                                "label": lab, "value": v, "npix": None,
+                                "xmin": None, "ymin": None, "xmax": None,
+                                "ymax": None, "edge": edge, "p0": p0, "p1": p1,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in _PART_SCHEMA.fields])
+
+    parts = tiles.mapInPandas(part, schema=_PART_SCHEMA)
+    parts = parts.persist()
+    try:
+        borders = parts.filter(F.col("kind") == "border").collect()
+
+        # stitch: edge 'r' of (tx,ty) meets edge 'l' of (tx+1,ty);
+        # edge 'b' of (tx,ty) meets edge 't' of (tx,ty+1)
+        by_edge: dict = {}
+        for row in borders:
+            by_edge.setdefault((row["tile_x"], row["tile_y"], row["edge"]), []).append(
+                (row["p0"], row["p1"], row["value"], row["label"])
+            )
+        uf = _UF()
+        for (tx, ty, edge), runs in by_edge.items():
+            if edge == "r":
+                other = by_edge.get((tx + 1, ty, "l"), [])
+            elif edge == "b":
+                other = by_edge.get((tx, ty + 1, "t"), [])
+            else:
+                continue
+            for p0, p1, v, lab in runs:
+                for q0, q1, w, lab2 in other:
+                    if q0 < p1 and p0 < q1 and v == w:
+                        uf.union(lab, lab2)
+
+        labels = set()
+        for row in borders:
+            labels.add(row["label"])
+        remap = {l: uf.find(l) for l in labels}
+        bc = spark.sparkContext.broadcast(remap)
+
+        regions = parts.filter(F.col("kind") == "region")
+
+        @F.pandas_udf(T.LongType())
+        def relabel(lab: pd.Series) -> pd.Series:
+            m = bc.value
+            return lab.map(lambda x: m.get(x, x))
+
+        out = (
+            regions.withColumn("region_id", relabel("label"))
+            .groupBy("region_id")
+            .agg(
+                F.first("value").alias("value"),
+                F.sum("npix").alias("npix"),
+                F.min("xmin").alias("xmin"),
+                F.min("ymin").alias("ymin"),
+                F.max("xmax").alias("xmax"),
+                F.max("ymax").alias("ymax"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), schema=REGION_SCHEMA)
+    finally:
+        parts.unpersist()

@@ -1,0 +1,67 @@
+"""Contour (marching squares) golden tests: ramp with known iso-lines,
+and distributed totals vs single-node evaluation over the full mosaic
+(cross-tile border cells must be counted exactly once)."""
+
+import numpy as np
+from pyspark.sql import Row
+
+from gdal_spark import synth
+from gdal_spark.contour import cell_segments, contour_totals
+from gdal_spark.synth import TILE_SCHEMA
+
+
+def _tiles_df(spark, mosaic: np.ndarray, tile: int):
+    H, W = mosaic.shape
+    rows = []
+    for ty in range(H // tile):
+        for tx in range(W // tile):
+            sub = mosaic[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            rows.append(
+                Row(
+                    raster_id="r", band=1, zoom=0, tile_x=tx, tile_y=ty,
+                    width=tile, height=tile, dtype="float64", nodata=-1.0,
+                    crs="", geotransform=[0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+                    data=bytearray(sub.astype(np.float64).tobytes()),
+                )
+            )
+    return spark.createDataFrame(rows, schema=TILE_SCHEMA)
+
+
+def _single_node_totals(mosaic: np.ndarray, levels):
+    A = mosaic[:-1, :-1].ravel()
+    B = mosaic[:-1, 1:].ravel()
+    C = mosaic[1:, 1:].ravel()
+    D = mosaic[1:, :-1].ravel()
+    out = {}
+    for lv in levels:
+        cnt, ln = cell_segments(A, B, C, D, lv)
+        out[lv] = (int(cnt.sum()), float(ln.sum()))
+    return out
+
+
+def test_contour_vertical_ramp(spark):
+    m = np.tile(np.arange(64, dtype=np.float64), (64, 1))
+    got = contour_totals(_tiles_df(spark, m, 32), [10.5, 40.5]).toPandas()
+    for _, r in got.iterrows():
+        assert r["n_segments"] == 63
+        assert abs(r["length"] - 63.0) < 1e-9
+
+
+def test_contour_matches_single_node(spark):
+    m = np.zeros((64, 64))
+    for tx in range(2):
+        for ty in range(2):
+            m[ty * 32 : (ty + 1) * 32, tx * 32 : (tx + 1) * 32] = (
+                synth.tile_pixels_np(tx, ty, 32, 32).astype(np.float64)
+            )
+    levels = [64.0, 128.5, 200.0]
+    got = (
+        contour_totals(_tiles_df(spark, m, 32), levels)
+        .toPandas()
+        .set_index("level")
+        .sort_index()
+    )
+    exp = _single_node_totals(m, levels)
+    for lv in levels:
+        assert got.loc[lv, "n_segments"] == exp[lv][0]
+        assert abs(got.loc[lv, "length"] - exp[lv][1]) < 1e-6
