@@ -415,12 +415,76 @@ def _q_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream table (batch
+    form; 30-min inactivity gap) — window/lag machinery GDAL has no
+    analog for but a training pipeline needs."""
+    from pyspark.sql.window import Window
+
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = (gap.isNull() | (gap > 1800)).cast("long")
+    sess = e.withColumn("_sid", F.sum(new_sess).over(w))
+    per_sess = sess.groupBy("user_id", "_sid").agg(F.count("*").alias("_cnt"))
+    return per_sess.groupBy("user_id").agg(
+        F.max("_sid").alias("n_sessions"),
+        F.max("_cnt").alias("max_session_events"),
+    )
+
+
+def _sssp_edges(n: int = 200):
+    rows = []
+    for i in range(n):
+        for step, w in ((1, 1.0 + i % 5), (7, 3.0), (13, 5.0)):
+            if i + step < n:
+                rows.append((i, i + step, w))
+    return rows
+
+
+def _q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.graph import sssp
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(_sssp_edges(), columns=["src", "dst", "w"])
+    )
+    return sssp(edges, 0).select("node", "dist")
+
+
+def _sssp_oracle_sql() -> str:
+    import heapq
+
+    rows = _sssp_edges()
+    adj: dict = {}
+    for s, d, w in rows:
+        adj.setdefault(s, []).append((d, w))
+    dist = {0: 0.0}
+    pq = [(0.0, 0)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    vals = ", ".join(f"({n}, {d!r})" for n, d in sorted(dist.items()))
+    return f"SELECT * FROM (VALUES {vals}) AS t(node, dist)"
+
+
 def _q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.polygonize import polygonize
 
     zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
     burned = RST.rasterize_zones(spark, zidx, 2, 2, tile_px=64)
     return polygonize(burned).select("value", "npix", "xmin", "ymin", "xmax", "ymax")
+
+
+def _q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
+    burned = RST.rasterize_zones(spark, zidx, 2, 2, tile_px=64)
+    return tiling.checksum_table(RST.proximity(burned, [-1.0], maxdist=20.0))
 
 
 def _q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,6 +591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pansharpen_checksums": _q_pansharpen,
         "polygonize_regions": _q_polygonize,
         "contour_totals": _q_contour,
+        "sessionize": _q_sessionize,
+        "graph_sssp": _q_graph_sssp,
+        "proximity_checksums": _q_proximity,
     }
 
 
@@ -941,6 +1008,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # tile_index: expected envelope is a closed-form fixture (synth
         # geotransforms, 3x2 tiles of 256px at zoom-12 resolution)
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), s AS (
+              SELECT user_id, event_id,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) AS sid
+              FROM g
+            )
+            SELECT user_id, MAX(sid) AS n_sessions,
+                   MAX(cnt) AS max_session_events
+            FROM (SELECT user_id, sid, COUNT(*) AS cnt
+                  FROM s GROUP BY user_id, sid)
+            GROUP BY user_id
+        """,
+        "graph_sssp": _sssp_oracle_sql(),
         "reproject_3857": f"""
             SELECT doc_id,
                    lon * 20037508.342789244 / 180.0 AS mx,

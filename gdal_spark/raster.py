@@ -588,3 +588,103 @@ def tile_index(tiles: DataFrame) -> DataFrame:
         F.col("raster_id").alias("location"), "xmin", "ymin", "xmax", "ymax",
         wkt.alias("geom_wkt"),
     )
+
+
+# --------------------------------------------------------------- proximity
+def proximity(tiles: DataFrame, target_values: list[float],
+              maxdist: float, nodata: float = -1.0,
+              dst_raster_id: str = "proximity") -> DataFrame:
+    """Distance-to-nearest-target raster (GDALComputeProximity,
+    alg/gdalproximity.cpp:112), bounded by `maxdist` (the tool's
+    MAXDIST option; farther pixels get `nodata`) with maxdist <= one
+    tile extent.
+
+    Distributed shape: target pixels are SPARSE — each tile broadcasts
+    its target coordinate lists to itself and its 8 neighbors (the same
+    halo exchange as the focal ops, but carrying sparse coords instead
+    of dense strips), then one numpy kernel per tile computes each
+    pixel's exact Euclidean distance to the nearest visible target.
+    With maxdist <= tile size every target that can influence a pixel
+    is in its 3x3 tile neighborhood, so one pass is exact — no
+    iteration. Unbounded proximity = iterate this with a dist-field
+    halo until fixpoint (future work; GDAL defaults to bounded use)."""
+    TGT_SCHEMA = T.StructType(
+        [
+            T.StructField("dst_tx", T.IntegerType()),
+            T.StructField("dst_ty", T.IntegerType()),
+            T.StructField("txs", T.ArrayType(T.LongType())),
+            T.StructField("tys", T.ArrayType(T.LongType())),
+        ]
+    )
+    tvals = list(target_values)
+
+    def emit_targets(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width)
+                mask = np.isin(arr, tvals)
+                if not mask.any():
+                    continue
+                ys, xs = np.nonzero(mask)
+                gx = (xs + int(r.tile_x) * r.width).astype(np.int64)
+                gy = (ys + int(r.tile_y) * r.height).astype(np.int64)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        rows.append(
+                            {
+                                "dst_tx": int(r.tile_x) + dx,
+                                "dst_ty": int(r.tile_y) + dy,
+                                "txs": gx.tolist(), "tys": gy.tolist(),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in TGT_SCHEMA.fields])
+
+    tgts = tiles.mapInPandas(emit_targets, schema=TGT_SCHEMA)
+    agg = tgts.groupBy("dst_tx", "dst_ty").agg(
+        F.flatten(F.collect_list("txs")).alias("all_tx"),
+        F.flatten(F.collect_list("tys")).alias("all_ty"),
+    )
+    j = tiles.join(
+        agg,
+        (tiles.tile_x == agg.dst_tx) & (tiles.tile_y == agg.dst_ty),
+        "left",
+    ).drop("dst_tx", "dst_ty")
+
+    md2 = maxdist * maxdist
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                h, w = int(r.height), int(r.width)
+                gx0, gy0 = int(r.tile_x) * w, int(r.tile_y) * h
+                if r.all_tx is None or len(r.all_tx) == 0:
+                    out = np.full((h, w), nodata)
+                else:
+                    txs = np.asarray(r.all_tx, dtype=np.float64)
+                    tys = np.asarray(r.all_ty, dtype=np.float64)
+                    px = gx0 + np.arange(w, dtype=np.float64)
+                    py = gy0 + np.arange(h, dtype=np.float64)
+                    # (h, w) min over targets, chunked over targets to
+                    # bound memory
+                    best = np.full((h, w), np.inf)
+                    for s in range(0, len(txs), 2048):
+                        dx = px[None, :, None] - txs[None, None, s : s + 2048]
+                        dy = py[:, None, None] - tys[None, None, s : s + 2048]
+                        d2 = (dx * dx + dy * dy).min(axis=2)
+                        best = np.minimum(best, d2)
+                    out = np.where(best <= md2, np.sqrt(best), nodata)
+                rows.append(
+                    {
+                        "raster_id": dst_raster_id, "band": int(r.band),
+                        "zoom": int(r.zoom), "tile_x": int(r.tile_x),
+                        "tile_y": int(r.tile_y), "width": w, "height": h,
+                        "dtype": "float64", "nodata": nodata, "crs": r.crs,
+                        "geotransform": list(r.geotransform),
+                        "data": out.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return j.mapInPandas(run, schema=TILE_SCHEMA)
