@@ -415,6 +415,56 @@ def _q_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end on the driver table: synthesize
+    deterministic fake image blobs for 64 docs, parse media refs (JVM),
+    decode + box-filter thumbnail in mapInPandas (the stubbed-codec
+    path), digest via crc32 — schema/partition/batch shapes are the
+    real product; only the codec byte-format is a test stand-in."""
+    import numpy as np
+
+    from gdal_spark.functions import multimodal as MM
+
+    base = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(
+            F.col("doc_id"),
+            F.format_string("media://%09d", F.col("doc_id")).alias("media_ref"),
+        )
+    )
+
+    def make_blob(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                h = w = 32
+                px = ((np.arange(h * w * 3) * 7 + int(did)) % 256).astype(np.uint8)
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "media_ref": f"media://{int(did):09d}",
+                        "data": MM.fake_image_encode(px.reshape(h, w, 3)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_ref", "data"])
+
+    import pyspark.sql.types as T
+
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    media = MM.attach_media_meta(base.mapInPandas(make_blob, schema=blob_schema))
+    thumbs = MM.thumbnail(media, factor=4, decoder=MM.fake_image_decoder)
+    return thumbs.select(
+        "media_id", "height", "width", F.crc32("thumb").alias("crc")
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events stream table (batch
     form; 30-min inactivity gap) — window/lag machinery GDAL has no
@@ -485,6 +535,39 @@ def _q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
     burned = RST.rasterize_zones(spark, zidx, 2, 2, tile_px=64)
     return tiling.checksum_table(RST.proximity(burned, [-1.0], maxdist=20.0))
+
+
+def _q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.polygonize import sieve
+
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
+    burned = RST.rasterize_zones(spark, zidx, 2, 2, tile_px=64)
+    return tiling.checksum_table(sieve(burned, threshold=40))
+
+
+def _q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    # punch deterministic holes, then fill them back
+    holes = RST.pixel_calc(tiles, "square", out_dtype="float64")
+
+    def punch(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            new = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.float64).reshape(
+                    r.height, r.width
+                ).copy()
+                arr[100:120, 100:140] = -1.0
+                new.append(arr.tobytes())
+            pdf["data"] = new
+            pdf["nodata"] = -1.0
+            yield pdf
+
+    punched = holes.mapInPandas(punch, schema=synth.TILE_SCHEMA)
+    return tiling.checksum_table(RST.fill_nodata(punched, search=8))
 
 
 def _q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "graph_sssp": _q_graph_sssp,
         "proximity_checksums": _q_proximity,
+        "media_thumbnails": _q_media_thumbs,
+        "fillnodata_checksums": _q_fillnodata,
+        "sieve_checksums": _q_sieve,
     }
 
 

@@ -232,3 +232,226 @@ def polygonize(tiles: DataFrame, band: int = 1) -> DataFrame:
         return spark.createDataFrame(out.collect(), schema=REGION_SCHEMA)
     finally:
         parts.unpersist()
+
+
+def sieve(tiles: DataFrame, threshold: int, band: int = 1,
+          dst_raster_id: str = "sieved") -> DataFrame:
+    """Sieve filter (GDALSieveFilter, alg/gdalsievefilter.cpp:200):
+    raster regions smaller than `threshold` pixels are merged into
+    their largest neighbouring region (4-connected), progressively —
+    a merged-into region can absorb several small ones, and a small
+    region whose only neighbour is itself small merges after that
+    neighbour resolves.
+
+    Distributed shape: stage 1 is polygonize's per-tile CCL plus the
+    tile-internal adjacency PAIRS (np.unique over differing horizontal/
+    vertical label pairs — sets, not per-pixel data); stage 2 stitches
+    borders, builds the global region graph, and resolves merges
+    smallest-first (driver-side — the region graph is tiny relative to
+    pixels; at extreme region counts the same contraction runs as
+    iterative joins); stage 3 re-labels every tile through a broadcast
+    map and rewrites the pixel values.
+    """
+    spark = tiles.sparkSession
+
+    ADJ_SCHEMA = T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("tile_x", T.IntegerType()),
+            T.StructField("tile_y", T.IntegerType()),
+            T.StructField("label", T.LongType()),
+            T.StructField("label2", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("npix", T.LongType()),
+            T.StructField("edge", T.StringType()),
+            T.StructField("p0", T.LongType()),
+            T.StructField("p1", T.LongType()),
+        ]
+    )
+
+    def part(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if int(r.band) != band:
+                    continue
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                H, W = arr.shape
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                labels = tile_ccl(arr)
+                gbase = (np.int64(ty) * (1 << 20) + tx) * (1 << 22)
+                glab = labels + gbase
+                flat_l = glab.ravel()
+                flat_v = arr.ravel()
+                uniq, inv, cnt = np.unique(
+                    flat_l, return_inverse=True, return_counts=True
+                )
+                firsts = np.zeros(len(uniq), dtype=np.int64)
+                firsts[inv[::-1]] = np.arange(len(flat_l))[::-1]
+                for k in range(len(uniq)):
+                    rows.append(
+                        {
+                            "kind": "region", "tile_x": tx, "tile_y": ty,
+                            "label": int(uniq[k]), "label2": None,
+                            "value": float(flat_v[firsts[k]]),
+                            "npix": int(cnt[k]),
+                            "edge": None, "p0": None, "p1": None,
+                        }
+                    )
+                # tile-internal adjacency pairs (4-conn, distinct labels)
+                for a, b in (
+                    (glab[:, :-1], glab[:, 1:]),
+                    (glab[:-1, :], glab[1:, :]),
+                ):
+                    diff = a != b
+                    if diff.any():
+                        lo = np.minimum(a[diff], b[diff])
+                        hi = np.maximum(a[diff], b[diff])
+                        pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+                        for pa, pb in pairs.tolist():
+                            rows.append(
+                                {
+                                    "kind": "adj", "tile_x": tx, "tile_y": ty,
+                                    "label": int(pa), "label2": int(pb),
+                                    "value": None, "npix": None,
+                                    "edge": None, "p0": None, "p1": None,
+                                }
+                            )
+                for edge, vv, ll in (
+                    ("l", arr[:, 0], glab[:, 0]),
+                    ("r", arr[:, -1], glab[:, -1]),
+                    ("t", arr[0, :], glab[0, :]),
+                    ("b", arr[-1, :], glab[-1, :]),
+                ):
+                    for p0, p1, v, lab in _rle(vv, ll):
+                        rows.append(
+                            {
+                                "kind": "border", "tile_x": tx, "tile_y": ty,
+                                "label": lab, "label2": None, "value": v,
+                                "npix": None, "edge": edge, "p0": p0, "p1": p1,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in ADJ_SCHEMA.fields])
+
+    parts = tiles.mapInPandas(part, schema=ADJ_SCHEMA).persist()
+    rows = parts.filter(F.col("kind") != "region").collect()
+    regions = parts.filter(F.col("kind") == "region").collect()
+    parts.unpersist()
+
+    borders = [r for r in rows if r["kind"] == "border"]
+    adj_rows = [r for r in rows if r["kind"] == "adj"]
+
+    # stitch same-value cross-tile runs (union) and collect cross-tile
+    # adjacencies between different values
+    by_edge: dict = {}
+    for row in borders:
+        by_edge.setdefault((row["tile_x"], row["tile_y"], row["edge"]), []).append(
+            (row["p0"], row["p1"], row["value"], row["label"])
+        )
+    uf = _UF()
+    cross_adj = set()
+    for (tx, ty, edge), runs in by_edge.items():
+        if edge == "r":
+            other = by_edge.get((tx + 1, ty, "l"), [])
+        elif edge == "b":
+            other = by_edge.get((tx, ty + 1, "t"), [])
+        else:
+            continue
+        for p0, p1, v, lab in runs:
+            for q0, q1, w, lab2 in other:
+                if q0 < p1 and p0 < q1:
+                    if v == w:
+                        uf.union(lab, lab2)
+                    else:
+                        cross_adj.add((lab, lab2))
+
+    def root(x):
+        return uf.find(x)
+
+    size: dict = {}
+    value: dict = {}
+    for r in regions:
+        rt = root(r["label"])
+        size[rt] = size.get(rt, 0) + r["npix"]
+        value[rt] = r["value"]
+    neigh: dict = {rt: set() for rt in size}
+    for r in adj_rows:
+        a, b = root(r["label"]), root(r["label2"])
+        if a != b:
+            neigh[a].add(b)
+            neigh[b].add(a)
+    for a0, b0 in cross_adj:
+        a, b = root(a0), root(b0)
+        if a != b:
+            neigh[a].add(b)
+            neigh[b].add(a)
+
+    # progressive merge, smallest regions first (gdalsievefilter's
+    # "merge into largest neighbour")
+    merged_into: dict = {}
+
+    def final(x):
+        while x in merged_into:
+            x = merged_into[x]
+        return x
+
+    import heapq
+
+    heap = [(sz, rt) for rt, sz in size.items() if sz < threshold]
+    heapq.heapify(heap)
+    while heap:
+        sz, rt = heapq.heappop(heap)
+        if rt in merged_into or size.get(rt, 0) != sz or sz >= threshold:
+            continue
+        cands = {final(n) for n in neigh.get(rt, ())} - {rt}
+        if not cands:
+            continue
+        target = max(cands, key=lambda n: (size.get(n, 0), -n))
+        merged_into[rt] = target
+        size[target] = size.get(target, 0) + sz
+        neigh.setdefault(target, set()).update(n for n in neigh.get(rt, ()) if final(n) != target)
+        size.pop(rt, None)
+        if size[target] < threshold:
+            heapq.heappush(heap, (size[target], target))
+
+    # per original global label -> final value
+    relabel = {}
+    for r in regions:
+        lab = r["label"]
+        fin = final(root(lab))
+        relabel[lab] = value.get(fin, r["value"])
+    bc = spark.sparkContext.broadcast(relabel)
+
+    from .synth import TILE_SCHEMA
+
+    _tile_fields = [f.name for f in TILE_SCHEMA.fields]
+
+    def rewrite(batches):
+        for pdf in batches:
+            out = []
+            m = bc.value
+            for r in pdf.itertuples(index=False):
+                if int(r.band) != band:
+                    continue
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                H, W = arr.shape
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                labels = tile_ccl(arr)
+                gbase = (np.int64(ty) * (1 << 20) + tx) * (1 << 22)
+                glab = labels + gbase
+                uniq, inv = np.unique(glab.ravel(), return_inverse=True)
+                lut = np.array([m.get(int(u), np.nan) for u in uniq])
+                new = lut[inv].reshape(H, W)
+                out.append(
+                    {
+                        "raster_id": dst_raster_id, "band": int(r.band),
+                        "zoom": int(r.zoom), "tile_x": tx, "tile_y": ty,
+                        "width": W, "height": H, "dtype": "float64",
+                        "nodata": float(r.nodata), "crs": r.crs,
+                        "geotransform": list(r.geotransform),
+                        "data": new.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(out, columns=_tile_fields)
+
+    return tiles.mapInPandas(rewrite, schema=TILE_SCHEMA)

@@ -688,3 +688,125 @@ def proximity(tiles: DataFrame, target_values: list[float],
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     return j.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+# -------------------------------------------------------------- fill nodata
+def idw_fill_window(pad: np.ndarray, h: int, nodata: float,
+                    power: float = 2.0) -> np.ndarray:
+    """Core kernel, shared with the single-node test oracle: fill the
+    CENTER region of an (H+2h, W+2h) padded array by inverse-distance
+    weighting every valid pixel within Chebyshev radius h. NaN padding
+    = no data available there. Fully vectorized: one accumulation pass
+    per window offset ((2h+1)^2 vector ops), no per-pixel Python."""
+    Hp, Wp = pad.shape
+    H, W = Hp - 2 * h, Wp - 2 * h
+    core = pad[h : h + H, h : h + W]
+    invalid = np.isnan(core) | (core == nodata)
+    num = np.zeros((H, W))
+    den = np.zeros((H, W))
+    for dy in range(-h, h + 1):
+        for dx in range(-h, h + 1):
+            if dx == 0 and dy == 0:
+                continue
+            nb = pad[h + dy : h + dy + H, h + dx : h + dx + W]
+            ok = ~(np.isnan(nb) | (nb == nodata))
+            w = 1.0 / float(dx * dx + dy * dy) ** (power / 2.0)
+            num += np.where(ok, nb * w, 0.0)
+            den += np.where(ok, w, 0.0)
+    filled = np.where(invalid & (den > 0), num / np.maximum(den, 1e-300), core)
+    return filled
+
+
+def _neighbor_blocks(tiles: DataFrame, h: int) -> DataFrame:
+    """h-px edge blocks to each of the 8 neighbors (the width-h
+    generalization of _neighbor_strips)."""
+    BLOCK_SCHEMA = T.StructType(
+        [
+            T.StructField("dst_tx", T.IntegerType()),
+            T.StructField("dst_ty", T.IntegerType()),
+            T.StructField("dx", T.IntegerType()),
+            T.StructField("dy", T.IntegerType()),
+            T.StructField("bh", T.IntegerType()),
+            T.StructField("bw", T.IntegerType()),
+            T.StructField("block", T.BinaryType()),
+        ]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        sx = slice(0, h) if dx < 0 else (slice(-h, None) if dx > 0 else slice(None))
+                        sy = slice(0, h) if dy < 0 else (slice(-h, None) if dy > 0 else slice(None))
+                        piece = arr[sy, sx]
+                        rows.append(
+                            {
+                                "dst_tx": tx + dx, "dst_ty": ty + dy,
+                                "dx": -dx, "dy": -dy,
+                                "bh": piece.shape[0], "bw": piece.shape[1],
+                                "block": piece.tobytes(),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    return tiles.mapInPandas(emit, schema=BLOCK_SCHEMA)
+
+
+def fill_nodata(tiles: DataFrame, search: int = 8, power: float = 2.0,
+                dst_raster_id: str = "filled") -> DataFrame:
+    """Fill nodata pixels by inverse-distance weighting the valid
+    pixels within Chebyshev radius `search` (GDALFillNodata,
+    alg/rasterfill.cpp:412 — GDAL scans toward the nearest valid pixel
+    per direction; this windowed-IDW form is the dense equivalent with
+    the same bounded search). `search` <= tile size: each tile pulls a
+    search-wide halo block from its 8 neighbors, so one pass is exact
+    within the search bound; pixels with no valid pixel in range keep
+    nodata. GDAL's optional post-smoothing iterations are not applied.
+    """
+    h = search
+    blocks = _neighbor_blocks(tiles, h).groupBy("dst_tx", "dst_ty").agg(
+        F.collect_list(F.struct("dx", "dy", "bh", "bw", "block")).alias("halo")
+    )
+    j = tiles.join(
+        blocks,
+        (tiles.tile_x == blocks.dst_tx) & (tiles.tile_y == blocks.dst_ty),
+        "left",
+    ).drop("dst_tx", "dst_ty")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                H, W = arr.shape
+                pad = np.full((H + 2 * h, W + 2 * h), np.nan)
+                pad[h : h + H, h : h + W] = arr
+                if r.halo is not None:
+                    for s in r.halo:
+                        piece = np.frombuffer(s["block"], dtype=np.float64).reshape(
+                            s["bh"], s["bw"]
+                        )
+                        dx, dy = int(s["dx"]), int(s["dy"])
+                        ys = slice(0, h) if dy < 0 else (slice(h + H, None) if dy > 0 else slice(h, h + H))
+                        xs = slice(0, h) if dx < 0 else (slice(h + W, None) if dx > 0 else slice(h, h + W))
+                        pad[ys, xs] = piece
+                filled = idw_fill_window(pad, h, float(r.nodata), power)
+                rows.append(
+                    {
+                        "raster_id": dst_raster_id, "band": int(r.band),
+                        "zoom": int(r.zoom), "tile_x": int(r.tile_x),
+                        "tile_y": int(r.tile_y), "width": W, "height": H,
+                        "dtype": "float64", "nodata": float(r.nodata),
+                        "crs": r.crs, "geotransform": list(r.geotransform),
+                        "data": filled.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return j.mapInPandas(run, schema=TILE_SCHEMA)
