@@ -136,7 +136,9 @@ def _q_ogr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.sum("l_quantity").alias("sum_qty"),
-        F.avg("l_extendedprice").alias("avg_price"),
+        # rounded: SUM over doubles is order-dependent in the last ulp
+        # and the oracle engine sums in a different order
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
     )
 
 
@@ -537,6 +539,39 @@ def _q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.proximity(burned, [-1.0], maxdist=20.0))
 
 
+def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    obs = pd.DataFrame(
+        {"obs_id": [1, 2, 3], "gx": [100, 300, 450], "gy": [100, 260, 400]}
+    )
+    out = RST.viewshed(tiles, obs, radius_px=60)
+    return out.select("obs_id", "visible_px", "in_range_px")
+
+
+def _q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.color import dither, median_cut_palette
+
+    base = synth.tiles_src_df(spark, 2, 1)
+    # build a 3-band table: R = source, G = 255-source, B = source//2
+    import numpy as np
+
+    def derive(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.uint8).reshape(r.height, r.width)
+                for band, a in ((1, arr), (2, 255 - arr), (3, arr // 2)):
+                    d = r._asdict()
+                    d["band"] = band
+                    d["data"] = a.astype(np.uint8).tobytes()
+                    rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in synth.TILE_SCHEMA.fields])
+
+    rgb = base.mapInPandas(derive, schema=synth.TILE_SCHEMA)
+    pal = median_cut_palette(rgb, n_colors=8, stride=11)
+    return tiling.checksum_table(dither(rgb, pal))
+
+
 def _q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.polygonize import sieve
 
@@ -680,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_thumbnails": _q_media_thumbs,
         "fillnodata_checksums": _q_fillnodata,
         "sieve_checksums": _q_sieve,
+        "viewshed_counts": _q_viewshed,
+        "dither_checksums": _q_dither,
     }
 
 
@@ -925,7 +962,7 @@ def oracle_sql() -> dict[str, str]:
                    MIN(l_quantity) AS min_qty,
                    MAX(l_quantity) AS max_qty,
                    SUM(l_quantity) AS sum_qty,
-                   AVG(l_extendedprice) AS avg_price
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price
             FROM lineitem
         """,
         "ogr_distinct_ci": """

@@ -810,3 +810,121 @@ def fill_nodata(tiles: DataFrame, search: int = 8, power: float = 2.0,
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     return j.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------- viewshed
+def los_visibility(dem: np.ndarray, ox: int, oy: int, obs_height: float,
+                   radius: int) -> np.ndarray:
+    """Shared kernel (also the single-node test oracle): boolean
+    visibility of every pixel from observer (ox, oy) standing
+    `obs_height` above the DEM, bounded by `radius` pixels.
+
+    Exact sampled line-of-sight: for every target pixel the sight line
+    is sampled at unit steps with bilinear DEM interpolation; the
+    target is visible iff no intermediate sample rises above the
+    observer->target ray. Vectorized over ALL pixels at once per step
+    index (the step loop is bounded by `radius`)."""
+    H, W = dem.shape
+    yy, xx = np.mgrid[0:H, 0:W]
+    dx = xx - ox
+    dy = yy - oy
+    dist = np.sqrt(dx * dx + dy * dy)
+    in_range = dist <= radius
+    eye = dem[oy, ox] + obs_height
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tgt_slope = (dem - eye) / np.maximum(dist, 1e-12)
+    visible = in_range.copy()
+    nsteps = int(np.ceil(min(radius, max(H, W))))
+    for s in range(1, nsteps):
+        frac = s / np.maximum(dist, 1e-12)
+        act = (frac < 1.0) & in_range
+        if not act.any():
+            break
+        sx = ox + dx * frac
+        sy = oy + dy * frac
+        x0 = np.clip(np.floor(sx).astype(np.int64), 0, W - 2)
+        y0 = np.clip(np.floor(sy).astype(np.int64), 0, H - 2)
+        fx = np.clip(sx - x0, 0.0, 1.0)
+        fy = np.clip(sy - y0, 0.0, 1.0)
+        z = (
+            dem[y0, x0] * (1 - fx) * (1 - fy)
+            + dem[y0, x0 + 1] * fx * (1 - fy)
+            + dem[y0 + 1, x0] * (1 - fx) * fy
+            + dem[y0 + 1, x0 + 1] * fx * fy
+        )
+        blocked = act & ((z - eye) / (frac * np.maximum(dist, 1e-12)) > tgt_slope + 1e-12)
+        visible &= ~blocked
+    visible[oy, ox] = True
+    return visible
+
+
+VIEWSHED_SCHEMA = T.StructType(
+    [
+        T.StructField("obs_id", T.LongType()),
+        T.StructField("visible_px", T.LongType()),
+        T.StructField("in_range_px", T.LongType()),
+        T.StructField("mask", T.BinaryType()),
+        T.StructField("x0", T.LongType()),
+        T.StructField("y0", T.LongType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+    ]
+)
+
+
+def viewshed(tiles: DataFrame, observers: "pd.DataFrame",
+             radius_px: int, obs_height: float = 2.0) -> DataFrame:
+    """Viewshed (alg/viewshed.cpp:202): per-observer visibility over a
+    bounded radius. Observers are a small table (gx, gy in global pixel
+    coords); each observer's radius window of tiles is gathered to ONE
+    task (groupBy obs_id after a bbox tile join), which assembles the
+    window and runs the sampled line-of-sight kernel. Long-range ops
+    like this are per-observer local by nature — the distribution axis
+    is ACROSS observers, matching GDAL's one-observer-per-call shape.
+    """
+    spark = tiles.sparkSession
+    obs = spark.createDataFrame(observers[["obs_id", "gx", "gy"]])
+    t = tiles.withColumn("_tx0", F.col("tile_x") * F.col("width")) \
+             .withColumn("_ty0", F.col("tile_y") * F.col("height"))
+    j = t.join(
+        F.broadcast(obs),
+        (F.col("_tx0") <= obs.gx + radius_px)
+        & (F.col("_tx0") + F.col("width") >= obs.gx - radius_px)
+        & (F.col("_ty0") <= obs.gy + radius_px)
+        & (F.col("_ty0") + F.col("height") >= obs.gy - radius_px),
+        "inner",
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        obs_id = int(key[0])
+        gx = int(pdf["gx"].iloc[0])
+        gy = int(pdf["gy"].iloc[0])
+        tx0 = int(pdf["_tx0"].min())
+        ty0 = int(pdf["_ty0"].min())
+        tx1 = int((pdf["_tx0"] + pdf["width"]).max())
+        ty1 = int((pdf["_ty0"] + pdf["height"]).max())
+        dem = np.full((ty1 - ty0, tx1 - tx0), np.nan)
+        for i in range(len(pdf)):
+            row = pdf.iloc[i]
+            h, w = int(row["height"]), int(row["width"])
+            arr = _decode(row["data"], row["dtype"], h, w).astype(np.float64)
+            y = int(row["_ty0"])
+            x = int(row["_tx0"])
+            dem[y - ty0 : y - ty0 + h, x - tx0 : x - tx0 + w] = arr
+        vis = los_visibility(dem, gx - tx0, gy - ty0, obs_height, radius_px)
+        yy, xx = np.mgrid[0 : dem.shape[0], 0 : dem.shape[1]]
+        in_rng = ((xx - (gx - tx0)) ** 2 + (yy - (gy - ty0)) ** 2) <= radius_px**2
+        return pd.DataFrame(
+            [
+                {
+                    "obs_id": obs_id,
+                    "visible_px": int((vis & in_rng).sum()),
+                    "in_range_px": int(in_rng.sum()),
+                    "mask": np.packbits(vis & in_rng).tobytes(),
+                    "x0": tx0, "y0": ty0,
+                    "w": dem.shape[1], "h": dem.shape[0],
+                }
+            ]
+        )
+
+    return j.groupBy("obs_id").applyInPandas(run, schema=VIEWSHED_SCHEMA)
