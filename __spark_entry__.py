@@ -539,6 +539,25 @@ def _q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.proximity(burned, [-1.0], maxdist=20.0))
 
 
+def _q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    res = _R_RES12
+    x0 = _R_X0
+    ytop = _R_X0 + 256 * res
+    ring = (
+        np.array([x0 + 100 * res, x0 + 400 * res, x0 + 400 * res, x0 + 100 * res]),
+        np.array([ytop - 450 * res, ytop - 450 * res, ytop - 80 * res, ytop - 80 * res]),
+    )
+    warped = tiling.warp_affine(
+        tiles, src_zoom_origin=(x0, ytop), src_res=res,
+        dst_origin=(x0, ytop), dst_res=res, dst_tiles_x=2, dst_tiles_y=2,
+        kernel="nearest", cutline_rings=[ring],
+    )
+    return tiling.checksum_table(warped)
+
+
 def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synth.tiles_src_df(spark, 2, 2)
     obs = pd.DataFrame(
@@ -717,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve_checksums": _q_sieve,
         "viewshed_counts": _q_viewshed,
         "dither_checksums": _q_dither,
+        "warp_cutline_checksums": _q_warp_cutline,
     }
 
 

@@ -205,8 +205,16 @@ def warp_affine(
     dst_tiles_y: int,
     kernel: str = "nearest",
     dst_raster_id: str = "warped",
+    cutline_rings: list | None = None,
 ) -> DataFrame:
     """Warp between two affine grids (GDALWarpOperation restated).
+
+    cutline_rings: optional list of (xs, ys) polygon rings in DST world
+    coordinates — the warp is restricted to their union and pixels
+    whose CENTER falls outside get nodata (gdalwarp -cutline,
+    apps/gdalwarp_lib.cpp:181-195 / alg/gdalcutline.cpp rasterized
+    mask; BLEND_DIST feathering not implemented). The rings ship in
+    the UDF closure (broadcast-sized, like the zone cover).
 
     The source is treated as a global pixel grid: tile (tx, ty) covers
     pixels [tx*256,(tx+1)*256) x [ty*256,(ty+1)*256); world x = x0 +
@@ -299,6 +307,15 @@ def warp_affine(
                 v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
                 + v01 * (1 - fx) * fy + v11 * fx * fy
             )
+        if cutline_rings is not None:
+            inside = np.zeros(wx.shape, dtype=bool)
+            for rxs, rys in cutline_rings:
+                inside |= G.pip_one(
+                    wx.ravel(), wy.ravel(),
+                    np.asarray(rxs, dtype=np.float64),
+                    np.asarray(rys, dtype=np.float64),
+                ).reshape(wx.shape)
+            out = np.where(inside, out, nodata)
         out = _gdal_cast(out, str(first["dtype"]))
         return pd.DataFrame(
             [{

@@ -207,3 +207,35 @@ def test_mosaic_priority(spark):
     t00 = m[m.tile_x == 0].iloc[0]
     exp = synth.tile_pixels_np(0, 0, seed=99)
     assert np.array_equal(np.frombuffer(t00["data"], dtype=np.uint8).reshape(256, 256), exp)
+
+
+def test_warp_cutline_masks_outside(spark):
+    """gdalwarp -cutline: identity warp restricted to a rectangle —
+    pixels with centers outside get nodata (oracle = closed-form box
+    test, independent of the engine's PIP)."""
+    import numpy as np
+
+    tiles = synth.tiles_src_df(spark, 1, 1, zoom=12)
+    gt = tiles.first()["geotransform"]
+    x0, res, ytop = gt[0], gt[1], gt[3]
+    # rect cutline covering pixel cols 50..199, rows 30..149
+    cx0, cx1 = x0 + 50 * res, x0 + 200 * res
+    cy1, cy0 = ytop - 30 * res, ytop - 150 * res
+    ring = (
+        np.array([cx0, cx1, cx1, cx0]),
+        np.array([cy0, cy0, cy1, cy1]),
+    )
+    out = tiling.warp_affine(
+        tiles, src_zoom_origin=(x0, ytop), src_res=res,
+        dst_origin=(x0, ytop), dst_res=res, dst_tiles_x=1, dst_tiles_y=1,
+        kernel="nearest", cutline_rings=[ring],
+    ).collect()[0]
+    arr = np.frombuffer(out["data"], dtype=np.uint8).reshape(256, 256)
+    src = synth.tile_pixels_np(0, 0)
+    nodata = int(out["nodata"])
+    jj, ii = np.mgrid[0:256, 0:256]
+    wx = x0 + (ii + 0.5) * res
+    wy = ytop - (jj + 0.5) * res
+    inside = (wx > cx0) & (wx < cx1) & (wy > cy0) & (wy < cy1)
+    assert np.array_equal(arr[inside], src[inside])
+    assert (arr[~inside] == nodata).all()
