@@ -63,7 +63,14 @@ def main(argv=None):
     dt = time.time() - t0
     print(f"pip_tile_job: {n} docs in {dt:.1f}s = {n / dt:.0f} docs/sec")
     if args.output:
-        result.write.mode("overwrite").parquet(args.output)
+        # explicit cell-prefix layout (north rule): spatially adjacent
+        # docs co-locate, so parquet min/max stats prune tile-range
+        # scans and later spatial joins can co-partition
+        from gdal_spark.skew import repartition_by_cell_prefix
+
+        repartition_by_cell_prefix(result, "quadkey", 4, 64).write.mode(
+            "overwrite"
+        ).parquet(args.output)
     cp.metrics().show(truncate=False)
     spark.stop()
 
