@@ -305,6 +305,19 @@ def _overlay_inputs(spark: SparkSession, sf_dir: str):
     return docs, zidx
 
 
+def _q_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR special (virtual) columns (ogr/ogrfeaturequery.cpp:55-56,
+    ogr_p.h:128-135): FID, OGR_GEOMETRY (type name), OGR_GEOM_AREA —
+    computed projections over the doc-square geometry."""
+    docs = DRV.with_derived_squares(_read(spark, sf_dir, "documents"))
+    area = (F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))
+    return docs.select(
+        F.col("doc_id").alias("fid"),
+        F.lit("POLYGON").alias("ogr_geometry"),
+        F.round(area, 6).alias("ogr_geom_area"),
+    )
+
+
 def _q_overlay_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, zidx = _overlay_inputs(spark, sf_dir)
     out = OV.intersection(docs, zidx)
@@ -737,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed_counts": _q_viewshed,
         "dither_checksums": _q_dither,
         "warp_cutline_checksums": _q_warp_cutline,
+        "ogr_special_fields": _q_special_fields,
     }
 
 
@@ -1151,6 +1165,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # tile_index: expected envelope is a closed-form fixture (synth
         # geotransforms, 3x2 tiles of 256px at zoom-12 resolution)
+        "ogr_special_fields": f"""
+            SELECT doc_id AS fid, 'POLYGON' AS ogr_geometry,
+                   ROUND((({_LON} + {_HALF}) - ({_LON} - {_HALF}))
+                         * (({_LAT} + {_HALF}) - ({_LAT} - {_HALF})), 6)
+                     AS ogr_geom_area
+            FROM documents
+        """,
         "sessionize": """
             WITH g AS (
               SELECT user_id, event_id, ts,

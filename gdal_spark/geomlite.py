@@ -103,6 +103,38 @@ def parse_wkt_batch(wkt: "np.ndarray") -> tuple[list[np.ndarray], list[np.ndarra
     return xs_out, ys_out
 
 
+def parse_wkt_objs(objs) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Parse a (small) batch of WKT strings known to be mostly
+    non-points — plain Python loop over the raw objects, no pandas
+    indexing overhead (parse_wkt_batch's per-row .iloc costs more than
+    the parse itself on minority-row paths)."""
+    xs_out: list[np.ndarray] = []
+    ys_out: list[np.ndarray] = []
+    for s in objs:
+        if s is None:
+            xs_out.append(np.empty(0))
+            ys_out.append(np.empty(0))
+            continue
+        s = s.strip()
+        if s.startswith("POINT"):
+            body = s[s.index("(") + 1 : s.rindex(")")]
+            x, y = body.split()
+            xs_out.append(np.array([float(x)]))
+            ys_out.append(np.array([float(y)]))
+        elif s.startswith("POLYGON"):
+            body = s[s.index("((") + 2 : s.index("))")]
+            flat = np.array(body.replace(",", " ").split(), dtype=np.float64)
+            xs = flat[0::2].copy()
+            ys = flat[1::2].copy()
+            if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+                xs, ys = xs[:-1], ys[:-1]
+            xs_out.append(xs)
+            ys_out.append(ys)
+        else:
+            raise ValueError(f"unsupported WKT: {s[:40]}")
+    return xs_out, ys_out
+
+
 # ------------------------------------------------------- point in polygon
 def pip_one(px: np.ndarray, py: np.ndarray, poly_x: np.ndarray, poly_y: np.ndarray) -> np.ndarray:
     """Batch of points vs ONE polygon ring (open). Even-odd ray casting,

@@ -55,7 +55,7 @@ def _fill_poly_rows(lon: np.ndarray, lat: np.ndarray, raw: np.ndarray) -> dict:
     polys: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     miss = np.where(np.isnan(lon))[0]
     if len(miss):
-        gxs, gys = G.parse_wkt_batch(raw[miss])
+        gxs, gys = G.parse_wkt_objs(raw[miss])
         for k, i in enumerate(miss):
             xs, ys = gxs[k], gys[k]
             n = len(xs)
