@@ -93,11 +93,15 @@ def translate(
     bands: list[int] | None = None,
     cast_to: str | None = None,
     scale: tuple[float, float] | None = None,
+    pixel_window: tuple[int, int, int, int] | None = None,
 ) -> DataFrame:
     """gdal_translate as a tile-table op (apps/gdal_translate_lib.cpp):
     window = (tx0, ty0, tx1, ty1) inclusive tile range -> plain column
-    filter (partition/file pruning does the subsetting); band select ->
-    filter; scale (a, b): v*a + b; cast with GDAL float->int rounding.
+    filter (partition/file pruning does the subsetting); pixel_window
+    = (px0, py0, w, h) in GLOBAL pixel coords (-srcwin) -> each tile
+    emits its clipped piece (the result stays a tile table covering
+    the window); band select -> filter; scale (a, b): v*a + b; cast
+    with GDAL float->int rounding.
 
     Map-only: no shuffle at any scale."""
     out = tiles
@@ -109,6 +113,44 @@ def translate(
         )
     if bands is not None:
         out = out.filter(F.col("band").isin(bands))
+    if pixel_window is not None:
+        px0, py0, pw, ph = pixel_window
+        # prune tiles that can't intersect, then clip per tile
+        out = out.filter(
+            (F.col("tile_x") * F.col("width") < px0 + pw)
+            & ((F.col("tile_x") + 1) * F.col("width") > px0)
+            & (F.col("tile_y") * F.col("height") < py0 + ph)
+            & ((F.col("tile_y") + 1) * F.col("height") > py0)
+        )
+
+        def clip(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    gx0 = int(r.tile_x) * int(r.width)
+                    gy0 = int(r.tile_y) * int(r.height)
+                    lx0 = max(px0 - gx0, 0)
+                    ly0 = max(py0 - gy0, 0)
+                    lx1 = min(px0 + pw - gx0, int(r.width))
+                    ly1 = min(py0 + ph - gy0, int(r.height))
+                    if lx0 >= lx1 or ly0 >= ly1:
+                        continue
+                    arr = _decode(r.data, r.dtype, r.height, r.width)
+                    piece = arr[ly0:ly1, lx0:lx1]
+                    d = r._asdict()
+                    gt = list(r.geotransform)
+                    gt[0] = gt[0] + lx0 * gt[1]
+                    gt[3] = gt[3] + ly0 * gt[5]
+                    d.update(
+                        width=piece.shape[1], height=piece.shape[0],
+                        geotransform=gt, data=piece.tobytes(),
+                    )
+                    rows.append(d)
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in TILE_SCHEMA.fields]
+                )
+
+        out = out.mapInPandas(clip, schema=TILE_SCHEMA)
     if cast_to is None and scale is None:
         return out
 
@@ -385,3 +427,30 @@ def mosaic(tile_tables: list[DataFrame]) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_prio")
     )
+
+
+def upsample_nearest(tiles: DataFrame, factor: int,
+                     dst_raster_id: str | None = None) -> DataFrame:
+    """Integer-factor nearest upsample (gdal_translate -outsize N00%
+    with the default nearest kernel): dst pixel p maps to src p//factor
+    — exactly np.repeat on both axes. Map-only per tile."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width)
+                big = np.repeat(np.repeat(arr, factor, axis=0), factor, axis=1)
+                d = r._asdict()
+                gt = list(r.geotransform)
+                gt[1] = gt[1] / factor
+                gt[5] = gt[5] / factor
+                d.update(
+                    width=big.shape[1], height=big.shape[0],
+                    geotransform=gt, data=big.tobytes(),
+                    raster_id=dst_raster_id or r.raster_id,
+                )
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
