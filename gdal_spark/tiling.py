@@ -248,15 +248,19 @@ def warp_affine(
     kernel: str = "nearest",
     dst_raster_id: str = "warped",
     cutline_rings: list | None = None,
+    tile_px: int | None = None,
+    src_tile_px: int | None = None,
 ) -> DataFrame:
     """Warp between two affine grids (GDALWarpOperation restated).
 
-    cutline_rings: optional list of (xs, ys) polygon rings in DST world
-    coordinates — the warp is restricted to their union and pixels
-    whose CENTER falls outside get nodata (gdalwarp -cutline,
-    apps/gdalwarp_lib.cpp:181-195 / alg/gdalcutline.cpp rasterized
-    mask; BLEND_DIST feathering not implemented). The rings ship in
-    the UDF closure (broadcast-sized, like the zone cover).
+    cutline_rings: optional list of (xs, ys) polygon rings in world
+    coordinates — gdalwarp -cutline (apps/gdalwarp_lib.cpp:181-195):
+    the rings rasterize against the SOURCE grid as a validity mask
+    before resampling (alg/gdalcutline.cpp; source pixels whose center
+    is outside become nodata), matching the reference's golden
+    checksums 19139/14047 exactly (test_gdalwarp.py:441,458).
+    BLEND_DIST feathering not implemented. Rings ship in the UDF
+    closure (broadcast-sized, like the zone cover).
 
     The source is treated as a global pixel grid: tile (tx, ty) covers
     pixels [tx*256,(tx+1)*256) x [ty*256,(ty+1)*256); world x = x0 +
@@ -275,7 +279,8 @@ def warp_affine(
     sx0, sy0 = src_zoom_origin
     dx0, dy0 = dst_origin
     spark = tiles.sparkSession
-    ts = TILE_SIZE
+    ts = tile_px if tile_px is not None else TILE_SIZE
+    sts = src_tile_px if src_tile_px is not None else ts
     margin = 2 if kernel == "bilinear" else 1
 
     dst = spark.range(0, dst_tiles_x * dst_tiles_y, 1).select(
@@ -291,10 +296,10 @@ def warp_affine(
     spx1 = (wx1 - sx0) / src_res
     spy0 = (F.lit(sy0) - wy1) / src_res
     spy1 = (F.lit(sy0) - wy0) / src_res
-    stx0 = F.floor((spx0 - margin) / ts).cast("int")
-    stx1 = F.floor((spx1 + margin) / ts).cast("int")
-    sty0 = F.floor((spy0 - margin) / ts).cast("int")
-    sty1 = F.floor((spy1 + margin) / ts).cast("int")
+    stx0 = F.floor((spx0 - margin) / sts).cast("int")
+    stx1 = F.floor((spx1 + margin) / sts).cast("int")
+    sty0 = F.floor((spy0 - margin) / sts).cast("int")
+    sty1 = F.floor((spy1 + margin) / sts).cast("int")
     needs = dst.select(
         "d_tx", "d_ty",
         F.explode(F.sequence(stx0, stx1)).alias("s_tx"), sty0.alias("_y0"), sty1.alias("_y1"),
@@ -316,13 +321,30 @@ def warp_affine(
         nodata = float(first["nodata"])
         tx_min, ty_min = int(pdf["s_tx"].min()), int(pdf["s_ty"].min())
         tx_max, ty_max = int(pdf["s_tx"].max()), int(pdf["s_ty"].max())
-        W = (tx_max - tx_min + 1) * ts
-        H = (ty_max - ty_min + 1) * ts
+        W = (tx_max - tx_min + 1) * sts
+        H = (ty_max - ty_min + 1) * sts
         mosaic = np.full((H, W), nodata, dtype=np.float64)
         for r in pdf.itertuples(index=False):
             arr = _decode(r.data, r.dtype, r.height, r.width)
-            ox, oy = (int(r.s_tx) - tx_min) * ts, (int(r.s_ty) - ty_min) * ts
-            mosaic[oy : oy + ts, ox : ox + ts] = arr
+            ox, oy = (int(r.s_tx) - tx_min) * sts, (int(r.s_ty) - ty_min) * sts
+            mosaic[oy : oy + arr.shape[0], ox : ox + arr.shape[1]] = arr
+
+        if cutline_rings is not None:
+            # GDAL applies the cutline as a SOURCE validity mask
+            # (apps/gdalwarp_lib.cpp -> alg/gdalcutline.cpp rasterizes
+            # it against the source grid before resampling) — verified
+            # against test_gdalwarp.py goldens 19139/14047
+            gj, gi = np.mgrid[0:H, 0:W]
+            swx = sx0 + (tx_min * sts + gi + 0.5) * src_res
+            swy = sy0 - (ty_min * sts + gj + 0.5) * src_res
+            inside = np.zeros((H, W), dtype=bool)
+            for rxs, rys in cutline_rings:
+                inside |= G.pip_one(
+                    swx.ravel(), swy.ravel(),
+                    np.asarray(rxs, dtype=np.float64),
+                    np.asarray(rys, dtype=np.float64),
+                ).reshape(H, W)
+            mosaic = np.where(inside, mosaic, nodata)
 
         # dst pixel centers -> world -> global src pixel coords
         jj, ii = np.mgrid[0:ts, 0:ts]
@@ -330,8 +352,8 @@ def warp_affine(
         wy = dy0 - (d_ty * ts + jj + 0.5) * dst_res
         spx = (wx - sx0) / src_res - 0.5
         spy = (sy0 - wy) / src_res - 0.5
-        lx = spx - tx_min * ts
-        ly = spy - ty_min * ts
+        lx = spx - tx_min * sts
+        ly = spy - ty_min * sts
         if kernel == "nearest":
             xi = np.clip(np.round(lx).astype(np.int64), 0, W - 1)
             yi = np.clip(np.round(ly).astype(np.int64), 0, H - 1)
@@ -349,15 +371,6 @@ def warp_affine(
                 v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
                 + v01 * (1 - fx) * fy + v11 * fx * fy
             )
-        if cutline_rings is not None:
-            inside = np.zeros(wx.shape, dtype=bool)
-            for rxs, rys in cutline_rings:
-                inside |= G.pip_one(
-                    wx.ravel(), wy.ravel(),
-                    np.asarray(rxs, dtype=np.float64),
-                    np.asarray(rys, dtype=np.float64),
-                ).reshape(wx.shape)
-            out = np.where(inside, out, nodata)
         out = _gdal_cast(out, str(first["dtype"]))
         return pd.DataFrame(
             [{

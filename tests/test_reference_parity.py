@@ -230,3 +230,110 @@ def test_byte_tif_outsize_200pct_checksum_18784(spark):
     up = tiling.upsample_nearest(tiles, 2)
     got = tiling.checksum_table(up).first()
     assert got["checksum"] == 18784
+
+
+def _read_utmsmall():
+    """autotest/gcore/data/utmsmall.tif: 100x100 GDT_Byte, multi-strip
+    uncompressed; band checksum 50054."""
+    import struct
+
+    import numpy as np
+
+    data = open("/root/reference/autotest/gcore/data/utmsmall.tif", "rb").read()
+    bo = "<" if data[:2] == b"II" else ">"
+    off = struct.unpack(bo + "I", data[4:8])[0]
+    n = struct.unpack(bo + "H", data[off : off + 2])[0]
+    tags = {}
+    for i in range(n):
+        e = data[off + 2 + i * 12 : off + 2 + (i + 1) * 12]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        if typ == 3 and cnt == 1:
+            val = struct.unpack(bo + "H", e[8:10])[0]
+        else:
+            val = struct.unpack(bo + "I", e[8:12])[0]
+        tags[tag] = (typ, cnt, val)
+    w, h = tags[256][2], tags[257][2]
+    t, c, v = tags[273]
+    offs = struct.unpack(bo + f"{c}I", data[v : v + 4 * c])
+    rps = tags[278][2]
+    chunks = [
+        np.frombuffer(
+            data[o : o + w * min(rps, h - k * rps)], dtype=np.uint8
+        ).reshape(min(rps, h - k * rps), w)
+        for k, o in enumerate(offs)
+    ]
+    return np.vstack(chunks)
+
+
+def _utm_tile_df(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from gdal_spark.synth import TILE_SCHEMA
+
+    arr = _read_utmsmall()
+    gt = [440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0]
+    return spark.createDataFrame(
+        [
+            Row(
+                raster_id="utm", band=1, zoom=0, tile_x=0, tile_y=0,
+                width=100, height=100, dtype="uint8", nodata=0.0,
+                crs="EPSG:26711", geotransform=gt,
+                data=bytearray(arr.tobytes()),
+            )
+        ],
+        schema=TILE_SCHEMA,
+    )
+
+
+# cutline.csv: POLYGON ((445125 3748212, 442222 3748212, 442222 3750366,
+# 445125 3750366, 445125 3748212)) — autotest/utilities/data/cutline.csv
+def _cutline_ring():
+    import numpy as np
+
+    return (
+        np.array([445125.0, 442222.0, 442222.0, 445125.0]),
+        np.array([3748212.0, 3748212.0, 3750366.0, 3750366.0]),
+    )
+
+
+def test_utmsmall_checksum_50054(spark):
+    from gdal_spark import tiling
+
+    got = tiling.checksum_table(_utm_tile_df(spark)).first()
+    assert got["checksum"] == 50054
+
+
+def test_gdalwarp_21_cutline_checksum_19139(spark):
+    """gdalwarp utmsmall.tif -cutline cutline.vrt -> checksum 19139
+    (test_gdalwarp.py:430-441)."""
+    import numpy as np
+
+    from gdal_spark import tiling
+    from gdal_spark.geomlite import gdal_checksum
+
+    out = tiling.warp_affine(
+        _utm_tile_df(spark), (440720.0, 3751320.0), 60.0,
+        (440720.0, 3751320.0), 60.0, 1, 1, "nearest",
+        cutline_rings=[_cutline_ring()], tile_px=100,
+    ).collect()[0]
+    arr = np.frombuffer(out["data"], dtype=np.uint8).reshape(100, 100)
+    assert gdal_checksum(arr) == 19139
+
+
+def test_gdalwarp_22_cutline_tr30_checksum_14047(spark):
+    """gdalwarp ... -cutline ... -tr 30 30 -> checksum 14047
+    (test_gdalwarp.py:448-458) — exercises the SOURCE-side cutline
+    mask semantics at a different output resolution."""
+    import numpy as np
+
+    from gdal_spark import tiling
+    from gdal_spark.geomlite import gdal_checksum
+
+    out = tiling.warp_affine(
+        _utm_tile_df(spark), (440720.0, 3751320.0), 60.0,
+        (440720.0, 3751320.0), 30.0, 1, 1, "nearest",
+        cutline_rings=[_cutline_ring()], tile_px=200, src_tile_px=100,
+    ).collect()[0]
+    arr = np.frombuffer(out["data"], dtype=np.uint8).reshape(200, 200)
+    assert gdal_checksum(arr) == 14047
