@@ -337,3 +337,60 @@ def test_gdalwarp_22_cutline_tr30_checksum_14047(spark):
     ).collect()[0]
     arr = np.frombuffer(out["data"], dtype=np.uint8).reshape(200, 200)
     assert gdal_checksum(arr) == 14047
+
+
+def _read_ref_tif(path):
+    """Generic minimal reader for the reference's uncompressed fixtures
+    (single- or multi-strip)."""
+    import struct
+
+    import numpy as np
+
+    data = open(path, "rb").read()
+    bo = "<" if data[:2] == b"II" else ">"
+    off = struct.unpack(bo + "I", data[4:8])[0]
+    n = struct.unpack(bo + "H", data[off : off + 2])[0]
+    tags = {}
+    for i in range(n):
+        e = data[off + 2 + i * 12 : off + 2 + (i + 1) * 12]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        if typ == 3 and cnt == 1:
+            val = struct.unpack(bo + "H", e[8:10])[0]
+        else:
+            val = struct.unpack(bo + "I", e[8:12])[0]
+        tags[tag] = (typ, cnt, val)
+    w, h = tags[256][2], tags[257][2]
+    t, c, v = tags[273]
+    if c == 1:
+        return np.frombuffer(data[v : v + w * h], dtype=np.uint8).reshape(h, w)
+    offs = struct.unpack(bo + f"{c}I", data[v : v + 4 * c])
+    rps = tags[278][2]
+    return np.vstack(
+        [
+            np.frombuffer(
+                data[o : o + w * min(rps, h - k * rps)], dtype=np.uint8
+            ).reshape(min(rps, h - k * rps), w)
+            for k, o in enumerate(offs)
+        ]
+    )
+
+
+def test_gdalwarp_11_bilinear_vs_golden_raster(spark):
+    """gdalwarp -ts 40 40 -rb byte.tif vs the committed golden raster
+    ref_data/testgdalwarp11.tif, judged by the reference's OWN
+    criterion: max per-pixel diff <= 1 (test_gdalwarp.py's
+    gdaltest.compare_ds acceptance)."""
+    import numpy as np
+
+    from gdal_spark import tiling
+
+    tiles, _ = _byte_tile_df(spark)
+    out = tiling.warp_affine(
+        tiles, (440720.0, 3751320.0), 60.0, (440720.0, 3751320.0), 30.0,
+        1, 1, "bilinear", tile_px=40, src_tile_px=20,
+    ).collect()[0]
+    got = np.frombuffer(out["data"], dtype=np.uint8).reshape(40, 40).astype(np.int64)
+    ref = _read_ref_tif(
+        "/root/reference/autotest/utilities/ref_data/testgdalwarp11.tif"
+    ).astype(np.int64)
+    assert np.abs(got - ref).max() <= 1
