@@ -394,3 +394,22 @@ def test_gdalwarp_11_bilinear_vs_golden_raster(spark):
         "/root/reference/autotest/utilities/ref_data/testgdalwarp11.tif"
     ).astype(np.int64)
     assert np.abs(got - ref).max() <= 1
+
+
+def test_ogr_sql_like_ilike_on_reference_csv(spark):
+    """LIKE is case-SENSITIVE (since GDAL 3.1), ILIKE case-insensitive
+    — the reference's own expectations on its prime_meridian.csv
+    (ogr_sql_test.py test_ogr_sql_ilike/test_ogr_sql_like: counts
+    1 / 1 / 0)."""
+    from gdal_spark import ogrsql as Q
+
+    df = spark.read.option("header", True).csv(
+        "/root/reference/autotest/ogr/data/prime_meridian.csv"
+    )
+    col = "PRIME_MERIDIAN_NAME"
+    assert df.filter(Q.ogr_ilike(col, "GREEN%")).count() == 1
+    assert df.filter(Q.ogr_ilike(col, "%WICH")).count() == 1
+    assert df.filter(Q.ogr_ilike(col, "FOO%")).count() == 0
+    assert df.filter(Q.ogr_like(col, "Green%")).count() == 1
+    assert df.filter(Q.ogr_like(col, "%wich")).count() == 1
+    assert df.filter(Q.ogr_like(col, "GREEN%")).count() == 0
