@@ -305,6 +305,26 @@ def _overlay_inputs(spark: SparkSession, sf_dir: str):
     return docs, zidx
 
 
+def _q_layer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Editable-layer CRUD batch (SetFeature/DeleteFeature,
+    generic/ogrlayer.cpp:587,1547) as MERGE semantics: docs < 50 with
+    id % 10 == 0 delete, the rest upsert with replaced text."""
+    from gdal_spark.layers import merge_upsert
+
+    base = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    changes = (
+        base.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.lit("UPDATED").alias("text"),
+            F.when(F.col("doc_id") % 10 == 0, "delete")
+            .otherwise("upsert")
+            .alias("_op"),
+        )
+    )
+    return merge_upsert(base, changes, "doc_id").select("doc_id", "text")
+
+
 def _q_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGR special (virtual) columns (ogr/ogrfeaturequery.cpp:55-56,
     ogr_p.h:128-135): FID, OGR_GEOMETRY (type name), OGR_GEOM_AREA —
@@ -751,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dither_checksums": _q_dither,
         "warp_cutline_checksums": _q_warp_cutline,
         "ogr_special_fields": _q_special_fields,
+        "layer_merge": _q_layer_merge,
     }
 
 
@@ -1165,6 +1186,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # tile_index: expected envelope is a closed-form fixture (synth
         # geotransforms, 3x2 tiles of 256px at zoom-12 resolution)
+        "layer_merge": """
+            SELECT doc_id,
+                   CASE WHEN doc_id < 50 THEN 'UPDATED' ELSE text END AS text
+            FROM documents
+            WHERE NOT (doc_id < 50 AND doc_id % 10 = 0)
+        """,
         "ogr_special_fields": f"""
             SELECT doc_id AS fid, 'POLYGON' AS ogr_geometry,
                    ROUND((({_LON} + {_HALF}) - ({_LON} - {_HALF}))
