@@ -467,3 +467,80 @@ def upsample_nearest(tiles: DataFrame, factor: int,
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def retile(tiles: DataFrame, new_px: int,
+           dst_raster_id: str | None = None) -> DataFrame:
+    """Re-chunk the tile grid to `new_px` tiles (gdal_retile.py /
+    gdal_merge.py): splitting (new < old) is map-only — each tile emits
+    its sub-tiles; coarsening (new > old, must divide evenly) groups
+    the contributing tiles per output key and pastes — the only
+    shuffle carries exactly the pixels being regrouped."""
+    first = tiles.select("width", "height").first()
+    old_px = int(first["width"])
+    if new_px == old_px:
+        return tiles
+    if old_px % new_px == 0:  # split: map-only
+        k = old_px // new_px
+
+        def split(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    arr = _decode(r.data, r.dtype, r.height, r.width)
+                    gt = list(r.geotransform)
+                    for sy in range(k):
+                        for sx in range(k):
+                            piece = arr[sy * new_px : (sy + 1) * new_px,
+                                        sx * new_px : (sx + 1) * new_px]
+                            d = r._asdict()
+                            d.update(
+                                raster_id=dst_raster_id or r.raster_id,
+                                tile_x=int(r.tile_x) * k + sx,
+                                tile_y=int(r.tile_y) * k + sy,
+                                width=new_px, height=new_px,
+                                geotransform=[gt[0] + sx * new_px * gt[1],
+                                              gt[1], 0.0,
+                                              gt[3] + sy * new_px * gt[5],
+                                              0.0, gt[5]],
+                                data=piece.tobytes(),
+                            )
+                            rows.append(d)
+                yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+        return tiles.mapInPandas(split, schema=TILE_SCHEMA)
+
+    if new_px % old_px != 0:
+        raise ValueError("new_px must divide or be a multiple of the old size")
+    k = new_px // old_px
+    keyed = tiles.withColumn("_ntx", (F.col("tile_x") / k).cast("int")) \
+                 .withColumn("_nty", (F.col("tile_y") / k).cast("int"))
+
+    def paste(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ntx, nty = int(key[0]), int(key[1])
+        f0 = pdf.iloc[0]
+        big = np.full((new_px, new_px), float(f0["nodata"]))
+        for i in range(len(pdf)):
+            row = pdf.iloc[i]
+            arr = _decode(row["data"], row["dtype"], int(row["height"]), int(row["width"]))
+            ox = (int(row["tile_x"]) - ntx * k) * old_px
+            oy = (int(row["tile_y"]) - nty * k) * old_px
+            big[oy : oy + old_px, ox : ox + old_px] = arr
+        gt = list(f0["geotransform"])
+        ox0 = (int(f0["tile_x"]) - ntx * k) * old_px
+        oy0 = (int(f0["tile_y"]) - nty * k) * old_px
+        out = _gdal_cast(big, str(f0["dtype"]))
+        return pd.DataFrame(
+            [{
+                "raster_id": dst_raster_id or str(f0["raster_id"]),
+                "band": int(f0["band"]), "zoom": int(f0["zoom"]),
+                "tile_x": ntx, "tile_y": nty,
+                "width": new_px, "height": new_px, "dtype": str(out.dtype),
+                "nodata": float(f0["nodata"]), "crs": str(f0["crs"]),
+                "geotransform": [gt[0] - ox0 * gt[1], gt[1], 0.0,
+                                 gt[3] - oy0 * gt[5], 0.0, gt[5]],
+                "data": out.tobytes(),
+            }]
+        )
+
+    return keyed.groupBy("_ntx", "_nty").applyInPandas(paste, schema=TILE_SCHEMA)

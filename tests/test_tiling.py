@@ -239,3 +239,20 @@ def test_warp_cutline_masks_outside(spark):
     inside = (wx > cx0) & (wx < cx1) & (wy > cy0) & (wy < cy1)
     assert np.array_equal(arr[inside], src[inside])
     assert (arr[~inside] == nodata).all()
+
+
+def test_retile_roundtrip(spark):
+    """Split 256 -> 64 then paste back 64 -> 256: checksums unchanged
+    and tile ids/geotransforms consistent (gdal_retile semantics)."""
+    tiles = synth.tiles_src_df(spark, 2, 1)
+    small = tiling.retile(tiles, 64)
+    assert small.count() == 2 * 16
+    back = tiling.retile(small, 256)
+    orig = {(r["tile_x"], r["tile_y"]): r["checksum"]
+            for r in tiling.checksum_table(tiles).collect()}
+    got = {(r["tile_x"], r["tile_y"]): r["checksum"]
+           for r in tiling.checksum_table(back).collect()}
+    assert got == orig
+    gt0 = tiles.filter("tile_x = 1").first()["geotransform"]
+    gtb = back.filter("tile_x = 1").first()["geotransform"]
+    assert list(gt0) == list(gtb)
