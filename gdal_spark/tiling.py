@@ -13,7 +13,7 @@ gdal_calc, osgeo_utils/gdal_calc.py:35-50):
   translate       — window/cast/scale per tile      (apps/gdal_translate_lib.cpp:107-262)
   build_overview  — 2x factor pyramid level          (gcore/overview.cpp:144 ff)
   warp_affine     — chunked inverse-mapping resample (alg/gdalwarpoperation.cpp:116-157,
-                    kernels alg/gdalwarpkernel.cpp:101-137; Near/Bilinear v1)
+                    kernels alg/gdalwarpkernel.cpp:101-137; Near/Bilinear/Cubic)
   checksum_table  — GDAL checksum per tile           (alg/gdalchecksum.cpp:64-180)
   mosaic          — VRT-style priority resolve       (apps/gdalbuildvrt_lib.cpp:1684)
 
@@ -274,14 +274,14 @@ def warp_affine(
     the window and runs the numpy kernel (gdalwarpkernel.cpp:101-137).
     Only the src tiles actually needed move through the shuffle.
     """
-    if kernel not in ("nearest", "bilinear"):
+    if kernel not in ("nearest", "bilinear", "cubic"):
         raise ValueError(f"unsupported warp kernel: {kernel}")
     sx0, sy0 = src_zoom_origin
     dx0, dy0 = dst_origin
     spark = tiles.sparkSession
     ts = tile_px if tile_px is not None else TILE_SIZE
     sts = src_tile_px if src_tile_px is not None else ts
-    margin = 2 if kernel == "bilinear" else 1
+    margin = {"nearest": 1, "bilinear": 2, "cubic": 3}[kernel]
 
     dst = spark.range(0, dst_tiles_x * dst_tiles_y, 1).select(
         (F.col("id") % dst_tiles_x).cast("int").alias("d_tx"),
@@ -371,6 +371,39 @@ def warp_affine(
                 v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
                 + v01 * (1 - fx) * fy + v11 * fx * fy
             )
+        if kernel == "cubic":
+            # Catmull-Rom 4x4 cubic convolution, exact GDAL weights
+            # (GWKCubicComputeWeights, alg/gdalwarpkernel.cpp:2650-2660)
+            # with GDAL's bilinear fallback where the 4x4 support would
+            # leave the image (GWKCubicResampleNoMasks4SampleT:3053) —
+            # `out` currently holds that bilinear value
+            ix = np.floor(lx).astype(np.int64)
+            iy = np.floor(ly).astype(np.int64)
+            dxf = lx - ix
+            dyf = ly - iy
+            interior = (ix - 1 >= 0) & (ix + 2 <= W - 1) & (iy - 1 >= 0) & (iy + 2 <= H - 1)
+
+            def cubw(d):
+                h = 0.5 * d
+                h2 = h * d
+                t = 3.0 * d
+                return (h * (-1 + d * (2 - d)), 1 + h2 * (-5 + t),
+                        h * (1 + d * (4 - t)), h2 * (-1 + d))
+
+            wx = cubw(dxf)
+            wy = cubw(dyf)
+            ixc = np.clip(ix, 1, max(W - 3, 1))
+            iyc = np.clip(iy, 1, max(H - 3, 1))
+            cub = np.zeros_like(out)
+            for j in range(-1, 3):
+                row = (
+                    mosaic[iyc + j, ixc - 1] * wx[0]
+                    + mosaic[iyc + j, ixc] * wx[1]
+                    + mosaic[iyc + j, ixc + 1] * wx[2]
+                    + mosaic[iyc + j, ixc + 2] * wx[3]
+                )
+                cub = cub + row * wy[j + 1]
+            out = np.where(interior, cub, out)
         out = _gdal_cast(out, str(first["dtype"]))
         return pd.DataFrame(
             [{

@@ -413,3 +413,24 @@ def test_ogr_sql_like_ilike_on_reference_csv(spark):
     assert df.filter(Q.ogr_like(col, "Green%")).count() == 1
     assert df.filter(Q.ogr_like(col, "%wich")).count() == 1
     assert df.filter(Q.ogr_like(col, "GREEN%")).count() == 0
+
+
+def test_gdalwarp_12_cubic_vs_golden_raster(spark):
+    """gdalwarp -ts 40 40 -rc byte.tif vs ref_data/testgdalwarp12.tif,
+    reference acceptance bound maxdiff <= 1 (test_gdalwarp.py's
+    compare_ds criterion). Exercises the Catmull-Rom 4x4 kernel with
+    GDAL's bilinear border fallback."""
+    import numpy as np
+
+    from gdal_spark import tiling
+
+    tiles, _ = _byte_tile_df(spark)
+    out = tiling.warp_affine(
+        tiles, (440720.0, 3751320.0), 60.0, (440720.0, 3751320.0), 30.0,
+        1, 1, "cubic", tile_px=40, src_tile_px=20,
+    ).collect()[0]
+    got = np.frombuffer(out["data"], dtype=np.uint8).reshape(40, 40).astype(np.int64)
+    ref = _read_ref_tif(
+        "/root/reference/autotest/utilities/ref_data/testgdalwarp12.tif"
+    ).astype(np.int64)
+    assert np.abs(got - ref).max() <= 1
