@@ -508,7 +508,13 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # fractional-second epoch: unix_timestamp truncates to whole seconds
+    # (misclassifies gaps near the 1800 s boundary vs the fractional
+    # oracle); date_part('SECOND') carries the microseconds, and a
+    # timestamp_ntz cannot cast to double directly
+    sec = F.date_part(F.lit("SECOND"), F.col("ts")).cast("double")
+    ep = F.unix_timestamp("ts").cast("double") + (sec - F.floor(sec))
+    gap = ep - F.lag(ep).over(w)
     new_sess = (gap.isNull() | (gap > 1800)).cast("long")
     sess = e.withColumn("_sid", F.sum(new_sess).over(w))
     per_sess = sess.groupBy("user_id", "_sid").agg(F.count("*").alias("_cnt"))

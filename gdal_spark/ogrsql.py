@@ -82,13 +82,19 @@ def first_match_left_join(
     on: str | list[str],
     right_order: str,
     prefix: str = "",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """OGR SQL LEFT JOIN: one output row per left row, joined to the
     FIRST matching right row (in right_order, OGR's FID read order);
     NULLs when no match. Implemented as dedup-first (row_number over
-    the key) + broadcast-able equi left join — Catalyst picks
-    broadcast-hash when the deduped right side is small, exactly the
-    role of OGR's attribute index lookup (ogr_miattrind.cpp:778)."""
+    the key) + equi left join — the role of OGR's attribute index
+    lookup (ogr_miattrind.cpp:778).
+
+    `broadcast`: True forces a broadcast-hash join (small deduped right
+    side, e.g. a dimension table); False forbids it; None (default)
+    leaves the strategy to Catalyst/AQE — the deduped right side is
+    ~|distinct keys| rows, which at 100x scale can exceed broadcast
+    limits, so the default must NOT force a driver-side collect."""
     keys = [on] if isinstance(on, str) else list(on)
     w = Window.partitionBy(*keys).orderBy(F.asc(right_order))
     r1 = right.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
@@ -96,7 +102,11 @@ def first_match_left_join(
         for c in r1.columns:
             if c not in keys:
                 r1 = r1.withColumnRenamed(c, prefix + c)
-    return left.join(F.broadcast(r1), keys, "left")
+    if broadcast is True:
+        r1 = F.broadcast(r1)
+    elif broadcast is False:
+        r1 = r1.hint("shuffle_merge")
+    return left.join(r1, keys, "left")
 
 
 def substr_ogr(col: Column | str, start: int, length: int | None = None) -> Column:
@@ -111,9 +121,12 @@ def substr_ogr(col: Column | str, start: int, length: int | None = None) -> Colu
 
 
 def hstore_get_value(col: Column | str, key: str) -> Column:
-    """hstore_get_value(hstore_str, key): '"a"=>"x", "b"=>"y"' lookup."""
+    """hstore_get_value(hstore_str, key): '"a"=>"x", "b"=>"y"' lookup.
+    The key is regex-escaped — metacharacters in keys match literally."""
+    import re
+
     c = F.col(col) if isinstance(col, str) else col
-    pat = r'(?:^|,)\s*"?' + key + r'"?\s*=>\s*"?([^,"]*)"?'
+    pat = r'(?:^|,)\s*"?' + re.escape(key) + r'"?\s*=>\s*"?([^,"]*)"?'
     return F.nullif(F.regexp_extract(c, pat, 1), F.lit(""))
 
 

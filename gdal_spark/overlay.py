@@ -60,7 +60,10 @@ def clip_convex_pairs(
     """
     N, Ls = sx.shape
     Lc = cx.shape[1]
-    Lout = Ls + Lc + 1
+    # 2*Ls + Lc bounds per-pass growth even for concave subjects (each
+    # subject edge emits at most its endpoint + one crossing per pass);
+    # the convex-subject bound Ls + Lc + 1 would overflow on concave input
+    Lout = 2 * Ls + Lc
 
     # normalize clip rings to CCW (signed shoelace >= 0)
     rows = np.arange(N)
@@ -103,6 +106,14 @@ def clip_convex_pairs(
         out_y = np.zeros((N, Lout))
         out_n = np.zeros(N, dtype=np.int64)
         Lmax = int(cur_len.max()) if len(cur_len) else 0
+        # one pass emits <= 2 vertices per input vertex; raise (instead
+        # of corrupting memory) if a pathologically concave subject
+        # could outgrow the buffer
+        if 2 * Lmax > Lout:
+            raise ValueError(
+                "clip_convex_pairs: ring growth exceeds the 2*Ls+Lc "
+                "buffer — subject ring too concave for this kernel"
+            )
         for i in range(Lmax):
             v_act = e_act & (i < cur_len)
             if not v_act.any():

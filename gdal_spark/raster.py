@@ -658,6 +658,12 @@ def proximity(tiles: DataFrame, target_values: list[float],
             rows = []
             for r in pdf.itertuples(index=False):
                 h, w = int(r.height), int(r.width)
+                if maxdist > min(h, w):
+                    raise ValueError(
+                        f"proximity: maxdist={maxdist} px exceeds the tile "
+                        f"size {w}x{h} — the 3x3-halo exchange is only "
+                        "exact for maxdist <= one tile extent"
+                    )
                 gx0, gy0 = int(r.tile_x) * w, int(r.tile_y) * h
                 if r.all_tx is None or len(r.all_tx) == 0:
                     out = np.full((h, w), nodata)
@@ -785,6 +791,12 @@ def fill_nodata(tiles: DataFrame, search: int = 8, power: float = 2.0,
             for r in pdf.itertuples(index=False):
                 arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
                 H, W = arr.shape
+                if h > min(H, W):
+                    raise ValueError(
+                        f"fill_nodata: search={h} px exceeds the tile size "
+                        f"{W}x{H} — the one-tile halo exchange is only "
+                        "exact for search <= one tile extent"
+                    )
                 pad = np.full((H + 2 * h, W + 2 * h), np.nan)
                 pad[h : h + H, h : h + W] = arr
                 if r.halo is not None:

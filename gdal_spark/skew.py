@@ -36,7 +36,17 @@ def salted_join(
     """Equi-join `big` ⋈ `small` on `key` with the hot keys of `big`
     spread over `salt` reducers. `small` is replicated `salt` times —
     use when `small` is the modest side of a skewed shuffle join (for
-    genuinely small sides just broadcast instead)."""
+    genuinely small sides just broadcast instead).
+
+    Only inner/left(-semi) joins are valid: with right/full outer the
+    salt-replicated small side would emit each unmatched row once per
+    salt value (salt-fold duplication), silently breaking semantics."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "replicating the small side duplicates its unmatched rows "
+            "under right/full outer semantics"
+        )
     if salt <= 1:
         return big.join(small, key, how)
     # per-row round-robin salt (deterministic within a stage attempt;
