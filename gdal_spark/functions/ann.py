@@ -181,37 +181,126 @@ def neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "block",
+    blocks: int = 8,
+    n_bits: int = 8,
+    tables: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: every (a, b), a < b, with
-    cosine(a, b) >= threshold.
+    cosine(a, b) >= threshold. Nothing is ever collected to the driver.
 
-    Brute-force baseline: the reference side of the comparison is
-    broadcast as a dense normalized matrix; each partition emits its
-    rows' hits via one matmul in mapInPandas — the embedding table
-    never shuffles and the output is only the (rare) duplicate pairs.
-    Scale path at 10^9+ vectors: LSH-banded candidate generation
-    (lsh_topk's signature machinery) before the exact re-rank.
+    method='block' (default, EXACT): block-matrix all-pairs. Each
+    vector hashes to one of `blocks` blocks; every unordered block pair
+    (i <= j) becomes one applyInPandas group that computes its cross
+    (or within, for i == j) similarity matmul and emits only the hits.
+    Shuffle volume is O(N * blocks * d); per-task memory is
+    O((N/blocks) * d); the O(N^2) flop cost inherent to exact all-pairs
+    is spread evenly over blocks*(blocks+1)/2 tasks. Size `blocks` ~
+    N*d*8 / executor_budget at the target scale.
+
+    method='lsh' (APPROXIMATE, the 10^9+-vector path): random-
+    hyperplane signature buckets (same deterministic planes as
+    lsh_topk) generate candidate pairs via a narrow (id, table, bucket)
+    self-join; exact cosine re-ranks candidates only. Recall < 1 for
+    pairs near the threshold — use for high thresholds where
+    p_collision is favorable; measured against the exact path in tests.
     """
+    if method == "lsh":
+        return _neardup_pairs_lsh(emb, threshold, id_col, vec_col, n_bits, tables)
+    if method != "block":
+        raise ValueError(f"unknown method {method!r}")
     spark = emb.sparkSession
-    ref = emb.select(id_col, vec_col).toPandas()
-    ref_ids = ref[id_col].to_numpy(dtype=np.int64)
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in ref[vec_col]])
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    bc = spark.sparkContext.broadcast((ref_ids, M))
 
-    def gen(batches):
-        ids_all, M_all = bc.value
+    e = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int").alias("_blk"),
+    )
+    rows = []
+    pid = 0
+    for i in range(blocks):
+        for j in range(i, blocks):
+            rows.append({"_blk": i, "_pair": pid, "_side": 0})
+            if j != i:
+                rows.append({"_blk": j, "_pair": pid, "_side": 1})
+            pid += 1
+    pmap = spark.createDataFrame(pd.DataFrame(rows))
+    rep = e.join(F.broadcast(pmap), "_blk")
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        side = pdf["_side"].to_numpy(dtype=np.int64)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        if (side == 1).any():  # cross-block pair
+            l, r = side == 0, side == 1
+            S = M[l] @ M[r].T
+            ia, ib = np.where(S >= threshold)
+            a, b = ids[l][ia], ids[r][ib]
+        else:  # diagonal: within-block, upper triangle
+            S = M @ M.T
+            ia, ib = np.where(np.triu(S >= threshold, k=1))
+            a, b = ids[ia], ids[ib]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
+    return rep.groupBy("_pair").applyInPandas(compute, schema=NEARDUP_SCHEMA)
+
+
+def _neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_bits: int,
+    tables: int,
+) -> DataFrame:
+    """LSH-banded candidates + exact cosine re-rank (no driver data)."""
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+    planes = np.stack([_hyperplanes(dim, n_bits, t) for t in range(tables)])
+    pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+
+    BUCKET_SCHEMA = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_tbl", T.IntegerType()),
+            T.StructField("_bkt", T.LongType()),
+        ]
+    )
+
+    def bucketize(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids_b = pdf[id_col].to_numpy(dtype=np.int64)
-            Mb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            Mb /= np.maximum(np.linalg.norm(Mb, axis=1, keepdims=True), 1e-12)
-            S = Mb @ M_all.T
-            ia, ib = np.where(S >= threshold)
-            a = ids_b[ia]
-            b = ids_all[ib]
-            keep = a < b
-            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            for t in range(tables):
+                b = ((planes[t] @ M.T) > 0).T.astype(np.int64) @ pow2
+                yield pd.DataFrame(
+                    {"_id": np.repeat(ids, 1), "_tbl": t, "_bkt": b}
+                )
 
-    return emb.select(id_col, vec_col).mapInPandas(gen, schema=NEARDUP_SCHEMA)
+    buckets = emb.select(id_col, vec_col).mapInPandas(bucketize, schema=BUCKET_SCHEMA)
+    a = buckets.select("_tbl", "_bkt", F.col("_id").alias("id_a"))
+    b = buckets.select("_tbl", "_bkt", F.col("_id").alias("id_b"))
+    cand = (
+        a.join(b, ["_tbl", "_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    withv = cand.join(ea, "id_a").join(eb, "id_b")
+    va = F.transform("_va", lambda x: x.cast("double"))
+    vb = F.transform("_vb", lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    cos = dot / F.greatest(na * nb, F.lit(1e-12))
+    return withv.filter(cos >= threshold).select("id_a", "id_b")

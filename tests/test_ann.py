@@ -69,3 +69,24 @@ def test_lsh_topk_recall(spark, sf_dir):
     # self-match must always survive (same bucket in every table)
     r1 = got[got["rank"] == 1]
     assert (r1["q_id"].to_numpy() == r1["vec_id"].to_numpy()).all()
+
+
+def test_neardup_block_exact_and_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_pdf = emb.toPandas()
+    ids = emb_pdf["vec_id"].to_numpy(dtype=np.int64)
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in emb_pdf["embedding"]])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    S = M @ M.T
+    ia, ib = np.where(np.triu(S >= 0.4, k=1))
+    exp = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))) for i, j in zip(ia, ib)}
+
+    got = ann.neardup_pairs(emb, threshold=0.4, blocks=4).toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert got_pairs == exp  # block path is EXACT
+
+    lsh = ann.neardup_pairs(emb, threshold=0.4, method="lsh", n_bits=4, tables=16).toPandas()
+    lsh_pairs = {(int(a), int(b)) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    assert lsh_pairs <= exp  # re-rank never admits false positives
+    if exp:
+        assert len(lsh_pairs & exp) / len(exp) >= 0.8  # recall bound
