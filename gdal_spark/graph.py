@@ -63,7 +63,13 @@ def sssp(edges: DataFrame, source, weight_col: str = "w",
 def connected_components(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     """(node, component) with component = min node id of the component
     (GNMGraph::ConnectedComponents, gnmgraph.cpp:417). Treats edges as
-    undirected."""
+    undirected.
+
+    Each round does (a) a neighbor-min propagation and (b) a pointer
+    jump (component := component-of-component — valid because labels
+    are always node ids). The jump halves label chains, so long thin
+    components (a region snaking across thousands of raster tiles)
+    converge in O(log diameter) rounds instead of O(diameter)."""
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -87,7 +93,23 @@ def connected_components(edges: DataFrame, max_iter: int = 100) -> DataFrame:
                 F.least(F.col("component"), F.coalesce("nc", F.col("component"))).alias("component"),
                 (F.coalesce(F.col("nc"), F.col("component")) < F.col("component")).alias("_chg"),
             )
-        ).localCheckpoint()
+        )
+        # pointer jump: component <- label(component)
+        par = merged.select(
+            F.col("node").alias("_pn"), F.col("component").alias("_pc")
+        )
+        merged = (
+            merged.join(par, merged.component == par._pn, "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("_pc", F.col("component"))).alias("component"),
+                (
+                    F.col("_chg")
+                    | (F.coalesce("_pc", F.col("component")) < F.col("component"))
+                ).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
         changed = merged.filter(F.col("_chg")).count()
         lab = merged.drop("_chg")
         if changed == 0:

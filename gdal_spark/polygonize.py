@@ -10,12 +10,11 @@ Distributed shape:
      vertical run adjacencies out of one vectorized compare, and a
      union-find over RUNS (not pixels) resolves labels. Each tile also
      emits its border runs (edge, span, value, global label).
-  2. border runs are tiny (run-length compressed tile edges); a
-     union-find over cross-tile adjacencies produces a relabel map.
-     Here it runs driver-side (border data << interior); at extreme
-     tile counts the same pairs feed an iterative label-propagation
-     join instead — the per-tile stage is unchanged.
-  3. a broadcast remap + groupBy finishes global region stats.
+  2. border runs (run-length compressed tile edges) join across each
+     tile seam to equivalence edges, and a DISTRIBUTED min-label
+     union-find (graph.connected_components, pointer-jumping) produces
+     the relabel map — no driver-side materialization at any size.
+  3. a label->component join + groupBy finishes global region stats.
 
 Output: one row per region — (region_id, value, npix, xmin, ymin,
 xmax, ymax) in global pixel coordinates. Ring tracing (the WKT polygon
@@ -182,43 +181,12 @@ def polygonize(tiles: DataFrame, band: int = 1) -> DataFrame:
     parts = tiles.mapInPandas(part, schema=_PART_SCHEMA)
     parts = parts.persist()
     try:
-        borders = parts.filter(F.col("kind") == "border").collect()
-
-        # stitch: edge 'r' of (tx,ty) meets edge 'l' of (tx+1,ty);
-        # edge 'b' of (tx,ty) meets edge 't' of (tx,ty+1)
-        by_edge: dict = {}
-        for row in borders:
-            by_edge.setdefault((row["tile_x"], row["tile_y"], row["edge"]), []).append(
-                (row["p0"], row["p1"], row["value"], row["label"])
-            )
-        uf = _UF()
-        for (tx, ty, edge), runs in by_edge.items():
-            if edge == "r":
-                other = by_edge.get((tx + 1, ty, "l"), [])
-            elif edge == "b":
-                other = by_edge.get((tx, ty + 1, "t"), [])
-            else:
-                continue
-            for p0, p1, v, lab in runs:
-                for q0, q1, w, lab2 in other:
-                    if q0 < p1 and p0 < q1 and v == w:
-                        uf.union(lab, lab2)
-
-        labels = set()
-        for row in borders:
-            labels.add(row["label"])
-        remap = {l: uf.find(l) for l in labels}
-        bc = spark.sparkContext.broadcast(remap)
-
+        borders = parts.filter(F.col("kind") == "border")
+        cc = _stitch_components(_cross_tile_edges(borders, same_value=True))
         regions = parts.filter(F.col("kind") == "region")
-
-        @F.pandas_udf(T.LongType())
-        def relabel(lab: pd.Series) -> pd.Series:
-            m = bc.value
-            return lab.map(lambda x: m.get(x, x))
-
         out = (
-            regions.withColumn("region_id", relabel("label"))
+            regions.join(cc, regions.label == cc.node, "left")
+            .withColumn("region_id", F.coalesce("component", "label"))
             .groupBy("region_id")
             .agg(
                 F.first("value").alias("value"),
@@ -229,13 +197,65 @@ def polygonize(tiles: DataFrame, band: int = 1) -> DataFrame:
                 F.max("ymax").alias("ymax"),
             )
         )
-        return spark.createDataFrame(out.collect(), schema=REGION_SCHEMA)
+        # coerce to the declared schema column-wise (no result collect)
+        casts = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in REGION_SCHEMA.fields
+        ]
+        # materialize before unpersisting the lineage this plan reads
+        return out.select(*casts).localCheckpoint()
     finally:
         parts.unpersist()
 
 
+def _cross_tile_edges(borders: DataFrame, same_value: bool) -> DataFrame:
+    """(src, dst) label pairs for overlapping border runs of adjacent
+    tiles: edge 'r' of (tx,ty) meets 'l' of (tx+1,ty), 'b' meets 't' of
+    (tx,ty+1). Equi-join on the shared tile seam; the run-overlap test
+    and the value predicate are post-filters over the (tiny) per-seam
+    run products. same_value=True keeps equal-value pairs (region
+    stitching); False keeps differing-value pairs (sieve adjacency)."""
+    pieces = []
+    for e_a, e_b, dx, dy in (("r", "l", 1, 0), ("b", "t", 0, 1)):
+        a = borders.filter(F.col("edge") == e_a).select(
+            (F.col("tile_x") + dx).alias("jx"),
+            (F.col("tile_y") + dy).alias("jy"),
+            "p0", "p1",
+            F.col("value").alias("va"),
+            F.col("label").alias("src"),
+        )
+        b = borders.filter(F.col("edge") == e_b).select(
+            F.col("tile_x").alias("jx"),
+            F.col("tile_y").alias("jy"),
+            F.col("p0").alias("q0"),
+            F.col("p1").alias("q1"),
+            F.col("value").alias("vb"),
+            F.col("label").alias("dst"),
+        )
+        vpred = (F.col("va") == F.col("vb")) if same_value else (
+            F.col("va") != F.col("vb")
+        )
+        pieces.append(
+            a.join(b, ["jx", "jy"])
+            .filter((F.col("q0") < F.col("p1")) & (F.col("p0") < F.col("q1")) & vpred)
+            .select("src", "dst")
+        )
+    return pieces[0].unionByName(pieces[1])
+
+
+def _stitch_components(edges: DataFrame) -> DataFrame:
+    """Distributed min-label union-find over border-run equivalence
+    edges (graph.connected_components with pointer jumping): the
+    scale path the module docstring promises — no driver-side
+    union-find, border labels never materialize on the driver."""
+    from .graph import connected_components
+
+    return connected_components(edges.dropDuplicates(["src", "dst"]))
+
+
 def sieve(tiles: DataFrame, threshold: int, band: int = 1,
-          dst_raster_id: str = "sieved") -> DataFrame:
+          dst_raster_id: str = "sieved",
+          max_driver_regions: int = 2_000_000) -> DataFrame:
     """Sieve filter (GDALSieveFilter, alg/gdalsievefilter.cpp:200):
     raster regions smaller than `threshold` pixels are merged into
     their largest neighbouring region (4-connected), progressively —
@@ -246,11 +266,17 @@ def sieve(tiles: DataFrame, threshold: int, band: int = 1,
     Distributed shape: stage 1 is polygonize's per-tile CCL plus the
     tile-internal adjacency PAIRS (np.unique over differing horizontal/
     vertical label pairs — sets, not per-pixel data); stage 2 stitches
-    borders, builds the global region graph, and resolves merges
-    smallest-first (driver-side — the region graph is tiny relative to
-    pixels; at extreme region counts the same contraction runs as
-    iterative joins); stage 3 re-labels every tile through a broadcast
-    map and rewrites the pixel values.
+    borders and aggregates the global region table DISTRIBUTED
+    (connected-components joins + groupBy — nothing full-size touches
+    the driver); stage 3 resolves the progressive smallest-first merges
+    on the driver over ONLY the sub-threshold subgraph (small regions,
+    their incident edges, and those edges' endpoints — large-large
+    edges can never matter since a region >= threshold only grows);
+    stage 4 rewrites pixels through a broadcast map that holds only the
+    CHANGED labels. Driver memory is bounded by `max_driver_regions`
+    sub-threshold regions (ValueError beyond it — a pure-noise raster
+    should be pre-denoised or sieved with a majority focal filter
+    first).
     """
     spark = tiles.sparkSession
 
@@ -334,57 +360,79 @@ def sieve(tiles: DataFrame, threshold: int, band: int = 1,
             yield pd.DataFrame(rows, columns=[f.name for f in ADJ_SCHEMA.fields])
 
     parts = tiles.mapInPandas(part, schema=ADJ_SCHEMA).persist()
-    rows = parts.filter(F.col("kind") != "region").collect()
-    regions = parts.filter(F.col("kind") == "region").collect()
-    parts.unpersist()
+    borders = parts.filter(F.col("kind") == "border")
 
-    borders = [r for r in rows if r["kind"] == "border"]
-    adj_rows = [r for r in rows if r["kind"] == "adj"]
+    # 1. distributed stitch: same-value seam runs -> connected components
+    cc = _stitch_components(_cross_tile_edges(borders, same_value=True))
 
-    # stitch same-value cross-tile runs (union) and collect cross-tile
-    # adjacencies between different values
-    by_edge: dict = {}
-    for row in borders:
-        by_edge.setdefault((row["tile_x"], row["tile_y"], row["edge"]), []).append(
-            (row["p0"], row["p1"], row["value"], row["label"])
+    # 2. global region table (distributed): label -> root, then sizes
+    region_rows = parts.filter(F.col("kind") == "region").select(
+        "label", "value", "npix"
+    )
+    lab_root = region_rows.join(cc, region_rows.label == cc.node, "left").select(
+        "label", "value", "npix", F.coalesce("component", "label").alias("root")
+    ).persist()
+    gregions = lab_root.groupBy("root").agg(
+        F.sum("npix").alias("sz"), F.first("value").alias("val")
+    ).persist()
+
+    # 3. region-graph edges (distributed): tile-internal adjacency pairs
+    #    + differing-value seam overlaps, both endpoints mapped to roots
+    adj = parts.filter(F.col("kind") == "adj").select(
+        F.col("label").alias("src"), F.col("label2").alias("dst")
+    ).unionByName(_cross_tile_edges(borders, same_value=False))
+    r1 = cc.select(F.col("node").alias("src"), F.col("component").alias("ra"))
+    r2 = cc.select(F.col("node").alias("dst"), F.col("component").alias("rb"))
+    redges = (
+        adj.join(r1, "src", "left")
+        .join(r2, "dst", "left")
+        .select(
+            F.coalesce("ra", "src").alias("ra"),
+            F.coalesce("rb", "dst").alias("rb"),
         )
-    uf = _UF()
-    cross_adj = set()
-    for (tx, ty, edge), runs in by_edge.items():
-        if edge == "r":
-            other = by_edge.get((tx + 1, ty, "l"), [])
-        elif edge == "b":
-            other = by_edge.get((tx, ty + 1, "t"), [])
-        else:
-            continue
-        for p0, p1, v, lab in runs:
-            for q0, q1, w, lab2 in other:
-                if q0 < p1 and p0 < q1:
-                    if v == w:
-                        uf.union(lab, lab2)
-                    else:
-                        cross_adj.add((lab, lab2))
+        .filter(F.col("ra") != F.col("rb"))
+        .dropDuplicates(["ra", "rb"])
+    )
 
-    def root(x):
-        return uf.find(x)
+    # 4. merge resolution on the SUB-THRESHOLD subgraph only. GDAL's
+    #    progressive smallest-first order is inherently sequential, so
+    #    it runs on the driver — but over just the small regions, their
+    #    incident edges, and those edges' endpoints (a region >=
+    #    threshold never shrinks, so large-large edges can never matter).
+    #    Driver memory is O(#sub-threshold regions * degree), NOT
+    #    O(#regions); `max_driver_regions` guards the noise-raster case.
+    small = gregions.filter(F.col("sz") < threshold)
+    n_small = small.count()
+    if n_small > max_driver_regions:
+        raise ValueError(
+            f"sieve: {n_small} sub-threshold regions exceeds "
+            f"max_driver_regions={max_driver_regions}; raise the bound or "
+            "pre-denoise (e.g. a majority focal filter) before sieving"
+        )
+    small_ids = small.select(F.col("root").alias("ra"))
+    inc = redges.join(small_ids, "ra", "left_semi").unionByName(
+        redges.join(small_ids.withColumnRenamed("ra", "rb"), "rb", "left_semi")
+    ).dropDuplicates(["ra", "rb"])
+    inc_rows = inc.collect()
+    touched = {r["ra"] for r in inc_rows} | {r["rb"] for r in inc_rows}
+    tdf = spark.createDataFrame(
+        pd.DataFrame({"root": pd.Series(sorted(touched), dtype="int64")}),
+        schema="root long",
+    )
+    sub = gregions.join(F.broadcast(tdf), "root", "left_semi").unionByName(
+        small
+    ).dropDuplicates(["root"]).collect()
 
     size: dict = {}
     value: dict = {}
-    for r in regions:
-        rt = root(r["label"])
-        size[rt] = size.get(rt, 0) + r["npix"]
-        value[rt] = r["value"]
+    for r in sub:
+        size[r["root"]] = r["sz"]
+        value[r["root"]] = r["val"]
     neigh: dict = {rt: set() for rt in size}
-    for r in adj_rows:
-        a, b = root(r["label"]), root(r["label2"])
-        if a != b:
-            neigh[a].add(b)
-            neigh[b].add(a)
-    for a0, b0 in cross_adj:
-        a, b = root(a0), root(b0)
-        if a != b:
-            neigh[a].add(b)
-            neigh[b].add(a)
+    for r in inc_rows:
+        a, b = r["ra"], r["rb"]
+        neigh.setdefault(a, set()).add(b)
+        neigh.setdefault(b, set()).add(a)
 
     # progressive merge, smallest regions first (gdalsievefilter's
     # "merge into largest neighbour")
@@ -414,12 +462,30 @@ def sieve(tiles: DataFrame, threshold: int, band: int = 1,
         if size[target] < threshold:
             heapq.heappush(heap, (size[target], target))
 
-    # per original global label -> final value
-    relabel = {}
-    for r in regions:
-        lab = r["label"]
-        fin = final(root(lab))
-        relabel[lab] = value.get(fin, r["value"])
+    # per original global label -> final value, for CHANGED regions only
+    # (unchanged labels keep their own pixel value — no map entry), so
+    # the broadcast is O(#merged small regions), not O(#labels)
+    changed = {}
+    for rt in merged_into:
+        fin = final(rt)
+        newv = value.get(fin)
+        if newv is not None and newv != value.get(rt):
+            changed[rt] = newv
+    if changed:
+        chdf = spark.createDataFrame(
+            pd.DataFrame(
+                {"root": list(changed.keys()), "newv": list(changed.values())}
+            )
+        )
+        relabel_rows = lab_root.join(F.broadcast(chdf), "root").select(
+            "label", "newv"
+        ).collect()
+        relabel = {r["label"]: r["newv"] for r in relabel_rows}
+    else:
+        relabel = {}
+    lab_root.unpersist()
+    gregions.unpersist()
+    parts.unpersist()
     bc = spark.sparkContext.broadcast(relabel)
 
     from .synth import TILE_SCHEMA
@@ -439,8 +505,13 @@ def sieve(tiles: DataFrame, threshold: int, band: int = 1,
                 labels = tile_ccl(arr)
                 gbase = (np.int64(ty) * (1 << 20) + tx) * (1 << 22)
                 glab = labels + gbase
-                uniq, inv = np.unique(glab.ravel(), return_inverse=True)
-                lut = np.array([m.get(int(u), np.nan) for u in uniq])
+                uniq, idx0, inv = np.unique(
+                    glab.ravel(), return_index=True, return_inverse=True
+                )
+                vals0 = arr.ravel()[idx0]
+                lut = np.array(
+                    [m.get(int(u), float(v0)) for u, v0 in zip(uniq, vals0)]
+                )
                 new = lut[inv].reshape(H, W)
                 out.append(
                     {
