@@ -69,15 +69,28 @@ class Checkpointer:
     def _record_metrics(self, name: str, path: str, seconds: float) -> None:
         out = self.spark.read.parquet(path)
         # per-partition lineage: rows per output file (column-pruned
-        # count -> parquet footer metadata only)
-        lineage = (
+        # count -> parquet footer metadata only). One row per file, so
+        # collecting it is cheap — and its sum IS the stage row count
+        # (no second full count() scan).
+        lin = (
             out.groupBy(F.input_file_name().alias("partition_file"))
             .agg(F.count(F.lit(1)).alias("rows"))
-            .withColumn("run_id", F.lit(self.run_id))
-            .withColumn("stage", F.lit(name))
+            .collect()
+        )
+        lineage = self.spark.createDataFrame(
+            [
+                {
+                    "partition_file": r["partition_file"],
+                    "rows": r["rows"],
+                    "run_id": self.run_id,
+                    "stage": name,
+                }
+                for r in lin
+            ],
+            schema="partition_file string, rows long, run_id string, stage string",
         )
         lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
-        rows = out.count()
+        rows = sum(r["rows"] for r in lin)
         summary = self.spark.createDataFrame(
             [
                 {

@@ -116,12 +116,20 @@ def histogram(tiles: DataFrame, vmin: float, vmax: float, buckets: int = 256,
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in HIST_SCHEMA.fields])
 
+    # explode -> partial-aggregated sum per bucket -> reassemble: the
+    # shuffled state is (group, bucket, partial_sum), never a
+    # collect_list of one array per tile (unbounded at billions of
+    # tiles); the final collect_list holds exactly `buckets` elements
     p = tiles.mapInPandas(partial, schema=HIST_SCHEMA)
-    return p.groupBy("raster_id", "band").agg(
-        F.aggregate(
-            F.collect_list("counts"),
-            F.array_repeat(F.lit(0).cast("long"), buckets),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    per_bucket = (
+        p.select("raster_id", "band", F.posexplode("counts").alias("pos", "cnt"))
+        .groupBy("raster_id", "band", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return per_bucket.groupBy("raster_id", "band").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cnt"))),
+            lambda s: s["cnt"],
         ).alias("counts")
     )
 
