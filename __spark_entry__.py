@@ -993,7 +993,7 @@ FROM g JOIN th ON th.tx = gpx // 256 AND th.ty = gpy // 256
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_static() -> dict[str, str]:
     return {
         "pip_zone_join": _PIP_SQL,
         "tile_assign": _TILE_SQL,
@@ -1244,8 +1244,20 @@ def oracle_sql() -> dict[str, str]:
                      + 256.0 * CAST({_R_RES12!r} AS DOUBLE) AS xmax,
                    CAST({_R_X0!r} AS DOUBLE) + 512.0 * CAST({_R_RES12!r} AS DOUBLE) AS ymax
         """,
-        # minhash_pairs, simhash_table, ann_lsh_topk, raster/overview/
-        # warp_checksums: non-SQL-expressible (hash kernels / pixel
-        # kernels) -> rows-only checks; their value-level goldens live
-        # in tests/ (shared-formula oracles).
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_static()
+    # non-SQL-expressible queries (hash kernels, pixel kernels, LSH)
+    # get literal VALUES oracles computed by the single-node reference
+    # implementations in localref.py — any entry whose inputs are
+    # unavailable is skipped and stays a rows-only check
+    try:
+        import localref
+
+        for name, sql in localref.oracle_entries().items():
+            d.setdefault(name, sql)
+    except Exception:
+        pass
+    return d

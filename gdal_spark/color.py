@@ -64,6 +64,10 @@ def median_cut_palette(tiles: DataFrame, n_colors: int = 16,
         .toPandas()
         .to_numpy(dtype=np.float64)
     )
+    # canonical sample order: Spark returns tile groups in arbitrary
+    # order, and the degenerate-split branch below is order-sensitive —
+    # lexsort makes the palette a pure function of the sample SET
+    pts = pts[np.lexsort((pts[:, 2], pts[:, 1], pts[:, 0]))]
     boxes = [pts]
     while len(boxes) < n_colors:
         # split the box with the largest channel range at its median

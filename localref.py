@@ -1,0 +1,758 @@
+"""Single-node reference implementations backing literal VALUES oracles.
+
+Each function here recomputes a driver query's expected output WITHOUT
+the distributed machinery — global numpy arrays instead of tiles +
+halo exchange, in-process union-find instead of connected-component
+joins, pure-Python xxhash64 instead of Spark's JVM expression — and
+emits it as an ANSI `SELECT ... FROM (VALUES ...)` string DuckDB can
+run. This is the `_sssp_oracle_sql` pattern (an independent local
+Dijkstra as the oracle for the Pregel loop) applied to every
+previously rows-only query: the thing verified is the distributed
+orchestration (tiling, halo seams, shuffle joins, broadcast maps), by
+comparing it to a straightforward single-node computation.
+
+Shared primitives (the declared single-node kernels: tile_pixels_np
+input generator, gdal_checksum, los_visibility, idw_fill_window,
+cell_segments, dither_tile, splitmix64/_rolling_hashes) are imported;
+the per-op orchestration is re-derived here independently.
+
+xxhash64 is a from-spec Python implementation of the public XXH64
+algorithm (Cyan4973/xxHash; also Spark's
+catalyst/expressions/XXH64.java) — parity with Spark's JVM expression
+is pinned by tests/test_localref.py.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import zlib
+
+import numpy as np
+
+from gdal_spark import geomlite as G
+from gdal_spark import synth
+from gdal_spark.synth import tile_pixels_np
+
+SEED = synth.SEED
+KNUTH = 2654435761
+MOD32 = 4294967296
+
+ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+# ================================================================ xxhash64
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def _signed(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_bytes(data: bytes, seed: int = 42) -> int:
+    """XXH64 over bytes (the string path of Spark's xxhash64)."""
+    length = len(data)
+    off = 0
+    seed &= _M
+    if length >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed
+        v4 = (seed - _P1) & _M
+        while off + 32 <= length:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                k = int.from_bytes(data[off + 8 * i : off + 8 * i + 8], "little")
+                v = (_rotl((v + k * _P2) & _M, 31) * _P1) & _M
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            off += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M, 31) * _P1) & _M
+            h = (h * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + length) & _M
+    while off + 8 <= length:
+        k = int.from_bytes(data[off : off + 8], "little")
+        h ^= (_rotl((k * _P2) & _M, 31) * _P1) & _M
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        off += 8
+    if off + 4 <= length:
+        k = int.from_bytes(data[off : off + 4], "little")
+        h ^= (k * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        off += 4
+    while off < length:
+        h ^= (data[off] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        off += 1
+    return _signed(_fmix(h))
+
+
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """XXH64 of one long (Spark's hashLong path)."""
+    h = (seed + _P5 + 8) & _M
+    h ^= (_rotl((v & _M) * _P2 & _M, 31) * _P1) & _M
+    h = (_rotl(h, 27) * _P1 + _P4) & _M
+    return _signed(_fmix(h))
+
+
+def xxh64_int(v: int, seed: int = 42) -> int:
+    """XXH64 of one int (Spark's hashInt path — unsigned 32-bit widen)."""
+    h = (seed + _P5 + 4) & _M
+    h ^= ((v & 0xFFFFFFFF) * _P1) & _M
+    h = (_rotl(h, 23) * _P2 + _P3) & _M
+    return _signed(_fmix(h))
+
+
+def xxh64_chain_int_longs(i: int, longs, seed: int = 42) -> int:
+    """Spark's multi-argument xxhash64(int_col, array<long>): the seed
+    threads through — result of each element hashes the next."""
+    h = xxh64_int(i, seed)
+    for v in longs:
+        h = xxh64_long(int(v), h & _M)
+    return h
+
+
+# ============================================================== VALUES SQL
+def values_sql(rows, cols, types) -> str:
+    """Literal VALUES table with per-column CAST-pinned types.
+    types: 'bigint' | 'double' | 'varchar' per column."""
+    if not rows:
+        casts = ", ".join(
+            f"CAST(NULL AS {t.upper()}) AS {c}" for c, t in zip(cols, types)
+        )
+        return f"SELECT {casts} WHERE FALSE"
+
+    def lit(v, t):
+        if v is None:
+            return f"CAST(NULL AS {t.upper()})"
+        if t == "varchar":
+            s = str(v).replace("'", "''")
+            return f"'{s}'"
+        if t == "double":
+            return repr(float(v))
+        return str(int(v))
+
+    body = ",\n".join(
+        "(" + ", ".join(lit(v, t) for v, t in zip(r, types)) + ")" for r in rows
+    )
+    casted = ", ".join(
+        f"CAST({c} AS {t.upper()}) AS {c}" for c, t in zip(cols, types)
+    )
+    return (
+        f"SELECT {casted} FROM (VALUES {body}) AS _t({', '.join(cols)})"
+    )
+
+
+# ============================================================ raster inputs
+def global_mosaic(ntx: int, nty: int, seed: int = SEED) -> np.ndarray:
+    """The full synth raster as one array (what the tile table shards)."""
+    rows = []
+    for ty in range(nty):
+        rows.append(
+            np.hstack([tile_pixels_np(tx, ty, seed=seed) for tx in range(ntx)])
+        )
+    return np.vstack(rows)
+
+
+def tile_checksums(arr: np.ndarray, tile_px: int, raster_id: str, band: int,
+                   zoom: int):
+    """(raster_id, band, zoom, tile_x, tile_y, checksum) rows for a
+    global array re-split into tiles."""
+    H, W = arr.shape
+    out = []
+    for ty in range(H // tile_px):
+        for tx in range(W // tile_px):
+            sub = arr[ty * tile_px : (ty + 1) * tile_px,
+                      tx * tile_px : (tx + 1) * tile_px]
+            out.append((raster_id, band, zoom, tx, ty, G.gdal_checksum(sub)))
+    return out
+
+
+CKS_COLS = ["raster_id", "band", "zoom", "tile_x", "tile_y", "checksum"]
+CKS_TYPES = ["varchar", "bigint", "bigint", "bigint", "bigint", "bigint"]
+
+
+def _gdal_cast_local(arr: np.ndarray, out_dtype: str) -> np.ndarray:
+    """GDALCopyWords float->int: +0.5, clamp, floor (independent of
+    tiling._gdal_cast on purpose — same published convention)."""
+    if out_dtype.startswith("float"):
+        return arr.astype(out_dtype)
+    ranges = {"uint8": (0, 255), "int32": (-2147483648, 2147483647)}
+    lo, hi = ranges[out_dtype]
+    v = np.floor(arr.astype(np.float64) + 0.5) if arr.dtype.kind == "f" else arr
+    return np.clip(v, lo, hi).astype(out_dtype)
+
+
+# ============================================================== raster ops
+def sql_raster_checksums() -> str:
+    g = global_mosaic(4, 4)
+    return values_sql(tile_checksums(g, 256, "byte_like", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def sql_overview_checksums() -> str:
+    g = global_mosaic(4, 4).astype(np.float64)
+    small = g.reshape(512, 2, 512, 2).mean(axis=(1, 3))
+    out = _gdal_cast_local(small, "uint8")
+    return values_sql(tile_checksums(out, 256, "byte_like", 1, 11), CKS_COLS, CKS_TYPES)
+
+
+def _warp_global(src: np.ndarray, sx0, sy0, src_res, dx0, dy0, dst_res,
+                 dst_w, dst_h, kernel: str, cutline_rings=None,
+                 nodata: float = 0.0) -> np.ndarray:
+    """Whole-raster warp between two affine grids — the single-node
+    counterpart of tiling.warp_affine's windowed/sharded pipeline."""
+    H, W = src.shape
+    src = src.astype(np.float64)
+    if cutline_rings is not None:
+        gj, gi = np.mgrid[0:H, 0:W]
+        swx = sx0 + (gi + 0.5) * src_res
+        swy = sy0 - (gj + 0.5) * src_res
+        inside = np.zeros((H, W), dtype=bool)
+        for rxs, rys in cutline_rings:
+            inside |= G.pip_one(
+                swx.ravel(), swy.ravel(),
+                np.asarray(rxs, dtype=np.float64),
+                np.asarray(rys, dtype=np.float64),
+            ).reshape(H, W)
+        src = np.where(inside, src, nodata)
+    jj, ii = np.mgrid[0:dst_h, 0:dst_w]
+    wx = dx0 + (ii + 0.5) * dst_res
+    wy = dy0 - (jj + 0.5) * dst_res
+    lx = (wx - sx0) / src_res - 0.5
+    ly = (sy0 - wy) / src_res - 0.5
+    if kernel == "nearest":
+        xi = np.clip(np.round(lx).astype(np.int64), 0, W - 1)
+        yi = np.clip(np.round(ly).astype(np.int64), 0, H - 1)
+        return src[yi, xi]
+    x0i = np.clip(np.floor(lx).astype(np.int64), 0, W - 1)
+    y0i = np.clip(np.floor(ly).astype(np.int64), 0, H - 1)
+    x1i = np.clip(x0i + 1, 0, W - 1)
+    y1i = np.clip(y0i + 1, 0, H - 1)
+    fx = np.clip(lx - x0i, 0.0, 1.0)
+    fy = np.clip(ly - y0i, 0.0, 1.0)
+    return (
+        src[y0i, x0i] * (1 - fx) * (1 - fy)
+        + src[y0i, x1i] * fx * (1 - fy)
+        + src[y1i, x0i] * (1 - fx) * fy
+        + src[y1i, x1i] * fx * fy
+    )
+
+
+_R_EARTH = 6378137.0
+
+
+def _zoom_res(zoom: int) -> float:
+    return 2 * math.pi * _R_EARTH / 256 / (2 ** zoom)
+
+
+def sql_warp_checksums() -> str:
+    res = _zoom_res(12)
+    x0 = -math.pi * _R_EARTH
+    ytop = x0 + 2 * 256 * res
+    g = global_mosaic(2, 2)
+    out = _warp_global(g, x0, ytop, res, x0, ytop, res * 2, 256, 256, "bilinear")
+    out = _gdal_cast_local(out, "uint8")
+    return values_sql(tile_checksums(out, 256, "warped", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def sql_warp_cutline_checksums() -> str:
+    res = _zoom_res(12)
+    x0 = -math.pi * _R_EARTH
+    ytop = x0 + 256 * res
+    ring = (
+        np.array([x0 + 100 * res, x0 + 400 * res, x0 + 400 * res, x0 + 100 * res]),
+        np.array([ytop - 450 * res, ytop - 450 * res, ytop - 80 * res, ytop - 80 * res]),
+    )
+    g = global_mosaic(2, 2)
+    out = _warp_global(g, x0, ytop, res, x0, ytop, res, 512, 512, "nearest",
+                       cutline_rings=[ring])
+    out = _gdal_cast_local(out, "uint8")
+    return values_sql(tile_checksums(out, 256, "warped", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def sql_mosaic_checksums() -> str:
+    rows = tile_checksums(global_mosaic(2, 2), 256, "byte_like", 1, 12)
+    patch = tile_pixels_np(0, 0, seed=9)
+    rows = [r for r in rows if not (r[3] == 0 and r[4] == 0)]
+    rows.append(("patch", 1, 12, 0, 0, G.gdal_checksum(patch)))
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+def _horn(pad: np.ndarray, res: float):
+    nw, n, ne = pad[:-2, :-2], pad[:-2, 1:-1], pad[:-2, 2:]
+    w_, e = pad[1:-1, :-2], pad[1:-1, 2:]
+    sw, s, se = pad[2:, :-2], pad[2:, 1:-1], pad[2:, 2:]
+    dzdx = ((ne + 2 * e + se) - (nw + 2 * w_ + sw)) / (8.0 * res)
+    dzdy = ((sw + 2 * s + se) - (nw + 2 * n + ne)) / (8.0 * res)
+    return dzdx, dzdy
+
+
+def sql_dem_tri_checksums() -> str:
+    g = global_mosaic(2, 2).astype(np.float64)
+    pad = np.pad(g, 1, mode="edge")
+    c = pad[1:-1, 1:-1]
+    nb = np.stack(
+        [pad[:-2, :-2], pad[:-2, 1:-1], pad[:-2, 2:],
+         pad[1:-1, :-2], pad[1:-1, 2:],
+         pad[2:, :-2], pad[2:, 1:-1], pad[2:, 2:]]
+    )
+    d = nb - c[None, :, :]
+    out = np.sqrt((d * d).sum(axis=0))
+    return values_sql(tile_checksums(out, 256, "tri", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def sql_dem_aspect_checksums() -> str:
+    g = global_mosaic(2, 2).astype(np.float64)
+    pad = np.pad(g, 1, mode="edge")
+    dzdx, dzdy = _horn(pad, 1.0)
+    az = np.degrees(np.arctan2(dzdy, -dzdx))
+    compass = np.where(az > 90.0, 450.0 - az, 90.0 - az)
+    compass = np.where(compass == 360.0, 0.0, compass)
+    out = np.where((dzdx == 0) & (dzdy == 0), -9999.0, compass)
+    return values_sql(tile_checksums(out, 256, "aspect", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def sql_pansharpen_checksums() -> str:
+    rows = []
+    for tx in range(2):
+        v = tile_pixels_np(tx, 0, seed=SEED).astype(np.float64)
+        pan = tile_pixels_np(tx, 0, seed=7).astype(np.float64)
+        pseudo = 0.5 * v + 0.5 * (v * v)
+        ratio = np.where(pseudo > 0, pan / np.maximum(pseudo, 1e-30), 0.0)
+        for band, arr in ((1, v), (2, v * v)):
+            rows.append(
+                ("pansharp", band, 12, tx, 0, G.gdal_checksum(arr * ratio))
+            )
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+# ----------------------------------------------------- zone-burn derived ops
+def zones_raster(npx: int, zone_g: int = 8) -> np.ndarray:
+    """Closed-form rect-zone burn on an npx x npx grid over lon[-180,
+    180) lat[-85,85] north-up — the independent counterpart of
+    rasterize_zones' PIP-kernel burn (already oracle-checked by
+    rasterize_counts)."""
+    rx, ry = 360.0 / npx, 170.0 / npx
+    gx = np.arange(npx)
+    lon = -180.0 + (gx + 0.5) * rx
+    lat = 85.0 - (np.arange(npx) + 0.5) * ry
+    kx = np.floor((lon + 180.0) / (360.0 / zone_g)).astype(np.int64)
+    ky = np.floor((lat + 85.0) / (170.0 / zone_g)).astype(np.int64)
+    zid = kx[None, :] * zone_g + ky[:, None]
+    hole = (zid * KNUTH % MOD32) % 10 == 0
+    return np.where(hole, -1, zid).astype(np.int32)
+
+
+def sql_proximity_checksums() -> str:
+    burned = zones_raster(128).astype(np.float64)
+    ty_, tx_ = np.nonzero(burned == -1.0)
+    H, W = burned.shape
+    yy, xx = np.mgrid[0:H, 0:W]
+    best = np.full((H, W), np.inf)
+    for s in range(0, len(tx_), 2048):
+        dx = xx[:, :, None] - tx_[None, None, s : s + 2048]
+        dy = yy[:, :, None] - ty_[None, None, s : s + 2048]
+        best = np.minimum(best, (dx * dx + dy * dy).min(axis=2))
+    out = np.where(best <= 400.0, np.sqrt(best), -1.0)
+    return values_sql(tile_checksums(out, 64, "proximity", 1, 0), CKS_COLS, CKS_TYPES)
+
+
+def sql_fillnodata_checksums() -> str:
+    from gdal_spark.raster import idw_fill_window
+
+    g = global_mosaic(2, 2).astype(np.float64)
+    g = g * g  # pixel_calc 'square'
+    for ty in range(2):
+        for tx in range(2):
+            g[ty * 256 + 100 : ty * 256 + 120, tx * 256 + 100 : tx * 256 + 140] = -1.0
+    pad = np.full((512 + 16, 512 + 16), np.nan)
+    pad[8:-8, 8:-8] = g
+    out = idw_fill_window(pad, 8, -1.0, 2.0)
+    return values_sql(tile_checksums(out, 256, "filled", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def sql_contour_totals(levels=(64.0, 128.5, 200.0)) -> str:
+    from gdal_spark.contour import cell_segments
+
+    g = global_mosaic(2, 2).astype(np.float64)
+    A = g[:-1, :-1].ravel()
+    B = g[:-1, 1:].ravel()
+    C = g[1:, 1:].ravel()
+    D = g[1:, :-1].ravel()
+    rows = []
+    for lv in levels:
+        cnt, ln = cell_segments(A, B, C, D, lv)
+        ln6 = math.floor(float(ln.sum()) * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+        rows.append((float(lv), int(cnt.sum()), ln6))
+    return values_sql(rows, ["level", "n_segments", "length"],
+                      ["double", "bigint", "double"])
+
+
+def sql_viewshed_counts() -> str:
+    from gdal_spark.raster import los_visibility
+
+    g = global_mosaic(2, 2).astype(np.float64)
+    rows = []
+    for obs_id, gx, gy in ((1, 100, 100), (2, 300, 260), (3, 450, 400)):
+        radius = 60
+        # window = union of 256px tiles whose bbox intersects the radius
+        txs = [t for t in range(2) if t * 256 <= gx + radius and (t + 1) * 256 >= gx - radius]
+        tys = [t for t in range(2) if t * 256 <= gy + radius and (t + 1) * 256 >= gy - radius]
+        x0, x1 = min(txs) * 256, (max(txs) + 1) * 256
+        y0, y1 = min(tys) * 256, (max(tys) + 1) * 256
+        dem = g[y0:y1, x0:x1]
+        vis = los_visibility(dem, gx - x0, gy - y0, 2.0, radius)
+        yy, xx = np.mgrid[0 : dem.shape[0], 0 : dem.shape[1]]
+        in_rng = ((xx - (gx - x0)) ** 2 + (yy - (gy - y0)) ** 2) <= radius ** 2
+        rows.append((obs_id, int((vis & in_rng).sum()), int(in_rng.sum())))
+    return values_sql(rows, ["obs_id", "visible_px", "in_range_px"],
+                      ["bigint", "bigint", "bigint"])
+
+
+# ===================================================== polygonize / sieve
+def sql_polygonize_regions() -> str:
+    """Global flood-fill CCL — fully independent of the per-tile CCL +
+    seam-join + distributed-CC pipeline it checks."""
+    arr = zones_raster(128)
+    H, W = arr.shape
+    seen = np.zeros((H, W), dtype=bool)
+    rows = []
+    for sy in range(H):
+        for sx in range(W):
+            if seen[sy, sx]:
+                continue
+            v = int(arr[sy, sx])
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            npix = 0
+            xmin = xmax = sx
+            ymin = ymax = sy
+            while stack:
+                y, x = stack.pop()
+                npix += 1
+                xmin = min(xmin, x); xmax = max(xmax, x)
+                ymin = min(ymin, y); ymax = max(ymax, y)
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if 0 <= ny < H and 0 <= nx < W and not seen[ny, nx] \
+                            and arr[ny, nx] == v:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            rows.append((float(v), npix, xmin, ymin, xmax, ymax))
+    return values_sql(
+        rows,
+        ["value", "npix", "xmin", "ymin", "xmax", "ymax"],
+        ["double", "bigint", "bigint", "bigint", "bigint", "bigint"],
+    )
+
+
+def sieve_local(arr: np.ndarray, tile_px: int, threshold: int) -> np.ndarray:
+    """In-process port of the original driver-side sieve resolution
+    (same label scheme + smallest-first merge policy) — the oracle for
+    the distributed subgraph version."""
+    import heapq
+
+    from gdal_spark.polygonize import _UF, tile_ccl
+
+    H, W = arr.shape
+    glab = np.empty((H, W), dtype=np.int64)
+    for ty in range(H // tile_px):
+        for tx in range(W // tile_px):
+            ys = slice(ty * tile_px, (ty + 1) * tile_px)
+            xs = slice(tx * tile_px, (tx + 1) * tile_px)
+            labels = tile_ccl(arr[ys, xs].astype(np.float64))
+            gbase = (np.int64(ty) * (1 << 20) + tx) * (1 << 22)
+            glab[ys, xs] = labels + gbase
+    uf = _UF()
+    for c in range(tile_px, W, tile_px):  # vertical seams
+        same = arr[:, c - 1] == arr[:, c]
+        for r in np.nonzero(same)[0]:
+            uf.union(int(glab[r, c - 1]), int(glab[r, c]))
+    for r in range(tile_px, H, tile_px):  # horizontal seams
+        same = arr[r - 1, :] == arr[r, :]
+        for c in np.nonzero(same)[0]:
+            uf.union(int(glab[r - 1, c]), int(glab[r, c]))
+
+    flat_l = glab.ravel()
+    flat_v = arr.ravel()
+    uniq, inv, cnt = np.unique(flat_l, return_inverse=True, return_counts=True)
+    roots = np.array([uf.find(int(u)) for u in uniq], dtype=np.int64)
+    size: dict = {}
+    value: dict = {}
+    firsts = np.zeros(len(uniq), dtype=np.int64)
+    firsts[inv[::-1]] = np.arange(len(flat_l))[::-1]
+    for k in range(len(uniq)):
+        rt = int(roots[k])
+        size[rt] = size.get(rt, 0) + int(cnt[k])
+        value[rt] = float(flat_v[firsts[k]])
+
+    neigh: dict = {rt: set() for rt in size}
+    rl = roots[inv].reshape(H, W)
+    vv = arr
+    for a_l, b_l, a_v, b_v in (
+        (rl[:, :-1], rl[:, 1:], vv[:, :-1], vv[:, 1:]),
+        (rl[:-1, :], rl[1:, :], vv[:-1, :], vv[1:, :]),
+    ):
+        diff = a_v != b_v
+        if diff.any():
+            pa = a_l[diff]
+            pb = b_l[diff]
+            for x, y in set(zip(pa.tolist(), pb.tolist())):
+                neigh[x].add(y)
+                neigh[y].add(x)
+
+    merged_into: dict = {}
+
+    def final(x):
+        while x in merged_into:
+            x = merged_into[x]
+        return x
+
+    heap = [(sz, rt) for rt, sz in size.items() if sz < threshold]
+    heapq.heapify(heap)
+    while heap:
+        sz, rt = heapq.heappop(heap)
+        if rt in merged_into or size.get(rt, 0) != sz or sz >= threshold:
+            continue
+        cands = {final(n) for n in neigh.get(rt, ())} - {rt}
+        if not cands:
+            continue
+        target = max(cands, key=lambda n: (size.get(n, 0), -n))
+        merged_into[rt] = target
+        size[target] = size.get(target, 0) + sz
+        neigh.setdefault(target, set()).update(
+            n for n in neigh.get(rt, ()) if final(n) != target
+        )
+        size.pop(rt, None)
+        if size[target] < threshold:
+            heapq.heappush(heap, (size[target], target))
+
+    out_lut = np.array(
+        [value[final(int(r))] for r in roots], dtype=np.float64
+    )
+    return out_lut[inv].reshape(H, W)
+
+
+def sql_sieve_checksums() -> str:
+    out = sieve_local(zones_raster(128).astype(np.float64), 64, 40)
+    return values_sql(tile_checksums(out, 64, "sieved", 1, 0), CKS_COLS, CKS_TYPES)
+
+
+# ================================================================= dither
+def _median_cut_local(pts: np.ndarray, n_colors: int) -> np.ndarray:
+    boxes = [pts]
+    while len(boxes) < n_colors:
+        ranges = [
+            (b[:, c].max() - b[:, c].min() if len(b) > 1 else -1.0, i, c)
+            for i, b in enumerate(boxes)
+            for c in range(3)
+        ]
+        rng, bi, ch = max(ranges)
+        if rng <= 0:
+            break
+        b = boxes.pop(bi)
+        med = np.median(b[:, ch])
+        lo = b[b[:, ch] <= med]
+        hi = b[b[:, ch] > med]
+        if len(lo) == 0 or len(hi) == 0:
+            order = np.argsort(b[:, ch], kind="stable")
+            half = len(b) // 2
+            lo, hi = b[order[:half]], b[order[half:]]
+        boxes.extend([lo, hi])
+    pal = np.array([b.mean(axis=0) if len(b) else [0, 0, 0] for b in boxes])
+    return np.clip(np.round(pal), 0, 255).astype(np.uint8)
+
+
+def _derived_rgb(tx: int) -> np.ndarray:
+    v = tile_pixels_np(tx, 0)
+    return np.stack([v, 255 - v, v // 2], axis=-1)
+
+
+def sql_dither_checksums() -> str:
+    from gdal_spark.color import dither_tile
+
+    pts = np.vstack(
+        [
+            _derived_rgb(tx).astype(np.float64)[::11, ::11].reshape(-1, 3)
+            for tx in range(2)
+        ]
+    )
+    pts = pts[np.lexsort((pts[:, 2], pts[:, 1], pts[:, 0]))]
+    pal = _median_cut_local(pts, 8)
+    rows = []
+    for tx in range(2):
+        out = dither_tile(_derived_rgb(tx).astype(np.uint8), pal)
+        rows.append(("paletted", 1, 12, tx, 0, G.gdal_checksum(out)))
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+# ================================================================== media
+def sql_media_thumbnails() -> str:
+    rows = []
+    for did in range(64):
+        px = ((np.arange(32 * 32 * 3) * 7 + did) % 256).astype(np.uint8)
+        arr = px.reshape(32, 32, 3).astype(np.float64)
+        small = arr.reshape(8, 4, 8, 4, 3).mean(axis=(1, 3))
+        small = np.clip(np.floor(small + 0.5), 0, 255).astype(np.uint8)
+        blob = (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + small.tobytes()
+        rows.append((f"{did:09d}", 8, 8, zlib.crc32(blob)))
+    return values_sql(
+        rows,
+        ["media_id", "height", "width", "crc"],
+        ["varchar", "bigint", "bigint", "bigint"],
+    )
+
+
+# ============================================================ text / dedup
+def _read_parquet(path: str):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pandas()
+
+
+def sql_minhash_pairs(threshold: float = 0.8, n_hashes: int = 64,
+                      bands: int = 16, shingle_k: int = 5) -> str:
+    from gdal_spark.functions.text import _norm_py, _rolling_hashes
+
+    docs = _read_parquet(f"{ORACLE_SF_DIR}/documents.parquet")
+    seeds = (G.splitmix64(np.arange(n_hashes)) | np.uint64(1)).astype(np.uint64)
+    sigs = {}
+    with np.errstate(over="ignore"):
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            sh = np.unique(_rolling_hashes(_norm_py(text), shingle_k))
+            m = sh[:, None] * seeds[None, :]
+            sigs[int(did)] = m.min(axis=0).astype(np.int64)
+    slice_len = n_hashes // bands
+    buckets: dict = {}
+    for did, sig in sigs.items():
+        for b in range(bands):
+            key = (b, xxh64_chain_int_longs(b, sig[b * slice_len : (b + 1) * slice_len]))
+            buckets.setdefault(key, []).append(did)
+    pairs = set()
+    for mem in buckets.values():
+        if len(mem) > 1000:  # the engine's max_bucket hot-key cap
+            continue
+        mem = sorted(mem)
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                pairs.add((mem[i], mem[j]))
+    rows = sorted(
+        (a, b)
+        for a, b in pairs
+        if float((sigs[a] == sigs[b]).mean()) >= threshold
+    )
+    return values_sql(rows, ["id_a", "id_b"], ["bigint", "bigint"])
+
+
+def sql_simhash_table() -> str:
+    import re
+
+    docs = _read_parquet(f"{ORACLE_SF_DIR}/documents.parquet")
+    shifts = np.arange(64, dtype=np.uint64)
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = [t for t in re.split(r"\s+", (text or "").lower()) if t]
+        if not toks:
+            rows.append((int(did), 0))
+            continue
+        hs = np.array(
+            [xxh64_bytes(t.encode("utf-8")) for t in toks], dtype=np.int64
+        ).astype(np.uint64)
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        maj = (bits.sum(axis=0) * 2 > len(hs)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            sh = np.int64((maj << shifts).sum().astype(np.uint64).astype(np.int64))
+        rows.append((int(did), int(sh)))
+    return values_sql(rows, ["doc_id", "simhash"], ["bigint", "bigint"])
+
+
+def sql_ann_lsh_topk(k: int = 10, n_bits: int = 4, tables: int = 16) -> str:
+    from gdal_spark.functions.ann import _hyperplanes
+
+    emb = _read_parquet(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    qsel = ids < 8
+    q_ids = ids[qsel]
+    qn = M[qsel]
+    dim = M.shape[1]
+    pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+    cand = np.zeros((len(q_ids), len(ids)), dtype=bool)
+    for t in range(tables):
+        pl = _hyperplanes(dim, n_bits, t)
+        vb = ((pl @ M.T) > 0).T.astype(np.int64) @ pow2
+        qb = ((pl @ qn.T) > 0).T.astype(np.int64) @ pow2
+        cand |= qb[:, None] == vb[None, :]
+    sims = np.where(cand, qn @ M.T, -np.inf)
+    rows = []
+    for qi, q in enumerate(q_ids):
+        order = sorted(
+            (i for i in range(len(ids)) if np.isfinite(sims[qi, i])),
+            key=lambda i: (-sims[qi, i], ids[i]),
+        )[:k]
+        for rank, i in enumerate(order, 1):
+            rows.append((int(q), int(ids[i]), rank))
+    return values_sql(rows, ["q_id", "vec_id", "rank"], ["bigint", "bigint", "bigint"])
+
+
+# ============================================================= entry point
+def oracle_entries() -> dict:
+    """All localref-backed oracle SQL strings, each built lazily and
+    skipped (-> rows-only driver check) if its inputs are unavailable."""
+    makers = {
+        "raster_checksums": sql_raster_checksums,
+        "overview_checksums": sql_overview_checksums,
+        "warp_checksums": sql_warp_checksums,
+        "warp_cutline_checksums": sql_warp_cutline_checksums,
+        "mosaic_checksums": sql_mosaic_checksums,
+        "dem_tri_checksums": sql_dem_tri_checksums,
+        "dem_aspect_checksums": sql_dem_aspect_checksums,
+        "pansharpen_checksums": sql_pansharpen_checksums,
+        "proximity_checksums": sql_proximity_checksums,
+        "fillnodata_checksums": sql_fillnodata_checksums,
+        "contour_totals": sql_contour_totals,
+        "viewshed_counts": sql_viewshed_counts,
+        "polygonize_regions": sql_polygonize_regions,
+        "sieve_checksums": sql_sieve_checksums,
+        "dither_checksums": sql_dither_checksums,
+        "media_thumbnails": sql_media_thumbnails,
+        "minhash_pairs": sql_minhash_pairs,
+        "simhash_table": sql_simhash_table,
+        "ann_lsh_topk": sql_ann_lsh_topk,
+    }
+    out = {}
+    for name, fn in makers.items():
+        try:
+            out[name] = fn()
+        except Exception:
+            pass  # rows-only fallback, same as before
+    return out
