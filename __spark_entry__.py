@@ -367,6 +367,27 @@ def _q_overlay_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_overlay_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, zidx = _overlay_inputs(spark, sf_dir)
+    return OV.union_overlay(docs, zidx).select(
+        "doc_id", "zone_id", "eas_id", F.round("piece_area", 6).alias("piece_area")
+    )
+
+
+def _q_overlay_symdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, zidx = _overlay_inputs(spark, sf_dir)
+    return OV.sym_difference(docs, zidx).select(
+        "doc_id", "zone_id", F.round("piece_area", 6).alias("piece_area")
+    )
+
+
+def _q_overlay_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, zidx = _overlay_inputs(spark, sf_dir)
+    return OV.update(docs, zidx).select(
+        "doc_id", "zone_id", "eas_id", F.round("piece_area", 6).alias("piece_area")
+    )
+
+
 def _q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
     burned = RST.rasterize_zones(spark, zidx, 4, 4, tile_px=128)
@@ -749,6 +770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_checksums": _q_overview_checksums,
         "warp_checksums": _q_warp_checksums,
         "overlay_intersection": _q_overlay_intersection,
+        "overlay_union": _q_overlay_union,
+        "overlay_symdifference": _q_overlay_symdiff,
+        "overlay_update": _q_overlay_update,
         "overlay_clip": _q_overlay_clip,
         "overlay_erase": _q_overlay_erase,
         "overlay_identity": _q_overlay_identity,
@@ -938,6 +962,54 @@ WITH zs AS (
   FROM pieces GROUP BY doc_id
 )
 """
+
+
+def _overlay_union_sql(which: str) -> str:
+    """Union/SymDifference/Update oracles: the doc-side legs are the
+    closed-form _OVERLAY_CTE; the method-side remainder (zone area
+    minus the UNION of overlapping doc squares — a rectangle-union
+    sweep no SQL engine expresses directly) comes from localref as a
+    VALUES leg."""
+    import localref
+
+    zrows = localref.overlay_zone_remainders(full=(which == "update"))
+    if which == "symdiff":
+        zvals = ", ".join(f"({z}, {a!r})" for z, e, a in zrows)
+        zleg = (
+            f"SELECT CAST(NULL AS BIGINT) AS doc_id, zone_id, piece_area "
+            f"FROM (VALUES {zvals}) AS zr(zone_id, piece_area)"
+        )
+        doc_rem = """
+            SELECT b.doc_id, CAST(NULL AS BIGINT) AS zone_id,
+                   ROUND(GREATEST(0.0, (x1 - x0) * (y1 - y0)
+                         - COALESCE(c.covered, 0.0)), 6) AS piece_area
+            FROM b LEFT JOIN cov c USING (doc_id)
+            WHERE GREATEST(0.0, (x1 - x0) * (y1 - y0)
+                  - COALESCE(c.covered, 0.0)) > 1e-9
+        """
+        return _OVERLAY_CTE + doc_rem + " UNION ALL " + zleg
+    zvals = ", ".join(f"({z}, {e}, {a!r})" for z, e, a in zrows)
+    zleg = (
+        f"SELECT CAST(NULL AS BIGINT) AS doc_id, zone_id, eas_id, piece_area "
+        f"FROM (VALUES {zvals}) AS zr(zone_id, eas_id, piece_area)"
+    )
+    doc_rem = """
+        SELECT b.doc_id, CAST(NULL AS BIGINT) AS zone_id,
+               CAST(NULL AS BIGINT) AS eas_id,
+               ROUND(GREATEST(0.0, (x1 - x0) * (y1 - y0)
+                     - COALESCE(c.covered, 0.0)), 6) AS piece_area
+        FROM b LEFT JOIN cov c USING (doc_id)
+        WHERE GREATEST(0.0, (x1 - x0) * (y1 - y0)
+              - COALESCE(c.covered, 0.0)) > 1e-9
+    """
+    if which == "update":
+        return _OVERLAY_CTE + doc_rem + " UNION ALL " + zleg
+    inter = """
+        SELECT doc_id, zone_id, eas_id, ROUND(pa, 6) AS piece_area
+        FROM pieces WHERE pa > 0
+        UNION ALL
+    """
+    return _OVERLAY_CTE + inter + doc_rem + " UNION ALL " + zleg
 
 
 def _rasterize_sql() -> str:
@@ -1260,4 +1332,13 @@ def oracle_sql() -> dict[str, str]:
             d.setdefault(name, sql)
     except Exception:
         pass
+    for which, name in (
+        ("union", "overlay_union"),
+        ("symdiff", "overlay_symdifference"),
+        ("update", "overlay_update"),
+    ):
+        try:
+            d.setdefault(name, _overlay_union_sql(which))
+        except Exception:
+            pass
     return d

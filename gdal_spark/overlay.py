@@ -217,12 +217,20 @@ def _clip_candidates(cov: IX.PackedCover, level: int,
     ox, oy, olen = clip_convex_pairs(sx, sy, slen, cxr, cyr, rl)
     area = shoelace_pairs(ox, oy, olen)
     hit = area > 0.0
+    cols = np.arange(ox.shape[1])
+    act = cols[None, :] < olen[:, None]
+    bx0 = np.where(act, ox, np.inf).min(axis=1)
+    bx1 = np.where(act, ox, -np.inf).max(axis=1)
+    by0 = np.where(act, oy, np.inf).min(axis=1)
+    by1 = np.where(act, oy, -np.inf).max(axis=1)
     for k in np.where(hit)[0]:
         out[int(d[k])].append(
             {
                 "zone_id": int(cov.zone_id[zs[k]]),
                 "eas_id": int(cov.eas_id[zs[k]]),
                 "area": float(area[k]),
+                "px0": float(bx0[k]), "px1": float(bx1[k]),
+                "py0": float(by0[k]), "py1": float(by1[k]),
             }
         )
     for lst in out:
@@ -236,6 +244,10 @@ _PIECES = T.ArrayType(
             T.StructField("zone_id", T.LongType()),
             T.StructField("eas_id", T.LongType()),
             T.StructField("area", T.DoubleType()),
+            T.StructField("px0", T.DoubleType()),
+            T.StructField("px1", T.DoubleType()),
+            T.StructField("py0", T.DoubleType()),
+            T.StructField("py1", T.DoubleType()),
         ]
     )
 )
@@ -325,6 +337,10 @@ def identity(docs: DataFrame, zindex: IX.ZoneIndex) -> DataFrame:
                     F.lit(None).cast("long").alias("zone_id"),
                     F.lit(None).cast("long").alias("eas_id"),
                     rem.alias("area"),
+                    F.lit(None).cast("double").alias("px0"),
+                    F.lit(None).cast("double").alias("px1"),
+                    F.lit(None).cast("double").alias("py0"),
+                    F.lit(None).cast("double").alias("py1"),
                 )
             ),
         ),
@@ -338,3 +354,161 @@ def identity(docs: DataFrame, zindex: IX.ZoneIndex) -> DataFrame:
         .withColumn("piece_area", F.col("_p.area"))
         .drop("_pieces", "_p")
     )
+
+
+# ------------------------------------------------- union / symdiff / update
+def rect_union_area(x0, x1, y0, y1) -> float:
+    """Exact area of a union of axis-aligned rectangles: x sweep with
+    per-strip y interval union. O(n^2) per group — groups are the
+    pieces of ONE zone, bounded by zone fan-in, not table size."""
+    x0 = np.asarray(x0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y0 = np.asarray(y0, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    xs = np.unique(np.concatenate([x0, x1]))
+    total = 0.0
+    for i in range(len(xs) - 1):
+        a, b = xs[i], xs[i + 1]
+        if b <= a:
+            continue
+        sel = (x0 < b) & (x1 > a)
+        if not sel.any():
+            continue
+        iv = sorted(zip(y0[sel].tolist(), y1[sel].tolist()))
+        cov = 0.0
+        cur0, cur1 = iv[0]
+        for s, e in iv[1:]:
+            if s > cur1:
+                cov += cur1 - cur0
+                cur0, cur1 = s, e
+            else:
+                cur1 = max(cur1, e)
+        cov += cur1 - cur0
+        total += (b - a) * cov
+    return float(total)
+
+
+def _zones_meta_df(spark, zindex: IX.ZoneIndex) -> DataFrame:
+    """Per-zone metadata table rebuilt from the broadcast cover (the
+    cover is the zone table's packed form — rebuilding keeps the two
+    legs reading the SAME source of truth)."""
+    cov = zindex.bc.value
+    pdf = pd.DataFrame(
+        {
+            "zone_id": cov.zone_id.astype(np.int64),
+            "eas_id": cov.eas_id.astype(np.int64),
+            "zx0": cov.zxmin, "zx1": cov.zxmax,
+            "zy0": cov.zymin, "zy1": cov.zymax,
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+_ZCOV_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("covered", T.DoubleType()),
+    ]
+)
+
+
+def _zone_covered(docs_pieces: DataFrame) -> DataFrame:
+    """(zone_id, covered): area of the UNION of doc∩zone pieces per
+    zone. Distributed: explode pieces to a narrow (zone_id, bbox)
+    projection, shuffle on zone_id, exact rect-union per group. Doc
+    squares overlap each other, so summing piece areas would
+    overcount — this is the union-of-rectangles leg GDAL gets from
+    GEOS UnionCascaded (ogrlayer.cpp:2408 Union's method-side
+    remainder). Requires axis-aligned pieces (rect zones), matching
+    the module's documented geometry restriction."""
+    ex = docs_pieces.select(F.explode("_pieces").alias("_p")).select(
+        F.col("_p.zone_id").alias("zone_id"),
+        F.col("_p.px0").alias("px0"), F.col("_p.px1").alias("px1"),
+        F.col("_p.py0").alias("py0"), F.col("_p.py1").alias("py1"),
+    )
+
+    def per_zone(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{
+                "zone_id": int(key[0]),
+                "covered": rect_union_area(
+                    pdf["px0"], pdf["px1"], pdf["py0"], pdf["py1"]
+                ),
+            }]
+        )
+
+    return ex.groupBy("zone_id").applyInPandas(per_zone, schema=_ZCOV_SCHEMA)
+
+
+def _doc_legs(j: DataFrame, id_col: str):
+    doc_area = (F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))
+    covered = F.aggregate("_pieces", F.lit(0.0), lambda a, p: a + p["area"])
+    rem = F.greatest(F.lit(0.0), doc_area - covered)
+    inter = j.select("*", F.explode("_pieces").alias("_p")).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("_p.zone_id").alias("zone_id"),
+        F.col("_p.eas_id").alias("eas_id"),
+        F.col("_p.area").alias("piece_area"),
+    )
+    doc_rem = j.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(None).cast("long").alias("zone_id"),
+        F.lit(None).cast("long").alias("eas_id"),
+        rem.alias("piece_area"),
+    ).filter(F.col("piece_area") > 1e-9)
+    return inter, doc_rem
+
+
+def _zone_legs(spark, j: DataFrame, zindex: IX.ZoneIndex,
+               full: bool) -> DataFrame:
+    zm = _zones_meta_df(spark, zindex)
+    zarea = (F.col("zx1") - F.col("zx0")) * (F.col("zy1") - F.col("zy0"))
+    if full:
+        rem = zarea
+        out = zm
+    else:
+        cov = _zone_covered(j)
+        out = zm.join(cov, "zone_id", "left")
+        rem = F.greatest(F.lit(0.0), zarea - F.coalesce("covered", F.lit(0.0)))
+    return out.select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("zone_id"),
+        F.col("eas_id"),
+        rem.alias("piece_area"),
+    ).filter(F.col("piece_area") > 1e-9)
+
+
+def union_overlay(docs: DataFrame, zindex: IX.ZoneIndex,
+                  id_col: str = "doc_id") -> DataFrame:
+    """OGR Union (generic/ogrlayer.cpp:2408): A∩B pieces with attrs
+    from both, A-not-B remainders (NULL method attrs), and B-not-A
+    remainders (NULL input attrs). The method-side remainder subtracts
+    the UNION of overlapping input pieces (rect sweep), not their
+    sum."""
+    spark = docs.sparkSession
+    j = _with_pieces(docs, zindex)
+    inter, doc_rem = _doc_legs(j, id_col)
+    zone_rem = _zone_legs(spark, j, zindex, full=False)
+    return inter.unionByName(doc_rem).unionByName(zone_rem)
+
+
+def sym_difference(docs: DataFrame, zindex: IX.ZoneIndex,
+                   id_col: str = "doc_id") -> DataFrame:
+    """OGR SymDifference (ogrlayer.cpp:2838): A-not-B plus B-not-A —
+    Union without the intersection leg."""
+    spark = docs.sparkSession
+    j = _with_pieces(docs, zindex)
+    _, doc_rem = _doc_legs(j, id_col)
+    zone_rem = _zone_legs(spark, j, zindex, full=False)
+    return doc_rem.unionByName(zone_rem)
+
+
+def update(docs: DataFrame, zindex: IX.ZoneIndex,
+           id_col: str = "doc_id") -> DataFrame:
+    """OGR Update (ogrlayer.cpp:3528): input features with the
+    method-covered part erased, plus the method features whole."""
+    spark = docs.sparkSession
+    j = _with_pieces(docs, zindex)
+    _, doc_rem = _doc_legs(j, id_col)
+    zone_full = _zone_legs(spark, j, zindex, full=True)
+    return doc_rem.unionByName(zone_full)

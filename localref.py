@@ -756,3 +756,61 @@ def oracle_entries() -> dict:
         except Exception:
             pass  # rows-only fallback, same as before
     return out
+
+
+# ============================================================ overlay legs
+def _doc_squares():
+    docs = _read_parquet(f"{ORACLE_SF_DIR}/documents.parquet")
+    i = docs["doc_id"].to_numpy(dtype=np.int64)
+    lon = -180.0 + ((i * KNUTH) % MOD32).astype(np.float64) * 360.0 / MOD32
+    lat = -85.0 + (((i + 1) * KNUTH) % MOD32).astype(np.float64) * 170.0 / MOD32
+    half = 0.2 + 0.8 * (((i + 2) * KNUTH) % MOD32).astype(np.float64) / MOD32
+    return i, lon - half, lon + half, lat - half, lat + half
+
+
+def _zone_rects(g: int = 8):
+    px, py = 360.0 / g, 170.0 / g
+    out = []
+    for zi in range(g):
+        for zj in range(g):
+            zid = zi * g + zj
+            if (zid * KNUTH % MOD32) % 10 == 0:
+                continue
+            out.append(
+                (zid, 158 + zid * 7, -180.0 + zi * px, -180.0 + (zi + 1) * px,
+                 -85.0 + zj * py, -85.0 + (zj + 1) * py)
+            )
+    return out
+
+
+def _round6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+
+
+def overlay_zone_remainders(full: bool, zone_g: int = 8):
+    """(zone_id, eas_id, piece_area) rows for the method-side legs of
+    Union/SymDifference (zone area minus the UNION of overlapping doc
+    squares, exact rectangle sweep) or Update (whole zone areas)."""
+    from gdal_spark.overlay import rect_union_area
+
+    _, x0, x1, y0, y1 = _doc_squares()
+    rows = []
+    for zid, eas, zx0, zx1, zy0, zy1 in _zone_rects(zone_g):
+        zarea = (zx1 - zx0) * (zy1 - zy0)
+        if full:
+            rem = zarea
+        else:
+            ix0 = np.maximum(x0, zx0)
+            ix1 = np.minimum(x1, zx1)
+            iy0 = np.maximum(y0, zy0)
+            iy1 = np.minimum(y1, zy1)
+            sel = (ix1 > ix0) & (iy1 > iy0)
+            covered = (
+                rect_union_area(ix0[sel], ix1[sel], iy0[sel], iy1[sel])
+                if sel.any()
+                else 0.0
+            )
+            rem = max(0.0, zarea - covered)
+        if rem > 1e-9:
+            rows.append((zid, eas, _round6(rem)))
+    return rows
