@@ -388,6 +388,58 @@ def _q_overlay_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq_wkt():
+    return F.format_string(
+        "POLYGON((%s %s, %s %s, %s %s, %s %s))",
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y0"),
+        F.col("x1"), F.col("y1"), F.col("x0"), F.col("y1"),
+    )
+
+
+def _q_geometry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructive-geometry suite (ogr/ogrgeometry.cpp:4136 Buffer,
+    :5343 Centroid, area) over WKT built from the derived squares; the
+    WKB codec is exercised in-line (WKT -> WKB -> area)."""
+    from gdal_spark.functions import geometry as SG
+
+    docs = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 200
+    )
+    wkt = _sq_wkt()
+    pt = F.format_string("POINT(%s %s)", F.col("lon"), F.col("lat"))
+    d = docs.select("doc_id", wkt.alias("wkt"), pt.alias("pt"))
+    return d.select(
+        "doc_id",
+        F.round(SG.st_area("wkt"), 6).alias("area"),
+        F.round(SG.st_area(SG.st_aswkb("wkt")), 6).alias("area_wkb"),
+        F.round(SG.st_centroid_x("wkt"), 6).alias("cx"),
+        F.round(SG.st_centroid_y("wkt"), 6).alias("cy"),
+        F.round(SG.st_buffer_area(F.col("pt"), 0.5), 6).alias("buf_area"),
+    )
+
+
+def _q_geometry_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate suite (ogrgeometry.cpp:4896-5227) over consecutive
+    derived-square pairs; the oracle is closed-form rectangle logic."""
+    from gdal_spark.functions import geometry as SG
+
+    docs = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 150
+    )
+    a = docs.select("doc_id", _sq_wkt().alias("wa"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), _sq_wkt().alias("wb")
+    )
+    j = a.join(b, "doc_id")
+    return j.select(
+        "doc_id",
+        SG.st_intersects("wa", "wb").alias("inter"),
+        SG.st_contains("wa", "wb").alias("a_contains_b"),
+        SG.st_within("wa", "wb").alias("a_within_b"),
+        SG.st_overlaps("wa", "wb").alias("overl"),
+    )
+
+
 def _q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
     burned = RST.rasterize_zones(spark, zidx, 4, 4, tile_px=128)
@@ -776,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_clip": _q_overlay_clip,
         "overlay_erase": _q_overlay_erase,
         "overlay_identity": _q_overlay_identity,
+        "geometry_functions": _q_geometry_functions,
+        "geometry_predicates": _q_geometry_predicates,
         "rasterize_counts": _q_rasterize_counts,
         "raster_locate": _q_raster_locate,
         "hstore_get": _q_hstore,
@@ -1195,6 +1249,41 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM b LEFT JOIN cov c USING (doc_id)
             WHERE GREATEST(0.0, (x1 - x0) * (y1 - y0)
                   - COALESCE(c.covered, 0.0)) > 1e-9
+        """,
+        "geometry_functions": f"""
+            WITH b AS (
+              SELECT doc_id, {_LON} AS lon, {_LAT} AS lat, {_HALF} AS h
+              FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id,
+                   ROUND((2 * h) * (2 * h), 6) AS area,
+                   ROUND((2 * h) * (2 * h), 6) AS area_wkb,
+                   ROUND(lon, 6) AS cx,
+                   ROUND(lat, 6) AS cy,
+                   ROUND(0.5 * 120 * 0.25 * SIN(2 * PI() / 120), 6) AS buf_area
+            FROM b
+        """,
+        "geometry_predicates": f"""
+            WITH b AS (
+              SELECT doc_id, {_LON} - {_HALF} AS x0, {_LON} + {_HALF} AS x1,
+                     {_LAT} - {_HALF} AS y0, {_LAT} + {_HALF} AS y1
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id,
+                     a.x0 AS ax0, a.x1 AS ax1, a.y0 AS ay0, a.y1 AS ay1,
+                     c.x0 AS bx0, c.x1 AS bx1, c.y0 AS by0, c.y1 AS by1
+              FROM b a JOIN b c ON c.doc_id = a.doc_id + 1
+            )
+            SELECT doc_id,
+                   (LEAST(ax1, bx1) > GREATEST(ax0, bx0)
+                    AND LEAST(ay1, by1) > GREATEST(ay0, by0)) AS inter,
+                   (ax0 <= bx0 AND ax1 >= bx1 AND ay0 <= by0 AND ay1 >= by1) AS a_contains_b,
+                   (bx0 <= ax0 AND bx1 >= ax1 AND by0 <= ay0 AND by1 >= ay1) AS a_within_b,
+                   (LEAST(ax1, bx1) > GREATEST(ax0, bx0)
+                    AND LEAST(ay1, by1) > GREATEST(ay0, by0)
+                    AND NOT (ax0 <= bx0 AND ax1 >= bx1 AND ay0 <= by0 AND ay1 >= by1)
+                    AND NOT (bx0 <= ax0 AND bx1 >= ax1 AND by0 <= ay0 AND by1 >= ay1)) AS overl
+            FROM p
         """,
         "rasterize_counts": _rasterize_sql(),
         "raster_locate": _locate_sql(),

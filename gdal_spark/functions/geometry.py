@@ -1,0 +1,105 @@
+"""Column-level geometry functions over WKT (string) or WKB (binary)
+columns — the user surface of OGRGeometry's method suite
+(ogr/ogrgeometry.cpp) as Arrow-batched pandas UDFs. Per-feature
+geometry work is inherently row-local (the reference iterates
+features the same way); distribution comes from Spark's partitioning,
+and nothing here shuffles.
+
+    st_area, st_centroid_x/y, st_convex_hull, st_buffer, st_simplify,
+    st_make_valid, st_is_valid_shape,
+    st_astext / st_aswkb (WKT <-> WKB),
+    st_intersection_area,
+    st_intersects / st_contains / st_within / st_touches / st_overlaps
+    / st_equals / st_disjoint / st_crosses
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import geometry as GM
+
+
+def _udf1(fn, rtype):
+    @F.pandas_udf(rtype)
+    def u(col: pd.Series) -> pd.Series:
+        return pd.Series([fn(GM.geom_of(v)) if v is not None else None for v in col])
+
+    return u
+
+
+def _udf2(fn, rtype):
+    @F.pandas_udf(rtype)
+    def u(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                fn(GM.geom_of(x), GM.geom_of(y))
+                if x is not None and y is not None
+                else None
+                for x, y in zip(a, b)
+            ]
+        )
+
+    return u
+
+
+st_area = _udf1(lambda g: float(g.area()), T.DoubleType())
+st_centroid_x = _udf1(lambda g: GM.centroid(g)[0], T.DoubleType())
+st_centroid_y = _udf1(lambda g: GM.centroid(g)[1], T.DoubleType())
+st_convex_hull = _udf1(lambda g: GM.to_wkt(GM.convex_hull(g)), T.StringType())
+st_make_valid = _udf1(lambda g: GM.to_wkt(GM.make_valid(g)), T.StringType())
+st_astext = _udf1(GM.to_wkt, T.StringType())
+st_aswkb = _udf1(GM.to_wkb, T.BinaryType())
+
+st_intersection_area = _udf2(GM.intersection_area, T.DoubleType())
+st_intersects = _udf2(GM.intersects, T.BooleanType())
+st_contains = _udf2(GM.contains, T.BooleanType())
+st_within = _udf2(GM.within, T.BooleanType())
+st_touches = _udf2(GM.touches, T.BooleanType())
+st_overlaps = _udf2(GM.overlaps, T.BooleanType())
+st_equals = _udf2(GM.equals, T.BooleanType())
+st_disjoint = _udf2(GM.disjoint, T.BooleanType())
+st_crosses = _udf2(GM.crosses, T.BooleanType())
+
+
+def st_buffer(col, dist: float, quadsegs: int = 30):
+    @F.pandas_udf(T.StringType())
+    def u(c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                GM.to_wkt(GM.buffer_geom(GM.geom_of(v), dist, quadsegs))
+                if v is not None
+                else None
+            for v in c]
+        )
+
+    return u(col)
+
+
+def st_buffer_area(col, dist: float, quadsegs: int = 30):
+    @F.pandas_udf(T.DoubleType())
+    def u(c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                GM.buffer_geom(GM.geom_of(v), dist, quadsegs).area()
+                if v is not None
+                else None
+            for v in c]
+        )
+
+    return u(col)
+
+
+def st_simplify(col, tol: float):
+    @F.pandas_udf(T.StringType())
+    def u(c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                GM.to_wkt(GM.simplify(GM.geom_of(v), tol)) if v is not None else None
+            for v in c]
+        )
+
+    return u(col)

@@ -1,0 +1,687 @@
+"""General polygon geometry: the constructive + predicate surface of
+the reference's OGRGeometry (ogr/ogrgeometry.cpp — Buffer :4136,
+ConvexHull :3894, Intersection :4240, Union :4359, Difference :4560,
+Centroid :5343, Simplify :5597, MakeValid :3695, predicates
+Intersects/Contains/Within/Touches/Crosses/Overlaps/Equals/Disjoint
+:4896-5227) re-expressed without GEOS:
+
+  - simple-polygon triangulation via ear clipping (O(n^2), exact)
+  - ALL area-type binary ops run as triangle x triangle convex clips
+    through overlay.clip_convex_pairs, batched in one vectorized call;
+    polygons WITH HOLES work via signed triangles (indicator_A =
+    sum_i s_i * 1_{T_i} pointwise, so area(A∩B) = sum_ij s_i s_j
+    area(T_i ∩ U_j) exactly)
+  - predicates derive from intersection areas + boundary-segment
+    tests with an explicit area tolerance (documented difference from
+    GEOS's exact DE-9IM on adversarially degenerate inputs)
+
+WKB (ogr/ogrgeometryfactory.cpp:106 createFromWkb) is supported as a
+first-class geometry encoding next to WKT: Point / LineString /
+Polygon / MultiPolygon, either byte order in, little-endian out.
+
+Column-level API lives in functions/geometry.py (Arrow-batched pandas
+UDFs over WKT string or WKB binary columns).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .overlay import clip_convex_pairs, shoelace_pairs
+
+AREA_EPS = 1e-12
+
+
+# ------------------------------------------------------------------- rings
+def signed_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Signed shoelace area of an open ring (CCW positive)."""
+    return float(
+        0.5 * np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)
+    )
+
+
+def ensure_ccw(xs: np.ndarray, ys: np.ndarray):
+    if signed_area(xs, ys) < 0:
+        return xs[::-1].copy(), ys[::-1].copy()
+    return xs, ys
+
+
+def dedupe_ring(xs: np.ndarray, ys: np.ndarray):
+    """Drop consecutive duplicate vertices (and a closing vertex equal
+    to the first) — the normalization half of MakeValid."""
+    if len(xs) and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    keep = np.ones(len(xs), dtype=bool)
+    keep[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+    return xs[keep], ys[keep]
+
+
+# ---------------------------------------------------------- triangulation
+def ear_clip(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """(m, 3, 2) triangles partitioning a SIMPLE polygon ring (holes
+    handled by the caller via signed triangles). Ear clipping with a
+    convexity + emptiness test; falls back to a fan if no ear is found
+    (degenerate/self-touching input — MakeValid first)."""
+    xs, ys = dedupe_ring(np.asarray(xs, np.float64), np.asarray(ys, np.float64))
+    xs, ys = ensure_ccw(xs, ys)
+    n = len(xs)
+    if n < 3:
+        return np.empty((0, 3, 2))
+    idx = list(range(n))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 4 * n:
+        guard += 1
+        found = False
+        m = len(idx)
+        for k in range(m):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % m]
+            ax, ay = xs[i0], ys[i0]
+            bx, by = xs[i1], ys[i1]
+            cx, cy = xs[i2], ys[i2]
+            cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            if cross <= AREA_EPS:  # reflex or degenerate corner
+                continue
+            # no other active vertex strictly inside the candidate ear
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                px, py = xs[j], ys[j]
+                d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                d2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+                d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+                if d1 > -AREA_EPS and d2 > -AREA_EPS and d3 > -AREA_EPS:
+                    ok = False
+                    break
+            if ok:
+                tris.append(((ax, ay), (bx, by), (cx, cy)))
+                del idx[k]
+                found = True
+                break
+        if not found:
+            break
+    if len(idx) >= 3:
+        # remaining ring is convex (normal termination) or degenerate
+        # (fallback): fan from the first remaining vertex
+        for k in range(1, len(idx) - 1):
+            tris.append(
+                ((xs[idx[0]], ys[idx[0]]),
+                 (xs[idx[k]], ys[idx[k]]),
+                 (xs[idx[k + 1]], ys[idx[k + 1]]))
+            )
+    return np.asarray(tris, dtype=np.float64)
+
+
+def rings_to_signed_tris(rings):
+    """[(xs, ys), ...] (first = exterior, rest = holes) -> (tris, signs).
+    Hole rings triangulate with sign -1: the polygon's indicator is the
+    signed sum, which makes every area-type binary op exact on
+    polygons with holes."""
+    tris = []
+    signs = []
+    for i, (xs, ys) in enumerate(rings):
+        t = ear_clip(xs, ys)
+        if len(t):
+            tris.append(t)
+            signs.append(np.full(len(t), 1.0 if i == 0 else -1.0))
+    if not tris:
+        return np.empty((0, 3, 2)), np.empty(0)
+    return np.concatenate(tris), np.concatenate(signs)
+
+
+def tris_area(tris: np.ndarray) -> float:
+    if len(tris) == 0:
+        return 0.0
+    a = tris[:, 0]
+    b = tris[:, 1]
+    c = tris[:, 2]
+    return float(
+        np.abs(
+            (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+            - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+        ).sum()
+        / 2.0
+    )
+
+
+def intersection_area_tris(ta, sa, tb, sb) -> float:
+    """Sum of signed pairwise triangle∩triangle areas — one batched
+    clip_convex_pairs call over ALL pairs (vectorized; Python loops
+    only over the 3 clip edges and <=9 vertex slots)."""
+    na, nb = len(ta), len(tb)
+    if na == 0 or nb == 0:
+        return 0.0
+    ia = np.repeat(np.arange(na), nb)
+    ib = np.tile(np.arange(nb), na)
+    sx = ta[ia, :, 0]
+    sy = ta[ia, :, 1]
+    cx = tb[ib, :, 0]
+    cy = tb[ib, :, 1]
+    L = np.full(na * nb, 3, dtype=np.int64)
+    ox, oy, olen = clip_convex_pairs(sx, sy, L, cx, cy, L)
+    areas = shoelace_pairs(ox, oy, olen)
+    return float((areas * sa[ia] * sb[ib]).sum())
+
+
+# ------------------------------------------------------------ geometry type
+class Geom:
+    """Parsed geometry: kind in {point, linestring, polygon,
+    multipolygon}; rings = [(xs, ys), ...] per polygon part."""
+
+    __slots__ = ("kind", "parts")
+
+    def __init__(self, kind: str, parts):
+        self.kind = kind
+        self.parts = parts  # point/linestring: [(xs, ys)]; polygon: [rings]
+
+    # -- areas / triangles ------------------------------------------------
+    def signed_tris(self):
+        if self.kind == "polygon":
+            return rings_to_signed_tris(self.parts[0])
+        if self.kind == "multipolygon":
+            ts, ss = [], []
+            for rings in self.parts:
+                t, s = rings_to_signed_tris(rings)
+                if len(t):
+                    ts.append(t)
+                    ss.append(s)
+            if not ts:
+                return np.empty((0, 3, 2)), np.empty(0)
+            return np.concatenate(ts), np.concatenate(ss)
+        return np.empty((0, 3, 2)), np.empty(0)
+
+    def area(self) -> float:
+        if self.kind not in ("polygon", "multipolygon"):
+            return 0.0
+        total = 0.0
+        polys = self.parts if self.kind == "multipolygon" else [self.parts[0]]
+        for rings in polys:
+            for i, (xs, ys) in enumerate(rings):
+                a = abs(signed_area(*dedupe_ring(np.asarray(xs), np.asarray(ys))))
+                total += a if i == 0 else -a
+        return total
+
+    def all_points(self):
+        out = []
+        if self.kind in ("point", "linestring"):
+            out.append(self.parts[0])
+        else:
+            polys = self.parts if self.kind == "multipolygon" else [self.parts[0]]
+            for rings in polys:
+                for r in rings:
+                    out.append(r)
+        xs = np.concatenate([np.asarray(r[0], np.float64) for r in out])
+        ys = np.concatenate([np.asarray(r[1], np.float64) for r in out])
+        return xs, ys
+
+    def boundary_segments(self):
+        """(ax, ay, bx, by) arrays over every ring/line segment."""
+        segs = []
+        if self.kind == "linestring":
+            xs, ys = self.parts[0]
+            segs.append((xs[:-1], ys[:-1], xs[1:], ys[1:]))
+        elif self.kind in ("polygon", "multipolygon"):
+            polys = self.parts if self.kind == "multipolygon" else [self.parts[0]]
+            for rings in polys:
+                for xs, ys in rings:
+                    xs = np.asarray(xs, np.float64)
+                    ys = np.asarray(ys, np.float64)
+                    segs.append((xs, ys, np.roll(xs, -1), np.roll(ys, -1)))
+        if not segs:
+            z = np.empty(0)
+            return z, z, z, z
+        return tuple(np.concatenate([s[i] for s in segs]) for i in range(4))
+
+
+# ------------------------------------------------------------------- WKT
+def parse_wkt(wkt: str) -> Geom:
+    s = wkt.strip()
+    up = s.upper()
+
+    def nums(chunk):
+        pts = [p.strip().split() for p in chunk.split(",")]
+        xs = np.array([float(p[0]) for p in pts])
+        ys = np.array([float(p[1]) for p in pts])
+        return xs, ys
+
+    def rings_of(body):
+        # body like "(x y, ...), (x y, ...)"
+        rings = []
+        depth = 0
+        start = None
+        for i, ch in enumerate(body):
+            if ch == "(":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    rings.append(dedupe_ring(*nums(body[start:i])))
+        return rings
+
+    if up.startswith("POINT"):
+        xs, ys = nums(s[s.index("(") + 1 : s.rindex(")")])
+        return Geom("point", [(xs, ys)])
+    if up.startswith("LINESTRING"):
+        xs, ys = nums(s[s.index("(") + 1 : s.rindex(")")])
+        return Geom("linestring", [(xs, ys)])
+    if up.startswith("POLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return Geom("polygon", [rings_of(body)])
+    if up.startswith("MULTIPOLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        # split top-level polygon groups
+        polys = []
+        depth = 0
+        start = None
+        for i, ch in enumerate(body):
+            if ch == "(":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    polys.append(rings_of(body[start:i]))
+        return Geom("multipolygon", polys)
+    raise ValueError(f"unsupported WKT: {s[:40]}")
+
+
+def to_wkt(g: Geom, prec: int = 7) -> str:
+    def pt(xs, ys):
+        return ", ".join(f"{x:.{prec}f} {y:.{prec}f}" for x, y in zip(xs, ys))
+
+    def ring(xs, ys):
+        return "(" + pt(np.append(xs, xs[0]), np.append(ys, ys[0])) + ")"
+
+    if g.kind == "point":
+        xs, ys = g.parts[0]
+        return f"POINT({xs[0]:.{prec}f} {ys[0]:.{prec}f})"
+    if g.kind == "linestring":
+        return "LINESTRING(" + pt(*g.parts[0]) + ")"
+    if g.kind == "polygon":
+        return "POLYGON(" + ", ".join(ring(*r) for r in g.parts[0]) + ")"
+    return "MULTIPOLYGON(" + ", ".join(
+        "(" + ", ".join(ring(*r) for r in rings) + ")" for rings in g.parts
+    ) + ")"
+
+
+# ------------------------------------------------------------------- WKB
+_WKB_POINT, _WKB_LINESTRING, _WKB_POLYGON, _WKB_MULTIPOLYGON = 1, 2, 3, 6
+
+
+def parse_wkb(buf: bytes) -> Geom:
+    """createFromWkb (ogrgeometryfactory.cpp:106): either byte order;
+    Point / LineString / Polygon / MultiPolygon, 2-D."""
+    pos = [0]
+
+    def take(fmt, bo):
+        sz = struct.calcsize(fmt)
+        v = struct.unpack_from(bo + fmt, buf, pos[0])
+        pos[0] += sz
+        return v
+
+    def header():
+        (order,) = struct.unpack_from("B", buf, pos[0])
+        pos[0] += 1
+        bo = "<" if order == 1 else ">"
+        (gtype,) = take("I", bo)
+        return bo, gtype & 0xFF  # mask Z/M/SRID flags
+
+    def ring(bo):
+        (n,) = take("I", bo)
+        coords = take(f"{2 * n}d", bo)
+        a = np.asarray(coords).reshape(n, 2)
+        return dedupe_ring(a[:, 0].copy(), a[:, 1].copy())
+
+    def one():
+        bo, gtype = header()
+        if gtype == _WKB_POINT:
+            x, y = take("2d", bo)
+            return Geom("point", [(np.array([x]), np.array([y]))])
+        if gtype == _WKB_LINESTRING:
+            (n,) = take("I", bo)
+            coords = take(f"{2 * n}d", bo)
+            a = np.asarray(coords).reshape(n, 2)
+            return Geom("linestring", [(a[:, 0].copy(), a[:, 1].copy())])
+        if gtype == _WKB_POLYGON:
+            (nr,) = take("I", bo)
+            return Geom("polygon", [[ring(bo) for _ in range(nr)]])
+        if gtype == _WKB_MULTIPOLYGON:
+            (np_,) = take("I", bo)
+            polys = []
+            for _ in range(np_):
+                sub = one()
+                polys.append(sub.parts[0])
+            return Geom("multipolygon", polys)
+        raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+    return one()
+
+
+def to_wkb(g: Geom) -> bytes:
+    def ring_bytes(xs, ys):
+        xs = np.append(xs, xs[0])
+        ys = np.append(ys, ys[0])
+        out = struct.pack("<I", len(xs))
+        for x, y in zip(xs, ys):
+            out += struct.pack("<2d", x, y)
+        return out
+
+    if g.kind == "point":
+        xs, ys = g.parts[0]
+        return struct.pack("<BI2d", 1, _WKB_POINT, xs[0], ys[0])
+    if g.kind == "linestring":
+        xs, ys = g.parts[0]
+        out = struct.pack("<BII", 1, _WKB_LINESTRING, len(xs))
+        for x, y in zip(xs, ys):
+            out += struct.pack("<2d", x, y)
+        return out
+    if g.kind == "polygon":
+        out = struct.pack("<BII", 1, _WKB_POLYGON, len(g.parts[0]))
+        for xs, ys in g.parts[0]:
+            out += ring_bytes(xs, ys)
+        return out
+    out = struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(g.parts))
+    for rings in g.parts:
+        out += struct.pack("<BII", 1, _WKB_POLYGON, len(rings))
+        for xs, ys in rings:
+            out += ring_bytes(xs, ys)
+    return out
+
+
+def geom_of(v) -> Geom:
+    """Accept WKT str or WKB bytes."""
+    if isinstance(v, (bytes, bytearray)):
+        return parse_wkb(bytes(v))
+    return parse_wkt(str(v))
+
+
+# ------------------------------------------------------------ constructive
+def centroid(g: Geom) -> tuple[float, float]:
+    """Area-weighted polygon centroid (OGRGeometry::Centroid :5343 /
+    GEOS getCentroid); point/linestring = vertex mean."""
+    if g.kind not in ("polygon", "multipolygon"):
+        xs, ys = g.all_points()
+        return float(xs.mean()), float(ys.mean())
+    ta, sa = g.signed_tris()
+    a = (
+        (ta[:, 1, 0] - ta[:, 0, 0]) * (ta[:, 2, 1] - ta[:, 0, 1])
+        - (ta[:, 1, 1] - ta[:, 0, 1]) * (ta[:, 2, 0] - ta[:, 0, 0])
+    ) / 2.0 * sa
+    cx = ta[:, :, 0].mean(axis=1)
+    cy = ta[:, :, 1].mean(axis=1)
+    A = a.sum()
+    if abs(A) < AREA_EPS:
+        xs, ys = g.all_points()
+        return float(xs.mean()), float(ys.mean())
+    return float((cx * a).sum() / A), float((cy * a).sum() / A)
+
+
+def convex_hull(g: Geom) -> Geom:
+    """Andrew monotone chain (ConvexHull :3894)."""
+    xs, ys = g.all_points()
+    pts = np.unique(np.stack([xs, ys], axis=1), axis=0)
+    if len(pts) < 3:
+        return Geom("polygon", [[(pts[:, 0], pts[:, 1])]])
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    return Geom("polygon", [[(hull[:, 0], hull[:, 1])]])
+
+
+def buffer_geom(g: Geom, dist: float, quadsegs: int = 30) -> Geom:
+    """Positive buffer (Buffer :4136, GEOS default 30 segs/quadrant):
+    point -> 4*quadsegs-gon circle; CONVEX ring -> edge offsets joined
+    by vertex arcs (exact Minkowski sum with the disc). Concave rings
+    buffer their convex hull (documented approximation — GEOS handles
+    concave exactly)."""
+    if dist <= 0:
+        raise ValueError("buffer_geom supports positive distances")
+    n = 4 * quadsegs
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    if g.kind == "point":
+        xs, ys = g.parts[0]
+        return Geom(
+            "polygon",
+            [[(xs[0] + dist * np.cos(ang), ys[0] + dist * np.sin(ang))]],
+        )
+    hull = convex_hull(g)
+    xs, ys = hull.parts[0][0]
+    xs, ys = ensure_ccw(*dedupe_ring(np.asarray(xs), np.asarray(ys)))
+    m = len(xs)
+    ox, oy = [], []
+    for i in range(m):
+        ax, ay = xs[i], ys[i]
+        bx, by = xs[(i + 1) % m], ys[(i + 1) % m]
+        px, py = xs[i - 1], ys[i - 1]
+        # outward normals of the two edges at vertex a
+        def norm(ux, uy):
+            L = math_hypot(ux, uy)
+            return uy / L, -ux / L  # right normal of CCW edge = outward
+
+        n1 = norm(ax - px, ay - py)
+        n2 = norm(bx - ax, by - ay)
+        a1 = np.arctan2(n1[1], n1[0])
+        a2 = np.arctan2(n2[1], n2[0])
+        while a2 < a1:  # CCW walk rotates the outward normal CCW
+            a2 += 2 * np.pi
+        steps = max(1, int(np.ceil((a2 - a1) / (np.pi / 2 / quadsegs))))
+        arc = np.linspace(a1, a2, steps + 1)
+        ox.extend((ax + dist * np.cos(arc)).tolist())
+        oy.extend((ay + dist * np.sin(arc)).tolist())
+    return Geom("polygon", [[dedupe_ring(np.asarray(ox), np.asarray(oy))]])
+
+
+def math_hypot(a, b):
+    return float(np.hypot(a, b))
+
+
+def simplify(g: Geom, tol: float) -> Geom:
+    """Douglas-Peucker per ring (Simplify :5597)."""
+
+    def dp(xs, ys, closed):
+        if closed:
+            xs = np.append(xs, xs[0])
+            ys = np.append(ys, ys[0])
+        keep = np.zeros(len(xs), dtype=bool)
+        keep[0] = keep[-1] = True
+        stack = [(0, len(xs) - 1)]
+        while stack:
+            i0, i1 = stack.pop()
+            if i1 <= i0 + 1:
+                continue
+            ax, ay, bx, by = xs[i0], ys[i0], xs[i1], ys[i1]
+            dx, dy = bx - ax, by - ay
+            L = np.hypot(dx, dy)
+            seg = slice(i0 + 1, i1)
+            if L < 1e-300:
+                d = np.hypot(xs[seg] - ax, ys[seg] - ay)
+            else:
+                d = np.abs(dx * (ys[seg] - ay) - dy * (xs[seg] - ax)) / L
+            k = int(np.argmax(d))
+            if d[k] > tol:
+                j = i0 + 1 + k
+                keep[j] = True
+                stack.extend([(i0, j), (j, i1)])
+        xs2, ys2 = xs[keep], ys[keep]
+        if closed:
+            xs2, ys2 = xs2[:-1], ys2[:-1]
+        return xs2, ys2
+
+    if g.kind == "linestring":
+        return Geom("linestring", [dp(*g.parts[0], closed=False)])
+    if g.kind == "polygon":
+        return Geom("polygon", [[dp(xs, ys, True) for xs, ys in g.parts[0]]])
+    if g.kind == "multipolygon":
+        return Geom(
+            "multipolygon",
+            [[dp(xs, ys, True) for xs, ys in rings] for rings in g.parts],
+        )
+    return g
+
+
+def make_valid(g: Geom) -> Geom:
+    """Normalization subset of MakeValid (:3695): close/dedupe rings,
+    exterior CCW, holes CW, drop sub-3-vertex rings. Self-intersecting
+    rings are NOT re-noded (GEOS does; documented restriction)."""
+    if g.kind not in ("polygon", "multipolygon"):
+        return g
+
+    def fix(rings):
+        out = []
+        for i, (xs, ys) in enumerate(rings):
+            xs, ys = dedupe_ring(np.asarray(xs, np.float64), np.asarray(ys, np.float64))
+            if len(xs) < 3:
+                continue
+            xs, ys = ensure_ccw(xs, ys)
+            if i > 0:  # hole: CW
+                xs, ys = xs[::-1].copy(), ys[::-1].copy()
+            out.append((xs, ys))
+        return out
+
+    if g.kind == "polygon":
+        return Geom("polygon", [fix(g.parts[0])])
+    return Geom("multipolygon", [fix(r) for r in g.parts])
+
+
+# -------------------------------------------------------------- predicates
+def intersection_area(a: Geom, b: Geom) -> float:
+    ta, sa = a.signed_tris()
+    tb, sb = b.signed_tris()
+    return intersection_area_tris(ta, sa, tb, sb)
+
+
+def _boundaries_touch(a: Geom, b: Geom) -> bool:
+    from .geomlite import _segs_cross
+
+    ax0, ay0, ax1, ay1 = a.boundary_segments()
+    bx0, by0, bx1, by1 = b.boundary_segments()
+    if len(ax0) == 0 or len(bx0) == 0:
+        return False
+    hit = _segs_cross(
+        ax0[:, None], ay0[:, None], ax1[:, None], ay1[:, None],
+        bx0[None, :], by0[None, :], bx1[None, :], by1[None, :],
+    )
+    return bool(hit.any())
+
+
+def _point_in(g: Geom, x: float, y: float) -> bool:
+    from .geomlite import pip_one
+
+    polys = g.parts if g.kind == "multipolygon" else [g.parts[0]]
+    for rings in polys:
+        inside = False
+        for i, (xs, ys) in enumerate(rings):
+            hit = bool(pip_one(np.array([x]), np.array([y]), xs, ys)[0])
+            if i == 0:
+                inside = hit
+            elif hit:
+                inside = False
+        if inside:
+            return True
+    return False
+
+
+def intersects(a: Geom, b: Geom, eps: float = 1e-12) -> bool:
+    if a.kind in ("polygon", "multipolygon") and b.kind in ("polygon", "multipolygon"):
+        if intersection_area(a, b) > eps:
+            return True
+    if a.kind == "point":
+        return _point_in(b, a.parts[0][0][0], a.parts[0][1][0]) or _boundaries_touch(a, b)
+    if b.kind == "point":
+        return intersects(b, a, eps)
+    return _boundaries_touch(a, b)
+
+
+def contains(a: Geom, b: Geom, eps: float = 1e-9) -> bool:
+    if b.kind == "point":
+        return _point_in(a, b.parts[0][0][0], b.parts[0][1][0])
+    ab = intersection_area(a, b)
+    return ab > eps and abs(ab - b.area()) <= eps * max(1.0, b.area())
+
+
+def within(a: Geom, b: Geom, eps: float = 1e-9) -> bool:
+    return contains(b, a, eps)
+
+
+def equals(a: Geom, b: Geom, eps: float = 1e-9) -> bool:
+    aa, bb = a.area(), b.area()
+    ab = intersection_area(a, b)
+    s = max(1.0, aa, bb)
+    return abs(aa - bb) <= eps * s and abs(ab - aa) <= eps * s
+
+
+def overlaps(a: Geom, b: Geom, eps: float = 1e-9) -> bool:
+    aa, bb = a.area(), b.area()
+    ab = intersection_area(a, b)
+    s = max(1.0, aa, bb)
+    return ab > eps * s and ab < aa - eps * s and ab < bb - eps * s
+
+
+def touches(a: Geom, b: Geom, eps: float = 1e-9) -> bool:
+    if not _boundaries_touch(a, b):
+        return False
+    return intersection_area(a, b) <= eps * max(1.0, a.area(), b.area())
+
+
+def disjoint(a: Geom, b: Geom, eps: float = 1e-12) -> bool:
+    return not intersects(a, b, eps)
+
+
+def crosses(a: Geom, b: Geom) -> bool:
+    """LINESTRING x POLYGON crosses (same-dimension polygons never
+    cross, matching GEOS)."""
+    line, poly = None, None
+    if a.kind == "linestring" and b.kind in ("polygon", "multipolygon"):
+        line, poly = a, b
+    elif b.kind == "linestring" and a.kind in ("polygon", "multipolygon"):
+        line, poly = b, a
+    else:
+        return False
+    xs, ys = line.parts[0]
+    bx0, by0, bx1, by1 = poly.boundary_segments()
+    has_in = has_out = False
+    for k in range(len(xs) - 1):
+        ax, ay, cx, cy = float(xs[k]), float(ys[k]), float(xs[k + 1]), float(ys[k + 1])
+        # split the segment at every boundary crossing, then classify
+        # each sub-segment by its midpoint
+        ts = [0.0, 1.0]
+        dx, dy = cx - ax, cy - ay
+        for i in range(len(bx0)):
+            ex, ey = bx1[i] - bx0[i], by1[i] - by0[i]
+            den = dx * ey - dy * ex
+            if abs(den) < 1e-300:
+                continue
+            t = ((bx0[i] - ax) * ey - (by0[i] - ay) * ex) / den
+            u = ((bx0[i] - ax) * dy - (by0[i] - ay) * dx) / den
+            if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                ts.append(t)
+        ts = sorted(set(ts))
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            tm = (t0 + t1) / 2.0
+            if _point_in(poly, ax + tm * dx, ay + tm * dy):
+                has_in = True
+            else:
+                has_out = True
+        if has_in and has_out:
+            return True
+    return has_in and has_out

@@ -106,18 +106,17 @@ def clip_convex_pairs(
         out_y = np.zeros((N, Lout))
         out_n = np.zeros(N, dtype=np.int64)
         Lmax = int(cur_len.max()) if len(cur_len) else 0
-        # one pass emits <= 2 vertices per input vertex; raise (instead
-        # of corrupting memory) if a pathologically concave subject
-        # could outgrow the buffer
-        if 2 * Lmax > Lout:
-            raise ValueError(
-                "clip_convex_pairs: ring growth exceeds the 2*Ls+Lc "
-                "buffer — subject ring too concave for this kernel"
-            )
         for i in range(Lmax):
             v_act = e_act & (i < cur_len)
             if not v_act.any():
                 break
+            # each slot emits <= 2 vertices; fail loudly (instead of
+            # corrupting memory) if a pathological ring would overflow
+            if int(out_n.max()) + 2 > Lout:
+                raise ValueError(
+                    "clip_convex_pairs: ring growth exceeds the 2*Ls+Lc "
+                    "buffer — subject ring too concave for this kernel"
+                )
             ip = np.where(i == 0, cur_len - 1, i - 1)  # previous vertex
             px = cur_x[rows, np.minimum(i, Lout - 1)]
             py = cur_y[rows, np.minimum(i, Lout - 1)]
