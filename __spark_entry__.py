@@ -297,6 +297,29 @@ def _q_warp_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(warped)
 
 
+def _q_warp_kernel(kernel: str, factor: float):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tiles = synth.tiles_src_df(spark, 2, 2)
+        res = 2 * math.pi * 6378137 / 256 / (2**ZOOM)
+        origin = (-math.pi * 6378137, -math.pi * 6378137 + 2 * 256 * res)
+        warped = tiling.warp_affine(
+            tiles, src_zoom_origin=origin, src_res=res,
+            dst_origin=origin, dst_res=res * factor, dst_tiles_x=1,
+            dst_tiles_y=1, kernel=kernel,
+        )
+        return tiling.checksum_table(warped)
+
+    return q
+
+
+def _q_overview_kernel(kernel: str, ntiles: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tiles = synth.tiles_src_df(spark, ntiles, ntiles)
+        return tiling.checksum_table(tiling.build_overview(tiles, kernel))
+
+    return q
+
+
 def _overlay_inputs(spark: SparkSession, sf_dir: str):
     docs = DRV.with_derived_squares(_read(spark, sf_dir, "documents"))
     # dilation must cover the max doc-square half size (1.0 deg) so a
@@ -820,7 +843,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "raster_checksums": _q_raster_checksums,
         "overview_checksums": _q_overview_checksums,
+        "overview_mode_checksums": _q_overview_kernel("mode", 2),
+        "overview_gauss_checksums": _q_overview_kernel("gauss", 4),
         "warp_checksums": _q_warp_checksums,
+        "warp_average_checksums": _q_warp_kernel("average", 2.0),
+        "warp_lanczos_checksums": _q_warp_kernel("lanczos", 1.5),
         "overlay_intersection": _q_overlay_intersection,
         "overlay_union": _q_overlay_union,
         "overlay_symdifference": _q_overlay_symdiff,

@@ -180,40 +180,152 @@ def translate(
 
 
 # ------------------------------------------------------------------ overview
+def _mode_2x2(q: np.ndarray, qv: np.ndarray, nodata: float) -> np.ndarray:
+    """GDAL mode tie-break (overview.cpp:1913 GDALResampleChunk32R_Mode,
+    byte histogram path): the winner is the value whose count FIRST
+    reaches the maximum in row-major scan order. For the 4 slots,
+    reach time of slot i = i when its occurrence rank equals the final
+    max count, else +inf; winner = value at argmin reach."""
+    cnt = (
+        (q[:, :, :, None] == q[:, :, None, :]) & qv[:, :, :, None] & qv[:, :, None, :]
+    ).sum(axis=3)
+    cnt = np.where(qv, cnt, 0)
+    cmax = cnt.max(axis=2)
+    # occurrence rank of slot i among equal earlier slots
+    eq = (q[:, :, :, None] == q[:, :, None, :]) & qv[:, :, :, None] & qv[:, :, None, :]
+    tri = np.tril(np.ones((4, 4), dtype=bool))
+    rank = (eq & tri[None, None]).sum(axis=3)
+    reach = np.where(qv & (rank == cmax[:, :, None]), np.arange(4)[None, None, :], 99)
+    win = reach.argmin(axis=2)
+    ii, jj = np.mgrid[0 : q.shape[0], 0 : q.shape[1]]
+    out = q[ii, jj, win]
+    return np.where(cmax > 0, out, nodata)
+
+
+def _gauss_halo_strips(tiles: DataFrame) -> DataFrame:
+    """The 2x-overview gauss window [2x, 2x+3) crosses into the NEXT
+    parent block: children on an even tile row/col ship their first
+    column/row (and corner pixel) to the previous parent."""
+    GS_SCHEMA = T.StructType(
+        [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("p_tx", T.IntegerType()),
+            T.StructField("p_ty", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("off", T.IntegerType()),
+            T.StructField("strip", T.BinaryType()),
+        ]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                tx, ty = int(r.tile_x), int(r.tile_y)
+                band = int(r.band)
+                h, w = arr.shape
+                if tx % 2 == 0 and tx > 0:
+                    rows.append(
+                        {"band": band, "p_tx": tx // 2 - 1, "p_ty": ty // 2,
+                         "kind": "col", "off": (ty % 2) * h,
+                         "strip": arr[:, 0].tobytes()}
+                    )
+                if ty % 2 == 0 and ty > 0:
+                    rows.append(
+                        {"band": band, "p_tx": tx // 2, "p_ty": ty // 2 - 1,
+                         "kind": "row", "off": (tx % 2) * w,
+                         "strip": arr[0, :].tobytes()}
+                    )
+                if tx % 2 == 0 and ty % 2 == 0 and tx > 0 and ty > 0:
+                    rows.append(
+                        {"band": band, "p_tx": tx // 2 - 1, "p_ty": ty // 2 - 1,
+                         "kind": "corner", "off": 0,
+                         "strip": arr[0:1, 0].tobytes()}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in GS_SCHEMA.fields])
+
+    return tiles.mapInPandas(emit, schema=GS_SCHEMA)
+
+
+def gauss_2x2(big: np.ndarray, nodata: float) -> np.ndarray:
+    """3x3 binomial gauss at (2x, 2y) anchors with weight
+    renormalization over valid taps (overview.cpp:1616
+    GDALResampleChunk32R_Gauss, 2x ratio -> 3x3 matrix). `big` is
+    (2h+1, 2w+1) with NaN where no source pixel exists."""
+    k = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
+    H2, W2 = big.shape
+    h, w = (H2 - 1) // 2, (W2 - 1) // 2
+    num = np.zeros((h, w))
+    den = np.zeros((h, w))
+    for j in range(3):
+        for i in range(3):
+            v = big[j : j + 2 * h : 2, i : i + 2 * w : 2]
+            ok = ~np.isnan(v) & (v != nodata)
+            num += np.where(ok, v, 0.0) * k[j, i]
+            den += np.where(ok, k[j, i], 0.0)
+    return np.where(den > 0, num / np.maximum(den, 1e-300), nodata)
+
+
 def build_overview(tiles: DataFrame, kernel: str = "average") -> DataFrame:
     """One pyramid level up (zoom-1): each output tile aggregates its
-    <=4 children with a 2x2 kernel (gcore/overview.cpp: average :144 ff,
-    nearest picks the upper-left source of each 2x2 block).
+    <=4 children (gcore/overview.cpp — average :144 ff; nearest =
+    upper-left of each 2x2 block; mode :1913 with GDAL's first-to-max
+    tie-break; gauss :1616 3x3 binomial with a 1-px cross-parent halo
+    exchange).
 
     Shuffle: groupBy parent tile — 4->1 regrouping, keys are tile ids
-    (no skew possible: fan-in is bounded by 4)."""
-    if kernel not in ("average", "nearest"):
+    (no skew possible: fan-in is bounded by 4; gauss adds 3 halo strip
+    rows per tile, ~1/128 of the pixel volume)."""
+    if kernel not in ("average", "nearest", "mode", "gauss"):
         raise ValueError(f"unsupported overview kernel: {kernel}")
 
     parent = tiles.withColumn("p_tx", F.floor(F.col("tile_x") / 2).cast("int")) \
                   .withColumn("p_ty", F.floor(F.col("tile_y") / 2).cast("int"))
+    if kernel == "gauss":
+        strips = _gauss_halo_strips(tiles).groupBy("band", "p_tx", "p_ty").agg(
+            F.collect_list(F.struct("kind", "off", "strip")).alias("_halo")
+        )
+        parent = parent.join(strips, ["band", "p_tx", "p_ty"], "left")
 
     def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
         raster_id, band, zoom, p_tx, p_ty = key
         first = pdf.iloc[0]
         w, h = int(first["width"]), int(first["height"])
-        mosaic = np.full((2 * h, 2 * w), np.float64(first["nodata"]))
-        valid = np.zeros((2 * h, 2 * w), dtype=bool)
+        pad = 1 if kernel == "gauss" else 0
+        mosaic = np.full((2 * h + pad, 2 * w + pad), np.nan)
         for r in pdf.itertuples(index=False):
             ox = (int(r.tile_x) - 2 * int(p_tx)) * w
             oy = (int(r.tile_y) - 2 * int(p_ty)) * h
             arr = _decode(r.data, r.dtype, r.height, r.width)
             mosaic[oy : oy + h, ox : ox + w] = arr
-            valid[oy : oy + h, ox : ox + w] = arr != r.nodata
-        q = mosaic.reshape(h, 2, w, 2).transpose(0, 2, 1, 3).reshape(h, w, 4)
-        qv = valid.reshape(h, 2, w, 2).transpose(0, 2, 1, 3).reshape(h, w, 4)
-        if kernel == "average":
-            cnt = qv.sum(axis=2)
-            s = np.where(qv, q, 0.0).sum(axis=2)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                out = np.where(cnt > 0, s / np.maximum(cnt, 1), first["nodata"])
-        else:  # nearest: upper-left of each 2x2 block
-            out = mosaic[0 : 2 * h : 2, 0 : 2 * w : 2]
+        if kernel == "gauss":
+            halo = first.get("_halo")
+            if halo is not None:
+                for s in halo:
+                    piece = np.frombuffer(s["strip"], dtype=np.float64)
+                    if s["kind"] == "col":
+                        mosaic[int(s["off"]) : int(s["off"]) + len(piece), 2 * w] = piece
+                    elif s["kind"] == "row":
+                        mosaic[2 * h, int(s["off"]) : int(s["off"]) + len(piece)] = piece
+                    else:
+                        mosaic[2 * h, 2 * w] = piece[0]
+            out = gauss_2x2(mosaic, float(first["nodata"]))
+        else:
+            core = mosaic[: 2 * h, : 2 * w]
+            valid = ~np.isnan(core) & (core != float(first["nodata"]))
+            core = np.where(np.isnan(core), float(first["nodata"]), core)
+            q = core.reshape(h, 2, w, 2).transpose(0, 2, 1, 3).reshape(h, w, 4)
+            qv = valid.reshape(h, 2, w, 2).transpose(0, 2, 1, 3).reshape(h, w, 4)
+            if kernel == "average":
+                cnt = qv.sum(axis=2)
+                s = np.where(qv, q, 0.0).sum(axis=2)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out = np.where(cnt > 0, s / np.maximum(cnt, 1), first["nodata"])
+            elif kernel == "mode":
+                out = _mode_2x2(q, qv, float(first["nodata"]))
+            else:  # nearest: upper-left of each 2x2 block
+                out = core[0 : 2 * h : 2, 0 : 2 * w : 2]
         out = _gdal_cast(out, first["dtype"])
         # parent tile geotransform: doubled pixel size, origin of block
         gt = list(first["geotransform"])
@@ -274,14 +386,17 @@ def warp_affine(
     the window and runs the numpy kernel (gdalwarpkernel.cpp:101-137).
     Only the src tiles actually needed move through the shuffle.
     """
-    if kernel not in ("nearest", "bilinear", "cubic"):
+    if kernel not in ("nearest", "bilinear", "cubic", "lanczos", "average"):
         raise ValueError(f"unsupported warp kernel: {kernel}")
     sx0, sy0 = src_zoom_origin
     dx0, dy0 = dst_origin
     spark = tiles.sparkSession
     ts = tile_px if tile_px is not None else TILE_SIZE
     sts = src_tile_px if src_tile_px is not None else ts
-    margin = {"nearest": 1, "bilinear": 2, "cubic": 3}[kernel]
+    margin = {
+        "nearest": 1, "bilinear": 2, "cubic": 3, "lanczos": 4,
+        "average": max(2, int(math.ceil(dst_res / src_res)) + 1),
+    }[kernel]
 
     dst = spark.range(0, dst_tiles_x * dst_tiles_y, 1).select(
         (F.col("id") % dst_tiles_x).cast("int").alias("d_tx"),
@@ -354,7 +469,24 @@ def warp_affine(
         spy = (sy0 - wy) / src_res - 0.5
         lx = spx - tx_min * sts
         ly = spy - ty_min * sts
-        if kernel == "nearest":
+        if kernel == "average":
+            # GWKAverageOrMode (alg/gdalwarpkernel.cpp GRA_Average):
+            # plain mean over the dst pixel's integer source-pixel
+            # footprint, evaluated with one summed-area table — O(1)
+            # per dst pixel at any downsampling factor
+            fx0 = (dx0 + (d_tx * ts + ii) * dst_res - sx0) / src_res - tx_min * sts
+            fy0 = (sy0 - (dy0 - (d_ty * ts + jj) * dst_res)) / src_res - ty_min * sts
+            px0 = np.clip(np.floor(fx0 + 1e-8).astype(np.int64), 0, W - 1)
+            px1 = np.clip(np.ceil(fx0 + dst_res / src_res - 1e-8).astype(np.int64), 1, W)
+            py0 = np.clip(np.floor(fy0 + 1e-8).astype(np.int64), 0, H - 1)
+            py1 = np.clip(np.ceil(fy0 + dst_res / src_res - 1e-8).astype(np.int64), 1, H)
+            px1 = np.maximum(px1, px0 + 1)
+            py1 = np.maximum(py1, py0 + 1)
+            sat = np.zeros((H + 1, W + 1))
+            sat[1:, 1:] = mosaic.cumsum(axis=0).cumsum(axis=1)
+            s = sat[py1, px1] - sat[py0, px1] - sat[py1, px0] + sat[py0, px0]
+            out = s / ((px1 - px0) * (py1 - py0))
+        elif kernel == "nearest":
             xi = np.clip(np.round(lx).astype(np.int64), 0, W - 1)
             yi = np.clip(np.round(ly).astype(np.int64), 0, H - 1)
             out = mosaic[yi, xi]
@@ -404,6 +536,44 @@ def warp_affine(
                 )
                 cub = cub + row * wy[j + 1]
             out = np.where(interior, cub, out)
+        if kernel == "lanczos":
+            # Lanczos-3 windowed sinc (GWKLanczosSinc,
+            # alg/gdalwarpkernel.cpp:874-905; radius 3 per
+            # anGWKFilterRadius), weights normalized by their sum like
+            # GWKResampleOptimizedLanczos; bilinear fallback where the
+            # 6x6 support would leave the assembled window (`out`
+            # currently holds that bilinear value)
+            ix = np.floor(lx).astype(np.int64)
+            iy = np.floor(ly).astype(np.int64)
+            dxf = lx - ix
+            dyf = ly - iy
+            interior = (ix - 2 >= 0) & (ix + 3 <= W - 1) & (iy - 2 >= 0) & (iy + 3 <= H - 1)
+            ixc = np.clip(ix, 2, max(W - 4, 2))
+            iyc = np.clip(iy, 2, max(H - 4, 2))
+
+            def lweight(d):
+                # normalized sinc(d) * sinc(d/3), |d| < 3
+                a = np.pi * d
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    w = np.where(
+                        np.abs(d) < 1e-12,
+                        1.0,
+                        3.0 * np.sin(a) * np.sin(a / 3.0) / (a * a),
+                    )
+                return np.where(np.abs(d) >= 3.0, 0.0, w)
+
+            wxs = [lweight(dxf - k) for k in range(-2, 4)]
+            wys = [lweight(dyf - k) for k in range(-2, 4)]
+            wsum_x = sum(wxs)
+            wsum_y = sum(wys)
+            acc = np.zeros_like(out)
+            for j, wy_ in enumerate(wys):
+                row = np.zeros_like(out)
+                for i, wx_ in enumerate(wxs):
+                    row = row + mosaic[iyc + j - 2, ixc + i - 2] * wx_
+                acc = acc + row * wy_
+            acc = acc / (wsum_x * wsum_y)
+            out = np.where(interior, acc, out)
         out = _gdal_cast(out, str(first["dtype"]))
         return pd.DataFrame(
             [{

@@ -748,6 +748,10 @@ def oracle_entries() -> dict:
         "minhash_pairs": sql_minhash_pairs,
         "simhash_table": sql_simhash_table,
         "ann_lsh_topk": sql_ann_lsh_topk,
+        "overview_mode_checksums": sql_overview_mode_checksums,
+        "overview_gauss_checksums": sql_overview_gauss_checksums,
+        "warp_average_checksums": sql_warp_average_checksums,
+        "warp_lanczos_checksums": sql_warp_lanczos_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -814,3 +818,106 @@ def overlay_zone_remainders(full: bool, zone_g: int = 8):
         if rem > 1e-9:
             rows.append((zid, eas, _round6(rem)))
     return rows
+
+
+# ================================================== extra overview / warp
+def sql_overview_mode_checksums() -> str:
+    """Per-pixel Python port of GDAL's mode scan (first value whose
+    count reaches the max in row-major order) — independent of the
+    engine's vectorized tie-break."""
+    g = global_mosaic(2, 2)
+    H, W = g.shape
+    out = np.empty((H // 2, W // 2), dtype=np.float64)
+    for y in range(H // 2):
+        for x in range(W // 2):
+            counts = {}
+            best_v, best_c = None, 0
+            for v in (g[2 * y, 2 * x], g[2 * y, 2 * x + 1],
+                      g[2 * y + 1, 2 * x], g[2 * y + 1, 2 * x + 1]):
+                v = float(v)
+                counts[v] = counts.get(v, 0) + 1
+                if counts[v] > best_c:
+                    best_c = counts[v]
+                    best_v = v
+            out[y, x] = best_v
+    out = _gdal_cast_local(out, "uint8")
+    return values_sql(tile_checksums(out, 256, "byte_like", 1, 11), CKS_COLS, CKS_TYPES)
+
+
+def sql_overview_gauss_checksums() -> str:
+    from gdal_spark.tiling import gauss_2x2
+
+    g = global_mosaic(4, 4).astype(np.float64)
+    big = np.full((1025, 1025), np.nan)
+    big[:1024, :1024] = g
+    out = _gdal_cast_local(gauss_2x2(big, 0.0), "uint8")
+    return values_sql(tile_checksums(out, 256, "byte_like", 1, 11), CKS_COLS, CKS_TYPES)
+
+
+def sql_warp_average_checksums() -> str:
+    res = _zoom_res(12)
+    x0 = -math.pi * _R_EARTH
+    ytop = x0 + 2 * 256 * res
+    g = global_mosaic(2, 2).astype(np.float64)
+    # dst 256px at 2x res: each dst pixel averages its exact 2x2 block
+    sat = np.zeros((513, 513))
+    sat[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+    jj, ii = np.mgrid[0:256, 0:256]
+    px0, py0 = 2 * ii, 2 * jj
+    s = sat[py0 + 2, px0 + 2] - sat[py0, px0 + 2] - sat[py0 + 2, px0] + sat[py0, px0]
+    out = _gdal_cast_local(s / 4.0, "uint8")
+    return values_sql(tile_checksums(out, 256, "warped", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def sql_warp_lanczos_checksums() -> str:
+    res = _zoom_res(12)
+    x0 = -math.pi * _R_EARTH
+    ytop = x0 + 2 * 256 * res
+    g = global_mosaic(2, 2).astype(np.float64)
+    H, W = g.shape
+    dst_res = res * 1.5
+    jj, ii = np.mgrid[0:256, 0:256]
+    # mirror the engine's meter-space association exactly: lanczos of
+    # the integer ramp lands many values next to the +0.5 cast
+    # boundary, so a 5e-11 lx difference flips ~124 pixels
+    wx = x0 + (ii + 0.5) * dst_res
+    wy = ytop - (jj + 0.5) * dst_res
+    lx = (wx - x0) / res - 0.5
+    ly = (ytop - wy) / res - 0.5
+    # bilinear fallback value
+    x0i = np.clip(np.floor(lx).astype(np.int64), 0, W - 1)
+    y0i = np.clip(np.floor(ly).astype(np.int64), 0, H - 1)
+    x1i = np.clip(x0i + 1, 0, W - 1)
+    y1i = np.clip(y0i + 1, 0, H - 1)
+    fx = np.clip(lx - x0i, 0.0, 1.0)
+    fy = np.clip(ly - y0i, 0.0, 1.0)
+    out = (
+        g[y0i, x0i] * (1 - fx) * (1 - fy) + g[y0i, x1i] * fx * (1 - fy)
+        + g[y1i, x0i] * (1 - fx) * fy + g[y1i, x1i] * fx * fy
+    )
+    ix = np.floor(lx).astype(np.int64)
+    iy = np.floor(ly).astype(np.int64)
+    dxf, dyf = lx - ix, ly - iy
+    interior = (ix - 2 >= 0) & (ix + 3 <= W - 1) & (iy - 2 >= 0) & (iy + 3 <= H - 1)
+    ixc = np.clip(ix, 2, W - 4)
+    iyc = np.clip(iy, 2, H - 4)
+
+    def lw(d):
+        a = np.pi * d
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where(np.abs(d) < 1e-12, 1.0,
+                         3.0 * np.sin(a) * np.sin(a / 3.0) / (a * a))
+        return np.where(np.abs(d) >= 3.0, 0.0, w)
+
+    wxs = [lw(dxf - k) for k in range(-2, 4)]
+    wys = [lw(dyf - k) for k in range(-2, 4)]
+    acc = np.zeros_like(out)
+    for j, wy_ in enumerate(wys):
+        row = np.zeros_like(out)
+        for i, wx_ in enumerate(wxs):
+            row = row + g[iyc + j - 2, ixc + i - 2] * wx_
+        acc = acc + row * wy_
+    acc = acc / (sum(wxs) * sum(wys))
+    out = np.where(interior, acc, out)
+    out = _gdal_cast_local(out, "uint8")
+    return values_sql(tile_checksums(out, 256, "warped", 1, 12), CKS_COLS, CKS_TYPES)

@@ -256,3 +256,28 @@ def test_retile_roundtrip(spark):
     gt0 = tiles.filter("tile_x = 1").first()["geotransform"]
     gtb = back.filter("tile_x = 1").first()["geotransform"]
     assert list(gt0) == list(gtb)
+
+
+def test_mode_tiebreak_first_to_max():
+    """GDAL's mode picks the value whose count FIRST reaches the max in
+    row-major scan (overview.cpp histogram path) — pin the vectorized
+    tie-break against hand-computed cases."""
+    import numpy as np
+
+    from gdal_spark.tiling import _mode_2x2
+
+    # blocks in scan order [r0c0, r0c1, r1c0, r1c1]
+    cases = [
+        ([7.0, 8.0, 9.0, 1.0], 7.0),   # all distinct -> first
+        ([5.0, 5.0, 9.0, 9.0], 5.0),   # 5 reaches 2 at slot 1
+        ([9.0, 5.0, 5.0, 9.0], 5.0),   # 5 reaches 2 at slot 2, 9 at 3
+        ([9.0, 5.0, 9.0, 5.0], 9.0),   # 9 reaches 2 at slot 2
+        ([3.0, 3.0, 3.0, 1.0], 3.0),
+    ]
+    q = np.array([[c for c, _ in cases]])
+    qv = np.ones_like(q, dtype=bool)
+    out = _mode_2x2(q, qv, -1.0)
+    assert out[0].tolist() == [e for _, e in cases]
+    # all-invalid block -> nodata
+    out2 = _mode_2x2(q[:, :1], np.zeros_like(q[:, :1], dtype=bool), -1.0)
+    assert out2[0, 0] == -1.0
