@@ -469,6 +469,32 @@ def _q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RST.value_counts(burned)
 
 
+def _q_rasterize_alltouched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL_TOUCHED burn (alg/gdalrasterize.cpp:573-613) on a grid whose
+    lon borders land on half-integer pixels (6 deg/px vs 45 deg zones)
+    and whose lat resolution is deliberately misaligned (2.8125 deg/px
+    vs 21.25 deg zones) — partial-coverage pixels differ from the
+    center-in burn everywhere."""
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
+    burned = RST.rasterize_zones(
+        spark, zidx, 2, 2, tile_px=30, res_x=6.0, res_y=2.8125,
+        all_touched=True,
+    )
+    return RST.value_counts(burned)
+
+
+_ADD_MARGIN = 2.7001
+
+
+def _q_rasterize_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE_ALG=ADD (alg/gdalrasterize.cpp:605) over OVERLAPPING
+    zones (each rect expanded by 2.7001 deg): burn = sum of every
+    matching zone_id."""
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G, margin=_ADD_MARGIN))
+    burned = RST.rasterize_zones(spark, zidx, 4, 4, tile_px=128, merge_alg="add")
+    return RST.value_counts(burned)
+
+
 _R_EARTH = 6378137.0
 _R_RES12 = 2 * math.pi * _R_EARTH / 256 / (2**ZOOM)
 _R_X0 = -math.pi * _R_EARTH
@@ -858,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_functions": _q_geometry_functions,
         "geometry_predicates": _q_geometry_predicates,
         "rasterize_counts": _q_rasterize_counts,
+        "rasterize_alltouched": _q_rasterize_alltouched,
+        "rasterize_add": _q_rasterize_add,
         "raster_locate": _q_raster_locate,
         "hstore_get": _q_hstore,
         "embed_neardup": _q_embed_neardup,
@@ -1313,6 +1341,63 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM p
         """,
         "rasterize_counts": _rasterize_sql(),
+        "rasterize_alltouched": f"""
+            WITH px AS (
+              SELECT a.range AS gx, b.range AS gy
+              FROM range(60) a CROSS JOIN range(60) b
+            ), zs AS (
+              SELECT zid,
+                     -180.0 + CAST(zid // {ZONE_G} AS DOUBLE) * 45.0 AS zx0,
+                     -180.0 + CAST(zid // {ZONE_G} + 1 AS DOUBLE) * 45.0 AS zx1,
+                     -85.0 + CAST(zid % {ZONE_G} AS DOUBLE) * 21.25 AS zy0,
+                     -85.0 + CAST(zid % {ZONE_G} + 1 AS DOUBLE) * 21.25 AS zy1
+              FROM (SELECT UNNEST(range({ZONE_G * ZONE_G})) AS zid)
+              WHERE (zid * {KNUTH} % {MOD32}) % 10 <> 0
+            ), m AS (
+              SELECT gx, gy, MIN(zid) AS v
+              FROM px LEFT JOIN zs ON
+                   zx0 < -180.0 + (CAST(gx AS DOUBLE) + 1) * 6.0
+               AND zx1 > -180.0 + CAST(gx AS DOUBLE) * 6.0
+               AND zy0 < 85.0 - CAST(gy AS DOUBLE) * 2.8125
+               AND zy1 > 85.0 - (CAST(gy AS DOUBLE) + 1) * 2.8125
+              GROUP BY gx, gy
+            )
+            SELECT CAST(gx // 30 AS INTEGER) AS tile_x,
+                   CAST(gy // 30 AS INTEGER) AS tile_y,
+                   CAST(COALESCE(v, -1) AS BIGINT) AS value,
+                   CAST(COUNT(*) AS BIGINT) AS npix
+            FROM m GROUP BY tile_x, tile_y, value
+        """,
+        "rasterize_add": f"""
+            WITH px AS (
+              SELECT a.range AS gx, b.range AS gy
+              FROM range(512) a CROSS JOIN range(512) b
+            ), c AS (
+              SELECT gx, gy,
+                     -180.0 + (CAST(gx AS DOUBLE) + 0.5) * {360.0 / 512} AS lon,
+                     85.0 - (CAST(gy AS DOUBLE) + 0.5) * {170.0 / 512} AS lat
+              FROM px
+            ), zs AS (
+              SELECT zid,
+                     -180.0 + CAST(zid // {ZONE_G} AS DOUBLE) * 45.0 - {_ADD_MARGIN} AS zx0,
+                     -180.0 + CAST(zid // {ZONE_G} + 1 AS DOUBLE) * 45.0 + {_ADD_MARGIN} AS zx1,
+                     -85.0 + CAST(zid % {ZONE_G} AS DOUBLE) * 21.25 - {_ADD_MARGIN} AS zy0,
+                     -85.0 + CAST(zid % {ZONE_G} + 1 AS DOUBLE) * 21.25 + {_ADD_MARGIN} AS zy1
+              FROM (SELECT UNNEST(range({ZONE_G * ZONE_G})) AS zid)
+              WHERE (zid * {KNUTH} % {MOD32}) % 10 <> 0
+            ), m AS (
+              SELECT gx, gy,
+                     CASE WHEN COUNT(zid) = 0 THEN -1 ELSE SUM(zid) END AS v
+              FROM c LEFT JOIN zs ON
+                   lon > zx0 AND lon < zx1 AND lat > zy0 AND lat < zy1
+              GROUP BY gx, gy
+            )
+            SELECT CAST(gx // 128 AS INTEGER) AS tile_x,
+                   CAST(gy // 128 AS INTEGER) AS tile_y,
+                   CAST(v AS BIGINT) AS value,
+                   CAST(COUNT(*) AS BIGINT) AS npix
+            FROM m GROUP BY tile_x, tile_y, value
+        """,
         "raster_locate": _locate_sql(),
         "hstore_get": """
             SELECT n_nationkey, n_name AS name_val,

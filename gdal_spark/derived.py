@@ -48,11 +48,12 @@ DERIVED_LAT_SQL = "(-85.0 + CAST(((doc_id + 1) * 2654435761) % 4294967296 AS DOU
 
 
 # ------------------------------------------------------------- oracle zones
-def rect_zone_grid(g: int = 8) -> pd.DataFrame:
+def rect_zone_grid(g: int = 8, margin: float = 0.0) -> pd.DataFrame:
     """g x g rect zones over lon[-180,180) lat[-85,85) with deterministic
     holes (zone dropped when (zone_id*KNUTH % 2^32) % 10 == 0). Returned
     in the engine's zone schema (quads) so the cover/PIP path runs
-    unchanged."""
+    unchanged. `margin` expands every rect outward — neighbors then
+    OVERLAP, which exercises multi-match semantics (MERGE_ALG=ADD)."""
     pitch_x, pitch_y = 360.0 / g, 170.0 / g
     rows = []
     for zi in range(g):
@@ -60,8 +61,8 @@ def rect_zone_grid(g: int = 8) -> pd.DataFrame:
             zone_id = zi * g + zj
             if (zone_id * KNUTH % MOD32) % 10 == 0:
                 continue
-            x0, x1 = -180.0 + zi * pitch_x, -180.0 + (zi + 1) * pitch_x
-            y0, y1 = -85.0 + zj * pitch_y, -85.0 + (zj + 1) * pitch_y
+            x0, x1 = -180.0 + zi * pitch_x - margin, -180.0 + (zi + 1) * pitch_x + margin
+            y0, y1 = -85.0 + zj * pitch_y - margin, -85.0 + (zj + 1) * pitch_y + margin
             xs = [x0, x1, x1, x0]
             ys = [y0, y0, y1, y1]
             verts = [f"{x} {y}" for x, y in zip(xs, ys)]

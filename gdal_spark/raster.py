@@ -206,6 +206,64 @@ def pixel_calc(tiles: DataFrame, func: str, out_dtype: str = "float64",
 
 
 # --------------------------------------------------------------- rasterize
+def _edge_interior_cells(px0, py0, px1, py1, n):
+    """Grid cells (gx, gy) whose INTERIOR the segment crosses, exact
+    DDA: split at every grid-line crossing, classify sub-segment
+    midpoints. A segment lying exactly on a grid line yields nothing."""
+    eps = 1e-9
+    if abs(px0 - px1) < eps and abs(px0 - round(px0)) < eps:
+        return []
+    if abs(py0 - py1) < eps and abs(py0 - round(py0)) < eps:
+        return []
+    ts = {0.0, 1.0}
+    dx, dy = px1 - px0, py1 - py0
+    if abs(dx) > eps:
+        for g in range(int(np.ceil(min(px0, px1))), int(np.floor(max(px0, px1))) + 1):
+            ts.add((g - px0) / dx)
+    if abs(dy) > eps:
+        for g in range(int(np.ceil(min(py0, py1))), int(np.floor(max(py0, py1))) + 1):
+            ts.add((g - py0) / dy)
+    out = []
+    tl = sorted(t for t in ts if 0.0 <= t <= 1.0)
+    for t0, t1 in zip(tl[:-1], tl[1:]):
+        tm = (t0 + t1) / 2.0
+        mx = px0 + tm * dx
+        my = py0 + tm * dy
+        cx, cy = int(np.floor(mx)), int(np.floor(my))
+        if 0 <= cx < n and 0 <= cy < n:
+            # midpoint on a grid line (axis-aligned boundary run) -> no interior
+            if abs(mx - round(mx)) < eps or abs(my - round(my)) < eps:
+                continue
+            out.append((cx, cy))
+    return out
+
+
+def _burn_all_touched(arr, cov, tile_x0w, tile_ytopw, rx, ry, n):
+    """Edge pass of ALL_TOUCHED: burn (lowest zone_id wins) every cell
+    whose interior a zone ring edge crosses."""
+    tile_x1w = tile_x0w + n * rx
+    tile_y1w = tile_ytopw - n * ry
+    cand = np.where(
+        (cov.zxmin < tile_x1w) & (cov.zxmax > tile_x0w)
+        & (cov.zymin < tile_ytopw) & (cov.zymax > tile_y1w)
+    )[0]
+    for z in cand:
+        L = int(cov.ring_len[z])
+        o = int(cov.ring_off[z])
+        vx = cov.ring_x[o : o + L]
+        vy = cov.ring_y[o : o + L]
+        zid = int(cov.zone_id[z])
+        for k in range(L):
+            px0 = (vx[k] - tile_x0w) / rx
+            py0 = (tile_ytopw - vy[k]) / ry
+            px1 = (vx[(k + 1) % L] - tile_x0w) / rx
+            py1 = (tile_ytopw - vy[(k + 1) % L]) / ry
+            for cx, cy in _edge_interior_cells(px0, py0, px1, py1, n):
+                cur = arr[cy, cx]
+                if cur == -1 or zid < cur:
+                    arr[cy, cx] = zid
+
+
 def rasterize_zones(
     spark,
     zindex,
@@ -219,6 +277,8 @@ def rasterize_zones(
     extent_x: float = 360.0,
     extent_y: float = 170.0,
     raster_id: str = "zones_burn",
+    all_touched: bool = False,
+    merge_alg: str = "replace",
 ) -> DataFrame:
     """Vector -> raster burn (gdal_rasterize, alg/gdalrasterize.cpp;
     app apps/gdal_rasterize_lib.cpp:598). GDAL default semantics: a
@@ -226,15 +286,27 @@ def rasterize_zones(
     off, gdalrasterize.cpp:573-613); burn value = zone_id with
     MERGE_ALG=REPLACE resolved deterministically to the lowest zone_id.
 
+    all_touched=True (gdalrasterize.cpp ALL_TOUCHED): additionally
+    burns every pixel whose cell INTERIOR a zone edge passes through
+    (exact grid DDA per edge; segments lying exactly on a grid line
+    touch no interior) — together with the center pass this equals
+    strict rectangle/convex overlap.
+
+    merge_alg='add' (MERGE_ALG=ADD, :605): the burn values of ALL
+    matching zones sum instead of first-match-replace.
+
     Spark shape: the tile list is a spark.range map stage; each task
     computes its pixel-center grid and runs the SAME broadcast-cover
-    first-match kernel as the PIP join (index.first_match_packed) over
-    all centers at once — rasterize IS a dense PIP join. No shuffle.
+    kernels as the PIP join over all centers at once — rasterize IS a
+    dense PIP join. The all_touched edge pass walks the (tiny) set of
+    zone edges overlapping the tile. No shuffle.
     Output: int32 tiles, nodata -1 (outside every zone / hole zones).
     """
     from .cells import np_geo_cell
-    from .index import first_match_packed
+    from .index import eval_pairs_packed, first_match_packed
 
+    if merge_alg not in ("replace", "add"):
+        raise ValueError(merge_alg)
     rx = res_x if res_x is not None else extent_x / (ntx * tile_px)
     ry = res_y if res_y is not None else extent_y / (nty * tile_px)
     bc, level = zindex.bc, zindex.level
@@ -257,8 +329,22 @@ def rasterize_zones(
                 flat_lat = LAT.ravel()
                 cov = bc.value
                 cell = np_geo_cell(flat_lon, flat_lat, level)
-                zone, _ = first_match_packed(cov, cell, flat_lon, flat_lat)
+                if merge_alg == "add":
+                    pix, zpos = eval_pairs_packed(cov, cell, flat_lon, flat_lat)
+                    acc = np.zeros(len(flat_lon), dtype=np.int64)
+                    hits = np.zeros(len(flat_lon), dtype=np.int64)
+                    if len(pix):
+                        np.add.at(acc, pix, cov.zone_id[zpos])
+                        np.add.at(hits, pix, 1)
+                    zone = np.where(hits > 0, acc, -1)
+                else:
+                    zone, _ = first_match_packed(cov, cell, flat_lon, flat_lat)
                 arr = zone.astype(np.int32).reshape(tile_px, tile_px)
+                if all_touched:
+                    _burn_all_touched(
+                        arr, cov, x0 + tx * tile_px * rx,
+                        y_top - ty * tile_px * ry, rx, ry, tile_px,
+                    )
                 rows.append(
                     {
                         "raster_id": raster_id, "band": 1, "zoom": 0,
