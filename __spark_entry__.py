@@ -806,6 +806,30 @@ def _q_reproject_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", mx.alias("mx"), F.round(my, 2).alias("my"))
 
 
+def _q_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM projection (ogr/ogrct.cpp:1822 for arbitrary CRS; here the
+    Snyder closed-form Transverse Mercator validated against PP 1395's
+    worked example): every point into its native zone (WGS84) plus the
+    fixture CRS EPSG:26711 (NAD27 zone 11, Clarke 1866) for points in
+    its band. Pure JVM column math — no UDF."""
+    from gdal_spark import crs
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        (F.col("lat") > -80.0) & (F.col("lat") < 84.0)
+    )
+    zone, e, n = crs.utm_forward_native(F.col("lon"), F.col("lat"))
+    e27, n27 = crs.utm_forward(F.col("lon"), F.col("lat"), 11, "clrk66")
+    in11 = (F.col("lon") >= -120.0) & (F.col("lon") < -114.0)
+    return d.select(
+        "doc_id",
+        zone.alias("zone"),
+        F.round(e, 3).alias("easting"),
+        F.round(n, 3).alias("northing"),
+        F.round(F.when(in11, e27), 3).alias("e_nad27_z11"),
+        F.round(F.when(in11, n27), 3).alias("n_nad27_z11"),
+    )
+
+
 def _q_mosaic_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = synth.tiles_src_df(spark, 2, 2)
     patch = synth.tiles_src_df(spark, 1, 1, raster_id="patch", seed=9)
@@ -894,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_dialect": _q_sql_dialect,
         "tile_index": _q_tile_index,
         "reproject_3857": _q_reproject_3857,
+        "utm_transform": _q_utm,
         "mosaic_checksums": _q_mosaic_checksums,
         "dem_tri_checksums": _q_dem_tri,
         "dem_aspect_checksums": _q_dem_aspect,
@@ -1119,6 +1144,38 @@ def _overlay_union_sql(which: str) -> str:
         UNION ALL
     """
     return _OVERLAY_CTE + inter + doc_rem + " UNION ALL " + zleg
+
+
+def _utm_sql() -> str:
+    """Oracle = the SAME Snyder series emitted as SQL text with
+    identical association order (crs._tm_forward dual backend)."""
+    from gdal_spark.crs import ELLIPSOIDS, _Sql, _SqlBackend, _tm_forward
+
+    lon = _Sql("lon")
+    lat = _Sql("lat")
+    lon0 = _Sql("((CAST(zone AS DOUBLE) * 6.0) - 183.0)")
+    a, f = ELLIPSOIDS["WGS84"]
+    e, n = _tm_forward(_SqlBackend, lon, lat, lon0, a, f)
+    a2, f2 = ELLIPSOIDS["clrk66"]
+    e27, n27 = _tm_forward(_SqlBackend, lon, lat, -117.0, a2, f2)
+    return f"""
+        WITH b AS (
+          SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+        ), c AS (
+          SELECT doc_id, lon, lat,
+                 LEAST(60, GREATEST(1,
+                   CAST(FLOOR((lon + 180.0) / 6.0) + 1 AS INTEGER))) AS zone
+          FROM b WHERE lat > -80.0 AND lat < 84.0
+        )
+        SELECT doc_id, zone,
+               ROUND({e}, 3) AS easting,
+               ROUND({n}, 3) AS northing,
+               CASE WHEN lon >= -120.0 AND lon < -114.0
+                    THEN ROUND({e27}, 3) END AS e_nad27_z11,
+               CASE WHEN lon >= -120.0 AND lon < -114.0
+                    THEN ROUND({n27}, 3) END AS n_nad27_z11
+        FROM c
+    """
 
 
 def _rasterize_sql() -> str:
@@ -1499,6 +1556,7 @@ def _oracle_sql_static() -> dict[str, str]:
             GROUP BY user_id
         """,
         "graph_sssp": _sssp_oracle_sql(),
+        "utm_transform": _utm_sql(),
         "reproject_3857": f"""
             SELECT doc_id,
                    lon * 20037508.342789244 / 180.0 AS mx,
