@@ -547,6 +547,47 @@ def _q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DRV.with_derived_points(_read(spark, sf_dir, "documents")).withColumn(
+        "v", (F.col("doc_id") % 97).cast("double")
+    )
+
+
+def _q_grid_kernel(alg: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gdal_spark.gridding import grid_interpolate
+
+        out = grid_interpolate(
+            _grid_points(spark, sf_dir), "v", ntx=4, nty=4, tile_px=8,
+            algorithm=alg, radius=30.0,
+        )
+        if alg != "count":
+            out = out.filter(F.col("value").isNotNull())
+        return out.select("gx", "gy", F.round("value", 6).alias("value"))
+
+    return q
+
+
+def _q_contour_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.contour import contour_polylines
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    out = contour_polylines(tiles, [64.0, 128.5, 200.0])
+    return out.select(
+        "level", "n_polylines", "n_closed", "n_segments",
+        F.round("length", 6).alias("length"),
+    )
+
+
+_RELIEF_RAMP = [(0.0, 0, 0, 128), (64.0, 0, 128, 0),
+                (128.0, 255, 255, 0), (255.0, 255, 0, 0)]
+
+
+def _q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(RST.color_relief(tiles, _RELIEF_RAMP))
+
+
 def _q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return TX.word_ngram_jaccard_dedup(d, "text", "doc_id", n=2, threshold=0.5).select(
@@ -914,6 +955,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hstore_get": _q_hstore,
         "embed_neardup": _q_embed_neardup,
         "idw_grid": _q_idw_grid,
+        "grid_nearest": _q_grid_kernel("nearest"),
+        "grid_average": _q_grid_kernel("average"),
+        "grid_count": _q_grid_kernel("count"),
+        "grid_range": _q_grid_kernel("range"),
+        "contour_polylines": _q_contour_polylines,
+        "color_relief_checksums": _q_color_relief,
         "jaccard_dedup": _q_jaccard_dedup,
         "sql_dialect": _q_sql_dialect,
         "tile_index": _q_tile_index,
@@ -1144,6 +1191,34 @@ def _overlay_union_sql(which: str) -> str:
         UNION ALL
     """
     return _OVERLAY_CTE + inter + doc_rem + " UNION ALL " + zleg
+
+
+def _grid_sql(agg_expr: str, in_radius_only: bool) -> str:
+    """gdal_grid oracle on the shared 32x32 scaffold: `agg_expr`
+    aggregates the points within radius (or all, for count)."""
+    where = "WHERE d2 <= 900.0" if in_radius_only else ""
+    return f"""
+        WITH pts AS (
+          SELECT {_LON} AS lon, {_LAT} AS lat,
+                 CAST(doc_id % 97 AS DOUBLE) AS v
+          FROM documents
+        ), px AS (
+          SELECT a.range AS gx, b.range AS gy
+          FROM range(32) a CROSS JOIN range(32) b
+        ), c AS (
+          SELECT gx, gy,
+                 -180.0 + (CAST(gx AS DOUBLE) + 0.5) * {360.0 / 32} AS plon,
+                 85.0 - (CAST(gy AS DOUBLE) + 0.5) * {170.0 / 32} AS plat
+          FROM px
+        ), d AS (
+          SELECT gx, gy, v,
+                 (plon - lon) * (plon - lon) + (plat - lat) * (plat - lat) AS d2
+          FROM c CROSS JOIN pts
+        )
+        SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+               {agg_expr} AS value
+        FROM d {where} GROUP BY gx, gy
+    """
 
 
 def _utm_sql() -> str:
@@ -1492,6 +1567,12 @@ def _oracle_sql_static() -> dict[str, str]:
                    ROUND(num / den, 6) AS value
             FROM j
         """,
+        "grid_nearest": _grid_sql("ROUND(arg_min(v, d2), 6)", True),
+        "grid_average": _grid_sql("ROUND(AVG(v), 6)", True),
+        "grid_count": _grid_sql(
+            "CAST(SUM(CASE WHEN d2 <= 900.0 THEN 1 ELSE 0 END) AS DOUBLE)", False
+        ),
+        "grid_range": _grid_sql("ROUND(MAX(v) - MIN(v), 6)", True),
         "jaccard_dedup": """
             WITH t AS (
               SELECT doc_id,
@@ -1600,4 +1681,13 @@ def oracle_sql() -> dict[str, str]:
             d.setdefault(name, _overlay_union_sql(which))
         except Exception:
             pass
+    try:
+        import localref
+
+        d.setdefault(
+            "color_relief_checksums",
+            localref.sql_color_relief_checksums(_RELIEF_RAMP),
+        )
+    except Exception:
+        pass
     return d

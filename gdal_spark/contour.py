@@ -166,3 +166,267 @@ def contour_totals(tiles: DataFrame, levels: list[float]) -> DataFrame:
         F.sum("n_segments").alias("n_segments"),
         F.sum("length").alias("length"),
     )
+
+
+# ------------------------------------------------------- polyline stitching
+def cell_segment_coords(A, B, C, D, level, cx, cy):
+    """Marching-squares segments WITH coordinates: (x0, y0, x1, y1)
+    arrays in global pixel units for flat corner arrays A..D at cell
+    top-left coords (cx, cy). Shared by the distributed op and the
+    single-node oracle — endpoints on a shared cell edge interpolate
+    from the same two corner values, so they are bit-identical across
+    neighboring cells (what makes quantized stitching exact)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_top = (level - A) / (B - A)
+        t_right = (level - B) / (C - B)
+        t_bot = (level - D) / (C - D)
+        t_left = (level - A) / (D - A)
+    ex = np.stack([cx + t_top, cx + 1.0, cx + t_bot, cx + 0.0])
+    ey = np.stack([cy + 0.0, cy + t_right, cy + 1.0, cy + t_left])
+    bits = (
+        (A >= level).astype(np.int64)
+        + 2 * (B >= level).astype(np.int64)
+        + 4 * (C >= level).astype(np.int64)
+        + 8 * (D >= level).astype(np.int64)
+    )
+    segs = []
+
+    def add(mask, e1, e2):
+        idx = np.where(mask)[0]
+        if len(idx):
+            segs.append(
+                np.stack([ex[e1][idx], ey[e1][idx], ex[e2][idx], ey[e2][idx]], axis=1)
+            )
+
+    for case, pairs in _CASES.items():
+        m = bits == case
+        for e1, e2 in pairs:
+            add(m, e1, e2)
+    center = (A + B + C + D) / 4.0
+    for case in (5, 10):
+        m = bits == case
+        if not m.any():
+            continue
+        hi = m & (center >= level)
+        lo = m & ~(center >= level)
+        if case == 5:
+            add(hi, 0, 1); add(hi, 2, 3); add(lo, 3, 0); add(lo, 1, 2)
+        else:
+            add(hi, 3, 0); add(hi, 1, 2); add(lo, 0, 1); add(lo, 2, 3)
+    if not segs:
+        return np.empty((0, 4))
+    out = np.concatenate(segs)
+    keep = (out[:, 0] != out[:, 2]) | (out[:, 1] != out[:, 3])
+    return out[keep]
+
+
+SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+    ]
+)
+
+
+def contour_segments(tiles: DataFrame, levels: list[float]) -> DataFrame:
+    """Per-level iso-segments with GLOBAL pixel coordinates (same cell
+    ownership + halo-strip plan as contour())."""
+    from .raster import _neighbor_strips
+
+    strips = _neighbor_strips(tiles).groupBy("dst_tx", "dst_ty").agg(
+        F.collect_list(F.struct("dx", "dy", "strip")).alias("halo")
+    )
+    j = tiles.join(
+        strips,
+        (tiles.tile_x == strips.dst_tx) & (tiles.tile_y == strips.dst_ty),
+        "left",
+    ).drop("dst_tx", "dst_ty")
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                H, W = arr.shape
+                right = bottom = corner = None
+                if r.halo is not None:
+                    for s in r.halo:
+                        piece = np.frombuffer(s["strip"], dtype=np.float64)
+                        if s["dx"] == 1 and s["dy"] == 0:
+                            right = piece
+                        elif s["dx"] == 0 and s["dy"] == 1:
+                            bottom = piece
+                        elif s["dx"] == 1 and s["dy"] == 1:
+                            corner = piece[0]
+                ext = np.full((H + 1, W + 1), np.nan)
+                ext[:H, :W] = arr
+                if right is not None:
+                    ext[:H, W] = right
+                if bottom is not None:
+                    ext[H, :W] = bottom
+                if corner is not None:
+                    ext[H, W] = corner
+                A = ext[:-1, :-1].ravel()
+                B = ext[:-1, 1:].ravel()
+                C = ext[1:, 1:].ravel()
+                D = ext[1:, :-1].ravel()
+                jj, ii = np.mgrid[0:H, 0:W]
+                cx = (ii + int(r.tile_x) * W).ravel().astype(np.float64)
+                cy = (jj + int(r.tile_y) * H).ravel().astype(np.float64)
+                valid = ~(np.isnan(A) | np.isnan(B) | np.isnan(C) | np.isnan(D))
+                for lv in levels:
+                    s = cell_segment_coords(
+                        A[valid], B[valid], C[valid], D[valid], lv,
+                        cx[valid], cy[valid],
+                    )
+                    if len(s):
+                        outs.append(
+                            pd.DataFrame(
+                                {"level": lv, "x0": s[:, 0], "y0": s[:, 1],
+                                 "x1": s[:, 2], "y1": s[:, 3]}
+                            )
+                        )
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame(
+                    {"level": [], "x0": [], "y0": [], "x1": [], "y1": []}
+                )
+            )
+
+    return j.mapInPandas(run, schema=SEG_SCHEMA)
+
+
+_QUANT = float(1 << 20)
+
+
+def _node_key(level_idx, x, y):
+    """Quantized endpoint id: level index in the high bits, packed
+    (x, y) at 2^-20 px resolution below (endpoints are bit-identical
+    across cells, so quantization only packs — it never merges
+    distinct nodes at sane raster sizes)."""
+    qx = F.round(x * _QUANT).cast("long")
+    qy = F.round(y * _QUANT).cast("long")
+    return (F.lit(level_idx) * F.lit(1 << 61) + qx * F.lit(1 << 31) + qy)
+
+
+def contour_polylines(tiles: DataFrame, levels: list[float],
+                      block_px: int = 128) -> DataFrame:
+    """Stitch iso-segments into connected polylines — the distributed
+    restatement of alg/contour.cpp:310's segment merger. Per level:
+    (n_polylines, n_closed, n_segments, length). A polyline is closed
+    iff #segments == #nodes (paths have one fewer edge).
+
+    Scale shape (two-level, like the polygonize seam stitch): segments
+    group by a spatial BLOCK; one union-find per block resolves local
+    fragments; only the CONDENSED graph — one node per (block, local
+    fragment), linked where a boundary endpoint appears in two blocks —
+    goes through the iterative connected-components joins. Its
+    diameter is the number of blocks a line crosses, not the number of
+    segments, so the join loop converges in a handful of rounds where
+    per-node min-label propagation over raw segments would need
+    O(polyline length) rounds."""
+    from .graph import connected_components
+
+    segs = contour_segments(tiles, levels).persist()
+    lvl_idx = None
+    for i, lv in enumerate(levels):
+        c = F.when(F.col("level") == lv, i)
+        lvl_idx = c if lvl_idx is None else lvl_idx.when(F.col("level") == lv, i)
+    e = segs.select(
+        "level",
+        _node_key(lvl_idx, F.col("x0"), F.col("y0")).alias("src"),
+        _node_key(lvl_idx, F.col("x1"), F.col("y1")).alias("dst"),
+        (lvl_idx * F.lit(1 << 40)
+         + F.floor(F.col("x0") / block_px).cast("long")).alias("blk"),
+        F.sqrt(
+            (F.col("x1") - F.col("x0")) * (F.col("x1") - F.col("x0"))
+            + (F.col("y1") - F.col("y0")) * (F.col("y1") - F.col("y0"))
+        ).alias("len"),
+    )
+
+    PART_SCHEMA = T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("a", T.LongType()),   # seg: lroot / node: node key
+            T.StructField("b", T.LongType()),   # node: lroot
+            T.StructField("len", T.DoubleType()),
+        ]
+    )
+
+    def local_stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        for s, d in zip(src.tolist(), dst.tolist()):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)
+        # 0 placeholders, NEVER None: a None in an int column makes
+        # pandas store it as float64, which silently rounds the
+        # ~2^60-scale node keys to multiples of 256 and breaks the
+        # cross-block equivalence join
+        rows = []
+        for i in range(len(pdf)):
+            rows.append(
+                {"kind": "seg", "level": float(pdf["level"].iloc[i]),
+                 "a": find(int(src[i])), "b": 0,
+                 "len": float(pdf["len"].iloc[i])}
+            )
+        for n in set(src.tolist()) | set(dst.tolist()):
+            rows.append(
+                {"kind": "node", "level": -1.0, "a": n, "b": find(n),
+                 "len": 0.0}
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in PART_SCHEMA.fields])
+
+    parts = e.groupBy("blk").applyInPandas(local_stitch, schema=PART_SCHEMA).persist()
+
+    nodes = parts.filter(F.col("kind") == "node").select(
+        F.col("a").alias("node"), F.col("b").alias("lroot")
+    )
+    # condensed equivalence: boundary nodes seen in >1 block link lroots
+    canon = nodes.groupBy("node").agg(F.min("lroot").alias("m"))
+    eq = (
+        nodes.join(canon, "node")
+        .filter(F.col("lroot") != F.col("m"))
+        .select(F.col("lroot").alias("src"), F.col("m").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    cc2 = connected_components(eq)
+    lmap = cc2.select(F.col("node").alias("lroot"), F.col("component").alias("comp"))
+
+    segrows = parts.filter(F.col("kind") == "seg").select(
+        "level", F.col("a").alias("lroot"), "len"
+    )
+    seg_comp = segrows.join(lmap, "lroot", "left").withColumn(
+        "comp", F.coalesce("comp", "lroot")
+    )
+    node_comp = nodes.join(lmap, "lroot", "left").withColumn(
+        "comp", F.coalesce("comp", "lroot")
+    )
+    nn = node_comp.groupBy("comp").agg(F.count_distinct("node").alias("nnodes"))
+    per_line = (
+        seg_comp.groupBy("level", "comp")
+        .agg(F.count("*").alias("nseg"), F.sum("len").alias("len"))
+        .join(nn, "comp", "left")
+    )
+    return per_line.groupBy("level").agg(
+        F.count("*").alias("n_polylines"),
+        F.sum((F.col("nseg") == F.col("nnodes")).cast("long")).alias("n_closed"),
+        F.sum("nseg").alias("n_segments"),
+        F.sum("len").alias("length"),
+    )

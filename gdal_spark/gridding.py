@@ -122,3 +122,131 @@ def idw_grid(
         )
 
     return cand.groupBy("tile_x", "tile_y").applyInPandas(kern, schema=IDW_SCHEMA)
+
+
+GRID_SCHEMA = IDW_SCHEMA
+
+
+def grid_interpolate(
+    points: DataFrame,
+    val_col: str,
+    ntx: int,
+    nty: int,
+    tile_px: int,
+    algorithm: str = "invdist",
+    x0: float = -180.0,
+    y_top: float = 85.0,
+    extent_x: float = 360.0,
+    extent_y: float = 170.0,
+    radius: float = 30.0,
+    power: float = 2.0,
+) -> DataFrame:
+    """gdal_grid algorithm suite over the same bin-replication plan as
+    idw_grid (alg/gdal_alg.h:438-451):
+
+      invdist   GDALGridInverseDistanceToAPower (== idw_grid)
+      nearest   GDALGridNearestNeighbor — value of the closest point
+                in radius
+      average   GDALGridMovingAverage — mean of points in radius
+      count / minimum / maximum / range
+                GDALGridDataMetric{Count,Minimum,Maximum,Range}
+
+    Linear (TIN) interpolation needs a GLOBAL Delaunay triangulation —
+    not expressible in the radius-bounded halo plan — and is out of
+    scope (GDALGridLinear).
+    """
+    if algorithm == "invdist":
+        return idw_grid(points, val_col, ntx, nty, tile_px, x0, y_top,
+                        extent_x, extent_y, radius, power)
+    if algorithm not in ("nearest", "average", "count", "minimum",
+                        "maximum", "range"):
+        raise ValueError(f"unknown grid algorithm {algorithm!r}")
+
+    rx = extent_x / (ntx * tile_px)
+    ry = extent_y / (nty * tile_px)
+    tile_w = rx * tile_px
+    tile_h = ry * tile_px
+    if radius > min(tile_w, tile_h):
+        raise ValueError("radius must be <= one tile extent")
+
+    lon, lat = F.col("lon"), F.col("lat")
+    tx_lo = F.greatest(F.lit(0), F.floor((lon - radius - x0) / tile_w).cast("int"))
+    tx_hi = F.least(F.lit(ntx - 1), F.floor((lon + radius - x0) / tile_w).cast("int"))
+    ty_lo = F.greatest(F.lit(0), F.floor((F.lit(y_top) - lat - radius) / tile_h).cast("int"))
+    ty_hi = F.least(F.lit(nty - 1), F.floor((F.lit(y_top) - lat + radius) / tile_h).cast("int"))
+    cand = (
+        points.select(lon, lat, F.col(val_col).alias("_v"),
+                      tx_lo.alias("_txl"), tx_hi.alias("_txh"),
+                      ty_lo.alias("_tyl"), ty_hi.alias("_tyh"))
+        .filter((F.col("_txh") >= F.col("_txl")) & (F.col("_tyh") >= F.col("_tyl")))
+        .select("lon", "lat", "_v",
+                F.explode(F.sequence("_txl", "_txh")).alias("tile_x"),
+                F.col("_tyl"), F.col("_tyh"))
+        .select("lon", "lat", "_v", "tile_x",
+                F.explode(F.sequence("_tyl", "_tyh")).alias("tile_y"))
+    )
+    # one NULL marker row per tile: tiles with no candidate points must
+    # still emit their pixels (count = 0 / value NULL)
+    spark = points.sparkSession
+    seeds = spark.range(0, ntx * nty, 1).select(
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("_v"),
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        (F.col("id") / ntx).cast("int").alias("tile_y"),
+    )
+    cand = cand.unionByName(seeds)
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=["lon"])
+        tx, ty = int(key[0]), int(key[1])
+        gx = tx * tile_px + np.arange(tile_px)
+        gy = ty * tile_px + np.arange(tile_px)
+        if len(pdf) == 0:  # seed-only tile: no points in reach
+            GX = np.tile(gx, (tile_px, 1)).ravel()
+            GY = np.repeat(gy, tile_px)
+            val = (
+                np.zeros(tile_px * tile_px)
+                if algorithm == "count"
+                else np.full(tile_px * tile_px, np.nan)
+            )
+            return pd.DataFrame(
+                {"gx": GX.astype(np.int32), "gy": GY.astype(np.int32), "value": val}
+            )
+        plon = x0 + (gx + 0.5) * rx
+        plat = y_top - (gy + 0.5) * ry
+        PX = np.repeat(plon[None, :], tile_px, axis=0).ravel()
+        PY = np.repeat(plat[:, None], tile_px, axis=1).ravel()
+        sl = pdf["lon"].to_numpy(np.float64)
+        sa = pdf["lat"].to_numpy(np.float64)
+        sv = pdf["_v"].to_numpy(np.float64)
+        d2 = (PX[:, None] - sl[None, :]) ** 2 + (PY[:, None] - sa[None, :]) ** 2
+        inr = d2 <= radius * radius
+        any_ = inr.any(axis=1)
+        if algorithm == "nearest":
+            dmask = np.where(inr, d2, np.inf)
+            val = np.where(any_, sv[np.argmin(dmask, axis=1)], np.nan)
+        elif algorithm == "average":
+            cnt = inr.sum(axis=1)
+            val = np.where(
+                cnt > 0,
+                np.where(inr, sv[None, :], 0.0).sum(axis=1) / np.maximum(cnt, 1),
+                np.nan,
+            )
+        elif algorithm == "count":
+            val = inr.sum(axis=1).astype(np.float64)
+        elif algorithm == "minimum":
+            val = np.where(any_, np.where(inr, sv[None, :], np.inf).min(axis=1), np.nan)
+        elif algorithm == "maximum":
+            val = np.where(any_, np.where(inr, sv[None, :], -np.inf).max(axis=1), np.nan)
+        else:  # range
+            mn = np.where(inr, sv[None, :], np.inf).min(axis=1)
+            mx = np.where(inr, sv[None, :], -np.inf).max(axis=1)
+            val = np.where(any_, mx - mn, np.nan)
+        GX = np.tile(gx, (tile_px, 1)).ravel()
+        GY = np.repeat(gy, tile_px)
+        return pd.DataFrame(
+            {"gx": GX.astype(np.int32), "gy": GY.astype(np.int32), "value": val}
+        )
+
+    return cand.groupBy("tile_x", "tile_y").applyInPandas(kern, schema=GRID_SCHEMA)

@@ -1034,3 +1034,43 @@ def viewshed(tiles: DataFrame, observers: "pd.DataFrame",
         )
 
     return j.groupBy("obs_id").applyInPandas(run, schema=VIEWSHED_SCHEMA)
+
+
+# ------------------------------------------------------------ color relief
+def color_relief(tiles: DataFrame, ramp: list[tuple[float, int, int, int]],
+                 interpolate: bool = True,
+                 dst_raster_id: str = "relief") -> DataFrame:
+    """gdaldem color-relief (apps/gdaldem_lib.cpp:1470
+    GDALColorReliefDataset): map band values through a color ramp to
+    R/G/B bands. interpolate=True linearly blends between adjacent
+    ramp entries (COLOR_SELECTION_INTERPOLATE, the default); False
+    snaps to the nearest-below entry (EXACT_COLOR_ENTRY-ish step
+    mode). Values below the first / above the last entry clamp to the
+    end colors. Map-only: one np.interp per band per tile."""
+    ramp = sorted(ramp)
+    vals = np.array([r[0] for r in ramp], dtype=np.float64)
+    chans = [np.array([r[k] for r in ramp], dtype=np.float64) for k in (1, 2, 3)]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+                for band, cv in enumerate(chans, start=1):
+                    if interpolate:
+                        out = np.interp(arr, vals, cv)
+                    else:
+                        idx = np.clip(
+                            np.searchsorted(vals, arr, side="right") - 1,
+                            0, len(vals) - 1,
+                        )
+                        out = cv[idx]
+                    d = r._asdict()
+                    d.update(
+                        raster_id=dst_raster_id, band=band, dtype="uint8",
+                        data=_gdal_cast(out, "uint8").tobytes(),
+                    )
+                    rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA)

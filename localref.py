@@ -752,6 +752,7 @@ def oracle_entries() -> dict:
         "overview_gauss_checksums": sql_overview_gauss_checksums,
         "warp_average_checksums": sql_warp_average_checksums,
         "warp_lanczos_checksums": sql_warp_lanczos_checksums,
+        "contour_polylines": sql_contour_polylines,
     }
     out = {}
     for name, fn in makers.items():
@@ -921,3 +922,83 @@ def sql_warp_lanczos_checksums() -> str:
     out = np.where(interior, acc, out)
     out = _gdal_cast_local(out, "uint8")
     return values_sql(tile_checksums(out, 256, "warped", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+# ================================================ contour polylines / relief
+def sql_contour_polylines(levels=(64.0, 128.5, 200.0)) -> str:
+    """Global marching squares (shared cell geometry) + LOCAL
+    union-find stitch — the oracle for the distributed endpoint-graph
+    connected-components stitcher."""
+    from gdal_spark.contour import cell_segment_coords
+
+    g = global_mosaic(2, 2).astype(np.float64)
+    A = g[:-1, :-1].ravel()
+    B = g[:-1, 1:].ravel()
+    C = g[1:, 1:].ravel()
+    D = g[1:, :-1].ravel()
+    jj, ii = np.mgrid[0:511, 0:511]
+    cx = ii.ravel().astype(np.float64)
+    cy = jj.ravel().astype(np.float64)
+    Q = float(1 << 20)
+    rows = []
+    for li, lv in enumerate(levels):
+        segs = cell_segment_coords(A, B, C, D, lv, cx, cy)
+        if not len(segs):
+            rows.append((float(lv), 0, 0, 0, 0.0))
+            continue
+        # quantized endpoint keys (floor(x*Q + 0.5) mirrors F.round's
+        # HALF_UP on the positive coords)
+        k0 = (np.floor(segs[:, 0] * Q + 0.5).astype(np.int64) * (1 << 31)
+              + np.floor(segs[:, 1] * Q + 0.5).astype(np.int64))
+        k1 = (np.floor(segs[:, 2] * Q + 0.5).astype(np.int64) * (1 << 31)
+              + np.floor(segs[:, 3] * Q + 0.5).astype(np.int64))
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(k0.tolist(), k1.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        ln = np.sqrt(
+            (segs[:, 2] - segs[:, 0]) ** 2 + (segs[:, 3] - segs[:, 1]) ** 2
+        )
+        comp_of = {}
+        nseg: dict = {}
+        length: dict = {}
+        nodes: dict = {}
+        for i in range(len(segs)):
+            c = find(int(k0[i]))
+            nseg[c] = nseg.get(c, 0) + 1
+            length[c] = length.get(c, 0.0) + float(ln[i])
+            nodes.setdefault(c, set()).update((int(k0[i]), int(k1[i])))
+        n_closed = sum(
+            1 for c in nseg if nseg[c] == len(nodes[c])
+        )
+        rows.append(
+            (float(lv), len(nseg), n_closed, sum(nseg.values()),
+             _round6(sum(length.values())))
+        )
+    return values_sql(
+        rows,
+        ["level", "n_polylines", "n_closed", "n_segments", "length"],
+        ["double", "bigint", "bigint", "bigint", "double"],
+    )
+
+
+def sql_color_relief_checksums(ramp) -> str:
+    g = global_mosaic(2, 2).astype(np.float64)
+    ramp = sorted(ramp)
+    vals = np.array([r[0] for r in ramp], dtype=np.float64)
+    rows = []
+    for band, k in enumerate((1, 2, 3), start=1):
+        chan = np.array([r[k] for r in ramp], dtype=np.float64)
+        out = _gdal_cast_local(np.interp(g, vals, chan), "uint8")
+        rows.extend(tile_checksums(out, 256, "relief", band, 12))
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
