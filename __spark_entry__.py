@@ -179,6 +179,29 @@ def _q_ogr_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.union_all_layers([r, n], layer_names=["region", "nation"])
 
 
+def _q_ogr_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT relational completeness: nation keys of
+    customers with orders INTERSECT nations in region 1, and the
+    EXCEPT complement."""
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    n = _read(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 1).select(
+        F.col("n_nationkey").alias("nk")
+    )
+    return Q.intersect_layers(c, n)
+
+
+def _q_ogr_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    n = _read(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 1).select(
+        F.col("n_nationkey").alias("nk")
+    )
+    return Q.except_layers(c, n)
+
+
 def _q_ogr_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _read(spark, sf_dir, "nation")
     return n.select(
@@ -595,6 +618,26 @@ def _q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ogr_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TEXTUAL OGR SQL entry point (swq_parser.y grammar subset,
+    ogr_sql_exec.execute_ogr_sql): the dialect string is parsed and
+    executed with OGR semantics (ci '=', SUBSTR, LIMIT/OFFSET) applied
+    automatically."""
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    layers = {
+        "customer": _read(spark, sf_dir, "customer"),
+        "nation": _read(spark, sf_dir, "nation"),
+    }
+    return execute_ogr_sql(
+        spark,
+        "SELECT c_custkey, SUBSTR(c_name, -3) AS tail, c_acctbal / 2 AS half "
+        "FROM customer WHERE c_mktsegment = 'building' AND c_acctbal "
+        "BETWEEN 100 AND 5000 ORDER BY c_acctbal DESC, c_custkey LIMIT 20 OFFSET 3",
+        layers,
+    )
+
+
 def _q_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-SQL dialect passthrough — the Spark-SQL analog of OGR's
     SQLite dialect (layers as virtual tables with the host engine's
@@ -920,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_orderby_limit_offset": _q_ogr_orderby_limit_offset,
         "ogr_first_match_join": _q_ogr_first_match_join,
         "ogr_union_all": _q_ogr_union_all,
+        "ogr_intersect": _q_ogr_intersect,
+        "ogr_except": _q_ogr_except,
         "ogr_scalar_funcs": _q_ogr_scalar_funcs,
         "ogr_avg_timestamp": _q_ogr_avg_timestamp,
         "json_props": _q_json_props,
@@ -963,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_relief_checksums": _q_color_relief,
         "jaccard_dedup": _q_jaccard_dedup,
         "sql_dialect": _q_sql_dialect,
+        "ogr_sql_text": _q_ogr_sql_text,
         "tile_index": _q_tile_index,
         "reproject_3857": _q_reproject_3857,
         "utm_transform": _q_utm,
@@ -1366,6 +1412,16 @@ def _oracle_sql_static() -> dict[str, str]:
                    n_regionkey AS regionkey, 'nation' AS layer_name
             FROM nation
         """,
+        "ogr_intersect": """
+            SELECT c_nationkey AS nk FROM customer
+            INTERSECT
+            SELECT n_nationkey AS nk FROM nation WHERE n_regionkey <= 1
+        """,
+        "ogr_except": """
+            SELECT c_nationkey AS nk FROM customer
+            EXCEPT
+            SELECT n_nationkey AS nk FROM nation WHERE n_regionkey <= 1
+        """,
         "ogr_scalar_funcs": """
             SELECT n_nationkey,
                    n_name || '_' || CAST(n_regionkey AS VARCHAR) AS tagged,
@@ -1593,6 +1649,15 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
             ) WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5
+        """,
+        "ogr_sql_text": """
+            SELECT c_custkey, RIGHT(c_name, 3) AS tail,
+                   c_acctbal / 2 AS half
+            FROM customer
+            WHERE LOWER(c_mktsegment) = 'building'
+              AND c_acctbal BETWEEN 100 AND 5000
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 20 OFFSET 3
         """,
         "sql_dialect": """
             SELECT l.l_returnflag AS rf, COUNT(*) AS cnt,

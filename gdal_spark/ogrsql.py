@@ -159,3 +159,16 @@ def extent(df: DataFrame, x_col: str = "lon", y_col: str = "lat") -> DataFrame:
         F.max(x_col).alias("xmax"),
         F.max(y_col).alias("ymax"),
     )
+
+
+def intersect_layers(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SQL INTERSECT (set semantics, deduplicated) — Spark-native;
+    surfaced for the relational completeness the reference gets from
+    its SQLite dialect passthrough (sql_sqlite_dialect.rst:52)."""
+    return a.intersect(b)
+
+
+def except_layers(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SQL EXCEPT (set difference, deduplicated — NOT exceptAll's
+    multiset subtraction, which would leave duplicate survivors)."""
+    return a.subtract(b)

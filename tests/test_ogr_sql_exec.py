@@ -1,0 +1,83 @@
+"""Textual OGR SQL dialect: parser + semantics end-to-end."""
+
+import pandas as pd
+import pytest
+
+from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+
+@pytest.fixture()
+def layers(spark):
+    poly = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "fid": [1, 2, 3, 4, 5],
+                "prfedea": ["AA1", "aa1", "BB2", "CC3", "CC3"],
+                "eas_id": [158, 165, 170, 179, 185],
+                "area": [5268.8, 1634.5, 5268.8, 100.0, 9999.9],
+            }
+        )
+    )
+    other = spark.createDataFrame(
+        pd.DataFrame({"eas_id": [158, 158, 170], "tag": ["x", "y", "z"]})
+    )
+    return {"poly": poly, "other": other}
+
+
+def test_where_ci_eq_and_orderby(spark, layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT fid, prfedea FROM poly WHERE prfedea = 'aa1' ORDER BY fid",
+        layers,
+    ).collect()
+    assert [r["fid"] for r in out] == [1, 2]  # ci '='
+
+
+def test_inequality_stays_sensitive(spark, layers):
+    out = execute_ogr_sql(
+        spark, "SELECT fid FROM poly WHERE prfedea < 'BB2'", layers
+    ).collect()
+    # case-sensitive '<': 'AA1' < 'BB2' only ('aa1' > 'BB2' in ASCII)
+    assert sorted(r["fid"] for r in out) == [1]
+
+
+def test_aggregates_and_arith(spark, layers):
+    row = execute_ogr_sql(
+        spark,
+        "SELECT COUNT(*) AS n, MIN(eas_id) AS mn, MAX(area) / 2 AS half FROM poly",
+        layers,
+    ).collect()[0]
+    assert (row["n"], row["mn"]) == (5, 158)
+    assert row["half"] == pytest.approx(9999.9 / 2)
+
+
+def test_first_match_left_join(spark, layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT fid, tag FROM poly LEFT JOIN other ON poly.eas_id = other.eas_id "
+        "ORDER BY fid",
+        layers,
+    ).collect()
+    tags = [r["tag"] for r in out]
+    # eas 158 has TWO matches -> exactly one row, first in FID order ('x')
+    assert len(out) == 5
+    assert tags[0] == "x" and tags[2] == "z" and tags[1] is None
+
+
+def test_distinct_ci_in_between_like_limit(spark, layers):
+    vals = [r[0] for r in execute_ogr_sql(
+        spark, "SELECT DISTINCT prfedea FROM poly", layers
+    ).collect()]
+    assert sorted(vals) == ["AA1", "BB2", "CC3"]  # first spelling kept
+    out = execute_ogr_sql(
+        spark,
+        "SELECT fid FROM poly WHERE eas_id IN (158, 170) OR area BETWEEN 90 AND 110",
+        layers,
+    ).collect()
+    assert sorted(r["fid"] for r in out) == [1, 3, 4]
+    out2 = execute_ogr_sql(
+        spark,
+        "SELECT fid FROM poly WHERE prfedea ILIKE 'aa%' ORDER BY fid DESC LIMIT 1",
+        layers,
+    ).collect()
+    assert out2[0]["fid"] == 2
