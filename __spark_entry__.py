@@ -938,6 +938,38 @@ def _q_dem_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.aspect(tiles, res=1.0))
 
 
+_GCPS = [
+    (0.0, 0.0, -180.0, 85.0), (100.0, 0.0, -144.0, 84.0),
+    (0.0, 100.0, -179.0, 68.0), (100.0, 100.0, -143.0, 67.5),
+    (50.0, 20.0, -162.2, 81.7), (20.0, 80.0, -172.5, 71.2),
+    (80.0, 50.0, -151.0, 76.0),
+]
+
+
+def _q_gcp_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCP polynomial transform (alg/gdal_crs.cpp): order-2 least
+    squares fit from 7 control points, applied as column math."""
+    from gdal_spark.gcp import fit_gcps
+
+    t = fit_gcps(_GCPS, order=2)
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 100).cast("double").alias("px"),
+        ((F.col("doc_id") / 100).cast("long") % 100).cast("double").alias("py"),
+    )
+    gx, gy = t.forward_cols(F.col("px"), F.col("py"))
+    return d.select(
+        "doc_id", F.round(gx, 6).alias("gx"), F.round(gy, 6).alias("gy")
+    )
+
+
+def _q_hillshade_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(
+        RST.hillshade_multidirectional(tiles, res=1.0)
+    )
+
+
 def _q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms = synth.tiles_src_df(spark, 2, 1, raster_id="ms")
     ms2 = RST.pixel_calc(ms, "square", out_dtype="float64").withColumn(
@@ -1015,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_checksums": _q_mosaic_checksums,
         "dem_tri_checksums": _q_dem_tri,
         "dem_aspect_checksums": _q_dem_aspect,
+        "dem_hillshade_md_checksums": _q_hillshade_md,
+        "gcp_transform": _q_gcp_transform,
         "pansharpen_checksums": _q_pansharpen,
         "polygonize_regions": _q_polygonize,
         "contour_totals": _q_contour,
@@ -1264,6 +1298,24 @@ def _grid_sql(agg_expr: str, in_radius_only: bool) -> str:
         SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
                {agg_expr} AS value
         FROM d {where} GROUP BY gx, gy
+    """
+
+
+def _gcp_sql() -> str:
+    """The SAME least-squares fit (deterministic driver-side lstsq)
+    emitted as mirrored-association SQL polynomials."""
+    from gdal_spark.gcp import fit_gcps
+
+    t = fit_gcps(_GCPS, order=2)
+    ex, ey = t.sql_exprs("px", "py")
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(doc_id % 100 AS DOUBLE) AS px,
+                 CAST((doc_id // 100) % 100 AS DOUBLE) AS py
+          FROM documents
+        )
+        SELECT doc_id, ROUND({ex}, 6) AS gx, ROUND({ey}, 6) AS gy FROM b
     """
 
 
@@ -1703,6 +1755,7 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "graph_sssp": _sssp_oracle_sql(),
         "utm_transform": _utm_sql(),
+        "gcp_transform": _gcp_sql(),
         "reproject_3857": f"""
             SELECT doc_id,
                    lon * 20037508.342789244 / 180.0 AS mx,

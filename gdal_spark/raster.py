@@ -1074,3 +1074,38 @@ def color_relief(tiles: DataFrame, ramp: list[tuple[float, int, int, int]],
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def hillshade_multidirectional(tiles: DataFrame, res: float,
+                               altitude: float = 45.0, z_factor: float = 1.0,
+                               dst_raster_id: str = "hillshade_md") -> DataFrame:
+    """Multidirectional hillshade (gdaldem -multidirectional,
+    apps/gdaldem_lib.cpp GDALHillshadeMultiDirectionalAlg; USGS
+    OF 92-422): the weighted blend of the 225/270/315/360-degree
+    shades with weights sin^2(aspect - az). Deterministic restatement:
+    GDAL's build uses an SSE rsqrt approximation
+    (ApproxADivByInvSqrtB) that makes its exact byte values
+    machine-specific; this kernel computes the same formula in exact
+    double arithmetic."""
+    alt = math.radians(altitude)
+
+    def kern(pad, r):
+        dzdx, dzdy = _horn_gradients(pad * z_factor, r)
+        slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        acc = np.zeros_like(slope)
+        wsum = np.zeros_like(slope)
+        for az_deg in (225.0, 270.0, 315.0, 360.0):
+            az = math.radians(360.0 - az_deg + 90.0)
+            shade = (
+                np.sin(alt) * np.cos(slope)
+                + np.cos(alt) * np.sin(slope) * np.cos(az - aspect)
+            )
+            w = np.sin(aspect - math.radians(az_deg)) ** 2
+            acc += w * np.maximum(shade, 0.0)
+            wsum += w
+        flat = wsum == 0.0
+        blend = np.where(flat, np.sin(alt), acc / np.maximum(wsum, 1e-300))
+        return 1.0 + 254.0 * np.maximum(blend, 0.0)
+
+    return _focal(tiles, kern, "uint8", dst_raster_id, res)

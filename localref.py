@@ -753,6 +753,7 @@ def oracle_entries() -> dict:
         "warp_average_checksums": sql_warp_average_checksums,
         "warp_lanczos_checksums": sql_warp_lanczos_checksums,
         "contour_polylines": sql_contour_polylines,
+        "dem_hillshade_md_checksums": sql_hillshade_md_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -1002,3 +1003,26 @@ def sql_color_relief_checksums(ramp) -> str:
         out = _gdal_cast_local(np.interp(g, vals, chan), "uint8")
         rows.extend(tile_checksums(out, 256, "relief", band, 12))
     return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+def sql_hillshade_md_checksums() -> str:
+    """Global-array multidirectional hillshade (same USGS OF 92-422
+    formula; the verified machinery is the halo exchange)."""
+    g = global_mosaic(2, 2).astype(np.float64)
+    pad = np.pad(g, 1, mode="edge")
+    dzdx, dzdy = _horn(pad, 1.0)
+    alt = math.radians(45.0)
+    slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    acc = np.zeros_like(slope)
+    wsum = np.zeros_like(slope)
+    for az_deg in (225.0, 270.0, 315.0, 360.0):
+        az = math.radians(360.0 - az_deg + 90.0)
+        shade = (np.sin(alt) * np.cos(slope)
+                 + np.cos(alt) * np.sin(slope) * np.cos(az - aspect))
+        w = np.sin(aspect - math.radians(az_deg)) ** 2
+        acc += w * np.maximum(shade, 0.0)
+        wsum += w
+    blend = np.where(wsum == 0.0, np.sin(alt), acc / np.maximum(wsum, 1e-300))
+    out = _gdal_cast_local(1.0 + 254.0 * np.maximum(blend, 0.0), "uint8")
+    return values_sql(tile_checksums(out, 256, "hillshade_md", 1, 12), CKS_COLS, CKS_TYPES)
