@@ -99,6 +99,9 @@ def main():
         "ogr_first_match_join", "dedup_exact", "minhash_pairs",
         "ann_cosine_topk", "overview_checksums", "warp_checksums",
         "overlay_intersection", "rasterize_counts",
+        # round-2 additions: distributed block near-dup, the
+        # union-overlay rect sweep, and the two-level polyline stitch
+        "embed_neardup", "overlay_union", "contour_polylines",
     ]:
         df_fn = qs[name]
         timed(name, lambda f=df_fn: f(spark, SF_DIR).count())

@@ -108,7 +108,16 @@ def knn_join(
     id_col ascending (FIXTURES.md golden #4). Driver loop escalates
     unresolved queries to geometrically larger rings; each round is a
     broadcast join — the points table never shuffles.
-    """
+
+    CONTRACT: `queries` is the SMALL side by design (a pandas frame,
+    like the broadcast zone cover) — per-round state is O(q * k) rows
+    on the driver and each escalation round is one full Spark job, so
+    this is a q <= ~10^5 interactive-lookup operator, not a
+    point-vs-point self-join. For kNN with a LARGE query side, run the
+    queries as a DataFrame through the same cell-ring expansion with a
+    shuffle join on cell_id instead (the pip_join candidate pattern);
+    the escalation then becomes per-row radius columns re-joined each
+    round rather than a driver-filtered pandas frame."""
     pts = points.select(
         F.col(id_col), F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat"),
         geo_cell(F.col("lon"), F.col("lat"), level).alias("cell_id"),
