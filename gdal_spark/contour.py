@@ -405,9 +405,45 @@ def contour_polylines(tiles: DataFrame, levels: list[float],
         .filter(F.col("lroot") != F.col("m"))
         .select(F.col("lroot").alias("src"), F.col("m").alias("dst"))
         .dropDuplicates(["src", "dst"])
+        .persist()
     )
-    cc2 = connected_components(eq)
-    lmap = cc2.select(F.col("node").alias("lroot"), F.col("component").alias("comp"))
+    # the condensed graph holds one edge per (boundary node, extra
+    # block) — typically thousands even for billions of segments. Below
+    # `small_graph_edges` resolve it driver-side (the tiny-global-model
+    # step, like the broadcast spatial index); beyond it, run the
+    # iterative connected-components joins.
+    small_graph_edges = 2_000_000
+    n_eq = eq.count()
+    if n_eq <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in eq.collect():
+            a, b = find(row["src"]), find(row["dst"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        spark = tiles.sparkSession
+        ks = list({k for k in parent} | {find(k) for k in parent})
+        lmap = spark.createDataFrame(
+            pd.DataFrame(
+                {"lroot": pd.Series(ks, dtype="int64"),
+                 "comp": pd.Series([find(k) for k in ks], dtype="int64")}
+            ),
+            schema="lroot long, comp long",
+        )
+        lmap = F.broadcast(lmap)
+    else:
+        cc2 = connected_components(eq)
+        lmap = cc2.select(
+            F.col("node").alias("lroot"), F.col("component").alias("comp")
+        )
 
     segrows = parts.filter(F.col("kind") == "seg").select(
         "level", F.col("a").alias("lroot"), "len"
