@@ -486,6 +486,43 @@ def _q_geometry_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _concave_zones_pdf() -> pd.DataFrame:
+    """L-shaped (CONCAVE) zones: each non-hole rect zone with its NE
+    quadrant cut out — closed-form oracle via rectangle decomposition:
+    area(square ∩ L) = area(square ∩ rect) - area(square ∩ NE-quad)."""
+    rows = []
+    g = ZONE_G
+    for zi in range(g):
+        for zj in range(g):
+            zid = zi * g + zj
+            if (zid * KNUTH % MOD32) % 10 == 0:
+                continue
+            x0, x1 = -180.0 + zi * (360.0 / g), -180.0 + (zi + 1) * (360.0 / g)
+            y0, y1 = -85.0 + zj * (170.0 / g), -85.0 + (zj + 1) * (170.0 / g)
+            xm, ym = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+            wkt = (
+                f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {ym}, {xm} {ym}, "
+                f"{xm} {y1}, {x0} {y1}))"
+            )
+            rows.append({"zone_id": zid, "geom_wkt": wkt})
+    return pd.DataFrame(rows)
+
+
+def _q_overlay_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-geometry overlay (ogrlayer.cpp:2062 with arbitrary GEOS
+    polygons): doc squares against CONCAVE L-shaped zones through the
+    ear-clip triangle kernel."""
+    docs = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 300
+    )
+    wkt = _sq_wkt()
+    d = docs.select("doc_id", wkt.alias("geom_wkt"))
+    out = OV.intersection_general(d, _concave_zones_pdf())
+    return out.select(
+        "doc_id", "zone_id", F.round("piece_area", 6).alias("piece_area")
+    )
+
+
 def _q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
     burned = RST.rasterize_zones(spark, zidx, 4, 4, tile_px=128)
@@ -703,6 +740,32 @@ def _q_media_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     thumbs = MM.thumbnail(media, factor=4, decoder=MM.fake_image_decoder)
     return thumbs.select(
         "media_id", "height", "width", F.crc32("thumb").alias("crc")
+    )
+
+
+def _q_span_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's per-row invariant surfaced as a query: after
+    the nested-spans wrap AND a shuffle-heavy pipeline (repartition +
+    sort), every document's span sequence (kind, text, media_ref,
+    offset order) survives byte-for-byte. Output: per-doc span count,
+    the kind sequence in offset order, and a positional checksum."""
+    docs = DRV.docs_with_spans_from_flat(_read(spark, sf_dir, "documents"))
+    shuffled = docs.repartition(16, F.col("doc_id")).sortWithinPartitions("doc_id")
+    ordered = F.array_sort(
+        F.col("spans"), lambda a, b: a["offset"] - b["offset"]
+    )
+    kinds = F.concat_ws(",", F.transform(ordered, lambda s: s["kind"]))
+    sig = F.aggregate(
+        ordered,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc * 31
+        + F.length(s["text"]) + F.length(s["media_ref"]) + s["offset"],
+    )
+    return shuffled.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("spans").alias("n_spans"),
+        kinds.alias("kind_seq"),
+        sig.alias("span_sig"),
     )
 
 
@@ -928,6 +991,13 @@ def _q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RST.tile_index(tiles).drop("geom_wkt")
 
 
+def _q_dem_slope_zt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(
+        RST.slope(tiles, res=1.0, alg="zevenbergen_thorne")
+    )
+
+
 def _q_dem_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synth.tiles_src_df(spark, 2, 2)
     return tiling.checksum_table(RST.tri(tiles, res=1.0))
@@ -1015,11 +1085,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_gauss_checksums": _q_overview_kernel("gauss", 4),
         "warp_checksums": _q_warp_checksums,
         "warp_average_checksums": _q_warp_kernel("average", 2.0),
+        "warp_rms_checksums": _q_warp_kernel("rms", 2.0),
+        "warp_max_checksums": _q_warp_kernel("max", 2.0),
         "warp_lanczos_checksums": _q_warp_kernel("lanczos", 1.5),
         "overlay_intersection": _q_overlay_intersection,
         "overlay_union": _q_overlay_union,
         "overlay_symdifference": _q_overlay_symdiff,
         "overlay_update": _q_overlay_update,
+        "overlay_concave": _q_overlay_concave,
         "overlay_clip": _q_overlay_clip,
         "overlay_erase": _q_overlay_erase,
         "overlay_identity": _q_overlay_identity,
@@ -1048,10 +1121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_tri_checksums": _q_dem_tri,
         "dem_aspect_checksums": _q_dem_aspect,
         "dem_hillshade_md_checksums": _q_hillshade_md,
+        "dem_slope_zt_checksums": _q_dem_slope_zt,
         "gcp_transform": _q_gcp_transform,
         "pansharpen_checksums": _q_pansharpen,
         "polygonize_regions": _q_polygonize,
         "contour_totals": _q_contour,
+        "span_invariance": _q_span_invariance,
         "sessionize": _q_sessionize,
         "graph_sssp": _q_graph_sssp,
         "proximity_checksums": _q_proximity,
@@ -1524,6 +1599,32 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT doc_id, zone_id, eas_id, ROUND(pa, 6) AS piece_area
             FROM pieces WHERE pa > 0
         """,
+        "overlay_concave": f"""
+            WITH zs AS (
+              SELECT zid AS zone_id,
+                     -180.0 + CAST(zid // {ZONE_G} AS DOUBLE) * {360.0 / ZONE_G} AS zx0,
+                     -180.0 + CAST(zid // {ZONE_G} + 1 AS DOUBLE) * {360.0 / ZONE_G} AS zx1,
+                     -85.0 + CAST(zid % {ZONE_G} AS DOUBLE) * {170.0 / ZONE_G} AS zy0,
+                     -85.0 + CAST(zid % {ZONE_G} + 1 AS DOUBLE) * {170.0 / ZONE_G} AS zy1
+              FROM (SELECT UNNEST(range({ZONE_G * ZONE_G})) AS zid)
+              WHERE (zid * {KNUTH} % {MOD32}) % 10 <> 0
+            ), b AS (
+              SELECT doc_id,
+                     {_LON} - {_HALF} AS x0, {_LON} + {_HALF} AS x1,
+                     {_LAT} - {_HALF} AS y0, {_LAT} + {_HALF} AS y1
+              FROM documents WHERE doc_id < 300
+            ), p AS (
+              SELECT doc_id, zone_id,
+                     GREATEST(0.0, LEAST(x1, zx1) - GREATEST(x0, zx0))
+                       * GREATEST(0.0, LEAST(y1, zy1) - GREATEST(y0, zy0))
+                     - GREATEST(0.0, LEAST(x1, zx1) - GREATEST(x0, (zx0 + zx1) / 2.0))
+                       * GREATEST(0.0, LEAST(y1, zy1) - GREATEST(y0, (zy0 + zy1) / 2.0))
+                       AS pa
+              FROM b JOIN zs ON x1 >= zx0 AND x0 <= zx1 AND y1 >= zy0 AND y0 <= zy1
+            )
+            SELECT doc_id, zone_id, ROUND(pa, 6) AS piece_area
+            FROM p WHERE pa > 1e-9
+        """,
         "overlay_clip": _OVERLAY_CTE + """
             SELECT doc_id, ROUND(covered, 6) AS clip_area
             FROM cov WHERE nhit > 0
@@ -1732,6 +1833,21 @@ def _oracle_sql_static() -> dict[str, str]:
                          * (({_LAT} + {_HALF}) - ({_LAT} - {_HALF})), 6)
                      AS ogr_geom_area
             FROM documents
+        """,
+        "span_invariance": f"""
+            WITH b AS (
+              SELECT doc_id, text, {_LON} AS lon, {_LAT} AS lat FROM documents
+            ), c AS (
+              SELECT doc_id, LENGTH(text) AS lt,
+                     LENGTH(printf('POINT(%.7f %.7f)',
+                                   FLOOR(lon * 1e7) / 1e7,
+                                   FLOOR(lat * 1e7) / 1e7)) AS lg
+              FROM b
+            )
+            SELECT doc_id, 3 AS n_spans,
+                   'text,media,geom' AS kind_seq,
+                   CAST(((lt * 31) + 18) * 31 + lg + 2 AS BIGINT) AS span_sig
+            FROM c
         """,
         "sessionize": """
             WITH g AS (

@@ -511,3 +511,78 @@ def update(docs: DataFrame, zindex: IX.ZoneIndex,
     _, doc_rem = _doc_legs(j, id_col)
     zone_full = _zone_legs(spark, j, zindex, full=True)
     return doc_rem.unionByName(zone_full)
+
+
+# --------------------------------------------------- general-geometry path
+def intersection_general(docs: DataFrame, zones_pdf: pd.DataFrame,
+                         id_col: str = "doc_id",
+                         wkt_col: str = "geom_wkt") -> DataFrame:
+    """Overlay intersection for ARBITRARY polygons — concave rings and
+    holes on either side — via the geometry.py triangle kernel
+    (ear-clip both sides once, batched triangle x triangle convex
+    clips, signed areas make holes exact). The zone side triangulates
+    ONCE on the driver and broadcasts (same small-model pattern as the
+    packed cover); documents carry WKT (or WKB) and triangulate per
+    row inside the Arrow batch.
+
+    This is the general path of ogrlayer.cpp:2062's GEOS-backed
+    Intersection; the convex fast path (intersection/clip/erase/...)
+    remains the vectorized kernel of choice for rect/convex layers.
+    """
+    from . import geometry as GM
+
+    spark = docs.sparkSession
+    metas = []
+    for r in zones_pdf.itertuples(index=False):
+        g = GM.parse_wkt(r.geom_wkt)
+        t, s = g.signed_tris()
+        xs, ys = g.all_points()
+        metas.append(
+            (int(r.zone_id), t, s,
+             float(xs.min()), float(xs.max()), float(ys.min()), float(ys.max()))
+        )
+    bc = spark.sparkContext.broadcast(metas)
+
+    PIECES = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("zone_id", T.LongType()),
+                T.StructField("area", T.DoubleType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(PIECES)
+    def pieces(wkt: pd.Series) -> pd.Series:
+        zs = bc.value
+        out = []
+        for w in wkt:
+            if w is None:
+                out.append([])
+                continue
+            g = GM.geom_of(w)
+            dt, ds = g.signed_tris()
+            if len(dt) == 0:
+                out.append([])
+                continue
+            dx0 = float(dt[:, :, 0].min())
+            dx1 = float(dt[:, :, 0].max())
+            dy0 = float(dt[:, :, 1].min())
+            dy1 = float(dt[:, :, 1].max())
+            hits = []
+            for zid, zt, zsn, zx0, zx1, zy0, zy1 in zs:
+                if dx1 < zx0 or dx0 > zx1 or dy1 < zy0 or dy0 > zy1:
+                    continue
+                a = GM.intersection_area_tris(dt, ds, zt, zsn)
+                if a > 1e-9:
+                    hits.append({"zone_id": zid, "area": float(a)})
+            hits.sort(key=lambda h: h["zone_id"])
+            out.append(hits)
+        return pd.Series(out)
+
+    ex = docs.withColumn("_p", F.explode(pieces(F.col(wkt_col))))
+    return (
+        ex.withColumn("zone_id", F.col("_p.zone_id"))
+        .withColumn("piece_area", F.col("_p.area"))
+        .drop("_p")
+    )

@@ -503,6 +503,21 @@ def _horn_gradients(pad: np.ndarray, res: float):
     return dzdx, dzdy
 
 
+def _zt_gradients(pad: np.ndarray, res: float):
+    """Zevenbergen-Thorne gradients (gdaldem -alg ZevenbergenThorne,
+    apps/gdaldem_lib.cpp GradientAlg::ZEVENBERGEN_THORNE): central
+    differences over the 4-neighborhood only."""
+    n = pad[:-2, 1:-1]
+    w_, e = pad[1:-1, :-2], pad[1:-1, 2:]
+    s = pad[2:, 1:-1]
+    dzdx = (e - w_) / (2.0 * res)
+    dzdy = (s - n) / (2.0 * res)
+    return dzdx, dzdy
+
+
+_GRADIENTS = {"horn": _horn_gradients, "zevenbergen_thorne": _zt_gradients}
+
+
 def hillshade(tiles: DataFrame, res: float, azimuth: float = 315.0,
               altitude: float = 45.0, z_factor: float = 1.0,
               dst_raster_id: str = "hillshade") -> DataFrame:
@@ -522,11 +537,13 @@ def hillshade(tiles: DataFrame, res: float, azimuth: float = 315.0,
 
 
 def slope(tiles: DataFrame, res: float, z_factor: float = 1.0,
-          dst_raster_id: str = "slope") -> DataFrame:
-    """Slope in degrees (gdaldem slope, apps/gdaldem_lib.cpp:1325-1386)."""
+          dst_raster_id: str = "slope", alg: str = "horn") -> DataFrame:
+    """Slope in degrees (gdaldem slope, apps/gdaldem_lib.cpp:1325-1386);
+    alg: 'horn' (default) or 'zevenbergen_thorne' (-alg ZT)."""
+    grad = _GRADIENTS[alg]
 
     def kern(pad, r):
-        dzdx, dzdy = _horn_gradients(pad * z_factor, r)
+        dzdx, dzdy = grad(pad * z_factor, r)
         return np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
 
     return _focal(tiles, kern, "float64", dst_raster_id, res)

@@ -386,16 +386,19 @@ def warp_affine(
     the window and runs the numpy kernel (gdalwarpkernel.cpp:101-137).
     Only the src tiles actually needed move through the shuffle.
     """
-    if kernel not in ("nearest", "bilinear", "cubic", "lanczos", "average"):
+    _FOOTPRINT = ("average", "sum", "rms", "min", "max")
+    if kernel not in ("nearest", "bilinear", "cubic", "lanczos") + _FOOTPRINT:
         raise ValueError(f"unsupported warp kernel: {kernel}")
     sx0, sy0 = src_zoom_origin
     dx0, dy0 = dst_origin
     spark = tiles.sparkSession
     ts = tile_px if tile_px is not None else TILE_SIZE
     sts = src_tile_px if src_tile_px is not None else ts
+    fp_margin = max(2, int(math.ceil(dst_res / src_res)) + 1)
     margin = {
         "nearest": 1, "bilinear": 2, "cubic": 3, "lanczos": 4,
-        "average": max(2, int(math.ceil(dst_res / src_res)) + 1),
+        "average": fp_margin, "sum": fp_margin, "rms": fp_margin,
+        "min": fp_margin, "max": fp_margin,
     }[kernel]
 
     dst = spark.range(0, dst_tiles_x * dst_tiles_y, 1).select(
@@ -469,11 +472,12 @@ def warp_affine(
         spy = (sy0 - wy) / src_res - 0.5
         lx = spx - tx_min * sts
         ly = spy - ty_min * sts
-        if kernel == "average":
-            # GWKAverageOrMode (alg/gdalwarpkernel.cpp GRA_Average):
-            # plain mean over the dst pixel's integer source-pixel
-            # footprint, evaluated with one summed-area table — O(1)
-            # per dst pixel at any downsampling factor
+        if kernel in ("average", "sum", "rms", "min", "max"):
+            # GWKAverageOrMode family (alg/gdalwarpkernel.cpp
+            # GRA_Average/Sum/RMS/Min/Max): reduce over the dst pixel's
+            # integer source-pixel footprint. average/sum/rms evaluate
+            # via summed-area tables (O(1)/pixel at any factor);
+            # min/max walk the bounded footprint offsets with masking.
             fx0 = (dx0 + (d_tx * ts + ii) * dst_res - sx0) / src_res - tx_min * sts
             fy0 = (sy0 - (dy0 - (d_ty * ts + jj) * dst_res)) / src_res - ty_min * sts
             px0 = np.clip(np.floor(fx0 + 1e-8).astype(np.int64), 0, W - 1)
@@ -482,10 +486,34 @@ def warp_affine(
             py1 = np.clip(np.ceil(fy0 + dst_res / src_res - 1e-8).astype(np.int64), 1, H)
             px1 = np.maximum(px1, px0 + 1)
             py1 = np.maximum(py1, py0 + 1)
-            sat = np.zeros((H + 1, W + 1))
-            sat[1:, 1:] = mosaic.cumsum(axis=0).cumsum(axis=1)
-            s = sat[py1, px1] - sat[py0, px1] - sat[py1, px0] + sat[py0, px0]
-            out = s / ((px1 - px0) * (py1 - py0))
+            cnt = (px1 - px0) * (py1 - py0)
+            if kernel in ("average", "sum", "rms"):
+                base = mosaic * mosaic if kernel == "rms" else mosaic
+                sat = np.zeros((H + 1, W + 1))
+                sat[1:, 1:] = base.cumsum(axis=0).cumsum(axis=1)
+                s = sat[py1, px1] - sat[py0, px1] - sat[py1, px0] + sat[py0, px0]
+                if kernel == "sum":
+                    out = s
+                elif kernel == "average":
+                    out = s / cnt
+                else:
+                    out = np.sqrt(s / cnt)
+            else:
+                fw = int((px1 - px0).max())
+                fh = int((py1 - py0).max())
+                acc = np.full(px0.shape, np.inf if kernel == "min" else -np.inf)
+                for dy in range(fh):
+                    yy_ = np.minimum(py0 + dy, H - 1)
+                    ok_y = py0 + dy < py1
+                    for dx_ in range(fw):
+                        xx_ = np.minimum(px0 + dx_, W - 1)
+                        ok = ok_y & (px0 + dx_ < px1)
+                        v = mosaic[yy_, xx_]
+                        if kernel == "min":
+                            acc = np.where(ok, np.minimum(acc, v), acc)
+                        else:
+                            acc = np.where(ok, np.maximum(acc, v), acc)
+                out = acc
         elif kernel == "nearest":
             xi = np.clip(np.round(lx).astype(np.int64), 0, W - 1)
             yi = np.clip(np.round(ly).astype(np.int64), 0, H - 1)

@@ -754,6 +754,9 @@ def oracle_entries() -> dict:
         "warp_lanczos_checksums": sql_warp_lanczos_checksums,
         "contour_polylines": sql_contour_polylines,
         "dem_hillshade_md_checksums": sql_hillshade_md_checksums,
+        "warp_rms_checksums": sql_warp_rms_checksums,
+        "warp_max_checksums": sql_warp_max_checksums,
+        "dem_slope_zt_checksums": sql_dem_slope_zt_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -1026,3 +1029,42 @@ def sql_hillshade_md_checksums() -> str:
     blend = np.where(wsum == 0.0, np.sin(alt), acc / np.maximum(wsum, 1e-300))
     out = _gdal_cast_local(1.0 + 254.0 * np.maximum(blend, 0.0), "uint8")
     return values_sql(tile_checksums(out, 256, "hillshade_md", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def _warp_footprint_2x(kind: str) -> str:
+    g = global_mosaic(2, 2).astype(np.float64)
+    jj, ii = np.mgrid[0:256, 0:256]
+    px0, py0 = 2 * ii, 2 * jj
+    blocks = np.stack(
+        [g[py0, px0], g[py0, px0 + 1], g[py0 + 1, px0], g[py0 + 1, px0 + 1]]
+    )
+    if kind == "rms":
+        out = np.sqrt((blocks * blocks).sum(axis=0) / 4.0)
+    elif kind == "sum":
+        out = blocks.sum(axis=0)
+    elif kind == "min":
+        out = blocks.min(axis=0)
+    else:
+        out = blocks.max(axis=0)
+    out = _gdal_cast_local(out, "uint8")
+    return values_sql(tile_checksums(out, 256, "warped", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def sql_warp_rms_checksums() -> str:
+    return _warp_footprint_2x("rms")
+
+
+def sql_warp_max_checksums() -> str:
+    return _warp_footprint_2x("max")
+
+
+def sql_dem_slope_zt_checksums() -> str:
+    g = global_mosaic(2, 2).astype(np.float64)
+    pad = np.pad(g, 1, mode="edge")
+    n = pad[:-2, 1:-1]
+    w_, e = pad[1:-1, :-2], pad[1:-1, 2:]
+    s = pad[2:, 1:-1]
+    dzdx = (e - w_) / 2.0
+    dzdy = (s - n) / 2.0
+    out = np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+    return values_sql(tile_checksums(out, 256, "slope", 1, 12), CKS_COLS, CKS_TYPES)
