@@ -841,6 +841,16 @@ def _q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygonize(burned).select("value", "npix", "xmin", "ymin", "xmax", "ymax")
 
 
+def _q_polygonize_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALPolygonize with real polygon output (alg/polygonize.cpp:538
+    ring tracing): canonical WKT incl. hole rings per region."""
+    from gdal_spark.polygonize import polygonize_wkt
+
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
+    burned = RST.rasterize_zones(spark, zidx, 2, 2, tile_px=64)
+    return polygonize_wkt(burned).select("value", "npix", "wkt")
+
+
 def _q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
     burned = RST.rasterize_zones(spark, zidx, 2, 2, tile_px=64)
@@ -1125,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gcp_transform": _q_gcp_transform,
         "pansharpen_checksums": _q_pansharpen,
         "polygonize_regions": _q_polygonize,
+        "polygonize_wkt": _q_polygonize_wkt,
         "contour_totals": _q_contour,
         "span_invariance": _q_span_invariance,
         "sessionize": _q_sessionize,

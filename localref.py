@@ -757,6 +757,7 @@ def oracle_entries() -> dict:
         "warp_rms_checksums": sql_warp_rms_checksums,
         "warp_max_checksums": sql_warp_max_checksums,
         "dem_slope_zt_checksums": sql_dem_slope_zt_checksums,
+        "polygonize_wkt": sql_polygonize_wkt,
     }
     out = {}
     for name, fn in makers.items():
@@ -1068,3 +1069,38 @@ def sql_dem_slope_zt_checksums() -> str:
     dzdy = (s - n) / 2.0
     out = np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
     return values_sql(tile_checksums(out, 256, "slope", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def sql_polygonize_wkt() -> str:
+    """Global flood fill + (shared) ring tracer per region mask — the
+    oracle for polygonize_wkt's distributed edge/stitch/gather plumbing."""
+    from gdal_spark.polygonize import (boundary_edges_for_mask, rings_to_wkt,
+                                       trace_rings)
+
+    arr = zones_raster(128)
+    H, W = arr.shape
+    seen = np.zeros((H, W), dtype=bool)
+    rows = []
+    for sy in range(H):
+        for sx in range(W):
+            if seen[sy, sx]:
+                continue
+            v = int(arr[sy, sx])
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            px = []
+            while stack:
+                y, x = stack.pop()
+                px.append((y, x))
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if 0 <= ny < H and 0 <= nx < W and not seen[ny, nx] \
+                            and arr[ny, nx] == v:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            mask = np.zeros((H, W), dtype=bool)
+            ys_, xs_ = zip(*px)
+            mask[list(ys_), list(xs_)] = True
+            wkt = rings_to_wkt(trace_rings(boundary_edges_for_mask(mask)))
+            rows.append((float(v), len(px), wkt))
+    return values_sql(rows, ["value", "npix", "wkt"],
+                      ["double", "bigint", "varchar"])
