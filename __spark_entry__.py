@@ -1001,6 +1001,16 @@ def _q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RST.tile_index(tiles).drop("geom_wkt")
 
 
+def _q_dem_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(RST.hillshade(tiles, res=1.0))
+
+
+def _q_dem_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(RST.slope(tiles, res=1.0))
+
+
 def _q_dem_slope_zt(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synth.tiles_src_df(spark, 2, 2)
     return tiling.checksum_table(
@@ -1132,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_aspect_checksums": _q_dem_aspect,
         "dem_hillshade_md_checksums": _q_hillshade_md,
         "dem_slope_zt_checksums": _q_dem_slope_zt,
+        "dem_hillshade_checksums": _q_dem_hillshade,
+        "dem_slope_checksums": _q_dem_slope,
         "gcp_transform": _q_gcp_transform,
         "pansharpen_checksums": _q_pansharpen,
         "polygonize_regions": _q_polygonize,

@@ -758,6 +758,8 @@ def oracle_entries() -> dict:
         "warp_max_checksums": sql_warp_max_checksums,
         "dem_slope_zt_checksums": sql_dem_slope_zt_checksums,
         "polygonize_wkt": sql_polygonize_wkt,
+        "dem_hillshade_checksums": sql_dem_hillshade_checksums,
+        "dem_slope_checksums": sql_dem_slope_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -1104,3 +1106,25 @@ def sql_polygonize_wkt() -> str:
             rows.append((float(v), len(px), wkt))
     return values_sql(rows, ["value", "npix", "wkt"],
                       ["double", "bigint", "varchar"])
+
+
+def sql_dem_hillshade_checksums() -> str:
+    g = global_mosaic(2, 2).astype(np.float64)
+    pad = np.pad(g, 1, mode="edge")
+    dzdx, dzdy = _horn(pad, 1.0)
+    az = math.radians(360.0 - 315.0 + 90.0)
+    alt = math.radians(45.0)
+    slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shade = (np.sin(alt) * np.cos(slope)
+             + np.cos(alt) * np.sin(slope) * np.cos(az - aspect))
+    out = _gdal_cast_local(1.0 + 254.0 * np.maximum(shade, 0.0), "uint8")
+    return values_sql(tile_checksums(out, 256, "hillshade", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def sql_dem_slope_checksums() -> str:
+    g = global_mosaic(2, 2).astype(np.float64)
+    pad = np.pad(g, 1, mode="edge")
+    dzdx, dzdy = _horn(pad, 1.0)
+    out = np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+    return values_sql(tile_checksums(out, 256, "slope", 1, 12), CKS_COLS, CKS_TYPES)

