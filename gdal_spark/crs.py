@@ -217,3 +217,82 @@ def utm_forward_native(lon: Column, lat: Column,
     lon0 = zone.cast("double") * 6.0 - 183.0
     e, n = _tm_forward(_ColBackend, lon, lat, lon0, a, f)
     return zone, e, n
+
+
+def _tm_inverse(B, easting, northing, lon0, a: float, f: float,
+                k0: float = 0.9996, false_e: float = 500000.0,
+                false_n: float = 0.0):
+    """Snyder 8-16..8-25 inverse Transverse Mercator on backend B
+    (footpoint-latitude series), returning (lon_deg, lat_deg)."""
+    e2 = f * (2.0 - f)
+    e4 = e2 * e2
+    e6 = e4 * e2
+    ep2 = e2 / (1.0 - e2)
+    if isinstance(lon0, (int, float)):
+        lon0 = B.lit(float(lon0))
+
+    x = easting - B.lit(false_e)
+    y = northing - B.lit(false_n)
+    m0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    M = y / B.lit(k0)
+    mu = M / B.lit(a * m0)
+    sq = math.sqrt(1.0 - e2)
+    e1 = (1.0 - sq) / (1.0 + sq)
+    j1 = 3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0
+    j2 = 21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0
+    j3 = 151.0 * e1 ** 3 / 96.0
+    j4 = 1097.0 * e1 ** 4 / 512.0
+    fp = (
+        mu
+        + B.lit(j1) * B.sin(mu * 2.0)
+        + B.lit(j2) * B.sin(mu * 4.0)
+        + B.lit(j3) * B.sin(mu * 6.0)
+        + B.lit(j4) * B.sin(mu * 8.0)
+    )
+    sfp = B.sin(fp)
+    cfp = B.cos(fp)
+    tfp = B.tan(fp)
+    C1 = B.lit(ep2) * cfp * cfp
+    T1 = tfp * tfp
+    # no pow in the backend: R1 = a(1-e2)/W^3, N1 = a/W, W = sqrt(1-e2 sin^2)
+    W = B.sqrt(1.0 - B.lit(e2) * sfp * sfp)
+    N1 = B.lit(a) / W
+    R1 = B.lit(a * (1.0 - e2)) / (W * W * W)
+    D = x / (N1 * B.lit(k0))
+    D2 = D * D
+    D3 = D2 * D
+    D4 = D2 * D2
+    D5 = D4 * D
+    D6 = D4 * D2
+    lat = fp - (N1 * tfp / R1) * (
+        D2 / 2.0
+        - (5.0 + 3.0 * T1 + 10.0 * C1 - 4.0 * C1 * C1 - B.lit(9.0 * ep2)) * D4 / 24.0
+        + (61.0 + 90.0 * T1 + 298.0 * C1 + 45.0 * T1 * T1
+           - B.lit(252.0 * ep2) - 3.0 * C1 * C1) * D6 / 720.0
+    )
+    lam = (
+        D
+        - (1.0 + 2.0 * T1 + C1) * D3 / 6.0
+        + (5.0 - 2.0 * C1 + 28.0 * T1 - 3.0 * C1 * C1
+           + B.lit(8.0 * ep2) + 24.0 * T1 * T1) * D5 / 120.0
+    ) / cfp
+    deg = 180.0 / math.pi
+    return lon0 + lam * B.lit(deg), lat * B.lit(deg)
+
+
+def utm_inverse(easting: Column, northing: Column, zone: int,
+                ellipsoid: str = "WGS84", south: bool = False) -> tuple[Column, Column]:
+    """(lon, lat) Column expressions from UTM easting/northing."""
+    a, f = ELLIPSOIDS[ellipsoid]
+    lon0 = -183.0 + 6.0 * zone
+    return _tm_inverse(
+        _ColBackend, easting, northing, lon0, a, f,
+        false_n=10000000.0 if south else 0.0,
+    )
+
+
+def from_utm(df: DataFrame, epsg: int, e_col: str = "easting",
+             n_col: str = "northing") -> DataFrame:
+    ellps, zone, south = utm_params(epsg)
+    lon, lat = utm_inverse(F.col(e_col), F.col(n_col), zone, ellps, south)
+    return df.withColumn("lon", lon).withColumn("lat", lat)

@@ -50,3 +50,29 @@ def test_epsg_mapping_and_column_api(spark):
         spark.createDataFrame(pd.DataFrame({"lon": [15.0], "lat": [-33.0]})), 32733
     ).collect()[0]
     assert row_s["northing"] > 6000000
+
+
+def test_inverse_roundtrip():
+    a, f = ELLIPSOIDS["WGS84"]
+    from gdal_spark.crs import _tm_inverse
+    import numpy as np
+
+    rng = [(-120.0, 33.0), (-114.5, 60.0), (-117.0, 0.5), (-119.9, -45.0)]
+    for lon, lat in rng:
+        e, n = _tm_forward(_Num, lon, lat, -117.0, a, f)
+        lon2, lat2 = _tm_inverse(_Num, e, n, -117.0, a, f)
+        assert lon2 == pytest.approx(lon, abs=1e-8)  # ~1 mm
+        assert lat2 == pytest.approx(lat, abs=1e-8)
+
+
+def test_from_utm_column(spark):
+    import pandas as pd
+
+    from gdal_spark.crs import from_utm
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": [-117.3], "lat": [33.7]}))
+    rt = from_utm(
+        to_utm(df, 32611).drop("lon", "lat"), 32611
+    ).collect()[0]
+    assert rt["lon"] == pytest.approx(-117.3, abs=1e-8)
+    assert rt["lat"] == pytest.approx(33.7, abs=1e-8)
