@@ -304,13 +304,15 @@ _QUANT = float(1 << 20)
 
 
 def _node_key(level_idx, x, y):
-    """Quantized endpoint id: level index in the high bits, packed
-    (x, y) at 2^-20 px resolution below (endpoints are bit-identical
-    across cells, so quantization only packs — it never merges
-    distinct nodes at sane raster sizes)."""
+    """Quantized endpoint id: xxhash64 of (level index, qx, qy) at
+    2^-20 px resolution. Endpoints are bit-identical across cells, so
+    equal nodes always hash equal; a 64-bit hash keeps keys collision-
+    free in practice at any raster size (the former bit-packed key
+    overflowed its qx slot at x >= 1024 px and silently merged
+    cross-level nodes)."""
     qx = F.round(x * _QUANT).cast("long")
     qy = F.round(y * _QUANT).cast("long")
-    return (F.lit(level_idx) * F.lit(1 << 61) + qx * F.lit(1 << 31) + qy)
+    return F.xxhash64(level_idx.cast("long"), qx, qy)
 
 
 def contour_polylines(tiles: DataFrame, levels: list[float],

@@ -51,6 +51,7 @@ st_centroid_x = _udf1(lambda g: GM.centroid(g)[0], T.DoubleType())
 st_centroid_y = _udf1(lambda g: GM.centroid(g)[1], T.DoubleType())
 st_convex_hull = _udf1(lambda g: GM.to_wkt(GM.convex_hull(g)), T.StringType())
 st_make_valid = _udf1(lambda g: GM.to_wkt(GM.make_valid(g)), T.StringType())
+st_is_valid_shape = _udf1(GM.is_valid_shape, T.BooleanType())
 st_astext = _udf1(GM.to_wkt, T.StringType())
 st_aswkb = _udf1(GM.to_wkb, T.BinaryType())
 

@@ -563,6 +563,55 @@ def make_valid(g: Geom) -> Geom:
     return Geom("multipolygon", [fix(r) for r in g.parts])
 
 
+def is_valid_shape(g: Geom) -> bool:
+    """OGRGeometry::IsValid restated for this module's shape model
+    (ogr/ogrgeometry.cpp:2145 delegates to GEOS IsValid): points and
+    linestrings with finite coords are valid; a polygon is valid when
+    every ring keeps >= 3 distinct vertices after consecutive-duplicate
+    removal and no two non-adjacent ring segments properly cross."""
+    if g.kind in ("point", "linestring"):
+        xs, ys = g.parts[0]
+        return bool(np.isfinite(xs).all() and np.isfinite(ys).all())
+    polys = g.parts if g.kind == "multipolygon" else [g.parts[0]]
+    for rings in polys:
+        for xs, ys in rings:
+            x = np.asarray(xs, dtype=np.float64)
+            y = np.asarray(ys, dtype=np.float64)
+            if not (np.isfinite(x).all() and np.isfinite(y).all()):
+                return False
+            # drop the closing vertex, then consecutive duplicates
+            if len(x) > 1 and x[0] == x[-1] and y[0] == y[-1]:
+                x, y = x[:-1], y[:-1]
+            keep = np.ones(len(x), dtype=bool)
+            keep[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+            x, y = x[keep], y[keep]
+            n = len(x)
+            if n < 3:
+                return False
+            ax, ay = x, y
+            bx, by = np.roll(x, -1), np.roll(y, -1)
+
+            def orient(px, py, qx, qy, rx, ry):
+                return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+            i = np.arange(n)[:, None]
+            j = np.arange(n)[None, :]
+            # non-adjacent pairs only (cyclic adjacency shares a vertex)
+            nonadj = (j > i + 1) & ~((i == 0) & (j == n - 1))
+            d1 = orient(ax[:, None], ay[:, None], bx[:, None], by[:, None],
+                        ax[None, :], ay[None, :])
+            d2 = orient(ax[:, None], ay[:, None], bx[:, None], by[:, None],
+                        bx[None, :], by[None, :])
+            d3 = orient(ax[None, :], ay[None, :], bx[None, :], by[None, :],
+                        ax[:, None], ay[:, None])
+            d4 = orient(ax[None, :], ay[None, :], bx[None, :], by[None, :],
+                        bx[:, None], by[:, None])
+            proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+            if bool((proper & nonadj).any()):
+                return False
+    return True
+
+
 # -------------------------------------------------------------- predicates
 def intersection_area(a: Geom, b: Geom) -> float:
     ta, sa = a.signed_tris()
@@ -609,6 +658,23 @@ def intersects(a: Geom, b: Geom, eps: float = 1e-12) -> bool:
         return _point_in(b, a.parts[0][0][0], a.parts[0][1][0]) or _boundaries_touch(a, b)
     if b.kind == "point":
         return intersects(b, a, eps)
+    # line x polygon: a line strictly inside the polygon never touches
+    # the boundary, so also test representative line points for
+    # containment (GEOS: interior/interior intersection suffices).
+    line = poly = None
+    if a.kind == "linestring" and b.kind in ("polygon", "multipolygon"):
+        line, poly = a, b
+    elif b.kind == "linestring" and a.kind in ("polygon", "multipolygon"):
+        line, poly = b, a
+    if line is not None:
+        xs, ys = line.parts[0]
+        for k in range(len(xs) - 1):
+            mx = (float(xs[k]) + float(xs[k + 1])) / 2.0
+            my = (float(ys[k]) + float(ys[k + 1])) / 2.0
+            if _point_in(poly, float(xs[k]), float(ys[k])) or _point_in(poly, mx, my):
+                return True
+        if len(xs) and _point_in(poly, float(xs[-1]), float(ys[-1])):
+            return True
     return _boundaries_touch(a, b)
 
 

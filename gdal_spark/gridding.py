@@ -92,10 +92,31 @@ def idw_grid(
         )
     )
 
+    # one NULL marker row per tile: tiles with no candidate points must
+    # still emit their pixels (value NULL), matching the rest of the
+    # grid suite
+    spark = points.sparkSession
+    seeds = spark.range(0, ntx * nty, 1).select(
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("_v"),
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        (F.col("id") / ntx).cast("int").alias("tile_y"),
+    )
+    cand = cand.unionByName(seeds)
+
     def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=["lon"])
         tx, ty = int(key[0]), int(key[1])
         gx = tx * tile_px + np.arange(tile_px)
         gy = ty * tile_px + np.arange(tile_px)
+        if len(pdf) == 0:  # seed-only tile: no points in reach
+            GX = np.tile(gx, (tile_px, 1)).ravel()
+            GY = np.repeat(gy, tile_px)
+            return pd.DataFrame(
+                {"gx": GX.astype(np.int32), "gy": GY.astype(np.int32),
+                 "value": np.full(tile_px * tile_px, np.nan)}
+            )
         plon = x0 + (gx + 0.5) * rx
         plat = y_top - (gy + 0.5) * ry
         PX = np.repeat(plon[None, :], tile_px, axis=0).ravel()

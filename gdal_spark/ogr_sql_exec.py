@@ -224,10 +224,9 @@ def _parse_comparison(p: _P):
     neg = p.accept("kw", "NOT") is not None
     if p.accept("kw", "IN"):
         p.expect("op", "(")
-        vals = [p.next()[1] for _ in [0]]
-        items = [_lit_value(vals[0])]
+        items = [_signed_lit(p)]
         while p.accept("op", ","):
-            items.append(_lit_value(p.next()[1]))
+            items.append(_signed_lit(p))
         p.expect("op", ")")
         c = e.isin(items)
         return ~c if neg else c
@@ -267,6 +266,17 @@ def _lit_value(v):
             return float(v)
         except (TypeError, ValueError):
             return v
+
+
+def _signed_lit(p: _P):
+    """One IN-list item: an optional unary '-' followed by a num/str
+    literal (the tokenizer emits '-' as its own op token)."""
+    if p.accept("op", "-"):
+        v = _lit_value(p.next()[1])
+        if not isinstance(v, (int, float)):
+            raise ValueError("OGR SQL: '-' before non-numeric IN item")
+        return -v
+    return _lit_value(p.next()[1])
 
 
 def _parse_not(p: _P):
@@ -340,11 +350,17 @@ def execute_ogr_sql(spark: SparkSession, sql: str,
         p.expect("op", "=")
         rf = p.expect("id").split(".")[-1]
         right = layers[jname]
-        # OGR first-match join, FID order = the secondary's first column
+        # OGR first-match join: ties resolve by secondary FID
+        # (generic/ogr_gensql.cpp keeps the first secondary feature in
+        # FID order). Our layers are FID-ordered frames without an
+        # explicit FID column, so the surrogate is the first NON-KEY
+        # column of the secondary (the key itself can't order rows
+        # within a key group — every candidate shares its value).
         if lf in right.columns and rf in df.columns:
             lf, rf = rf, lf
         right = right.withColumnRenamed(rf, lf) if rf != lf else right
-        df = Q.first_match_left_join(df, right, lf, right_order=right.columns[0])
+        ordcol = next((c for c in right.columns if c != lf), right.columns[0])
+        df = Q.first_match_left_join(df, right, lf, right_order=ordcol)
 
     if p.accept("kw", "WHERE"):
         df = df.filter(_parse_or(p))

@@ -26,9 +26,12 @@ Semantics vs the reference:
   identity — doc split by zones, keeping all of the doc (:3183):
     intersection pieces plus the uncovered remainder with NULL zone
 
-Restriction (documented): the CLIP side (zones) must be convex —
-Sutherland-Hodgman's precondition. GDAL handles arbitrary polygons via
-GEOS; general concave clipping is future work (MakeValid-style).
+Clip-side geometry: the fast path clips with Sutherland-Hodgman
+(convex zones); `intersection_general` handles arbitrary concave /
+multi-ring polygons via the signed-triangle decomposition kernel
+(area-exact for any simple polygon pair), and `intersection_pieces`
+reassembles actual piece geometries. GDAL reaches the same semantics
+through GEOS.
 """
 
 from __future__ import annotations

@@ -65,3 +65,19 @@ def test_contour_matches_single_node(spark):
     for lv in levels:
         assert got.loc[lv, "n_segments"] == exp[lv][0]
         assert abs(got.loc[lv, "length"] - exp[lv][1]) < 1e-6
+
+
+def test_node_key_no_cross_level_collision(spark):
+    # ADVICE r2: the old bit-packed key collided (level0, x=1024) with
+    # (level1, x=0); the hash key must keep them distinct.
+    from gdal_spark.contour import _node_key
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).select(
+        _node_key(F.lit(0), F.lit(1024.0), F.lit(7.0)).alias("a"),
+        _node_key(F.lit(1), F.lit(0.0), F.lit(7.0)).alias("b"),
+        _node_key(F.lit(0), F.lit(1024.0), F.lit(7.0)).alias("a2"),
+    )
+    r = df.collect()[0]
+    assert r["a"] != r["b"]
+    assert r["a"] == r["a2"]

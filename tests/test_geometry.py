@@ -140,3 +140,27 @@ def test_column_api(spark):
     df2 = spark.createDataFrame(got[["wkb"]])
     a2 = df2.select(SG.st_area("wkb").alias("a")).toPandas()["a"].tolist()
     assert a2 == pytest.approx([6.0, 4.0, 12.0])
+
+
+def test_line_inside_polygon_intersects():
+    # ADVICE r2: a LINESTRING strictly inside a polygon never touches
+    # the boundary; intersects must still be True (GEOS semantics).
+    line = GM.geom_of("LINESTRING (2 2, 5 5)")
+    poly = GM.geom_of("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert GM.intersects(line, poly)
+    assert GM.intersects(poly, line)
+    assert not GM.disjoint(line, poly)
+    out = GM.geom_of("LINESTRING (20 20, 25 25)")
+    assert not GM.intersects(out, poly)
+
+
+def test_is_valid_shape():
+    assert GM.is_valid_shape(GM.geom_of(SQUARE))
+    assert GM.is_valid_shape(GM.geom_of(DONUT))
+    assert GM.is_valid_shape(GM.geom_of("POINT (1 2)"))
+    # bowtie: non-adjacent edges properly cross
+    bow = GM.geom_of("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+    assert not GM.is_valid_shape(bow)
+    # degenerate ring: collapses to < 3 distinct vertices
+    deg = GM.geom_of("POLYGON ((0 0, 1 1, 1 1, 0 0, 0 0))")
+    assert not GM.is_valid_shape(deg)

@@ -81,3 +81,13 @@ def test_distinct_ci_in_between_like_limit(spark, layers):
         layers,
     ).collect()
     assert out2[0]["fid"] == 2
+
+
+def test_in_list_negative_literals(spark, layers):
+    # ADVICE r2: 'x IN (-1, 2)' must parse the unary minus
+    out = execute_ogr_sql(
+        spark,
+        "SELECT fid FROM poly WHERE fid - 2 IN (-1, 2)",
+        layers,
+    ).collect()
+    assert sorted(r["fid"] for r in out) == [1, 4]
