@@ -523,6 +523,69 @@ def _q_overlay_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_overlay_concave_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concave overlay with REAL piece geometry (ogrlayer.cpp:2062 via
+    ogrgeometry.cpp:4240 Intersection): doc squares x L-shaped zones,
+    canonical piece WKT + area per pair; the oracle recomputes every
+    piece with the independent rectilinear cell-decomposition boolean
+    (localref.sql_overlay_concave_wkt)."""
+    docs = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 60
+    )
+    d = docs.select("doc_id", _sq_wkt().alias("geom_wkt"))
+    out = OV.intersection_pieces(d, _concave_zones_pdf())
+    return out.filter(F.col("piece_area") > 1e-9).select(
+        "doc_id", "zone_id", F.col("piece_wkt").alias("wkt"),
+        F.round("piece_area", 6).alias("piece_area"),
+    )
+
+
+def _q_geometry_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry-VALUED boolean ops on CONCAVE inputs
+    (ogr/ogrgeometry.cpp Intersection :4240, Union :4359, Difference
+    :4560, SymDifference :4682): A = the derived square with its NE
+    quadrant notched out (L-shape), B = the square shifted NE by 60% of
+    its half-width. The oracle recomputes every result with an
+    INDEPENDENT algorithm (plane decomposition by coordinate breaks +
+    cell classification + mask ring tracing — localref
+    `_rectilinear_boolean_wkt`), so the canonical piece WKT is
+    value-verified, not restated."""
+    from gdal_spark.functions import geometry as SG
+
+    docs = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 60
+    )
+    xm = (F.col("x0") + F.col("x1")) / 2.0
+    ym = (F.col("y0") + F.col("y1")) / 2.0
+    s = (F.col("x1") - F.col("x0")) * 0.3  # 0.6 * half-width
+    wa = F.format_string(
+        "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s, %s %s))",
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y0"),
+        F.col("x1"), ym, xm, ym, xm, F.col("y1"), F.col("x0"), F.col("y1"),
+    )
+    wb = F.format_string(
+        "POLYGON((%s %s, %s %s, %s %s, %s %s))",
+        F.col("x0") + s, F.col("y0") + s, F.col("x1") + s, F.col("y0") + s,
+        F.col("x1") + s, F.col("y1") + s, F.col("x0") + s, F.col("y1") + s,
+    )
+    d = docs.select("doc_id", wa.alias("wa"), wb.alias("wb"))
+    d = d.select(
+        "doc_id",
+        SG.st_intersection("wa", "wb").alias("intersection"),
+        SG.st_union_geom("wa", "wb").alias("union"),
+        SG.st_difference("wa", "wb").alias("difference"),
+        SG.st_symdifference("wa", "wb").alias("symdifference"),
+    )
+    return d.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 'intersection', intersection, 'union', `union`, "
+            "'difference', difference, 'symdifference', symdifference) "
+            "AS (op, wkt)"
+        ),
+    )
+
+
 def _q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
     burned = RST.rasterize_zones(spark, zidx, 4, 4, tile_px=128)
@@ -1118,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_identity": _q_overlay_identity,
         "geometry_functions": _q_geometry_functions,
         "geometry_predicates": _q_geometry_predicates,
+        "geometry_boolean": _q_geometry_boolean,
+        "overlay_concave_wkt": _q_overlay_concave_wkt,
         "rasterize_counts": _q_rasterize_counts,
         "rasterize_alltouched": _q_rasterize_alltouched,
         "rasterize_add": _q_rasterize_add,

@@ -66,6 +66,32 @@ st_disjoint = _udf2(GM.disjoint, T.BooleanType())
 st_crosses = _udf2(GM.crosses, T.BooleanType())
 
 
+def _boolean_udf(op: str):
+    from .. import boolean as BO
+
+    @F.pandas_udf(T.StringType())
+    def u(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                BO.boolean_wkt(GM.geom_of(x), GM.geom_of(y), op)
+                if x is not None and y is not None
+                else None
+                for x, y in zip(a, b)
+            ]
+        )
+
+    return u
+
+
+# Geometry-VALUED boolean ops (ogr/ogrgeometry.cpp Intersection :4240,
+# Union :4359, Difference :4560, SymDifference :4682) — canonical WKT
+# out, arbitrary concave / multi-ring / multi-part polygons in.
+st_intersection = _boolean_udf("intersection")
+st_union_geom = _boolean_udf("union")
+st_difference = _boolean_udf("difference")
+st_symdifference = _boolean_udf("symdifference")
+
+
 def st_buffer(col, dist: float, quadsegs: int = 30):
     @F.pandas_udf(T.StringType())
     def u(c: pd.Series) -> pd.Series:

@@ -760,6 +760,8 @@ def oracle_entries() -> dict:
         "polygonize_wkt": sql_polygonize_wkt,
         "dem_hillshade_checksums": sql_dem_hillshade_checksums,
         "dem_slope_checksums": sql_dem_slope_checksums,
+        "geometry_boolean": sql_geometry_boolean,
+        "overlay_concave_wkt": sql_overlay_concave_wkt,
     }
     out = {}
     for name, fn in makers.items():
@@ -1106,6 +1108,212 @@ def sql_polygonize_wkt() -> str:
             rows.append((float(v), len(px), wkt))
     return values_sql(rows, ["value", "npix", "wkt"],
                       ["double", "bigint", "varchar"])
+
+
+def _pip_evenodd(rings, x: float, y: float) -> bool:
+    """Pure-Python even-odd point-in-polygon over [(xs, ys), ...]
+    (ring 0 exterior, rest holes)."""
+    inside = False
+    for ri, (xs, ys) in enumerate(rings):
+        hit = False
+        n = len(xs)
+        j = n - 1
+        for i in range(n):
+            if (ys[i] > y) != (ys[j] > y):
+                xin = (xs[j] - xs[i]) * (y - ys[i]) / (ys[j] - ys[i]) + xs[i]
+                if x < xin:
+                    hit = not hit
+            j = i
+        if ri == 0:
+            inside = hit
+        elif hit:
+            inside = False
+    return inside
+
+
+def _rectilinear_boolean(rings_a, rings_b, op: str):
+    """INDEPENDENT oracle for polygon booleans, exact for axis-aligned
+    (rectilinear) inputs: decompose the plane by every x / y coordinate
+    of both polygons, classify each cell by its midpoint, combine with
+    the op, then trace region boundaries on the non-uniform cell grid
+    (reusing polygonize's mask ring tracer — the boolean SEMANTICS here
+    come from cell classification, a completely different computation
+    than the engine's boundary-classification clipper). Returns a list
+    of [exterior CCW, holes CW] ring lists."""
+    from gdal_spark.polygonize import boundary_edges_for_mask, trace_rings
+
+    xs = sorted({float(v) for xsr, _ in rings_a + rings_b for v in xsr})
+    ys = sorted({float(v) for _, ysr in rings_a + rings_b for v in ysr})
+    nx, ny = len(xs) - 1, len(ys) - 1
+    mask = np.zeros((ny, nx), dtype=bool)
+    for j in range(ny):
+        for i in range(nx):
+            mx = (xs[i] + xs[i + 1]) / 2.0
+            my = (ys[j] + ys[j + 1]) / 2.0
+            ina = _pip_evenodd(rings_a, mx, my)
+            inb = _pip_evenodd(rings_b, mx, my)
+            mask[j, i] = {
+                "intersection": ina and inb,
+                "union": ina or inb,
+                "difference": ina and not inb,
+                "symdifference": ina != inb,
+            }[op]
+    # 4-connected components -> one polygon each
+    seen = np.zeros_like(mask)
+    polys = []
+    for sy in range(ny):
+        for sx in range(nx):
+            if seen[sy, sx] or not mask[sy, sx]:
+                continue
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            comp = np.zeros_like(mask)
+            while stack:
+                y_, x_ = stack.pop()
+                comp[y_, x_] = True
+                for ny_, nx_ in ((y_ - 1, x_), (y_ + 1, x_),
+                                 (y_, x_ - 1), (y_, x_ + 1)):
+                    if 0 <= ny_ < ny and 0 <= nx_ < nx \
+                            and mask[ny_, nx_] and not seen[ny_, nx_]:
+                        seen[ny_, nx_] = True
+                        stack.append((ny_, nx_))
+            rings = trace_rings(boundary_edges_for_mask(comp))
+            mapped = []
+            for r in rings:
+                body = r[:-1] if (r[0] == r[-1]).all() else r
+                pts = np.array([[xs[int(ix)], ys[int(iy)]]
+                                for ix, iy in body])
+                mapped.append(pts)
+            # exterior = largest |area| (CCW), holes CW; drop collinear
+            def sa(p):
+                x_, y_ = p[:, 0], p[:, 1]
+                return 0.5 * float(np.sum(
+                    x_ * np.roll(y_, -1) - np.roll(x_, -1) * y_))
+
+            def decollinear(p):
+                keep = []
+                n = len(p)
+                for k in range(n):
+                    a_, c_, b_ = p[k - 1], p[k], p[(k + 1) % n]
+                    cr = (c_[0] - a_[0]) * (b_[1] - a_[1]) \
+                        - (c_[1] - a_[1]) * (b_[0] - a_[0])
+                    if abs(cr) > 1e-12:
+                        keep.append(k)
+                return p[keep]
+
+            mapped = [decollinear(p) for p in mapped]
+            mapped = [p for p in mapped if len(p) >= 3]
+            mapped.sort(key=lambda p: abs(sa(p)), reverse=True)
+            fixed = []
+            for k, p in enumerate(mapped):
+                want_ccw = k == 0
+                if (sa(p) > 0) != want_ccw:
+                    p = p[::-1].copy()
+                fixed.append(p)
+            if fixed:
+                polys.append(fixed)
+    return polys
+
+
+def _rectilinear_boolean_wkt(rings_a, rings_b, op: str) -> str:
+    from gdal_spark.boolean import canonical_wkt
+
+    return canonical_wkt(_rectilinear_boolean(rings_a, rings_b, op))
+
+
+def _polys_area(polys) -> float:
+    t = 0.0
+    for rings in polys:
+        for i, p in enumerate(rings):
+            x_, y_ = p[:, 0], p[:, 1]
+            a = abs(0.5 * float(np.sum(
+                x_ * np.roll(y_, -1) - np.roll(x_, -1) * y_)))
+            t += a if i == 0 else -a
+    return t
+
+
+_BOOL_OPS = ("intersection", "union", "difference", "symdifference")
+
+
+def _boolean_fixture_rings():
+    """Deterministic concave pairs from the doc squares: A = the square
+    with its NE quadrant notched out (L-shape), B = the same square
+    shifted NE by 60% of its half-width — overlapping the notch, so
+    every op yields non-convex output."""
+    ids, x0, x1, y0, y1 = _doc_squares()
+    sel = ids < 60
+    out = []
+    for i, a0, a1, b0, b1 in zip(ids[sel], x0[sel], x1[sel],
+                                 y0[sel], y1[sel]):
+        xm, ym = (a0 + a1) / 2.0, (b0 + b1) / 2.0
+        h = (a1 - a0) / 2.0
+        s = 0.6 * h
+        ra = [(
+            [a0, a1, a1, xm, xm, a0],
+            [b0, b0, ym, ym, b1, b1],
+        )]
+        rb = [(
+            [a0 + s, a1 + s, a1 + s, a0 + s],
+            [b0 + s, b0 + s, b1 + s, b1 + s],
+        )]
+        out.append((int(i), ra, rb))
+    return out
+
+
+def _concave_zone_rings(g: int = 8):
+    """The L-shaped (NE-quadrant-notched) zone rings of the concave
+    overlay queries, as rectilinear ring lists."""
+    out = []
+    for zi in range(g):
+        for zj in range(g):
+            zid = zi * g + zj
+            if (zid * KNUTH % MOD32) % 10 == 0:
+                continue
+            x0 = -180.0 + zi * (360.0 / g)
+            x1 = -180.0 + (zi + 1) * (360.0 / g)
+            y0 = -85.0 + zj * (170.0 / g)
+            y1 = -85.0 + (zj + 1) * (170.0 / g)
+            xm, ym = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+            out.append((zid, [(
+                [x0, x1, x1, xm, xm, x0],
+                [y0, y0, ym, ym, y1, y1],
+            )], x0, x1, y0, y1))
+    return out
+
+
+def sql_overlay_concave_wkt() -> str:
+    """Independent oracle for the concave overlay with REAL piece
+    geometry: doc square x L-zone intersections via the rectilinear
+    cell-decomposition boolean."""
+    ids, x0, x1, y0, y1 = _doc_squares()
+    sel = ids < 60
+    zones = _concave_zone_rings()
+    rows = []
+    for i, a0, a1, b0, b1 in zip(ids[sel], x0[sel], x1[sel],
+                                 y0[sel], y1[sel]):
+        dr = [([a0, a1, a1, a0], [b0, b0, b1, b1])]
+        for zid, zr, zx0, zx1, zy0, zy1 in zones:
+            if a1 < zx0 or a0 > zx1 or b1 < zy0 or b0 > zy1:
+                continue
+            polys = _rectilinear_boolean(dr, zr, "intersection")
+            if not polys:
+                continue
+            from gdal_spark.boolean import canonical_wkt
+            area = _polys_area(polys)
+            if area > 1e-9:
+                rows.append((int(i), int(zid), canonical_wkt(polys),
+                             _round6(area)))
+    return values_sql(rows, ["doc_id", "zone_id", "wkt", "piece_area"],
+                      ["bigint", "bigint", "varchar", "double"])
+
+
+def sql_geometry_boolean() -> str:
+    rows = []
+    for did, ra, rb in _boolean_fixture_rings():
+        for op in _BOOL_OPS:
+            rows.append((did, op, _rectilinear_boolean_wkt(ra, rb, op)))
+    return values_sql(rows, ["doc_id", "op", "wkt"],
+                      ["bigint", "varchar", "varchar"])
 
 
 def sql_dem_hillshade_checksums() -> str:
