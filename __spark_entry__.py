@@ -343,6 +343,14 @@ def _q_overview_kernel(kernel: str, ntiles: int):
     return q
 
 
+def _q_overview_conv(kernel: str, ntiles: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tiles = synth.tiles_src_df(spark, ntiles, ntiles)
+        return tiling.checksum_table(tiling.build_overview_conv(tiles, kernel))
+
+    return q
+
+
 def _overlay_inputs(spark: SparkSession, sf_dir: str):
     docs = DRV.with_derived_squares(_read(spark, sf_dir, "documents"))
     # dilation must cover the max doc-square half size (1.0 deg) so a
@@ -1171,6 +1179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_rms_checksums": _q_warp_kernel("rms", 2.0),
         "warp_max_checksums": _q_warp_kernel("max", 2.0),
         "warp_lanczos_checksums": _q_warp_kernel("lanczos", 1.5),
+        "warp_mode_checksums": _q_warp_kernel("mode", 2.0),
+        "warp_med_checksums": _q_warp_kernel("med", 2.0),
+        "warp_q1_checksums": _q_warp_kernel("q1", 2.0),
+        "warp_q3_checksums": _q_warp_kernel("q3", 2.0),
+        "warp_cubicspline_checksums": _q_warp_kernel("cubicspline", 0.75),
+        "overview_rms_checksums": _q_overview_kernel("rms", 2),
+        "overview_cubic_checksums": _q_overview_conv("cubic", 4),
+        "overview_lanczos_checksums": _q_overview_conv("lanczos", 4),
         "overlay_intersection": _q_overlay_intersection,
         "overlay_union": _q_overlay_union,
         "overlay_symdifference": _q_overlay_symdiff,

@@ -180,6 +180,23 @@ def translate(
 
 
 # ------------------------------------------------------------------ overview
+def _mode_firstmax(V: np.ndarray, OK: np.ndarray, nodata: float) -> np.ndarray:
+    """GDAL mode tie-break over an arbitrary K-slot footprint
+    (gdalwarpkernel.cpp:6240-6330 GWKAOM_Imode/Fmode): the winner is
+    the value whose count FIRST reaches the maximum in footprint scan
+    order. V, OK: (..., K) values/validity in row-major scan order."""
+    K = V.shape[-1]
+    eq = (V[..., :, None] == V[..., None, :]) & OK[..., :, None] & OK[..., None, :]
+    cnt = np.where(OK, eq.sum(axis=-1), 0)
+    cmax = cnt.max(axis=-1)
+    tri = np.tril(np.ones((K, K), dtype=bool))
+    rank = (eq & tri).sum(axis=-1)
+    reach = np.where(OK & (rank == cmax[..., None]), np.arange(K), K + 1)
+    win = reach.argmin(axis=-1)
+    out = np.take_along_axis(V, win[..., None], axis=-1)[..., 0]
+    return np.where(cmax > 0, out, nodata)
+
+
 def _mode_2x2(q: np.ndarray, qv: np.ndarray, nodata: float) -> np.ndarray:
     """GDAL mode tie-break (overview.cpp:1913 GDALResampleChunk32R_Mode,
     byte histogram path): the winner is the value whose count FIRST
@@ -272,12 +289,13 @@ def build_overview(tiles: DataFrame, kernel: str = "average") -> DataFrame:
     <=4 children (gcore/overview.cpp — average :144 ff; nearest =
     upper-left of each 2x2 block; mode :1913 with GDAL's first-to-max
     tie-break; gauss :1616 3x3 binomial with a 1-px cross-parent halo
-    exchange).
+    exchange; rms with ComputeIntegerRMS rounding :365). Convolution
+    kernels (cubic, lanczos) live in build_overview_conv.
 
     Shuffle: groupBy parent tile — 4->1 regrouping, keys are tile ids
     (no skew possible: fan-in is bounded by 4; gauss adds 3 halo strip
     rows per tile, ~1/128 of the pixel volume)."""
-    if kernel not in ("average", "nearest", "mode", "gauss"):
+    if kernel not in ("average", "nearest", "mode", "gauss", "rms"):
         raise ValueError(f"unsupported overview kernel: {kernel}")
 
     parent = tiles.withColumn("p_tx", F.floor(F.col("tile_x") / 2).cast("int")) \
@@ -322,6 +340,20 @@ def build_overview(tiles: DataFrame, kernel: str = "average") -> DataFrame:
                 s = np.where(qv, q, 0.0).sum(axis=2)
                 with np.errstate(invalid="ignore", divide="ignore"):
                     out = np.where(cnt > 0, s / np.maximum(cnt, 1), first["nodata"])
+            elif kernel == "rms":
+                # sqrt(mean of squares); integer bands round to the
+                # integer minimizing |rms^2 - mean| (overview.cpp:365
+                # ComputeIntegerRMS), NOT the usual +0.5 cast
+                cnt = qv.sum(axis=2)
+                s = np.where(qv, q * q, 0.0).sum(axis=2)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    m = s / np.maximum(cnt, 1)
+                if np.dtype(first["dtype"]).kind in "ui":
+                    r = np.floor(np.sqrt(m))
+                    r = r + (2 * r * (r + 1) + 1 < 2 * m)
+                    out = np.where(cnt > 0, r, first["nodata"])
+                else:
+                    out = np.where(cnt > 0, np.sqrt(m), first["nodata"])
             elif kernel == "mode":
                 out = _mode_2x2(q, qv, float(first["nodata"]))
             else:  # nearest: upper-left of each 2x2 block
@@ -344,6 +376,113 @@ def build_overview(tiles: DataFrame, kernel: str = "average") -> DataFrame:
         )
 
     return parent.groupBy("raster_id", "band", "zoom", "p_tx", "p_ty").applyInPandas(
+        agg, schema=TILE_SCHEMA
+    )
+
+
+def build_overview_conv(tiles: DataFrame, kernel: str = "cubic") -> DataFrame:
+    """Convolution overview kernels — cubic (Catmull-Rom) and lanczos
+    (gcore/overview.cpp:2771 GDALResampleChunk32R_ConvolutionT at 2x:
+    scale weight 0.5, scaled radius 2*r, so taps s = 2i+o with o in
+    [1-2r, 2r] and CONSTANT per-axis weights w(o) = f(0.5*(o - 0.5))
+    normalized by their sum). The kernel reaches up to 2r-1 source px
+    beyond the 2x2 child block on every side, so instead of the gauss
+    strip exchange each parent gathers its 4x4 child-tile neighborhood
+    (the warp-style window join: shuffle volume = 4x the child tiles,
+    bounded fan-in of 16, no skew possible). Missing neighbors (raster
+    edges) truncate the window and renormalize per axis — exactly the
+    reference's chunk-clamp behavior."""
+    radius = {"cubic": 2, "lanczos": 3}[kernel]
+    offs = list(range(1 - 2 * radius, 2 * radius + 1))
+
+    def wfun(x):
+        if kernel == "cubic":
+            ax = abs(x)
+            if ax <= 1.0:
+                return x * x * (1.5 * ax - 2.5) + 1.0
+            if ax <= 2.0:
+                return x * x * (-0.5 * ax + 2.5) - 4.0 * ax + 2.0
+            return 0.0
+        if x == 0.0:
+            return 1.0
+        if abs(x) >= 3.0:
+            return 0.0
+        pix = math.pi * x
+        return 3.0 * math.sin(pix) * math.sin(pix / 3.0) / (pix * pix)
+
+    w_o = np.array([wfun(0.5 * (o - 0.5)) for o in offs])
+
+    spark = tiles.sparkSession
+    parents = tiles.select(
+        "raster_id", "band", "zoom",
+        F.floor(F.col("tile_x") / 2).cast("int").alias("p_tx"),
+        F.floor(F.col("tile_y") / 2).cast("int").alias("p_ty"),
+    ).distinct()
+    needs = parents.select(
+        "raster_id", "band", "zoom", "p_tx", "p_ty",
+        F.explode(
+            F.sequence(F.col("p_tx") * 2 - 1, F.col("p_tx") * 2 + 2)
+        ).alias("s_tx"),
+    ).select(
+        "raster_id", "band", "zoom", "p_tx", "p_ty", "s_tx",
+        F.explode(
+            F.sequence(F.col("p_ty") * 2 - 1, F.col("p_ty") * 2 + 2)
+        ).alias("s_ty"),
+    )
+    joined = needs.join(
+        tiles.withColumnRenamed("tile_x", "s_tx").withColumnRenamed("tile_y", "s_ty"),
+        ["raster_id", "band", "zoom", "s_tx", "s_ty"],
+        "inner",
+    )
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raster_id, band, zoom, p_tx, p_ty = key
+        first = pdf.iloc[0]
+        w, h = int(first["width"]), int(first["height"])
+        mosaic = np.full((4 * h, 4 * w), np.nan)
+        for r in pdf.itertuples(index=False):
+            ox = (int(r.s_tx) - (2 * int(p_tx) - 1)) * w
+            oy = (int(r.s_ty) - (2 * int(p_ty) - 1)) * h
+            arr = _decode(r.data, r.dtype, r.height, r.width)
+            mosaic[oy : oy + h, ox : ox + w] = arr
+        # horizontal pass: Hf[:, i] = sum_o w_o * M[:, w + 2i + o],
+        # NaN taps drop out and the weight sum renormalizes
+        num = np.zeros((4 * h, w))
+        den = np.zeros((4 * h, w))
+        for o, wt in zip(offs, w_o):
+            v = mosaic[:, w + o : w + o + 2 * w : 2]
+            ok = ~np.isnan(v)
+            num += np.where(ok, v, 0.0) * wt
+            den += np.where(ok, wt, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            hf = np.where(den != 0, num / den, np.nan)
+        num = np.zeros((h, w))
+        den = np.zeros((h, w))
+        for o, wt in zip(offs, w_o):
+            v = hf[h + o : h + o + 2 * h : 2, :]
+            ok = ~np.isnan(v)
+            num += np.where(ok, v, 0.0) * wt
+            den += np.where(ok, wt, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(den != 0, num / den, float(first["nodata"]))
+        out = _gdal_cast(out, first["dtype"])
+        gt = list(first["geotransform"])
+        res2 = gt[1] * 2
+        x0 = gt[0] - ((int(first["s_tx"]) - 2 * int(p_tx)) * w) * gt[1]
+        y0 = gt[3] - ((int(first["s_ty"]) - 2 * int(p_ty)) * h) * gt[5]
+        return pd.DataFrame(
+            [{
+                "raster_id": raster_id, "band": int(band),
+                "zoom": int(zoom) - 1, "tile_x": int(p_tx),
+                "tile_y": int(p_ty), "width": w, "height": h,
+                "dtype": str(out.dtype), "nodata": float(first["nodata"]),
+                "crs": first["crs"],
+                "geotransform": [x0, res2, 0.0, y0, 0.0, gt[5] * 2],
+                "data": out.tobytes(),
+            }]
+        )
+
+    return joined.groupBy("raster_id", "band", "zoom", "p_tx", "p_ty").applyInPandas(
         agg, schema=TILE_SCHEMA
     )
 
@@ -386,8 +525,10 @@ def warp_affine(
     the window and runs the numpy kernel (gdalwarpkernel.cpp:101-137).
     Only the src tiles actually needed move through the shuffle.
     """
-    _FOOTPRINT = ("average", "sum", "rms", "min", "max")
-    if kernel not in ("nearest", "bilinear", "cubic", "lanczos") + _FOOTPRINT:
+    _FOOTPRINT = ("average", "sum", "rms", "min", "max",
+                  "mode", "med", "q1", "q3")
+    if kernel not in ("nearest", "bilinear", "cubic", "cubicspline",
+                      "lanczos") + _FOOTPRINT:
         raise ValueError(f"unsupported warp kernel: {kernel}")
     sx0, sy0 = src_zoom_origin
     dx0, dy0 = dst_origin
@@ -396,9 +537,11 @@ def warp_affine(
     sts = src_tile_px if src_tile_px is not None else ts
     fp_margin = max(2, int(math.ceil(dst_res / src_res)) + 1)
     margin = {
-        "nearest": 1, "bilinear": 2, "cubic": 3, "lanczos": 4,
+        "nearest": 1, "bilinear": 2, "cubic": 3, "cubicspline": 3,
+        "lanczos": 4,
         "average": fp_margin, "sum": fp_margin, "rms": fp_margin,
-        "min": fp_margin, "max": fp_margin,
+        "min": fp_margin, "max": fp_margin, "mode": fp_margin,
+        "med": fp_margin, "q1": fp_margin, "q3": fp_margin,
     }[kernel]
 
     dst = spark.range(0, dst_tiles_x * dst_tiles_y, 1).select(
@@ -472,7 +615,8 @@ def warp_affine(
         spy = (sy0 - wy) / src_res - 0.5
         lx = spx - tx_min * sts
         ly = spy - ty_min * sts
-        if kernel in ("average", "sum", "rms", "min", "max"):
+        if kernel in ("average", "sum", "rms", "min", "max",
+                      "mode", "med", "q1", "q3"):
             # GWKAverageOrMode family (alg/gdalwarpkernel.cpp
             # GRA_Average/Sum/RMS/Min/Max): reduce over the dst pixel's
             # integer source-pixel footprint. average/sum/rms evaluate
@@ -498,7 +642,7 @@ def warp_affine(
                     out = s / cnt
                 else:
                     out = np.sqrt(s / cnt)
-            else:
+            elif kernel in ("min", "max"):
                 fw = int((px1 - px0).max())
                 fh = int((py1 - py0).max())
                 acc = np.full(px0.shape, np.inf if kernel == "min" else -np.inf)
@@ -514,6 +658,36 @@ def warp_affine(
                         else:
                             acc = np.where(ok, np.maximum(acc, v), acc)
                 out = acc
+            else:
+                # GWKAOM_Fract/Quant family (GRA_Mode/Med/Q1/Q3,
+                # alg/gdalwarpkernel.cpp:5882-6462): gather the integer
+                # footprint in row-major scan order, then per-pixel
+                # order statistics
+                fw = int((px1 - px0).max())
+                fh = int((py1 - py0).max())
+                vals, oks = [], []
+                for dy in range(fh):
+                    yy_ = np.minimum(py0 + dy, H - 1)
+                    ok_y = py0 + dy < py1
+                    for dx_ in range(fw):
+                        xx_ = np.minimum(px0 + dx_, W - 1)
+                        oks.append(ok_y & (px0 + dx_ < px1))
+                        vals.append(mosaic[yy_, xx_])
+                V = np.stack(vals, axis=-1)  # (..., K) scan order
+                OK = np.stack(oks, axis=-1)
+                if kernel == "mode":
+                    out = _mode_firstmax(V, OK, nodata)
+                else:
+                    # sort valid ascending; quantIdx = ceil(q*n - 1)
+                    # (gdalwarpkernel.cpp:6454)
+                    q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[kernel]
+                    Vs = np.sort(np.where(OK, V, np.inf), axis=-1)
+                    n = OK.sum(axis=-1)
+                    idx = np.maximum(
+                        np.ceil(q * n - 1).astype(np.int64), 0)
+                    out = np.take_along_axis(
+                        Vs, idx[..., None], axis=-1)[..., 0]
+                    out = np.where(n > 0, out, nodata)
         elif kernel == "nearest":
             xi = np.clip(np.round(lx).astype(np.int64), 0, W - 1)
             yi = np.clip(np.round(ly).astype(np.int64), 0, H - 1)
@@ -564,6 +738,45 @@ def warp_affine(
                 )
                 cub = cub + row * wy[j + 1]
             out = np.where(interior, cub, out)
+        if kernel == "cubicspline":
+            # Cubic B-Spline 4x4 (GWKBSpline, alg/gdalwarpkernel.cpp
+            # :3239; unnormalized basis, normalized by the weight sum
+            # like GWKResampleNoMasksT:3781), bilinear fallback where
+            # the 4x4 support would leave the window (`out` currently
+            # holds that bilinear value)
+            ix = np.floor(lx).astype(np.int64)
+            iy = np.floor(ly).astype(np.int64)
+            dxf = lx - ix
+            dyf = ly - iy
+            interior = (ix - 1 >= 0) & (ix + 2 <= W - 1) & (iy - 1 >= 0) & (iy + 2 <= H - 1)
+
+            def bspl(x):
+                # xp2^3 - 4*xp1^3 + 6*x^3 - 4*xm1^3, each term gated on
+                # positivity (x in (-2, 2)); scale cancels in the
+                # normalization
+                t = 0.0
+                for c, off in ((1.0, 2.0), (-4.0, 1.0), (6.0, 0.0), (-4.0, -1.0)):
+                    xo = x + off
+                    t = t + c * np.where(xo > 0, xo * xo * xo, 0.0)
+                return t
+
+            # taps at ix-1..ix+2; argument = (tap - ix) - dxf
+            wx = [bspl(k - dxf) for k in range(-1, 3)]
+            wy = [bspl(k - dyf) for k in range(-1, 3)]
+            wsx = sum(wx)
+            wsy = sum(wy)
+            ixc = np.clip(ix, 1, max(W - 3, 1))
+            iyc = np.clip(iy, 1, max(H - 3, 1))
+            acc = np.zeros_like(out)
+            for j in range(-1, 3):
+                row = (
+                    mosaic[iyc + j, ixc - 1] * wx[0]
+                    + mosaic[iyc + j, ixc] * wx[1]
+                    + mosaic[iyc + j, ixc + 1] * wx[2]
+                    + mosaic[iyc + j, ixc + 2] * wx[3]
+                )
+                acc = acc + row * wy[j + 1]
+            out = np.where(interior, acc / (wsx * wsy), out)
         if kernel == "lanczos":
             # Lanczos-3 windowed sinc (GWKLanczosSinc,
             # alg/gdalwarpkernel.cpp:874-905; radius 3 per

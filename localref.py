@@ -762,6 +762,14 @@ def oracle_entries() -> dict:
         "dem_slope_checksums": sql_dem_slope_checksums,
         "geometry_boolean": sql_geometry_boolean,
         "overlay_concave_wkt": sql_overlay_concave_wkt,
+        "warp_mode_checksums": sql_warp_mode_checksums,
+        "warp_med_checksums": sql_warp_med_checksums,
+        "warp_q1_checksums": sql_warp_q1_checksums,
+        "warp_q3_checksums": sql_warp_q3_checksums,
+        "warp_cubicspline_checksums": sql_warp_cubicspline_checksums,
+        "overview_rms_checksums": sql_overview_rms_checksums,
+        "overview_cubic_checksums": sql_overview_cubic_checksums,
+        "overview_lanczos_checksums": sql_overview_lanczos_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -1040,6 +1048,7 @@ def _warp_footprint_2x(kind: str) -> str:
     g = global_mosaic(2, 2).astype(np.float64)
     jj, ii = np.mgrid[0:256, 0:256]
     px0, py0 = 2 * ii, 2 * jj
+    # axis 0 = row-major footprint scan order (iSrcY outer, iSrcX inner)
     blocks = np.stack(
         [g[py0, px0], g[py0, px0 + 1], g[py0 + 1, px0], g[py0 + 1, px0 + 1]]
     )
@@ -1049,8 +1058,24 @@ def _warp_footprint_2x(kind: str) -> str:
         out = blocks.sum(axis=0)
     elif kind == "min":
         out = blocks.min(axis=0)
-    else:
+    elif kind == "max":
         out = blocks.max(axis=0)
+    elif kind in ("med", "q1", "q3"):
+        # quantIdx = ceil(q*n - 1) over the sorted footprint
+        # (gdalwarpkernel.cpp:6454); n = 4
+        q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[kind]
+        idx = max(int(math.ceil(q * 4 - 1)), 0)
+        out = np.sort(blocks, axis=0)[idx]
+    else:  # mode: first value to REACH the max count in scan order
+        K = blocks.shape[0]
+        eq = blocks[:, None] == blocks[None, :]
+        cnt = eq.sum(axis=0)
+        cmax = cnt.max(axis=0)
+        tri = np.tril(np.ones((K, K), dtype=bool))
+        rank = (eq & tri[:, :, None, None]).sum(axis=1)
+        reach = np.where(rank == cmax[None], np.arange(K)[:, None, None], 99)
+        win = reach.argmin(axis=0)
+        out = np.take_along_axis(blocks, win[None], axis=0)[0]
     out = _gdal_cast_local(out, "uint8")
     return values_sql(tile_checksums(out, 256, "warped", 1, 12), CKS_COLS, CKS_TYPES)
 
@@ -1061,6 +1086,131 @@ def sql_warp_rms_checksums() -> str:
 
 def sql_warp_max_checksums() -> str:
     return _warp_footprint_2x("max")
+
+
+def sql_warp_mode_checksums() -> str:
+    return _warp_footprint_2x("mode")
+
+
+def sql_warp_med_checksums() -> str:
+    return _warp_footprint_2x("med")
+
+
+def sql_warp_q1_checksums() -> str:
+    return _warp_footprint_2x("q1")
+
+
+def sql_warp_q3_checksums() -> str:
+    return _warp_footprint_2x("q3")
+
+
+def sql_warp_cubicspline_checksums() -> str:
+    """Cubic B-Spline warp at 0.75x dst res (upscale -> unit scale
+    weights), GWKBSpline basis normalized by the weight sum; bilinear
+    fallback outside the interior 4x4 support."""
+    res = _zoom_res(12)
+    x0 = -math.pi * _R_EARTH
+    ytop = x0 + 2 * 256 * res
+    g = global_mosaic(2, 2).astype(np.float64)
+    dst_res = res * 0.75
+    out = _warp_global(g, x0, ytop, res, x0, ytop, dst_res, 256, 256,
+                       "bilinear")
+    H, W = g.shape
+    jj, ii = np.mgrid[0:256, 0:256]
+    lx = ((x0 + (ii + 0.5) * dst_res) - x0) / res - 0.5
+    ly = (ytop - (ytop - (jj + 0.5) * dst_res)) / res - 0.5
+    ix = np.floor(lx).astype(np.int64)
+    iy = np.floor(ly).astype(np.int64)
+    dxf, dyf = lx - ix, ly - iy
+    interior = (ix - 1 >= 0) & (ix + 2 <= W - 1) & (iy - 1 >= 0) & (iy + 2 <= H - 1)
+
+    def bspl(x):
+        t = 0.0
+        for c, off in ((1.0, 2.0), (-4.0, 1.0), (6.0, 0.0), (-4.0, -1.0)):
+            xo = x + off
+            t = t + c * np.where(xo > 0, xo * xo * xo, 0.0)
+        return t
+
+    wx = [bspl(k - dxf) for k in range(-1, 3)]
+    wy = [bspl(k - dyf) for k in range(-1, 3)]
+    ixc = np.clip(ix, 1, W - 3)
+    iyc = np.clip(iy, 1, H - 3)
+    acc = np.zeros_like(out)
+    for j in range(-1, 3):
+        row = sum(g[iyc + j, ixc + k] * wx[k + 1] for k in range(-1, 3))
+        acc = acc + row * wy[j + 1]
+    out = np.where(interior, acc / (sum(wx) * sum(wy)), out)
+    out = _gdal_cast_local(out, "uint8")
+    return values_sql(tile_checksums(out, 256, "warped", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+def sql_overview_rms_checksums() -> str:
+    """RMS 2x2 overview with GDAL's integer rounding (overview.cpp:365
+    ComputeIntegerRMS: the integer minimizing |rms^2 - mean-square|)."""
+    g = global_mosaic(2, 2).astype(np.float64)
+    m = (g * g).reshape(256, 2, 256, 2).mean(axis=(1, 3))
+    r = np.floor(np.sqrt(m))
+    r = r + (2 * r * (r + 1) + 1 < 2 * m)
+    out = np.clip(r, 0, 255).astype(np.uint8)
+    return values_sql(tile_checksums(out, 256, "byte_like", 1, 11), CKS_COLS, CKS_TYPES)
+
+
+def _overview_conv_global(kernel: str) -> np.ndarray:
+    """2x convolution overview on the global mosaic: taps s = 2i+o,
+    o in [1-2r, 2r], constant weights f(0.5*(o-0.5)) normalized per
+    axis over in-raster taps (overview.cpp:2919-2961 at ratio 2)."""
+    g = global_mosaic(4, 4).astype(np.float64)
+    radius = {"cubic": 2, "lanczos": 3}[kernel]
+    offs = list(range(1 - 2 * radius, 2 * radius + 1))
+
+    def wfun(x):
+        if kernel == "cubic":
+            ax = abs(x)
+            if ax <= 1.0:
+                return x * x * (1.5 * ax - 2.5) + 1.0
+            if ax <= 2.0:
+                return x * x * (-0.5 * ax + 2.5) - 4.0 * ax + 2.0
+            return 0.0
+        if x == 0.0:
+            return 1.0
+        if abs(x) >= 3.0:
+            return 0.0
+        pix = math.pi * x
+        return 3.0 * math.sin(pix) * math.sin(pix / 3.0) / (pix * pix)
+
+    w_o = [wfun(0.5 * (o - 0.5)) for o in offs]
+    H, W = g.shape
+    dw, dh = W // 2, H // 2
+
+    def conv_axis(arr, n_dst, axis):
+        num = np.zeros((arr.shape[0], n_dst) if axis == 1 else (n_dst, arr.shape[1]))
+        den = np.zeros_like(num)
+        size = arr.shape[axis]
+        for o, wt in zip(offs, w_o):
+            idx = 2 * np.arange(n_dst) + o
+            ok = (idx >= 0) & (idx < size)
+            idc = np.clip(idx, 0, size - 1)
+            v = arr[:, idc] if axis == 1 else arr[idc, :]
+            okb = ok[None, :] if axis == 1 else ok[:, None]
+            num += np.where(okb, v, 0.0) * wt
+            den += np.where(okb, wt, 0.0)
+        return num / den
+
+    hf = conv_axis(g, dw, axis=1)
+    out = conv_axis(hf, dh, axis=0)
+    return _gdal_cast_local(out, "uint8")
+
+
+def sql_overview_cubic_checksums() -> str:
+    return values_sql(
+        tile_checksums(_overview_conv_global("cubic"), 256, "byte_like", 1, 11),
+        CKS_COLS, CKS_TYPES)
+
+
+def sql_overview_lanczos_checksums() -> str:
+    return values_sql(
+        tile_checksums(_overview_conv_global("lanczos"), 256, "byte_like", 1, 11),
+        CKS_COLS, CKS_TYPES)
 
 
 def sql_dem_slope_zt_checksums() -> str:
