@@ -1124,6 +1124,111 @@ def _q_gcp_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tps_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thin-plate-spline transform (alg/gdal_tps.cpp /
+    thinplatespline.cpp): solve the (N+3) dense system once on the
+    driver from the same 7 control points, apply as pure column math
+    (r^2*log(r^2) basis; dual-backend SQL mirror is the oracle)."""
+    from gdal_spark.tps import fit_tps
+
+    t = fit_tps(_GCPS)
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 100).cast("double").alias("px"),
+        ((F.col("doc_id") / 100).cast("long") % 100).cast("double").alias("py"),
+    )
+    gx, gy = t.forward_cols(F.col("px"), F.col("py"))
+    return d.select(
+        "doc_id", F.round(gx, 6).alias("gx"), F.round(gy, 6).alias("gy")
+    )
+
+
+# Deterministic synthetic RPC model (RPC00B shape): a gently distorted
+# camera around (-160, 75) — denominators near 1 with small cross terms
+_RPC = dict(
+    line_num=[0.002, 0.012, -1.004, 0.001, 0.0007, 0.0, 0.0, 0.0003,
+              0.0011, 0.0] + [0.0] * 10,
+    line_den=[1.0, 0.0002, -0.0005, 0.0, 0.0001] + [0.0] * 15,
+    samp_num=[-0.001, 1.002, 0.009, 0.0005, -0.0006, 0.0, 0.0, 0.0009,
+              -0.0004, 0.0] + [0.0] * 10,
+    samp_den=[1.0, -0.0003, 0.0004, 0.0, 0.0002] + [0.0] * 15,
+    long_off=-160.0, long_scale=20.0, lat_off=75.0, lat_scale=10.0,
+    height_off=0.0, height_scale=100.0,
+    line_off=2048.0, line_scale=2048.0, samp_off=2048.0, samp_scale=2048.0,
+)
+
+
+def _q_rpc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPC forward transform (alg/gdal_rpc.cpp RPCTransformPoint):
+    20-term RPC00B rational polynomials as column math over the derived
+    doc points; the iterative inverse (RPCInverseTransformPoint) is
+    covered by the pytest roundtrip in tests/test_transformers.py."""
+    from gdal_spark.rpc import RPCTransformer
+
+    t = RPCTransformer(**_RPC)
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 2000
+    )
+    px, ln = t.forward_cols(F.col("lon"), F.col("lat"))
+    return d.select(
+        "doc_id", F.round(px, 6).alias("pixel"), F.round(ln, 6).alias("line")
+    )
+
+
+_CONIC_REGION = {
+    # the derived lat is a deterministic hash-lane shift of lon, so
+    # regions must follow the coupling: every doc with lon in
+    # (-141, -74) lands at lat in (38.5, 70.1) — squarely inside the
+    # Statistics Canada Lambert's area of use
+    3347: "lon > -141.0 AND lon < -74.0",
+    5070: "lon > -125.0 AND lon < -67.0 AND lat > 24.0 AND lat < 50.0",
+    3031: "lat < -60.0",
+}
+
+
+def _q_conic(epsg: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Conic/polar CRS (Snyder closed forms on the crs.py
+        dual-backend builder; the reference reaches these through PROJ,
+        ogr/ogrct.cpp:1822): forward to projected meters plus the
+        inverse round-trip back to degrees, all pure JVM column math."""
+        from gdal_spark import crs
+
+        d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+        d = d.filter(F.expr(_CONIC_REGION[epsg]))
+        x, y = crs.conic_forward(epsg, F.col("lon"), F.col("lat"))
+        d = d.select("doc_id", "lon", "lat", x.alias("x"), y.alias("y"))
+        lon2, lat2 = crs.conic_inverse(epsg, F.col("x"), F.col("y"))
+        return d.select(
+            "doc_id",
+            F.round("x", 3).alias("x"),
+            F.round("y", 3).alias("y"),
+            F.round(lon2, 6).alias("lon_rt"),
+            F.round(lat2, 6).alias("lat_rt"),
+        )
+
+    return q
+
+
+def _conic_sql(epsg: int) -> str:
+    from gdal_spark.crs import conic_forward_sql, conic_inverse_sql
+
+    x, y = conic_forward_sql(epsg, "lon", "lat")
+    lon2, lat2 = conic_inverse_sql(epsg, "x", "y")
+    return f"""
+        WITH b AS (
+          SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+        ), c AS (
+          SELECT doc_id, lon, lat FROM b WHERE {_CONIC_REGION[epsg]}
+        ), p AS (
+          SELECT doc_id, {x} AS x, {y} AS y FROM c
+        )
+        SELECT doc_id, ROUND(x, 3) AS x, ROUND(y, 3) AS y,
+               ROUND({lon2}, 6) AS lon_rt, ROUND({lat2}, 6) AS lat_rt
+        FROM p
+    """
+
+
 def _q_hillshade_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synth.tiles_src_df(spark, 2, 2)
     return tiling.checksum_table(
@@ -1226,6 +1331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_hillshade_checksums": _q_dem_hillshade,
         "dem_slope_checksums": _q_dem_slope,
         "gcp_transform": _q_gcp_transform,
+        "tps_transform": _q_tps_transform,
+        "rpc_transform": _q_rpc_transform,
+        "lcc_transform": _q_conic(3347),
+        "albers_transform": _q_conic(5070),
+        "polar_stereo_transform": _q_conic(3031),
         "pansharpen_checksums": _q_pansharpen,
         "polygonize_regions": _q_polygonize,
         "polygonize_wkt": _q_polygonize_wkt,
@@ -1495,6 +1605,41 @@ def _gcp_sql() -> str:
           FROM documents
         )
         SELECT doc_id, ROUND({ex}, 6) AS gx, ROUND({ey}, 6) AS gy FROM b
+    """
+
+
+def _tps_sql() -> str:
+    """Oracle = the SAME thin-plate spline (driver-side dense solve)
+    emitted as mirrored-association SQL (tps.py dual backend)."""
+    from gdal_spark.tps import fit_tps
+
+    t = fit_tps(_GCPS)
+    ex, ey = t.sql_exprs("px", "py")
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(doc_id % 100 AS DOUBLE) AS px,
+                 CAST((doc_id // 100) % 100 AS DOUBLE) AS py
+          FROM documents
+        )
+        SELECT doc_id, ROUND({ex}, 6) AS gx, ROUND({ey}, 6) AS gy FROM b
+    """
+
+
+def _rpc_sql() -> str:
+    """Oracle = the SAME RPC00B rational polynomials emitted as
+    mirrored-association SQL (rpc.py dual backend)."""
+    from gdal_spark.rpc import RPCTransformer
+
+    t = RPCTransformer(**_RPC)
+    px, ln = t.sql_exprs("lon", "lat")
+    return f"""
+        WITH b AS (
+          SELECT doc_id, {_LON} AS lon, {_LAT} AS lat
+          FROM documents WHERE doc_id < 2000
+        )
+        SELECT doc_id, ROUND({px}, 6) AS pixel, ROUND({ln}, 6) AS line
+        FROM b
     """
 
 
@@ -1976,6 +2121,11 @@ def _oracle_sql_static() -> dict[str, str]:
         "graph_sssp": _sssp_oracle_sql(),
         "utm_transform": _utm_sql(),
         "gcp_transform": _gcp_sql(),
+        "tps_transform": _tps_sql(),
+        "rpc_transform": _rpc_sql(),
+        "lcc_transform": _conic_sql(3347),
+        "albers_transform": _conic_sql(5070),
+        "polar_stereo_transform": _conic_sql(3031),
         "reproject_3857": f"""
             SELECT doc_id,
                    lon * 20037508.342789244 / 180.0 AS mx,

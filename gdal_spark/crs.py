@@ -39,6 +39,11 @@ class _ColBackend:
     tan = staticmethod(F.tan)
     sqrt = staticmethod(F.sqrt)
     radians = staticmethod(F.radians)
+    log = staticmethod(F.log)
+    exp = staticmethod(F.exp)
+    atan = staticmethod(F.atan)
+    atan2 = staticmethod(F.atan2)
+    asin = staticmethod(F.asin)
 
 
 class _Sql(str):
@@ -99,6 +104,26 @@ class _SqlBackend:
     @staticmethod
     def radians(x):
         return _Sql(f"RADIANS({x})")
+
+    @staticmethod
+    def log(x):
+        return _Sql(f"LN({x})")
+
+    @staticmethod
+    def exp(x):
+        return _Sql(f"EXP({x})")
+
+    @staticmethod
+    def atan(x):
+        return _Sql(f"ATAN({x})")
+
+    @staticmethod
+    def atan2(y, x):
+        return _Sql(f"ATAN2({y}, {x})")
+
+    @staticmethod
+    def asin(x):
+        return _Sql(f"ASIN({x})")
 
 
 def _tm_forward(B, lon, lat, lon0, a: float, f: float,
@@ -296,3 +321,273 @@ def from_utm(df: DataFrame, epsg: int, e_col: str = "easting",
     ellps, zone, south = utm_params(epsg)
     lon, lat = utm_inverse(F.col(e_col), F.col(n_col), zone, ellps, south)
     return df.withColumn("lon", lon).withColumn("lat", lat)
+
+
+# =====================================================================
+# Conic + polar families: Lambert Conformal Conic (2SP), Albers Equal
+# Area, Polar Stereographic (variant B, south aspect). Together with
+# TM/UTM and Web-Mercator these cover the bulk of real-world EPSG
+# traffic; the reference reaches them through PROJ
+# (ogr/ogrct.cpp:1822, proj_trans_generic), here they are the Snyder
+# closed forms (PP 1395: LCC eqs 15-1..15-11, Albers 14-1..14-11 +
+# 3-18, Polar Stereographic 21-30..21-37 + 3-5) on the same
+# dual-backend builder: constants in driver-side Python floats,
+# per-point math emitted once as Columns AND as mirrored SQL.
+# =====================================================================
+def _msc(e2: float, phi: float) -> float:
+    return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+
+def _tsc(e: float, phi: float) -> float:
+    s = e * math.sin(phi)
+    return math.tan(math.pi / 4.0 - phi / 2.0) / ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+
+
+def _qsc(e2: float, phi: float) -> float:
+    e = math.sqrt(e2)
+    s = math.sin(phi)
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def _chi_series(e2: float):
+    """Conformal -> geodetic latitude series (Snyder 3-5)."""
+    e4 = e2 * e2
+    e6 = e4 * e2
+    e8 = e4 * e4
+    return (
+        e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        4279.0 * e8 / 161280.0,
+    )
+
+
+def _beta_series(e2: float):
+    """Authalic -> geodetic latitude series (Snyder 3-18)."""
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return (
+        e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0,
+        23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0,
+        761.0 * e6 / 45360.0,
+    )
+
+
+def _t_expr(B, e: float, phi, sphi):
+    """t(phi) per Snyder 15-9 as a backend expression."""
+    return B.tan(B.lit(math.pi / 4.0) - phi * 0.5) / B.exp(
+        B.lit(e / 2.0) * B.log((1.0 - sphi * B.lit(e)) / (1.0 + sphi * B.lit(e)))
+    )
+
+
+def lcc_forward(B, lon, lat, phi1: float, phi2: float, phi0: float,
+                lon0: float, a: float, f: float,
+                fe: float = 0.0, fn: float = 0.0):
+    """Lambert Conformal Conic 2SP forward (Snyder 15-1..15-10)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    p1, p2, p0 = map(math.radians, (phi1, phi2, phi0))
+    m1, m2 = _msc(e2, p1), _msc(e2, p2)
+    t1, t2, t0 = _tsc(e, p1), _tsc(e, p2), _tsc(e, p0)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    F_ = m1 / (n * t1 ** n)
+    rho0 = a * F_ * t0 ** n
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    sphi = B.sin(phi)
+    t = _t_expr(B, e, phi, sphi)
+    rho = B.lit(a * F_) * B.exp(B.lit(n) * B.log(t))
+    th = lam * B.lit(n)
+    x = B.lit(fe) + rho * B.sin(th)
+    y = B.lit(fn) + B.lit(rho0) - rho * B.cos(th)
+    return x, y
+
+
+def lcc_inverse(B, x, y, phi1: float, phi2: float, phi0: float,
+                lon0: float, a: float, f: float,
+                fe: float = 0.0, fn: float = 0.0):
+    """LCC 2SP inverse (Snyder 15-1..15-11 reversed + 3-5 series)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    p1, p2, p0 = map(math.radians, (phi1, phi2, phi0))
+    m1, m2 = _msc(e2, p1), _msc(e2, p2)
+    t1, t2, t0 = _tsc(e, p1), _tsc(e, p2), _tsc(e, p0)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    F_ = m1 / (n * t1 ** n)
+    rho0 = a * F_ * t0 ** n
+    sg = 1.0 if n >= 0 else -1.0
+    c2, c4, c6, c8 = _chi_series(e2)
+
+    xe = (x - B.lit(fe)) * B.lit(sg)
+    yn = (B.lit(rho0) - (y - B.lit(fn))) * B.lit(sg)
+    rho = B.sqrt(xe * xe + yn * yn)
+    t = B.exp(B.lit(1.0 / n) * B.log(rho / B.lit(abs(a * F_))))
+    chi = B.lit(math.pi / 2.0) - B.atan(t) * 2.0
+    phi = (
+        chi
+        + B.lit(c2) * B.sin(chi * 2.0)
+        + B.lit(c4) * B.sin(chi * 4.0)
+        + B.lit(c6) * B.sin(chi * 6.0)
+        + B.lit(c8) * B.sin(chi * 8.0)
+    )
+    lam = B.atan2(xe, yn) / B.lit(n) * B.lit(sg)
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+def albers_forward(B, lon, lat, phi1: float, phi2: float, phi0: float,
+                   lon0: float, a: float, f: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    """Albers Equal Area forward (Snyder 14-1..14-6)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    p1, p2, p0 = map(math.radians, (phi1, phi2, phi0))
+    m1, m2 = _msc(e2, p1), _msc(e2, p2)
+    q1, q2, q0 = _qsc(e2, p1), _qsc(e2, p2), _qsc(e2, p0)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    s = B.sin(phi)
+    q = B.lit(1.0 - e2) * (
+        s / (1.0 - B.lit(e2) * s * s)
+        - B.lit(1.0 / (2.0 * e)) * B.log((1.0 - s * B.lit(e)) / (1.0 + s * B.lit(e)))
+    )
+    rho = B.lit(a / n) * B.sqrt(B.lit(C) - B.lit(n) * q)
+    th = lam * B.lit(n)
+    x = B.lit(fe) + rho * B.sin(th)
+    y = B.lit(fn) + B.lit(rho0) - rho * B.cos(th)
+    return x, y
+
+
+def albers_inverse(B, x, y, phi1: float, phi2: float, phi0: float,
+                   lon0: float, a: float, f: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    """Albers inverse (Snyder 14-8..14-11 + 3-18 series)."""
+    e2 = f * (2.0 - f)
+    p1, p2, p0 = map(math.radians, (phi1, phi2, phi0))
+    m1, m2 = _msc(e2, p1), _msc(e2, p2)
+    q1, q2, q0 = _qsc(e2, p1), _qsc(e2, p2), _qsc(e2, p0)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+    qp = _qsc(e2, math.pi / 2.0)
+    b2, b4, b6 = _beta_series(e2)
+
+    xe = x - B.lit(fe)
+    yn = B.lit(rho0) - (y - B.lit(fn))
+    rho = B.sqrt(xe * xe + yn * yn)
+    q = (B.lit(C) - (rho * rho) * B.lit(n * n / (a * a))) / B.lit(n)
+    beta = B.asin(q / B.lit(qp))
+    phi = (
+        beta
+        + B.lit(b2) * B.sin(beta * 2.0)
+        + B.lit(b4) * B.sin(beta * 4.0)
+        + B.lit(b6) * B.sin(beta * 6.0)
+    )
+    lam = B.atan2(xe, yn) / B.lit(n)
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+def ps_south_forward(B, lon, lat, phi_f: float, lon0: float,
+                     a: float, f: float, fe: float = 0.0, fn: float = 0.0):
+    """Polar Stereographic variant B, SOUTH aspect (EPSG 9829; e.g.
+    EPSG:3031/3976): Snyder 21-33..21-34 with the south-aspect signs."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pf = math.radians(phi_f)
+    # south aspect: evaluate the north-aspect formulas at -phi
+    t_f = _tsc(e, -pf)
+    m_f = _msc(e2, pf)
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    sphi = B.sin(phi * -1.0)
+    t = _t_expr(B, e, phi * -1.0, sphi)
+    rho = B.lit(a * m_f / t_f) * t
+    x = B.lit(fe) + rho * B.sin(lam)
+    y = B.lit(fn) + rho * B.cos(lam)
+    return x, y
+
+
+def ps_south_inverse(B, x, y, phi_f: float, lon0: float,
+                     a: float, f: float, fe: float = 0.0, fn: float = 0.0):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pf = math.radians(phi_f)
+    t_f = _tsc(e, -pf)
+    m_f = _msc(e2, pf)
+    c2, c4, c6, c8 = _chi_series(e2)
+
+    xe = x - B.lit(fe)
+    yn = y - B.lit(fn)
+    rho = B.sqrt(xe * xe + yn * yn)
+    t = rho * B.lit(t_f / (a * m_f))
+    chi = B.lit(math.pi / 2.0) - B.atan(t) * 2.0
+    phi_n = (
+        chi
+        + B.lit(c2) * B.sin(chi * 2.0)
+        + B.lit(c4) * B.sin(chi * 4.0)
+        + B.lit(c6) * B.sin(chi * 6.0)
+        + B.lit(c8) * B.sin(chi * 8.0)
+    )
+    lam = B.atan2(xe, yn)
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi_n * B.lit(-deg)
+
+
+# EPSG presets for the conic/polar families
+CONIC_PRESETS = {
+    2154: ("lcc", "GRS80",  # RGF93 / Lambert-93 (France)
+           dict(phi1=49.0, phi2=44.0, phi0=46.5, lon0=3.0,
+                fe=700000.0, fn=6600000.0)),
+    3347: ("lcc", "GRS80",  # NAD83 / Statistics Canada Lambert
+           dict(phi1=49.0, phi2=77.0, phi0=63.390675,
+                lon0=-91.86666666666666, fe=6200000.0, fn=3000000.0)),
+    5070: ("albers", "GRS80",  # NAD83 / Conus Albers
+           dict(phi1=29.5, phi2=45.5, phi0=23.0, lon0=-96.0,
+                fe=0.0, fn=0.0)),
+    3031: ("ps_south", "WGS84",  # Antarctic Polar Stereographic
+           dict(phi_f=-71.0, lon0=0.0, fe=0.0, fn=0.0)),
+}
+
+_CONIC_FNS = {
+    "lcc": (lcc_forward, lcc_inverse),
+    "albers": (albers_forward, albers_inverse),
+    "ps_south": (ps_south_forward, ps_south_inverse),
+}
+
+
+def conic_forward(epsg: int, lon: Column, lat: Column) -> tuple[Column, Column]:
+    kind, ellps, p = CONIC_PRESETS[epsg]
+    a, f = ELLIPSOIDS[ellps]
+    return _CONIC_FNS[kind][0](_ColBackend, lon, lat, a=a, f=f, **p)
+
+
+def conic_inverse(epsg: int, x: Column, y: Column) -> tuple[Column, Column]:
+    kind, ellps, p = CONIC_PRESETS[epsg]
+    a, f = ELLIPSOIDS[ellps]
+    return _CONIC_FNS[kind][1](_ColBackend, x, y, a=a, f=f, **p)
+
+
+def conic_forward_sql(epsg: int, lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    kind, ellps, p = CONIC_PRESETS[epsg]
+    a, f = ELLIPSOIDS[ellps]
+    x, y = _CONIC_FNS[kind][0](_SqlBackend, _Sql(lon_expr), _Sql(lat_expr),
+                               a=a, f=f, **p)
+    return str(x), str(y)
+
+
+def conic_inverse_sql(epsg: int, x_expr: str, y_expr: str) -> tuple[str, str]:
+    kind, ellps, p = CONIC_PRESETS[epsg]
+    a, f = ELLIPSOIDS[ellps]
+    lon, lat = _CONIC_FNS[kind][1](_SqlBackend, _Sql(x_expr), _Sql(y_expr),
+                                   a=a, f=f, **p)
+    return str(lon), str(lat)

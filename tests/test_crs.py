@@ -76,3 +76,54 @@ def test_from_utm_column(spark):
     ).collect()[0]
     assert rt["lon"] == pytest.approx(-117.3, abs=1e-8)
     assert rt["lat"] == pytest.approx(33.7, abs=1e-8)
+
+
+def test_conic_known_points(spark):
+    """Forward values against independently known EPSG sample points
+    (PROJ/epsg.io): Lambert-93 Paris, Conus Albers origin, Antarctic
+    Polar Stereographic on the standard parallel."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark import crs
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": [2.3522], "lat": [48.8566]}))
+    x, y = crs.conic_forward(2154, F.col("lon"), F.col("lat"))
+    got = df.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(got["x"] - 652469.02) < 1.0
+    assert abs(got["y"] - 6862035.26) < 1.0
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": [-96.0], "lat": [23.0]}))
+    x, y = crs.conic_forward(5070, F.col("lon"), F.col("lat"))
+    got = df.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(got["x"]) < 1e-6 and abs(got["y"]) < 1e-6
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": [0.0], "lat": [-71.0]}))
+    x, y = crs.conic_forward(3031, F.col("lon"), F.col("lat"))
+    got = df.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(got["x"]) < 1e-6
+    assert abs(got["y"] - 2082760.0) < 5.0
+
+
+def test_conic_roundtrip(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark import crs
+
+    cases = {
+        3347: ([-120.0, -95.5, -80.0], [45.0, 60.0, 68.0]),
+        5070: ([-120.0, -96.0, -70.0], [30.0, 40.0, 48.0]),
+        3031: ([-150.0, 0.0, 120.0], [-65.0, -75.0, -89.0]),
+    }
+    for epsg, (lons, lats) in cases.items():
+        df = spark.createDataFrame(pd.DataFrame({"lon": lons, "lat": lats}))
+        x, y = crs.conic_forward(epsg, F.col("lon"), F.col("lat"))
+        d = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+        lon2, lat2 = crs.conic_inverse(epsg, F.col("x"), F.col("y"))
+        got = d.select(
+            (F.abs(lon2 - F.col("lon"))).alias("dl"),
+            (F.abs(lat2 - F.col("lat"))).alias("dp"),
+        ).toPandas()
+        assert got["dl"].max() < 1e-7, epsg
+        assert got["dp"].max() < 1e-7, epsg
