@@ -976,7 +976,7 @@ def _q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in synth.TILE_SCHEMA.fields])
 
     rgb = base.mapInPandas(derive, schema=synth.TILE_SCHEMA)
-    pal = median_cut_palette(rgb, n_colors=8, stride=11)
+    pal = median_cut_palette(rgb, n_colors=8)
     return tiling.checksum_table(dither(rgb, pal))
 
 

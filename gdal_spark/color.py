@@ -27,11 +27,10 @@ from pyspark.sql import types as T
 from .synth import TILE_SCHEMA
 from .tiling import _decode
 
-SAMPLE_SCHEMA = T.StructType(
+HIST_SCHEMA = T.StructType(
     [
-        T.StructField("r", T.IntegerType()),
-        T.StructField("g", T.IntegerType()),
-        T.StructField("b", T.IntegerType()),
+        T.StructField("code", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
     ]
 )
 
@@ -48,55 +47,192 @@ def _assemble_rgb(pdf: pd.DataFrame):
     return np.stack([bands[1], bands[2], bands[3]], axis=-1), h, w
 
 
-def median_cut_palette(tiles: DataFrame, n_colors: int = 16,
-                       stride: int = 7) -> np.ndarray:
-    """(n_colors, 3) uint8 palette via median cut over strided samples
-    (GDALComputeMedianCutPCT, alg/gdalmediancut.cpp)."""
-
-    def sample(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        rgb, h, w = _assemble_rgb(pdf)
-        sub = rgb[::stride, ::stride].reshape(-1, 3).astype(np.int32)
-        return pd.DataFrame({"r": sub[:, 0], "g": sub[:, 1], "b": sub[:, 2]})
-
-    pts = (
-        tiles.groupBy("tile_x", "tile_y")
-        .applyInPandas(sample, schema=SAMPLE_SCHEMA)
-        .toPandas()
-        .to_numpy(dtype=np.float64)
-    )
-    # canonical sample order: Spark returns tile groups in arbitrary
-    # order, and the degenerate-split branch below is order-sensitive —
-    # lexsort makes the palette a pure function of the sample SET
-    pts = pts[np.lexsort((pts[:, 2], pts[:, 1], pts[:, 0]))]
-    boxes = [pts]
+def hist_median_cut(bins: np.ndarray, weights: np.ndarray,
+                    n_colors: int) -> np.ndarray:
+    """Weighted median cut over 5-bit RGB histogram bins — the actual
+    shape of GDALComputeMedianCutPCT (alg/gdalmediancut.cpp works on a
+    32^3 histogram, never raw pixels). `bins` (n, 3) int in 0..31,
+    lexsorted; `weights` (n,) int64 pixel counts. Palette entry =
+    ((min + max) << 3) / 2 per channel over the box's bin range — the
+    reference's exact formula (gdalmediancut.cpp:578-580)."""
+    boxes = [(bins.astype(np.int64), weights.astype(np.int64))]
     while len(boxes) < n_colors:
-        # split the box with the largest channel range at its median
         ranges = [
-            (b[:, c].max() - b[:, c].min() if len(b) > 1 else -1.0, i, c)
-            for i, b in enumerate(boxes)
+            (b[:, c].max() - b[:, c].min() if len(b) > 1 else -1, i, c)
+            for i, (b, _) in enumerate(boxes)
             for c in range(3)
         ]
         rng, bi, ch = max(ranges)
         if rng <= 0:
             break
-        b = boxes.pop(bi)
-        med = np.median(b[:, ch])
-        lo = b[b[:, ch] <= med]
-        hi = b[b[:, ch] > med]
+        b, wt = boxes.pop(bi)
+        order = np.argsort(b[:, ch], kind="stable")
+        bs, ws = b[order], wt[order]
+        cum = np.cumsum(ws)
+        half = cum[-1] / 2.0
+        k = int(np.searchsorted(cum, half))  # first bin reaching half
+        med = bs[min(k, len(bs) - 1), ch]
+        sel = b[:, ch] <= med
+        lo, wlo = b[sel], wt[sel]
+        hi, whi = b[~sel], wt[~sel]
         if len(lo) == 0 or len(hi) == 0:
-            order = np.argsort(b[:, ch], kind="stable")
-            half = len(b) // 2
-            lo, hi = b[order[:half]], b[order[half:]]
-        boxes.extend([lo, hi])
+            hcount = len(bs) // 2
+            lo, wlo = bs[:hcount], ws[:hcount]
+            hi, whi = bs[hcount:], ws[hcount:]
+        boxes.extend([(lo, wlo), (hi, whi)])
     pal = np.array(
-        [b.mean(axis=0) if len(b) else [0, 0, 0] for b in boxes]
+        [
+            ((b.min(axis=0) + b.max(axis=0)) * 8) // 2
+            if len(b) else np.zeros(3, dtype=np.int64)
+            for b, wt in boxes
+        ]
     )
-    return np.clip(np.round(pal), 0, 255).astype(np.uint8)
+    return np.clip(pal, 0, 255).astype(np.uint8)
+
+
+def median_cut_palette(tiles: DataFrame, n_colors: int = 16) -> np.ndarray:
+    """(n_colors, 3) uint8 palette via weighted median cut over the
+    DISTRIBUTED 5-bit 3-D color histogram (GDALComputeMedianCutPCT,
+    alg/gdalmediancut.cpp's 32^3 histogram): each tile emits its local
+    nonzero (code, count) rows, a groupBy-sum merges them, and the
+    driver sees at most 32768 rows no matter how large the raster is —
+    the unbounded strided-sample collect this replaces scaled with
+    pixel count."""
+
+    def hist(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rgb, h, w = _assemble_rgb(pdf)
+        v = np.clip(np.round(rgb), 0, 255).astype(np.int32)
+        code = ((v[..., 0] >> 3) << 10) | ((v[..., 1] >> 3) << 5) | (v[..., 2] >> 3)
+        cnt = np.bincount(code.ravel(), minlength=32768)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"code": nz.astype(np.int32), "cnt": cnt[nz]})
+
+    agg = (
+        tiles.groupBy("tile_x", "tile_y")
+        .applyInPandas(hist, schema=HIST_SCHEMA)
+        .groupBy("code")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy("code")
+        .toPandas()
+    )
+    codes = agg["code"].to_numpy(np.int64)
+    bins = np.stack(
+        [(codes >> 10) & 31, (codes >> 5) & 31, codes & 31], axis=1
+    )
+    return hist_median_cut(bins, agg["cnt"].to_numpy(np.int64), n_colors)
+
+
+_DITHER_C_SRC = r"""
+#include <stddef.h>
+#include <stdint.h>
+
+/* Exact C restatement of the serpentine Floyd-Steinberg loop below
+   (and of alg/gdaldither.cpp:238-330's serial int pipeline). Floor
+   divisions by 16 are arithmetic right shifts so negative errors
+   round like Python's //. */
+void dither_tile_c(const uint8_t *rgb, const int32_t *pal, int npal,
+                   int h, int w, int32_t *cur, int32_t *nxt,
+                   uint8_t *out)
+{
+    for (int c = 0; c < 3 * w; c++) { cur[c] = 0; }
+    for (int y = 0; y < h; y++) {
+        int serp = y & 1;
+        int step = serp ? -1 : 1;
+        int x0 = serp ? w - 1 : 0;
+        for (int c = 0; c < 3 * w; c++) { nxt[c] = 0; }
+        const uint8_t *row = rgb + (size_t)y * w * 3;
+        uint8_t *orow = out + (size_t)y * w;
+        int car_r = 0, car_g = 0, car_b = 0;
+        for (int i = 0, x = x0; i < w; i++, x += step) {
+            int r = row[3 * x] + cur[x] + car_r;
+            int g = row[3 * x + 1] + cur[w + x] + car_g;
+            int b = row[3 * x + 2] + cur[2 * w + x] + car_b;
+            int rc = r < 0 ? 0 : (r > 255 ? 255 : r);
+            int gc = g < 0 ? 0 : (g > 255 ? 255 : g);
+            int bc = b < 0 ? 0 : (b > 255 ? 255 : b);
+            int best = 1 << 30, k = 0;
+            for (int p = 0; p < npal; p++) {
+                int dr = rc - pal[3 * p], dg = gc - pal[3 * p + 1],
+                    db = bc - pal[3 * p + 2];
+                int d = dr * dr + dg * dg + db * db;
+                if (d < best) { best = d; k = p; }
+            }
+            orow[x] = (uint8_t)k;
+            int er = rc - pal[3 * k], eg = gc - pal[3 * k + 1],
+                eb = bc - pal[3 * k + 2];
+            int e7r = (er * 7) >> 4, e5r = (er * 5) >> 4, e3r = (er * 3) >> 4;
+            int e7g = (eg * 7) >> 4, e5g = (eg * 5) >> 4, e3g = (eg * 3) >> 4;
+            int e7b = (eb * 7) >> 4, e5b = (eb * 5) >> 4, e3b = (eb * 3) >> 4;
+            car_r = e7r; car_g = e7g; car_b = e7b;
+            nxt[x] += e5r; nxt[w + x] += e5g; nxt[2 * w + x] += e5b;
+            int xm = x - step;
+            if (xm >= 0 && xm < w) {
+                nxt[xm] += e3r; nxt[w + xm] += e3g; nxt[2 * w + xm] += e3b;
+            }
+            int xp = x + step;
+            if (xp >= 0 && xp < w) {
+                nxt[xp] += er - e7r - e5r - e3r;
+                nxt[w + xp] += eg - e7g - e5g - e3g;
+                nxt[2 * w + xp] += eb - e7b - e5b - e3b;
+            } else {
+                car_r = 0; car_g = 0; car_b = 0;
+            }
+        }
+        int32_t *t = cur; cur = nxt; nxt = t;
+    }
+}
+"""
+
+_dither_c = None
+_dither_c_tried = False
+
+
+def _get_dither_c():
+    """Compile the C kernel once per process (cached .so under the
+    temp dir, atomic rename so concurrent executor workers race
+    safely). Returns the ctypes function or None -> Python fallback."""
+    global _dither_c, _dither_c_tried
+    if _dither_c_tried:
+        return _dither_c
+    _dither_c_tried = True
+    try:
+        import ctypes
+        import hashlib
+        import os
+        import subprocess
+        import tempfile
+
+        tag = hashlib.sha256(_DITHER_C_SRC.encode()).hexdigest()[:16]
+        so = os.path.join(tempfile.gettempdir(), f"gdal_spark_dither_{tag}.so")
+        if not os.path.exists(so):
+            with tempfile.TemporaryDirectory() as td:
+                src = os.path.join(td, "d.c")
+                tmp = os.path.join(td, "d.so")
+                with open(src, "w") as fh:
+                    fh.write(_DITHER_C_SRC)
+                subprocess.run(
+                    ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
+        fn = lib.dither_tile_c
+        fn.restype = None
+        _dither_c = fn
+    except Exception:
+        _dither_c = None
+    return _dither_c
 
 
 def dither_tile(rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
     """Serpentine Floyd-Steinberg error diffusion of one (H, W, 3)
     uint8 tile against a (P, 3) palette; returns (H, W) uint8 indices.
+
+    The error carry is serial by nature (GDAL's own loop is serial C,
+    alg/gdaldither.cpp:238-330), so the hot path is a tiny C kernel
+    compiled on first use (ctypes; ~50x the Python loop) with the
+    pure-Python implementation below as the bit-exact fallback when no
+    compiler is available — equality is pinned by a test.
 
     Integer error arithmetic with clamp-before-search, the shape of
     GDALDitherRGB2PCT's scanline loop (alg/gdaldither.cpp:238-330,
@@ -109,6 +245,25 @@ def dither_tile(rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
     division, remainder folded into the 1/16 slot so error is
     conserved like GDAL's int pipeline."""
     h, w = rgb.shape[:2]
+    fn = _get_dither_c()
+    if fn is not None:
+        import ctypes
+
+        rgbc = np.ascontiguousarray(rgb, dtype=np.uint8)
+        palc = np.ascontiguousarray(palette, dtype=np.int32)
+        outc = np.zeros((h, w), dtype=np.uint8)
+        cur = np.zeros(3 * w, dtype=np.int32)
+        nxt = np.zeros(3 * w, dtype=np.int32)
+        fn(
+            rgbc.ctypes.data_as(ctypes.c_void_p),
+            palc.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(len(palc)),
+            ctypes.c_int(h), ctypes.c_int(w),
+            cur.ctypes.data_as(ctypes.c_void_p),
+            nxt.ctypes.data_as(ctypes.c_void_p),
+            outc.ctypes.data_as(ctypes.c_void_p),
+        )
+        return outc
     out = np.zeros((h, w), dtype=np.uint8)
     pal = [(int(r), int(g), int(b)) for r, g, b in palette.astype(np.int64)]
     memo: dict = {}

@@ -568,27 +568,48 @@ def sql_sieve_checksums() -> str:
 
 # ================================================================= dither
 def _median_cut_local(pts: np.ndarray, n_colors: int) -> np.ndarray:
-    boxes = [pts]
+    """Single-node weighted median cut over the 5-bit 3-D histogram
+    (same published convention as color.hist_median_cut, computed here
+    from raw pixels via np.unique rather than distributed bincounts)."""
+    v = np.clip(np.round(pts), 0, 255).astype(np.int64) >> 3
+    code = (v[:, 0] << 10) | (v[:, 1] << 5) | v[:, 2]
+    codes, cnts = np.unique(code, return_counts=True)
+    bins = np.stack(
+        [(codes >> 10) & 31, (codes >> 5) & 31, codes & 31], axis=1
+    ).astype(np.int64)
+    boxes = [(bins, cnts.astype(np.int64))]
     while len(boxes) < n_colors:
-        ranges = [
-            (b[:, c].max() - b[:, c].min() if len(b) > 1 else -1.0, i, c)
-            for i, b in enumerate(boxes)
-            for c in range(3)
-        ]
-        rng, bi, ch = max(ranges)
+        best = (-1, -1, -1)
+        for i, (b, _) in enumerate(boxes):
+            if len(b) <= 1:
+                continue
+            for c in range(3):
+                cand = (int(b[:, c].max() - b[:, c].min()), i, c)
+                if cand > best:
+                    best = cand
+        rng, bi, ch = best
         if rng <= 0:
             break
-        b = boxes.pop(bi)
-        med = np.median(b[:, ch])
-        lo = b[b[:, ch] <= med]
-        hi = b[b[:, ch] > med]
-        if len(lo) == 0 or len(hi) == 0:
-            order = np.argsort(b[:, ch], kind="stable")
-            half = len(b) // 2
-            lo, hi = b[order[:half]], b[order[half:]]
-        boxes.extend([lo, hi])
-    pal = np.array([b.mean(axis=0) if len(b) else [0, 0, 0] for b in boxes])
-    return np.clip(np.round(pal), 0, 255).astype(np.uint8)
+        b, wt = boxes.pop(bi)
+        order = np.argsort(b[:, ch], kind="stable")
+        bs, ws = b[order], wt[order]
+        cum = np.cumsum(ws)
+        k = int(np.searchsorted(cum, cum[-1] / 2.0))
+        med = int(bs[min(k, len(bs) - 1), ch])
+        sel = b[:, ch] <= med
+        parts = [(b[sel], wt[sel]), (b[~sel], wt[~sel])]
+        if len(parts[0][0]) == 0 or len(parts[1][0]) == 0:
+            h = len(bs) // 2
+            parts = [(bs[:h], ws[:h]), (bs[h:], ws[h:])]
+        boxes.extend(parts)
+    out = []
+    for b, wt in boxes:
+        if len(b) == 0:
+            out.append([0, 0, 0])
+        else:
+            # gdalmediancut.cpp:578-580: ((min + max) << shift) / 2
+            out.append((((b.min(axis=0) + b.max(axis=0)) * 8) // 2).tolist())
+    return np.clip(np.array(out), 0, 255).astype(np.uint8)
 
 
 def _derived_rgb(tx: int) -> np.ndarray:
@@ -600,12 +621,8 @@ def sql_dither_checksums() -> str:
     from gdal_spark.color import dither_tile
 
     pts = np.vstack(
-        [
-            _derived_rgb(tx).astype(np.float64)[::11, ::11].reshape(-1, 3)
-            for tx in range(2)
-        ]
+        [_derived_rgb(tx).astype(np.float64).reshape(-1, 3) for tx in range(2)]
     )
-    pts = pts[np.lexsort((pts[:, 2], pts[:, 1], pts[:, 0]))]
     pal = _median_cut_local(pts, 8)
     rows = []
     for tx in range(2):

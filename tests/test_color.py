@@ -39,22 +39,55 @@ def _quadrant_image(n=32):
     return img
 
 
+def _bin_mid(c: np.ndarray) -> np.ndarray:
+    # a single-bin box's palette entry per gdalmediancut.cpp:578-580
+    b = c.astype(np.int64) >> 3
+    return ((b + b) * 8) // 2
+
+
 def test_median_cut_recovers_colors(spark):
     tiles = _rgb_tiles(spark, _quadrant_image(), 16)
-    pal = median_cut_palette(tiles, n_colors=4, stride=2)
+    pal = median_cut_palette(tiles, n_colors=4)
     got = {tuple(c) for c in pal.tolist()}
-    assert got == {tuple(c) for c in COLORS.tolist()}
+    # the 5-bit histogram quantizes each flat color to its bin midpoint
+    assert got == {tuple(_bin_mid(c).tolist()) for c in COLORS}
 
 
-def test_dither_exact_colors(spark):
+def test_dither_flat_regions(spark):
     img = _quadrant_image()
     tiles = _rgb_tiles(spark, img, 16)
-    pal = median_cut_palette(tiles, n_colors=4, stride=2)
+    pal = median_cut_palette(tiles, n_colors=4)
     out = dither(tiles, pal).collect()
     assert len(out) == 4
     for r in out:
         idx = np.frombuffer(r["data"], dtype=np.uint8).reshape(16, 16)
-        rec = pal[idx]
+        rec = pal[idx].astype(np.int64)
         exp = img[r["tile_y"] * 16 : (r["tile_y"] + 1) * 16,
-                  r["tile_x"] * 16 : (r["tile_x"] + 1) * 16]
-        assert np.array_equal(rec, exp)  # zero quantization error
+                  r["tile_x"] * 16 : (r["tile_x"] + 1) * 16].astype(np.int64)
+        # every flat region maps to its own (bin-quantized) palette
+        # entry — residual is the sub-bin error, < 8 per channel
+        assert len(np.unique(idx)) == 1
+        assert np.abs(rec - exp).max() < 8
+
+
+def test_dither_c_kernel_matches_python():
+    """The compiled hot path and the pure-Python fallback must agree
+    bit-for-bit (worst case: random noise, maximal memo misses)."""
+    import gdal_spark.color as C
+
+    fn = C._get_dither_c()
+    if fn is None:
+        import pytest
+
+        pytest.skip("no C compiler available in this environment")
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    out_c = C.dither_tile(rgb, pal)
+    saved, saved_t = C._dither_c, C._dither_c_tried
+    try:
+        C._dither_c, C._dither_c_tried = None, True
+        out_py = C.dither_tile(rgb, pal)
+    finally:
+        C._dither_c, C._dither_c_tried = saved, saved_t
+    assert np.array_equal(out_c, out_py)
