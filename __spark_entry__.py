@@ -699,6 +699,20 @@ def _q_grid_kernel(alg: str):
     return q
 
 
+def _q_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALGridLinear (alg/gdalgrid.cpp:1407): broadcast Delaunay +
+    per-tile barycentric interpolation; NULL outside the hull. Oracle =
+    localref's independent per-pixel point-location over the same
+    canonical triangulation."""
+    from gdal_spark.tin import grid_linear
+
+    out = grid_linear(_grid_points(spark, sf_dir), "v", ntx=4, nty=4,
+                      tile_px=8)
+    return out.filter(F.col("value").isNotNull()).select(
+        "gx", "gy", F.round("value", 6).alias("value")
+    )
+
+
 def _q_contour_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.contour import contour_polylines
 
@@ -742,6 +756,47 @@ def _q_ogr_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c_custkey, SUBSTR(c_name, -3) AS tail, c_acctbal / 2 AS half "
         "FROM customer WHERE c_mktsegment = 'building' AND c_acctbal "
         "BETWEEN 100 AND 5000 ORDER BY c_acctbal DESC, c_custkey LIMIT 20 OFFSET 3",
+        layers,
+    )
+
+
+def _q_ogr_sql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary select through the TEXTUAL OGR SQL path — aggregates
+    without GROUP BY, OGR SQL's only aggregate form
+    (generic/ogr_gensql.cpp:822 summary layer)."""
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    layers = {"customer": _read(spark, sf_dir, "customer")}
+    out = execute_ogr_sql(
+        spark,
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT c_mktsegment) AS nseg, "
+        "MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx, "
+        "SUM(c_acctbal) AS total, AVG(c_acctbal) AS av "
+        "FROM customer WHERE c_acctbal > 0",
+        layers,
+    )
+    return out.select(
+        "n", "nseg", F.round("mn", 3).alias("mn"), F.round("mx", 3).alias("mx"),
+        F.round("total", 3).alias("total"), F.round("av", 3).alias("av"),
+    )
+
+
+def _q_ogr_sql_text_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + CAST through the textual path (swq_parser.y:652-667;
+    OGRUnionLayer semantics — by-name column merge)."""
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    layers = {
+        "customer": _read(spark, sf_dir, "customer"),
+        "supplier": _read(spark, sf_dir, "supplier"),
+    }
+    return execute_ogr_sql(
+        spark,
+        "SELECT CAST(c_custkey AS integer) AS k, UPPER(c_mktsegment) AS tag, "
+        "CAST(c_acctbal AS integer) AS bal FROM customer WHERE c_custkey <= 40 "
+        "UNION ALL "
+        "SELECT CAST(s_suppkey AS integer) AS k, 'SUPP' AS tag, "
+        "CAST(s_acctbal AS integer) AS bal FROM supplier WHERE s_suppkey <= 40",
         layers,
     )
 
@@ -1314,12 +1369,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_nearest": _q_grid_kernel("nearest"),
         "grid_average": _q_grid_kernel("average"),
         "grid_count": _q_grid_kernel("count"),
+        "grid_avgdist": _q_grid_kernel("average_distance"),
+        "grid_avgdist_pts": _q_grid_kernel("average_distance_pts"),
+        "grid_linear": _q_grid_linear,
         "grid_range": _q_grid_kernel("range"),
         "contour_polylines": _q_contour_polylines,
         "color_relief_checksums": _q_color_relief,
         "jaccard_dedup": _q_jaccard_dedup,
         "sql_dialect": _q_sql_dialect,
         "ogr_sql_text": _q_ogr_sql_text,
+        "ogr_sql_text_agg": _q_ogr_sql_text_agg,
+        "ogr_sql_text_union": _q_ogr_sql_text_union,
         "tile_index": _q_tile_index,
         "reproject_3857": _q_reproject_3857,
         "utm_transform": _q_utm,
@@ -2031,6 +2091,31 @@ def _oracle_sql_static() -> dict[str, str]:
             "CAST(SUM(CASE WHEN d2 <= 900.0 THEN 1 ELSE 0 END) AS DOUBLE)", False
         ),
         "grid_range": _grid_sql("ROUND(MAX(v) - MIN(v), 6)", True),
+        "grid_avgdist": _grid_sql("ROUND(AVG(SQRT(d2)), 6)", True),
+        "grid_avgdist_pts": f"""
+            WITH pts AS (
+              SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+            ), px AS (
+              SELECT a.range AS gx, b.range AS gy
+              FROM range(32) a CROSS JOIN range(32) b
+            ), c AS (
+              SELECT gx, gy,
+                     -180.0 + (CAST(gx AS DOUBLE) + 0.5) * {360.0 / 32} AS plon,
+                     85.0 - (CAST(gy AS DOUBLE) + 0.5) * {170.0 / 32} AS plat
+              FROM px
+            ), hit AS (
+              SELECT gx, gy, doc_id, lon, lat
+              FROM c CROSS JOIN pts
+              WHERE (plon - lon) * (plon - lon)
+                    + (plat - lat) * (plat - lat) <= 900.0
+            )
+            SELECT CAST(a.gx AS INTEGER) AS gx, CAST(a.gy AS INTEGER) AS gy,
+                   ROUND(AVG(SQRT((a.lon - b.lon) * (a.lon - b.lon)
+                             + (a.lat - b.lat) * (a.lat - b.lat))), 6) AS value
+            FROM hit a JOIN hit b
+              ON a.gx = b.gx AND a.gy = b.gy AND a.doc_id < b.doc_id
+            GROUP BY a.gx, a.gy
+        """,
         "jaccard_dedup": """
             WITH t AS (
               SELECT doc_id,
@@ -2051,6 +2136,24 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
             ) WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5
+        """,
+        "ogr_sql_text_agg": """
+            SELECT COUNT(*) AS n, COUNT(DISTINCT c_mktsegment) AS nseg,
+                   ROUND(MIN(c_acctbal), 3) AS mn,
+                   ROUND(MAX(c_acctbal), 3) AS mx,
+                   ROUND(SUM(c_acctbal), 3) AS total,
+                   ROUND(AVG(c_acctbal), 3) AS av
+            FROM customer WHERE c_acctbal > 0
+        """,
+        "ogr_sql_text_union": """
+            SELECT CAST(c_custkey AS BIGINT) AS k,
+                   UPPER(c_mktsegment) AS tag,
+                   CAST(TRUNC(c_acctbal) AS BIGINT) AS bal
+            FROM customer WHERE c_custkey <= 40
+            UNION ALL
+            SELECT CAST(s_suppkey AS BIGINT) AS k, 'SUPP' AS tag,
+                   CAST(TRUNC(s_acctbal) AS BIGINT) AS bal
+            FROM supplier WHERE s_suppkey <= 40
         """,
         "ogr_sql_text": """
             SELECT c_custkey, RIGHT(c_name, 3) AS tail,

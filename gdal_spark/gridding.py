@@ -171,16 +171,21 @@ def grid_interpolate(
       average   GDALGridMovingAverage — mean of points in radius
       count / minimum / maximum / range
                 GDALGridDataMetric{Count,Minimum,Maximum,Range}
+      average_distance      GDALGridDataMetricAverageDistance — mean
+                node-to-point distance over points in radius
+      average_distance_pts  GDALGridDataMetricAverageDistancePts —
+                mean pairwise distance among the points in radius
 
     Linear (TIN) interpolation needs a GLOBAL Delaunay triangulation —
-    not expressible in the radius-bounded halo plan — and is out of
-    scope (GDALGridLinear).
+    see tin.grid_linear (broadcast small-model plan, like the
+    reference's own in-memory GDALTriangulation).
     """
     if algorithm == "invdist":
         return idw_grid(points, val_col, ntx, nty, tile_px, x0, y_top,
                         extent_x, extent_y, radius, power)
     if algorithm not in ("nearest", "average", "count", "minimum",
-                        "maximum", "range"):
+                        "maximum", "range", "average_distance",
+                        "average_distance_pts"):
         raise ValueError(f"unknown grid algorithm {algorithm!r}")
 
     rx = extent_x / (ntx * tile_px)
@@ -256,6 +261,22 @@ def grid_interpolate(
             )
         elif algorithm == "count":
             val = inr.sum(axis=1).astype(np.float64)
+        elif algorithm == "average_distance":
+            cnt = inr.sum(axis=1)
+            dsum = np.where(inr, np.sqrt(d2), 0.0).sum(axis=1)
+            val = np.where(cnt > 0, dsum / np.maximum(cnt, 1), np.nan)
+        elif algorithm == "average_distance_pts":
+            # mean pairwise distance among each pixel's in-radius set:
+            # S = m D m^T over the point-point distance matrix D,
+            # pair count = k^2 - k (each unordered pair twice)
+            k = inr.sum(axis=1)
+            D = np.sqrt(
+                (sl[:, None] - sl[None, :]) ** 2
+                + (sa[:, None] - sa[None, :]) ** 2
+            )
+            S = ((inr.astype(np.float64) @ D) * inr).sum(axis=1)
+            denom = k * k - k
+            val = np.where(denom > 0, S / np.maximum(denom, 1), np.nan)
         elif algorithm == "minimum":
             val = np.where(any_, np.where(inr, sv[None, :], np.inf).min(axis=1), np.nan)
         elif algorithm == "maximum":

@@ -25,10 +25,12 @@ Dialect semantics applied (not plain Spark SQL):
   - functions: CONCAT, SUBSTR, UPPER, LOWER, LENGTH, CAST(x AS t),
     COUNT(*/col/DISTINCT col), MIN, MAX, AVG, SUM
 
+Also supported: summary selects (aggregates without GROUP BY — OGR SQL
+itself has no GROUP BY, generic/ogr_gensql.cpp:822) and
+`select UNION ALL select` (swq_parser.y:652-667).
+
 Out of scope (use spark.sql for the full-SQL passthrough, the analog
-of the SQLite dialect): GROUP BY (OGR SQL itself has none — aggregates
-without GROUP BY only), subqueries, UNION ALL (see
-ogrsql.union_all_layers).
+of the SQLite dialect): GROUP BY, subqueries.
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "LEFT", "JOIN", "ON", "WHERE", "ORDER",
     "BY", "ASC", "DESC", "LIMIT", "OFFSET", "AND", "OR", "NOT", "IN",
     "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "AS", "CAST", "COUNT",
-    "MIN", "MAX", "AVG", "SUM",
+    "MIN", "MAX", "AVG", "SUM", "UNION", "ALL",
 }
 
 _AGGS = {"COUNT", "MIN", "MAX", "AVG", "SUM"}
@@ -311,8 +313,20 @@ def _parse_or(p: _P):
 
 def execute_ogr_sql(spark: SparkSession, sql: str,
                     layers: dict[str, DataFrame]) -> DataFrame:
-    """Run an OGR SQL dialect string over named layers."""
+    """Run an OGR SQL dialect string over named layers. Supports
+    `select UNION ALL select ...` (swq_parser.y:652-667), combining
+    by column name like OGRUnionLayer."""
     p = _P(_tokenize(sql))
+    df = _exec_select(p, spark, layers)
+    while p.accept("kw", "UNION"):
+        p.expect("kw", "ALL")
+        df = df.unionByName(_exec_select(p, spark, layers))
+    p.expect("end")
+    return df
+
+
+def _exec_select(p: _P, spark: SparkSession,
+                 layers: dict[str, DataFrame]) -> DataFrame:
     p.expect("kw", "SELECT")
     distinct = p.accept("kw", "DISTINCT") is not None
 
@@ -384,7 +398,6 @@ def execute_ogr_sql(spark: SparkSession, sql: str,
         limit = int(p.expect("num"))
     if p.accept("kw", "OFFSET"):
         offset = int(p.expect("num"))
-    p.expect("end")
 
     star_only = len(select_items) == 1 and isinstance(
         select_items[0][0], str

@@ -779,6 +779,7 @@ def oracle_entries() -> dict:
         "dem_slope_checksums": sql_dem_slope_checksums,
         "geometry_boolean": sql_geometry_boolean,
         "overlay_concave_wkt": sql_overlay_concave_wkt,
+        "grid_linear": sql_grid_linear,
         "warp_mode_checksums": sql_warp_mode_checksums,
         "warp_med_checksums": sql_warp_med_checksums,
         "warp_q1_checksums": sql_warp_q1_checksums,
@@ -1472,6 +1473,49 @@ def sql_overlay_concave_wkt() -> str:
                              _round6(area)))
     return values_sql(rows, ["doc_id", "zone_id", "wkt", "piece_area"],
                       ["bigint", "bigint", "varchar", "double"])
+
+
+def sql_grid_linear() -> str:
+    """GDALGridLinear oracle: same canonical Delaunay (tin.delaunay —
+    the triangulation is a deterministic pure function of the point
+    set), but an INDEPENDENT per-pixel point location: every pixel
+    evaluates barycentric coordinates against each triangle in
+    canonical order and keeps the first containment, rather than the
+    engine's bbox-masked vectorized sweep."""
+    from gdal_spark.tin import delaunay
+
+    docs = _read_parquet(f"{ORACLE_SF_DIR}/documents.parquet")
+    i = np.sort(docs["doc_id"].to_numpy(np.int64))
+    lon = -180.0 + ((i * KNUTH) % MOD32).astype(np.float64) * 360.0 / MOD32
+    lat = -85.0 + (((i + 1) * KNUTH) % MOD32).astype(np.float64) * 170.0 / MOD32
+    v = (i % 97).astype(np.float64)
+    tris = delaunay(lon, lat)
+    rows = []
+    eps = 1e-9
+    for gy in range(32):
+        for gx in range(32):
+            qx = -180.0 + (gx + 0.5) * (360.0 / 32)
+            qy = 85.0 - (gy + 0.5) * (170.0 / 32)
+            val = None
+            for a, b, c in tris:
+                x1, y1, x2, y2 = lon[a], lat[a], lon[b], lat[b]
+                x3, y3 = lon[c], lat[c]
+                if qx < min(x1, x2, x3) - eps or qx > max(x1, x2, x3) + eps \
+                        or qy < min(y1, y2, y3) - eps or qy > max(y1, y2, y3) + eps:
+                    continue
+                det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+                if abs(det) < 1e-300:
+                    continue
+                l1 = ((y2 - y3) * (qx - x3) + (x3 - x2) * (qy - y3)) / det
+                l2 = ((y3 - y1) * (qx - x3) + (x1 - x3) * (qy - y3)) / det
+                l3 = 1.0 - l1 - l2
+                if l1 >= -eps and l2 >= -eps and l3 >= -eps:
+                    val = l1 * v[a] + l2 * v[b] + l3 * v[c]
+                    break
+            if val is not None:
+                rows.append((gx, gy, _round6(val)))
+    return values_sql(rows, ["gx", "gy", "value"],
+                      ["integer", "integer", "double"])
 
 
 def sql_geometry_boolean() -> str:

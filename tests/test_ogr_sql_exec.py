@@ -91,3 +91,24 @@ def test_in_list_negative_literals(spark, layers):
         layers,
     ).collect()
     assert sorted(r["fid"] for r in out) == [1, 4]
+
+
+def test_summary_aggregates(spark, layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT eas_id) AS ne, "
+        "MIN(area) AS mn, MAX(area) AS mx, SUM(area) AS s FROM poly",
+        layers,
+    ).collect()[0]
+    assert out["n"] == 5 and out["ne"] == 5
+    assert out["mn"] == 100.0 and out["mx"] == 9999.9
+
+
+def test_union_all_and_cast(spark, layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT fid, CAST(area AS integer) AS a FROM poly WHERE area > 6000 "
+        "UNION ALL SELECT fid, eas_id AS a FROM poly WHERE fid = 1",
+        layers,
+    ).collect()
+    assert sorted((r["fid"], r["a"]) for r in out) == [(1, 158), (5, 9999)]
