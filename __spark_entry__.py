@@ -71,6 +71,23 @@ def _q_pip_zone_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "zone_id", "eas_id")
 
 
+def _q_pip_zone_join_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIP join over a BINARY WKB geometry column (SURVEY §1.1
+    canonical encoding): points serialize to WKB, the join consumes
+    the binary column directly (joins.extract_geom_wkb -> prepared
+    path, same broadcast cover, no WKT round trip)."""
+    from gdal_spark.functions import geometry as SG
+    from gdal_spark.joins import extract_geom_wkb
+
+    docs = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    wkt = F.format_string("POINT(%s %s)", F.col("lon"), F.col("lat"))
+    d = docs.select("doc_id", SG.st_aswkb(wkt).alias("geom_wkb"))
+    d = extract_geom_wkb(d)
+    zones = DRV.rect_zone_grid(ZONE_G)
+    out = pip_join(d, zone_index(spark, zones), mode="first")
+    return out.select("doc_id", "zone_id", "eas_id")
+
+
 def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
     return tiling.assign_tiles(docs, ZOOM).select(
@@ -548,6 +565,49 @@ def _q_overlay_concave_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geometry_constructive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructive/measure suite completion (ogr/ogrgeometry.cpp:
+    Boundary :4009, PointOnSurface :5485, IsSimple :2259, IsRing :2330,
+    Distance :3289, DelaunayTriangulation :5763) on doc-square pairs;
+    the oracle is closed-form rectangle algebra in SQL."""
+    from gdal_spark.functions import geometry as SG
+
+    docs = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 120
+    )
+    a = docs.select("doc_id", "x0", "x1", "y0", "y1", _sq_wkt().alias("wa"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), _sq_wkt().alias("wb")
+    )
+    d = a.join(b, "doc_id")
+    xm = (F.col("x0") + F.col("x1")) / 2.0
+    ym = (F.col("y0") + F.col("y1")) / 2.0
+    wl = F.format_string(
+        "POLYGON((%s %s, %s %s, %s %s, %s %s, %s %s, %s %s))",
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y0"),
+        F.col("x1"), ym, xm, ym, xm, F.col("y1"), F.col("x0"), F.col("y1"),
+    )
+    bowtie = F.format_string(
+        "POLYGON((%s %s, %s %s, %s %s, %s %s))",
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
+        F.col("x1"), F.col("y0"), F.col("x0"), F.col("y1"),
+    )
+    d = d.select(
+        "doc_id", "wa", "wb", wl.alias("wl"), bowtie.alias("bow")
+    )
+    bnd = SG.st_boundary("wa")
+    return d.select(
+        "doc_id",
+        F.round(SG.st_distance("wa", "wb"), 6).alias("dist"),
+        F.round(SG.st_point_on_surface_x("wl"), 6).alias("pos_x"),
+        F.round(SG.st_point_on_surface_y("wl"), 6).alias("pos_y"),
+        bnd.alias("boundary_wkt"),
+        SG.st_is_ring(bnd).alias("ring_ok"),
+        SG.st_is_simple("bow").alias("bow_simple"),
+        (F.size(F.split(SG.st_delaunay("wl"), "POLYGON")) - 1).alias("n_tri"),
+    )
+
+
 def _q_geometry_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry-VALUED boolean ops on CONCAVE inputs
     (ogr/ogrgeometry.cpp Intersection :4240, Union :4359, Difference
@@ -592,6 +652,17 @@ def _q_geometry_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (op, wkt)"
         ),
     )
+
+
+def _q_rasterize_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURN_VALUE_FROM=Z burn of the derived points (z = doc_id % 97,
+    dfBurnValue = 1000 added before burning) with MERGE_ALG=ADD —
+    alg/gdalrasterize.cpp:687-690."""
+    pts = DRV.with_derived_points(_read(spark, sf_dir, "documents")).withColumn(
+        "z", (F.col("doc_id") % 97).cast("double")
+    )
+    out = RST.rasterize_points_z(pts, ntx=4, nty=4, tile_px=16, burn=1000.0)
+    return out.select("gx", "gy", F.round("value", 6).alias("value"))
 
 
 def _q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,6 +870,21 @@ def _q_ogr_sql_text_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(s_acctbal AS integer) AS bal FROM supplier WHERE s_suppkey <= 40",
         layers,
     )
+
+
+def _q_mdarray_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidim GetView slicing (gcore/gdalmultidim.cpp:3957, NumPy
+    basic slicing) + Transpose (:4257) over the COO relational model:
+    a (20, 16, 8) array sliced [2:18:3, ::2, -3], transposed [1, 0].
+    Catalyst folds the whole view chain into the scan filter."""
+    from gdal_spark.multidim import mdarray_from_fn
+
+    arr = mdarray_from_fn(
+        spark, [("i", 20), ("j", 16), ("k", 8)],
+        F.col("i") * 7919 + F.col("j") * 131 + F.col("k"),
+    )
+    v = arr.get_view("[2:18:3, ::2, -3]").transpose([1, 0])
+    return v.to_rows()
 
 
 def _q_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1291,6 +1377,11 @@ def _q_hillshade_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hillshade_igor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(RST.hillshade_igor(tiles, res=1.0))
+
+
 def _q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms = synth.tiles_src_df(spark, 2, 1, raster_id="ms")
     ms2 = RST.pixel_calc(ms, "square", out_dtype="float64").withColumn(
@@ -1305,6 +1396,7 @@ def _q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_zone_join": _q_pip_zone_join,
+        "pip_zone_join_wkb": _q_pip_zone_join_wkb,
         "tile_assign": _q_tile_assign,
         "knn_top5": _q_knn,
         "extent_docs": _q_extent,
@@ -1358,6 +1450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_functions": _q_geometry_functions,
         "geometry_predicates": _q_geometry_predicates,
         "geometry_boolean": _q_geometry_boolean,
+        "geometry_constructive": _q_geometry_constructive,
+        "rasterize_z": _q_rasterize_z,
+        "dem_igor_checksums": _q_hillshade_igor,
+        "mdarray_view": _q_mdarray_view,
         "overlay_concave_wkt": _q_overlay_concave_wkt,
         "rasterize_counts": _q_rasterize_counts,
         "rasterize_alltouched": _q_rasterize_alltouched,
@@ -1791,6 +1887,7 @@ FROM g JOIN th ON th.tx = gpx // 256 AND th.ty = gpy // 256
 def _oracle_sql_static() -> dict[str, str]:
     return {
         "pip_zone_join": _PIP_SQL,
+        "pip_zone_join_wkb": _PIP_SQL,
         "tile_assign": _TILE_SQL,
         "knn_top5": _KNN_SQL,
         "extent_docs": f"""
@@ -1989,6 +2086,56 @@ def _oracle_sql_static() -> dict[str, str]:
                     AND NOT (ax0 <= bx0 AND ax1 >= bx1 AND ay0 <= by0 AND ay1 >= by1)
                     AND NOT (bx0 <= ax0 AND bx1 >= ax1 AND by0 <= ay0 AND by1 >= ay1)) AS overl
             FROM p
+        """,
+        "geometry_constructive": f"""
+            WITH b AS (
+              SELECT doc_id, {_LON} - {_HALF} AS x0, {_LON} + {_HALF} AS x1,
+                     {_LAT} - {_HALF} AS y0, {_LAT} + {_HALF} AS y1
+              FROM documents WHERE doc_id < 120
+            ), p AS (
+              SELECT a.doc_id,
+                     a.x0, a.x1, a.y0, a.y1,
+                     c.x0 AS bx0, c.x1 AS bx1, c.y0 AS by0, c.y1 AS by1
+              FROM b a JOIN b c ON c.doc_id = a.doc_id + 1
+            )
+            SELECT doc_id,
+                   ROUND(SQRT(
+                     GREATEST(0.0, bx0 - x1, x0 - bx1)
+                       * GREATEST(0.0, bx0 - x1, x0 - bx1)
+                     + GREATEST(0.0, by0 - y1, y0 - by1)
+                       * GREATEST(0.0, by0 - y1, y0 - by1)), 6) AS dist,
+                   ROUND((x0 + x1) / 2.0 - (x1 - x0) / 12.0, 6) AS pos_x,
+                   ROUND((y0 + y1) / 2.0 - (y1 - y0) / 12.0, 6) AS pos_y,
+                   'LINESTRING(' || printf('%.7f %.7f', x0, y0) || ', '
+                     || printf('%.7f %.7f', x1, y0) || ', '
+                     || printf('%.7f %.7f', x1, y1) || ', '
+                     || printf('%.7f %.7f', x0, y1) || ', '
+                     || printf('%.7f %.7f', x0, y0) || ')' AS boundary_wkt,
+                   TRUE AS ring_ok,
+                   FALSE AS bow_simple,
+                   5 AS n_tri
+            FROM p
+        """,
+        "mdarray_view": """
+            SELECT CAST(b.range AS BIGINT) AS j, CAST(a.range AS BIGINT) AS i,
+                   CAST((2 + 3 * a.range) * 7919
+                        + (2 * b.range) * 131 + 5 AS BIGINT) AS value
+            FROM range(6) a CROSS JOIN range(8) b
+        """,
+        "rasterize_z": f"""
+            WITH p AS (
+              SELECT doc_id, {_LON} AS lon, {_LAT} AS lat,
+                     CAST(doc_id % 97 AS DOUBLE) AS z
+              FROM documents
+            ), g AS (
+              SELECT CAST(FLOOR((lon - -180.0) / {360.0 / 64}) AS INTEGER) AS gx,
+                     CAST(FLOOR((85.0 - lat) / {170.0 / 64}) AS INTEGER) AS gy,
+                     1000.0 + z AS v
+              FROM p
+            )
+            SELECT gx, gy, ROUND(SUM(v), 6) AS value
+            FROM g WHERE gx >= 0 AND gx < 64 AND gy >= 0 AND gy < 64
+            GROUP BY gx, gy
         """,
         "rasterize_counts": _rasterize_sql(),
         "rasterize_alltouched": f"""

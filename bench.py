@@ -102,6 +102,11 @@ def main():
         # round-2 additions: distributed block near-dup, the
         # union-overlay rect sweep, and the two-level polyline stitch
         "embed_neardup", "overlay_union", "contour_polylines",
+        # round-3 additions: geometry-valued booleans (boundary
+        # classification clipper), concave overlay with piece WKT, the
+        # TIN grid (broadcast Delaunay), and the compiled dither path
+        "geometry_boolean", "overlay_concave_wkt", "grid_linear",
+        "dither_checksums",
     ]:
         df_fn = qs[name]
         timed(name, lambda f=df_fn: f(spark, SF_DIR).count())

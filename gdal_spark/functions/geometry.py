@@ -6,9 +6,11 @@ features the same way); distribution comes from Spark's partitioning,
 and nothing here shuffles.
 
     st_area, st_centroid_x/y, st_convex_hull, st_buffer, st_simplify,
-    st_make_valid, st_is_valid_shape,
+    st_make_valid, st_is_valid_shape, st_is_simple, st_is_ring,
+    st_boundary, st_point_on_surface_x/y, st_delaunay,
     st_astext / st_aswkb (WKT <-> WKB),
-    st_intersection_area,
+    st_intersection_area, st_distance,
+    st_intersection / st_union_geom / st_difference / st_symdifference,
     st_intersects / st_contains / st_within / st_touches / st_overlaps
     / st_equals / st_disjoint / st_crosses
 """
@@ -55,7 +57,31 @@ st_is_valid_shape = _udf1(GM.is_valid_shape, T.BooleanType())
 st_astext = _udf1(GM.to_wkt, T.StringType())
 st_aswkb = _udf1(GM.to_wkb, T.BinaryType())
 
+st_boundary = _udf1(lambda g: GM.to_wkt(GM.boundary(g)), T.StringType())
+st_point_on_surface_x = _udf1(lambda g: GM.point_on_surface(g)[0], T.DoubleType())
+st_point_on_surface_y = _udf1(lambda g: GM.point_on_surface(g)[1], T.DoubleType())
+st_is_simple = _udf1(GM.is_simple, T.BooleanType())
+st_is_ring = _udf1(GM.is_ring, T.BooleanType())
+
+
+def _delaunay_wkt(g):
+    tris = GM.delaunay_triangles(g)
+    if not tris:
+        return "GEOMETRYCOLLECTION EMPTY"
+    return "GEOMETRYCOLLECTION(" + ", ".join(
+        "POLYGON(("
+        + ", ".join(f"{x:.7f} {y:.7f}" for x, y in list(t) + [t[0]])
+        + "))"
+        for t in tris
+    ) + ")"
+
+
+# GEOMETRYCOLLECTION of POLYGON triangles, like the reference's
+# GEOS-backed DelaunayTriangulation (ogr/ogrgeometry.cpp:5763)
+st_delaunay = _udf1(_delaunay_wkt, T.StringType())
+
 st_intersection_area = _udf2(GM.intersection_area, T.DoubleType())
+st_distance = _udf2(GM.geom_distance, T.DoubleType())
 st_intersects = _udf2(GM.intersects, T.BooleanType())
 st_contains = _udf2(GM.contains, T.BooleanType())
 st_within = _udf2(GM.within, T.BooleanType())

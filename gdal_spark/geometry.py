@@ -269,6 +269,21 @@ def parse_wkt(wkt: str) -> Geom:
     if up.startswith("LINESTRING"):
         xs, ys = nums(s[s.index("(") + 1 : s.rindex(")")])
         return Geom("linestring", [(xs, ys)])
+    if up.startswith("MULTILINESTRING"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        lines = []
+        depth = 0
+        start = None
+        for i, ch in enumerate(body):
+            if ch == "(":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    lines.append(nums(body[start:i]))
+        return Geom("multilinestring", lines)
     if up.startswith("POLYGON"):
         body = s[s.index("(") + 1 : s.rindex(")")]
         return Geom("polygon", [rings_of(body)])
@@ -303,6 +318,10 @@ def to_wkt(g: Geom, prec: int = 7) -> str:
         return f"POINT({xs[0]:.{prec}f} {ys[0]:.{prec}f})"
     if g.kind == "linestring":
         return "LINESTRING(" + pt(*g.parts[0]) + ")"
+    if g.kind == "multilinestring":
+        return "MULTILINESTRING(" + ", ".join(
+            "(" + pt(*ln) + ")" for ln in g.parts
+        ) + ")"
     if g.kind == "polygon":
         return "POLYGON(" + ", ".join(ring(*r) for r in g.parts[0]) + ")"
     return "MULTIPOLYGON(" + ", ".join(
@@ -561,6 +580,151 @@ def make_valid(g: Geom) -> Geom:
     if g.kind == "polygon":
         return Geom("polygon", [fix(g.parts[0])])
     return Geom("multipolygon", [fix(r) for r in g.parts])
+
+
+def boundary(g: Geom) -> Geom:
+    """OGRGeometry::Boundary (ogr/ogrgeometry.cpp:4009): polygon ->
+    LINESTRING of its exterior ring (closed) or MULTILINESTRING when
+    holes / multiple parts exist; linestring -> its endpoints as a
+    multipoint is out of scope (polygonal inputs only)."""
+    if g.kind not in ("polygon", "multipolygon"):
+        raise ValueError("boundary: polygonal input required")
+    polys = g.parts if g.kind == "multipolygon" else [g.parts[0]]
+    lines = []
+    for rings in polys:
+        for xs, ys in rings:
+            xs = np.append(np.asarray(xs, np.float64), xs[0])
+            ys = np.append(np.asarray(ys, np.float64), ys[0])
+            lines.append((xs, ys))
+    if len(lines) == 1:
+        return Geom("linestring", [lines[0]])
+    return Geom("multilinestring", lines)
+
+
+def point_on_surface(g: Geom) -> tuple[float, float]:
+    """OGRGeometry::PointOnSurface (ogr/ogrgeometry.cpp:5485 via GEOS
+    InteriorPoint): the centroid when it falls inside (common case);
+    otherwise the midpoint of the widest polygon span on the envelope's
+    horizontal bisector (nudged off exact vertex rows)."""
+    cx, cy = centroid(g)
+    if _point_in(g, cx, cy):
+        return cx, cy
+    xs, ys = g.all_points()
+    y = (float(ys.min()) + float(ys.max())) / 2.0
+    if np.any(np.abs(ys - y) < 1e-12):  # bisector hits a vertex row
+        y += (float(ys.max()) - float(ys.min())) * 1e-6
+    ax0, ay0, ax1, ay1 = g.boundary_segments()
+    den = ay1 - ay0
+    hit = ((ay0 > y) != (ay1 > y))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xc = ax0 + (y - ay0) / den * (ax1 - ax0)
+    xcs = np.sort(xc[hit])
+    if len(xcs) < 2:
+        return cx, cy
+    widths = xcs[1::2] - xcs[0::2]
+    k = int(np.argmax(widths))
+    return float((xcs[2 * k] + xcs[2 * k + 1]) / 2.0), float(y)
+
+
+def is_simple(g: Geom) -> bool:
+    """OGRGeometry::IsSimple (ogr/ogrgeometry.cpp:2259): points always;
+    linestrings with no proper self-intersection between non-adjacent
+    segments; polygons iff valid."""
+    if g.kind == "point":
+        return True
+    if g.kind in ("polygon", "multipolygon"):
+        return is_valid_shape(g)
+    xs, ys = g.parts[0]
+    x = np.asarray(xs, np.float64)
+    y = np.asarray(ys, np.float64)
+    n = len(x) - 1  # segment count
+    if n < 2:
+        return True
+    closed = x[0] == x[-1] and y[0] == y[-1]
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    for i in range(n):
+        for j in range(i + 2, n):
+            if closed and i == 0 and j == n - 1:
+                continue  # the closing segment shares the start vertex
+            d1 = orient(x[i], y[i], x[i + 1], y[i + 1], x[j], y[j])
+            d2 = orient(x[i], y[i], x[i + 1], y[i + 1], x[j + 1], y[j + 1])
+            d3 = orient(x[j], y[j], x[j + 1], y[j + 1], x[i], y[i])
+            d4 = orient(x[j], y[j], x[j + 1], y[j + 1], x[i + 1], y[i + 1])
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                return False
+    return True
+
+
+def is_ring(g: Geom) -> bool:
+    """OGRGeometry::IsRing (ogr/ogrgeometry.cpp:2330): a closed simple
+    linestring."""
+    if g.kind != "linestring":
+        return False
+    xs, ys = g.parts[0]
+    if len(xs) < 4 or xs[0] != xs[-1] or ys[0] != ys[-1]:
+        return False
+    return is_simple(g)
+
+
+def delaunay_triangles(g: Geom):
+    """OGRGeometry::DelaunayTriangulation (ogr/ogrgeometry.cpp:5763,
+    GEOS-backed in the reference): Delaunay over the geometry's unique
+    vertices via the engine's tin.delaunay; returns a list of
+    ((x1,y1),(x2,y2),(x3,y3)) triangles in canonical order."""
+    from .tin import delaunay as _delaunay
+
+    xs, ys = g.all_points()
+    pts = np.unique(np.stack([xs, ys], axis=1), axis=0)
+    tris = _delaunay(pts[:, 0], pts[:, 1])
+    return [
+        tuple((float(pts[i, 0]), float(pts[i, 1])) for i in t) for t in tris
+    ]
+
+
+def _pt_seg_dist2(px, py, ax, ay, bx, by):
+    """Squared distance from points (px, py) to segments (a, b) —
+    broadcastable arrays."""
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip(((px - ax) * dx + (py - ay) * dy) / np.where(L2 > 0, L2, 1.0),
+                    0.0, 1.0)
+    cx = ax + t * dx
+    cy = ay + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2
+
+
+def geom_distance(a: Geom, b: Geom) -> float:
+    """OGRGeometry::Distance (ogr/ogrgeometry.cpp:3289): 0 when the
+    geometries intersect, else the min distance between boundaries
+    (exact for non-crossing segment sets: the minimum is attained at an
+    endpoint of one side)."""
+    if a.kind == "point":
+        px, py = a.parts[0][0][0], a.parts[0][1][0]
+        if b.kind == "point":
+            return float(np.hypot(px - b.parts[0][0][0], py - b.parts[0][1][0]))
+        if b.kind in ("polygon", "multipolygon") and _point_in(b, px, py):
+            return 0.0
+        bx0, by0, bx1, by1 = b.boundary_segments()
+        return float(np.sqrt(_pt_seg_dist2(px, py, bx0, by0, bx1, by1).min()))
+    if b.kind == "point":
+        return geom_distance(b, a)
+    if intersects(a, b):
+        return 0.0
+    ax0, ay0, ax1, ay1 = a.boundary_segments()
+    bx0, by0, bx1, by1 = b.boundary_segments()
+    d2 = min(
+        float(_pt_seg_dist2(ax0[:, None], ay0[:, None],
+                            bx0[None, :], by0[None, :],
+                            bx1[None, :], by1[None, :]).min()),
+        float(_pt_seg_dist2(bx0[:, None], by0[:, None],
+                            ax0[None, :], ay0[None, :],
+                            ax1[None, :], ay1[None, :]).min()),
+    )
+    return float(np.sqrt(d2))
 
 
 def is_valid_shape(g: Geom) -> bool:

@@ -119,6 +119,65 @@ def extract_geom(docs: DataFrame) -> DataFrame:
     )
 
 
+def extract_geom_wkb(docs: DataFrame, wkb_col: str = "geom_wkb") -> DataFrame:
+    """WKB (binary) counterpart of extract_geom — SURVEY §1.1 declares
+    WKB the canonical geometry encoding, so the join path must consume
+    it without a WKT round trip. 2-D little-endian POINTs (the 21-byte
+    common case) unpack directly; other types go through the full WKB
+    reader. Output columns match extract_geom (gx, gy, lon, lat), so
+    pip_join's prepared path runs unchanged."""
+    import struct
+
+    from . import geometry as GM
+
+    schema = T.StructType(
+        [
+            T.StructField("gx", T.ArrayType(T.DoubleType())),
+            T.StructField("gy", T.ArrayType(T.DoubleType())),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def parse(bs: pd.Series) -> pd.DataFrame:
+        vals = bs.to_numpy()
+        n = len(vals)
+        gxs: list = [None] * n
+        gys: list = [None] * n
+        lon = np.full(n, np.nan)
+        lat = np.full(n, np.nan)
+        for i, v in enumerate(vals):
+            if v is None:
+                gxs[i], gys[i] = [], []
+                continue
+            v = bytes(v)
+            if len(v) == 21 and v[0] == 1 and v[1:5] == b"\x01\x00\x00\x00":
+                x, y = struct.unpack_from("<2d", v, 5)
+                gxs[i], gys[i] = [x], [y]
+                lon[i], lat[i] = x, y
+                continue
+            g = GM.parse_wkb(v)
+            xs, ys = g.all_points()
+            gxs[i] = xs.tolist()
+            gys[i] = ys.tolist()
+            if len(xs) == 1:
+                lon[i], lat[i] = float(xs[0]), float(ys[0])
+            elif len(xs) > 1:
+                lon[i] = float(np.add.reduce(xs) / len(xs))
+                lat[i] = float(np.add.reduce(ys) / len(ys))
+        return pd.DataFrame({"gx": gxs, "gy": gys, "lon": lon, "lat": lat})
+
+    docs = docs.withColumn("_g", parse(F.col(wkb_col)))
+    return (
+        docs.withColumn("gx", F.col("_g.gx"))
+        .withColumn("gy", F.col("_g.gy"))
+        .withColumn("lon", F.col("_g.lon"))
+        .withColumn("lat", F.col("_g.lat"))
+        .drop("_g")
+    )
+
+
 _FUSED_FIRST = T.StructType(
     [
         T.StructField("lon", T.DoubleType()),

@@ -361,6 +361,51 @@ def rasterize_zones(
     return base.mapInPandas(burn, schema=TILE_SCHEMA)
 
 
+def rasterize_points_z(
+    points: DataFrame,
+    ntx: int,
+    nty: int,
+    tile_px: int = 128,
+    x0: float = -180.0,
+    y_top: float = 85.0,
+    extent_x: float = 360.0,
+    extent_y: float = 170.0,
+    burn: float = 0.0,
+    z_col: str = "z",
+    id_col: str = "doc_id",
+    merge_alg: str = "add",
+) -> DataFrame:
+    """BURN_VALUE_FROM=Z point burn (alg/gdalrasterize.cpp:687-690 —
+    "May be set to Z to use the Z values of the geometries. dfBurnValue
+    is added to this before burning"; gvBurnPointBasic:163 applies
+    burn + dfVariant per pixel, summing under MERGE_ALG=ADD).
+
+    Returns per-pixel rows (gx, gy, value) — fully distributed: the
+    pixel id is pure column math, the merge is a groupBy on the pixel
+    key (ADD = SUM; REPLACE = the last feature in FID order wins, the
+    deterministic restatement of GDAL's sequential overwrite). Scales
+    to any number of points; no driver collect, no broadcast."""
+    if merge_alg not in ("add", "replace"):
+        raise ValueError(merge_alg)
+    rx = extent_x / (ntx * tile_px)
+    ry = extent_y / (nty * tile_px)
+    gx = F.floor((F.col("lon") - x0) / rx).cast("int")
+    gy = F.floor((F.lit(y_top) - F.col("lat")) / ry).cast("int")
+    d = points.select(
+        gx.alias("gx"), gy.alias("gy"),
+        (F.lit(burn) + F.col(z_col).cast("double")).alias("_v"),
+        F.col(id_col).alias("_fid"),
+    ).filter(
+        (F.col("gx") >= 0) & (F.col("gx") < ntx * tile_px)
+        & (F.col("gy") >= 0) & (F.col("gy") < nty * tile_px)
+    )
+    if merge_alg == "add":
+        return d.groupBy("gx", "gy").agg(F.sum("_v").alias("value"))
+    return d.groupBy("gx", "gy").agg(
+        F.expr("max_by(_v, _fid)").alias("value")
+    )
+
+
 def value_counts(tiles: DataFrame) -> DataFrame:
     """(tile_x, tile_y, value, npix) histogram of burned values per tile
     — per-tile np.unique partial; no cross-tile shuffle needed beyond
@@ -532,6 +577,31 @@ def hillshade(tiles: DataFrame, res: float, azimuth: float = 315.0,
         aspect = np.arctan2(dzdy, -dzdx)
         shade = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - aspect)
         return 1.0 + 254.0 * np.maximum(shade, 0.0)
+
+    return _focal(tiles, kern, "uint8", dst_raster_id, res)
+
+
+def hillshade_igor(tiles: DataFrame, res: float, azimuth: float = 315.0,
+                   z_factor: float = 1.0, alg: str = "horn",
+                   dst_raster_id: str = "hillshade_igor") -> DataFrame:
+    """Igor's hillshade (gdaldem hillshade -igor,
+    apps/gdaldem_lib.cpp:901 GDALHillshadeIgorAlg): shadowness from
+    slope strength (slopeDeg / 90) times aspect alignment with the
+    light azimuth; no altitude parameter. 255 * (1 - s * a)."""
+    az = math.radians(azimuth)
+
+    def kern(pad, r):
+        grad = _horn_gradients if alg == "horn" else _zt_gradients
+        dzdx, dzdy = grad(pad * z_factor, r)
+        slope_deg = np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+        aspect = np.arctan2(dzdy, -dzdx)
+        # DifferenceBetweenAngles(aspect, 3pi/2 - az, 2pi)
+        two_pi = 2.0 * math.pi
+        diff = np.abs(np.mod(aspect, two_pi) - ((1.5 * math.pi - az) % two_pi))
+        diff = np.where(diff > math.pi, two_pi - diff, diff)
+        aspect_strength = 1.0 - diff / math.pi
+        shadowness = 1.0 - (slope_deg / 90.0) * aspect_strength
+        return 255.0 * shadowness
 
     return _focal(tiles, kern, "uint8", dst_raster_id, res)
 

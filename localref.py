@@ -780,6 +780,7 @@ def oracle_entries() -> dict:
         "geometry_boolean": sql_geometry_boolean,
         "overlay_concave_wkt": sql_overlay_concave_wkt,
         "grid_linear": sql_grid_linear,
+        "dem_igor_checksums": sql_dem_igor_checksums,
         "warp_mode_checksums": sql_warp_mode_checksums,
         "warp_med_checksums": sql_warp_med_checksums,
         "warp_q1_checksums": sql_warp_q1_checksums,
@@ -1525,6 +1526,24 @@ def sql_geometry_boolean() -> str:
             rows.append((did, op, _rectilinear_boolean_wkt(ra, rb, op)))
     return values_sql(rows, ["doc_id", "op", "wkt"],
                       ["bigint", "varchar", "varchar"])
+
+
+def sql_dem_igor_checksums() -> str:
+    """Igor hillshade (gdaldem -igor, apps/gdaldem_lib.cpp:901) on the
+    global mosaic — single-node restatement of the focal kernel."""
+    g = global_mosaic(2, 2).astype(np.float64)
+    pad = np.pad(g, 1, mode="edge")
+    dzdx, dzdy = _horn(pad, 1.0)
+    az = math.radians(315.0)
+    slope_deg = np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+    aspect = np.arctan2(dzdy, -dzdx)
+    two_pi = 2.0 * math.pi
+    diff = np.abs(np.mod(aspect, two_pi) - ((1.5 * math.pi - az) % two_pi))
+    diff = np.where(diff > math.pi, two_pi - diff, diff)
+    out = 255.0 * (1.0 - (slope_deg / 90.0) * (1.0 - diff / math.pi))
+    out = _gdal_cast_local(out, "uint8")
+    return values_sql(tile_checksums(out, 256, "hillshade_igor", 1, 12),
+                      CKS_COLS, CKS_TYPES)
 
 
 def sql_dem_hillshade_checksums() -> str:

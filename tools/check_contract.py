@@ -61,8 +61,14 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        k = argv.index("--json")
+        json_out = argv[k + 1]
+        del argv[k : k + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as E
@@ -76,6 +82,7 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = 0
+    summary = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -83,28 +90,44 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
+            summary[name] = {"status": "FAIL", "error": f"spark: {ex}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows, cols={sorted(sdf.columns)}")
+            summary[name] = {"status": "ROWS_ONLY", "rows": len(sdf)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}")
+            summary[name] = {"status": "FAIL", "error": f"oracle: {ex}"}
             failures += 1
             continue
         errs = compare(name, sdf, odf)
         if errs:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(errs))
+            summary[name] = {"status": "FAIL", "error": "; ".join(errs)}
         else:
             print(f"OK   {name}: {len(sdf)} rows")
+            summary[name] = {"status": "OK", "rows": len(sdf)}
     # entry smoke
     if not only:
         n = E.entry(spark).count()
         print(f"ENTRY rows={n}")
     spark.stop()
+    if json_out:
+        import json
+
+        ok = sum(1 for v in summary.values() if v["status"] == "OK")
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "total": len(summary), "ok": ok,
+                 "failures": failures, "queries": summary},
+                fh, indent=1, sort_keys=True,
+            )
+        print(f"wrote {json_out}: {ok}/{len(summary)} OK")
     sys.exit(1 if failures else 0)
 
 
