@@ -665,6 +665,19 @@ def _q_rasterize_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gx", "gy", F.round("value", 6).alias("value"))
 
 
+def _q_rasterize_lines_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURN_VALUE_FROM=Z over LINE geometry: derived segments with Z
+    interpolated along each line (alg/gdalrasterize.cpp:687-690)."""
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).select(
+        F.col("lon").alias("lon0"), F.col("lat").alias("lat0"),
+        (F.col("doc_id") % 97).cast("double").alias("z0"),
+        (F.col("lon") + 0.8).alias("lon1"), (F.col("lat") + 0.5).alias("lat1"),
+        ((F.col("doc_id") % 97) + 16).cast("double").alias("z1"),
+    )
+    out = RST.rasterize_lines_z(d, ntx=2, nty=2, tile_px=64, burn=1000.0)
+    return out.select("gx", "gy", F.round("value", 6).alias("value"))
+
+
 def _q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
     burned = RST.rasterize_zones(spark, zidx, 4, 4, tile_px=128)
@@ -1452,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_boolean": _q_geometry_boolean,
         "geometry_constructive": _q_geometry_constructive,
         "rasterize_z": _q_rasterize_z,
+        "rasterize_lines_z": _q_rasterize_lines_z,
         "dem_igor_checksums": _q_hillshade_igor,
         "mdarray_view": _q_mdarray_view,
         "overlay_concave_wkt": _q_overlay_concave_wkt,

@@ -781,6 +781,7 @@ def oracle_entries() -> dict:
         "overlay_concave_wkt": sql_overlay_concave_wkt,
         "grid_linear": sql_grid_linear,
         "dem_igor_checksums": sql_dem_igor_checksums,
+        "rasterize_lines_z": sql_rasterize_lines_z,
         "warp_mode_checksums": sql_warp_mode_checksums,
         "warp_med_checksums": sql_warp_med_checksums,
         "warp_q1_checksums": sql_warp_q1_checksums,
@@ -1474,6 +1475,48 @@ def sql_overlay_concave_wkt() -> str:
                              _round6(area)))
     return values_sql(rows, ["doc_id", "zone_id", "wkt", "piece_area"],
                       ["bigint", "bigint", "varchar", "double"])
+
+
+def sql_rasterize_lines_z() -> str:
+    """Z-interpolated line burn oracle: independent single-node DDA
+    over the derived segments (same published grid-crossing spec as
+    raster.rasterize_lines_z, separate implementation)."""
+    docs = _read_parquet(f"{ORACLE_SF_DIR}/documents.parquet")
+    i = docs["doc_id"].to_numpy(dtype=np.int64)
+    lon = -180.0 + ((i * KNUTH) % MOD32).astype(np.float64) * 360.0 / MOD32
+    lat = -85.0 + (((i + 1) * KNUTH) % MOD32).astype(np.float64) * 170.0 / MOD32
+    z0 = (i % 97).astype(np.float64)
+    W = H = 128
+    rx, ry = 360.0 / W, 170.0 / H
+    acc: dict = {}
+    for a_lon, a_lat, az in zip(lon, lat, z0):
+        b_lon, b_lat, bz = a_lon + 0.8, a_lat + 0.5, az + 16.0
+        px0, py0 = (a_lon + 180.0) / rx, (85.0 - a_lat) / ry
+        px1, py1 = (b_lon + 180.0) / rx, (85.0 - b_lat) / ry
+        dx, dy = px1 - px0, py1 - py0
+        ts = {0.0, 1.0}
+        for p0, d in ((px0, dx), (py0, dy)):
+            if d != 0.0:
+                lo, hi = sorted((p0, p0 + d))
+                g = math.ceil(lo)
+                while g <= math.floor(hi):
+                    t = (g - p0) / d
+                    if 0.0 <= t <= 1.0:
+                        ts.add(t)
+                    g += 1
+        tl = sorted(ts)
+        for ta, tb in zip(tl[:-1], tl[1:]):
+            if tb - ta <= 1e-12:
+                continue
+            tm = (ta + tb) / 2.0
+            cx = math.floor(px0 + tm * dx)
+            cy = math.floor(py0 + tm * dy)
+            if 0 <= cx < W and 0 <= cy < H:
+                acc[(cx, cy)] = acc.get((cx, cy), 0.0) \
+                    + (1000.0 + az + tm * (bz - az))
+    rows = [(gx, gy, _round6(v)) for (gx, gy), v in sorted(acc.items())]
+    return values_sql(rows, ["gx", "gy", "value"],
+                      ["integer", "integer", "double"])
 
 
 def sql_grid_linear() -> str:
