@@ -44,31 +44,25 @@ def delaunay(px: np.ndarray, py: np.ndarray) -> np.ndarray:
     vy = np.concatenate([py, [cy - span, cy - span, cy + span]])
     s0, s1, s2 = n, n + 1, n + 2
 
-    cap = max(16, 4 * n + 16)
+    cap = max(32, 6 * n + 32)
     T = np.zeros((cap, 3), dtype=np.int64)  # vertex triples
-    CX = np.zeros(cap)  # circumcenters
-    CY = np.zeros(cap)
-    R2 = np.zeros(cap)  # squared circumradii
+    AX = np.zeros(cap)
+    AY = np.zeros(cap)
+    BX = np.zeros(cap)
+    BY = np.zeros(cap)
+    CXv = np.zeros(cap)
+    CYv = np.zeros(cap)
+    OS = np.zeros(cap)  # orientation sign (CCW positive)
     alive = np.zeros(cap, dtype=bool)
 
     def set_tri(slot, a, b, c):
         T[slot] = (a, b, c)
-        ax, ay = vx[a], vy[a]
-        bx, by = vx[b], vy[b]
-        cx_, cy_ = vx[c], vy[c]
-        d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
-        if d == 0.0:
-            # degenerate sliver: never a cavity member
-            CX[slot], CY[slot], R2[slot] = 0.0, 0.0, -1.0
-            alive[slot] = True
-            return
-        a2 = ax * ax + ay * ay
-        b2 = bx * bx + by * by
-        c2 = cx_ * cx_ + cy_ * cy_
-        ux = (a2 * (by - cy_) + b2 * (cy_ - ay) + c2 * (ay - by)) / d
-        uy = (a2 * (cx_ - bx) + b2 * (ax - cx_) + c2 * (bx - ax)) / d
-        CX[slot], CY[slot] = ux, uy
-        R2[slot] = (ax - ux) ** 2 + (ay - uy) ** 2
+        AX[slot], AY[slot] = vx[a], vy[a]
+        BX[slot], BY[slot] = vx[b], vy[b]
+        CXv[slot], CYv[slot] = vx[c], vy[c]
+        o = (vx[b] - vx[a]) * (vy[c] - vy[a]) \
+            - (vy[b] - vy[a]) * (vx[c] - vx[a])
+        OS[slot] = np.sign(o)
         alive[slot] = True
 
     set_tri(0, s0, s1, s2)
@@ -77,10 +71,22 @@ def delaunay(px: np.ndarray, py: np.ndarray) -> np.ndarray:
 
     for p in range(n):
         x, y = float(px[p]), float(py[p])
-        live = alive[:hi]
-        inside = live & (
-            (CX[:hi] - x) ** 2 + (CY[:hi] - y) ** 2 < R2[:hi]
+        # vectorized in-circle determinant (better conditioned than a
+        # circumcenter/radius comparison — that form lost precision on
+        # the super-triangle's huge circles and corrupted cavities at
+        # tens of thousands of points)
+        adx = AX[:hi] - x
+        ady = AY[:hi] - y
+        bdx = BX[:hi] - x
+        bdy = BY[:hi] - y
+        cdx = CXv[:hi] - x
+        cdy = CYv[:hi] - y
+        det = (
+            (adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
+            - (bdx * bdx + bdy * bdy) * (adx * cdy - cdx * ady)
+            + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady)
         )
+        inside = alive[:hi] & (det * OS[:hi] > 0)
         bad = np.nonzero(inside)[0]
         if len(bad) == 0:
             continue
