@@ -54,6 +54,12 @@ st_centroid_y = _udf1(lambda g: GM.centroid(g)[1], T.DoubleType())
 st_convex_hull = _udf1(lambda g: GM.to_wkt(GM.convex_hull(g)), T.StringType())
 st_make_valid = _udf1(lambda g: GM.to_wkt(GM.make_valid(g)), T.StringType())
 st_is_valid_shape = _udf1(GM.is_valid_shape, T.BooleanType())
+st_union_cascaded = _udf1(lambda g: GM.to_wkt(GM.union_cascaded(g)), T.StringType())
+st_normalize = _udf1(lambda g: GM.to_wkt(GM.normalize(g)), T.StringType())
+st_force_polygon = _udf1(lambda g: GM.to_wkt(GM.force_polygon(g)), T.StringType())
+st_force_multipolygon = _udf1(
+    lambda g: GM.to_wkt(GM.force_multipolygon(g)), T.StringType()
+)
 st_astext = _udf1(GM.to_wkt, T.StringType())
 st_aswkb = _udf1(GM.to_wkb, T.BinaryType())
 
@@ -152,6 +158,19 @@ def st_simplify(col, tol: float):
         return pd.Series(
             [
                 GM.to_wkt(GM.simplify(GM.geom_of(v), tol)) if v is not None else None
+            for v in c]
+        )
+
+    return u(col)
+
+
+def st_simplify_preserve_topology(col, tol: float):
+    @F.pandas_udf(T.StringType())
+    def u(c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                GM.to_wkt(GM.simplify_preserve_topology(GM.geom_of(v), tol))
+                if v is not None else None
             for v in c]
         )
 

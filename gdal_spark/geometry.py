@@ -582,6 +582,79 @@ def make_valid(g: Geom) -> Geom:
     return Geom("multipolygon", [fix(r) for r in g.parts])
 
 
+def simplify_preserve_topology(g: Geom, tol: float) -> Geom:
+    """SimplifyPreserveTopology (ogr/ogrgeometry.cpp:5676): like
+    Simplify, but a ring may not collapse below a triangle or turn
+    self-intersecting — per ring, halve the tolerance until the
+    simplified ring stays a valid simple polygon (GEOS enforces the
+    same invariant through its topology-preserving simplifier)."""
+    if g.kind == "linestring":
+        return simplify(g, tol)
+
+    def safe(xs, ys):
+        t = tol
+        for _ in range(24):
+            s = simplify(Geom("polygon", [[(xs, ys)]]), t)
+            rx, ry = s.parts[0][0]
+            if len(rx) >= 3 and is_valid_shape(s):
+                return rx, ry
+            t /= 2.0
+        return xs, ys
+
+    polys = g.parts if g.kind == "multipolygon" else [g.parts[0]]
+    out = [[safe(xs, ys) for xs, ys in rings] for rings in polys]
+    if g.kind == "polygon":
+        return Geom("polygon", [out[0]])
+    return Geom("multipolygon", out)
+
+
+def union_cascaded(g: Geom) -> Geom:
+    """UnionCascaded (ogr/ogrgeometry.cpp:4473): union every part of a
+    multipolygon into one geometry — folded through the boundary-
+    classification boolean union."""
+    from .boolean import canonical_wkt, polygon_boolean
+
+    if g.kind != "multipolygon":
+        return g
+    if len(g.parts) == 1:
+        return Geom("polygon", [g.parts[0]])
+    acc = Geom("polygon", [g.parts[0]])
+    for rings in g.parts[1:]:
+        polys = polygon_boolean(acc, Geom("polygon", [rings]), "union")
+        acc = parse_wkt(canonical_wkt(polys))
+    return acc
+
+
+def normalize(g: Geom) -> Geom:
+    """Normalize (ogr/ogrgeometry.cpp:3811): a canonical vertex / ring
+    ordering so equal geometries compare equal as text — exterior CCW,
+    holes CW, each ring rotated to its lexicographically smallest
+    vertex, holes and parts sorted."""
+    if g.kind not in ("polygon", "multipolygon"):
+        return g
+    from .boolean import _norm_polys, canonical_wkt
+
+    polys = [[np.stack(r, axis=1) for r in rings] for rings in _norm_polys(g)]
+    return parse_wkt(canonical_wkt(polys, prec=12))
+
+
+def force_polygon(g: Geom) -> Geom:
+    """forceToPolygon (ogr/ogrgeometryfactory.cpp:721): a 1-part
+    multipolygon becomes a polygon; multi-part keeps the largest part
+    (the reference keeps the first — our parts are canonical-ordered,
+    so 'first' is deterministic)."""
+    if g.kind != "multipolygon":
+        return g
+    return Geom("polygon", [g.parts[0]])
+
+
+def force_multipolygon(g: Geom) -> Geom:
+    """forceToMultiPolygon (ogr/ogrgeometryfactory.cpp ff)."""
+    if g.kind == "polygon":
+        return Geom("multipolygon", [g.parts[0]])
+    return g
+
+
 def boundary(g: Geom) -> Geom:
     """OGRGeometry::Boundary (ogr/ogrgeometry.cpp:4009): polygon ->
     LINESTRING of its exterior ring (closed) or MULTILINESTRING when

@@ -46,7 +46,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+\.\d+|\.\d+|\d+)"
     r"|(?P<str>'(?:[^']|'')*')"
     r"|(?P<id>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)?)"
-    r"|(?P<op><>|<=|>=|=|<|>|\(|\)|,|\*|\+|-|/|\|\|))"
+    r"|(?P<op><>|<=|>=|=|<|>|\(|\)|,|\*|\+|-|/|%|\|\|))"
 )
 
 _KEYWORDS = {
@@ -138,6 +138,12 @@ def _parse_primary(p: _P):
         p.expect("kw", "AS")
         ty = p.expect("id").lower()
         p.expect("op", ")")
+        if ty == "geometry":
+            # CAST(x AS geometry) (ogr_sql_dialect.rst:199-234): parse
+            # the WKT and emit the engine's normalized geometry text
+            from .functions import geometry as SG
+
+            return SG.st_normalize(e.cast("string"))
         ty = {"integer": "long", "numeric": "double", "character": "string",
               "float": "double"}.get(ty, ty)
         return e.cast(ty)
@@ -193,6 +199,10 @@ def _parse_mul(p: _P):
             e = e * _parse_primary(p)
         elif p.accept("op", "/"):
             e = e / _parse_primary(p)
+        elif p.accept("op", "%"):
+            # SWQ '%' is fmod (swq_op_general.cpp:552-621); Spark's %
+            # keeps the dividend's sign the same way
+            e = e % _parse_primary(p)
         else:
             return e
 

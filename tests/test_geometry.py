@@ -164,3 +164,31 @@ def test_is_valid_shape():
     # degenerate ring: collapses to < 3 distinct vertices
     deg = GM.geom_of("POLYGON ((0 0, 1 1, 1 1, 0 0, 0 0))")
     assert not GM.is_valid_shape(deg)
+
+
+def test_union_cascaded_and_normalize():
+    mp = GM.parse_wkt(
+        "MULTIPOLYGON(((0 0, 6 0, 6 6, 0 6, 0 0)),"
+        " ((4 4, 10 4, 10 10, 4 10, 4 4)))"
+    )
+    u = GM.union_cascaded(mp)
+    assert u.kind == "polygon"
+    assert u.area() == pytest.approx(68.0)
+    # normalize: CW rotated ring -> canonical CCW starting at lexic min
+    g = GM.parse_wkt("POLYGON((5 0, 5 5, 0 5, 0 0, 5 0))")
+    assert GM.to_wkt(GM.normalize(g), 0) == "POLYGON((0 0, 5 0, 5 5, 0 5, 0 0))"
+
+
+def test_force_conversions():
+    p = GM.parse_wkt(SQUARE)
+    mp = GM.force_multipolygon(p)
+    assert mp.kind == "multipolygon" and len(mp.parts) == 1
+    assert GM.force_polygon(mp).kind == "polygon"
+    assert GM.force_polygon(p).kind == "polygon"  # no-op
+
+
+def test_simplify_preserve_topology_never_collapses():
+    s = GM.parse_wkt("POLYGON((0 0, 4 0.01, 8 0, 8 8, 0 8, 0 0))")
+    sp = GM.simplify_preserve_topology(s, 1e6)
+    assert all(len(r[0]) >= 3 for r in sp.parts[0])
+    assert GM.is_valid_shape(sp)

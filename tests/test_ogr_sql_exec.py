@@ -112,3 +112,20 @@ def test_union_all_and_cast(spark, layers):
         layers,
     ).collect()
     assert sorted((r["fid"], r["a"]) for r in out) == [(1, 158), (5, 9999)]
+
+
+def test_modulo_and_cast_geometry(spark, layers):
+    out = execute_ogr_sql(
+        spark, "SELECT fid, fid % 3 AS m FROM poly ORDER BY fid", layers
+    ).collect()
+    assert [r["m"] for r in out] == [1, 2, 0, 1, 2]
+    g = spark.createDataFrame(
+        [("POLYGON((5 0, 5 5, 0 5, 0 0, 5 0))",)], ["wkt"]
+    )
+    out2 = execute_ogr_sql(
+        spark, "SELECT CAST(wkt AS geometry) AS geom FROM g", {"g": g}
+    ).collect()
+    assert out2[0]["geom"] == (
+        "POLYGON((0.0000000 0.0000000, 5.0000000 0.0000000, "
+        "5.0000000 5.0000000, 0.0000000 5.0000000, 0.0000000 0.0000000))"
+    )
