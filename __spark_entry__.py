@@ -315,6 +315,16 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-file ANN (the brief's named scale path): nearest-
+    centroid lists + nprobe probing + exact rerank."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = _ann_queries_pdf(spark, sf_dir)
+    return ANN.ivf_topk(emb, q, k=10, n_lists=16, nprobe=4).select(
+        "q_id", "vec_id", "rank"
+    )
+
+
 def _q_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synth.tiles_src_df(spark, 4, 4)
     return tiling.checksum_table(tiles)
@@ -1435,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_table": _q_simhash_table,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "raster_checksums": _q_raster_checksums,
         "overview_checksums": _q_overview_checksums,
         "overview_mode_checksums": _q_overview_kernel("mode", 2),

@@ -140,6 +140,80 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(dim: int, n_lists: int) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids (splitmix64
+    gaussians). A data-adaptive quantizer (Lloyd iterations over a
+    sample) can be passed to ivf_topk via `centroids=` — the plumbing
+    is identical; the hash-based one keeps the oracle closed-form."""
+    c = _hyperplanes(dim, n_lists, table=7_777_777)
+    return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: pd.DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k — the classic inverted-file ANN: every
+    vector belongs to its nearest centroid's list; a query probes only
+    its `nprobe` closest lists and reranks those candidates exactly.
+
+    Scale shape: the assignment is a pure map (argmax against the tiny
+    broadcast centroid matrix). At cluster scale the vector table is
+    STORED bucketed by list id, so probing prunes partitions before
+    any distance math; on local[N] the same pruning runs as a fused
+    per-batch membership mask (the lsh_topk pattern). Driver holds
+    only the (n_lists x dim) centroids and the query set."""
+    q_ids, qn = _qmatrix(queries)
+    dim = qn.shape[1]
+    C = centroids if centroids is not None else ivf_centroids(dim, n_lists)
+    # per-query probed lists: top-nprobe centroid cosines (ties by id)
+    qsim = qn @ C.T
+    order = np.lexsort((np.arange(C.shape[0])[None, :].repeat(len(qn), 0),
+                        -qsim))
+    probed = np.zeros((len(q_ids), C.shape[0]), dtype=bool)
+    for qi in range(len(q_ids)):
+        probed[qi, order[qi, :nprobe]] = True
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            vs = mn @ C.T
+            # nearest centroid, ties to the lowest id (stable argmax)
+            assign = np.argmax(vs, axis=1)
+            cand_mask = probed[:, assign]  # (Q, B)
+            if not cand_mask.any():
+                continue
+            sims = np.where(cand_mask, qn @ mn.T, -np.inf)
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            vals = np.take_along_axis(sims, top, axis=1)
+            keep = np.isfinite(vals)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, kk)[keep.ravel()],
+                    "vec_id": ids[top].ravel()[keep.ravel()],
+                    "cosine": vals.ravel()[keep.ravel()],
+                }
+            )
+
+    partials = emb.mapInPandas(partial, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_sql(emb: DataFrame, queries: pd.DataFrame, k: int = 10) -> DataFrame:
     """Pure-JVM variant (no Python at all): broadcast the queries as a
     literal array and use aggregate/zip_with for the dot product. Used

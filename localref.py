@@ -741,6 +741,33 @@ def sql_ann_lsh_topk(k: int = 10, n_bits: int = 4, tables: int = 16) -> str:
     return values_sql(rows, ["q_id", "vec_id", "rank"], ["bigint", "bigint", "bigint"])
 
 
+def sql_ann_ivf_topk(k: int = 10, n_lists: int = 16, nprobe: int = 4) -> str:
+    """Single-node IVF replica: same deterministic centroids, nearest-
+    list assignment, nprobe probing, exact rerank."""
+    from gdal_spark.functions.ann import ivf_centroids
+
+    emb = _read_parquet(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    qsel = ids < 8
+    q_ids = ids[qsel]
+    qn = M[qsel]
+    C = ivf_centroids(M.shape[1], n_lists)
+    assign = np.argmax(M @ C.T, axis=1)
+    qsim = qn @ C.T
+    rows = []
+    for qi, q in enumerate(q_ids):
+        probe = sorted(range(n_lists), key=lambda c: (-qsim[qi, c], c))[:nprobe]
+        cand = [i for i in range(len(ids)) if assign[i] in set(probe)]
+        sims = qn[qi] @ M[cand].T
+        order = sorted(range(len(cand)), key=lambda j: (-sims[j], ids[cand[j]]))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append((int(q), int(ids[cand[j]]), rank))
+    return values_sql(rows, ["q_id", "vec_id", "rank"],
+                      ["bigint", "bigint", "bigint"])
+
+
 # ============================================================= entry point
 def oracle_entries() -> dict:
     """All localref-backed oracle SQL strings, each built lazily and
@@ -765,6 +792,7 @@ def oracle_entries() -> dict:
         "minhash_pairs": sql_minhash_pairs,
         "simhash_table": sql_simhash_table,
         "ann_lsh_topk": sql_ann_lsh_topk,
+        "ann_ivf_topk": sql_ann_ivf_topk,
         "overview_mode_checksums": sql_overview_mode_checksums,
         "overview_gauss_checksums": sql_overview_gauss_checksums,
         "warp_average_checksums": sql_warp_average_checksums,

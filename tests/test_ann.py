@@ -90,3 +90,17 @@ def test_neardup_block_exact_and_lsh_recall(spark, sf_dir):
     assert lsh_pairs <= exp  # re-rank never admits false positives
     if exp:
         assert len(lsh_pairs & exp) / len(exp) >= 0.8  # recall bound
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = _queries(emb.toPandas())
+    exact = ann.cosine_topk(emb, queries, k=5).toPandas()
+    ivf = ann.ivf_topk(emb, queries, k=5, n_lists=8, nprobe=4).toPandas()
+    # with half the lists probed, recall@5 should be high
+    e = {(r.q_id, r.vec_id) for r in exact.itertuples()}
+    g = {(r.q_id, r.vec_id) for r in ivf.itertuples()}
+    assert len(e & g) / len(e) >= 0.6
+    # and every IVF hit carries the TRUE cosine (exact rerank)
+    m = exact.merge(ivf, on=["q_id", "vec_id"], suffixes=("_e", "_i"))
+    assert np.allclose(m["cosine_e"], m["cosine_i"], atol=1e-12)
