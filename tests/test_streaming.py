@@ -41,3 +41,83 @@ def test_stream_matches_batch(spark, tmp_path):
     g = got.select("doc_id", "zone_id", "eas_id", "tile_x", "tile_y", "quadkey")
     assert g.exceptAll(batch).count() == 0
     assert batch.exceptAll(g).count() == 0
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: two incremental drops,
+    then a watermark-advancing sentinel; the emitted CLOSED sessions
+    must equal the batch gap-sessionization of the same events."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.streaming import stream_sessionize
+
+    gap = 60.0
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.RandomState(11)
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = base + pd.Timedelta(seconds=int(rng.randint(0, 50)))
+        for _ in range(20):
+            t = t + pd.Timedelta(
+                seconds=int(rng.choice([5, 10, 20, 200, 400]))
+            )
+            rows.append({"event_id": eid, "ts": t, "user_id": user,
+                         "event_type": "x", "value": 1.0, "props": "{}"})
+            eid += 1
+    pdf = pd.DataFrame(rows).sort_values("ts").reset_index(drop=True)
+    # Spark reads parquet TIMESTAMP(us), not pandas' default ns
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    src = tmp_path / "events_in"
+    out = tmp_path / "sessions_out"
+    ck = tmp_path / "ck"
+    src.mkdir()
+    pdf.iloc[:half].to_parquet(src / "drop1.parquet")
+
+    schema = spark.createDataFrame(pdf.head(1)).schema
+
+    q = stream_sessionize(spark, str(src), schema, gap, str(out), str(ck))
+    q.awaitTermination()
+    pdf.iloc[half:].to_parquet(src / "drop2.parquet")
+    q = stream_sessionize(spark, str(src), schema, gap, str(out), str(ck))
+    q.awaitTermination()
+    # sentinel far in the future closes every remaining session
+    sentinel = pd.DataFrame([{
+        "event_id": eid, "ts": pdf["ts"].max() + pd.Timedelta(days=2),
+        "user_id": 999, "event_type": "x", "value": 1.0, "props": "{}",
+    }])
+    sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
+    sentinel.to_parquet(src / "drop3.parquet")
+    q = stream_sessionize(spark, str(src), schema, gap, str(out), str(ck))
+    q.awaitTermination()
+
+    got = (
+        spark.read.parquet(str(out)).toPandas()
+        .query("user_id != 999")
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+
+    # batch oracle: gap sessionization in pandas
+    exp_rows = []
+    for user, grp in pdf.groupby("user_id"):
+        tsv = grp["ts"].sort_values().tolist()
+        st = en = tsv[0]
+        n = 0
+        for t in tsv:
+            if (t - en).total_seconds() > gap and n > 0:
+                exp_rows.append((user, st, en, n))
+                st, n = t, 0
+            en = max(en, t)
+            n += 1
+        exp_rows.append((user, st, en, n))
+    exp = pd.DataFrame(
+        exp_rows, columns=["user_id", "session_start", "session_end", "n_events"]
+    ).sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+    assert len(got) == len(exp)
+    assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert (got["session_start"].to_numpy() == exp["session_start"].to_numpy()).all()
+    assert (got["session_end"].to_numpy() == exp["session_end"].to_numpy()).all()
