@@ -1111,6 +1111,55 @@ def _q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(warped)
 
 
+def _q_cutline_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEND_DIST cutline feathering (gdalwarp -cblend;
+    alg/gdalcutline.cpp:70 BlendMaskGenerator): per-tile sum and
+    feathered-pixel count of the density ramp around the same cutline
+    as warp_cutline_checksums, blend = 12 px."""
+    import numpy as np
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    res = _R_RES12
+    x0 = _R_X0
+    ytop = _R_X0 + 256 * res
+    ring = (
+        np.array([x0 + 100 * res, x0 + 400 * res, x0 + 400 * res, x0 + 100 * res]),
+        np.array([ytop - 450 * res, ytop - 450 * res, ytop - 80 * res, ytop - 80 * res]),
+    )
+    dens = tiling.cutline_blend_density(
+        tiles, [ring], blend_dist_px=12.0,
+        src_zoom_origin=(x0, ytop), src_res=res,
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = np.frombuffer(r.data, dtype=np.float64)
+                rows.append(
+                    {
+                        "tile_x": int(r.tile_x), "tile_y": int(r.tile_y),
+                        "dsum": float(np.round(a.sum(), 6)),
+                        "feathered": int(((a > 0.0) & (a < 1.0)).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    import pyspark.sql.types as T
+
+    return dens.mapInPandas(
+        stats,
+        schema=T.StructType(
+            [
+                T.StructField("tile_x", T.IntegerType()),
+                T.StructField("tile_y", T.IntegerType()),
+                T.StructField("dsum", T.DoubleType()),
+                T.StructField("feathered", T.LongType()),
+            ]
+        ),
+    )
+
+
 def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synth.tiles_src_df(spark, 2, 2)
     obs = pd.DataFrame(
@@ -1479,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_lines_z": _q_rasterize_lines_z,
         "dem_igor_checksums": _q_hillshade_igor,
         "mdarray_view": _q_mdarray_view,
+        "cutline_blend": _q_cutline_blend,
         "overlay_concave_wkt": _q_overlay_concave_wkt,
         "rasterize_counts": _q_rasterize_counts,
         "rasterize_alltouched": _q_rasterize_alltouched,

@@ -510,7 +510,9 @@ def warp_affine(
     before resampling (alg/gdalcutline.cpp; source pixels whose center
     is outside become nodata), matching the reference's golden
     checksums 19139/14047 exactly (test_gdalwarp.py:441,458).
-    BLEND_DIST feathering not implemented. Rings ship in the UDF
+    BLEND_DIST feathering lives in cutline_blend_density (apply the
+    density as the blend weight when composing onto existing raster
+    content). Rings ship in the UDF
     closure (broadcast-sized, like the zone cover).
 
     The source is treated as a global pixel grid: tile (tx, ty) covers
@@ -829,6 +831,83 @@ def warp_affine(
         )
 
     return joined.groupBy("d_tx", "d_ty").applyInPandas(warp_group, schema=TILE_SCHEMA)
+
+
+def cutline_blend_density(
+    tiles: DataFrame,
+    cutline_rings: list,
+    blend_dist_px: float,
+    src_zoom_origin: tuple[float, float],
+    src_res: float,
+    tile_px: int | None = None,
+    dst_raster_id: str = "cutline_density",
+) -> DataFrame:
+    """Cutline BLEND_DIST feather mask (gdalwarp -cblend;
+    alg/gdalcutline.cpp:70 BlendMaskGenerator): per SOURCE pixel
+    center, distance to the cutline BOUNDARY (the reference converts
+    the polygon to lines "so that we measure distance from the edge
+    even on the inside") in pixel units; density =
+        inside,  dist > blend : 1
+        outside, dist > blend : 0
+        inside,  dist <= blend: 0.5 + 0.5 * dist / blend
+        outside, dist <= blend: 0.5 - 0.5 * dist / blend   (:208-213)
+    Returned as float64 tiles; when warping onto EXISTING raster
+    content the density is the per-pixel blend weight (out = src * d +
+    dst * (1 - d), GDALWarpOperation's density combination). Map-only:
+    rings ride the closure, every tile computes its own pixels."""
+    sx0, sy0 = src_zoom_origin
+    ts = tile_px if tile_px is not None else TILE_SIZE
+    rings_px = [
+        (
+            (np.asarray(rxs, np.float64) - sx0) / src_res,
+            (sy0 - np.asarray(rys, np.float64)) / src_res,
+        )
+        for rxs, rys in cutline_rings
+    ]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                h, w = int(r.height), int(r.width)
+                jj, ii = np.mgrid[0:h, 0:w]
+                px = (int(r.tile_x) * ts + ii + 0.5).ravel().astype(np.float64)
+                py = (int(r.tile_y) * ts + jj + 0.5).ravel().astype(np.float64)
+                inside = np.zeros(px.shape, dtype=bool)
+                d2 = np.full(px.shape, np.inf)
+                for xs, ys in rings_px:
+                    inside ^= G.pip_one(px, py, xs, ys)
+                    ax, ay = xs, ys
+                    bx, by = np.roll(xs, -1), np.roll(ys, -1)
+                    dx, dy = bx - ax, by - ay
+                    L2 = np.maximum(dx * dx + dy * dy, 1e-300)
+                    t = np.clip(
+                        ((px[:, None] - ax) * dx + (py[:, None] - ay) * dy) / L2,
+                        0.0, 1.0,
+                    )
+                    cx = ax + t * dx
+                    cy = ay + t * dy
+                    d2 = np.minimum(
+                        d2, ((px[:, None] - cx) ** 2
+                             + (py[:, None] - cy) ** 2).min(axis=1)
+                    )
+                dist = np.sqrt(d2)
+                far = dist > blend_dist_px
+                dens = np.where(
+                    far,
+                    inside.astype(np.float64),
+                    np.where(inside, 0.5 + 0.5 * dist / blend_dist_px,
+                             0.5 - 0.5 * dist / blend_dist_px),
+                )
+                d = r._asdict()
+                d.update(
+                    raster_id=dst_raster_id, dtype="float64",
+                    data=dens.reshape(h, w).tobytes(),
+                )
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
 
 
 # ---------------------------------------------------------------- checksum

@@ -810,6 +810,7 @@ def oracle_entries() -> dict:
         "grid_linear": sql_grid_linear,
         "dem_igor_checksums": sql_dem_igor_checksums,
         "rasterize_lines_z": sql_rasterize_lines_z,
+        "cutline_blend": sql_cutline_blend,
         "warp_mode_checksums": sql_warp_mode_checksums,
         "warp_med_checksums": sql_warp_med_checksums,
         "warp_q1_checksums": sql_warp_q1_checksums,
@@ -1545,6 +1546,46 @@ def sql_rasterize_lines_z() -> str:
     rows = [(gx, gy, _round6(v)) for (gx, gy), v in sorted(acc.items())]
     return values_sql(rows, ["gx", "gy", "value"],
                       ["integer", "integer", "double"])
+
+
+def sql_cutline_blend() -> str:
+    """BLEND_DIST density-mask oracle: the gdalcutline.cpp:208-213 ramp
+    recomputed on the GLOBAL 512x512 source grid (distance to the
+    cutline boundary in pixel units, 0.5 +- 0.5*d/blend inside/outside,
+    hard 1/0 beyond), then per-tile sum / feathered-count."""
+    blend = 12.0
+    W = H = 512
+    # the cutline in source-pixel coords (same ring as warp_cutline)
+    xs = np.array([100.0, 400.0, 400.0, 100.0])
+    ys = np.array([450.0, 450.0, 80.0, 80.0])
+    jj, ii = np.mgrid[0:H, 0:W]
+    px = (ii + 0.5).astype(np.float64)
+    py = (jj + 0.5).astype(np.float64)
+    inside = G.pip_one(px.ravel(), py.ravel(), xs, ys).reshape(H, W)
+    d2 = np.full((H, W), np.inf)
+    bx, by = np.roll(xs, -1), np.roll(ys, -1)
+    for k in range(len(xs)):
+        ax, ay = xs[k], ys[k]
+        dx, dy = bx[k] - ax, by[k] - ay
+        L2 = max(dx * dx + dy * dy, 1e-300)
+        t = np.clip(((px - ax) * dx + (py - ay) * dy) / L2, 0.0, 1.0)
+        d2 = np.minimum(d2, (px - (ax + t * dx)) ** 2 + (py - (ay + t * dy)) ** 2)
+    dist = np.sqrt(d2)
+    far = dist > blend
+    dens = np.where(
+        far, inside.astype(np.float64),
+        np.where(inside, 0.5 + 0.5 * dist / blend, 0.5 - 0.5 * dist / blend),
+    )
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            a = dens[ty * 256 : (ty + 1) * 256, tx * 256 : (tx + 1) * 256].ravel()
+            rows.append(
+                (tx, ty, float(np.round(a.sum(), 6)),
+                 int(((a > 0.0) & (a < 1.0)).sum()))
+            )
+    return values_sql(rows, ["tile_x", "tile_y", "dsum", "feathered"],
+                      ["integer", "integer", "double", "bigint"])
 
 
 def sql_grid_linear() -> str:
