@@ -79,19 +79,26 @@ def _directed_segs(polys):
 
 def _point_in_polys(polys, x: float, y: float) -> bool:
     """Even-odd membership over normalized [(rings)] parts."""
-    px = np.array([x])
-    py = np.array([y])
+    return bool(
+        _points_in_polys(polys, np.array([x]), np.array([y]))[0]
+    )
+
+
+def _points_in_polys(polys, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd membership for ALL query points at once —
+    one pip_one call per ring instead of per (point, ring) pair."""
+    out = np.zeros(len(xs), dtype=bool)
     for rings in polys:
-        inside = False
-        for i, (xs, ys) in enumerate(rings):
-            hit = bool(pip_one(px, py, xs, ys)[0])
+        inside = None
+        for i, (rx, ry) in enumerate(rings):
+            hit = pip_one(xs, ys, rx, ry)
             if i == 0:
                 inside = hit
-            elif hit:
-                inside = False
-        if inside:
-            return True
-    return False
+            else:
+                inside = inside & ~hit
+        if inside is not None:
+            out |= inside
+    return out
 
 
 def _split_against(segs: np.ndarray, other: np.ndarray, scale: float):
@@ -144,28 +151,34 @@ def _split_against(segs: np.ndarray, other: np.ndarray, scale: float):
 
 def _classify(subsegs: np.ndarray, pa, pb, member, scale: float):
     """Keep sub-segments on the boundary of the result (interior left),
-    reversing where needed. `member(in_a, in_b) -> bool` is the op."""
-    kept = []
-    off = 1e-7 * max(scale, 1.0)
-    for ax, ay, bx, by in subsegs:
-        dx, dy = bx - ax, by - ay
-        ln = float(np.hypot(dx, dy))
-        if ln <= _REL * max(scale, 1.0):
-            continue
-        e = min(off, 0.3 * ln)
-        mx, my = (ax + bx) / 2.0, (ay + by) / 2.0
-        nx, ny = -dy / ln, dx / ln  # unit left normal
-        lx, ly = mx + e * nx, my + e * ny
-        rx, ry = mx - e * nx, my - e * ny
-        rl = member(_point_in_polys(pa, lx, ly), _point_in_polys(pb, lx, ly))
-        rr = member(_point_in_polys(pa, rx, ry), _point_in_polys(pb, rx, ry))
-        if rl and not rr:
-            kept.append((ax, ay, bx, by))
-        elif rr and not rl:
-            kept.append((bx, by, ax, ay))
-    if not kept:
+    reversing where needed. `member(in_a, in_b) -> bool arrays` is the
+    op, vectorized: every left/right sample point of every sub-segment
+    goes through ONE pip pass per ring."""
+    if len(subsegs) == 0:
         return np.empty((0, 4))
-    return np.asarray(kept)
+    off = 1e-7 * max(scale, 1.0)
+    ax, ay, bx, by = (subsegs[:, k] for k in range(4))
+    dx, dy = bx - ax, by - ay
+    ln = np.hypot(dx, dy)
+    ok = ln > _REL * max(scale, 1.0)
+    e = np.minimum(off, 0.3 * ln)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        nx = np.where(ln > 0, -dy / ln, 0.0)
+        ny = np.where(ln > 0, dx / ln, 0.0)
+    mx, my = (ax + bx) / 2.0, (ay + by) / 2.0
+    lx, ly = mx + e * nx, my + e * ny
+    rx, ry = mx - e * nx, my - e * ny
+    rl = member(_points_in_polys(pa, lx, ly), _points_in_polys(pb, lx, ly))
+    rr = member(_points_in_polys(pa, rx, ry), _points_in_polys(pb, rx, ry))
+    fwd = ok & rl & ~rr
+    rev = ok & rr & ~rl
+    kept = np.concatenate(
+        [subsegs[fwd], subsegs[rev][:, [2, 3, 0, 1]]]
+    )
+    # preserve the original sub-segment order (dedupe/chaining are
+    # order-insensitive, but keep determinism explicit)
+    order = np.concatenate([np.nonzero(fwd)[0], np.nonzero(rev)[0]])
+    return kept[np.argsort(order, kind="stable")]
 
 
 def _dedupe_directed(edges: np.ndarray, scale: float):
@@ -286,9 +299,9 @@ def _group_polys(rings, scale: float):
 
 
 _OPS = {
-    "intersection": lambda a, b: a and b,
-    "union": lambda a, b: a or b,
-    "difference": lambda a, b: a and not b,
+    "intersection": lambda a, b: a & b,
+    "union": lambda a, b: a | b,
+    "difference": lambda a, b: a & ~b,
 }
 
 
