@@ -330,6 +330,48 @@ def _q_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(tiles)
 
 
+def _q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band statistics (GDALRasterBand::ComputeStatistics — population
+    stddev) via distributed per-tile partials; uint8 sums are exact
+    integers in float64, so the oracle restates the identical moments
+    on the global mosaic."""
+    tiles = synth.tiles_src_df(spark, 4, 4)
+    out = RST.band_stats(tiles)
+    return out.select(
+        "raster_id", "band", "count",
+        F.round("min", 6).alias("min"), F.round("max", 6).alias("max"),
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+    )
+
+
+def _q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetHistogram (16 bins over [0, 256)): per-tile np.histogram
+    partials, per-bucket partial-aggregated sum (never a collect_list
+    of arrays)."""
+    tiles = synth.tiles_src_df(spark, 4, 4)
+    out = RST.histogram(tiles, 0.0, 256.0, buckets=16)
+    return out.select(
+        "raster_id", "band",
+        F.posexplode("counts").alias("bucket", "cnt"),
+    )
+
+
+def _q_windowed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -srcwin (apps/gdal_translate_lib.cpp:309-330):
+    a global pixel window clips each tile to its piece, map-only."""
+    tiles = synth.tiles_src_df(spark, 4, 4)
+    out = tiling.translate(tiles, pixel_window=(100, 50, 500, 300))
+    return tiling.checksum_table(out)
+
+
+def _q_retile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_retile: split 256-px tiles to 128-px (map-only — each tile
+    emits its sub-tiles)."""
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(tiling.retile(tiles, 128))
+
+
 def _q_overview_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synth.tiles_src_df(spark, 4, 4)
     return tiling.checksum_table(tiling.build_overview(tiles, "average"))
@@ -1510,6 +1552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_q3_checksums": _q_warp_kernel("q3", 2.0),
         "warp_cubicspline_checksums": _q_warp_kernel("cubicspline", 0.75),
         "overview_rms_checksums": _q_overview_kernel("rms", 2),
+        "raster_stats": _q_raster_stats,
+        "raster_histogram": _q_raster_histogram,
+        "windowed_read": _q_windowed_read,
+        "retile_checksums": _q_retile_checksums,
         "overview_cubic_checksums": _q_overview_conv("cubic", 4),
         "overview_lanczos_checksums": _q_overview_conv("lanczos", 4),
         "overlay_intersection": _q_overlay_intersection,

@@ -218,6 +218,57 @@ def sql_raster_checksums() -> str:
     return values_sql(tile_checksums(g, 256, "byte_like", 1, 12), CKS_COLS, CKS_TYPES)
 
 
+def sql_raster_stats() -> str:
+    g = global_mosaic(4, 4).astype(np.float64)
+    a = g  # synth nodata is -1.0 — uint8 data never matches, keep all
+    cnt = a.size
+    s = float(a.sum())
+    ss = float((a * a).sum())
+    mean = s / cnt
+    std = math.sqrt(ss / cnt - mean ** 2)
+    rows = [("byte_like", 1, int(cnt), _round6(float(a.min())),
+             _round6(float(a.max())), _round6(mean), _round6(std))]
+    return values_sql(rows,
+                      ["raster_id", "band", "count", "min", "max", "mean",
+                       "stddev"],
+                      ["varchar", "bigint", "bigint", "double", "double",
+                       "double", "double"])
+
+
+def sql_raster_histogram() -> str:
+    g = global_mosaic(4, 4).astype(np.float64)
+    h, _ = np.histogram(g.ravel(), bins=np.linspace(0.0, 256.0, 17))
+    rows = [("byte_like", 1, i, int(c)) for i, c in enumerate(h)]
+    return values_sql(rows, ["raster_id", "band", "bucket", "cnt"],
+                      ["varchar", "bigint", "integer", "bigint"])
+
+
+def sql_windowed_read() -> str:
+    """-srcwin oracle: clip each 256-px tile of the global 1024^2
+    mosaic to the (100, 50, 500, 300) global-pixel window, checksum
+    each non-empty piece."""
+    g = global_mosaic(4, 4)
+    px0, py0, w, h = 100, 50, 500, 300
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            x0 = max(px0, tx * 256)
+            x1 = min(px0 + w, (tx + 1) * 256)
+            y0 = max(py0, ty * 256)
+            y1 = min(py0 + h, (ty + 1) * 256)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            sub = g[y0:y1, x0:x1]
+            rows.append(("byte_like", 1, 12, tx, ty, G.gdal_checksum(sub)))
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+def sql_retile_checksums() -> str:
+    g = global_mosaic(2, 2)
+    return values_sql(tile_checksums(g, 128, "byte_like", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
 def sql_overview_checksums() -> str:
     g = global_mosaic(4, 4).astype(np.float64)
     small = g.reshape(512, 2, 512, 2).mean(axis=(1, 3))
@@ -811,6 +862,10 @@ def oracle_entries() -> dict:
         "dem_igor_checksums": sql_dem_igor_checksums,
         "rasterize_lines_z": sql_rasterize_lines_z,
         "cutline_blend": sql_cutline_blend,
+        "raster_stats": sql_raster_stats,
+        "raster_histogram": sql_raster_histogram,
+        "windowed_read": sql_windowed_read,
+        "retile_checksums": sql_retile_checksums,
         "warp_mode_checksums": sql_warp_mode_checksums,
         "warp_med_checksums": sql_warp_med_checksums,
         "warp_q1_checksums": sql_warp_q1_checksums,
