@@ -952,6 +952,42 @@ def _q_mdarray_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.to_rows()
 
 
+def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi / anti joins (the EXISTS / NOT-EXISTS shapes the reference
+    reaches via its SQLite dialect): customers WITH orders tagged
+    'semi', customers WITHOUT tagged 'anti'."""
+    from gdal_spark.ogrsql import anti_join, semi_join
+
+    cust = _read(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_custkey")
+    s = semi_join(cust, orders, "o_custkey").select(
+        F.col("o_custkey").alias("custkey"), F.lit("semi").alias("kind")
+    )
+    a = anti_join(cust, orders, "o_custkey").select(
+        F.col("o_custkey").alias("custkey"), F.lit("anti").alias("kind")
+    )
+    return s.unionByName(a)
+
+
+def _q_custom_func(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom scalar function registration (SWQ_CUSTOM_FUNC,
+    ogr/ogr_swq.h:69,183-188 -> spark.udf.register): register a
+    per-row function and use it through the SQL surface."""
+    spark.udf.register(
+        "acct_band", lambda v: int(v // 1000.0) if v is not None else None,
+        "long",
+    )
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("cust_cf")
+    return spark.sql(
+        """
+        SELECT acct_band(c_acctbal) AS band, COUNT(*) AS n
+        FROM cust_cf GROUP BY acct_band(c_acctbal)
+        """
+    )
+
+
 def _q_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-SQL dialect passthrough — the Spark-SQL analog of OGR's
     SQLite dialect (layers as virtual tables with the host engine's
@@ -1596,6 +1632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_dialect": _q_sql_dialect,
         "ogr_sql_text": _q_ogr_sql_text,
         "ogr_sql_text_agg": _q_ogr_sql_text_agg,
+        "semi_anti_join": _q_semi_anti,
+        "custom_func": _q_custom_func,
         "ogr_sql_text_union": _q_ogr_sql_text_union,
         "tile_index": _q_tile_index,
         "reproject_3857": _q_reproject_3857,
@@ -2404,6 +2442,18 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
             ) WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.5
+        """,
+        "semi_anti_join": """
+            SELECT c_custkey AS custkey, 'semi' AS kind FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            UNION ALL
+            SELECT c_custkey AS custkey, 'anti' AS kind FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "custom_func": """
+            SELECT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+                   COUNT(*) AS n
+            FROM customer GROUP BY 1
         """,
         "ogr_sql_text_agg": """
             SELECT COUNT(*) AS n, COUNT(DISTINCT c_mktsegment) AS nseg,

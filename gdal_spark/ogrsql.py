@@ -172,3 +172,17 @@ def except_layers(a: DataFrame, b: DataFrame) -> DataFrame:
     """SQL EXCEPT (set difference, deduplicated — NOT exceptAll's
     multiset subtraction, which would leave duplicate survivors)."""
     return a.subtract(b)
+
+
+def semi_join(a: DataFrame, b: DataFrame, on: str | list) -> DataFrame:
+    """LEFT SEMI join — rows of `a` with at least one match in `b`,
+    never duplicated, no columns from `b` (the EXISTS-subquery shape
+    the reference gets from its SQLite dialect). Spark-native
+    leftsemi: the build side broadcasts when small, otherwise only the
+    join keys shuffle."""
+    return a.join(b, on, "left_semi")
+
+
+def anti_join(a: DataFrame, b: DataFrame, on: str | list) -> DataFrame:
+    """LEFT ANTI join — rows of `a` with NO match in `b` (NOT EXISTS)."""
+    return a.join(b, on, "left_anti")
