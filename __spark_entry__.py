@@ -1532,6 +1532,71 @@ def _q_hillshade_igor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.hillshade_igor(tiles, res=1.0))
 
 
+def _q_pixel_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full single-source VRT pixel-func suite (pixelfunctions.cpp
+    real branches) over the negated mosaic — negation first so the
+    signed branches (mod/phase/dB) are exercised."""
+    import localref
+
+    signed = RST.pixel_calc(synth.tiles_src_df(spark, 2, 2), "negate")
+    out = None
+    for fname in localref.PIX_SINGLE:
+        part = tiling.checksum_table(RST.pixel_calc(signed, fname)).withColumn(
+            "func", F.lit(fname)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _q_pixel_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-source pixel funcs (sum/diff/mul/cmul real branch, plus
+    'complex' band-pair packing) over a 2-band tile table."""
+    import localref
+
+    b1 = synth.tiles_src_df(spark, 2, 1, raster_id="mb")
+    b2 = synth.tiles_src_df(spark, 2, 1, raster_id="mb", seed=7).withColumn(
+        "band", F.lit(2)
+    )
+    tiles = b1.unionByName(b2)
+    out = None
+    for fname in localref.PIX_MULTI:
+        calc = (
+            RST.pixel_calc_complex(tiles, "complex")
+            if fname == "complex"
+            else RST.pixel_calc_multi(tiles, fname)
+        )
+        part = tiling.checksum_table(calc).withColumn("func", F.lit(fname))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _q_pixel_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-branch pixel funcs over band pairs: bands (1,2) =
+    source-1 (re, im), bands (3,4) = source-2."""
+    import localref
+
+    re1 = synth.tiles_src_df(spark, 2, 1, raster_id="cx")
+    im1 = RST.pixel_calc(
+        synth.tiles_src_df(spark, 2, 1, raster_id="cx", seed=7), "negate"
+    ).withColumn("band", F.lit(2))
+    re2 = synth.tiles_src_df(spark, 2, 1, raster_id="cx", seed=11).withColumn(
+        "band", F.lit(3)
+    )
+    im2 = synth.tiles_src_df(spark, 2, 1, raster_id="cx", seed=13).withColumn(
+        "band", F.lit(4)
+    )
+    tiles = re1.unionByName(im1).unionByName(re2).unionByName(im2)
+    one_src = tiles.filter(F.col("band") <= 2)
+    out = None
+    for fname in localref.PIX_COMPLEX:
+        src = tiles if fname in ("sum", "diff", "mul", "cmul") else one_src
+        part = tiling.checksum_table(
+            RST.pixel_calc_complex(src, fname)
+        ).withColumn("func", F.lit(fname))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms = synth.tiles_src_df(spark, 2, 1, raster_id="ms")
     ms2 = RST.pixel_calc(ms, "square", out_dtype="float64").withColumn(
@@ -1652,6 +1717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "albers_transform": _q_conic(5070),
         "polar_stereo_transform": _q_conic(3031),
         "pansharpen_checksums": _q_pansharpen,
+        "pixel_functions_checksums": _q_pixel_functions,
+        "pixel_multiband_checksums": _q_pixel_multiband,
+        "pixel_complex_checksums": _q_pixel_complex,
         "polygonize_regions": _q_polygonize,
         "polygonize_wkt": _q_polygonize_wkt,
         "contour_totals": _q_contour,

@@ -14,7 +14,10 @@
   pixel_calc   band algebra on tiles (gdal_calc / VRT pixel functions,
                osgeo_utils/gdal_calc.py:35-50, frmts/vrt/
                vrtderivedrasterband.cpp:1205): named numpy expression
-               applied per tile, map-only
+               applied per tile, map-only. pixel_calc_multi /
+               pixel_calc_complex cover the full registered suite
+               (pixelfunctions.cpp:920-937): N-source sum/diff/mul/
+               cmul and the complex branches over band-pair tiles
   hillshade / slope
                3x3 focal DEM ops (apps/gdaldem_lib.cpp:901-1035 Horn
                hillshade, :1325 slope) with HALO EXCHANGE: every tile
@@ -181,7 +184,143 @@ _PIXEL_FUNCS = {
     "square": lambda a: a * a,
     "negate": lambda a: -a,
     "abs": np.abs,
+    # VRT derived-band suite, real-input branch (frmts/vrt/
+    # pixelfunctions.cpp:920-937 GDALRegisterDefaultPixelFunc; each C
+    # func's "not complex" path): real/conj are the identity, imag is
+    # zero, mod is fabs (ModulePixelFunc), phase is pi for negatives
+    # else 0 (PhasePixelFunc), intensity squares (IntensityPixelFunc),
+    # dB = 20*log10(abs x) (DBPixelFunc), dB2amp = 10^(x/20), dB2pow =
+    # 10^(x/10). Logs carry the same 1e-30 epsilon guard as "log10"
+    # above (documented deviation: GDAL emits -inf at 0).
+    "real": lambda a: a,
+    "imag": np.zeros_like,
+    "conj": lambda a: a,
+    "mod": np.abs,
+    "phase": lambda a: np.where(a < 0, np.pi, 0.0),
+    "intensity": lambda a: a * a,
+    "dB": lambda a: 20.0 * np.log10(np.maximum(np.abs(a), 1e-30)),
+    "dB2amp": lambda a: np.power(10.0, a / 20.0),
+    "dB2pow": lambda a: np.power(10.0, a / 10.0),
 }
+
+# N-source real-branch pixel functions (pixelfunctions.cpp SumPixelFunc
+# / DiffPixelFunc / MulPixelFunc / CMulPixelFunc "not complex" paths).
+# Each maps a stacked (nbands, H, W) array -> (H, W); cmul's real branch
+# is a plain product because conj is the identity on reals.
+_MULTI_FUNCS = {
+    "sum": lambda b: np.sum(b, axis=0),
+    "diff": lambda b: b[0] - b[1],
+    "mul": lambda b: np.prod(b, axis=0),
+    "cmul": lambda b: b[0] * b[1],
+}
+
+# Complex pixel functions over the band-pair representation (the tile
+# model has no complex dtype, so a complex raster is stored as band
+# pairs: bands (1,2) = (re,im) of source 1, bands (3,4) = source 2).
+# Semantics follow the complex branches of pixelfunctions.cpp: mod =
+# sqrt(re^2+im^2), phase = atan2(im, re), intensity = re^2+im^2, conj
+# negates im, inv divides the conjugate by the squared modulus, mul /
+# cmul are the complex product / product-with-conjugate, "complex"
+# packs two real bands into a pair (ComplexPixelFunc). Values are
+# (n_out_bands, fn(sources)) where sources is a list of (re, im).
+_COMPLEX_FUNCS = {
+    "real": (1, lambda s: [s[0][0]]),
+    "imag": (1, lambda s: [s[0][1]]),
+    "mod": (1, lambda s: [np.hypot(s[0][0], s[0][1])]),
+    "phase": (1, lambda s: [np.arctan2(s[0][1], s[0][0])]),
+    "intensity": (1, lambda s: [s[0][0] * s[0][0] + s[0][1] * s[0][1]]),
+    "conj": (2, lambda s: [s[0][0], -s[0][1]]),
+    "inv": (2, lambda s: (
+        lambda m2: [s[0][0] / m2, -s[0][1] / m2]
+    )(np.maximum(s[0][0] * s[0][0] + s[0][1] * s[0][1], 1e-30))),
+    "sum": (2, lambda s: [sum(p[0] for p in s), sum(p[1] for p in s)]),
+    "diff": (2, lambda s: [s[0][0] - s[1][0], s[0][1] - s[1][1]]),
+    "mul": (2, lambda s: [
+        s[0][0] * s[1][0] - s[0][1] * s[1][1],
+        s[0][0] * s[1][1] + s[0][1] * s[1][0],
+    ]),
+    "cmul": (2, lambda s: [
+        s[0][0] * s[1][0] + s[0][1] * s[1][1],
+        s[0][1] * s[1][0] - s[0][0] * s[1][1],
+    ]),
+    "complex": (2, lambda s: [s[0][0], s[0][1]]),
+}
+
+_TILE_KEY = ["raster_id", "zoom", "tile_x", "tile_y"]
+
+
+def _grouped_band_calc(tiles: DataFrame, fn, out_dtype: str,
+                       raster_id: str | None) -> DataFrame:
+    """Shared shell for multi-band pixel funcs: group a tile table by
+    tile coordinate, stack its bands ascending, emit fn's output bands.
+    One narrow shuffle on the tile key — the distributed equivalent of
+    VRTDerivedRasterBand reading its sources for one block
+    (frmts/vrt/vrtderivedrasterband.cpp:1205 IRasterIO)."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("band")
+        first = pdf.iloc[0]
+        arrs = [
+            _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
+            for r in pdf.itertuples(index=False)
+        ]
+        outs = fn(arrs)
+        rows = []
+        for i, out in enumerate(outs):
+            d = first.to_dict()
+            d["band"] = i + 1
+            d["dtype"] = out_dtype
+            d["data"] = _gdal_cast(out, out_dtype).tobytes()
+            if raster_id:
+                d["raster_id"] = raster_id
+            rows.append(d)
+        return pd.DataFrame(rows)[[f.name for f in TILE_SCHEMA.fields]]
+
+    return tiles.groupBy(*_TILE_KEY).applyInPandas(run, schema=TILE_SCHEMA)
+
+
+def pixel_calc_multi(tiles: DataFrame, func: str, out_dtype: str = "float64",
+                     raster_id: str | None = None) -> DataFrame:
+    """N-source pixel function (sum/diff/mul/cmul real branch): the
+    bands of each tile coordinate are the sources, ascending band id.
+    diff/cmul require exactly 2 bands."""
+    f = _MULTI_FUNCS[func]
+    if func in ("diff", "cmul"):
+        def fn(arrs):
+            if len(arrs) != 2:
+                raise ValueError(f"{func} needs exactly 2 bands, got {len(arrs)}")
+            return [f(np.stack(arrs))]
+    else:
+        def fn(arrs):
+            return [f(np.stack(arrs))]
+    return _grouped_band_calc(tiles, fn, out_dtype, raster_id)
+
+
+def pixel_calc_complex(tiles: DataFrame, func: str,
+                       out_dtype: str = "float64",
+                       raster_id: str | None = None) -> DataFrame:
+    """Complex pixel function over band-pair tiles: bands (1,2) are
+    (re,im) of source 1, (3,4) source 2. Single-band output funcs
+    (real/imag/mod/phase/intensity) emit band 1; pair-output funcs
+    (conj/inv/sum/diff/mul/cmul/complex) emit bands (1,2). "complex"
+    instead reads two REAL source bands (1,2) and packs them into a
+    pair (ComplexPixelFunc semantics)."""
+    _nout, f = _COMPLEX_FUNCS[func]
+
+    def fn(arrs):
+        if func == "complex":
+            if len(arrs) != 2:
+                raise ValueError("complex needs exactly 2 real bands")
+            sources = [(arrs[0], arrs[1])]
+        else:
+            if len(arrs) % 2 != 0:
+                raise ValueError(f"{func} needs band pairs, got {len(arrs)}")
+            sources = [(arrs[i], arrs[i + 1]) for i in range(0, len(arrs), 2)]
+            if func in ("diff", "mul", "cmul") and len(sources) != 2:
+                raise ValueError(f"{func} needs exactly 2 complex sources")
+        return f(sources)
+
+    return _grouped_band_calc(tiles, fn, out_dtype, raster_id)
 
 
 def pixel_calc(tiles: DataFrame, func: str, out_dtype: str = "float64",

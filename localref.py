@@ -874,6 +874,9 @@ def oracle_entries() -> dict:
         "overview_rms_checksums": sql_overview_rms_checksums,
         "overview_cubic_checksums": sql_overview_cubic_checksums,
         "overview_lanczos_checksums": sql_overview_lanczos_checksums,
+        "pixel_functions_checksums": sql_pixel_functions_checksums,
+        "pixel_multiband_checksums": sql_pixel_multiband_checksums,
+        "pixel_complex_checksums": sql_pixel_complex_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -1733,3 +1736,84 @@ def sql_dem_slope_checksums() -> str:
     dzdx, dzdy = _horn(pad, 1.0)
     out = np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
     return values_sql(tile_checksums(out, 256, "slope", 1, 12), CKS_COLS, CKS_TYPES)
+
+
+# ===================================================== VRT pixel functions
+PIX_SINGLE = ["real", "imag", "conj", "mod", "phase", "intensity",
+              "dB", "dB2amp", "dB2pow"]
+PIX_MULTI = ["sum", "diff", "mul", "cmul", "complex"]
+PIX_COMPLEX = ["real", "imag", "mod", "phase", "intensity", "conj",
+               "inv", "sum", "diff", "mul", "cmul"]
+
+
+def sql_pixel_functions_checksums() -> str:
+    """Single-source VRT pixel funcs over the NEGATED mosaic (the query
+    negates first so abs/phase/dB exercise their signed branches).
+    Formulas restated from pixelfunctions.cpp real paths."""
+    s = -global_mosaic(2, 2).astype(np.float64)
+    outs = {
+        "real": s,
+        "imag": np.zeros_like(s),
+        "conj": s,
+        "mod": np.abs(s),
+        "phase": np.where(s < 0, np.pi, 0.0),
+        "intensity": s * s,
+        "dB": 20.0 * np.log10(np.maximum(np.abs(s), 1e-30)),
+        "dB2amp": np.power(10.0, s / 20.0),
+        "dB2pow": np.power(10.0, s / 10.0),
+    }
+    rows = []
+    for name in PIX_SINGLE:
+        for r in tile_checksums(outs[name], 256, "byte_like", 1, 12):
+            rows.append((name,) + r)
+    return values_sql(rows, ["func"] + CKS_COLS, ["varchar"] + CKS_TYPES)
+
+
+def sql_pixel_multiband_checksums() -> str:
+    """N-source real-branch funcs over a 2-band raster (band 2 is the
+    seed-7 variant); 'complex' packs the two real bands into a pair."""
+    g1 = global_mosaic(2, 1).astype(np.float64)
+    g2 = global_mosaic(2, 1, seed=7).astype(np.float64)
+    outs = {
+        "sum": [g1 + g2],
+        "diff": [g1 - g2],
+        "mul": [g1 * g2],
+        "cmul": [g1 * g2],  # real branch: conj is the identity
+        "complex": [g1, g2],
+    }
+    rows = []
+    for name in PIX_MULTI:
+        for band, a in enumerate(outs[name], start=1):
+            for r in tile_checksums(a, 256, "mb", band, 12):
+                rows.append((name,) + r)
+    return values_sql(rows, ["func"] + CKS_COLS, ["varchar"] + CKS_TYPES)
+
+
+def sql_pixel_complex_checksums() -> str:
+    """Complex-branch funcs over the band-pair representation: source 1
+    = (seed mosaic, negated seed-7 mosaic), source 2 = (seed-11,
+    seed-13). Complex arithmetic restated from pixelfunctions.cpp."""
+    re1 = global_mosaic(2, 1).astype(np.float64)
+    im1 = -global_mosaic(2, 1, seed=7).astype(np.float64)
+    re2 = global_mosaic(2, 1, seed=11).astype(np.float64)
+    im2 = global_mosaic(2, 1, seed=13).astype(np.float64)
+    m2 = np.maximum(re1 * re1 + im1 * im1, 1e-30)
+    outs = {
+        "real": [re1],
+        "imag": [im1],
+        "mod": [np.hypot(re1, im1)],
+        "phase": [np.arctan2(im1, re1)],
+        "intensity": [re1 * re1 + im1 * im1],
+        "conj": [re1, -im1],
+        "inv": [re1 / m2, -im1 / m2],
+        "sum": [re1 + re2, im1 + im2],
+        "diff": [re1 - re2, im1 - im2],
+        "mul": [re1 * re2 - im1 * im2, re1 * im2 + im1 * re2],
+        "cmul": [re1 * re2 + im1 * im2, im1 * re2 - re1 * im2],
+    }
+    rows = []
+    for name in PIX_COMPLEX:
+        for band, a in enumerate(outs[name], start=1):
+            for r in tile_checksums(a, 256, "cx", band, 12):
+                rows.append((name,) + r)
+    return values_sql(rows, ["func"] + CKS_COLS, ["varchar"] + CKS_TYPES)

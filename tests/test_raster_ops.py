@@ -121,3 +121,48 @@ def test_hillshade_golden_checksum(spark):
         sub = exp_img[r.tile_y * 256 : (r.tile_y + 1) * 256,
                       r.tile_x * 256 : (r.tile_x + 1) * 256]
         assert r.checksum == G.gdal_checksum(sub), (r.tile_x, r.tile_y)
+
+
+def test_pixel_calc_vrt_singles(spark):
+    """VRT real-branch funcs (pixelfunctions.cpp) on negated input."""
+    signed = R.pixel_calc(synth.tiles_src_df(spark, 2, 1), "negate")
+    s = -synth.tile_pixels_np(1, 0).astype(np.float64)
+    exp = {
+        "mod": np.abs(s),
+        "phase": np.where(s < 0, np.pi, 0.0),
+        "intensity": s * s,
+        "dB": 20.0 * np.log10(np.maximum(np.abs(s), 1e-30)),
+        "dB2amp": np.power(10.0, s / 20.0),
+        "imag": np.zeros_like(s),
+    }
+    for fname, e in exp.items():
+        out = R.pixel_calc(signed, fname)
+        got = out.filter(out.tile_x == 1).first()
+        arr = np.frombuffer(got["data"], dtype=np.float64).reshape(256, 256)
+        assert np.allclose(arr, e), fname
+
+
+def test_pixel_calc_multi_and_complex(spark):
+    from pyspark.sql import functions as F
+
+    b1 = synth.tiles_src_df(spark, 2, 1)
+    b2 = synth.tiles_src_df(spark, 2, 1, seed=7).withColumn("band", F.lit(2))
+    tiles = b1.unionByName(b2)
+    g1 = synth.tile_pixels_np(0, 0).astype(np.float64)
+    g2 = synth.tile_pixels_np(0, 0, seed=7).astype(np.float64)
+
+    def grab(df, band=1, tx=0):
+        r = df.filter((df.tile_x == tx) & (df.band == band)).first()
+        return np.frombuffer(r["data"], dtype=np.float64).reshape(256, 256)
+
+    assert np.array_equal(grab(R.pixel_calc_multi(tiles, "sum")), g1 + g2)
+    assert np.array_equal(grab(R.pixel_calc_multi(tiles, "diff")), g1 - g2)
+    assert np.array_equal(grab(R.pixel_calc_multi(tiles, "mul")), g1 * g2)
+    # complex pair: bands (1,2) = (re, im)
+    assert np.allclose(grab(R.pixel_calc_complex(tiles, "mod")),
+                       np.hypot(g1, g2))
+    assert np.allclose(grab(R.pixel_calc_complex(tiles, "phase")),
+                       np.arctan2(g2, g1))
+    conj = R.pixel_calc_complex(tiles, "conj")
+    assert np.array_equal(grab(conj, band=1), g1)
+    assert np.array_equal(grab(conj, band=2), -g2)
