@@ -1170,6 +1170,17 @@ def _q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.proximity(burned, [-1.0], maxdist=20.0))
 
 
+def _q_proximity_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-MAXDIST proximity: nearest distance to one sparse zone block,
+    crossing up to 5 tile hops of the 4x4 x 32px burn (exercises the
+    ring-doubling rounds, not the one-shot 3x3 halo)."""
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
+    burned = RST.rasterize_zones(spark, zidx, 4, 4, tile_px=32)
+    return tiling.checksum_table(
+        RST.proximity_full(burned, [27.0], maxdist=None)
+    )
+
+
 def _q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
@@ -1727,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "graph_sssp": _q_graph_sssp,
         "proximity_checksums": _q_proximity,
+        "proximity_full_checksums": _q_proximity_full,
         "media_thumbnails": _q_media_thumbs,
         "fillnodata_checksums": _q_fillnodata,
         "sieve_checksums": _q_sieve,

@@ -1013,8 +1013,8 @@ def proximity(tiles: DataFrame, target_values: list[float],
     pixel's exact Euclidean distance to the nearest visible target.
     With maxdist <= tile size every target that can influence a pixel
     is in its 3x3 tile neighborhood, so one pass is exact — no
-    iteration. Unbounded proximity = iterate this with a dist-field
-    halo until fixpoint (future work; GDAL defaults to bounded use)."""
+    iteration. For unbounded / larger maxdist use `proximity_full`
+    below (geometric ring-doubling rounds, exact at any distance)."""
     TGT_SCHEMA = T.StructType(
         [
             T.StructField("dst_tx", T.IntegerType()),
@@ -1101,6 +1101,197 @@ def proximity(tiles: DataFrame, target_values: list[float],
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     return j.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def proximity_full(tiles: DataFrame, target_values: list[float],
+                   maxdist: float | None = None, nodata: float = -1.0,
+                   dst_raster_id: str = "proximity",
+                   max_rounds: int = 24) -> DataFrame:
+    """Unbounded distance-to-nearest-target raster (GDALComputeProximity,
+    alg/gdalproximity.cpp:112 — the no-MAXDIST default the bounded
+    `proximity` above can't serve): exact Euclidean pixel distances with
+    no tile-extent cap.
+
+    Distributed shape — geometric ring doubling with a per-pixel
+    settlement guard:
+
+      round k explores the tile annulus with Chebyshev radius in
+      (R/2, R], R = 2^k: each UNSETTLED tile joins the sparse target
+      coordinate lists of the annulus tiles and relaxes its per-pixel
+      best distance. A pixel is settled once best <= R*tile_px — every
+      unexplored target is farther than R tiles, i.e. > R*tile_px away,
+      so no later round can improve it (with maxdist set, best >
+      maxdist also settles as nodata once R*tile_px >= maxdist). Tiles
+      drop out of the loop as soon as all their pixels settle.
+
+    Rounds needed = log2 of the tile-hop distance to the nearest
+    target, so dense target sets finish in one round (the `proximity`
+    fast path) and the loop only keeps running for tiles in large
+    target voids — exactly the tiles whose annuli are nearly empty, so
+    the per-round exploded (tile, annulus-tile) pair volume stays
+    bounded by void geometry, not raster size. The expensive side (the
+    per-tile best-distance state) shuffles once per round on its own
+    key only; target lists ride the join."""
+    tvals = list(target_values)
+    TGT_SCHEMA = T.StructType(
+        [
+            T.StructField("src_tx", T.IntegerType()),
+            T.StructField("src_ty", T.IntegerType()),
+            T.StructField("txs", T.ArrayType(T.LongType())),
+            T.StructField("tys", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def emit_targets(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width)
+                mask = np.isin(arr, tvals)
+                if not mask.any():
+                    continue
+                ys, xs = np.nonzero(mask)
+                rows.append(
+                    {
+                        "src_tx": int(r.tile_x), "src_ty": int(r.tile_y),
+                        "txs": (xs + int(r.tile_x) * r.width)
+                        .astype(np.int64).tolist(),
+                        "tys": (ys + int(r.tile_y) * r.height)
+                        .astype(np.int64).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in TGT_SCHEMA.fields])
+
+    tgts = tiles.mapInPandas(emit_targets, schema=TGT_SCHEMA).persist()
+
+    STATE_SCHEMA = T.StructType(
+        [f for f in TILE_SCHEMA.fields if f.name != "data"]
+        + [T.StructField("best2", T.BinaryType()),
+           T.StructField("settled", T.BooleanType())]
+    )
+    state_cols = [f.name for f in STATE_SCHEMA.fields]
+
+    def init_state(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                h, w = int(r.height), int(r.width)
+                d = {c: getattr(r, c) for c in state_cols
+                     if c not in ("best2", "settled")}
+                d["best2"] = np.full((h, w), np.inf).tobytes()
+                d["settled"] = False
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=state_cols)
+
+    state = tiles.mapInPandas(init_state, schema=STATE_SCHEMA)
+    md = float(maxdist) if maxdist is not None else None
+
+    # global tile extent bounds the last possible round
+    ext = tiles.agg(
+        F.min("tile_x"), F.max("tile_x"), F.min("tile_y"), F.max("tile_y")
+    ).first()
+    span = max(ext[1] - ext[0], ext[3] - ext[2]) + 1
+
+    def relax(r_guard: int):
+        def run(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    h, w = int(r.height), int(r.width)
+                    best = np.frombuffer(r.best2, dtype=np.float64).reshape(h, w)
+                    if r.all_tx is not None and len(r.all_tx) > 0:
+                        best = best.copy()
+                        txs = np.asarray(r.all_tx, dtype=np.float64)
+                        tys = np.asarray(r.all_ty, dtype=np.float64)
+                        px = int(r.tile_x) * w + np.arange(w, dtype=np.float64)
+                        py = int(r.tile_y) * h + np.arange(h, dtype=np.float64)
+                        for s in range(0, len(txs), 2048):
+                            dx = px[None, :, None] - txs[None, None, s:s + 2048]
+                            dy = py[:, None, None] - tys[None, None, s:s + 2048]
+                            best = np.minimum(best, (dx * dx + dy * dy).min(axis=2))
+                    guard = float(r_guard * min(h, w))
+                    g2 = guard * guard
+                    ok = best <= g2
+                    if md is not None and guard >= md:
+                        ok |= best > md * md  # provably beyond maxdist -> nodata
+                    d = {c: getattr(r, c) for c in state_cols
+                         if c not in ("best2", "settled")}
+                    d["best2"] = best.tobytes()
+                    d["settled"] = bool(ok.all())
+                    rows.append(d)
+                yield pd.DataFrame(rows, columns=state_cols)
+
+        return run
+
+    done = []
+    r_prev, radius = -1, 1  # first annulus includes the tile itself
+    for _ in range(max_rounds):
+        dxs = F.explode(
+            F.sequence(F.lit(-radius), F.lit(radius))
+        ).alias("dx")
+        dys = F.explode(
+            F.sequence(F.lit(-radius), F.lit(radius))
+        ).alias("dy")
+        pairs = (
+            state.select("tile_x", "tile_y", dxs)
+            .select("tile_x", "tile_y", "dx", dys)
+            .filter(
+                F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy"))) > r_prev
+            )
+            .select(
+                "tile_x", "tile_y",
+                (F.col("tile_x") + F.col("dx")).alias("jx"),
+                (F.col("tile_y") + F.col("dy")).alias("jy"),
+            )
+        )
+        ring = (
+            pairs.join(
+                tgts,
+                (pairs.jx == tgts.src_tx) & (pairs.jy == tgts.src_ty),
+            )
+            .groupBy("tile_x", "tile_y")
+            .agg(
+                F.flatten(F.collect_list("txs")).alias("all_tx"),
+                F.flatten(F.collect_list("tys")).alias("all_ty"),
+            )
+        )
+        state = (
+            state.join(ring, ["tile_x", "tile_y"], "left")
+            .mapInPandas(relax(radius), schema=STATE_SCHEMA)
+            .localCheckpoint()
+        )
+        done.append(state.filter("settled"))
+        state = state.filter("NOT settled")
+        if radius >= span or state.isEmpty():
+            break
+        r_prev, radius = radius, min(radius * 2, span)
+    done.append(state)  # anything left after the extent cap
+    tgts.unpersist()
+
+    all_states = done[0]
+    for d in done[1:]:
+        all_states = all_states.unionByName(d)
+
+    def finish(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                h, w = int(r.height), int(r.width)
+                best = np.frombuffer(r.best2, dtype=np.float64).reshape(h, w)
+                lim = md * md if md is not None else np.inf
+                out = np.where(best <= lim, np.sqrt(best), nodata)
+                d = {c: getattr(r, c) for c in state_cols
+                     if c not in ("best2", "settled")}
+                d["raster_id"] = dst_raster_id
+                d["dtype"] = "float64"
+                d["nodata"] = nodata
+                d["data"] = out.tobytes()
+                rows.append(d)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TILE_SCHEMA.fields]
+            )
+
+    return all_states.mapInPandas(finish, schema=TILE_SCHEMA)
 
 
 # -------------------------------------------------------------- fill nodata

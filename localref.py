@@ -877,6 +877,7 @@ def oracle_entries() -> dict:
         "pixel_functions_checksums": sql_pixel_functions_checksums,
         "pixel_multiband_checksums": sql_pixel_multiband_checksums,
         "pixel_complex_checksums": sql_pixel_complex_checksums,
+        "proximity_full_checksums": sql_proximity_full_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -1817,3 +1818,19 @@ def sql_pixel_complex_checksums() -> str:
             for r in tile_checksums(a, 256, "cx", band, 12):
                 rows.append((name,) + r)
     return values_sql(rows, ["func"] + CKS_COLS, ["varchar"] + CKS_TYPES)
+
+
+def sql_proximity_full_checksums() -> str:
+    """Unbounded proximity to one sparse zone block (zid 27 is a single
+    16x16 patch of the 128px zone burn) — distances span the raster."""
+    burned = zones_raster(128).astype(np.float64)
+    ty_, tx_ = np.nonzero(burned == 27.0)
+    H, W = burned.shape
+    yy, xx = np.mgrid[0:H, 0:W]
+    best = np.full((H, W), np.inf)
+    for s in range(0, len(tx_), 2048):
+        dx = xx[:, :, None] - tx_[None, None, s : s + 2048]
+        dy = yy[:, :, None] - ty_[None, None, s : s + 2048]
+        best = np.minimum(best, (dx * dx + dy * dy).min(axis=2))
+    out = np.sqrt(best)
+    return values_sql(tile_checksums(out, 32, "proximity", 1, 0), CKS_COLS, CKS_TYPES)

@@ -51,3 +51,50 @@ def test_proximity_no_targets(spark):
     out = R.proximity(_tiles_df(spark, m, 32), [9], 10.0).collect()
     arr = np.frombuffer(out[0]["data"], dtype=np.float64)
     assert (arr == -1.0).all()
+
+
+def _assemble(out, tile, n):
+    got = np.zeros((n, n))
+    for r in out:
+        arr = np.frombuffer(r["data"], dtype=np.float64).reshape(tile, tile)
+        got[r["tile_y"] * tile : (r["tile_y"] + 1) * tile,
+            r["tile_x"] * tile : (r["tile_x"] + 1) * tile] = arr
+    return got
+
+
+def _brute(m, tval, maxdist):
+    H, W = m.shape
+    ty_, tx_ = np.nonzero(m == tval)
+    yy, xx = np.mgrid[0:H, 0:W]
+    best = np.full((H, W), np.inf)
+    for i in range(len(tx_)):
+        best = np.minimum(
+            best, (xx - tx_[i]) ** 2 + (yy - ty_[i]) ** 2
+        )
+    return np.where(best <= maxdist * maxdist, np.sqrt(best), -1.0)
+
+
+def test_proximity_full_multi_tile_hops(spark):
+    """Targets only in one corner tile of a 4x4 grid: distances cross
+    up to 3 tile hops, forcing multiple doubling rounds."""
+    m = np.zeros((128, 128), dtype=np.int64)
+    m[2, 3] = 9
+    m[10, 25] = 9
+    out = R.proximity_full(_tiles_df(spark, m, 32), [9], maxdist=300.0).collect()
+    got = _assemble(out, 32, 128)
+    assert np.allclose(got, _brute(m, 9, 300.0))
+
+
+def test_proximity_full_unbounded_and_capped(spark):
+    rng = np.random.RandomState(3)
+    m = np.zeros((128, 128), dtype=np.int64)
+    ys, xs = rng.randint(0, 128, 5), rng.randint(0, 128, 5)
+    m[ys, xs] = 7
+    tiles = _tiles_df(spark, m, 32)
+    # unbounded: every pixel reaches some target
+    got = _assemble(R.proximity_full(tiles, [7], maxdist=None).collect(), 32, 128)
+    exp = _brute(m, 7, 1e9)
+    assert np.allclose(got, exp)
+    # capped below a tile-crossing distance: nodata beyond
+    got2 = _assemble(R.proximity_full(tiles, [7], maxdist=40.0).collect(), 32, 128)
+    assert np.allclose(got2, _brute(m, 7, 40.0))
