@@ -118,6 +118,23 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "doc_id", "rank")
 
 
+def _q_knn_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-query-side kNN: 500 queries as a DataFrame through the
+    fully distributed cell-ring expansion (no driver state)."""
+    from gdal_spark.knn import knn_join_distributed
+
+    key = F.col("id") * 7919 + 3
+    queries = spark.range(500).select(
+        F.col("id").alias("q_id"),
+        (-180.0 + 360.0 * F.pmod(key * KNUTH, F.lit(MOD32)) / MOD32).alias("lon"),
+        (-85.0 + 170.0 * F.pmod((key + 1) * KNUTH, F.lit(MOD32)) / MOD32).alias("lat"),
+        F.lit(5).alias("k"),
+    )
+    docs = _docs_points(spark, sf_dir)
+    out = knn_join_distributed(spark, docs, queries, level=4, id_col="doc_id")
+    return out.select("q_id", "doc_id", "rank")
+
+
 def _q_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.extent(DRV.with_derived_points(_read(spark, sf_dir, "documents")))
 
@@ -1625,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_zone_join_wkb": _q_pip_zone_join_wkb,
         "tile_assign": _q_tile_assign,
         "knn_top5": _q_knn,
+        "knn_large": _q_knn_large,
         "extent_docs": _q_extent,
         "ogr_where_ci": _q_ogr_where_ci,
         "ogr_like": _q_ogr_like,
@@ -1804,12 +1822,13 @@ SELECT doc_id, CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
 FROM t
 """
 
-_KNN_SQL = f"""
+def _knn_sql(nq: int) -> str:
+    return f"""
 WITH q AS (
   SELECT range AS q_id,
          -180.0 + 360.0 * ((range * 7919 + 3) * {KNUTH} % {MOD32}) / {MOD32} AS q_lon,
          -85.0 + 170.0 * ((range * 7919 + 4) * {KNUTH} % {MOD32}) / {MOD32} AS q_lat
-  FROM range(40)
+  FROM range({nq})
 ), pts AS (
   SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
 ), d AS (
@@ -1826,6 +1845,9 @@ SELECT q_id, doc_id, rank FROM (
   FROM d
 ) WHERE rank <= 5
 """
+
+
+_KNN_SQL = _knn_sql(40)
 
 _QUALITY_SQL = """
 WITH b AS (
@@ -2129,6 +2151,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "pip_zone_join_wkb": _PIP_SQL,
         "tile_assign": _TILE_SQL,
         "knn_top5": _KNN_SQL,
+        "knn_large": _knn_sql(500),
         "extent_docs": f"""
             SELECT MIN(lon) AS xmin, MIN(lat) AS ymin,
                    MAX(lon) AS xmax, MAX(lat) AS ymax

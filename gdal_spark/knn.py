@@ -166,3 +166,138 @@ def knn_join(
         )
     out = pd.concat(results, ignore_index=True)
     return spark.createDataFrame(out)
+
+
+def knn_join_distributed(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    level: int = 6,
+    initial_radius: int = 1,
+    max_rounds: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact kNN for a LARGE DataFrame query side — the scale path the
+    `knn_join` docstring contract names (q is a distributed table, not
+    a broadcast pandas frame; nothing per-query ever reaches the
+    driver).
+
+    Same cell-ring expansion, restated as DataFrame state:
+
+      - points shuffle ONCE: keyed by their level-`level` grid cell and
+        cached with that partitioning, so every round's join reuses the
+        exchange instead of re-shuffling the big side
+      - per round, still-pending queries explode to the NEW cell
+        annulus (Chebyshev radius in (r/2, r], pure column math with
+        antimeridian wrap), shuffle-join points on cell_id, and merge
+        into a carried top-k candidate state bounded at q x k rows
+      - the exactness guard (k-th distance <= great-circle distance to
+        the covered block's boundary) is evaluated as columns; resolved
+        queries emit and drop out, the rest double their radius
+
+    Rounds = log2 of the cell-ring distance to the k-th neighbor, the
+    same bound as the small-q operator; once the radius covers the
+    grid, every query resolves by exhaustion. Reference: quadtree
+    nearest search alg/gdalgrid.cpp:1689 over cpl_quad_tree.cpp:149."""
+    n = 1 << level
+    cell_w = 360.0 / n
+    cell_h = 180.0 / n
+    inf = F.lit(float("inf"))
+
+    pts = points.select(
+        F.col(id_col),
+        F.col("lon").alias("p_lon"),
+        F.col("lat").alias("p_lat"),
+        geo_cell(F.col("lon"), F.col("lat"), level).alias("cell_id"),
+    ).repartition("cell_id").persist()
+
+    clamp = lambda c, hi: F.greatest(F.least(c, F.lit(hi)), F.lit(0))  # noqa: E731
+    pending = queries.select(
+        "q_id",
+        F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"),
+        "k",
+        clamp(F.floor((F.col("lon") + 180.0) / 360.0 * n).cast("long"), n - 1).alias("cx"),
+        clamp(F.floor((F.col("lat") + 90.0) / 180.0 * n).cast("long"), n - 1).alias("cy"),
+    )
+
+    qcols = ["q_id", "q_lon", "q_lat", "k", "cx", "cy"]
+    cand = None
+    results = None
+    r_prev, radius = -1, initial_radius  # first annulus includes own cell
+    for _ in range(max_rounds):
+        cellq = (
+            pending.withColumn(
+                "dx", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+            )
+            .withColumn(
+                "dy", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+            )
+            .filter(F.greatest(F.abs("dx"), F.abs("dy")) > r_prev)
+            .withColumn("ccy", F.col("cy") + F.col("dy"))
+            .filter((F.col("ccy") >= 0) & (F.col("ccy") < n))
+            .withColumn("ccx", F.pmod(F.col("cx") + F.col("dx"), F.lit(n)))
+            .select(
+                *qcols,
+                (
+                    F.lit(int(level)).cast("long") * (1 << 52)
+                    + F.col("ccx") * (1 << 26)
+                    + F.col("ccy")
+                ).alias("cell_id"),
+            )
+        )
+        new = cellq.join(pts, "cell_id").select(
+            *qcols,
+            F.col(id_col),
+            _haversine_col(
+                F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
+            ).alias("dist_m"),
+        )
+        cand = new if cand is None else cand.unionByName(new)
+        w = Window.partitionBy("q_id").orderBy(F.asc("dist_m"), F.asc(id_col))
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .localCheckpoint()
+        )
+
+        # column-math guard: min great-circle distance from the query
+        # point to the boundary of the covered lon/lat block
+        lon_lo = F.greatest(F.lit(-180.0), F.lit(-180.0) + (F.col("cx") - radius) * cell_w)
+        lon_hi = F.least(F.lit(180.0), F.lit(-180.0) + (F.col("cx") + radius + 1) * cell_w)
+        lat_lo = F.greatest(F.lit(-90.0), F.lit(-90.0) + (F.col("cy") - radius) * cell_h)
+        lat_hi = F.least(F.lit(90.0), F.lit(-90.0) + (F.col("cy") + radius + 1) * cell_h)
+        guard = F.least(
+            F.when(lon_lo > -180.0,
+                   _haversine_col(F.col("q_lon"), F.col("q_lat"), lon_lo, F.col("q_lat"))
+                   ).otherwise(inf),
+            F.when(lon_hi < 180.0,
+                   _haversine_col(F.col("q_lon"), F.col("q_lat"), lon_hi, F.col("q_lat"))
+                   ).otherwise(inf),
+            F.when(lat_lo > -90.0,
+                   _haversine_col(F.col("q_lon"), F.col("q_lat"), F.col("q_lon"), lat_lo)
+                   ).otherwise(inf),
+            F.when(lat_hi < 90.0,
+                   _haversine_col(F.col("q_lon"), F.col("q_lat"), F.col("q_lon"), lat_hi)
+                   ).otherwise(inf),
+        )
+        full_cover = radius >= n
+        stats = topk.groupBy(*qcols).agg(
+            F.count("*").alias("cnt"), F.max("dist_m").alias("kth")
+        ).withColumn(
+            "resolved",
+            F.lit(full_cover)
+            | ((F.col("cnt") >= F.col("k")) & (F.col("kth") <= guard)),
+        )
+        done_q = stats.filter("resolved").select("q_id")
+        got = topk.join(done_q, "q_id", "left_semi").select(
+            "q_id", id_col, "dist_m", "rank"
+        )
+        results = got if results is None else results.unionByName(got)
+        pending = pending.join(done_q, "q_id", "left_anti").localCheckpoint()
+        cand = topk.join(done_q, "q_id", "left_anti").drop("rank")
+        if full_cover or pending.isEmpty():
+            break
+        r_prev, radius = radius, radius * 2
+    pts.unpersist()
+    return results

@@ -59,3 +59,26 @@ def test_knn_points_side_never_shuffles(spark):
     docs = extract_geom(synth.documents_df(spark, 500))
     out = knn_join(spark, docs, queries, level=4)
     assert out.count() == 50
+
+
+def test_knn_distributed_matches_small_q(spark):
+    """The large-q DataFrame-state path must agree exactly with the
+    broadcast small-q operator (which is brute-force-verified above)."""
+    from gdal_spark.knn import knn_join_distributed
+
+    queries = synth.knn_queries_np(N_QUERIES)
+    docs = extract_geom(synth.documents_df(spark, N_DOCS))
+    exp = (
+        knn_join(spark, docs, queries, level=5)
+        .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        knn_join_distributed(spark, docs, spark.createDataFrame(queries), level=5)
+        .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["q_id"].to_numpy() == exp["q_id"].to_numpy()).all()
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["dist_m"].to_numpy(), exp["dist_m"].to_numpy(), rtol=1e-9
+    )
