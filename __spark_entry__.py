@@ -20,6 +20,7 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gdal_spark import derived as DRV
 from gdal_spark import ogrsql as Q
@@ -1560,6 +1561,113 @@ def _q_hillshade_igor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.hillshade_igor(tiles, res=1.0))
 
 
+def _grid8(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
+    """Derived points snapped to the 1/8-degree grid: every coordinate
+    below is an exact binary fraction, so WKT round trips and vertex
+    arithmetic are bit-exact against the closed-form SQL oracles."""
+    docs = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < limit
+    )
+    return docs.select(
+        "doc_id",
+        (F.floor(F.col("lon") * 8) / 8).alias("lon8"),
+        (F.floor(F.col("lat") * 8) / 8).alias("lat8"),
+        F.col("lat").alias("lat_raw"),
+    )
+
+
+def _q_geometry_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -segmentize (OGRGeometry::segmentize): horizontal lines
+    of length 4 or 8 densified at max_len 0.5 -> 9 or 17 vertices on
+    the half-degree grid; vertex sums are exact binary fractions."""
+    from gdal_spark import geometry as GMM
+    from gdal_spark.functions import geometry as SG
+
+    d = _grid8(spark, sf_dir, 300)
+    dx = F.when(F.col("lat_raw") > 0, F.lit(4.0)).otherwise(F.lit(8.0))
+    wkt = F.format_string(
+        "LINESTRING (%s %s, %s %s)",
+        F.col("lon8"), F.col("lat8"), F.col("lon8") + dx, F.col("lat8"),
+    )
+    seg = d.select("doc_id", SG.st_segmentize(wkt, 0.5).alias("w"))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def stats(w: pd.Series) -> pd.Series:
+        out = []
+        for v in w:
+            xs, ys = GMM.parse_wkt(v).parts[0]
+            out.append([float(len(xs)), float(xs.sum()), float(ys.sum())])
+        return pd.Series(out)
+
+    s = seg.select("doc_id", stats("w").alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s")[0].cast("int").alias("npts"),
+        F.col("s")[1].alias("sum_x"),
+        F.col("s")[2].alias("sum_y"),
+    )
+
+
+def _q_geometry_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -explodecollections via st_dump + posexplode: one row
+    per collection part with its area and centroid."""
+    from gdal_spark.functions import geometry as SG
+
+    d = _grid8(spark, sf_dir, 250)
+    lon, lat = F.col("lon8"), F.col("lat8")
+    mp = F.format_string(
+        "MULTIPOLYGON (((%s %s, %s %s, %s %s, %s %s, %s %s)), "
+        "((%s %s, %s %s, %s %s, %s %s, %s %s)))",
+        lon, lat, lon + 1, lat, lon + 1, lat + 1, lon, lat + 1, lon, lat,
+        lon + 2, lat, lon + 4, lat, lon + 4, lat + 2, lon + 2, lat + 2,
+        lon + 2, lat,
+    )
+    dumped = d.select(
+        "doc_id", F.posexplode(SG.st_dump(mp)).alias("part", "w")
+    )
+    return dumped.select(
+        "doc_id", "part",
+        F.round(SG.st_area("w"), 6).alias("area"),
+        F.round(SG.st_centroid_x("w"), 6).alias("cx"),
+        F.round(SG.st_centroid_y("w"), 6).alias("cy"),
+    )
+
+
+def _q_geometry_wrapdateline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -wrapdateline: lines of x-span 32 starting near the
+    antimeridian split at x=180 and shift into [-180, 180]; endpoints
+    stay exact binary fractions through the cut."""
+    from gdal_spark import geometry as GMM
+    from gdal_spark.functions import geometry as SG
+
+    d = _grid8(spark, sf_dir, 300)
+    x0 = F.col("lon8") / 2 + 170.0
+    wkt = F.format_string(
+        "LINESTRING (%s %s, %s %s)",
+        x0, F.col("lat8"), x0 + 32.0, F.col("lat8") + 16.0,
+    )
+    parts = d.select(
+        "doc_id", F.posexplode(SG.st_wrapdateline(wkt)).alias("part", "w")
+    )
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def ends(w: pd.Series) -> pd.Series:
+        out = []
+        for v in w:
+            xs, ys = GMM.parse_wkt(v).parts[0]
+            out.append([float(xs[0]), float(ys[0]), float(xs[-1]), float(ys[-1])])
+        return pd.Series(out)
+
+    e = parts.select("doc_id", "part", ends("w").alias("e"))
+    return e.select(
+        "doc_id", "part",
+        F.round(F.col("e")[0], 6).alias("xf"),
+        F.round(F.col("e")[1], 6).alias("yf"),
+        F.round(F.col("e")[2], 6).alias("xl"),
+        F.round(F.col("e")[3], 6).alias("yl"),
+    )
+
+
 def _q_pixel_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full single-source VRT pixel-func suite (pixelfunctions.cpp
     real branches) over the negated mosaic — negation first so the
@@ -1697,6 +1805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_erase": _q_overlay_erase,
         "overlay_identity": _q_overlay_identity,
         "geometry_functions": _q_geometry_functions,
+        "geometry_segmentize": _q_geometry_segmentize,
+        "geometry_explode": _q_geometry_explode,
+        "geometry_wrapdateline": _q_geometry_wrapdateline,
         "geometry_predicates": _q_geometry_predicates,
         "geometry_boolean": _q_geometry_boolean,
         "geometry_constructive": _q_geometry_constructive,
@@ -2313,6 +2424,57 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM b LEFT JOIN cov c USING (doc_id)
             WHERE GREATEST(0.0, (x1 - x0) * (y1 - y0)
                   - COALESCE(c.covered, 0.0)) > 1e-9
+        """,
+        "geometry_segmentize": f"""
+            WITH b AS (
+              SELECT doc_id, FLOOR(({_LON})*8)/8 AS lon8,
+                     FLOOR(({_LAT})*8)/8 AS lat8,
+                     CASE WHEN ({_LAT}) > 0 THEN 4.0 ELSE 8.0 END AS dx
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id, CAST(2*dx + 1 AS INT) AS npts,
+                   (2*dx+1) * (lon8 + dx/2) AS sum_x,
+                   (2*dx+1) * lat8 AS sum_y
+            FROM b
+        """,
+        "geometry_explode": f"""
+            WITH b AS (
+              SELECT doc_id, FLOOR(({_LON})*8)/8 AS lon8,
+                     FLOOR(({_LAT})*8)/8 AS lat8
+              FROM documents WHERE doc_id < 250
+            )
+            SELECT doc_id, 0 AS part, 1.0 AS area,
+                   ROUND(lon8 + 0.5, 6) AS cx, ROUND(lat8 + 0.5, 6) AS cy
+            FROM b
+            UNION ALL
+            SELECT doc_id, 1, 4.0,
+                   ROUND(lon8 + 3.0, 6), ROUND(lat8 + 1.0, 6)
+            FROM b
+        """,
+        "geometry_wrapdateline": f"""
+            WITH b AS (
+              SELECT doc_id, FLOOR(({_LON})*8)/8/2 + 170.0 AS x0,
+                     FLOOR(({_LAT})*8)/8 AS y0
+              FROM documents WHERE doc_id < 300
+            ), c AS (
+              SELECT doc_id, x0, y0, x0 + 32.0 AS x1, y0 + 16.0 AS y1,
+                     (x0 < 180.0 AND x0 + 32.0 > 180.0) AS crosses
+              FROM b
+            )
+            SELECT doc_id, 0 AS part,
+                   ROUND(CASE WHEN x0 >= 180.0 THEN x0 - 360.0 ELSE x0 END, 6) AS xf,
+                   ROUND(y0, 6) AS yf,
+                   ROUND(CASE WHEN crosses THEN 180.0
+                              WHEN x0 >= 180.0 THEN x1 - 360.0
+                              ELSE x1 END, 6) AS xl,
+                   ROUND(CASE WHEN crosses THEN y0 + (180.0 - x0)/2.0
+                              ELSE y1 END, 6) AS yl
+            FROM c
+            UNION ALL
+            SELECT doc_id, 1, ROUND(-180.0, 6),
+                   ROUND(y0 + (180.0 - x0)/2.0, 6),
+                   ROUND(x1 - 360.0, 6), ROUND(y1, 6)
+            FROM c WHERE crosses
         """,
         "geometry_functions": f"""
             WITH b AS (

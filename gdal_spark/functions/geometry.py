@@ -12,7 +12,10 @@ and nothing here shuffles.
     st_intersection_area, st_distance,
     st_intersection / st_union_geom / st_difference / st_symdifference,
     st_intersects / st_contains / st_within / st_touches / st_overlaps
-    / st_equals / st_disjoint / st_crosses
+    / st_equals / st_disjoint / st_crosses,
+    st_segmentize (ogr2ogr -segmentize),
+    st_dump (ogr2ogr -explodecollections; array of part WKTs),
+    st_wrapdateline (ogr2ogr -wrapdateline; array of split parts)
 """
 
 from __future__ import annotations
@@ -170,6 +173,52 @@ def st_simplify_preserve_topology(col, tol: float):
         return pd.Series(
             [
                 GM.to_wkt(GM.simplify_preserve_topology(GM.geom_of(v), tol))
+                if v is not None else None
+            for v in c]
+        )
+
+    return u(col)
+
+
+def st_segmentize(col, max_len: float):
+    """ogr2ogr -segmentize: densify so no segment exceeds max_len
+    (OGRGeometry::segmentize)."""
+    @F.pandas_udf(T.StringType())
+    def u(c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                GM.to_wkt(GM.segmentize(GM.geom_of(v), max_len))
+                if v is not None else None
+            for v in c]
+        )
+
+    return u(col)
+
+
+def st_dump(col):
+    """Collection parts as an array of WKT strings (ogr2ogr
+    -explodecollections; explode the result for one row per part)."""
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def u(c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [GM.to_wkt(p) for p in GM.explode_parts(GM.geom_of(v))]
+                if v is not None else None
+            for v in c]
+        )
+
+    return u(col)
+
+
+def st_wrapdateline(col):
+    """ogr2ogr -wrapdateline as an array of single-part WKTs, each with
+    longitudes in [-180, 180] (OGRGeometryFactory::transformWithOptions
+    WRAPDATELINE=YES); explode for one row per part."""
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def u(c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [GM.to_wkt(p) for p in GM.wrapdateline_parts(GM.geom_of(v))]
                 if v is not None else None
             for v in c]
         )

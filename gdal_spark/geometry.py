@@ -988,3 +988,156 @@ def crosses(a: Geom, b: Geom) -> bool:
         if has_in and has_out:
             return True
     return has_in and has_out
+
+
+# -------------------------------------------- ogr2ogr geometry transforms
+def segmentize(g: Geom, max_len: float) -> Geom:
+    """Insert evenly spaced vertices so no segment exceeds `max_len`
+    (OGRSimpleCurve::segmentize, ogr/ogrgeometry.cpp — the ogr2ogr
+    -segmentize flag). Points pass through unchanged."""
+    import math
+
+    def densify(xs, ys, closed):
+        xs = np.asarray(xs, np.float64)
+        ys = np.asarray(ys, np.float64)
+        n = len(xs)
+        if n < 2:
+            return xs, ys
+        x1 = np.roll(xs, -1)
+        y1 = np.roll(ys, -1)
+        m = n if closed else n - 1
+        nx, ny = [], []
+        for i in range(m):
+            nx.append(xs[i])
+            ny.append(ys[i])
+            L = math.hypot(x1[i] - xs[i], y1[i] - ys[i])
+            k = int(math.ceil(L / max_len)) if L > 0 else 1
+            if k > 1:
+                t = np.arange(1, k) / k
+                nx.extend(xs[i] + (x1[i] - xs[i]) * t)
+                ny.extend(ys[i] + (y1[i] - ys[i]) * t)
+        if not closed:
+            nx.append(xs[-1])
+            ny.append(ys[-1])
+        return np.asarray(nx), np.asarray(ny)
+
+    if g.kind == "point":
+        return g
+    if g.kind == "linestring":
+        xs, ys = g.parts[0]
+        return Geom("linestring", [densify(xs, ys, False)])
+    if g.kind == "polygon":
+        return Geom(
+            "polygon", [[densify(xs, ys, True) for xs, ys in g.parts[0]]]
+        )
+    return Geom(
+        "multipolygon",
+        [[densify(xs, ys, True) for xs, ys in rings] for rings in g.parts],
+    )
+
+
+def explode_parts(g: Geom) -> list[Geom]:
+    """One Geom per collection member (ogr2ogr -explodecollections,
+    apps/ogr2ogr_lib.cpp): multipolygon -> polygons; everything else is
+    already a single part."""
+    if g.kind == "multipolygon":
+        return [Geom("polygon", [rings]) for rings in g.parts]
+    return [g]
+
+
+def _unwrap_x(xs: np.ndarray) -> np.ndarray:
+    """Add +-360 to successive x so no step exceeds 180 in magnitude
+    (the continuity assumption of OGRGeometryFactory::transformWithOptions
+    WRAPDATELINE=YES, ogr/ogrgeometryfactory.cpp)."""
+    xs = np.asarray(xs, np.float64).copy()
+    d = np.diff(xs)
+    shift = np.cumsum(np.where(d > 180.0, -360.0, np.where(d < -180.0, 360.0, 0.0)))
+    xs[1:] += shift
+    return xs
+
+
+def wrapdateline_parts(g: Geom) -> list[Geom]:
+    """Split a geometry at the antimeridian into parts whose longitudes
+    all lie in [-180, 180] (ogr2ogr -wrapdateline). Segments implying a
+    dateline hop (|dx| > 180) are unwrapped first, then cut at every
+    x = +-180 + k*360 boundary and shifted back; polygons are cut by
+    boolean intersection with the 360-degree strips. Returned as a
+    list of single-part Geoms (the Spark surface explodes them to rows
+    rather than emitting MULTI* collections)."""
+    if g.kind == "point":
+        x, y = float(g.parts[0][0][0]), float(g.parts[0][1][0])
+        x = ((x + 180.0) % 360.0) - 180.0
+        return [Geom("point", [(np.array([x]), np.array([y]))])]
+
+    if g.kind == "linestring":
+        xs = _unwrap_x(g.parts[0][0])
+        ys = np.asarray(g.parts[0][1], np.float64)
+        # walk the unwrapped polyline inserting a cut at every strip
+        # boundary x = 180 + 360k a segment crosses
+        px, py, cut = [xs[0]], [ys[0]], [False]
+        for i in range(1, len(xs)):
+            x0, y0, x1, y1 = px[-1], py[-1], xs[i], ys[i]
+            lo, hi = (x0, x1) if x0 <= x1 else (x1, x0)
+            bs = [
+                180.0 + 360.0 * k
+                for k in range(
+                    int(np.ceil((lo - 180.0) / 360.0)),
+                    int(np.floor((hi - 180.0) / 360.0)) + 1,
+                )
+                if lo < 180.0 + 360.0 * k < hi
+            ]
+            if x0 > x1:
+                bs = bs[::-1]
+            for bx in bs:
+                t = (bx - x0) / (x1 - x0)
+                px.append(bx)
+                py.append(y0 + (y1 - y0) * t)
+                cut.append(True)
+            px.append(x1)
+            py.append(y1)
+            cut.append(False)
+        parts = []
+        start = 0
+        bounds = [i for i, c in enumerate(cut) if c] + [len(px) - 1]
+        for end in bounds:
+            if end > start:
+                xs_p = np.array(px[start : end + 1])
+                ys_p = np.array(py[start : end + 1])
+                # strip index from an interior x (endpoints may sit on
+                # the boundary)
+                mid = float(xs_p.mean())
+                k = int(np.floor((mid + 180.0) / 360.0))
+                parts.append(Geom("linestring", [(xs_p - 360.0 * k, ys_p)]))
+            start = end
+        return parts
+
+    # polygon / multipolygon: boolean-clip against each 360-deg strip
+    from .boolean import _norm_polys, polygon_boolean
+
+    polys = g.parts if g.kind == "multipolygon" else [g.parts[0]]
+    unwrapped = []
+    for rings in polys:
+        unwrapped.append(
+            [(_unwrap_x(xs), np.asarray(ys, np.float64)) for xs, ys in rings]
+        )
+    gu = Geom("multipolygon", unwrapped)
+    allx = np.concatenate([xs for rings in unwrapped for xs, _ in rings])
+    ally = np.concatenate([ys for rings in unwrapped for _, ys in rings])
+    k_lo = int(np.floor((allx.min() + 180.0) / 360.0))
+    k_hi = int(np.floor((allx.max() + 180.0) / 360.0))
+    y0, y1 = float(ally.min()) - 1.0, float(ally.max()) + 1.0
+    parts = []
+    for k in range(k_lo, k_hi + 1):
+        xl, xr = -180.0 + 360.0 * k, 180.0 + 360.0 * k
+        strip = Geom(
+            "polygon",
+            [[(np.array([xl, xr, xr, xl]), np.array([y0, y0, y1, y1]))]],
+        )
+        clipped = polygon_boolean(gu, strip, "intersection")
+        for rings in clipped:  # rings: list of (m,2) arrays, ext first
+            shifted = [
+                (np.asarray(r)[:, 0] - 360.0 * k, np.asarray(r)[:, 1])
+                for r in rings
+            ]
+            parts.append(Geom("polygon", [shifted]))
+    return parts

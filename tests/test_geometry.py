@@ -192,3 +192,47 @@ def test_simplify_preserve_topology_never_collapses():
     sp = GM.simplify_preserve_topology(s, 1e6)
     assert all(len(r[0]) >= 3 for r in sp.parts[0])
     assert GM.is_valid_shape(sp)
+
+
+def test_segmentize_and_explode():
+    from gdal_spark.geometry import (
+        explode_parts, parse_wkt, segmentize, to_wkt,
+    )
+
+    g = segmentize(parse_wkt("LINESTRING (0 0, 3 4)"), 1.0)
+    xs, ys = g.parts[0]
+    assert len(xs) == 6  # ceil(5/1)=5 segments
+    assert np.allclose(np.hypot(np.diff(xs), np.diff(ys)), 1.0)
+    # polygon ring densified, stays closed-ring form
+    p = segmentize(parse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"), 1.0)
+    assert abs(p.area() - 4.0) < 1e-12
+    m = parse_wkt(
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)),"
+        " ((2 0, 4 0, 4 2, 2 2, 2 0)))"
+    )
+    parts = explode_parts(m)
+    assert [round(p.area(), 6) for p in parts] == [1.0, 4.0]
+    assert all(p.kind == "polygon" for p in parts)
+
+
+def test_wrapdateline():
+    from gdal_spark.geometry import parse_wkt, wrapdateline_parts
+
+    # dateline hop in wrapped coordinates
+    parts = wrapdateline_parts(parse_wkt("LINESTRING (170 0, -170 10)"))
+    assert len(parts) == 2
+    (x0, y0), (x1, y1) = parts[0].parts[0], parts[1].parts[0]
+    assert x0[-1] == 180.0 and x1[0] == -180.0
+    assert abs(y0[-1] - 5.0) < 1e-12  # cut midpoint
+    # unwrapped polygon crossing
+    parts = wrapdateline_parts(
+        parse_wkt("POLYGON ((175 0, 185 0, 185 10, 175 10, 175 0))")
+    )
+    assert sorted(round(p.area(), 6) for p in parts) == [50.0, 50.0]
+    for p in parts:
+        xs = np.concatenate([r[0] if isinstance(r, tuple) else r[:, 0]
+                             for r in p.parts[0]])
+        assert xs.min() >= -180.0 and xs.max() <= 180.0
+    # no-op on a line away from the dateline
+    parts = wrapdateline_parts(parse_wkt("LINESTRING (10 0, 20 5)"))
+    assert len(parts) == 1
