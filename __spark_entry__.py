@@ -1503,6 +1503,7 @@ _CONIC_REGION = {
     3347: "lon > -141.0 AND lon < -74.0",
     5070: "lon > -125.0 AND lon < -67.0 AND lat > 24.0 AND lat < 50.0",
     3031: "lat < -60.0",
+    3395: "lat > -84.0 AND lat < 84.0",
 }
 
 
@@ -1856,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcc_transform": _q_conic(3347),
         "albers_transform": _q_conic(5070),
         "polar_stereo_transform": _q_conic(3031),
+        "mercator_transform": _q_conic(3395),
         "pansharpen_checksums": _q_pansharpen,
         "pixel_functions_checksums": _q_pixel_functions,
         "pixel_multiband_checksums": _q_pixel_multiband,
@@ -2812,6 +2814,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "lcc_transform": _conic_sql(3347),
         "albers_transform": _conic_sql(5070),
         "polar_stereo_transform": _conic_sql(3031),
+        "mercator_transform": _conic_sql(3395),
         "reproject_3857": f"""
             SELECT doc_id,
                    lon * 20037508.342789244 / 180.0 AS mx,

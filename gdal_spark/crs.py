@@ -543,8 +543,44 @@ def ps_south_inverse(B, x, y, phi_f: float, lon0: float,
     return B.lit(lon0) + lam * B.lit(deg), phi_n * B.lit(-deg)
 
 
+def merc_forward(B, lon, lat, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0, k0: float = 1.0):
+    """Ellipsoidal Mercator variant A forward (EPSG method 9804,
+    Snyder 7-6..7-8): x = a k0 lam, y = -a k0 ln t(phi)."""
+    e = math.sqrt(f * (2.0 - f))
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    sphi = B.sin(phi)
+    t = _t_expr(B, e, phi, sphi)
+    x = B.lit(fe) + B.lit(a * k0) * lam
+    y = B.lit(fn) - B.lit(a * k0) * B.log(t)
+    return x, y
+
+
+def merc_inverse(B, x, y, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0, k0: float = 1.0):
+    """Ellipsoidal Mercator variant A inverse (Snyder 7-9/7-10 + the
+    3-5 conformal-latitude series)."""
+    e2 = f * (2.0 - f)
+    c2, c4, c6, c8 = _chi_series(e2)
+    t = B.exp((B.lit(fn) - y) / B.lit(a * k0))
+    chi = B.lit(math.pi / 2.0) - B.atan(t) * 2.0
+    phi = (
+        chi
+        + B.lit(c2) * B.sin(chi * 2.0)
+        + B.lit(c4) * B.sin(chi * 4.0)
+        + B.lit(c6) * B.sin(chi * 6.0)
+        + B.lit(c8) * B.sin(chi * 8.0)
+    )
+    deg = 180.0 / math.pi
+    lam = (x - B.lit(fe)) / B.lit(a * k0)
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
 # EPSG presets for the conic/polar families
 CONIC_PRESETS = {
+    3395: ("merc", "WGS84",  # WGS 84 / World Mercator (ellipsoidal)
+           dict(lon0=0.0, fe=0.0, fn=0.0)),
     2154: ("lcc", "GRS80",  # RGF93 / Lambert-93 (France)
            dict(phi1=49.0, phi2=44.0, phi0=46.5, lon0=3.0,
                 fe=700000.0, fn=6600000.0)),
@@ -562,6 +598,7 @@ _CONIC_FNS = {
     "lcc": (lcc_forward, lcc_inverse),
     "albers": (albers_forward, albers_inverse),
     "ps_south": (ps_south_forward, ps_south_inverse),
+    "merc": (merc_forward, merc_inverse),
 }
 
 

@@ -127,3 +127,23 @@ def test_conic_roundtrip(spark):
         ).toPandas()
         assert got["dl"].max() < 1e-7, epsg
         assert got["dp"].max() < 1e-7, epsg
+
+
+def test_mercator_3395_known_point_and_roundtrip(spark):
+    """EPSG:3395 World Mercator (ellipsoidal, method 9804) at
+    (10 E, 53 N): x = a*rad(10), y = 6948849.385 (Snyder 7-7)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark import crs
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": [10.0], "lat": [53.0]}))
+    x, y = crs.conic_forward(3395, F.col("lon"), F.col("lat"))
+    got = df.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(got["x"] - 1113194.9079) < 0.01
+    assert abs(got["y"] - 6948849.3848) < 0.01
+
+    lon2, lat2 = crs.conic_inverse(3395, F.lit(got["x"]), F.lit(got["y"]))
+    rt = df.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
+    assert abs(rt["lon"] - 10.0) < 1e-9
+    assert abs(rt["lat"] - 53.0) < 1e-7
