@@ -1504,6 +1504,9 @@ _CONIC_REGION = {
     5070: "lon > -125.0 AND lon < -67.0 AND lat > 24.0 AND lat < 50.0",
     3031: "lat < -60.0",
     3395: "lat > -84.0 AND lat < 84.0",
+    # sterea is defined everywhere except near the antipode of the
+    # projection centre (B -> 0) and the poles; keep a wide band
+    28992: "lon > -150.0 AND lon < 170.0 AND lat > -75.0 AND lat < 85.0",
 }
 
 
@@ -1858,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "albers_transform": _q_conic(5070),
         "polar_stereo_transform": _q_conic(3031),
         "mercator_transform": _q_conic(3395),
+        "sterea_transform": _q_conic(28992),
         "pansharpen_checksums": _q_pansharpen,
         "pixel_functions_checksums": _q_pixel_functions,
         "pixel_multiband_checksums": _q_pixel_multiband,
@@ -2815,6 +2819,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "albers_transform": _conic_sql(5070),
         "polar_stereo_transform": _conic_sql(3031),
         "mercator_transform": _conic_sql(3395),
+        "sterea_transform": _conic_sql(28992),
         "reproject_3857": f"""
             SELECT doc_id,
                    lon * 20037508.342789244 / 180.0 AS mx,

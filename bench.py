@@ -107,6 +107,11 @@ def main():
         # TIN grid (broadcast Delaunay), and the compiled dither path
         "geometry_boolean", "overlay_concave_wkt", "grid_linear",
         "dither_checksums",
+        # this round: DataFrame-state kNN (500 queries, no driver
+        # loop), unbounded ring-doubling proximity, the full VRT
+        # pixel-function sweep, and dateline splitting
+        "knn_large", "proximity_full_checksums",
+        "pixel_functions_checksums", "geometry_wrapdateline",
     ]:
         df_fn = qs[name]
         timed(name, lambda f=df_fn: f(spark, SF_DIR).count())

@@ -147,3 +147,23 @@ def test_mercator_3395_known_point_and_roundtrip(spark):
     rt = df.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
     assert abs(rt["lon"] - 10.0) < 1e-9
     assert abs(rt["lat"] - 53.0) < 1e-7
+
+
+def test_oblique_stereographic_28992_epsg_example(spark):
+    """EPSG Guidance Note 7-2 worked example for Amersfoort / RD New:
+    (53 N, 6 E) -> E 196105.283, N 557057.739 (method 9809)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark import crs
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": [6.0], "lat": [53.0]}))
+    x, y = crs.conic_forward(28992, F.col("lon"), F.col("lat"))
+    got = df.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(got["x"] - 196105.283) < 0.002
+    assert abs(got["y"] - 557057.739) < 0.002
+
+    lon2, lat2 = crs.conic_inverse(28992, F.lit(got["x"]), F.lit(got["y"]))
+    rt = df.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
+    assert abs(rt["lon"] - 6.0) < 1e-8
+    assert abs(rt["lat"] - 53.0) < 1e-7
