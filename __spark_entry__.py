@@ -1678,7 +1678,9 @@ def _q_pixel_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed branches (mod/phase/dB) are exercised."""
     import localref
 
-    signed = RST.pixel_calc(synth.tiles_src_df(spark, 2, 2), "negate")
+    # materialize the negated source ONCE — the nine per-func branches
+    # below each re-trigger the full synth+negate lineage otherwise
+    signed = RST.pixel_calc(synth.tiles_src_df(spark, 2, 2), "negate").coalesce(2).localCheckpoint()
     out = None
     for fname in localref.PIX_SINGLE:
         part = tiling.checksum_table(RST.pixel_calc(signed, fname)).withColumn(
@@ -1697,7 +1699,7 @@ def _q_pixel_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = synth.tiles_src_df(spark, 2, 1, raster_id="mb", seed=7).withColumn(
         "band", F.lit(2)
     )
-    tiles = b1.unionByName(b2)
+    tiles = b1.unionByName(b2).localCheckpoint()
     out = None
     for fname in localref.PIX_MULTI:
         calc = (
@@ -1725,7 +1727,7 @@ def _q_pixel_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     im2 = synth.tiles_src_df(spark, 2, 1, raster_id="cx", seed=13).withColumn(
         "band", F.lit(4)
     )
-    tiles = re1.unionByName(im1).unionByName(re2).unionByName(im2)
+    tiles = re1.unionByName(im1).unionByName(re2).unionByName(im2).localCheckpoint()
     one_src = tiles.filter(F.col("band") <= 2)
     out = None
     for fname in localref.PIX_COMPLEX:
