@@ -287,6 +287,29 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (pre-training redaction): synthetic email / phone
+    / IPv4 injected per doc, masked by chained JVM regexp_replace."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" mail user"), did, F.lit("@example.com"),
+        F.lit(" call +1 555-000-"), did,
+        F.lit(" from 10.0.0."), (F.col("doc_id") % 200).cast("string"),
+    )
+    return docs.select("doc_id", TX.scrub_pii(injected).alias("scrubbed"))
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals over the raw corpus."""
+    docs = _read(spark, sf_dir, "documents")
+    dw, dl = TX.repetition_metrics(F.col("text"))
+    return docs.select(
+        "doc_id", dw.alias("dup_word_frac"), dl.alias("dup_line_frac")
+    )
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return d.select("doc_id", TX.quality_score("text").alias("q"))
@@ -1776,6 +1799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
+        "text_scrub_pii": _q_text_scrub,
+        "text_repetition": _q_text_repetition,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_table": _q_simhash_table,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -2369,6 +2394,43 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM documents
         """,
         "quality_score": _QUALITY_SQL,
+        "text_scrub_pii": r"""
+            WITH b AS (
+              SELECT doc_id, SUBSTR(text, 1, 40) AS t
+              FROM documents WHERE doc_id < 400
+            ), c AS (
+              SELECT doc_id,
+                     CONCAT(t, ' mail user', CAST(doc_id AS VARCHAR),
+                            '@example.com', ' call +1 555-000-',
+                            CAST(doc_id AS VARCHAR), ' from 10.0.0.',
+                            CAST(doc_id % 200 AS VARCHAR)) AS body
+              FROM b
+            )
+            SELECT doc_id,
+                   REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(body,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS scrubbed
+            FROM c
+        """,
+        "text_repetition": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(LOWER(text), '\s+'),
+                                 x -> x <> '') AS toks,
+                     list_filter(regexp_split_to_array(text, '\n'),
+                                 x -> x <> '') AS lns
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN LEN(toks) > 0 THEN
+                     FLOOR((1.0 - CAST(LEN(list_distinct(toks)) AS DOUBLE)
+                            / LEN(toks)) * 1e6) / 1e6 ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN LEN(lns) > 0 THEN
+                     FLOOR((1.0 - CAST(LEN(list_distinct(lns)) AS DOUBLE)
+                            / LEN(lns)) * 1e6) / 1e6 ELSE 0.0 END AS dup_line_frac
+            FROM b
+        """,
         "lang_id": _lang_sql(),
         "ann_cosine_topk": """
             SELECT q_id, vec_id, rank FROM (

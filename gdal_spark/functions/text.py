@@ -360,3 +360,38 @@ def word_ngram_jaccard_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------- pii scrubbing
+# Conservative leftmost-greedy patterns with no alternation ambiguity,
+# so Java regex (Spark, backtracking) and RE2 (leftmost-longest) agree
+# on every match; aggressive by design (long digit runs mask as phones)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Mask emails, IPv4 addresses, and phone-like digit runs (order:
+    email -> ip -> phone, so an IP is not half-eaten as a phone). The
+    standard pre-training redaction pass, entirely JVM regexp_replace."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+
+
+def repetition_metrics(col: Column | str) -> tuple[Column, Column]:
+    """Gopher-style repetition signals: (dup_word_frac, dup_line_frac)
+    = 1 - distinct/total over whitespace tokens and non-empty lines.
+    Floor-grid to 1e-6 (same cross-engine convention as quality_score)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    lines = F.filter(F.split(c, r"\n"), lambda t: t != "")
+
+    def frac(arr):
+        n = F.size(arr).cast("double")
+        d = F.size(F.array_distinct(arr)).cast("double")
+        return F.when(n > 0, F.floor((1.0 - d / n) * 1e6) / 1e6).otherwise(0.0)
+
+    return frac(toks), frac(lines)

@@ -113,3 +113,32 @@ def test_on_driver_documents_table(spark, sf_dir):
     )
     assert out.count() == n
     assert out.filter(F.col("ntok") > 0).count() == n
+
+
+def test_scrub_pii(spark):
+    from gdal_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "write bob.smith+x@mail.example.org or 192.168.1.10 "
+             "or +31 20 624-1111 today")],
+        "id int, t string",
+    )
+    got = df.select(scrub_pii("t").alias("s")).first()["s"]
+    assert "<EMAIL>" in got and "<IP>" in got and "<PHONE>" in got
+    assert "bob" not in got and "192.168" not in got and "624" not in got
+
+
+def test_repetition_metrics(spark):
+    from gdal_spark.functions.text import repetition_metrics
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam ham\nline\nline\nother")],
+        "id int, t string",
+    )
+    dw, dl = repetition_metrics(F.col("t"))
+    r = df.select(dw.alias("w"), dl.alias("l")).first()
+    # 7 tokens, 4 distinct -> 3/7; 4 lines ('spam spam spam ham' is
+    # one line), 3 distinct -> 1/4
+    assert abs(r["w"] - (1 - 4 / 7)) < 2e-6
+    assert abs(r["l"] - 0.25) < 2e-6
