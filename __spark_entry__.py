@@ -310,6 +310,27 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER = (
+    "the quick brown fox jumps over the lazy dog while the rain "
+    "in spain falls mainly on the plain"
+)
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: a fixed boilerplate sentence appended to
+    every third doc must surface as cross-doc duplicate 16-token spans."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TX.duplicate_spans(docs, n=16)
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return d.select("doc_id", TX.quality_score("text").alias("q"))
@@ -841,6 +862,23 @@ def _q_hstore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return ANN.neardup_pairs(emb, threshold=0.4)
+
+
+def _q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-Lloyd k-means: deterministic seeds, fixed 3 rounds,
+    tie-break to the lowest centroid id."""
+    from gdal_spark.functions import cluster as CL
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return CL.kmeans_assign(emb, k=8, iters=3)
+
+
+def _q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cosine near-dup pairs confined to k-means clusters."""
+    from gdal_spark.functions import cluster as CL
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return CL.semdedup_pairs(emb, k=8, iters=3, threshold=0.4)
 
 
 def _q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1801,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "text_scrub_pii": _q_text_scrub,
         "text_repetition": _q_text_repetition,
+        "dup_spans": _q_dup_spans,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_table": _q_simhash_table,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -1854,6 +1893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_locate": _q_raster_locate,
         "hstore_get": _q_hstore,
         "embed_neardup": _q_embed_neardup,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "semdedup_pairs": _q_semdedup_pairs,
         "idw_grid": _q_idw_grid,
         "grid_nearest": _q_grid_kernel("nearest"),
         "grid_average": _q_grid_kernel("average"),
@@ -2289,6 +2330,14 @@ FROM g JOIN th ON th.tx = gpx // 256 AND th.ty = gpy // 256
 """
 
 
+def _cluster_sql(which: str) -> str:
+    from gdal_spark.functions import cluster as CL
+
+    if which == "kmeans":
+        return CL.kmeans_assign_sql(k=8, iters=3)
+    return CL.semdedup_pairs_sql(k=8, iters=3, threshold=0.4)
+
+
 def _oracle_sql_static() -> dict[str, str]:
     return {
         "pip_zone_join": _PIP_SQL,
@@ -2430,6 +2479,38 @@ def _oracle_sql_static() -> dict[str, str]:
                      FLOOR((1.0 - CAST(LEN(list_distinct(lns)) AS DOUBLE)
                             / LEN(lns)) * 1e6) / 1e6 ELSE 0.0 END AS dup_line_frac
             FROM b
+        """,
+        "dup_spans": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN CONCAT(text, ' ', '{_BOILER}')
+                          ELSE text END AS text
+              FROM documents
+            ), tk AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(LOWER(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM t
+            ), p AS (
+              SELECT doc_id, toks, UNNEST(RANGE(0, LEN(toks) - 15)) AS pos
+              FROM tk WHERE LEN(toks) >= 16
+            ), g AS (
+              SELECT doc_id, pos,
+                     array_to_string(toks[pos + 1 : pos + 16], ' ') AS gram
+              FROM p
+            ), d AS (
+              SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1
+            ), dp AS (
+              SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+            ), r AS (
+              SELECT doc_id, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+              FROM dp
+            )
+            SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 15 AS span_end
+            FROM r GROUP BY doc_id, grp
         """,
         "lang_id": _lang_sql(),
         "ann_cosine_topk": """
@@ -2701,6 +2782,8 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
+        "kmeans_embeddings": _cluster_sql("kmeans"),
+        "semdedup_pairs": _cluster_sql("semdedup"),
         "idw_grid": f"""
             WITH pts AS (
               SELECT {_LON} AS lon, {_LAT} AS lat,

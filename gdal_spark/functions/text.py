@@ -395,3 +395,50 @@ def repetition_metrics(col: Column | str) -> tuple[Column, Column]:
         return F.when(n > 0, F.floor((1.0 - d / n) * 1e6) / 1e6).otherwise(0.0)
 
     return frac(toks), frac(lines)
+
+
+# ------------------------------------------------- exact-substring dedup
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 16,
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    the sliding-window alternative to their suffix array): every
+    n-token window is keyed by xxhash64; windows whose hash occurs
+    more than once corpus-wide are duplicate positions, and adjacent
+    positions merge into (doc, span_start, span_end) token spans via
+    the pos - row_number run trick.
+
+    Scale shape: the exploded relation is (id, pos, hash) — 24 bytes a
+    token — grouped by an 8-byte hash with map-side partial counts,
+    then a semi join back; the merge window partitions by doc only.
+    No driver state, no Python in the hot path (all JVM codegen).
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda p: F.concat_ws(" ", F.slice("toks", p + 1, n)),
+            )
+        ).alias("pos", "gram"),
+    ).select("id", "pos", F.xxhash64("gram").alias("h"))
+    duph = grams.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    dup = grams.join(duph.select("h"), "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+        )
+        .select(F.col("id").alias(id_col), "span_start", "span_end")
+    )
