@@ -1233,6 +1233,20 @@ def _q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygonize(burned).select("value", "npix", "xmin", "ymin", "xmax", "ymax")
 
 
+def _q_polygonize_8conn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALPolygonize 8CONNECTED=8 (alg/polygonize.cpp enhanced
+    connectivity): checkerboard (diagonal-only components) + zone burn."""
+    from gdal_spark.polygonize import polygonize
+
+    checker = synth.checker_tiles_df(spark, 2, 2, tile_px=64, cell=16)
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
+    burned = RST.rasterize_zones(spark, zidx, 2, 2, tile_px=64)
+    cols = ["value", "npix", "xmin", "ymin", "xmax", "ymax"]
+    a = polygonize(checker, connect=8).select(F.lit("checker").alias("fixture"), *cols)
+    b = polygonize(burned, connect=8).select(F.lit("zones").alias("fixture"), *cols)
+    return a.unionByName(b)
+
+
 def _q_polygonize_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDALPolygonize with real polygon output (alg/polygonize.cpp:538
     ring tracing): canonical WKT incl. hole rings per region."""
@@ -1935,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_multiband_checksums": _q_pixel_multiband,
         "pixel_complex_checksums": _q_pixel_complex,
         "polygonize_regions": _q_polygonize,
+        "polygonize_8conn": _q_polygonize_8conn,
         "polygonize_wkt": _q_polygonize_wkt,
         "contour_totals": _q_contour,
         "span_invariance": _q_span_invariance,

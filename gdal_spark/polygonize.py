@@ -82,21 +82,31 @@ class _UF:
             self.p[max(ra, rb)] = min(ra, rb)
 
 
-def tile_ccl(arr: np.ndarray):
-    """Run-based 4-connected CCL. Returns (labels, run-root map
-    applied) — labels are LOCAL small ints, deterministic (min run id
-    of the component)."""
+def tile_ccl(arr: np.ndarray, connect: int = 4):
+    """Run-based CCL (connect=4 default; connect=8 adds the two
+    diagonal merge passes — GDALPolygonize's 8CONNECTED=8 option,
+    alg/polygonize.cpp). Labels are LOCAL small ints, deterministic
+    (min run id of the component)."""
     H, W = arr.shape
     change = np.ones((H, W), dtype=bool)
     change[:, 1:] = arr[:, 1:] != arr[:, :-1]
     run_id = np.cumsum(change.ravel()).reshape(H, W) - 1
-    same = arr[1:, :] == arr[:-1, :]
-    if same.any():
-        a = run_id[1:, :][same]
-        b = run_id[:-1, :][same]
-        pairs = np.unique(a.astype(np.int64) * (1 << 32) + b.astype(np.int64))
+    merges = [(arr[1:, :] == arr[:-1, :], run_id[1:, :], run_id[:-1, :])]
+    if connect == 8:
+        merges.append(
+            (arr[1:, 1:] == arr[:-1, :-1], run_id[1:, 1:], run_id[:-1, :-1])
+        )
+        merges.append(
+            (arr[1:, :-1] == arr[:-1, 1:], run_id[1:, :-1], run_id[:-1, 1:])
+        )
+    packed = [
+        np.unique(ra[m].astype(np.int64) * (1 << 32) + rb[m].astype(np.int64))
+        for m, ra, rb in merges
+        if m.any()
+    ]
+    if packed:
         uf = _UF()
-        for p in pairs.tolist():
+        for p in np.unique(np.concatenate(packed)).tolist():
             uf.union(p >> 32, p & 0xFFFFFFFF)
         nruns = int(run_id[-1, -1]) + 1
         remap = np.arange(nruns, dtype=np.int64)
@@ -122,9 +132,13 @@ def _rle(vals: np.ndarray, labs: np.ndarray):
     return [(int(s), int(e), float(vals[s]), int(labs[s])) for s, e in zip(starts, ends)]
 
 
-def polygonize(tiles: DataFrame, band: int = 1) -> DataFrame:
+def polygonize(tiles: DataFrame, band: int = 1, connect: int = 4) -> DataFrame:
     """Connected regions of equal value across the whole tile table.
-    See module docstring for the three-stage distributed shape."""
+    See module docstring for the three-stage distributed shape.
+    connect=8 (GDALPolygonize 8CONNECTED=8) additionally merges
+    diagonal neighbors — inside tiles via tile_ccl, across seams via a
+    one-pixel-dilated run-overlap test plus explicit corner-pixel
+    rows for the four-tile corner diagonals."""
     spark = tiles.sparkSession
 
     def part(batches):
@@ -136,7 +150,7 @@ def polygonize(tiles: DataFrame, band: int = 1) -> DataFrame:
                 arr = _decode(r.data, r.dtype, r.height, r.width).astype(np.float64)
                 H, W = arr.shape
                 tx, ty = int(r.tile_x), int(r.tile_y)
-                labels = tile_ccl(arr)
+                labels = tile_ccl(arr, connect=connect)
                 gbase = (np.int64(ty) * (1 << 20) + tx) * (1 << 22)
                 glab = labels + gbase
                 flat_l = glab.ravel()
@@ -176,13 +190,31 @@ def polygonize(tiles: DataFrame, band: int = 1) -> DataFrame:
                                 "ymax": None, "edge": edge, "p0": p0, "p1": p1,
                             }
                         )
+                if connect == 8:
+                    for edge, v, lab in (
+                        ("tl", arr[0, 0], glab[0, 0]),
+                        ("tr", arr[0, -1], glab[0, -1]),
+                        ("bl", arr[-1, 0], glab[-1, 0]),
+                        ("br", arr[-1, -1], glab[-1, -1]),
+                    ):
+                        rows.append(
+                            {
+                                "kind": "border", "tile_x": tx, "tile_y": ty,
+                                "label": int(lab), "value": float(v),
+                                "npix": None, "xmin": None, "ymin": None,
+                                "xmax": None, "ymax": None, "edge": edge,
+                                "p0": 0, "p1": 1,
+                            }
+                        )
             yield pd.DataFrame(rows, columns=[f.name for f in _PART_SCHEMA.fields])
 
     parts = tiles.mapInPandas(part, schema=_PART_SCHEMA)
     parts = parts.persist()
     try:
         borders = parts.filter(F.col("kind") == "border")
-        cc = _stitch_components(_cross_tile_edges(borders, same_value=True))
+        cc = _stitch_components(
+            _cross_tile_edges(borders, same_value=True, connect=connect)
+        )
         regions = parts.filter(F.col("kind") == "region")
         out = (
             regions.join(cc, regions.label == cc.node, "left")
@@ -208,14 +240,20 @@ def polygonize(tiles: DataFrame, band: int = 1) -> DataFrame:
         parts.unpersist()
 
 
-def _cross_tile_edges(borders: DataFrame, same_value: bool) -> DataFrame:
+def _cross_tile_edges(
+    borders: DataFrame, same_value: bool, connect: int = 4
+) -> DataFrame:
     """(src, dst) label pairs for overlapping border runs of adjacent
     tiles: edge 'r' of (tx,ty) meets 'l' of (tx+1,ty), 'b' meets 't' of
     (tx,ty+1). Equi-join on the shared tile seam; the run-overlap test
     and the value predicate are post-filters over the (tiny) per-seam
     run products. same_value=True keeps equal-value pairs (region
-    stitching); False keeps differing-value pairs (sieve adjacency)."""
+    stitching); False keeps differing-value pairs (sieve adjacency).
+    connect=8 dilates the seam overlap test by one pixel (diagonal
+    adjacency across the seam) and adds the four-tile corner-pixel
+    joins (edge rows 'tl'/'tr'/'bl'/'br')."""
     pieces = []
+    slack = 1 if connect == 8 else 0
     for e_a, e_b, dx, dy in (("r", "l", 1, 0), ("b", "t", 0, 1)):
         a = borders.filter(F.col("edge") == e_a).select(
             (F.col("tile_x") + dx).alias("jx"),
@@ -237,10 +275,35 @@ def _cross_tile_edges(borders: DataFrame, same_value: bool) -> DataFrame:
         )
         pieces.append(
             a.join(b, ["jx", "jy"])
-            .filter((F.col("q0") < F.col("p1")) & (F.col("p0") < F.col("q1")) & vpred)
+            .filter(
+                (F.col("q0") < F.col("p1") + slack)
+                & (F.col("p0") < F.col("q1") + slack)
+                & vpred
+            )
             .select("src", "dst")
         )
-    return pieces[0].unionByName(pieces[1])
+    if connect == 8:
+        for e_a, e_b, dx, dy in (("br", "tl", 1, 1), ("bl", "tr", -1, 1)):
+            a = borders.filter(F.col("edge") == e_a).select(
+                (F.col("tile_x") + dx).alias("jx"),
+                (F.col("tile_y") + dy).alias("jy"),
+                F.col("value").alias("va"),
+                F.col("label").alias("src"),
+            )
+            b = borders.filter(F.col("edge") == e_b).select(
+                F.col("tile_x").alias("jx"),
+                F.col("tile_y").alias("jy"),
+                F.col("value").alias("vb"),
+                F.col("label").alias("dst"),
+            )
+            vpred = (F.col("va") == F.col("vb")) if same_value else (
+                F.col("va") != F.col("vb")
+            )
+            pieces.append(a.join(b, ["jx", "jy"]).filter(vpred).select("src", "dst"))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _stitch_components(edges: DataFrame) -> DataFrame:

@@ -374,3 +374,52 @@ def tiles_src_df(spark: SparkSession, ntx: int, nty: int, zoom: int = 12,
             yield out
 
     return base.mapInPandas(gen, schema=TILE_SCHEMA)
+
+
+def checker_np(npx: int, cell: int = 16) -> np.ndarray:
+    """Deterministic checkerboard: value = (gx//cell + gy//cell) % 2.
+    Every same-color square touches its diagonal neighbors only — the
+    canonical fixture separating 4- from 8-connected polygonize."""
+    g = np.arange(npx) // cell
+    return ((g[None, :] + g[:, None]) % 2).astype(np.uint8)
+
+
+def checker_tiles_df(spark: SparkSession, ntx: int = 2, nty: int = 2,
+                     tile_px: int = 64, cell: int = 16) -> DataFrame:
+    """Checkerboard raster as a tile table (same schema as
+    tiles_src_df); pixels generated distributedly per tile."""
+    base = spark.range(0, ntx * nty, 1, max(4, ntx * nty)).select(
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        (F.col("id") / ntx).cast("int").alias("tile_y"),
+    )
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "raster_id": "checker",
+                    "band": np.int32(1),
+                    "zoom": np.int32(0),
+                    "tile_x": pdf["tile_x"].astype(np.int32),
+                    "tile_y": pdf["tile_y"].astype(np.int32),
+                    "width": np.int32(tile_px),
+                    "height": np.int32(tile_px),
+                    "dtype": "uint8",
+                    "nodata": 255.0,
+                    "crs": "EPSG:3857",
+                    "geotransform": [
+                        [float(tx * tile_px), 1.0, 0.0,
+                         float(ty * tile_px), 0.0, -1.0]
+                        for tx, ty in zip(pdf["tile_x"], pdf["tile_y"])
+                    ],
+                    "data": [
+                        checker_np(max(ntx, nty) * tile_px, cell)[
+                            ty * tile_px:(ty + 1) * tile_px,
+                            tx * tile_px:(tx + 1) * tile_px,
+                        ].tobytes()
+                        for tx, ty in zip(pdf["tile_x"], pdf["tile_y"])
+                    ],
+                }
+            )
+            yield out
+
+    return base.mapInPandas(gen, schema=TILE_SCHEMA)

@@ -878,6 +878,7 @@ def oracle_entries() -> dict:
         "pixel_multiband_checksums": sql_pixel_multiband_checksums,
         "pixel_complex_checksums": sql_pixel_complex_checksums,
         "proximity_full_checksums": sql_proximity_full_checksums,
+        "polygonize_8conn": sql_polygonize_8conn,
     }
     out = {}
     for name, fn in makers.items():
@@ -1834,3 +1835,56 @@ def sql_proximity_full_checksums() -> str:
         best = np.minimum(best, (dx * dx + dy * dy).min(axis=2))
     out = np.sqrt(best)
     return values_sql(tile_checksums(out, 32, "proximity", 1, 0), CKS_COLS, CKS_TYPES)
+
+
+def _flood_regions(arr: np.ndarray, connect: int = 4):
+    """Global flood-fill CCL, 4- or 8-neighborhood — independent
+    oracle for polygonize(connect=...)."""
+    H, W = arr.shape
+    seen = np.zeros((H, W), dtype=bool)
+    nbrs4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
+    nbrs8 = nbrs4 + ((-1, -1), (-1, 1), (1, -1), (1, 1))
+    nbrs = nbrs8 if connect == 8 else nbrs4
+    rows = []
+    for sy in range(H):
+        for sx in range(W):
+            if seen[sy, sx]:
+                continue
+            v = float(arr[sy, sx])
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            npix = 0
+            xmin = xmax = sx
+            ymin = ymax = sy
+            while stack:
+                y, x = stack.pop()
+                npix += 1
+                xmin = min(xmin, x); xmax = max(xmax, x)
+                ymin = min(ymin, y); ymax = max(ymax, y)
+                for dy, dx in nbrs:
+                    ny, nx = y + dy, x + dx
+                    if 0 <= ny < H and 0 <= nx < W and not seen[ny, nx] \
+                            and arr[ny, nx] == arr[sy, sx]:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            rows.append((v, npix, xmin, ymin, xmax, ymax))
+    return rows
+
+
+def sql_polygonize_8conn() -> str:
+    """8-connected regions over two fixtures: the 8x8 checkerboard
+    (diagonal-only connectivity — collapses 64 4-regions into 2) and
+    the rect-zone burn."""
+    from gdal_spark.synth import checker_np
+
+    rows = []
+    for tag, arr in (
+        ("checker", checker_np(128, 16).astype(np.float64)),
+        ("zones", zones_raster(128).astype(np.float64)),
+    ):
+        rows += [(tag,) + r for r in _flood_regions(arr, connect=8)]
+    return values_sql(
+        rows,
+        ["fixture", "value", "npix", "xmin", "ymin", "xmax", "ymax"],
+        ["varchar", "double", "bigint", "bigint", "bigint", "bigint", "bigint"],
+    )

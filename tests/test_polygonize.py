@@ -70,3 +70,29 @@ def test_polygonize_checkerboard_no_merge(spark):
     # 4-connectivity: every pixel its own region
     assert len(got) == 64
     assert (got["npix"] == 1).all()
+
+
+def test_polygonize_8conn_checkerboard(spark):
+    from gdal_spark.polygonize import polygonize
+    from gdal_spark.synth import checker_tiles_df
+
+    tiles = checker_tiles_df(spark, 2, 2, tile_px=64, cell=16)
+    four = polygonize(tiles, connect=4).toPandas()
+    eight = polygonize(tiles, connect=8).toPandas()
+    # 8x8 board: 64 squares under 4-conn, 2 colors under 8-conn
+    assert len(four) == 64
+    assert len(eight) == 2
+    assert sorted(eight.npix) == [8192, 8192]
+    assert set(eight.value) == {0.0, 1.0}
+
+
+def test_tile_ccl_8conn_diagonal():
+    import numpy as np
+
+    from gdal_spark.polygonize import tile_ccl
+
+    arr = np.array([[1, 0], [0, 1]], dtype=np.float64)
+    l4 = tile_ccl(arr, connect=4)
+    l8 = tile_ccl(arr, connect=8)
+    assert l4[0, 0] != l4[1, 1] and l4[0, 1] != l4[1, 0]
+    assert l8[0, 0] == l8[1, 1] and l8[0, 1] == l8[1, 0]
