@@ -1233,6 +1233,19 @@ def _q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygonize(burned).select("value", "npix", "xmin", "ymin", "xmax", "ymax")
 
 
+def _q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_contour -p (polygon band mode) over the smooth dome
+    fixture: band partition identical to GDAL, pixel-lattice rings
+    (documented divergence, see contour.contour_polygons)."""
+    from gdal_spark.contour import contour_polygons
+
+    tiles = synth.dome_tiles_df(spark, 2, 2, tile_px=256)
+    return contour_polygons(tiles, [64.0, 128.0, 192.0]).select(
+        F.col("band_idx").cast("long").alias("band_idx"),
+        "elev_min", "elev_max", "npix", "wkt",
+    )
+
+
 def _q_polygonize_8conn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDALPolygonize 8CONNECTED=8 (alg/polygonize.cpp enhanced
     connectivity): checkerboard (diagonal-only components) + zone burn."""
@@ -1950,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_complex_checksums": _q_pixel_complex,
         "polygonize_regions": _q_polygonize,
         "polygonize_8conn": _q_polygonize_8conn,
+        "contour_polygons": _q_contour_polygons,
         "polygonize_wkt": _q_polygonize_wkt,
         "contour_totals": _q_contour,
         "span_invariance": _q_span_invariance,

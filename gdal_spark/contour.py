@@ -468,3 +468,59 @@ def contour_polylines(tiles: DataFrame, levels: list[float],
         F.sum("nseg").alias("n_segments"),
         F.sum("len").alias("length"),
     )
+
+
+# ---------------------------------------------------- polygon (band) mode
+def band_classify(tiles: DataFrame, levels: list[float],
+                  band: int = 1) -> DataFrame:
+    """Reclassify pixels into contour band indexes: band i means
+    levels[i-1] <= v < levels[i] (np.digitize), int32 tiles out."""
+    lv = [float(x) for x in sorted(levels)]
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            datas = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(
+                    r.height, r.width
+                ).astype(np.float64)
+                datas.append(np.digitize(arr, lv).astype(np.int32).tobytes())
+            out["data"] = datas
+            out["dtype"] = "int32"
+            yield out
+
+    return tiles.filter(F.col("band") == band).mapInPandas(
+        run, schema=tiles.schema
+    )
+
+
+def contour_polygons(tiles: DataFrame, levels: list[float],
+                     band: int = 1) -> DataFrame:
+    """gdal_contour -p (polygon mode, GDALContourGenerateEx
+    POLYGONIZE=YES, alg/contour.cpp ContourGeneratorFromRaster +
+    apps/gdal_contour_lib.cpp): one polygon per connected region of
+    each inter-level band, with elev_min/elev_max attributes (NULL at
+    the open ends like GDAL's first/last band).
+
+    DELIBERATE SEMANTIC DIFFERENCE from the reference: boundaries are
+    pixel-lattice quantized (the band raster is polygonized with the
+    distributed ring tracer), not sub-cell interpolated marching
+    squares — the band PARTITION of the plane is identical, the ring
+    geometry is stepped. Documented here so parity readers don't take
+    WKT equality vs GDAL for granted; the oracle replicates the same
+    definition independently (global flood fill + shared ring tracer).
+    """
+    from .polygonize import polygonize_wkt
+
+    lv = [float(x) for x in sorted(levels)]
+    regs = polygonize_wkt(band_classify(tiles, lv, band=band))
+    lo = F.array(*[F.lit(x) for x in lv])
+    bidx = F.col("value").cast("int")
+    return regs.select(
+        bidx.alias("band_idx"),
+        F.when(bidx > 0, F.element_at(lo, bidx)).alias("elev_min"),
+        F.when(bidx < len(lv), F.element_at(lo, bidx + 1)).alias("elev_max"),
+        "npix",
+        "wkt",
+    )

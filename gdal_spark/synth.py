@@ -423,3 +423,56 @@ def checker_tiles_df(spark: SparkSession, ntx: int = 2, nty: int = 2,
             yield out
 
     return base.mapInPandas(gen, schema=TILE_SCHEMA)
+
+
+def dome_np(npx: int) -> np.ndarray:
+    """Smooth deterministic dome: v = clip(255 - floor(dist to the
+    raster center), 0, 255), uint8. Level sets are concentric circles
+    — the fixture for contour polygon banding (few large regions,
+    unlike the fragmented modular test pattern)."""
+    c = npx / 2.0 - 0.5
+    yy, xx = np.mgrid[0:npx, 0:npx]
+    d = np.floor(np.sqrt((xx - c) ** 2 + (yy - c) ** 2))
+    return np.clip(255.0 - d, 0, 255).astype(np.uint8)
+
+
+def dome_tiles_df(spark: SparkSession, ntx: int = 2, nty: int = 2,
+                  tile_px: int = 256) -> DataFrame:
+    """Dome raster as a tile table (tiles_src_df schema)."""
+    base = spark.range(0, ntx * nty, 1, max(4, ntx * nty)).select(
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        (F.col("id") / ntx).cast("int").alias("tile_y"),
+    )
+    npx = max(ntx, nty) * tile_px
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "raster_id": "dome",
+                    "band": np.int32(1),
+                    "zoom": np.int32(0),
+                    "tile_x": pdf["tile_x"].astype(np.int32),
+                    "tile_y": pdf["tile_y"].astype(np.int32),
+                    "width": np.int32(tile_px),
+                    "height": np.int32(tile_px),
+                    "dtype": "uint8",
+                    "nodata": 255.0,
+                    "crs": "EPSG:3857",
+                    "geotransform": [
+                        [float(tx * tile_px), 1.0, 0.0,
+                         float(ty * tile_px), 0.0, -1.0]
+                        for tx, ty in zip(pdf["tile_x"], pdf["tile_y"])
+                    ],
+                    "data": [
+                        dome_np(npx)[
+                            ty * tile_px:(ty + 1) * tile_px,
+                            tx * tile_px:(tx + 1) * tile_px,
+                        ].tobytes()
+                        for tx, ty in zip(pdf["tile_x"], pdf["tile_y"])
+                    ],
+                }
+            )
+            yield out
+
+    return base.mapInPandas(gen, schema=TILE_SCHEMA)

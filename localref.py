@@ -879,6 +879,7 @@ def oracle_entries() -> dict:
         "pixel_complex_checksums": sql_pixel_complex_checksums,
         "proximity_full_checksums": sql_proximity_full_checksums,
         "polygonize_8conn": sql_polygonize_8conn,
+        "contour_polygons": sql_contour_polygons,
     }
     out = {}
     for name, fn in makers.items():
@@ -1887,4 +1888,53 @@ def sql_polygonize_8conn() -> str:
         rows,
         ["fixture", "value", "npix", "xmin", "ymin", "xmax", "ymax"],
         ["varchar", "double", "bigint", "bigint", "bigint", "bigint", "bigint"],
+    )
+
+
+def sql_contour_polygons(levels=(64.0, 128.0, 192.0)) -> str:
+    """Independent oracle for contour polygon (band) mode: global
+    flood fill over the banded dome + the shared canonical ring
+    tracer (same WKT convention as sql_polygonize_wkt)."""
+    from gdal_spark.polygonize import (boundary_edges_for_mask,
+                                       rings_to_wkt, trace_rings)
+    from gdal_spark.synth import dome_np
+
+    lv = [float(x) for x in levels]
+    arr = np.digitize(dome_np(512).astype(np.float64), lv).astype(np.int64)
+    H, W = arr.shape
+    seen = np.zeros((H, W), dtype=bool)
+    rows = []
+    for sy in range(H):
+        for sx in range(W):
+            if seen[sy, sx]:
+                continue
+            b = int(arr[sy, sx])
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            px = []
+            while stack:
+                y, x = stack.pop()
+                px.append((y, x))
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if 0 <= ny < H and 0 <= nx < W and not seen[ny, nx] \
+                            and arr[ny, nx] == b:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            mask = np.zeros((H, W), dtype=bool)
+            ys_, xs_ = zip(*px)
+            mask[list(ys_), list(xs_)] = True
+            wkt = rings_to_wkt(trace_rings(boundary_edges_for_mask(mask)))
+            rows.append(
+                (
+                    b,
+                    lv[b - 1] if b > 0 else None,
+                    lv[b] if b < len(lv) else None,
+                    len(px),
+                    wkt,
+                )
+            )
+    return values_sql(
+        rows,
+        ["band_idx", "elev_min", "elev_max", "npix", "wkt"],
+        ["bigint", "double", "double", "bigint", "varchar"],
     )

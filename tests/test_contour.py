@@ -3,6 +3,7 @@ and distributed totals vs single-node evaluation over the full mosaic
 (cross-tile border cells must be counted exactly once)."""
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Row
 
 from gdal_spark import synth
@@ -81,3 +82,21 @@ def test_node_key_no_cross_level_collision(spark):
     r = df.collect()[0]
     assert r["a"] != r["b"]
     assert r["a"] == r["a2"]
+
+
+def test_contour_polygons_dome(spark):
+    from gdal_spark.contour import contour_polygons
+    from gdal_spark.synth import dome_tiles_df
+
+    tiles = dome_tiles_df(spark, 2, 2, tile_px=256)  # 512px dome
+    out = contour_polygons(tiles, [64.0, 128.0, 192.0]).toPandas()
+    out = out.sort_values("band_idx").reset_index(drop=True)
+    assert list(out.band_idx) == [0, 1, 2, 3]
+    # open ends are NULL like gdal_contour -p
+    assert pd.isna(out.elev_min[0]) and pd.isna(out.elev_max[3])
+    assert out.elev_min[1] == 64.0 and out.elev_max[1] == 128.0
+    # bands partition the raster exactly
+    assert out.npix.sum() == 512 * 512
+    # annulus bands carry a hole ring, the top disk does not
+    assert out.wkt[2].count("(") > out.wkt[3].count("(")
+    assert all(w.startswith("POLYGON(") for w in out.wkt)
