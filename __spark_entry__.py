@@ -310,6 +310,49 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-blocklist curation: inject a deterministic URL per doc,
+    drop docs citing blocked domains, report surviving domains."""
+    from gdal_spark.functions.text import blocklist_filter, extract_domains
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/page"),
+        ).alias("text"),
+    )
+    kept = blocklist_filter(
+        injected, "text", ["site0.example.com", "site3.example.com"]
+    )
+    return kept.select(
+        "doc_id", F.concat_ws(",", extract_domains("text")).alias("domains")
+    )
+
+
+def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by multiplicative-hash
+    threshold — reproducible under any partitioning, no shuffle."""
+    from gdal_spark.functions.sample import split_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id", seed=7).select("doc_id", "split")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: the 25 smallest-hash docs per detected
+    language (per-stratum deterministic top-n)."""
+    from gdal_spark.functions.sample import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", TX.lang_id("text").alias("lang_guess")
+    )
+    return stratified_sample(docs, "lang_guess", 25, id_col="doc_id", seed=7)
+
+
 _BOILER = (
     "the quick brown fox jumps over the lazy dog while the rain "
     "in spain falls mainly on the plain"
@@ -1388,6 +1431,31 @@ def _q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(dither(rgb, pal))
 
 
+def _q_expand_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -expand rgb: dither to a palette, expand the
+    indexes back to 3 RGB bands via broadcast color-table lookup."""
+    from gdal_spark.color import dither, expand_rgb, median_cut_palette
+
+    base = synth.tiles_src_df(spark, 2, 1)
+    import numpy as np
+
+    def derive(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.uint8).reshape(r.height, r.width)
+                for band, a in ((1, arr), (2, 255 - arr), (3, arr // 2)):
+                    d = r._asdict()
+                    d["band"] = band
+                    d["data"] = a.astype(np.uint8).tobytes()
+                    rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in synth.TILE_SCHEMA.fields])
+
+    rgb = base.mapInPandas(derive, schema=synth.TILE_SCHEMA)
+    pal = median_cut_palette(rgb, n_colors=8)
+    return tiling.checksum_table(expand_rgb(dither(rgb, pal), pal))
+
+
 def _q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.polygonize import sieve
 
@@ -1867,6 +1935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": _q_text_scrub,
         "text_repetition": _q_text_repetition,
         "dup_spans": _q_dup_spans,
+        "sample_split": _q_sample_split,
+        "stratified_sample": _q_stratified_sample,
+        "url_blocklist": _q_url_blocklist,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_table": _q_simhash_table,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -1924,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": _q_semdedup_pairs,
         "idw_grid": _q_idw_grid,
         "grid_nearest": _q_grid_kernel("nearest"),
+        "grid_invdistnn": _q_grid_kernel("invdistnn"),
         "grid_average": _q_grid_kernel("average"),
         "grid_count": _q_grid_kernel("count"),
         "grid_avgdist": _q_grid_kernel("average_distance"),
@@ -1976,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve_checksums": _q_sieve,
         "viewshed_counts": _q_viewshed,
         "dither_checksums": _q_dither,
+        "expand_rgb_checksums": _q_expand_rgb,
         "warp_cutline_checksums": _q_warp_cutline,
         "ogr_special_fields": _q_special_fields,
         "layer_merge": _q_layer_merge,
@@ -2359,6 +2432,29 @@ FROM g JOIN th ON th.tx = gpx // 256 AND th.ty = gpy // 256
 """
 
 
+def _sample_split_sql() -> str:
+    from gdal_spark.functions.sample import split_assign_sql
+
+    return (
+        f"SELECT doc_id, {split_assign_sql('doc_id', seed=7)} AS split "
+        "FROM documents"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    from gdal_spark.functions.sample import hash_u01_sql
+
+    u = hash_u01_sql("doc_id", seed=7)
+    return f"""
+        SELECT doc_id, lang_guess FROM (
+          SELECT doc_id, lang_guess,
+                 ROW_NUMBER() OVER (PARTITION BY lang_guess
+                                    ORDER BY {u}, doc_id) AS rn
+          FROM ({_lang_sql()}) L
+        ) WHERE rn <= 25
+    """
+
+
 def _cluster_sql(which: str) -> str:
     from gdal_spark.functions import cluster as CL
 
@@ -2509,6 +2605,30 @@ def _oracle_sql_static() -> dict[str, str]:
                             / LEN(lns)) * 1e6) / 1e6 ELSE 0.0 END AS dup_line_frac
             FROM b
         """,
+        "url_blocklist": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     CONCAT(text, ' see https://site',
+                            CAST(doc_id % 5 AS VARCHAR),
+                            '.example.com/page') AS body
+              FROM documents
+            ), d AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(list_transform(
+                         regexp_extract_all(body,
+                             'https?://([A-Za-z0-9.-]+)', 1),
+                         x -> LOWER(x)))) AS doms
+              FROM b
+            )
+            SELECT doc_id, array_to_string(doms, ',') AS domains
+            FROM d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM UNNEST(doms) AS u(x)
+              WHERE x IN ('site0.example.com', 'site3.example.com')
+            )
+        """,
+        "sample_split": _sample_split_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "dup_spans": rf"""
             WITH t AS (
               SELECT doc_id,
@@ -2839,6 +2959,34 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM j
         """,
         "grid_nearest": _grid_sql("ROUND(arg_min(v, d2), 6)", True),
+        "grid_invdistnn": f"""
+            WITH pts AS (
+              SELECT {_LON} AS lon, {_LAT} AS lat,
+                     CAST(doc_id % 97 AS DOUBLE) AS v
+              FROM documents
+            ), px AS (
+              SELECT a.range AS gx, b.range AS gy
+              FROM range(32) a CROSS JOIN range(32) b
+            ), c AS (
+              SELECT gx, gy,
+                     -180.0 + (CAST(gx AS DOUBLE) + 0.5) * {360.0 / 32} AS plon,
+                     85.0 - (CAST(gy AS DOUBLE) + 0.5) * {170.0 / 32} AS plat
+              FROM px
+            ), d AS (
+              SELECT gx, gy, v,
+                     (plon - lon) * (plon - lon) + (plat - lat) * (plat - lat) AS d2,
+                     lon, lat
+              FROM c CROSS JOIN pts
+            ), r AS (
+              SELECT gx, gy, v, d2,
+                     ROW_NUMBER() OVER (PARTITION BY gx, gy
+                                        ORDER BY d2, lon, lat) AS rn
+              FROM d WHERE d2 <= 900.0
+            )
+            SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+                   ROUND(SUM(v / d2) / SUM(1.0 / d2), 6) AS value
+            FROM r WHERE rn <= 12 GROUP BY gx, gy
+        """,
         "grid_average": _grid_sql("ROUND(AVG(v), 6)", True),
         "grid_count": _grid_sql(
             "CAST(SUM(CASE WHEN d2 <= 900.0 THEN 1 ELSE 0 END) AS DOUBLE)", False

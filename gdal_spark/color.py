@@ -355,3 +355,38 @@ def dither(tiles: DataFrame, palette: np.ndarray,
         )
 
     return tiles.groupBy("tile_x", "tile_y").applyInPandas(run, schema=TILE_SCHEMA)
+
+
+def expand_rgb(index_tiles: DataFrame, palette: np.ndarray,
+               dst_raster_id: str = "expanded") -> DataFrame:
+    """Palette-index tiles -> 3-band RGB via broadcast color-table
+    lookup (gdal_translate -expand rgb, GDALTranslate color-table
+    expansion, apps/gdaltranslate_lib.cpp): pure per-tile numpy
+    fancy indexing, one map stage, no shuffle."""
+    spark = index_tiles.sparkSession
+    bc = spark.sparkContext.broadcast(palette.astype(np.uint8))
+
+    def run(batches):
+        for pdf in batches:
+            pal = bc.value
+            rows = []
+            for r in pdf.itertuples(index=False):
+                idx = np.frombuffer(r.data, dtype=np.uint8).reshape(
+                    r.height, r.width
+                )
+                rgb = pal[idx]  # (H, W, 3)
+                for b in range(3):
+                    rows.append(
+                        {
+                            "raster_id": dst_raster_id, "band": b + 1,
+                            "zoom": int(r.zoom), "tile_x": int(r.tile_x),
+                            "tile_y": int(r.tile_y), "width": int(r.width),
+                            "height": int(r.height), "dtype": "uint8",
+                            "nodata": -1.0, "crs": str(r.crs),
+                            "geotransform": list(r.geotransform),
+                            "data": rgb[:, :, b].tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return index_tiles.mapInPandas(run, schema=TILE_SCHEMA)

@@ -1,0 +1,92 @@
+"""Deterministic corpus sampling / split assignment.
+
+Training-data pipelines need REPRODUCIBLE subset selection — a rerun
+(or a resumed checkpoint) must pick exactly the same rows, so Spark's
+df.sample (partition-RNG based, changes under repartitioning) is the
+wrong tool. Everything here is a pure function of the row id:
+
+  hash_u01          u = ((id + seed) * 2654435761) % 2^32 / 2^32 — the
+                    Knuth multiplicative hash already used by the
+                    fixture generators; odd multiplier -> injective on
+                    [0, 2^32), so u is collision-free for ids < 2^32.
+                    For 10^12-row ids swap in synth.sm64_col
+                    (splitmix64) — same pattern, 64-bit safe.
+  split_assign      named train/val/test split by u thresholds; pure
+                    column math, no shuffle, stable under any
+                    partitioning.
+  stratified_sample top-n-per-stratum quota sampling (e.g. n docs per
+                    language): rank by u within each stratum. One
+                    shuffle on the stratum key; skewed strata are
+                    bounded because only rank <= n survives the
+                    window (partial top-k would need a two-stage
+                    rank for giant strata — noted, not needed while
+                    strata counts are << partition size).
+
+No GDAL counterpart; LLM-corpus extension surface. Both ops dual-emit
+ANSI SQL with identical integer arithmetic for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+KNUTH = 2654435761
+MOD32 = 1 << 32
+
+
+def hash_u01(col: Column | str, seed: int = 0) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    u = ((c.cast("long") + F.lit(seed)) * F.lit(KNUTH)) % F.lit(MOD32)
+    return u.cast("double") / float(MOD32)
+
+
+def hash_u01_sql(expr: str, seed: int = 0) -> str:
+    return f"(CAST((({expr} + {seed}) * {KNUTH}) % {MOD32} AS DOUBLE) / {MOD32})"
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """Add a 'split' column: train / val / test by hash thresholds."""
+    u = hash_u01(id_col, seed)
+    split = (
+        F.when(u < train, F.lit("train"))
+        .when(u < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def split_assign_sql(
+    id_expr: str = "doc_id", seed: int = 0, train: float = 0.9, val: float = 0.05
+) -> str:
+    u = hash_u01_sql(id_expr, seed)
+    return (
+        f"CASE WHEN {u} < {train} THEN 'train' "
+        f"WHEN {u} < {train + val} THEN 'val' ELSE 'test' END"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep the n rows with the smallest hash per stratum —
+    deterministic quota sampling (u is injective, so the order has no
+    ties; id_col is a formal tiebreaker only)."""
+    u = hash_u01(id_col, seed)
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n_per_stratum)
+        .drop("_rank")
+    )

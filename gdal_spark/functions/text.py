@@ -442,3 +442,35 @@ def duplicate_spans(
         )
         .select(F.col("id").alias(id_col), "span_start", "span_end")
     )
+
+
+# ------------------------------------------------------ url blocklists
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_domains(col: Column | str) -> Column:
+    """Distinct lowercased domains of every http(s) URL in the text
+    (JVM regexp_extract_all; sorted for a canonical array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.regexp_extract_all(c, F.lit(URL_DOMAIN_RE), 1),
+                lambda x: F.lower(x),
+            )
+        )
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, text_col: str, blocked: list[str]
+) -> DataFrame:
+    """Drop documents that cite any blocked domain (the standard
+    URL-blocklist curation pass). Pure column math: the blocklist is a
+    literal array (broadcast by Catalyst), so no join, no shuffle —
+    at 10^12 docs this is a single codegen'd scan stage. For
+    blocklists too large for a literal (millions of domains), explode
+    domains and LEFT ANTI join against a blocklist table instead."""
+    dom = extract_domains(F.col(text_col))
+    bad = F.array(*[F.lit(b.lower()) for b in blocked])
+    return df.filter(~F.arrays_overlap(dom, bad))

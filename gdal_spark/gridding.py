@@ -161,11 +161,14 @@ def grid_interpolate(
     extent_y: float = 170.0,
     radius: float = 30.0,
     power: float = 2.0,
+    max_points: int = 12,
 ) -> DataFrame:
     """gdal_grid algorithm suite over the same bin-replication plan as
     idw_grid (alg/gdal_alg.h:438-451):
 
       invdist   GDALGridInverseDistanceToAPower (== idw_grid)
+      invdistnn GDALGridInverseDistanceToAPowerNearestNeighbor — IDW
+                over only the `max_points` nearest in-radius points
       nearest   GDALGridNearestNeighbor — value of the closest point
                 in radius
       average   GDALGridMovingAverage — mean of points in radius
@@ -185,7 +188,7 @@ def grid_interpolate(
                         extent_x, extent_y, radius, power)
     if algorithm not in ("nearest", "average", "count", "minimum",
                         "maximum", "range", "average_distance",
-                        "average_distance_pts"):
+                        "average_distance_pts", "invdistnn"):
         raise ValueError(f"unknown grid algorithm {algorithm!r}")
 
     rx = extent_x / (ntx * tile_px)
@@ -277,6 +280,35 @@ def grid_interpolate(
             S = ((inr.astype(np.float64) @ D) * inr).sum(axis=1)
             denom = k * k - k
             val = np.where(denom > 0, S / np.maximum(denom, 1), np.nan)
+        elif algorithm == "invdistnn":
+            # GDALGridInverseDistanceToAPowerNearestNeighbor
+            # (alg/gdalgrid.cpp GDALGridInverseDistanceToAPointsNearest
+            # family): IDW restricted to the max_points nearest
+            # in-radius points. Rank ties break on (d2, lon, lat) —
+            # mirrored exactly by the oracle's ROW_NUMBER ordering.
+            P, n = d2.shape
+            dmask = np.where(inr, d2, np.inf)
+            order = np.lexsort(
+                (
+                    np.broadcast_to(sa[None, :], (P, n)),
+                    np.broadcast_to(sl[None, :], (P, n)),
+                    dmask,
+                )
+            )[:, :max_points]
+            dsel = np.take_along_axis(dmask, order, axis=1)
+            vsel = np.take_along_axis(
+                np.broadcast_to(sv[None, :], (P, n)), order, axis=1
+            )
+            ok = np.isfinite(dsel)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                w = np.where(ok, 1.0 / dsel ** (power / 2.0), 0.0)
+            den = w.sum(axis=1)
+            num = (w * np.where(ok, vsel, 0.0)).sum(axis=1)
+            with np.errstate(invalid="ignore"):
+                val = np.where(den > 0, num / den, np.nan)
+            hit = np.where(ok & (dsel == 0.0))
+            if len(hit[0]):
+                val[hit[0]] = vsel[hit]
         elif algorithm == "minimum":
             val = np.where(any_, np.where(inr, sv[None, :], np.inf).min(axis=1), np.nan)
         elif algorithm == "maximum":

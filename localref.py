@@ -880,6 +880,7 @@ def oracle_entries() -> dict:
         "proximity_full_checksums": sql_proximity_full_checksums,
         "polygonize_8conn": sql_polygonize_8conn,
         "contour_polygons": sql_contour_polygons,
+        "expand_rgb_checksums": sql_expand_rgb_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -1938,3 +1939,23 @@ def sql_contour_polygons(levels=(64.0, 128.0, 192.0)) -> str:
         ["band_idx", "elev_min", "elev_max", "npix", "wkt"],
         ["bigint", "double", "double", "bigint", "varchar"],
     )
+
+
+def sql_expand_rgb_checksums() -> str:
+    """Oracle for palette -> RGB expansion: local dither then color
+    table lookup, per-band GDAL checksums."""
+    from gdal_spark.color import dither_tile
+
+    pts = np.vstack(
+        [_derived_rgb(tx).astype(np.float64).reshape(-1, 3) for tx in range(2)]
+    )
+    pal = _median_cut_local(pts, 8)
+    rows = []
+    for tx in range(2):
+        idx = dither_tile(_derived_rgb(tx).astype(np.uint8), pal)
+        rgb = pal.astype(np.uint8)[idx]
+        for b in range(3):
+            rows.append(
+                ("expanded", b + 1, 12, tx, 0, G.gdal_checksum(rgb[:, :, b]))
+            )
+    return values_sql(rows, CKS_COLS, CKS_TYPES)

@@ -71,3 +71,28 @@ def test_word_ngram_jaccard_dedup(spark):
     assert not any(3 in p for p in pairs)
     j14 = got[(got.id_a == 1) & (got.id_b == 4)]["jaccard"].iloc[0]
     assert j14 == 1.0
+
+
+def test_invdistnn_limits_neighbors(spark):
+    from gdal_spark.gridding import grid_interpolate
+
+    # one cluster of 3 near points (v=10) + 1 far point (v=1000) still
+    # in radius: invdist blends all 4, invdistnn(max_points=3) must
+    # ignore the far one
+    pts = spark.createDataFrame(
+        [
+            (-178.0, 84.0, 10.0),
+            (-178.1, 84.1, 10.0),
+            (-177.9, 83.9, 10.0),
+            (-160.0, 70.0, 1000.0),
+        ],
+        "lon double, lat double, v double",
+    )
+    nn = grid_interpolate(pts, "v", ntx=4, nty=4, tile_px=8,
+                          algorithm="invdistnn", radius=30.0, max_points=3)
+    row = nn.filter("gx = 0 and gy = 0").first()
+    assert abs(row["value"] - 10.0) < 1e-9
+    allp = grid_interpolate(pts, "v", ntx=4, nty=4, tile_px=8,
+                            algorithm="invdist", radius=30.0)
+    row2 = allp.filter("gx = 0 and gy = 0").first()
+    assert row2["value"] > 10.0  # far point bleeds in without the cap

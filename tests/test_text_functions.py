@@ -142,3 +142,47 @@ def test_repetition_metrics(spark):
     # one line), 3 distinct -> 1/4
     assert abs(r["w"] - (1 - 4 / 7)) < 2e-6
     assert abs(r["l"] - 0.25) < 2e-6
+
+
+def test_extract_domains_and_blocklist(spark):
+    from gdal_spark.functions.text import blocklist_filter, extract_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "go to https://Bad.Example.com/x and http://ok.org/y"),
+            (2, "only http://fine.net here"),
+            (3, "no urls at all"),
+        ],
+        "id int, t string",
+    )
+    doms = {r["id"]: list(r["d"]) for r in
+            df.select("id", extract_domains("t").alias("d")).collect()}
+    assert doms[1] == ["bad.example.com", "ok.org"]
+    assert doms[3] == []
+    kept = blocklist_filter(df, "t", ["bad.example.com"])
+    assert sorted(r["id"] for r in kept.collect()) == [2, 3]
+
+
+def test_split_assign_deterministic(spark):
+    from gdal_spark.functions.sample import split_assign
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = split_assign(df, "doc_id", seed=1).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 800  # ~90%
+    # same seed -> identical assignment under different partitioning
+    b = split_assign(df.repartition(13), "doc_id", seed=1)
+    a2 = split_assign(df, "doc_id", seed=1)
+    assert a2.exceptAll(b).count() == 0 and b.exceptAll(a2).count() == 0
+
+
+def test_stratified_sample_quota(spark):
+    from gdal_spark.functions.sample import stratified_sample
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("s")
+    )
+    out = stratified_sample(df, "s", 10, id_col="doc_id").toPandas()
+    assert len(out) == 30
+    assert out.groupby("s").size().tolist() == [10, 10, 10]
