@@ -310,6 +310,25 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concat docs per hash shard, cut the token
+    stream into 256-token training windows."""
+    from gdal_spark.functions.text import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").alias("ntok")
+    )
+    return pack_sequences(docs, "ntok", capacity=256, shards=8)
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 32-token chunks, 8-token overlap."""
+    from gdal_spark.functions.text import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-blocklist curation: inject a deterministic URL per doc,
     drop docs citing blocked domains, report surviving domains."""
@@ -1938,6 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _q_sample_split,
         "stratified_sample": _q_stratified_sample,
         "url_blocklist": _q_url_blocklist,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_table": _q_simhash_table,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -2604,6 +2625,49 @@ def _oracle_sql_static() -> dict[str, str]:
                      FLOOR((1.0 - CAST(LEN(list_distinct(lns)) AS DOUBLE)
                             / LEN(lns)) * 1e6) / 1e6 ELSE 0.0 END AS dup_line_frac
             FROM b
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     LEN(list_filter(regexp_split_to_array(LOWER(text), '\s+'),
+                                     x -> x <> '')) AS ntok,
+                     ((doc_id * 2654435761) % 4294967296) % 8 AS shard
+              FROM documents
+            ), s AS (
+              SELECT doc_id, shard, ntok,
+                     COALESCE(SUM(ntok) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS start_offset
+              FROM t
+            )
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS bin
+            FROM s
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(LOWER(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks,
+                     list_filter(range(0, GREATEST(LEN(toks), 1), 24),
+                                 x -> x = 0 OR x + 8 < LEN(toks)) AS starts
+              FROM t
+            ), e AS (
+              SELECT doc_id, toks,
+                     GENERATE_SUBSCRIPTS(starts, 1) - 1 AS chunk_idx,
+                     UNNEST(starts) AS start_tok
+              FROM s
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(start_tok AS INT) AS start_tok,
+                   array_to_string(toks[start_tok + 1 : start_tok + 32], ' ')
+                     AS chunk
+            FROM e
         """,
         "url_blocklist": r"""
             WITH b AS (

@@ -112,6 +112,11 @@ def main():
         # pixel-function sweep, and dateline splitting
         "knn_large", "proximity_full_checksums",
         "pixel_functions_checksums", "geometry_wrapdateline",
+        # this session: broadcast-Lloyd k-means over embeddings,
+        # exact-substring span dedup (full n-gram explode), the
+        # no-shuffle split assignment, and band-polygon contouring
+        "kmeans_embeddings", "dup_spans", "sample_split",
+        "contour_polygons",
     ]:
         df_fn = qs[name]
         timed(name, lambda f=df_fn: f(spark, SF_DIR).count())

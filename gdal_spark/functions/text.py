@@ -474,3 +474,86 @@ def blocklist_filter(
     dom = extract_domains(F.col(text_col))
     bad = F.array(*[F.lit(b.lower()) for b in blocked])
     return df.filter(~F.arrays_overlap(dom, bad))
+
+
+# ----------------------------------------------- packing / chunking
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    capacity: int,
+    id_col: str = "doc_id",
+    shards: int = 32,
+) -> DataFrame:
+    """Streaming sequence packing for LLM training: documents are
+    concatenated in deterministic (shard, id) order and the resulting
+    token stream is cut into context windows of `capacity` tokens.
+    Each doc gets (shard, bin, start_offset): bin = which window its
+    first token lands in; docs may straddle a boundary (the standard
+    concat-then-split packing, not first-fit bin packing — document
+    boundaries are preserved by the offset, not by padding).
+
+    Scale shape: shard = id-hash % shards, so the running-total window
+    never sees more than 1/shards of the corpus and shards scale out
+    with the cluster; within a shard the cumsum window is one
+    partition-local sort. Deterministic under any input partitioning.
+    The shard hash is the Knuth multiplicative hash (cross-engine
+    reproducible; see functions/sample.py) — swap in xxhash64 when ids
+    exceed 2^31.
+    """
+    from .sample import KNUTH, MOD32
+
+    shard = (F.col(id_col).cast("long") * F.lit(KNUTH)) % F.lit(MOD32) % shards
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(
+        F.col(id_col), shard.alias("shard"),
+        F.col(token_count_col).alias("_ntok"),
+    )
+    start = F.coalesce(F.sum("_ntok").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        "shard",
+        start.alias("start_offset"),
+        F.floor(start / capacity).cast("long").alias("bin"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking (RAG / training-sample windowing):
+    each doc explodes into chunks of `chunk_tokens` whitespace tokens
+    with `overlap` tokens of overlap; the final partial chunk is kept.
+    All JVM higher-order functions — no Python in the hot path."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be < chunk_tokens")
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(step),
+    )
+    # drop trailing windows fully covered by the previous chunk
+    starts = F.filter(
+        starts, lambda s: (s == 0) | (s + overlap < F.size(toks))
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk"),
+        ),
+    )
+    ex = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+    return ex.select(
+        id_col, "chunk_idx", F.col("c.start_tok").alias("start_tok"),
+        F.col("c.chunk").alias("chunk"),
+    )

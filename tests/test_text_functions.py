@@ -186,3 +186,37 @@ def test_stratified_sample_quota(spark):
     out = stratified_sample(df, "s", 10, id_col="doc_id").toPandas()
     assert len(out) == 30
     assert out.groupby("s").size().tolist() == [10, 10, 10]
+
+
+def test_pack_sequences(spark):
+    from gdal_spark.functions.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(8)], "doc_id long, ntok long"
+    )
+    out = pack_sequences(df, "ntok", capacity=256, shards=1).toPandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # single shard: offsets 0,100,...,700; bins 0,0,0,1,1,1,2,2
+    assert list(out.start_offset) == [100 * i for i in range(8)]
+    assert list(out.bin) == [0, 0, 0, 1, 1, 1, 2, 2]
+    # deterministic under repartitioning
+    out2 = pack_sequences(df.repartition(5), "ntok", capacity=256, shards=1)
+    assert out2.exceptAll(
+        pack_sequences(df, "ntok", capacity=256, shards=1)
+    ).count() == 0
+
+
+def test_chunk_documents(spark):
+    from gdal_spark.functions.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text), (2, "short doc")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=32, overlap=8).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    # starts 0, 24 (48 would overlap-cover: 48+8 >= 50 -> dropped)
+    assert list(d1.start_tok) == [0, 24]
+    assert d1.iloc[0].chunk.split()[0] == "t0"
+    assert d1.iloc[1].chunk.split()[-1] == "t49"  # final partial chunk
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].chunk == "short doc"
