@@ -84,9 +84,14 @@ def main():
     # a long-running cluster job amortizes away; then best of 2 timed
     pip_tile()
     head = timed("pip_tile_2m", pip_tile)
-    t0 = time.time()
-    pip_tile()
-    timings["pip_tile_2m"] = round(min(timings["pip_tile_2m"], time.time() - t0), 3)
+    # this shared VM swings hard within a day (see BENCH/BASELINE.md
+    # repetition record): best of 3 timed runs, not best of 2
+    for _ in range(2):
+        t0 = time.time()
+        pip_tile()
+        timings["pip_tile_2m"] = round(
+            min(timings["pip_tile_2m"], time.time() - t0), 3
+        )
     n_docs_done = int(head["n"])
     docs_per_sec = round(n_docs_done / timings["pip_tile_2m"], 1)
 
