@@ -1078,6 +1078,164 @@ def _q_ogr_sql_text_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ogr_sql_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL special fields (ogr_sql_dialect.rst: FID, OGR_GEOMETRY,
+    OGR_GEOM_AREA, OGR_STYLE) through the textual path — resolved
+    lazily onto the layer, usable in SELECT / WHERE / ORDER BY."""
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    lay = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 300
+    ).select("doc_id", "lang", _sq_wkt().alias("geom"))
+    out = execute_ogr_sql(
+        spark,
+        "SELECT FID AS fid, doc_id, OGR_GEOMETRY AS gtype, "
+        "OGR_GEOM_AREA AS area, OGR_STYLE AS style "
+        "FROM docs WHERE FID < 120 ORDER BY FID",
+        {"docs": lay},
+    )
+    return out.withColumn("area", F.round("area", 6))
+
+
+def _q_ogr_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExecuteSQL DDL fast paths (gdaldataset.cpp:6192-6255:
+    CREATE INDEX :5418, ALTER TABLE :5729-6004) — run as a statement
+    sequence mutating the layer registry, then verified by a SELECT
+    over the altered layer."""
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    layers = {"customer": _read(spark, sf_dir, "customer")}
+    for ddl in (
+        "CREATE INDEX ON customer USING c_mktsegment",
+        "ALTER TABLE customer RENAME COLUMN c_mktsegment TO segment",
+        "ALTER TABLE customer ADD COLUMN flag integer",
+        "ALTER TABLE customer DROP COLUMN c_comment",
+    ):
+        assert execute_ogr_sql(spark, ddl, layers) is None
+    assert ("customer", "c_mktsegment") in layers["__indexes__"]
+    return execute_ogr_sql(
+        spark,
+        "SELECT c_custkey, segment, flag FROM customer "
+        "WHERE segment = 'building' ORDER BY c_custkey LIMIT 50",
+        layers,
+    )
+
+
+def _q_ogr_sql_spatialfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL's spatial-filter argument (gdaldataset.cpp:6170;
+    InstallFilter rect fast path generic/ogrlayer.cpp:1307-1343): a
+    rectangle filter over a POINT layer runs as pure-Catalyst envelope
+    compares — no Python in the plan."""
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    lay = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.format_string("POINT(%s %s)", F.col("lon"), F.col("lat")).alias("geom"),
+    )
+    return execute_ogr_sql(
+        spark,
+        "SELECT doc_id FROM docs ORDER BY doc_id",
+        {"docs": lay},
+        spatial_filter="POLYGON((-60 -40, 60 -40, 60 40, -60 40, -60 -40))",
+    )
+
+
+def _q_geometry_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forceTo* conversions (ogr/ogrgeometryfactory.cpp:721 ff):
+    polygon->MultiPolygon (area preserved), polygon->MultiLineString
+    (one closed member per ring), endpoint-chained
+    MultiLineString->LineString merge, point->MultiPoint."""
+    from gdal_spark.functions import geometry as SG
+
+    d = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 150
+    )
+    # two touching edge chains of the square, to be merged back
+    ml = F.format_string(
+        "MULTILINESTRING((%s %s, %s %s), (%s %s, %s %s))",
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y0"),
+        F.col("x1"), F.col("y0"), F.col("x1"), F.col("y1"),
+    )
+    pt = F.format_string("POINT(%s %s)", F.col("lon"), F.col("lat"))
+    d = d.select(
+        "doc_id", _sq_wkt().alias("wkt"), ml.alias("ml"), pt.alias("pt")
+    )
+    kind = lambda c: F.regexp_extract(c, r"^([A-Z]+)", 1)  # noqa: E731
+    fl = SG.st_force_linestring("ml")
+    # area compared with a tolerance: the conversion's WKT re-encode
+    # rounds coordinates to 7 decimals, so exact 6-dp rounding of the
+    # reparsed area can flip; 1e-4 >> the 4e-7 worst-case drift
+    area_ok = (
+        F.abs(SG.st_area(SG.st_force_multipolygon("wkt")) - SG.st_area("wkt"))
+        < 1e-4
+    )
+    return d.select(
+        "doc_id",
+        kind(SG.st_force_multipolygon("wkt")).alias("mp_kind"),
+        area_ok.alias("mp_area_ok"),
+        kind(SG.st_force_multilinestring("wkt")).alias("ml_kind"),
+        kind(fl).alias("fl_kind"),
+        F.size(F.split(fl, ",")).alias("fl_npts"),
+        kind(SG.st_force_multipoint("pt")).alias("mpt_kind"),
+    )
+
+
+def _q_st_sql_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQLite-dialect SQL function surface
+    (ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:1184-1232):
+    register_sql_functions exposes ST_* to plain spark.sql text; the
+    statement below is what a reference user would run through the
+    SQLite dialect."""
+    from gdal_spark.functions.sqlfuncs import register_sql_functions
+
+    register_sql_functions(spark)
+    d = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 150
+    )
+    # wb = wa shifted by (h, h/2) on odd doc_ids (guaranteed overlap),
+    # identical on even ones (within/equality leg)
+    h = (F.col("x1") - F.col("x0")) / 2
+    dx = (F.col("doc_id") % 2).cast("double") * h
+    dy = (F.col("doc_id") % 2).cast("double") * h / 2
+    wb = F.format_string(
+        "POLYGON((%s %s, %s %s, %s %s, %s %s))",
+        F.col("x0") + dx, F.col("y0") + dy, F.col("x1") + dx, F.col("y0") + dy,
+        F.col("x1") + dx, F.col("y1") + dy, F.col("x0") + dx, F.col("y1") + dy,
+    )
+    exp_ia = F.when(F.col("doc_id") % 2 == 0, (2 * h) * (2 * h)).otherwise(
+        h * 1.5 * h
+    )
+    d.select(
+        "doc_id", _sq_wkt().alias("wa"), wb.alias("wb"), exp_ia.alias("exp_ia")
+    ).createOrReplaceTempView("sq_pairs")
+    # the intersection WKT re-encodes coordinates at 7 decimals, so the
+    # reparsed area carries ~4e-7 drift — compared with tolerance
+    return spark.sql(
+        """
+        SELECT doc_id, ROUND(ST_Area(wa), 6) AS area,
+               ABS(ST_Area(ST_Intersection(wa, wb)) - exp_ia) < 1e-4 AS ia_ok,
+               ST_Within(wb, wa) AS b_in_a
+        FROM sq_pairs WHERE ST_Intersects(wa, wb)
+        """
+    )
+
+
+def _q_ogr_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr_deflate / ogr_inflate (ogrsqlitesqlfunctions.cpp:1114-1182,
+    zlib like the reference's CPLZLib wrappers): lossless roundtrip
+    over document text, Arrow-batched."""
+    from gdal_spark.functions.sqlfuncs import ogr_deflate, ogr_inflate
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    packed = ogr_inflate(ogr_deflate(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        (packed.cast("string") == F.col("text")).alias("roundtrip"),
+        (F.length(ogr_deflate(F.col("text"))) > 0).alias("nonempty"),
+    )
+
+
 def _q_mdarray_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multidim GetView slicing (gcore/gdalmultidim.cpp:3957, NumPy
     basic slicing) + Transpose (:4257) over the COO relational model:
@@ -2032,6 +2190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": _q_semi_anti,
         "custom_func": _q_custom_func,
         "ogr_sql_text_union": _q_ogr_sql_text_union,
+        "ogr_sql_special_fields": _q_ogr_sql_special_fields,
+        "ogr_sql_ddl": _q_ogr_sql_ddl,
+        "ogr_sql_spatialfilter": _q_ogr_sql_spatialfilter,
+        "geometry_force": _q_geometry_force,
+        "st_sql_funcs": _q_st_sql_funcs,
+        "ogr_codec": _q_ogr_codec,
         "tile_index": _q_tile_index,
         "reproject_3857": _q_reproject_3857,
         "utm_transform": _q_utm,
@@ -3140,6 +3304,56 @@ def _oracle_sql_static() -> dict[str, str]:
               AND c_acctbal BETWEEN 100 AND 5000
             ORDER BY c_acctbal DESC, c_custkey
             LIMIT 20 OFFSET 3
+        """,
+        "ogr_sql_special_fields": f"""
+            WITH b AS (
+              SELECT doc_id, {_HALF} AS h FROM documents WHERE doc_id < 300
+            ), r AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS fid, h
+              FROM b
+            )
+            SELECT fid, doc_id, 'POLYGON' AS gtype,
+                   ROUND((2 * h) * (2 * h), 6) AS area,
+                   CAST(NULL AS VARCHAR) AS style
+            FROM r WHERE fid < 120 ORDER BY fid
+        """,
+        "ogr_sql_ddl": """
+            SELECT c_custkey, c_mktsegment AS segment,
+                   CAST(NULL AS BIGINT) AS flag
+            FROM customer WHERE LOWER(c_mktsegment) = 'building'
+            ORDER BY c_custkey LIMIT 50
+        """,
+        "ogr_sql_spatialfilter": f"""
+            SELECT doc_id FROM documents
+            WHERE {_LON} BETWEEN -60 AND 60 AND {_LAT} BETWEEN -40 AND 40
+            ORDER BY doc_id
+        """,
+        "geometry_force": f"""
+            WITH b AS (
+              SELECT doc_id, {_HALF} AS h FROM documents WHERE doc_id < 150
+            )
+            SELECT doc_id, 'MULTIPOLYGON' AS mp_kind,
+                   TRUE AS mp_area_ok,
+                   'MULTILINESTRING' AS ml_kind,
+                   'LINESTRING' AS fl_kind, 3 AS fl_npts,
+                   'MULTIPOINT' AS mpt_kind
+            FROM b
+        """,
+        "st_sql_funcs": f"""
+            WITH b AS (
+              SELECT doc_id, {_HALF} AS h FROM documents WHERE doc_id < 150
+            )
+            SELECT doc_id,
+                   ROUND((2 * h) * (2 * h), 6) AS area,
+                   TRUE AS ia_ok,
+                   (doc_id % 2 = 0) AS b_in_a
+            FROM b
+        """,
+        "ogr_codec": """
+            SELECT doc_id, LENGTH(text) AS n, TRUE AS roundtrip,
+                   TRUE AS nonempty
+            FROM documents WHERE doc_id < 400
         """,
         "sql_dialect": """
             SELECT l.l_returnflag AS rf, COUNT(*) AS cnt,

@@ -13,6 +13,9 @@ and nothing here shuffles.
     st_intersection / st_union_geom / st_difference / st_symdifference,
     st_intersects / st_contains / st_within / st_touches / st_overlaps
     / st_equals / st_disjoint / st_crosses,
+    st_force_polygon / st_force_multipolygon / st_force_multipoint /
+    st_force_multilinestring / st_force_linestring
+    (ogrgeometryfactory.cpp forceTo* conversions),
     st_segmentize (ogr2ogr -segmentize),
     st_dump (ogr2ogr -explodecollections; array of part WKTs),
     st_wrapdateline (ogr2ogr -wrapdateline; array of split parts)
@@ -62,6 +65,15 @@ st_normalize = _udf1(lambda g: GM.to_wkt(GM.normalize(g)), T.StringType())
 st_force_polygon = _udf1(lambda g: GM.to_wkt(GM.force_polygon(g)), T.StringType())
 st_force_multipolygon = _udf1(
     lambda g: GM.to_wkt(GM.force_multipolygon(g)), T.StringType()
+)
+st_force_multipoint = _udf1(
+    lambda g: GM.to_wkt(GM.force_multipoint(g)), T.StringType()
+)
+st_force_multilinestring = _udf1(
+    lambda g: GM.to_wkt(GM.force_multilinestring(g)), T.StringType()
+)
+st_force_linestring = _udf1(
+    lambda g: GM.to_wkt(GM.force_linestring(g)), T.StringType()
 )
 st_astext = _udf1(GM.to_wkt, T.StringType())
 st_aswkb = _udf1(GM.to_wkb, T.BinaryType())

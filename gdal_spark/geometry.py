@@ -168,8 +168,9 @@ def intersection_area_tris(ta, sa, tb, sb) -> float:
 
 # ------------------------------------------------------------ geometry type
 class Geom:
-    """Parsed geometry: kind in {point, linestring, polygon,
-    multipolygon}; rings = [(xs, ys), ...] per polygon part."""
+    """Parsed geometry: kind in {point, multipoint, linestring,
+    multilinestring, polygon, multipolygon}; rings = [(xs, ys), ...]
+    per polygon part."""
 
     __slots__ = ("kind", "parts")
 
@@ -179,6 +180,8 @@ class Geom:
 
     # -- areas / triangles ------------------------------------------------
     def signed_tris(self):
+        if not self.parts:
+            return np.empty((0, 3, 2)), np.empty(0)
         if self.kind == "polygon":
             return rings_to_signed_tris(self.parts[0])
         if self.kind == "multipolygon":
@@ -194,7 +197,7 @@ class Geom:
         return np.empty((0, 3, 2)), np.empty(0)
 
     def area(self) -> float:
-        if self.kind not in ("polygon", "multipolygon"):
+        if self.kind not in ("polygon", "multipolygon") or not self.parts:
             return 0.0
         total = 0.0
         polys = self.parts if self.kind == "multipolygon" else [self.parts[0]]
@@ -206,8 +209,13 @@ class Geom:
 
     def all_points(self):
         out = []
-        if self.kind in ("point", "linestring"):
+        if not self.parts:
+            z = np.empty(0)
+            return z, z
+        if self.kind in ("point", "linestring", "multipoint"):
             out.append(self.parts[0])
+        elif self.kind == "multilinestring":
+            out.extend(self.parts)
         else:
             polys = self.parts if self.kind == "multipolygon" else [self.parts[0]]
             for rings in polys:
@@ -220,6 +228,9 @@ class Geom:
     def boundary_segments(self):
         """(ax, ay, bx, by) arrays over every ring/line segment."""
         segs = []
+        if not self.parts:
+            z = np.empty(0)
+            return z, z, z, z
         if self.kind == "linestring":
             xs, ys = self.parts[0]
             segs.append((xs[:-1], ys[:-1], xs[1:], ys[1:]))
@@ -263,6 +274,18 @@ def parse_wkt(wkt: str) -> Geom:
                     rings.append(dedupe_ring(*nums(body[start:i])))
         return rings
 
+    if up.endswith("EMPTY"):
+        # empty geometries (OGRGeometry::IsEmpty contract): no parts;
+        # area 0, no points, no boundary segments
+        kind = up.split()[0].lower()
+        if kind == "geometrycollection":
+            kind = "multipolygon"
+        return Geom(kind, [])
+    if up.startswith("MULTIPOINT"):
+        # both forms: MULTIPOINT(1 2, 3 4) and MULTIPOINT((1 2), (3 4))
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        xs, ys = nums(body.replace("(", "").replace(")", ""))
+        return Geom("multipoint", [(xs, ys)])
     if up.startswith("POINT"):
         xs, ys = nums(s[s.index("(") + 1 : s.rindex(")")])
         return Geom("point", [(xs, ys)])
@@ -307,6 +330,9 @@ def parse_wkt(wkt: str) -> Geom:
 
 
 def to_wkt(g: Geom, prec: int = 7) -> str:
+    if not g.parts:
+        return f"{g.kind.upper()} EMPTY"
+
     def pt(xs, ys):
         return ", ".join(f"{x:.{prec}f} {y:.{prec}f}" for x, y in zip(xs, ys))
 
@@ -316,6 +342,8 @@ def to_wkt(g: Geom, prec: int = 7) -> str:
     if g.kind == "point":
         xs, ys = g.parts[0]
         return f"POINT({xs[0]:.{prec}f} {ys[0]:.{prec}f})"
+    if g.kind == "multipoint":
+        return "MULTIPOINT(" + pt(*g.parts[0]) + ")"
     if g.kind == "linestring":
         return "LINESTRING(" + pt(*g.parts[0]) + ")"
     if g.kind == "multilinestring":
@@ -653,6 +681,77 @@ def force_multipolygon(g: Geom) -> Geom:
     if g.kind == "polygon":
         return Geom("multipolygon", [g.parts[0]])
     return g
+
+
+def force_multipoint(g: Geom) -> Geom:
+    """forceToMultiPoint (ogr/ogrgeometryfactory.cpp:828): a point
+    becomes a 1-member multipoint; multipoint passes through; other
+    kinds are returned unchanged (the reference returns the input when
+    no conversion applies)."""
+    if g.kind == "point":
+        return Geom("multipoint", [g.parts[0]])
+    return g
+
+
+def force_multilinestring(g: Geom) -> Geom:
+    """forceToMultiLineString (ogr/ogrgeometryfactory.cpp:992): a
+    linestring becomes a 1-member multilinestring; polygons and
+    multipolygons convert each ring to a closed member line (the
+    reference converts rings via forceToLineString per ring)."""
+    if g.kind == "linestring":
+        return Geom("multilinestring", [g.parts[0]])
+    if g.kind in ("polygon", "multipolygon"):
+        polys = g.parts if g.kind == "multipolygon" else [g.parts[0]]
+        lines = []
+        for rings in polys:
+            for xs, ys in rings:
+                xs = np.asarray(xs, np.float64)
+                ys = np.asarray(ys, np.float64)
+                lines.append((np.append(xs, xs[0]), np.append(ys, ys[0])))
+        return Geom("multilinestring", lines)
+    return g
+
+
+def force_linestring(g: Geom) -> Geom:
+    """forceToLineString (ogr/ogrgeometryfactory.cpp:1430): merge the
+    members of a multilinestring by chaining shared endpoints (the
+    reference's repeated join loop); a single chain collapses to a
+    LINESTRING, otherwise the remaining parts stay a MULTILINESTRING."""
+    if g.kind != "multilinestring":
+        return g
+    parts = [
+        (np.asarray(xs, np.float64), np.asarray(ys, np.float64))
+        for xs, ys in g.parts
+    ]
+    merged = True
+    while merged and len(parts) > 1:
+        merged = False
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                ax, ay = parts[i]
+                bx, by = parts[j]
+                if ax[-1] == bx[0] and ay[-1] == by[0]:
+                    parts[i] = (np.concatenate([ax, bx[1:]]),
+                                np.concatenate([ay, by[1:]]))
+                elif bx[-1] == ax[0] and by[-1] == ay[0]:
+                    parts[i] = (np.concatenate([bx, ax[1:]]),
+                                np.concatenate([by, ay[1:]]))
+                elif ax[-1] == bx[-1] and ay[-1] == by[-1]:
+                    parts[i] = (np.concatenate([ax, bx[::-1][1:]]),
+                                np.concatenate([ay, by[::-1][1:]]))
+                elif ax[0] == bx[0] and ay[0] == by[0]:
+                    parts[i] = (np.concatenate([ax[::-1], bx[1:]]),
+                                np.concatenate([ay[::-1], by[1:]]))
+                else:
+                    continue
+                del parts[j]
+                merged = True
+                break
+            if merged:
+                break
+    if len(parts) == 1:
+        return Geom("linestring", [parts[0]])
+    return Geom("multilinestring", parts)
 
 
 def boundary(g: Geom) -> Geom:

@@ -26,8 +26,13 @@ Dialect semantics applied (not plain Spark SQL):
     COUNT(*/col/DISTINCT col), MIN, MAX, AVG, SUM
 
 Also supported: summary selects (aggregates without GROUP BY — OGR SQL
-itself has no GROUP BY, generic/ogr_gensql.cpp:822) and
-`select UNION ALL select` (swq_parser.y:652-667).
+itself has no GROUP BY, generic/ogr_gensql.cpp:822),
+`select UNION ALL select` (swq_parser.y:652-667), the DDL fast paths
+(CREATE/DROP INDEX, DROP TABLE, ALTER TABLE — string-matched before
+parsing, gdaldataset.cpp:6192-6255), the special fields FID /
+OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA / OGR_STYLE
+(ogr_sql_dialect.rst), and ExecuteSQL's spatial-filter argument
+(rect-over-points runs as pure codegen column compares).
 
 Out of scope (use spark.sql for the full-SQL passthrough, the analog
 of the SQLite dialect): GROUP BY, subqueries.
@@ -321,22 +326,221 @@ def _parse_or(p: _P):
     return c
 
 
+# Special fields (ogr_sql_dialect.rst "special fields"; swq resolves
+# them ahead of layer columns). Resolved lazily onto the base frame
+# only when the statement references them.
+_SPECIAL_FIELDS = {"FID", "OGR_GEOMETRY", "OGR_GEOM_WKT", "OGR_GEOM_AREA",
+                   "OGR_STYLE"}
+
+# DDL statements are string-matched BEFORE the SELECT parser runs —
+# the reference does exactly this (gdaldataset.cpp:6192-6255 dispatches
+# CREATE INDEX :5418 / DROP INDEX :5506 / DROP TABLE :5608 /
+# ALTER TABLE :5729-6004 on the raw statement text).
+_DDL_RE = re.compile(
+    r"^\s*(CREATE\s+INDEX|DROP\s+INDEX|DROP\s+TABLE|ALTER\s+TABLE)\b",
+    re.IGNORECASE,
+)
+
+_ALTER_TYPES = {"integer": "long", "bigint": "long", "smallint": "int",
+                "numeric": "double", "float": "double", "real": "double",
+                "character": "string", "varchar": "string",
+                "string": "string", "date": "date",
+                "timestamp": "timestamp", "boolean": "boolean"}
+
+
+def _exec_ddl(sql: str, layers: dict) -> None:
+    """The reference's DDL fast paths. Index DDL is metadata-only here:
+    GDAL's attribute index accelerates per-key FindFirst lookups
+    (generic/ogr_miattrind.cpp:778-800); Spark's hash joins play that
+    role implicitly, so CREATE/DROP INDEX maintain a registry (stored
+    in the layers dict under '__indexes__') and change no data.
+    ALTER TABLE / DROP TABLE mutate the layers dict like the reference
+    mutates the datasource."""
+    idx = layers.setdefault("__indexes__", set())
+    m = re.match(r"\s*CREATE\s+INDEX\s+ON\s+(\w+)\s+USING\s+(\w+)\s*$",
+                 sql, re.IGNORECASE)
+    if m:
+        if m.group(1) not in layers:
+            raise ValueError(f"unknown layer {m.group(1)!r}")
+        idx.add((m.group(1), m.group(2).lower()))
+        return
+    m = re.match(r"\s*DROP\s+INDEX\s+ON\s+(\w+)(?:\s+USING\s+(\w+))?\s*$",
+                 sql, re.IGNORECASE)
+    if m:
+        if m.group(2):
+            idx.discard((m.group(1), m.group(2).lower()))
+        else:
+            for k in [k for k in idx if k[0] == m.group(1)]:
+                idx.discard(k)
+        return
+    m = re.match(r"\s*DROP\s+TABLE\s+(\w+)\s*$", sql, re.IGNORECASE)
+    if m:
+        if m.group(1) not in layers:
+            raise ValueError(f"unknown layer {m.group(1)!r}")
+        del layers[m.group(1)]
+        return
+    m = re.match(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*$",
+        sql, re.IGNORECASE)
+    if m:
+        layers[m.group(1)] = layers[m.group(1)].withColumnRenamed(
+            m.group(2), m.group(3))
+        return
+    m = re.match(
+        r"\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+(\w+)\s*(?:\(\s*\d+\s*\))?\s*$",
+        sql, re.IGNORECASE)
+    if m:
+        ty = _ALTER_TYPES.get(m.group(3).lower(), m.group(3).lower())
+        layers[m.group(1)] = layers[m.group(1)].withColumn(
+            m.group(2), F.lit(None).cast(ty))
+        return
+    m = re.match(r"\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*$",
+                 sql, re.IGNORECASE)
+    if m:
+        layers[m.group(1)] = layers[m.group(1)].drop(m.group(2))
+        return
+    raise ValueError(f"unsupported DDL: {sql.strip()[:60]}")
+
+
+def _attach_special_fields(df: DataFrame, needed: set, geom_col: str):
+    """Materialize referenced special fields as columns so WHERE /
+    ORDER BY / SELECT see them uniformly.
+
+    FID is the feature's 0-based sequence number in the layer's
+    first-column order (our layers are frames without an engine FID;
+    a deterministic total order is required for the dialect's FID to
+    mean anything). The global row_number is a single-reducer sort —
+    fine for the dialect-parity path; at scale carry a real id column
+    instead."""
+    from pyspark.sql import Window
+
+    # a layer field with the same name wins over the special field —
+    # the declared schema is authoritative for our frame-backed layers
+    needed = {
+        n for n in needed
+        if n not in {c.upper() for c in df.columns}
+    }
+    out = df
+    if "FID" in needed:
+        out = out.withColumn(
+            "FID",
+            (F.row_number().over(Window.orderBy(df.columns[0])) - 1
+             ).cast("long"),
+        )
+    geom_needed = needed - {"FID", "OGR_STYLE"}
+    if geom_needed and geom_col not in df.columns:
+        raise ValueError(
+            f"special field(s) {sorted(geom_needed)} need geometry column "
+            f"{geom_col!r}")
+    if "OGR_GEOMETRY" in needed:
+        # the geometry type name, e.g. 'POLYGON' (ogr_sql_dialect.rst)
+        out = out.withColumn(
+            "OGR_GEOMETRY",
+            F.upper(F.regexp_extract(F.col(geom_col), r"^\s*([A-Za-z]+)", 1)),
+        )
+    if "OGR_GEOM_WKT" in needed:
+        out = out.withColumn("OGR_GEOM_WKT", F.col(geom_col))
+    if "OGR_GEOM_AREA" in needed:
+        from .functions import geometry as SG
+
+        out = out.withColumn("OGR_GEOM_AREA", SG.st_area(geom_col))
+    if "OGR_STYLE" in needed:
+        # our layers carry no style strings; the special field exists
+        # and is NULL, like a datasource without styles
+        out = out.withColumn("OGR_STYLE", F.lit(None).cast("string"))
+    return out
+
+
+def _rect_of(g) -> tuple | None:
+    """(x0, y0, x1, y1) when g is an axis-aligned rectangle ring —
+    the reference detects this to run a bbox-only filter
+    (generic/ogrlayer.cpp:1307-1343)."""
+    if g.kind != "polygon" or len(g.parts[0]) != 1:
+        return None
+    xs, ys = g.parts[0][0]
+    if len(xs) != 4:
+        return None
+    x0, x1 = float(min(xs)), float(max(xs))
+    y0, y1 = float(min(ys)), float(max(ys))
+    ok = all((x in (x0, x1)) for x in xs) and all((y in (y0, y1)) for y in ys)
+    return (x0, y0, x1, y1) if ok else None
+
+
+def _envelope_cols(geom_col: str):
+    """(xmin, ymin, xmax, ymax) Columns of a WKT geometry, computed
+    entirely JVM-side: pull every coordinate token, split even/odd."""
+    pairs = (
+        f"transform(regexp_extract_all({geom_col}, "
+        f"'-?[0-9]+\\\\.?[0-9]*(?:[eE][+-]?[0-9]+)?', 0), "
+        f"v -> cast(v as double))"
+    )
+    idx = f"transform({pairs}, (v, i) -> struct(v as v, i as i))"
+    xs = f"transform(filter({idx}, s -> s.i % 2 = 0), s -> s.v)"
+    ys = f"transform(filter({idx}, s -> s.i % 2 = 1), s -> s.v)"
+    return (F.expr(f"array_min({xs})"), F.expr(f"array_min({ys})"),
+            F.expr(f"array_max({xs})"), F.expr(f"array_max({ys})"))
+
+
+def _apply_spatial_filter(df: DataFrame, filter_wkt: str, geom_col: str):
+    """ExecuteSQL's poSpatialFilter argument (gdaldataset.cpp:6170;
+    filter semantics generic/ogrlayer.cpp:1357 FilterGeometry).
+
+    Rectangle filters run as a pure-Catalyst envelope-overlap test —
+    no Python in the plan. That matches the reference's rect fast path
+    (envelope detect generic/ogrlayer.cpp:1307-1343; bbox reject
+    :1377-1382), and the OGR spatial-filter contract explicitly allows
+    envelope-level evaluation ("the filtering ... may be approximate",
+    SetSpatialFilter docs); for POINT geometries it is exact.
+    Non-rectangular filters keep the bbox prefilter and add the exact
+    prepared-geometry intersects in an Arrow UDF — the reference's own
+    3-stage structure."""
+    from . import geometry as GM
+
+    g = GM.parse_wkt(filter_wkt)
+    fxs, fys = g.all_points()
+    fx0, fy0 = float(fxs.min()), float(fys.min())
+    fx1, fy1 = float(fxs.max()), float(fys.max())
+    xmin, ymin, xmax, ymax = _envelope_cols(geom_col)
+    bbox = (xmin <= fx1) & (xmax >= fx0) & (ymin <= fy1) & (ymax >= fy0)
+    if _rect_of(g) is not None:
+        return df.filter(bbox)
+    from .functions import geometry as SG
+
+    return df.filter(
+        bbox & SG.st_intersects(F.col(geom_col), F.lit(filter_wkt))
+    )
+
+
 def execute_ogr_sql(spark: SparkSession, sql: str,
-                    layers: dict[str, DataFrame]) -> DataFrame:
-    """Run an OGR SQL dialect string over named layers. Supports
+                    layers: dict[str, DataFrame],
+                    spatial_filter: str | None = None,
+                    geom_col: str = "geom") -> DataFrame | None:
+    """Run an OGR SQL dialect string over named layers — the analog of
+    GDALDataset::ExecuteSQL (gdaldataset.cpp:6170). Supports
     `select UNION ALL select ...` (swq_parser.y:652-667), combining
-    by column name like OGRUnionLayer."""
+    by column name like OGRUnionLayer; DDL fast paths (CREATE/DROP
+    INDEX, DROP TABLE, ALTER TABLE — return None, like the
+    reference's nullptr result layer); special fields FID /
+    OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA / OGR_STYLE; and an
+    optional spatial_filter WKT applied to the base layer before the
+    WHERE clause (InstallFilter semantics)."""
+    if _DDL_RE.match(sql):
+        _exec_ddl(sql, layers)
+        return None
     p = _P(_tokenize(sql))
-    df = _exec_select(p, spark, layers)
+    df = _exec_select(p, spark, layers, spatial_filter, geom_col)
     while p.accept("kw", "UNION"):
         p.expect("kw", "ALL")
-        df = df.unionByName(_exec_select(p, spark, layers))
+        df = df.unionByName(_exec_select(p, spark, layers,
+                                         spatial_filter, geom_col))
     p.expect("end")
     return df
 
 
 def _exec_select(p: _P, spark: SparkSession,
-                 layers: dict[str, DataFrame]) -> DataFrame:
+                 layers: dict[str, DataFrame],
+                 spatial_filter: str | None = None,
+                 geom_col: str = "geom") -> DataFrame:
     p.expect("kw", "SELECT")
     distinct = p.accept("kw", "DISTINCT") is not None
 
@@ -385,6 +589,15 @@ def _exec_select(p: _P, spark: SparkSession,
         right = right.withColumnRenamed(rf, lf) if rf != lf else right
         ordcol = next((c for c in right.columns if c != lf), right.columns[0])
         df = Q.first_match_left_join(df, right, lf, right_order=ordcol)
+
+    specials = {
+        v.upper() for k, v in p.toks
+        if k == "id" and v.upper() in _SPECIAL_FIELDS
+    } - {c.upper() for c in df.columns}
+    if specials:
+        df = _attach_special_fields(df, specials, geom_col)
+    if spatial_filter is not None:
+        df = _apply_spatial_filter(df, spatial_filter, geom_col)
 
     if p.accept("kw", "WHERE"):
         df = df.filter(_parse_or(p))
@@ -440,4 +653,7 @@ def _exec_select(p: _P, spark: SparkSession,
         df = df.offset(offset)
     if limit is not None:
         df = df.limit(limit)
+    if star_only and specials:
+        # `SELECT *` never expands special fields (ogr_sql_dialect.rst)
+        df = df.drop(*[c for c in df.columns if c.upper() in specials])
     return df

@@ -1,0 +1,130 @@
+"""Round-3 SQL-surface additions: OGR SQL special fields, DDL fast
+paths, the ExecuteSQL spatial-filter argument, the registered ST_*
+SQL function suite, ogr_deflate/ogr_inflate, forceTo* conversions,
+and EMPTY-geometry handling."""
+
+import pandas as pd
+import pytest
+
+from gdal_spark import geometry as GM
+from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+
+# ------------------------------------------------------- pure-python layer
+def test_force_multipoint_and_empty():
+    g = GM.force_multipoint(GM.parse_wkt("POINT(5 6)"))
+    assert g.kind == "multipoint"
+    assert GM.to_wkt(g, 0) == "MULTIPOINT(5 6)"
+    e = GM.parse_wkt("POLYGON EMPTY")
+    assert e.area() == 0.0
+    assert GM.to_wkt(e) == "POLYGON EMPTY"
+    assert not GM.intersects(GM.parse_wkt("POLYGON((0 0,1 0,1 1,0 1))"), e)
+
+
+def test_force_multilinestring_rings():
+    g = GM.parse_wkt("POLYGON((0 0, 4 0, 4 4, 0 4), (1 1, 2 1, 2 2, 1 2))")
+    ml = GM.force_multilinestring(g)
+    assert ml.kind == "multilinestring" and len(ml.parts) == 2
+    # members are closed rings
+    xs, ys = ml.parts[0]
+    assert xs[0] == xs[-1] and ys[0] == ys[-1]
+
+
+def test_force_linestring_chains():
+    m = GM.parse_wkt("MULTILINESTRING((0 0, 1 1), (1 1, 2 0), (5 5, 6 6))")
+    out = GM.force_linestring(m)
+    assert out.kind == "multilinestring" and len(out.parts) == 2
+    # reversed-orientation chains also merge
+    m2 = GM.parse_wkt("MULTILINESTRING((0 0, 1 1), (2 0, 1 1))")
+    assert GM.to_wkt(GM.force_linestring(m2), 0) == "LINESTRING(0 0, 1 1, 2 0)"
+
+
+# ------------------------------------------------------------ textual SQL
+@pytest.fixture()
+def pt_layers(spark):
+    rows = [(i, f"n{i}", f"POINT({i % 10} {i // 10})") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, name string, geom string")
+    return {"pts": df}
+
+
+def test_special_fields(spark, pt_layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT FID, id, OGR_GEOMETRY, OGR_GEOM_AREA, OGR_STYLE "
+        "FROM pts WHERE FID < 3 ORDER BY FID",
+        pt_layers,
+    ).collect()
+    assert [r["FID"] for r in out] == [0, 1, 2]
+    assert out[0]["OGR_GEOMETRY"] == "POINT"
+    assert out[0]["OGR_GEOM_AREA"] == 0.0
+    assert out[0]["OGR_STYLE"] is None
+
+
+def test_star_select_hides_special_fields(spark, pt_layers):
+    out = execute_ogr_sql(
+        spark, "SELECT * FROM pts WHERE FID < 3", pt_layers
+    )
+    assert out.columns == ["id", "name", "geom"]
+    assert out.count() == 3
+
+
+def test_ddl_sequence(spark, pt_layers):
+    assert execute_ogr_sql(
+        spark, "CREATE INDEX ON pts USING name", pt_layers) is None
+    assert ("pts", "name") in pt_layers["__indexes__"]
+    execute_ogr_sql(spark, "ALTER TABLE pts RENAME COLUMN name TO label",
+                    pt_layers)
+    execute_ogr_sql(spark, "ALTER TABLE pts ADD COLUMN score float",
+                    pt_layers)
+    assert dict(pt_layers["pts"].dtypes)["score"] == "double"
+    execute_ogr_sql(spark, "ALTER TABLE pts DROP COLUMN score", pt_layers)
+    execute_ogr_sql(spark, "DROP INDEX ON pts", pt_layers)
+    assert not pt_layers["__indexes__"]
+    execute_ogr_sql(spark, "DROP TABLE pts", pt_layers)
+    assert "pts" not in pt_layers
+
+
+def test_spatial_filter_rect_is_codegen_only(spark, pt_layers):
+    out = execute_ogr_sql(
+        spark,
+        "SELECT id FROM pts",
+        pt_layers,
+        spatial_filter="POLYGON((0 0, 5 0, 5 1, 0 1, 0 0))",
+    )
+    # x in [0,5], y in [0,1] inclusive: ids 0-5, 10-15
+    assert sorted(r["id"] for r in out.collect()) == [
+        0, 1, 2, 3, 4, 5, 10, 11, 12, 13, 14, 15]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # rect path stays JVM-side
+
+
+def test_spatial_filter_general_polygon(spark, pt_layers):
+    # triangle filter -> bbox prefilter + exact UDF stage
+    out = execute_ogr_sql(
+        spark,
+        "SELECT id FROM pts",
+        pt_layers,
+        spatial_filter="POLYGON((0 0, 4 0, 0 2, 0 0))",
+    )
+    ids = sorted(r["id"] for r in out.collect())
+    assert 0 in ids and 3 in ids
+    assert 9 not in ids
+
+
+# ----------------------------------------------------- SQL function suite
+def test_register_sql_functions_and_codec(spark):
+    from gdal_spark.functions.sqlfuncs import register_sql_functions
+
+    names = register_sql_functions(spark)
+    assert "ST_Area" in names and "ogr_deflate" in names
+    spark.createDataFrame(
+        pd.DataFrame({"w": ["POLYGON((0 0, 3 0, 3 3, 0 3, 0 0))"],
+                      "t": ["abcabcabc" * 30]})
+    ).createOrReplaceTempView("t_sqlfuncs")
+    row = spark.sql(
+        "SELECT ST_Area(w) AS a, "
+        "CAST(ogr_inflate(ogr_deflate(t)) AS STRING) = t AS rt, "
+        "length(ogr_deflate(t)) < length(t) AS smaller "
+        "FROM t_sqlfuncs"
+    ).collect()[0]
+    assert row["a"] == 9.0 and row["rt"] and row["smaller"]
