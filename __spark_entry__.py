@@ -1220,6 +1220,31 @@ def _q_st_sql_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gdal2xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2xyz (osgeo_utils/gdal2xyz.py): decimated pixel dump with
+    global pixel coords and pixel-center georeferencing — map-only
+    over the tile table, decimation phased on global coords so the
+    grid is tile-boundary-consistent."""
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    out = RST.to_xyz(tiles, step=64)
+    return out.select(
+        "px", "py",
+        F.round("gx", 4).alias("gx"), F.round("gy", 4).alias("gy"),
+        "value",
+    )
+
+
+def _q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scoring of the corpus against a fixed term set
+    (functions/text.py bm25_scores): one constant-size stats
+    aggregate + a map-only scoring pass, all JVM."""
+    from gdal_spark.functions.text import bm25_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["spark", "query", "merge"])
+    return out.select("doc_id", "doc_len", F.round("bm25", 4).alias("bm25"))
+
+
 def _q_ogr_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr_deflate / ogr_inflate (ogrsqlitesqlfunctions.cpp:1114-1182,
     zlib like the reference's CPLZLib wrappers): lossless roundtrip
@@ -2196,6 +2221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_force": _q_geometry_force,
         "st_sql_funcs": _q_st_sql_funcs,
         "ogr_codec": _q_ogr_codec,
+        "gdal2xyz": _q_gdal2xyz,
+        "bm25_rank": _q_bm25_rank,
         "tile_index": _q_tile_index,
         "reproject_3857": _q_reproject_3857,
         "utm_transform": _q_utm,
@@ -3349,6 +3376,109 @@ def _oracle_sql_static() -> dict[str, str]:
                    TRUE AS ia_ok,
                    (doc_id % 2 = 0) AS b_in_a
             FROM b
+        """,
+
+        "gdal2xyz": """
+            SELECT * FROM (VALUES (0, 0, -20037489.2335, -20027743.5124, 37.0),
+              (64, 0, -20035043.2486, -20027743.5124, 229.0),
+              (128, 0, -20032597.2637, -20027743.5124, 170.0),
+              (192, 0, -20030151.2788, -20027743.5124, 111.0),
+              (256, 0, -20027705.2939, -20027743.5124, 231.0),
+              (320, 0, -20025259.309, -20027743.5124, 172.0),
+              (384, 0, -20022813.3241, -20027743.5124, 113.0),
+              (448, 0, -20020367.3392, -20027743.5124, 54.0),
+              (0, 64, -20037489.2335, -20030189.4973, 106.0),
+              (64, 64, -20035043.2486, -20030189.4973, 47.0),
+              (128, 64, -20032597.2637, -20030189.4973, 239.0),
+              (192, 64, -20030151.2788, -20030189.4973, 180.0),
+              (256, 64, -20027705.2939, -20030189.4973, 49.0),
+              (320, 64, -20025259.309, -20030189.4973, 241.0),
+              (384, 64, -20022813.3241, -20030189.4973, 182.0),
+              (448, 64, -20020367.3392, -20030189.4973, 123.0),
+              (0, 128, -20037489.2335, -20032635.4822, 175.0),
+              (64, 128, -20035043.2486, -20032635.4822, 116.0),
+              (128, 128, -20032597.2637, -20032635.4822, 57.0),
+              (192, 128, -20030151.2788, -20032635.4822, 249.0),
+              (256, 128, -20027705.2939, -20032635.4822, 118.0),
+              (320, 128, -20025259.309, -20032635.4822, 59.0),
+              (384, 128, -20022813.3241, -20032635.4822, 251.0),
+              (448, 128, -20020367.3392, -20032635.4822, 192.0),
+              (0, 192, -20037489.2335, -20035081.4671, 244.0),
+              (64, 192, -20035043.2486, -20035081.4671, 185.0),
+              (128, 192, -20032597.2637, -20035081.4671, 126.0),
+              (192, 192, -20030151.2788, -20035081.4671, 67.0),
+              (256, 192, -20027705.2939, -20035081.4671, 187.0),
+              (320, 192, -20025259.309, -20035081.4671, 128.0),
+              (384, 192, -20022813.3241, -20035081.4671, 69.0),
+              (448, 192, -20020367.3392, -20035081.4671, 10.0),
+              (0, 256, -20037489.2335, -20017959.5728, 157.0),
+              (64, 256, -20035043.2486, -20017959.5728, 98.0),
+              (128, 256, -20032597.2637, -20017959.5728, 39.0),
+              (192, 256, -20030151.2788, -20017959.5728, 231.0),
+              (256, 256, -20027705.2939, -20017959.5728, 165.0),
+              (320, 256, -20025259.309, -20017959.5728, 106.0),
+              (384, 256, -20022813.3241, -20017959.5728, 47.0),
+              (448, 256, -20020367.3392, -20017959.5728, 239.0),
+              (0, 320, -20037489.2335, -20020405.5577, 226.0),
+              (64, 320, -20035043.2486, -20020405.5577, 167.0),
+              (128, 320, -20032597.2637, -20020405.5577, 108.0),
+              (192, 320, -20030151.2788, -20020405.5577, 49.0),
+              (256, 320, -20027705.2939, -20020405.5577, 234.0),
+              (320, 320, -20025259.309, -20020405.5577, 175.0),
+              (384, 320, -20022813.3241, -20020405.5577, 116.0),
+              (448, 320, -20020367.3392, -20020405.5577, 57.0),
+              (0, 384, -20037489.2335, -20022851.5426, 44.0),
+              (64, 384, -20035043.2486, -20022851.5426, 236.0),
+              (128, 384, -20032597.2637, -20022851.5426, 177.0),
+              (192, 384, -20030151.2788, -20022851.5426, 118.0),
+              (256, 384, -20027705.2939, -20022851.5426, 52.0),
+              (320, 384, -20025259.309, -20022851.5426, 244.0),
+              (384, 384, -20022813.3241, -20022851.5426, 185.0),
+              (448, 384, -20020367.3392, -20022851.5426, 126.0),
+              (0, 448, -20037489.2335, -20025297.5275, 113.0),
+              (64, 448, -20035043.2486, -20025297.5275, 54.0),
+              (128, 448, -20032597.2637, -20025297.5275, 246.0),
+              (192, 448, -20030151.2788, -20025297.5275, 187.0),
+              (256, 448, -20027705.2939, -20025297.5275, 121.0),
+              (320, 448, -20025259.309, -20025297.5275, 62.0),
+              (384, 448, -20022813.3241, -20025297.5275, 254.0),
+              (448, 448, -20020367.3392, -20025297.5275, 195.0))
+            AS t(px, py, gx, gy, value)
+        """,
+        "bm25_rank": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ), d AS (
+              SELECT doc_id, toks, len(toks) AS dl FROM tk
+            ), st AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+                     CAST(SUM(CASE WHEN list_contains(toks, 'spark')
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                     CAST(SUM(CASE WHEN list_contains(toks, 'query')
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                     CAST(SUM(CASE WHEN list_contains(toks, 'merge')
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+              FROM d
+            ), w AS (
+              SELECT doc_id, dl,
+                     CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+                     CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf1,
+                     CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf2
+              FROM d
+            )
+            SELECT doc_id, dl AS doc_len,
+                   ROUND(
+                     LN(1 + (n - df0 + 0.5) / (df0 + 0.5))
+                       * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                   + LN(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                       * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                   + LN(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                       * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                   , 4) AS bm25
+            FROM w, st
         """,
         "ogr_codec": """
             SELECT doc_id, LENGTH(text) AS n, TRUE AS roundtrip,

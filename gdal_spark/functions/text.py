@@ -23,6 +23,8 @@ Operators:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -557,3 +559,47 @@ def chunk_documents(
         id_col, "chunk_idx", F.col("c.start_tok").alias("start_tok"),
         F.col("c.chunk").alias("chunk"),
     )
+
+
+def bm25_scores(
+    df: DataFrame, terms: list[str], text_col: str = "text",
+    id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term
+    set (Robertson/Sparck Jones; the retrieval-side scorer a
+    training-data pipeline uses for quality/topic filtering).
+
+    Two passes, both JVM-side: (1) one tiny aggregate for corpus
+    stats (N, avgdl, per-term document frequency) collected to
+    scalars — constant-size regardless of corpus size; (2) a map-only
+    scoring pass with the stats folded in as literals. No shuffle of
+    document data, no Python, whole-stage codegen throughout.
+
+    Tokenization: lowercase, split on non-alphanumeric runs —
+    identical closed form in SQL (the oracle restates it with
+    string_split_regex/list_filter)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    d = df.select(F.col(id_col), toks.alias("toks"),
+                  F.size(toks).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    n, avgdl = float(stats["n"]), float(stats["avgdl"])
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        dft = float(stats[f"df{i}"])
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        tf = F.size(F.filter("toks", lambda x: x == F.lit(t))).cast("double")
+        score = score + F.lit(idf) * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+        )
+    return d.select(id_col, F.col("dl").alias("doc_len"),
+                    score.alias("bm25"))

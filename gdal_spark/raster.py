@@ -1613,3 +1613,72 @@ def hillshade_multidirectional(tiles: DataFrame, res: float,
         return 1.0 + 254.0 * np.maximum(blend, 0.0)
 
     return _focal(tiles, kern, "uint8", dst_raster_id, res)
+
+
+# ---------------------------------------------------------------- gdal2xyz
+_XYZ_SCHEMA = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("px", T.LongType()),
+        T.StructField("py", T.LongType()),
+        T.StructField("gx", T.DoubleType()),
+        T.StructField("gy", T.DoubleType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def to_xyz(tiles: DataFrame, step: int = 1,
+           skip_nodata: bool = False) -> DataFrame:
+    """gdal2xyz (osgeo_utils/gdal2xyz.py): dump pixels as rows —
+    (global pixel x/y, georeferenced center x/y via the tile's
+    geotransform, value). `step` decimates like -skip; skip_nodata
+    like -skipnodata. Map-only: each tile emits its own rows from one
+    Arrow batch, so the dump parallelizes with the tile table and
+    nothing shuffles."""
+
+    def emit(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width)
+                gt = list(r.geotransform)
+                x0, y0 = r.tile_x * r.width, r.tile_y * r.height
+                # phase the decimation on GLOBAL pixel coords so the
+                # grid is consistent across tiles
+                lx = np.arange(r.width)[(x0 + np.arange(r.width)) % step == 0]
+                ly = np.arange(r.height)[(y0 + np.arange(r.height)) % step == 0]
+                if not len(lx) or not len(ly):
+                    continue
+                yy, xx = np.meshgrid(ly, lx, indexing="ij")
+                vals = arr[yy, xx].astype(np.float64).ravel()
+                px = (x0 + xx).ravel()
+                py = (y0 + yy).ravel()
+                if skip_nodata and r.nodata is not None:
+                    keep = vals != r.nodata
+                    px, py, vals = px[keep], py[keep], vals[keep]
+                # pixel-center georeferencing, like gdal2xyz
+                gx = gt[0] + (xx.ravel() + 0.5) * gt[1] + (yy.ravel() + 0.5) * gt[2]
+                gy = gt[3] + (xx.ravel() + 0.5) * gt[4] + (yy.ravel() + 0.5) * gt[5]
+                if skip_nodata and r.nodata is not None:
+                    gx, gy = gx[keep], gy[keep]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "raster_id": r.raster_id, "band": r.band,
+                            "px": px, "py": py, "gx": gx, "gy": gy,
+                            "value": vals,
+                        }
+                    )
+                )
+            yield (
+                pd.concat(out)
+                if out
+                else pd.DataFrame(
+                    {f.name: pd.Series(dtype="object")
+                     for f in _XYZ_SCHEMA.fields}
+                )
+            )
+
+    return tiles.mapInPandas(emit, schema=_XYZ_SCHEMA)

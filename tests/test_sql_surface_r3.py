@@ -128,3 +128,59 @@ def test_register_sql_functions_and_codec(spark):
         "FROM t_sqlfuncs"
     ).collect()[0]
     assert row["a"] == 9.0 and row["rt"] and row["smaller"]
+
+
+# ------------------------------------------------- gdal2xyz / bm25 (r3b)
+def test_to_xyz_values_and_decimation(spark):
+    from gdal_spark import raster as RST
+    from gdal_spark import synth
+
+    tiles = synth.tiles_src_df(spark, 2, 1)
+    out = RST.to_xyz(tiles, step=128).collect()
+    # global grid 512x256 / 128 -> 4 x 2 rows
+    assert len(out) == 8
+    import numpy as np
+    arr0 = synth.tile_pixels_np(0, 0)
+    r = next(r for r in out if r.px == 128 and r.py == 128)
+    assert r.value == float(arr0[128, 128])
+    # cross-tile phase: px=384 lives in tile 1 at local x=128
+    arr1 = synth.tile_pixels_np(1, 0)
+    r2 = next(r for r in out if r.px == 384 and r.py == 0)
+    assert r2.value == float(arr1[0, 128])
+
+
+def test_to_xyz_skip_nodata(spark):
+    from gdal_spark import raster as RST
+    from gdal_spark import synth
+
+    tiles = synth.tiles_src_df(spark, 1, 1)
+    n_all = RST.to_xyz(tiles).count()
+    # synth pixels never equal nodata=0, so counts match
+    assert n_all == 256 * 256
+    assert RST.to_xyz(tiles, skip_nodata=True).count() == n_all
+
+
+def test_bm25_scores_basics(spark):
+    import pandas as pd
+
+    from gdal_spark.functions.text import bm25_scores
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "spark spark query engine",
+                    "query planner only",
+                    "nothing relevant here",
+                ],
+            }
+        )
+    )
+    out = {r.doc_id: r.bm25 for r in
+           bm25_scores(df, ["spark", "query"]).collect()}
+    assert out[1] > out[2] > out[3] == 0.0
+    # stats pass + scoring pass stay Python-free (JVM expressions only)
+    plan = bm25_scores(df, ["spark"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan
