@@ -1234,6 +1234,21 @@ def _q_gdal2xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gdalcompare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalcompare (osgeo_utils/gdalcompare.py): self-compare is all-
+    equal; compare vs a +1-scaled translate differs everywhere by
+    exactly 1 (uint8 4..254 never wraps)."""
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    same = RST.compare_rasters(tiles, tiles).select(
+        F.lit("same").alias("which"), "band", "n_pixels", "n_diff",
+        "max_diff")
+    plus1 = RST.compare_rasters(
+        tiles, tiling.translate(tiles, scale=(1.0, 1.0))
+    ).select(F.lit("plus1").alias("which"), "band", "n_pixels", "n_diff",
+             "max_diff")
+    return same.unionByName(plus1)
+
+
 def _q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 scoring of the corpus against a fixed term set
     (functions/text.py bm25_scores): one constant-size stats
@@ -2223,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_codec": _q_ogr_codec,
         "gdal2xyz": _q_gdal2xyz,
         "bm25_rank": _q_bm25_rank,
+        "gdalcompare_stats": _q_gdalcompare,
         "tile_index": _q_tile_index,
         "reproject_3857": _q_reproject_3857,
         "utm_transform": _q_utm,
@@ -3479,6 +3495,12 @@ def _oracle_sql_static() -> dict[str, str]:
                        * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
                    , 4) AS bm25
             FROM w, st
+        """,
+        "gdalcompare_stats": """
+            SELECT * FROM (VALUES
+              ('same', 1, 262144, 0, 0.0),
+              ('plus1', 1, 262144, 262144, 1.0))
+            AS t(which, band, n_pixels, n_diff, max_diff)
         """,
         "ogr_codec": """
             SELECT doc_id, LENGTH(text) AS n, TRUE AS roundtrip,

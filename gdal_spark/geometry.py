@@ -358,12 +358,14 @@ def to_wkt(g: Geom, prec: int = 7) -> str:
 
 
 # ------------------------------------------------------------------- WKB
-_WKB_POINT, _WKB_LINESTRING, _WKB_POLYGON, _WKB_MULTIPOLYGON = 1, 2, 3, 6
+_WKB_POINT, _WKB_LINESTRING, _WKB_POLYGON = 1, 2, 3
+_WKB_MULTIPOINT, _WKB_MULTILINESTRING, _WKB_MULTIPOLYGON = 4, 5, 6
 
 
 def parse_wkb(buf: bytes) -> Geom:
     """createFromWkb (ogrgeometryfactory.cpp:106): either byte order;
-    Point / LineString / Polygon / MultiPolygon, 2-D."""
+    Point / MultiPoint / LineString / MultiLineString / Polygon /
+    MultiPolygon, 2-D."""
     pos = [0]
 
     def take(fmt, bo):
@@ -398,6 +400,20 @@ def parse_wkb(buf: bytes) -> Geom:
         if gtype == _WKB_POLYGON:
             (nr,) = take("I", bo)
             return Geom("polygon", [[ring(bo) for _ in range(nr)]])
+        if gtype == _WKB_MULTIPOINT:
+            (np_,) = take("I", bo)
+            pts = [one() for _ in range(np_)]
+            return Geom(
+                "multipoint",
+                [(np.concatenate([p.parts[0][0] for p in pts]),
+                  np.concatenate([p.parts[0][1] for p in pts]))]
+                if pts else [],
+            )
+        if gtype == _WKB_MULTILINESTRING:
+            (np_,) = take("I", bo)
+            return Geom(
+                "multilinestring", [one().parts[0] for _ in range(np_)]
+            )
         if gtype == _WKB_MULTIPOLYGON:
             (np_,) = take("I", bo)
             polys = []
@@ -427,6 +443,19 @@ def to_wkb(g: Geom) -> bytes:
         out = struct.pack("<BII", 1, _WKB_LINESTRING, len(xs))
         for x, y in zip(xs, ys):
             out += struct.pack("<2d", x, y)
+        return out
+    if g.kind == "multipoint":
+        xs, ys = g.parts[0]
+        out = struct.pack("<BII", 1, _WKB_MULTIPOINT, len(xs))
+        for x, y in zip(xs, ys):
+            out += struct.pack("<BI2d", 1, _WKB_POINT, x, y)
+        return out
+    if g.kind == "multilinestring":
+        out = struct.pack("<BII", 1, _WKB_MULTILINESTRING, len(g.parts))
+        for xs, ys in g.parts:
+            out += struct.pack("<BII", 1, _WKB_LINESTRING, len(xs))
+            for x, y in zip(xs, ys):
+                out += struct.pack("<2d", x, y)
         return out
     if g.kind == "polygon":
         out = struct.pack("<BII", 1, _WKB_POLYGON, len(g.parts[0]))

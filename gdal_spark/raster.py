@@ -1682,3 +1682,62 @@ def to_xyz(tiles: DataFrame, step: int = 1,
             )
 
     return tiles.mapInPandas(emit, schema=_XYZ_SCHEMA)
+
+
+# ------------------------------------------------------------- gdalcompare
+_CMP_PARTIAL = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_diff", T.LongType()),
+        T.StructField("max_diff", T.DoubleType()),
+    ]
+)
+
+
+def compare_rasters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """gdalcompare (osgeo_utils/gdalcompare.py): pixel-level diff of
+    two rasters sharing a tile grid — per band: pixel count, count of
+    differing pixels, max absolute difference. Tiles join on their
+    grid key (co-partitioned equi-join; with a bucketed tile layout
+    this is shuffle-free), each pair diffs in one Arrow batch, then a
+    tiny per-band aggregate. Tiles present in only one input are not
+    compared (the reference reports structural mismatches separately
+    before diffing pixels)."""
+    key = ["band", "zoom", "tile_x", "tile_y"]
+    j = a.select(
+        *key, "width", "height", "dtype", F.col("data").alias("data_a")
+    ).join(
+        b.select(
+            *key,
+            F.col("dtype").alias("dtype_b"),
+            F.col("data").alias("data_b"),
+        ),
+        key,
+    )
+
+    def part(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                va = _decode(r.data_a, r.dtype, r.height, r.width).astype(
+                    np.float64)
+                vb = _decode(r.data_b, r.dtype_b, r.height, r.width).astype(
+                    np.float64)
+                d = np.abs(va - vb)
+                rows.append(
+                    {
+                        "band": r.band, "n": int(d.size),
+                        "n_diff": int((d != 0).sum()),
+                        "max_diff": float(d.max()) if d.size else 0.0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _CMP_PARTIAL.fields])
+
+    p = j.mapInPandas(part, schema=_CMP_PARTIAL)
+    return p.groupBy("band").agg(
+        F.sum("n").alias("n_pixels"),
+        F.sum("n_diff").alias("n_diff"),
+        F.max("max_diff").alias("max_diff"),
+    )

@@ -184,3 +184,23 @@ def test_bm25_scores_basics(spark):
     plan = bm25_scores(df, ["spark"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_wkb_multi_roundtrip():
+    for w in ["MULTIPOINT(1 2, 3 4)",
+              "MULTILINESTRING((0 0, 1 1), (2 2, 3 3, 4 4))"]:
+        g = GM.parse_wkt(w)
+        g2 = GM.parse_wkb(GM.to_wkb(g))
+        assert GM.to_wkt(g2, 0) == w.replace(", (", ", (")
+
+
+def test_compare_rasters(spark):
+    from gdal_spark import raster as RST
+    from gdal_spark import synth, tiling
+
+    tiles = synth.tiles_src_df(spark, 2, 1)
+    same = RST.compare_rasters(tiles, tiles).collect()[0]
+    assert (same.n_pixels, same.n_diff, same.max_diff) == (131072, 0, 0.0)
+    shifted = tiling.translate(tiles, scale=(1.0, 2.0))
+    diff = RST.compare_rasters(tiles, shifted).collect()[0]
+    assert (diff.n_diff, diff.max_diff) == (131072, 2.0)
