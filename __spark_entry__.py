@@ -1234,6 +1234,45 @@ def _q_gdal2xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sqlite_dialect_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite-dialect entry point (execute_sqlite_sql): GROUP BY +
+    window functions + geometry SQL in one statement — capabilities
+    the OGR dialect lacks and the reference reaches via SQLite
+    (sql_sqlite_dialect.rst:52)."""
+    from gdal_spark.ogr_sql_exec import execute_sqlite_sql
+
+    lay = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 400
+    ).select("doc_id", "lang", _sq_wkt().alias("geom"))
+    return execute_sqlite_sql(
+        spark,
+        "SELECT lang, COUNT(*) AS n, ROUND(SUM(ST_Area(geom)), 3) AS area_sum, "
+        "RANK() OVER (ORDER BY COUNT(*) DESC, lang) AS rnk "
+        "FROM sq_docs GROUP BY lang",
+        {"sq_docs": lay},
+    )
+
+
+def _q_hstore_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hstore_get_value through the TEXTUAL dialect path
+    (ogr_sql_dialect.rst:170-175), literal-string key."""
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.format_string(
+            '"name"=>"%s", "rk"=>"%s"', F.col("n_name"), F.col("n_regionkey")
+        ).alias("hs"),
+    )
+    return execute_ogr_sql(
+        spark,
+        "SELECT n_nationkey, HSTORE_GET_VALUE(hs, 'name') AS name_val, "
+        "HSTORE_GET_VALUE(hs, 'missing') AS missing_val "
+        "FROM nation ORDER BY n_nationkey",
+        {"nation": nation},
+    )
+
+
 def _q_gdalcompare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalcompare (osgeo_utils/gdalcompare.py): self-compare is all-
     equal; compare vs a +1-scaled translate differs everywhere by
@@ -2239,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdal2xyz": _q_gdal2xyz,
         "bm25_rank": _q_bm25_rank,
         "gdalcompare_stats": _q_gdalcompare,
+        "sqlite_dialect_exec": _q_sqlite_dialect_exec,
+        "hstore_text": _q_hstore_text,
         "tile_index": _q_tile_index,
         "reproject_3857": _q_reproject_3857,
         "utm_transform": _q_utm,
@@ -3513,6 +3554,26 @@ def _oracle_sql_static() -> dict[str, str]:
                    COUNT(DISTINCT o.o_custkey) AS custs
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY l.l_returnflag
+        """,
+        "sqlite_dialect_exec": f"""
+            WITH sq AS (
+              SELECT lang,
+                     (({_LON} + {_HALF}) - ({_LON} - {_HALF}))
+                       * (({_LAT} + {_HALF}) - ({_LAT} - {_HALF})) AS area
+              FROM documents WHERE doc_id < 400
+            ), g AS (
+              SELECT lang, COUNT(*) AS n,
+                     ROUND(SUM(area), 3) AS area_sum
+              FROM sq GROUP BY lang
+            )
+            SELECT lang, n, area_sum,
+                   RANK() OVER (ORDER BY n DESC, lang) AS rnk
+            FROM g
+        """,
+        "hstore_text": """
+            SELECT n_nationkey, n_name AS name_val,
+                   CAST(NULL AS VARCHAR) AS missing_val
+            FROM nation ORDER BY n_nationkey
         """,
         # tile_index: expected envelope is a closed-form fixture (synth
         # geotransforms, 3x2 tiles of 256px at zoom-12 resolution)

@@ -191,7 +191,14 @@ def _parse_primary(p: _P):
             if fname == "LENGTH":
                 return F.length(args[0])
             if fname == "HSTORE_GET_VALUE":
-                raise ValueError("hstore_get_value needs a literal key")
+                # the key must be a string literal (the reference
+                # evaluates it per row, but a literal is the only
+                # form its docs show — ogr_sql_dialect.rst:170-175)
+                k, v2 = p.toks[p.i - 2]
+                if k != "str" or len(args) != 2:
+                    raise ValueError(
+                        "hstore_get_value needs a literal string key")
+                return Q.hstore_get_value(args[0], v2)
             raise ValueError(f"OGR SQL: unknown function {fname}")
         return _col(v)
     raise ValueError(f"OGR SQL: unexpected token {p.peek()!r}")
@@ -535,6 +542,26 @@ def execute_ogr_sql(spark: SparkSession, sql: str,
                                          spatial_filter, geom_col))
     p.expect("end")
     return df
+
+
+def execute_sqlite_sql(spark: SparkSession, sql: str,
+                       layers: dict[str, DataFrame]) -> DataFrame:
+    """The SQLite-dialect entry point (gdaldataset.cpp:6176-6187 hands
+    the whole statement to SQLite with layers exposed as virtual
+    tables — ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql.cpp; pushdown
+    hooks ogrsqlitevirtualogr.cpp:756 BestIndex, :995 Filter). Here
+    the full secondary engine is Spark SQL itself: layers register as
+    temp views (Catalyst does the predicate/column pushdown those
+    hooks exist for), and the ST_* / ogr_deflate suite is registered
+    so SQLite-dialect statements — joins, GROUP BY, window functions,
+    geometry SQL — run unchanged."""
+    from .functions.sqlfuncs import register_sql_functions
+
+    register_sql_functions(spark)
+    for name, df in layers.items():
+        if name != "__indexes__":
+            df.createOrReplaceTempView(name)
+    return spark.sql(sql)
 
 
 def _exec_select(p: _P, spark: SparkSession,

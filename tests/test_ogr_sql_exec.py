@@ -129,3 +129,54 @@ def test_modulo_and_cast_geometry(spark, layers):
         "POLYGON((0.0000000 0.0000000, 5.0000000 0.0000000, "
         "5.0000000 5.0000000, 0.0000000 5.0000000, 0.0000000 0.0000000))"
     )
+
+
+def test_hstore_get_value_textual(spark):
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    hs = spark.createDataFrame(
+        [(1, '"name"=>"alpha", "rk"=>"3"'), (2, '"name"=>"beta"')],
+        ["fid", "hs"],
+    )
+    out = execute_ogr_sql(
+        spark,
+        "SELECT fid, HSTORE_GET_VALUE(hs, 'name') AS nm, "
+        "HSTORE_GET_VALUE(hs, 'rk') AS rk FROM h ORDER BY fid",
+        {"h": hs},
+    ).collect()
+    assert [(r["nm"], r["rk"]) for r in out] == [("alpha", "3"), ("beta", None)]
+
+
+def test_hstore_nonliteral_key_rejected(spark):
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    hs = spark.createDataFrame([(1, '"a"=>"b"')], ["fid", "hs"])
+    with pytest.raises(ValueError):
+        execute_ogr_sql(
+            spark, "SELECT HSTORE_GET_VALUE(hs, fid) AS v FROM h", {"h": hs}
+        )
+
+
+def test_execute_sqlite_sql_windows_and_st(spark):
+    """The SQLite-dialect path: GROUP BY + window + ST_Area in one
+    statement (capabilities the OGR dialect lacks)."""
+    from gdal_spark.ogr_sql_exec import execute_sqlite_sql
+
+    g = spark.createDataFrame(
+        [
+            ("a", "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            ("a", "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"),
+            ("b", "POLYGON((0 0, 3 0, 3 3, 0 3, 0 0))"),
+        ],
+        ["grp", "geom"],
+    )
+    out = execute_sqlite_sql(
+        spark,
+        "SELECT grp, COUNT(*) AS n, SUM(ST_Area(geom)) AS a, "
+        "RANK() OVER (ORDER BY COUNT(*) DESC, grp) AS rnk "
+        "FROM g GROUP BY grp",
+        {"g": g},
+    ).collect()
+    rows = {r["grp"]: (r["n"], r["a"], r["rnk"]) for r in out}
+    assert rows["a"] == (2, 5.0, 1)
+    assert rows["b"] == (1, 9.0, 2)
