@@ -2024,6 +2024,38 @@ def _q_geometry_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lineref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref linear referencing (apps/ogrlineref.cpp: -get_coord
+    :1814 via OGRSimpleCurve::Value ogr/ogrlinestring.cpp:1949,
+    -get_pos :1762 via Project :2022, -get_subline :1859 via
+    getSubLine :2076) over L-shaped two-segment lines derived from the
+    document squares: the point at measure L/4, the measure of an
+    off-line probe point, and the L/4..3L/4 subline."""
+    from gdal_spark.functions import geometry as SG
+
+    d = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 500
+    )
+    w = F.col("x1") - F.col("x0")
+    h = F.col("y1") - F.col("y0")
+    big_l = w + h
+    wkt = F.format_string(
+        "LINESTRING (%s %s, %s %s, %s %s)",
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y0"),
+        F.col("x1"), F.col("y1"),
+    )
+    qx = F.col("x0") + F.lit(0.25) * w
+    qy = F.col("y0") + F.lit(0.125) * h
+    return d.select(
+        "doc_id",
+        SG.st_line_interpolate(wkt, F.lit(0.25) * big_l).alias("ip"),
+        F.round(SG.st_line_locate(wkt, qx, qy), 6).alias("loc_m"),
+        SG.st_line_substring(
+            wkt, F.lit(0.25) * big_l, F.lit(0.75) * big_l
+        ).alias("sub"),
+    )
+
+
 def _q_geometry_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr -explodecollections via st_dump + posexplode: one row
     per collection part with its area and centroid."""
@@ -2233,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_functions": _q_geometry_functions,
         "geometry_segmentize": _q_geometry_segmentize,
         "geometry_explode": _q_geometry_explode,
+        "lineref": _q_lineref,
         "geometry_wrapdateline": _q_geometry_wrapdateline,
         "geometry_predicates": _q_geometry_predicates,
         "geometry_boolean": _q_geometry_boolean,
@@ -3554,6 +3587,38 @@ def _oracle_sql_static() -> dict[str, str]:
                    COUNT(DISTINCT o.o_custkey) AS custs
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY l.l_returnflag
+        """,
+        "lineref": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     ({_LON} - {_HALF}) AS x0, ({_LON} + {_HALF}) AS x1,
+                     ({_LAT} - {_HALF}) AS y0, ({_LAT} + {_HALF}) AS y1
+              FROM documents WHERE doc_id < 500
+            ), c AS (
+              SELECT doc_id, x0, x1, y0, y1,
+                     x1 - x0 AS w, y1 - y0 AS h
+              FROM b
+            ), m AS (
+              SELECT *, 0.25 * (w + h) AS m1, 0.75 * (w + h) AS m2,
+                     (x0 + 0.25 * w) AS qx, (y0 + 0.125 * h) AS qy
+              FROM c
+            ), r AS (
+              SELECT *, m1 / w AS r1, (m2 - w) / h AS r2,
+                     ((qx - x0) * w / (w * w)) * w AS locm
+              FROM m
+            )
+            SELECT doc_id,
+                   printf('POINT(%.7f %.7f)',
+                          x0 * (1.0 - r1) + x1 * r1,
+                          y0 * (1.0 - r1) + y0 * r1) AS ip,
+                   ROUND(locm, 6) AS loc_m,
+                   printf('LINESTRING(%.7f %.7f, %.7f %.7f, %.7f %.7f)',
+                          x0 * (1.0 - r1) + x1 * r1,
+                          y0 * (1.0 - r1) + y0 * r1,
+                          x1, y0,
+                          x1 * (1.0 - r2) + x1 * r2,
+                          y0 * (1.0 - r2) + y1 * r2) AS sub
+            FROM r
         """,
         "sqlite_dialect_exec": f"""
             WITH sq AS (

@@ -16,6 +16,8 @@ and nothing here shuffles.
     st_force_polygon / st_force_multipolygon / st_force_multipoint /
     st_force_multilinestring / st_force_linestring
     (ogrgeometryfactory.cpp forceTo* conversions),
+    st_line_interpolate / st_line_locate / st_line_substring
+    (ogrlineref linear referencing, apps/ogrlineref.cpp),
     st_segmentize (ogr2ogr -segmentize),
     st_dump (ogr2ogr -explodecollections; array of part WKTs),
     st_wrapdateline (ogr2ogr -wrapdateline; array of split parts)
@@ -111,6 +113,55 @@ st_overlaps = _udf2(GM.overlaps, T.BooleanType())
 st_equals = _udf2(GM.equals, T.BooleanType())
 st_disjoint = _udf2(GM.disjoint, T.BooleanType())
 st_crosses = _udf2(GM.crosses, T.BooleanType())
+
+
+# ------------------------------------------------- linear referencing
+# The ogrlineref app surface (apps/ogrlineref.cpp:1583 -create,
+# :1762 -get_pos, :1814 -get_coord, :1859 -get_subline) is built on
+# three curve primitives; these are their column forms.
+
+
+@F.pandas_udf(T.StringType())
+def st_line_interpolate(wkt: pd.Series, m: pd.Series) -> pd.Series:
+    """Point at measure m along the line (OGRSimpleCurve::Value,
+    ogr/ogrlinestring.cpp:1949) as WKT."""
+    out = []
+    for w, d in zip(wkt, m):
+        if w is None or d is None:
+            out.append(None)
+            continue
+        x, y = GM.line_value(GM.geom_of(w), float(d))
+        out.append(f"POINT({x:.7f} {y:.7f})")
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_line_locate(wkt: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+    """Measure of the closest point on the line
+    (OGRSimpleCurve::Project, ogr/ogrlinestring.cpp:2022)."""
+    return pd.Series(
+        [
+            GM.line_project(GM.geom_of(w), float(x), float(y))
+            if w is not None
+            else None
+            for w, x, y in zip(wkt, px, py)
+        ]
+    )
+
+
+@F.pandas_udf(T.StringType())
+def st_line_substring(wkt: pd.Series, m0: pd.Series, m1: pd.Series) -> pd.Series:
+    """Portion of the line between two measures
+    (OGRSimpleCurve::getSubLine, ogr/ogrlinestring.cpp:2076) as WKT;
+    NULL for an invalid range, like the reference's nullptr."""
+    out = []
+    for w, a, b in zip(wkt, m0, m1):
+        if w is None or a is None or b is None:
+            out.append(None)
+            continue
+        sub = GM.line_sub(GM.geom_of(w), float(a), float(b))
+        out.append(GM.to_wkt(sub) if sub is not None else None)
+    return pd.Series(out)
 
 
 def _boolean_udf(op: str):

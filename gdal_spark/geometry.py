@@ -928,6 +928,128 @@ def geom_distance(a: Geom, b: Geom) -> float:
     return float(np.sqrt(d2))
 
 
+# ------------------------------------------------- linear referencing
+def _line_coords(g: Geom):
+    if g.kind != "linestring" or not g.parts:
+        raise ValueError("linear referencing needs a LINESTRING")
+    xs, ys = g.parts[0]
+    return np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)
+
+
+def line_value(g: Geom, dist: float) -> tuple[float, float]:
+    """OGRSimpleCurve::Value (ogr/ogrlinestring.cpp:1949): the point at
+    `dist` along the line. dist < 0 -> start point; past the end ->
+    end point; zero-length segments are skipped exactly as the
+    reference's loop does."""
+    xs, ys = _line_coords(g)
+    if dist < 0:
+        return float(xs[0]), float(ys[0])
+    acc = 0.0
+    for i in range(len(xs) - 1):
+        seg = math_hypot(xs[i + 1] - xs[i], ys[i + 1] - ys[i])
+        if seg > 0:
+            if acc <= dist <= acc + seg:
+                r = (dist - acc) / seg
+                return (
+                    float(xs[i] * (1 - r) + xs[i + 1] * r),
+                    float(ys[i] * (1 - r) + ys[i + 1] * r),
+                )
+            acc += seg
+    return float(xs[-1]), float(ys[-1])
+
+
+def line_project(g: Geom, px: float, py: float) -> float:
+    """OGRSimpleCurve::Project (ogr/ogrlinestring.cpp:2022, GEOS
+    GEOSProject semantics): distance from the line's origin to the
+    closest point on the line; ties resolve to the earliest segment
+    (strict-less scan, like GEOS LocationIndexOfPoint)."""
+    xs, ys = _line_coords(g)
+    best_d2 = np.inf
+    best_m = 0.0
+    acc = 0.0
+    for i in range(len(xs) - 1):
+        dx, dy = xs[i + 1] - xs[i], ys[i + 1] - ys[i]
+        seg2 = dx * dx + dy * dy
+        seg = math_hypot(dx, dy)
+        if seg2 > 0:
+            t = ((px - xs[i]) * dx + (py - ys[i]) * dy) / seg2
+            t = 0.0 if t < 0 else (1.0 if t > 1 else t)
+            cx, cy = xs[i] + t * dx, ys[i] + t * dy
+            d2 = (px - cx) ** 2 + (py - cy) ** 2
+            if d2 < best_d2:
+                best_d2 = d2
+                best_m = acc + t * seg
+            acc += seg
+    return float(best_m)
+
+
+def line_sub(g: Geom, dist_from: float, dist_to: float,
+             as_ratio: bool = False) -> Geom | None:
+    """OGRSimpleCurve::getSubLine (ogr/ogrlinestring.cpp:2076): the
+    portion of the line between two measures. Out-of-range inputs are
+    clamped like the reference; an invalid range (from > to, or from
+    past the end) returns None, matching its nullptr."""
+    xs, ys = _line_coords(g)
+    segs = np.hypot(np.diff(xs), np.diff(ys))
+    total = float(segs.sum())
+    if as_ratio:
+        dist_from *= total
+        dist_to *= total
+    dist_from = max(dist_from, 0.0)
+    dist_to = min(dist_to, total)
+    if dist_from > dist_to or dist_from >= total:
+        return None
+    ox: list[float] = []
+    oy: list[float] = []
+
+    def interp(i, r):
+        ox.append(float(xs[i] * (1 - r) + xs[i + 1] * r))
+        oy.append(float(ys[i] * (1 - r) + ys[i + 1] * r))
+
+    n = len(xs)
+    acc = 0.0
+    i = 0
+    # first point (mirrors the reference's two branches exactly,
+    # including its duplicate-first-vertex quirk at dist_from == 0)
+    if dist_from == 0:
+        ox.append(float(xs[0]))
+        oy.append(float(ys[0]))
+    else:
+        while i < n - 1:
+            seg = float(segs[i])
+            if seg > 0:
+                if acc <= dist_from <= acc + seg:
+                    interp(i, (dist_from - acc) / seg)
+                    if acc <= dist_to <= acc + seg:
+                        interp(i, (dist_to - acc) / seg)
+                        return (
+                            Geom("linestring",
+                                 [(np.asarray(ox), np.asarray(oy))])
+                            if len(ox) >= 2 else None
+                        )
+                    i += 1
+                    acc += seg
+                    break
+                acc += seg
+            i += 1
+    # middle vertices + end point
+    while i < n - 1:
+        ox.append(float(xs[i]))
+        oy.append(float(ys[i]))
+        seg = float(segs[i])
+        if seg > 0:
+            if acc <= dist_to <= acc + seg:
+                interp(i, (dist_to - acc) / seg)
+                return Geom("linestring", [(np.asarray(ox), np.asarray(oy))])
+            acc += seg
+        i += 1
+    ox.append(float(xs[-1]))
+    oy.append(float(ys[-1]))
+    if len(ox) < 2:
+        return None
+    return Geom("linestring", [(np.asarray(ox), np.asarray(oy))])
+
+
 def is_valid_shape(g: Geom) -> bool:
     """OGRGeometry::IsValid restated for this module's shape model
     (ogr/ogrgeometry.cpp:2145 delegates to GEOS IsValid): points and
