@@ -454,6 +454,17 @@ def _q_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(tiles)
 
 
+def _q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearblack collar removal (apps/nearblack_lib.cpp): distributed
+    closed form (column-bounds aggregation + row-strip run rule) over
+    the 256px collar raster; per-tile checksums of the processed band
+    and the -setmask band, vs localref's faithful sequential port."""
+    from gdal_spark.nearblack import nearblack
+
+    tiles = synth.collar_tiles_df(spark, 4, 4, 64)
+    return tiling.checksum_table(nearblack(tiles))
+
+
 def _q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band statistics (GDALRasterBand::ComputeStatistics — population
     stddev) via distributed per-tile partials; uint8 sums are exact
@@ -2234,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "raster_checksums": _q_raster_checksums,
+        "nearblack_checksums": _q_nearblack,
         "overview_checksums": _q_overview_checksums,
         "overview_mode_checksums": _q_overview_kernel("mode", 2),
         "overview_gauss_checksums": _q_overview_kernel("gauss", 4),

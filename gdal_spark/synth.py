@@ -425,6 +425,72 @@ def checker_tiles_df(spark: SparkSession, ntx: int = 2, nty: int = 2,
     return base.mapInPandas(gen, schema=TILE_SCHEMA)
 
 
+def collar_np(npx: int, seed: int = SEED) -> np.ndarray:
+    """Bright raster with an irregular near-black collar (for the
+    nearblack operator): wavy left/right margins per row, wavy
+    top/bottom margins per column, plus an interior dark block that a
+    correct nearblack must NOT remove (it is near-black but not
+    edge-connected in the prefix sense)."""
+    yy, xx = np.mgrid[0:npx, 0:npx]
+    arr = (60 + (3 * xx + 5 * yy) % 150).astype(np.uint8)
+    idx = np.arange(npx, dtype=np.int64)
+    lw = 4 + rnd_int_np(h_np(idx, 31, seed), 20)
+    rw = 4 + rnd_int_np(h_np(idx, 33, seed), 20)
+    td = 2 + rnd_int_np(h_np(idx, 35, seed), 16)
+    bd = 2 + rnd_int_np(h_np(idx, 37, seed), 16)
+    dark = (4 + (7 * xx + 11 * yy) % 9).astype(np.uint8)  # values 4..12
+    collar = (
+        (xx < lw[:, None])
+        | (xx >= npx - rw[:, None])
+        | (yy < td[None, :])
+        | (yy >= npx - bd[None, :])
+    )
+    arr = np.where(collar, dark, arr)
+    arr[120:140, 120:160] = 5  # interior near-black block: must survive
+    return arr.astype(np.uint8)
+
+
+def collar_tiles_df(spark: SparkSession, ntx: int = 4, nty: int = 4,
+                    tile_px: int = 64, seed: int = SEED) -> DataFrame:
+    """The collar raster as a tile table (same schema as tiles_src_df)."""
+    base = spark.range(0, ntx * nty, 1, max(4, ntx * nty)).select(
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        (F.col("id") / ntx).cast("int").alias("tile_y"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "raster_id": "collar",
+                    "band": np.int32(1),
+                    "zoom": np.int32(0),
+                    "tile_x": pdf["tile_x"].astype(np.int32),
+                    "tile_y": pdf["tile_y"].astype(np.int32),
+                    "width": np.int32(tile_px),
+                    "height": np.int32(tile_px),
+                    "dtype": "uint8",
+                    "nodata": 0.0,
+                    "crs": "EPSG:3857",
+                    "geotransform": [
+                        [float(tx * tile_px), 1.0, 0.0,
+                         float(ty * tile_px), 0.0, -1.0]
+                        for tx, ty in zip(pdf["tile_x"], pdf["tile_y"])
+                    ],
+                    "data": [
+                        collar_np(max(ntx, nty) * tile_px, seed)[
+                            ty * tile_px:(ty + 1) * tile_px,
+                            tx * tile_px:(tx + 1) * tile_px,
+                        ].tobytes()
+                        for tx, ty in zip(pdf["tile_x"], pdf["tile_y"])
+                    ],
+                }
+            )
+            yield out
+
+    return base.mapInPandas(gen, schema=TILE_SCHEMA)
+
+
 def dome_np(npx: int) -> np.ndarray:
     """Smooth deterministic dome: v = clip(255 - floor(dist to the
     raster center), 0, 255), uint8. Level sets are concentric circles

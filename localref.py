@@ -881,6 +881,7 @@ def oracle_entries() -> dict:
         "polygonize_8conn": sql_polygonize_8conn,
         "contour_polygons": sql_contour_polygons,
         "expand_rgb_checksums": sql_expand_rgb_checksums,
+        "nearblack_checksums": sql_nearblack_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -1958,4 +1959,75 @@ def sql_expand_rgb_checksums() -> str:
             rows.append(
                 ("expanded", b + 1, 12, tx, 0, G.gdal_checksum(rgb[:, :, b]))
             )
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+# ============================================================== nearblack
+def nearblack_ref(arr: np.ndarray, near_dist: int = 15, white: bool = False,
+                  max_non_black: int = 0):
+    """Faithful sequential port of the reference's nearblack
+    (apps/nearblack_lib.cpp:356-500 pass structure + ProcessLine :549
+    with the vertical termination counts :568, the horizontal
+    both-direction scans :643, and the :714 bDoTest re-enable) —
+    the oracle for the distributed closed form in
+    gdal_spark/nearblack.py. Returns (out, mask)."""
+    H, W = arr.shape
+    c = 255 if white else 0
+    out = arr.astype(np.int64).copy()
+    mask = np.full((H, W), 255, np.uint8)
+
+    def nonblack(v):
+        return (c - v > near_dist) or (v > near_dist + c)
+
+    def process_line(y, istart, iend, counts, vertical, bottom_up):
+        if vertical:
+            for i in range(max(istart, iend) + 1):
+                if counts[i] > max_non_black:
+                    continue
+                if nonblack(out[y, i]):
+                    counts[i] += 1
+                    if counts[i] > max_non_black:
+                        continue
+                out[y, i] = c
+                mask[y, i] = 0
+        mnb = 0 if bottom_up else max_non_black
+        nnb = 0
+        idir = 1 if istart < iend else -1
+        dotest = True
+        i = istart
+        while i != iend:
+            if dotest:
+                if nonblack(out[y, i]):
+                    if counts[i] <= mnb:
+                        nnb = counts[i]
+                    else:
+                        nnb += 1
+                if nnb > mnb:
+                    dotest = False
+                    i += idir
+                    continue
+                out[y, i] = c
+                mask[y, i] = 0
+            elif counts[i] == 0:
+                dotest = True
+                nnb = 0
+            i += idir
+
+    counts = np.zeros(W, np.int64)
+    for y in range(H):
+        process_line(y, 0, W - 1, counts, True, False)
+        process_line(y, W - 1, 0, counts, False, False)
+    counts[:] = 0
+    for y in range(H - 1, -1, -1):
+        process_line(y, 0, W - 1, counts, True, True)
+        process_line(y, W - 1, 0, counts, False, True)
+    return out.astype(arr.dtype), mask
+
+
+def sql_nearblack_checksums() -> str:
+    g = synth.collar_np(256)
+    out, mask = nearblack_ref(g)
+    rows = tile_checksums(out, 64, "collar", 1, 0) + tile_checksums(
+        mask, 64, "collar", 101, 0
+    )
     return values_sql(rows, CKS_COLS, CKS_TYPES)
