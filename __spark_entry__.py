@@ -410,6 +410,14 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs -> pointer-jumping connected components
+    -> canonical doc per cluster; the oracle recomputes the closure
+    independently with a DuckDB recursive CTE."""
+    d = _read(spark, sf_dir, "documents")
+    return TX.minhash_dedup_groups(d, "text", "doc_id", threshold=0.8)
+
+
 def _q_simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return TX.simhash(d, "text", "doc_id")
@@ -2240,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_groups": _q_dedup_groups,
         "simhash_table": _q_simhash_table,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,

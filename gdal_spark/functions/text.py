@@ -231,6 +231,34 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
     return lsh_candidates(sigs, id_col, bands).filter(F.col("est_jaccard") >= threshold)
 
 
+def minhash_dedup_groups(df: DataFrame, text_col: str, id_col: str,
+                         threshold: float = 0.8, n_hashes: int = 64,
+                         bands: int = 16, shingle_k: int = 5) -> DataFrame:
+    """Canonical-document assignment: near-dup pairs -> undirected
+    connected components (pointer-jumping, O(log diameter) rounds) ->
+    every document mapped to the min doc id of its component
+    (singletons map to themselves). This is the keep-one-per-cluster
+    step a dedup pipeline runs after pair generation; at 10^12 docs
+    the component graph is tiny relative to the corpus (only docs in
+    pairs enter the iteration), so the cost is the pair join plus
+    O(log d) small shuffles."""
+    from ..graph import connected_components
+
+    pairs = minhash_dedup(df, text_col, id_col, threshold, n_hashes,
+                          bands, shingle_k)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("canonical_id"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- simhash
 @F.pandas_udf(T.LongType())
 def _simhash_bits_udf(word_hashes: pd.Series) -> pd.Series:

@@ -882,6 +882,7 @@ def oracle_entries() -> dict:
         "contour_polygons": sql_contour_polygons,
         "expand_rgb_checksums": sql_expand_rgb_checksums,
         "nearblack_checksums": sql_nearblack_checksums,
+        "dedup_groups": sql_dedup_groups,
     }
     out = {}
     for name, fn in makers.items():
@@ -2031,3 +2032,27 @@ def sql_nearblack_checksums() -> str:
         mask, 64, "collar", 101, 0
     )
     return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+def sql_dedup_groups() -> str:
+    """Transitive closure of the minhash near-dup pairs via a DuckDB
+    recursive CTE — an INDEPENDENT grouping mechanism to cross-check
+    the engine's pointer-jumping connected components."""
+    pairs_sql = sql_minhash_pairs()
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        und AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        walk AS (
+          SELECT s AS node, d AS reach FROM und
+          UNION
+          SELECT w.node, u.d FROM walk w JOIN und u ON w.reach = u.s
+        )
+        SELECT d.doc_id,
+               CAST(LEAST(d.doc_id, COALESCE(MIN(w.reach), d.doc_id))
+                    AS BIGINT) AS canonical_id
+        FROM documents d LEFT JOIN walk w ON d.doc_id = w.node
+        GROUP BY d.doc_id
+    """

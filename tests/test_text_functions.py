@@ -220,3 +220,31 @@ def test_chunk_documents(spark):
     assert d1.iloc[1].chunk.split()[-1] == "t49"  # final partial chunk
     d2 = out[out.doc_id == 2]
     assert len(d2) == 1 and d2.iloc[0].chunk == "short doc"
+
+
+def test_minhash_dedup_groups(spark):
+    import pandas as pd
+    from gdal_spark.functions.text import minhash_dedup_groups
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    base,
+                    base + "tail",        # near-dup of 1
+                    base + "tail tip",    # near-dup of 2 (chain -> comp 1)
+                    "completely different content about rasters and tiles "
+                    * 10,
+                    "another unrelated document with its own words " * 10,
+                ],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in minhash_dedup_groups(docs, "text", "doc_id").collect()
+    }
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert got[4] == 4 and got[5] == 5
