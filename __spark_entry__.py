@@ -995,6 +995,21 @@ def _q_grid_kernel(alg: str):
     return q
 
 
+def _q_grid_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average with the rotated elliptical search window
+    (gdal_grid radius1=30 radius2=15 angle=30; membership test
+    alg/gdalgrid.cpp:166-176)."""
+    from gdal_spark.gridding import grid_interpolate
+
+    out = grid_interpolate(
+        _grid_points(spark, sf_dir), "v", ntx=4, nty=4, tile_px=8,
+        algorithm="average", radius=30.0, radius2=15.0, angle=30.0,
+    )
+    return out.filter(F.col("value").isNotNull()).select(
+        "gx", "gy", F.round("value", 6).alias("value")
+    )
+
+
 def _q_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDALGridLinear (alg/gdalgrid.cpp:1407): broadcast Delaunay +
     per-tile barycentric interpolation; NULL outside the hull. Oracle =
@@ -2313,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_avgdist": _q_grid_kernel("average_distance"),
         "grid_avgdist_pts": _q_grid_kernel("average_distance_pts"),
         "grid_linear": _q_grid_linear,
+        "grid_ellipse": _q_grid_ellipse,
         "grid_range": _q_grid_kernel("range"),
         "contour_polylines": _q_contour_polylines,
         "color_relief_checksums": _q_color_relief,
@@ -2614,6 +2630,40 @@ def _grid_sql(agg_expr: str, in_radius_only: bool) -> str:
         SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
                {agg_expr} AS value
         FROM d {where} GROUP BY gx, gy
+    """
+
+
+def _grid_ellipse_sql() -> str:
+    """Rotated-ellipse moving average, op-for-op the kern's test
+    (cos/sin literals computed by the same math calls)."""
+    import math as _m
+
+    c1 = repr(_m.cos(_m.radians(30.0)))
+    c2 = repr(_m.sin(_m.radians(30.0)))
+    return f"""
+        WITH pts AS (
+          SELECT {_LON} AS lon, {_LAT} AS lat,
+                 CAST(doc_id % 97 AS DOUBLE) AS v
+          FROM documents
+        ), px AS (
+          SELECT a.range AS gx, b.range AS gy
+          FROM range(32) a CROSS JOIN range(32) b
+        ), c AS (
+          SELECT gx, gy,
+                 -180.0 + (CAST(gx AS DOUBLE) + 0.5) * {360.0 / 32} AS plon,
+                 85.0 - (CAST(gy AS DOUBLE) + 0.5) * {170.0 / 32} AS plat
+          FROM px
+        ), d AS (
+          SELECT gx, gy, v,
+                 (lon - plon) * {c1} + (lat - plat) * {c2} AS rx,
+                 (lat - plat) * {c1} - (lon - plon) * {c2} AS ry
+          FROM c CROSS JOIN pts
+        )
+        SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+               ROUND(AVG(v), 6) AS value
+        FROM d
+        WHERE 225.0 * rx * rx + 900.0 * ry * ry <= 900.0 * 225.0
+        GROUP BY gx, gy
     """
 
 
@@ -3354,6 +3404,7 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM r WHERE rn <= 12 GROUP BY gx, gy
         """,
         "grid_average": _grid_sql("ROUND(AVG(v), 6)", True),
+        "grid_ellipse": _grid_ellipse_sql(),
         "grid_count": _grid_sql(
             "CAST(SUM(CASE WHEN d2 <= 900.0 THEN 1 ELSE 0 END) AS DOUBLE)", False
         ),

@@ -30,6 +30,8 @@ pixels with no point in radius get nodata (NULL here).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -162,6 +164,8 @@ def grid_interpolate(
     radius: float = 30.0,
     power: float = 2.0,
     max_points: int = 12,
+    radius2: float | None = None,
+    angle: float = 0.0,
 ) -> DataFrame:
     """gdal_grid algorithm suite over the same bin-replication plan as
     idw_grid (alg/gdal_alg.h:438-451):
@@ -182,10 +186,20 @@ def grid_interpolate(
     Linear (TIN) interpolation needs a GLOBAL Delaunay triangulation —
     see tin.grid_linear (broadcast small-model plan, like the
     reference's own in-memory GDALTriangulation).
+
+    `radius2`/`angle` select the reference's rotated elliptical search
+    window (radius1/radius2/angle options; test at
+    alg/gdalgrid.cpp:142-176): rotate the node->point offset by
+    `angle` degrees and keep points with
+    r2^2*rx^2 + r1^2*ry^2 <= r1^2*r2^2. The default (radius2=None)
+    keeps the circular window. Candidate pruning uses the ellipse's
+    bounding circle max(radius, radius2).
     """
-    if algorithm == "invdist":
+    if algorithm == "invdist" and radius2 is None:
         return idw_grid(points, val_col, ntx, nty, tile_px, x0, y_top,
                         extent_x, extent_y, radius, power)
+    if algorithm == "invdist":
+        raise ValueError("elliptical invdist: use invdistnn or metrics")
     if algorithm not in ("nearest", "average", "count", "minimum",
                         "maximum", "range", "average_distance",
                         "average_distance_pts", "invdistnn"):
@@ -195,14 +209,15 @@ def grid_interpolate(
     ry = extent_y / (nty * tile_px)
     tile_w = rx * tile_px
     tile_h = ry * tile_px
-    if radius > min(tile_w, tile_h):
+    rprune = radius if radius2 is None else max(radius, radius2)
+    if rprune > min(tile_w, tile_h):
         raise ValueError("radius must be <= one tile extent")
 
     lon, lat = F.col("lon"), F.col("lat")
-    tx_lo = F.greatest(F.lit(0), F.floor((lon - radius - x0) / tile_w).cast("int"))
-    tx_hi = F.least(F.lit(ntx - 1), F.floor((lon + radius - x0) / tile_w).cast("int"))
-    ty_lo = F.greatest(F.lit(0), F.floor((F.lit(y_top) - lat - radius) / tile_h).cast("int"))
-    ty_hi = F.least(F.lit(nty - 1), F.floor((F.lit(y_top) - lat + radius) / tile_h).cast("int"))
+    tx_lo = F.greatest(F.lit(0), F.floor((lon - rprune - x0) / tile_w).cast("int"))
+    tx_hi = F.least(F.lit(ntx - 1), F.floor((lon + rprune - x0) / tile_w).cast("int"))
+    ty_lo = F.greatest(F.lit(0), F.floor((F.lit(y_top) - lat - rprune) / tile_h).cast("int"))
+    ty_hi = F.least(F.lit(nty - 1), F.floor((F.lit(y_top) - lat + rprune) / tile_h).cast("int"))
     cand = (
         points.select(lon, lat, F.col(val_col).alias("_v"),
                       tx_lo.alias("_txl"), tx_hi.alias("_txh"),
@@ -250,7 +265,20 @@ def grid_interpolate(
         sa = pdf["lat"].to_numpy(np.float64)
         sv = pdf["_v"].to_numpy(np.float64)
         d2 = (PX[:, None] - sl[None, :]) ** 2 + (PY[:, None] - sa[None, :]) ** 2
-        inr = d2 <= radius * radius
+        if radius2 is None:
+            inr = d2 <= radius * radius
+        else:
+            # rotated-ellipse membership, op-for-op the reference's
+            # test (alg/gdalgrid.cpp:166-176); offsets are point-node
+            dx = sl[None, :] - PX[:, None]
+            dy = sa[None, :] - PY[:, None]
+            r1sq = radius * radius
+            r2sq = radius2 * radius2
+            if angle != 0.0:
+                c1 = math.cos(math.radians(angle))
+                c2 = math.sin(math.radians(angle))
+                dx, dy = dx * c1 + dy * c2, dy * c1 - dx * c2
+            inr = r2sq * dx * dx + r1sq * dy * dy <= r1sq * r2sq
         any_ = inr.any(axis=1)
         if algorithm == "nearest":
             dmask = np.where(inr, d2, np.inf)

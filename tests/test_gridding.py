@@ -96,3 +96,39 @@ def test_invdistnn_limits_neighbors(spark):
                             algorithm="invdist", radius=30.0)
     row2 = allp.filter("gx = 0 and gy = 0").first()
     assert row2["value"] > 10.0  # far point bleeds in without the cap
+
+
+def test_grid_ellipse_window(spark):
+    """Rotated-ellipse membership: a point on the ellipse's long axis
+    at distance r1 is in; the same distance on the short axis is out."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark.gridding import grid_interpolate
+
+    # grid pixel centers at plon = -180 + (gx+0.5)*2.8125 etc. — put
+    # points relative to pixel (16, 16)'s center
+    plon = -180.0 + 16.5 * (360.0 / 128)
+    plat = 85.0 - 16.5 * (170.0 / 128)
+    a = math.radians(30.0)
+    on_long = (plon + 25.0 * math.cos(a), plat + 25.0 * math.sin(a))
+    on_short = (plon - 25.0 * math.sin(a), plat + 25.0 * math.cos(a))
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lon": [on_long[0], on_short[0]],
+                "lat": [on_long[1], on_short[1]],
+                "v": [10.0, 99.0],
+            }
+        )
+    )
+    out = grid_interpolate(
+        pts, "v", ntx=4, nty=4, tile_px=32, algorithm="average",
+        radius=30.0, radius2=15.0, angle=30.0,
+    )
+    row = out.filter((F.col("gx") == 16) & (F.col("gy") == 16)).collect()[0]
+    # long-axis point (dist 25 < r1=30) is inside; short-axis point
+    # (dist 25 > r2=15) is outside -> average == 10 exactly
+    assert row["value"] == 10.0
