@@ -462,6 +462,67 @@ def _q_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(tiles)
 
 
+def _edit_grid(spark: SparkSession, ntx: int, nty: int, x0: float,
+               y0: float, res: float) -> DataFrame:
+    """Synth tiles with a dataset-consistent north-up geotransform
+    (tiles_src_df's pyramid convention is TMS y-up; the edit ops
+    need the gdal_edit-style single-dataset composition)."""
+    tiles = synth.tiles_src_df(spark, ntx, nty)
+    px = (F.col("tile_x") * F.col("width")).cast("double")
+    py = (F.col("tile_y") * F.col("height")).cast("double")
+    return tiles.withColumn(
+        "geotransform",
+        F.array(
+            F.lit(x0) + px * F.lit(res), F.lit(res), F.lit(0.0),
+            F.lit(y0) - py * F.lit(res), F.lit(0.0), F.lit(-res),
+        ),
+    )
+
+
+def _gt_cols():
+    return [
+        F.round(F.col("geotransform")[i], 6).alias(f"g{i}") for i in range(6)
+    ]
+
+
+def _q_gdal_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_edit.py metadata edits (osgeo_utils/gdal_edit.py:300-360):
+    -a_ullr + -a_nodata, -tr on a recovered dataset transform, and
+    -unsetgt + -unsetnodata — three legs, pure column arithmetic."""
+    from gdal_spark.edit import gdal_edit
+
+    base = _edit_grid(spark, 3, 2, 1000.0, 2000.0, 0.5)
+    legs = [
+        ("ullr", gdal_edit(base, 768, 512,
+                           a_ullr=(-180.0, 85.0, 180.0, -85.0), nodata=7.0)),
+        ("tr", gdal_edit(base, 768, 512, tr=(2.0, -2.0))),
+        ("unset", gdal_edit(base, 768, 512, unset_gt=True,
+                            unset_nodata=True)),
+    ]
+    outs = [
+        df.select(F.lit(name).alias("which"), "tile_x", "tile_y",
+                  *_gt_cols(), "nodata")
+        for name, df in legs
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _q_gdalmove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalmove.py (osgeo_utils/gdalmove.py:104-121): dataset
+    geotransform re-fitted through the UL/LL/UR corners transformed
+    EPSG:3857 -> 4326, recomposed per tile."""
+    from gdal_spark.cells import ORIGIN_SHIFT
+    from gdal_spark.edit import gdalmove
+
+    res = 2.0 * ORIGIN_SHIFT / 512.0
+    base = _edit_grid(spark, 2, 2, -ORIGIN_SHIFT, ORIGIN_SHIFT, res)
+    out = gdalmove(base, 512, 512)
+    return out.select("tile_x", "tile_y", *_gt_cols())
+
+
 def _q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nearblack collar removal (apps/nearblack_lib.cpp): distributed
     closed form (column-bounds aggregation + row-strip run rule) over
@@ -2270,6 +2331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "raster_checksums": _q_raster_checksums,
         "nearblack_checksums": _q_nearblack,
+        "gdal_edit_gt": _q_gdal_edit,
+        "gdalmove_gt": _q_gdalmove,
         "overview_checksums": _q_overview_checksums,
         "overview_mode_checksums": _q_overview_kernel("mode", 2),
         "overview_gauss_checksums": _q_overview_kernel("gauss", 4),
@@ -2664,6 +2727,89 @@ def _grid_ellipse_sql() -> str:
         FROM d
         WHERE 225.0 * rx * rx + 900.0 * ry * ry <= 900.0 * 225.0
         GROUP BY gx, gy
+    """
+
+
+def _gdal_edit_sql() -> str:
+    """Closed-form restatement of the three gdal_edit legs (all
+    arithmetic exact binary: 360/768, 170/512, 0.5, 2.0)."""
+    px = "CAST(tx * 256 AS DOUBLE)"
+    py = "CAST(ty * 256 AS DOUBLE)"
+    grid = (
+        "SELECT a.range AS tx, b.range AS ty, "
+        f"{px} AS px, {py} AS py "
+        "FROM range(3) a CROSS JOIN range(2) b"
+    )
+
+    def leg(which, g0, g1, g2, g3, g4, g5, nodata):
+        return f"""
+            SELECT '{which}' AS which,
+                   CAST(tx AS INTEGER) AS tile_x,
+                   CAST(ty AS INTEGER) AS tile_y,
+                   ROUND(CAST({g0} AS DOUBLE), 6) AS g0,
+                   ROUND(CAST({g1} AS DOUBLE), 6) AS g1,
+                   ROUND(CAST({g2} AS DOUBLE), 6) AS g2,
+                   ROUND(CAST({g3} AS DOUBLE), 6) AS g3,
+                   ROUND(CAST({g4} AS DOUBLE), 6) AS g4,
+                   ROUND(CAST({g5} AS DOUBLE), 6) AS g5,
+                   CAST({nodata} AS DOUBLE) AS nodata
+            FROM g
+        """
+
+    return f"""
+        WITH g AS ({grid})
+        {leg('ullr', '-180.0 + px * 0.46875 + py * 0.0', '0.46875', '0.0',
+             '85.0 + px * 0.0 + py * -0.33203125', '0.0', '-0.33203125',
+             '7.0')}
+        UNION ALL
+        {leg('tr', '1000.0 + px * 2.0 + py * 0.0', '2.0', '0.0',
+             '2000.0 + px * 0.0 + py * -2.0', '0.0', '-2.0', '0.0')}
+        UNION ALL
+        {leg('unset', '0.0 + px * 1.0 + py * 0.0', '1.0', '0.0',
+             '0.0 + px * 0.0 + py * 1.0', '0.0', '1.0', 'NULL')}
+    """
+
+
+def _gdalmove_sql() -> str:
+    """gdalmove oracle: the 3-point corner fit recomputed here with
+    the same inline inverse-Mercator closed form (no engine import),
+    new_gt embedded as literals, per-tile compose in SQL."""
+    import math as _m
+
+    radius = 6378137.0
+    shift = 2 * _m.pi * radius / 2.0
+    res = 2.0 * shift / 512.0
+
+    def inv(x, y):
+        lon = x / radius * 180.0 / _m.pi
+        lat = (2.0 * _m.atan(_m.exp(y / radius)) - _m.pi / 2.0) \
+            * 180.0 / _m.pi
+        return lon, lat
+
+    ul = inv(-shift, shift)
+    ll = inv(-shift + 512.0 * 0.0, shift + 512.0 * -res)
+    ur = inv(-shift + 512.0 * res, shift)
+    ng = [
+        ul[0], (ur[0] - ul[0]) / 512.0, (ll[0] - ul[0]) / 512.0,
+        ul[1], (ur[1] - ul[1]) / 512.0, (ll[1] - ul[1]) / 512.0,
+    ]
+    return f"""
+        WITH g AS (
+          SELECT a.range AS tx, b.range AS ty,
+                 CAST(a.range * 256 AS DOUBLE) AS px,
+                 CAST(b.range * 256 AS DOUBLE) AS py
+          FROM range(2) a CROSS JOIN range(2) b
+        )
+        SELECT CAST(tx AS INTEGER) AS tile_x, CAST(ty AS INTEGER) AS tile_y,
+               ROUND(CAST({ng[0]!r} + px * {ng[1]!r} + py * {ng[2]!r}
+                          AS DOUBLE), 6) AS g0,
+               ROUND(CAST({ng[1]!r} AS DOUBLE), 6) AS g1,
+               ROUND(CAST({ng[2]!r} AS DOUBLE), 6) AS g2,
+               ROUND(CAST({ng[3]!r} + px * {ng[4]!r} + py * {ng[5]!r}
+                          AS DOUBLE), 6) AS g3,
+               ROUND(CAST({ng[4]!r} AS DOUBLE), 6) AS g4,
+               ROUND(CAST({ng[5]!r} AS DOUBLE), 6) AS g5
+        FROM g
     """
 
 
@@ -3405,6 +3551,8 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "grid_average": _grid_sql("ROUND(AVG(v), 6)", True),
         "grid_ellipse": _grid_ellipse_sql(),
+        "gdal_edit_gt": _gdal_edit_sql(),
+        "gdalmove_gt": _gdalmove_sql(),
         "grid_count": _grid_sql(
             "CAST(SUM(CASE WHEN d2 <= 900.0 THEN 1 ELSE 0 END) AS DOUBLE)", False
         ),
