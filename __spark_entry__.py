@@ -485,6 +485,44 @@ def _gt_cols():
     ]
 
 
+def _q_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed two-stage pipeline with resume (north-rule
+    snapshot/lineage/metrics surface, gdal_spark/checkpoint.py): both
+    stages materialize, the whole pipeline re-runs, and the build
+    counters prove the second run resumed from the snapshots (builds
+    stay 1). Rows come from the per-partition lineage table, not a
+    recount."""
+    import tempfile
+
+    from gdal_spark.checkpoint import Checkpointer
+
+    root = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+    ck = Checkpointer(spark, root, run_id="contract")
+    calls = {"filtered": 0, "by_lang": 0}
+
+    def b1():
+        calls["filtered"] += 1
+        return _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+
+    def b2():
+        calls["by_lang"] += 1
+        return (
+            ck.stage("filtered", b1)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    ck.stage("filtered", b1)
+    ck.stage("by_lang", b2)
+    ck.stage("filtered", b1)  # resume: must skip both builds
+    ck.stage("by_lang", b2)
+    lin = ck.lineage().groupBy("stage").agg(F.sum("rows").alias("rows"))
+    calls_df = spark.createDataFrame(
+        [(k, v) for k, v in calls.items()], "stage string, builds long"
+    )
+    return lin.join(calls_df, "stage").select("stage", "rows", "builds")
+
+
 def _q_gdal_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_edit.py metadata edits (osgeo_utils/gdal_edit.py:300-360):
     -a_ullr + -a_nodata, -tr on a recovered dataset transform, and
@@ -2333,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearblack_checksums": _q_nearblack,
         "gdal_edit_gt": _q_gdal_edit,
         "gdalmove_gt": _q_gdalmove,
+        "checkpoint_lineage": _q_checkpoint,
         "overview_checksums": _q_overview_checksums,
         "overview_mode_checksums": _q_overview_kernel("mode", 2),
         "overview_gauss_checksums": _q_overview_kernel("gauss", 4),
@@ -3553,6 +3592,16 @@ def _oracle_sql_static() -> dict[str, str]:
         "grid_ellipse": _grid_ellipse_sql(),
         "gdal_edit_gt": _gdal_edit_sql(),
         "gdalmove_gt": _gdalmove_sql(),
+        "checkpoint_lineage": """
+            SELECT 'filtered' AS stage,
+                   (SELECT COUNT(*) FROM documents WHERE doc_id < 3000)
+                     AS rows, CAST(1 AS BIGINT) AS builds
+            UNION ALL
+            SELECT 'by_lang' AS stage,
+                   (SELECT COUNT(DISTINCT lang) FROM documents
+                    WHERE doc_id < 3000) AS rows,
+                   CAST(1 AS BIGINT) AS builds
+        """,
         "grid_count": _grid_sql(
             "CAST(SUM(CASE WHEN d2 <= 900.0 THEN 1 ELSE 0 END) AS DOUBLE)", False
         ),
