@@ -485,6 +485,20 @@ def _gt_cols():
     ]
 
 
+_CALC_EXPR = "A*0.5 + sqrt(B)*2.0 + (A>B)*7.0"
+
+
+def _q_gdal_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_calc.py textual numpy band algebra (eval per block,
+    osgeo_utils/gdal_calc.py:492): two tile tables joined on tile
+    coords, ast-whitelisted expression vectorized per tile."""
+    from gdal_spark.calc import gdal_calc
+
+    a = synth.tiles_src_df(spark, 2, 2)
+    b = synth.dome_tiles_df(spark, 2, 2, 256)
+    return tiling.checksum_table(gdal_calc({"A": a, "B": b}, _CALC_EXPR))
+
+
 def _q_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed two-stage pipeline with resume (north-rule
     snapshot/lineage/metrics surface, gdal_spark/checkpoint.py): both
@@ -2372,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdal_edit_gt": _q_gdal_edit,
         "gdalmove_gt": _q_gdalmove,
         "checkpoint_lineage": _q_checkpoint,
+        "gdal_calc_checksums": _q_gdal_calc,
         "overview_checksums": _q_overview_checksums,
         "overview_mode_checksums": _q_overview_kernel("mode", 2),
         "overview_gauss_checksums": _q_overview_kernel("gauss", 4),

@@ -883,6 +883,7 @@ def oracle_entries() -> dict:
         "expand_rgb_checksums": sql_expand_rgb_checksums,
         "nearblack_checksums": sql_nearblack_checksums,
         "dedup_groups": sql_dedup_groups,
+        "gdal_calc_checksums": sql_gdal_calc_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -2056,3 +2057,16 @@ def sql_dedup_groups() -> str:
         FROM documents d LEFT JOIN walk w ON d.doc_id = w.node
         GROUP BY d.doc_id
     """
+
+
+def sql_gdal_calc_checksums() -> str:
+    """Same expression, same pixel values, evaluated on the global
+    mosaics with the engine's own compiled-calc runner."""
+    from gdal_spark.calc import compile_calc
+
+    a = global_mosaic(2, 2).astype(np.float64)
+    b = synth.dome_np(512).astype(np.float64)
+    run = compile_calc("A*0.5 + sqrt(B)*2.0 + (A>B)*7.0", ["A", "B"])
+    out = run({"A": a, "B": b}).astype("float64")
+    return values_sql(tile_checksums(out, 256, "calc", 1, 12),
+                      CKS_COLS, CKS_TYPES)
