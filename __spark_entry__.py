@@ -485,6 +485,14 @@ def _gt_cols():
     ]
 
 
+def _q_vrt_separate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalbuildvrt -separate: two rasters stacked as bands 1/2 of one
+    VRT; per-band checksums must equal each source's own."""
+    a = synth.tiles_src_df(spark, 2, 2)
+    b = synth.dome_tiles_df(spark, 2, 2, 256)
+    return tiling.checksum_table(tiling.stack_separate([a, b]))
+
+
 _CALC_EXPR = "A*0.5 + sqrt(B)*2.0 + (A>B)*7.0"
 
 
@@ -2387,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdalmove_gt": _q_gdalmove,
         "checkpoint_lineage": _q_checkpoint,
         "gdal_calc_checksums": _q_gdal_calc,
+        "vrt_separate_checksums": _q_vrt_separate,
         "overview_checksums": _q_overview_checksums,
         "overview_mode_checksums": _q_overview_kernel("mode", 2),
         "overview_gauss_checksums": _q_overview_kernel("gauss", 4),

@@ -965,6 +965,23 @@ def mosaic(tile_tables: list[DataFrame]) -> DataFrame:
     )
 
 
+def stack_separate(tile_tables: list[DataFrame],
+                   dst_raster_id: str = "stack") -> DataFrame:
+    """gdalbuildvrt -separate (apps/gdalbuildvrt_lib.cpp: each input
+    becomes its own band of the VRT instead of mosaicking): input i's
+    band-1 tiles are renumbered to band i+1 under one raster id. Pure
+    unionByName + literal columns — no shuffle, no pixel rewrite."""
+    parts = [
+        t.withColumn("band", F.lit(i + 1).cast("int"))
+        .withColumn("raster_id", F.lit(dst_raster_id))
+        for i, t in enumerate(tile_tables)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p, allowMissingColumns=True)
+    return u
+
+
 def upsample_nearest(tiles: DataFrame, factor: int,
                      dst_raster_id: str | None = None) -> DataFrame:
     """Integer-factor nearest upsample (gdal_translate -outsize N00%

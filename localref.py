@@ -884,6 +884,7 @@ def oracle_entries() -> dict:
         "nearblack_checksums": sql_nearblack_checksums,
         "dedup_groups": sql_dedup_groups,
         "gdal_calc_checksums": sql_gdal_calc_checksums,
+        "vrt_separate_checksums": sql_vrt_separate_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -2070,3 +2071,9 @@ def sql_gdal_calc_checksums() -> str:
     out = run({"A": a, "B": b}).astype("float64")
     return values_sql(tile_checksums(out, 256, "calc", 1, 12),
                       CKS_COLS, CKS_TYPES)
+
+
+def sql_vrt_separate_checksums() -> str:
+    rows = tile_checksums(global_mosaic(2, 2), 256, "stack", 1, 12) + \
+        tile_checksums(synth.dome_np(512), 256, "stack", 2, 0)
+    return values_sql(rows, CKS_COLS, CKS_TYPES)

@@ -281,3 +281,17 @@ def test_mode_tiebreak_first_to_max():
     # all-invalid block -> nodata
     out2 = _mode_2x2(q[:, :1], np.zeros_like(q[:, :1], dtype=bool), -1.0)
     assert out2[0, 0] == -1.0
+
+
+def test_stack_separate(spark):
+    from pyspark.sql import functions as F
+
+    from gdal_spark import synth, tiling
+
+    a = synth.tiles_src_df(spark, 2, 2)
+    b = synth.dome_tiles_df(spark, 2, 2, 256)
+    out = tiling.stack_separate([a, b])
+    assert out.count() == 8
+    bands = {r["band"] for r in out.select("band").distinct().collect()}
+    assert bands == {1, 2}
+    assert out.filter(F.col("raster_id") != "stack").count() == 0
