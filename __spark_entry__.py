@@ -410,6 +410,15 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 8-gram collisions between
+    the corpus and an eval slice (doc_id < 100), broadcast semi-join —
+    the corpus side never shuffles."""
+    d = _read(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") < 100)
+    return TX.ngram_overlap(d, ev, "text", "doc_id", n=8)
+
+
 def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup pairs -> pointer-jumping connected components
     -> canonical doc per cluster; the oracle recomputes the closure
@@ -2385,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_groups": _q_dedup_groups,
+        "decontaminate": _q_decontaminate,
         "simhash_table": _q_simhash_table,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,

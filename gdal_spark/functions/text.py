@@ -231,6 +231,40 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
     return lsh_candidates(sigs, id_col, bands).filter(F.col("est_jaccard") >= threshold)
 
 
+def word_ngrams(df: DataFrame, text_col: str, id_col: str,
+                n: int = 8) -> DataFrame:
+    """(id, gram) rows: whitespace-token n-grams, entirely JVM
+    (split/transform/slice/concat_ws — no Python in the gram path)."""
+    t = tokens(F.col(text_col))
+    g = (
+        F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", F.slice(t, i + F.lit(1), n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    return df.select(F.col(id_col), F.explode(g).alias("gram"))
+
+
+def ngram_overlap(corpus: DataFrame, eval_set: DataFrame, text_col: str,
+                  id_col: str, n: int = 8) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share a word
+    n-gram with the eval set, and how many distinct grams collide.
+    The eval side deduplicates then BROADCASTS (eval sets are tiny
+    next to a 10^12-doc corpus), so the corpus-side gram stream feeds
+    a map-side hash join — the corpus never shuffles; the only
+    aggregation is the per-doc distinct-gram count."""
+    ev = word_ngrams(eval_set, text_col, id_col, n).select("gram").distinct()
+    return (
+        word_ngrams(corpus, text_col, id_col, n)
+        .join(F.broadcast(ev), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("matched_grams"))
+    )
+
+
 def minhash_dedup_groups(df: DataFrame, text_col: str, id_col: str,
                          threshold: float = 0.8, n_hashes: int = 64,
                          bands: int = 16, shingle_k: int = 5) -> DataFrame:

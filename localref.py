@@ -885,6 +885,7 @@ def oracle_entries() -> dict:
         "dedup_groups": sql_dedup_groups,
         "gdal_calc_checksums": sql_gdal_calc_checksums,
         "vrt_separate_checksums": sql_vrt_separate_checksums,
+        "decontaminate": sql_decontaminate,
     }
     out = {}
     for name, fn in makers.items():
@@ -2077,3 +2078,26 @@ def sql_vrt_separate_checksums() -> str:
     rows = tile_checksums(global_mosaic(2, 2), 256, "stack", 1, 12) + \
         tile_checksums(synth.dome_np(512), 256, "stack", 2, 0)
     return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+def sql_decontaminate(n: int = 8) -> str:
+    """Word-8-gram eval-set collision counts, recomputed with Python
+    set algebra over the same whitespace tokenization."""
+    docs = _read_parquet(f"{ORACLE_SF_DIR}/documents.parquet")
+
+    def grams(text):
+        toks = [t for t in (text or "").lower().split() if t]
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    gmap = {int(d): grams(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    ev = set()
+    for did, gs in gmap.items():
+        if did < 100:
+            ev |= gs
+    rows = sorted(
+        (did, len(gs & ev)) for did, gs in gmap.items() if gs & ev
+    )
+    return values_sql(rows, ["doc_id", "matched_grams"],
+                      ["bigint", "bigint"])

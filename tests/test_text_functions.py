@@ -248,3 +248,31 @@ def test_minhash_dedup_groups(spark):
     }
     assert got[1] == 1 and got[2] == 1 and got[3] == 1
     assert got[4] == 4 and got[5] == 5
+
+
+def test_ngram_overlap(spark):
+    import pandas as pd
+    from gdal_spark.functions.text import ngram_overlap
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c d e f",          # shares the eval 4-grams
+                    "x y z w q r",          # no overlap
+                    "c d e f g h",          # shares 'c d e f'
+                ],
+            }
+        )
+    )
+    ev = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["a b c d e f g"]})
+    )
+    got = {
+        r["doc_id"]: r["matched_grams"]
+        for r in ngram_overlap(corpus, ev, "text", "doc_id", n=4).collect()
+    }
+    # doc1: grams 'a b c d','b c d e','c d e f' all in eval -> 3
+    # doc3: 'c d e f' and 'd e f g' -> 2; doc2 absent
+    assert got == {1: 3, 3: 2}
