@@ -122,6 +122,10 @@ def main():
         # no-shuffle split assignment, and band-polygon contouring
         "kmeans_embeddings", "dup_spans", "sample_split",
         "contour_polygons",
+        # this session: nearblack closed form, textual gdal_calc,
+        # CC dedup groups, eval-set decontamination, linear referencing
+        "nearblack_checksums", "gdal_calc_checksums", "dedup_groups",
+        "decontaminate", "lineref",
     ]:
         df_fn = qs[name]
         timed(name, lambda f=df_fn: f(spark, SF_DIR).count())
