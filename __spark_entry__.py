@@ -72,6 +72,34 @@ def _q_pip_zone_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "zone_id", "eas_id")
 
 
+def _q_streaming_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIP join through Structured Streaming (readStream ->
+    stateless join -> availableNow parquet sink with checkpoint):
+    the drained sink must value-match the BATCH oracle — the
+    streaming path is held to the same correctness gate as batch."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="gdal_spark_stream_")
+    src_dir, out_dir, ck = f"{root}/src", f"{root}/out", f"{root}/ck"
+    docs = _docs_points(spark, sf_dir)
+    docs.write.mode("overwrite").parquet(src_dir)
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
+    src = spark.readStream.schema(docs.schema).parquet(src_dir)
+    out = pip_join(src, zidx, mode="first").select(
+        "doc_id", "zone_id", "eas_id"
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
 def _q_pip_zone_join_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PIP join over a BINARY WKB geometry column (SURVEY §1.1
     canonical encoding): points serialize to WKB, the join consumes
@@ -2362,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_zone_join": _q_pip_zone_join,
         "pip_zone_join_wkb": _q_pip_zone_join_wkb,
+        "streaming_pip": _q_streaming_pip,
         "tile_assign": _q_tile_assign,
         "knn_top5": _q_knn,
         "knn_large": _q_knn_large,
@@ -4026,6 +4055,8 @@ def _oracle_sql_static() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_static()
+    # the streaming path answers to the same oracle as the batch join
+    d.setdefault("streaming_pip", d["pip_zone_join"])
     # non-SQL-expressible queries (hash kernels, pixel kernels, LSH)
     # get literal VALUES oracles computed by the single-node reference
     # implementations in localref.py — any entry whose inputs are
