@@ -329,6 +329,44 @@ def _q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.scrub_pii(injected).alias("scrubbed"))
 
 
+def _q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub applied INSIDE the interleaved span sequence
+    (input_hint shape): only kind='text' spans are rewritten via
+    F.transform — media and geom spans pass through byte-identical
+    and the offset order is untouched. Output: kind sequence, the
+    scrubbed text-span body, and the media ref."""
+    flat = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    docs = DRV.docs_with_spans_from_flat(flat)
+    did = F.col("doc_id")
+    injected_tail = F.concat(
+        F.lit(" mail user"), did, F.lit("@example.com"),
+        F.lit(" call +1 555-000-"), did,
+        F.lit(" from 10.0.0."), (did.cast("long") % 200).cast("string"),
+    )
+    spans2 = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(
+                s["kind"] == "text",
+                TX.scrub_pii(
+                    F.concat(F.substring(s["text"], 1, 40), injected_tail)
+                ),
+            ).otherwise(s["text"]).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    ordered = F.array_sort(spans2, lambda a, b: a["offset"] - b["offset"])
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(",", F.transform(ordered, lambda s: s["kind"]))
+        .alias("kind_seq"),
+        F.element_at(ordered, 1)["text"].alias("scrubbed"),
+        F.element_at(ordered, 2)["media_ref"].alias("media_ref"),
+    )
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals over the raw corpus."""
     docs = _read(spark, sf_dir, "documents")
@@ -2414,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "text_scrub_pii": _q_text_scrub,
+        "span_scrub": _q_span_scrub,
         "text_repetition": _q_text_repetition,
         "dup_spans": _q_dup_spans,
         "sample_split": _q_sample_split,
@@ -3206,6 +3245,26 @@ def _oracle_sql_static() -> dict[str, str]:
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                        '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS scrubbed
+            FROM c
+        """,
+        "span_scrub": r"""
+            WITH b AS (
+              SELECT doc_id, SUBSTR(text, 1, 40) AS t
+              FROM documents WHERE doc_id < 400
+            ), c AS (
+              SELECT doc_id,
+                     CONCAT(t, ' mail user', CAST(doc_id AS VARCHAR),
+                            '@example.com', ' call +1 555-000-',
+                            CAST(doc_id AS VARCHAR), ' from 10.0.0.',
+                            CAST(doc_id % 200 AS VARCHAR)) AS body
+              FROM b
+            )
+            SELECT doc_id, 'text,media,geom' AS kind_seq,
+                   REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(body,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS scrubbed,
+                   printf('media://%09d', doc_id) AS media_ref
             FROM c
         """,
         "text_repetition": r"""
