@@ -245,7 +245,10 @@ def word_ngrams(df: DataFrame, text_col: str, id_col: str,
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    return df.select(F.col(id_col), F.explode(g).alias("gram"))
+    # per-doc dedup happens map-side (array_distinct) so downstream
+    # counts are plain COUNT(*) — no expensive distinct aggregation
+    return df.select(F.col(id_col),
+                     F.explode(F.array_distinct(g)).alias("gram"))
 
 
 def ngram_overlap(corpus: DataFrame, eval_set: DataFrame, text_col: str,
@@ -261,7 +264,7 @@ def ngram_overlap(corpus: DataFrame, eval_set: DataFrame, text_col: str,
         word_ngrams(corpus, text_col, id_col, n)
         .join(F.broadcast(ev), "gram")
         .groupBy(id_col)
-        .agg(F.countDistinct("gram").alias("matched_grams"))
+        .agg(F.count(F.lit(1)).alias("matched_grams"))
     )
 
 
