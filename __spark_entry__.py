@@ -1075,6 +1075,15 @@ def _q_rasterize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RST.value_counts(burned)
 
 
+def _q_rasterize_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize -i (inverse burn, apps/gdal_rasterize_lib.cpp
+    bInverse): burn 1 where NO zone covers the pixel center."""
+    zidx = zone_index(spark, DRV.rect_zone_grid(ZONE_G))
+    burned = RST.rasterize_zones(spark, zidx, 4, 4, tile_px=128,
+                                 invert=True)
+    return RST.value_counts(burned)
+
+
 def _q_rasterize_alltouched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL_TOUCHED burn (alg/gdalrasterize.cpp:573-613) on a grid whose
     lon borders land on half-integer pixels (6 deg/px vs 45 deg zones)
@@ -2044,6 +2053,16 @@ def _q_dem_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.slope(tiles, res=1.0))
 
 
+def _q_dem_slope_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem slope -p (percent slope, the slopeFormat==0 branch at
+    apps/gdaldem_lib.cpp:1356): 100 * rise/run."""
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(
+        RST.slope(tiles, res=1.0, dst_raster_id="slope_pct",
+                  slope_format="percent")
+    )
+
+
 def _q_dem_slope_zt(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synth.tiles_src_df(spark, 2, 2)
     return tiling.checksum_table(
@@ -2174,6 +2193,61 @@ def _q_conic(epsg: int):
         )
 
     return q
+
+
+def _q_warped_layer_conic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGRWarpedLayer over a POLYGON layer with a general conic CRS
+    (generic/ogrwarpedlayer.cpp:166 SrcFeatureToWarpedFeature; extent
+    via :389 GetExtent): each square's 4 vertices project to EPSG:3347
+    inside zip_with — whole geometry arrays transformed in JVM column
+    math, then the warped extent per feature. No UDF anywhere."""
+    from gdal_spark import crs
+
+    d = DRV.with_derived_squares(_read(spark, sf_dir, "documents"))
+    # keep the whole square (half <= 1 deg) inside the 3347 region
+    d = d.filter(F.expr("lon > -139.5 AND lon < -75.5"))
+    xs = F.array("x0", "x1", "x1", "x0")
+    ys = F.array("y0", "y0", "y1", "y1")
+    wx = F.zip_with(xs, ys, lambda a, b: crs.conic_forward(3347, a, b)[0])
+    wy = F.zip_with(xs, ys, lambda a, b: crs.conic_forward(3347, a, b)[1])
+    return d.select(
+        "doc_id",
+        F.round(F.array_min(wx), 3).alias("xmin"),
+        F.round(F.array_max(wx), 3).alias("xmax"),
+        F.round(F.array_min(wy), 3).alias("ymin"),
+        F.round(F.array_max(wy), 3).alias("ymax"),
+    )
+
+
+def _warped_layer_sql() -> str:
+    from gdal_spark.crs import conic_forward_sql
+
+    corners = [
+        (f"({_LON} - {_HALF})", f"({_LAT} - {_HALF})"),
+        (f"({_LON} + {_HALF})", f"({_LAT} - {_HALF})"),
+        (f"({_LON} + {_HALF})", f"({_LAT} + {_HALF})"),
+        (f"({_LON} - {_HALF})", f"({_LAT} + {_HALF})"),
+    ]
+    fx, fy = [], []
+    for cx, cy in corners:
+        x, y = conic_forward_sql(3347, cx, cy)
+        fx.append(x)
+        fy.append(y)
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 {fx[0]} AS x1v, {fx[1]} AS x2v, {fx[2]} AS x3v, {fx[3]} AS x4v,
+                 {fy[0]} AS y1v, {fy[1]} AS y2v, {fy[2]} AS y3v, {fy[3]} AS y4v
+          FROM documents
+          WHERE {_LON} > -139.5 AND {_LON} < -75.5
+        )
+        SELECT doc_id,
+               ROUND(LEAST(x1v, x2v, x3v, x4v), 3) AS xmin,
+               ROUND(GREATEST(x1v, x2v, x3v, x4v), 3) AS xmax,
+               ROUND(LEAST(y1v, y2v, y3v, y4v), 3) AS ymin,
+               ROUND(GREATEST(y1v, y2v, y3v, y4v), 3) AS ymax
+        FROM c
+    """
 
 
 def _conic_sql(epsg: int) -> str:
@@ -2517,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cutline_blend": _q_cutline_blend,
         "overlay_concave_wkt": _q_overlay_concave_wkt,
         "rasterize_counts": _q_rasterize_counts,
+        "rasterize_invert": _q_rasterize_invert,
         "rasterize_alltouched": _q_rasterize_alltouched,
         "rasterize_add": _q_rasterize_add,
         "raster_locate": _q_raster_locate,
@@ -2564,10 +2639,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_slope_zt_checksums": _q_dem_slope_zt,
         "dem_hillshade_checksums": _q_dem_hillshade,
         "dem_slope_checksums": _q_dem_slope,
+        "dem_slope_pct_checksums": _q_dem_slope_pct,
         "gcp_transform": _q_gcp_transform,
         "tps_transform": _q_tps_transform,
         "rpc_transform": _q_rpc_transform,
         "lcc_transform": _q_conic(3347),
+        "warped_layer_conic": _q_warped_layer_conic,
         "albers_transform": _q_conic(5070),
         "polar_stereo_transform": _q_conic(3031),
         "mercator_transform": _q_conic(3395),
@@ -3056,6 +3133,31 @@ WITH px AS (
   SELECT CAST(gx // 128 AS INTEGER) AS tile_x,
          CAST(gy // 128 AS INTEGER) AS tile_y,
          COALESCE({zone}, -1) AS value
+  FROM c
+)
+SELECT tile_x, tile_y, CAST(value AS BIGINT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS npix
+FROM z GROUP BY tile_x, tile_y, value
+"""
+
+
+def _rasterize_invert_sql() -> str:
+    rx = 360.0 / 512
+    ry = 170.0 / 512
+    zone = DRV.rect_zone_oracle_sql(ZONE_G)
+    return f"""
+WITH px AS (
+  SELECT a.range AS gx, b.range AS gy
+  FROM range(512) a CROSS JOIN range(512) b
+), c AS (
+  SELECT gx, gy,
+         -180.0 + (CAST(gx AS DOUBLE) + 0.5) * {rx} AS lon,
+         85.0 - (CAST(gy AS DOUBLE) + 0.5) * {ry} AS lat
+  FROM px
+), z AS (
+  SELECT CAST(gx // 128 AS INTEGER) AS tile_x,
+         CAST(gy // 128 AS INTEGER) AS tile_y,
+         CASE WHEN COALESCE({zone}, -1) = -1 THEN 1 ELSE -1 END AS value
   FROM c
 )
 SELECT tile_x, tile_y, CAST(value AS BIGINT) AS value,
@@ -3585,6 +3687,7 @@ def _oracle_sql_static() -> dict[str, str]:
             GROUP BY gx, gy
         """,
         "rasterize_counts": _rasterize_sql(),
+        "rasterize_invert": _rasterize_invert_sql(),
         "rasterize_alltouched": f"""
             WITH px AS (
               SELECT a.range AS gx, b.range AS gy
@@ -4087,6 +4190,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "tps_transform": _tps_sql(),
         "rpc_transform": _rpc_sql(),
         "lcc_transform": _conic_sql(3347),
+        "warped_layer_conic": _warped_layer_sql(),
         "albers_transform": _conic_sql(5070),
         "polar_stereo_transform": _conic_sql(3031),
         "mercator_transform": _conic_sql(3395),

@@ -418,6 +418,8 @@ def rasterize_zones(
     raster_id: str = "zones_burn",
     all_touched: bool = False,
     merge_alg: str = "replace",
+    invert: bool = False,
+    invert_burn: int = 1,
 ) -> DataFrame:
     """Vector -> raster burn (gdal_rasterize, alg/gdalrasterize.cpp;
     app apps/gdal_rasterize_lib.cpp:598). GDAL default semantics: a
@@ -433,6 +435,10 @@ def rasterize_zones(
 
     merge_alg='add' (MERGE_ALG=ADD, :605): the burn values of ALL
     matching zones sum instead of first-match-replace.
+
+    invert=True (gdal_rasterize -i, apps/gdal_rasterize_lib.cpp
+    bInverse): burn `invert_burn` into every pixel NOT covered by any
+    zone; covered pixels become nodata.
 
     Spark shape: the tile list is a spark.range map stage; each task
     computes its pixel-center grid and runs the SAME broadcast-cover
@@ -484,6 +490,10 @@ def rasterize_zones(
                         arr, cov, x0 + tx * tile_px * rx,
                         y_top - ty * tile_px * ry, rx, ry, tile_px,
                     )
+                if invert:
+                    arr = np.where(
+                        arr == -1, np.int32(invert_burn), np.int32(-1)
+                    ).astype(np.int32)
                 rows.append(
                     {
                         "raster_id": raster_id, "band": 1, "zoom": 0,
@@ -833,14 +843,20 @@ def hillshade_igor(tiles: DataFrame, res: float, azimuth: float = 315.0,
 
 
 def slope(tiles: DataFrame, res: float, z_factor: float = 1.0,
-          dst_raster_id: str = "slope", alg: str = "horn") -> DataFrame:
-    """Slope in degrees (gdaldem slope, apps/gdaldem_lib.cpp:1325-1386);
-    alg: 'horn' (default) or 'zevenbergen_thorne' (-alg ZT)."""
+          dst_raster_id: str = "slope", alg: str = "horn",
+          slope_format: str = "degrees") -> DataFrame:
+    """Slope (gdaldem slope, apps/gdaldem_lib.cpp:1325-1386); alg:
+    'horn' (default) or 'zevenbergen_thorne' (-alg ZT); slope_format
+    'degrees' (default) or 'percent' (-p: 100 * rise/run, the
+    slopeFormat==0 branch at :1356)."""
     grad = _GRADIENTS[alg]
 
     def kern(pad, r):
         dzdx, dzdy = grad(pad * z_factor, r)
-        return np.degrees(np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+        mag = np.sqrt(dzdx * dzdx + dzdy * dzdy)
+        if slope_format == "percent":
+            return 100.0 * mag
+        return np.degrees(np.arctan(mag))
 
     return _focal(tiles, kern, "float64", dst_raster_id, res)
 

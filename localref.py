@@ -886,6 +886,7 @@ def oracle_entries() -> dict:
         "gdal_calc_checksums": sql_gdal_calc_checksums,
         "vrt_separate_checksums": sql_vrt_separate_checksums,
         "decontaminate": sql_decontaminate,
+        "dem_slope_pct_checksums": sql_dem_slope_pct_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -2101,3 +2102,12 @@ def sql_decontaminate(n: int = 8) -> str:
     )
     return values_sql(rows, ["doc_id", "matched_grams"],
                       ["bigint", "bigint"])
+
+
+def sql_dem_slope_pct_checksums() -> str:
+    g = global_mosaic(2, 2).astype(np.float64)
+    pad = np.pad(g, 1, mode="edge")
+    dzdx, dzdy = _horn(pad, 1.0)
+    out = 100.0 * np.sqrt(dzdx * dzdx + dzdy * dzdy)
+    return values_sql(tile_checksums(out, 256, "slope_pct", 1, 12),
+                      CKS_COLS, CKS_TYPES)
