@@ -560,6 +560,22 @@ def _gt_cols():
     ]
 
 
+def _q_cog_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG-style write plan (frmts/cog layout; perf matrix
+    gdal/perftests/cog.py): 3-level pyramid, coarsest level first,
+    Morton order within level, exclusive byte offsets from the
+    two-level (per-level window + broadcast bases) cumulative sum."""
+    from gdal_spark.layout import cog_plan
+
+    base = synth.tiles_src_df(spark, 4, 4)
+    ov1 = tiling.build_overview(base, "average")
+    ov2 = tiling.build_overview(ov1, "average")
+    allt = base.unionByName(ov1).unionByName(ov2)
+    return cog_plan(allt).select(
+        "zoom", "tile_x", "tile_y", "morton", "seq", "nbytes", "offset"
+    )
+
+
 def _q_vrt_separate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalbuildvrt -separate: two rasters stacked as bands 1/2 of one
     VRT; per-band checksums must equal each source's own."""
@@ -2548,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_lineage": _q_checkpoint,
         "gdal_calc_checksums": _q_gdal_calc,
         "vrt_separate_checksums": _q_vrt_separate,
+        "cog_plan": _q_cog_plan,
         "overview_checksums": _q_overview_checksums,
         "overview_mode_checksums": _q_overview_kernel("mode", 2),
         "overview_gauss_checksums": _q_overview_kernel("gauss", 4),
@@ -3141,6 +3158,47 @@ FROM z GROUP BY tile_x, tile_y, value
 """
 
 
+def _cog_plan_sql() -> str:
+    """Closed-form COG plan: same Morton magic masks as DuckDB bit
+    ops, same two-level offset arithmetic, all uint8 256px tiles."""
+
+    def spread(e: str) -> str:
+        e = f"({e} & 65535)"
+        e = f"(({e} | ({e} << 8)) & 16711935)"
+        e = f"(({e} | ({e} << 4)) & 252645135)"
+        e = f"(({e} | ({e} << 2)) & 858993459)"
+        return f"(({e} | ({e} << 1)) & 1431655765)"
+
+    morton = f"({spread('tx')} | ({spread('ty')} << 1))"
+    return f"""
+        WITH lv AS (
+          SELECT 12 AS zoom, a.range AS tx, b.range AS ty
+          FROM range(4) a CROSS JOIN range(4) b
+          UNION ALL
+          SELECT 11, a.range, b.range
+          FROM range(2) a CROSS JOIN range(2) b
+          UNION ALL SELECT 10, 0, 0
+        ), m AS (
+          SELECT zoom, tx, ty, {morton} AS morton,
+                 CAST(65536 AS BIGINT) AS nbytes,
+                 CASE zoom WHEN 10 THEN 0 WHEN 11 THEN 65536
+                           ELSE 327680 END AS base
+          FROM lv
+        )
+        SELECT CAST(zoom AS INTEGER) AS zoom,
+               CAST(tx AS INTEGER) AS tile_x, CAST(ty AS INTEGER) AS tile_y,
+               CAST(morton AS BIGINT) AS morton,
+               CAST(ROW_NUMBER() OVER
+                    (PARTITION BY zoom ORDER BY morton, tx, ty) - 1
+                    AS INTEGER) AS seq,
+               nbytes,
+               CAST(base + SUM(nbytes) OVER
+                    (PARTITION BY zoom ORDER BY morton, tx, ty)
+                    - nbytes AS BIGINT) AS offset
+        FROM m
+    """
+
+
 def _rasterize_invert_sql() -> str:
     rx = 360.0 / 512
     ry = 170.0 / 512
@@ -3688,6 +3746,7 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "rasterize_counts": _rasterize_sql(),
         "rasterize_invert": _rasterize_invert_sql(),
+        "cog_plan": _cog_plan_sql(),
         "rasterize_alltouched": f"""
             WITH px AS (
               SELECT a.range AS gx, b.range AS gy
