@@ -476,6 +476,21 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join (skew.salted_join): lang is maximally
+    hot (5 distinct keys over the whole corpus); the salt spreads each
+    key over 8 reducers while the aggregate stays value-identical to
+    the unsalted join."""
+    from gdal_spark.skew import salted_join
+
+    d = _read(spark, sf_dir, "documents")
+    small = d.select("lang").distinct().withColumn("w", F.length("lang"))
+    out = salted_join(d.select("doc_id", "lang"), small, "lang", salt=8)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("wsum")
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 8-gram collisions between
     the corpus and an eval slice (doc_id < 100), broadcast semi-join —
@@ -2553,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "dedup_groups": _q_dedup_groups,
         "decontaminate": _q_decontaminate,
+        "salted_join": _q_salted_join,
         "simhash_table": _q_simhash_table,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -3406,6 +3422,11 @@ def _oracle_sql_static() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                        '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS scrubbed
             FROM c
+        """,
+        "salted_join": """
+            SELECT lang, COUNT(*) AS n,
+                   SUM(LENGTH(lang)) AS wsum
+            FROM documents GROUP BY lang
         """,
         "span_scrub": r"""
             WITH b AS (
