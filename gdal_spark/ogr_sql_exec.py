@@ -34,8 +34,11 @@ OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA / OGR_STYLE
 (ogr_sql_dialect.rst), and ExecuteSQL's spatial-filter argument
 (rect-over-points runs as pure codegen column compares).
 
-Out of scope (use spark.sql for the full-SQL passthrough, the analog
-of the SQLite dialect): GROUP BY, subqueries.
+Out of scope for THIS dialect (GROUP BY, subqueries, window
+functions): use `execute_sqlite_sql` below — the SQLite-dialect entry
+point (gdaldataset.cpp:6176-6187) whose secondary engine here is
+Spark SQL itself, with layers as temp views and the ST_* function
+suite registered.
 """
 
 from __future__ import annotations
