@@ -367,6 +367,14 @@ def _q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate: the five rule flags and
+    the AND'ed keep decision per document."""
+    d = _read(spark, sf_dir, "documents")
+    flags = TX.gopher_flags("text")
+    return d.select("doc_id", *[v.alias(k) for k, v in flags.items()])
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals over the raw corpus."""
     docs = _read(spark, sf_dir, "documents")
@@ -2391,6 +2399,35 @@ def _q_lineref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lineref_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -create (apps/ogrlineref.cpp:1035 CreateParts,
+    uniform-measure simplification): each L-shaped line cut into
+    ceil(1/0.375)=3 parts of step 0.375*L with beg/end/scale and the
+    getSubLine geometry (including the reference's duplicated first
+    vertex at measure 0)."""
+    from gdal_spark.functions.geometry import line_parts
+
+    d = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 300
+    )
+    w = F.col("x1") - F.col("x0")
+    h = F.col("y1") - F.col("y0")
+    big_l = w + h
+    wkt = F.format_string(
+        "LINESTRING (%s %s, %s %s, %s %s)",
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y0"),
+        F.col("x1"), F.col("y1"),
+    )
+    lines = d.select("doc_id", wkt.alias("wkt"),
+                     (F.lit(0.375) * big_l).alias("step"))
+    out = line_parts(lines, "wkt", "doc_id", F.col("step"))
+    return out.select(
+        "doc_id", "part",
+        F.round("beg", 6).alias("beg"), F.round("end", 6).alias("end"),
+        "scale", "sub",
+    )
+
+
 def _q_geometry_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr -explodecollections via st_dump + posexplode: one row
     per collection part with its area and centroid."""
@@ -2559,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": _q_text_scrub,
         "span_scrub": _q_span_scrub,
         "text_repetition": _q_text_repetition,
+        "gopher_filter": _q_gopher_filter,
         "dup_spans": _q_dup_spans,
         "sample_split": _q_sample_split,
         "stratified_sample": _q_stratified_sample,
@@ -2613,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_segmentize": _q_geometry_segmentize,
         "geometry_explode": _q_geometry_explode,
         "lineref": _q_lineref,
+        "lineref_create": _q_lineref_create,
         "geometry_wrapdateline": _q_geometry_wrapdateline,
         "geometry_predicates": _q_geometry_predicates,
         "geometry_boolean": _q_geometry_boolean,
@@ -3466,6 +3505,45 @@ def _oracle_sql_static() -> dict[str, str]:
                             / LEN(lns)) * 1e6) / 1e6 ELSE 0.0 END AS dup_line_frac
             FROM b
         """,
+        "gopher_filter": r"""
+            WITH b AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(LOWER(text), '\s+'),
+                                 x -> x <> '') AS toks,
+                     list_filter(regexp_split_to_array(text, '\n'),
+                                 x -> x <> '') AS lns
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     LEN(toks) AS nt,
+                     CAST(LENGTH(text) AS DOUBLE) AS n,
+                     CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS DOUBLE) AS alpha,
+                     CASE WHEN LEN(toks) > 0 THEN
+                       FLOOR((1.0 - CAST(LEN(list_distinct(toks)) AS DOUBLE)
+                              / LEN(toks)) * 1e6) / 1e6 ELSE 0.0 END AS dw,
+                     CASE WHEN LEN(lns) > 0 THEN
+                       FLOOR((1.0 - CAST(LEN(list_distinct(lns)) AS DOUBLE)
+                              / LEN(lns)) * 1e6) / 1e6 ELSE 0.0 END AS dl
+              FROM b
+            ), f AS (
+              SELECT doc_id,
+                     (nt >= 50 AND nt <= 100000) AS f_tokens,
+                     (n / CAST(GREATEST(nt, 1) AS DOUBLE) >= 3.0 AND
+                      n / CAST(GREATEST(nt, 1) AS DOUBLE) <= 10.0)
+                       AS f_wordlen,
+                     ((CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) >= 0.6)
+                       AS f_alpha,
+                     (dw <= 0.5) AS f_dup_words,
+                     (dl <= 0.3) AS f_dup_lines
+              FROM m
+            )
+            SELECT doc_id, f_tokens, f_wordlen, f_alpha, f_dup_words,
+                   f_dup_lines,
+                   (f_tokens AND f_wordlen AND f_alpha AND f_dup_words
+                    AND f_dup_lines) AS keep
+            FROM f
+        """,
         "pack_sequences": r"""
             WITH t AS (
               SELECT doc_id,
@@ -4192,6 +4270,58 @@ def _oracle_sql_static() -> dict[str, str]:
                           x1, y0,
                           x1 * (1.0 - r2) + x1 * r2,
                           y0 * (1.0 - r2) + y1 * r2) AS sub
+            FROM r
+        """,
+        "lineref_create": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     ({_LON} - {_HALF}) AS x0, ({_LON} + {_HALF}) AS x1,
+                     ({_LAT} - {_HALF}) AS y0, ({_LAT} + {_HALF}) AS y1
+              FROM documents WHERE doc_id < 300
+            ), c AS (
+              SELECT doc_id, x0, x1, y0, y1,
+                     x1 - x0 AS w, y1 - y0 AS h,
+                     (x1 - x0) + (y1 - y0) AS len
+              FROM b
+            ), m AS (
+              SELECT *, 0.375 * len AS step FROM c
+            ), r AS (
+              SELECT *,
+                     ((1.0 * step) - 0.0) / w AS r0,
+                     ((LEAST(len, 2.0 * step)) - w) / h AS re1,
+                     ((2.0 * step) - w) / h AS rb2,
+                     (len - w) / h AS re2
+              FROM m
+            )
+            SELECT doc_id, CAST(0 AS INTEGER) AS part,
+                   ROUND(0.0 * step, 6) AS beg,
+                   ROUND(1.0 * step, 6) AS "end",
+                   CAST(1.0 AS DOUBLE) AS scale,
+                   printf('LINESTRING(%.7f %.7f, %.7f %.7f, %.7f %.7f)',
+                          x0, y0, x0, y0,
+                          x0 * (1.0 - r0) + x1 * r0,
+                          y0 * (1.0 - r0) + y0 * r0) AS sub
+            FROM r
+            UNION ALL
+            SELECT doc_id, 1,
+                   ROUND(1.0 * step, 6), ROUND(LEAST(len, 2.0 * step), 6),
+                   CAST(1.0 AS DOUBLE),
+                   printf('LINESTRING(%.7f %.7f, %.7f %.7f, %.7f %.7f)',
+                          x0 * (1.0 - r0) + x1 * r0,
+                          y0 * (1.0 - r0) + y0 * r0,
+                          x1, y0,
+                          x1 * (1.0 - re1) + x1 * re1,
+                          y0 * (1.0 - re1) + y1 * re1)
+            FROM r
+            UNION ALL
+            SELECT doc_id, 2,
+                   ROUND(2.0 * step, 6), ROUND(len, 6),
+                   CAST(1.0 AS DOUBLE),
+                   printf('LINESTRING(%.7f %.7f, %.7f %.7f)',
+                          x1 * (1.0 - rb2) + x1 * rb2,
+                          y0 * (1.0 - rb2) + y1 * rb2,
+                          x1 * (1.0 - re2) + x1 * re2,
+                          y0 * (1.0 - re2) + y1 * re2)
             FROM r
         """,
         "sqlite_dialect_exec": f"""

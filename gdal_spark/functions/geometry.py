@@ -149,6 +149,47 @@ def st_line_locate(wkt: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def st_line_length(wkt: pd.Series) -> pd.Series:
+    """Line length (OGRSimpleCurve::get_Length) — the same segment
+    sum line_sub uses internally, so part cutting clamps exactly."""
+    out = []
+    for w in wkt:
+        if w is None:
+            out.append(None)
+            continue
+        xs, ys = GM._line_coords(GM.geom_of(w))
+        out.append(float(np.hypot(np.diff(xs), np.diff(ys)).sum()))
+    return pd.Series(out)
+
+
+def line_parts(df, wkt_col: str, id_col: str, step) -> "pd.DataFrame":
+    """ogrlineref -create without a repers file (apps/ogrlineref.cpp
+    :1035 CreateParts / :596 CreatePartsFromLineString, simplified to
+    uniform measure: no milestone re-scaling): cut each line into
+    parts of length `step` with (part, beg, end, scale=1, sub WKT).
+    Column-math fan-out (sequence + explode) + the getSubLine kernel —
+    each line's parts are produced where the line lives; no shuffle."""
+    step = F.lit(step) if isinstance(step, (int, float)) else step
+    ln = st_line_length(F.col(wkt_col))
+    d = df.withColumn("_len", ln).withColumn(
+        "_n", F.ceil(F.col("_len") / step).cast("int")
+    )
+    d = d.select(
+        F.col(id_col), F.col(wkt_col), "_len", step.alias("_step"),
+        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("part"),
+    )
+    beg = F.col("part").cast("double") * F.col("_step")
+    end = F.least(
+        F.col("_len"), (F.col("part") + 1).cast("double") * F.col("_step")
+    )
+    return d.select(
+        F.col(id_col), "part",
+        beg.alias("beg"), end.alias("end"), F.lit(1.0).alias("scale"),
+        st_line_substring(F.col(wkt_col), beg, end).alias("sub"),
+    )
+
+
 @F.pandas_udf(T.StringType())
 def st_line_substring(wkt: pd.Series, m0: pd.Series, m1: pd.Series) -> pd.Series:
     """Portion of the line between two measures

@@ -231,6 +231,34 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
     return lsh_candidates(sigs, id_col, bands).filter(F.col("est_jaccard") >= threshold)
 
 
+def gopher_flags(col: Column | str) -> dict[str, Column]:
+    """Gopher-style composite quality filter (the published rule
+    family: token-count window, mean-word-length window, alphabetic
+    ratio, duplicate word/line fractions). Returns the individual
+    flag columns plus `keep` = AND of all — every term is JVM
+    regexp/length/array arithmetic, zero Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    nt = F.size(tokens(c))
+    n = F.length(c).cast("double")
+    nw = F.greatest(nt, F.lit(1)).cast("double")
+    mwl = n / nw
+    alpha = F.regexp_count(c, F.lit(r"[A-Za-z]")).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    dw, dl = repetition_metrics(c)
+    flags = {
+        "f_tokens": (nt >= 50) & (nt <= 100000),
+        "f_wordlen": (mwl >= 3.0) & (mwl <= 10.0),
+        "f_alpha": alpha_ratio >= 0.6,
+        "f_dup_words": dw <= 0.5,
+        "f_dup_lines": dl <= 0.3,
+    }
+    keep = F.lit(True)
+    for f in flags.values():
+        keep = keep & f
+    flags["keep"] = keep
+    return flags
+
+
 def word_ngrams(df: DataFrame, text_col: str, id_col: str,
                 n: int = 8) -> DataFrame:
     """(id, gram) rows: whitespace-token n-grams, entirely JVM
