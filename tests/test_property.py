@@ -1,0 +1,109 @@
+"""Property-based invariants (hypothesis) for the pure-python/numpy
+kernels — no SparkSession needed, so these are fast and broad."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_spark import geometry as GM
+
+
+def _polyline(coords):
+    xs = np.array([c[0] for c in coords], float)
+    ys = np.array([c[1] for c in coords], float)
+    return GM.Geom("linestring", [(xs, ys)])
+
+
+coords_st = st.lists(
+    st.tuples(
+        st.floats(-1000, 1000, allow_nan=False),
+        st.floats(-1000, 1000, allow_nan=False),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _length(g):
+    xs, ys = g.parts[0]
+    return float(np.hypot(np.diff(xs), np.diff(ys)).sum())
+
+
+@settings(max_examples=200, deadline=None)
+@given(coords_st, st.floats(0.01, 0.99), st.floats(0.01, 0.99))
+def test_line_sub_endpoints_match_value(coords, fa, fb):
+    g = _polyline(coords)
+    total = _length(g)
+    if total <= 0:
+        return
+    a, b = sorted([fa * total, fb * total])
+    if b - a < 1e-9 or a >= total:
+        return
+    sub = GM.line_sub(g, a, b)
+    if sub is None:
+        return
+    xs, ys = sub.parts[0]
+    va = GM.line_value(g, a)
+    vb = GM.line_value(g, b)
+    assert math.hypot(xs[0] - va[0], ys[0] - va[1]) < 1e-6 * max(1, total)
+    assert math.hypot(xs[-1] - vb[0], ys[-1] - vb[1]) < 1e-6 * max(1, total)
+    # subline length equals the measure interval
+    assert abs(_length(sub) - (b - a)) < 1e-6 * max(1.0, total)
+
+
+@settings(max_examples=200, deadline=None)
+@given(coords_st, st.floats(0.0, 1.0))
+def test_project_inverts_value(coords, frac):
+    g = _polyline(coords)
+    total = _length(g)
+    if total <= 0:
+        return
+    m = frac * total
+    x, y = GM.line_value(g, m)
+    m2 = GM.line_project(g, x, y)
+    # the point at measure m projects back to a measure whose point
+    # is the same location (measure itself may differ on self-near
+    # polylines — location is the invariant)
+    x2, y2 = GM.line_value(g, m2)
+    assert math.hypot(x - x2, y - y2) < 1e-6 * max(1.0, total)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(-50, 50), st.floats(-50, 50),
+    st.floats(1, 40), st.floats(1, 40),
+    st.floats(-50, 50), st.floats(-50, 50),
+    st.floats(1, 40), st.floats(1, 40),
+)
+def test_boolean_area_partition(ax, ay, aw, ah, bx, by, bw, bh):
+    """area(A ∩ B) + area(A \\ B) == area(A) for axis-aligned rects
+    through the general polygon-boolean kernel."""
+    from gdal_spark import boolean as BO
+
+    def rect(x, y, w, h):
+        return GM.parse_wkt(
+            f"POLYGON(({x} {y}, {x+w} {y}, {x+w} {y+h}, {x} {y+h}, {x} {y}))"
+        )
+
+    A = rect(ax, ay, aw, ah)
+    B = rect(bx, by, bw, bh)
+
+    def area(op):
+        polys = BO.polygon_boolean(A, B, op)
+        tot = 0.0
+        for rings in polys:
+            for i, r in enumerate(rings):
+                r = np.asarray(r)
+                s = 0.5 * abs(
+                    np.dot(r[:, 0], np.roll(r[:, 1], -1))
+                    - np.dot(r[:, 1], np.roll(r[:, 0], -1))
+                )
+                tot += s if i == 0 else -s
+        return tot
+
+    a_area = aw * ah
+    inter = area("intersection")
+    diff = area("difference")
+    assert abs((inter + diff) - a_area) < 1e-6 * max(1.0, a_area)
