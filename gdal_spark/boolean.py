@@ -156,7 +156,12 @@ def _classify(subsegs: np.ndarray, pa, pb, member, scale: float):
     goes through ONE pip pass per ring."""
     if len(subsegs) == 0:
         return np.empty((0, 4))
-    off = 1e-7 * max(scale, 1.0)
+    # sampling offset: far above arithmetic noise (ulp(scale) ~ 1e-16
+    # relative) and the _REL split tolerance, but BELOW any legitimate
+    # feature separation — this bounds the degenerate zone at ~1e-8 of
+    # the span (was 1e-7, which misclassified edges separated by
+    # 1e-8..1e-7 of the span by stepping across them)
+    off = 1e-8 * max(scale, 1.0)
     ax, ay, bx, by = (subsegs[:, k] for k in range(4))
     dx, dy = bx - ax, by - ay
     ln = np.hypot(dx, dy)

