@@ -21,10 +21,12 @@ Algorithm: boundary classification ("clip by winding sampling").
      CCW = exterior / CW = hole, and assign holes to the smallest
      containing exterior.
 
-The side-sampling offset is eps-relative to the geometry span, so
-inputs are assumed non-adversarial: distinct boundary features
-separated by >> 1e-9 of the span (GDAL gets exact predicates from
-GEOS; the restriction is documented). SymDifference = Difference(a,b)
+The side-sampling offset is eps-relative to the geometry span (1e-8
+of it), so inputs are assumed non-adversarial: distinct boundary
+features either exactly coincident or separated by >> 1e-8 of the
+span (GDAL gets exact predicates from GEOS; the restriction is
+documented, and the hypothesis property suite pins the supported
+domain). SymDifference = Difference(a,b)
 + Difference(b,a) — the two parts are interior-disjoint by
 construction.
 
