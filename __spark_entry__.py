@@ -708,6 +708,16 @@ def _q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(nearblack(tiles))
 
 
+def _q_mask_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetMaskBand GMF_NODATA (gcore/gdalnodatamaskband.cpp:160) over
+    the nearblack output (nodata 0): the mask re-derives the collar."""
+    from gdal_spark.nearblack import nearblack
+
+    tiles = nearblack(synth.collar_tiles_df(spark, 4, 4, 64),
+                      set_mask=False)
+    return tiling.checksum_table(RST.mask_band(tiles))
+
+
 def _q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band statistics (GDALRasterBand::ComputeStatistics — population
     stddev) via distributed per-tile partials; uint8 sums are exact
@@ -2613,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "raster_checksums": _q_raster_checksums,
         "nearblack_checksums": _q_nearblack,
+        "mask_band_checksums": _q_mask_band,
         "gdal_edit_gt": _q_gdal_edit,
         "gdalmove_gt": _q_gdalmove,
         "checkpoint_lineage": _q_checkpoint,

@@ -642,6 +642,34 @@ def rasterize_lines_z(
     ).agg(F.sum("_p.v").alias("value"))
 
 
+def mask_band(tiles: DataFrame, dst_band_offset: int = 200) -> DataFrame:
+    """GDALRasterBand::GetMaskBand with GMF_NODATA semantics
+    (gcore/gdalrasterband.cpp:5905; the nodata comparison kernel is
+    gcore/gdalnodatamaskband.cpp IReadBlock:160): uint8 255 where the
+    pixel differs from the band's nodata value, 0 where it equals it;
+    a band with no nodata is GMF_ALL_VALID (all 255). Map-only."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width)
+                if r.nodata is None or (isinstance(r.nodata, float)
+                                        and np.isnan(r.nodata)):
+                    m = np.full(arr.shape, 255, np.uint8)
+                else:
+                    m = np.where(
+                        arr.astype(np.float64) == float(r.nodata), 0, 255
+                    ).astype(np.uint8)
+                d = r._asdict()
+                d.update(band=int(r.band) + dst_band_offset,
+                         dtype="uint8", data=m.tobytes())
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+
 def value_counts(tiles: DataFrame) -> DataFrame:
     """(tile_x, tile_y, value, npix) histogram of burned values per tile
     — per-tile np.unique partial; no cross-tile shuffle needed beyond

@@ -887,6 +887,7 @@ def oracle_entries() -> dict:
         "vrt_separate_checksums": sql_vrt_separate_checksums,
         "decontaminate": sql_decontaminate,
         "dem_slope_pct_checksums": sql_dem_slope_pct_checksums,
+        "mask_band_checksums": sql_mask_band_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -2110,4 +2111,11 @@ def sql_dem_slope_pct_checksums() -> str:
     dzdx, dzdy = _horn(pad, 1.0)
     out = 100.0 * np.sqrt(dzdx * dzdx + dzdy * dzdy)
     return values_sql(tile_checksums(out, 256, "slope_pct", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
+def sql_mask_band_checksums() -> str:
+    out, _ = nearblack_ref(synth.collar_np(256))
+    mask = np.where(out == 0, 0, 255).astype(np.uint8)
+    return values_sql(tile_checksums(mask, 64, "collar", 201, 0),
                       CKS_COLS, CKS_TYPES)
