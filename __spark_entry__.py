@@ -708,6 +708,45 @@ def _q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(nearblack(tiles))
 
 
+_OVSEL_REQS = [
+    ("A", 100, 50, 500, 300, 250, 150),
+    ("B", 0, 0, 1024, 1024, 1024, 1024),
+    ("C", 64, 64, 800, 600, 100, 100),
+    ("D", 10, 20, 1000, 1000, 10, 10),
+]
+
+
+def _q_overview_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview-source selection (GDALBandGetBestOverviewLevel2,
+    gcore/rasterio.cpp:3648) driving decimated reads: for each request
+    the planner picks the coarsest sufficient pyramid level and the
+    window re-expressed in its pixels; the read then checksums the
+    chosen level's clipped tiles."""
+    from gdal_spark.tiling import best_overview_level
+
+    base = synth.tiles_src_df(spark, 4, 4)
+    l1 = tiling.build_overview(base, "average")
+    l2 = tiling.build_overview(l1, "average")
+    levels = [l1, l2]
+    sizes = [(512, 512), (256, 256)]
+    out = None
+    for rid, xo, yo, xs, ys, bx, by in _OVSEL_REQS:
+        lvl, (axo, ayo, axs, ays) = best_overview_level(
+            1024, 1024, sizes, xo, yo, xs, ys, bx, by
+        )
+        src = base if lvl < 0 else levels[lvl]
+        cks = tiling.checksum_table(
+            tiling.translate(src, pixel_window=(axo, ayo, axs, ays))
+        ).select(
+            F.lit(rid).alias("req"), F.lit(lvl).alias("level"),
+            F.lit(axo).alias("oxoff"), F.lit(ayo).alias("oyoff"),
+            F.lit(axs).alias("oxsize"), F.lit(ays).alias("oysize"),
+            "tile_x", "tile_y", "checksum",
+        )
+        out = cks if out is None else out.unionByName(cks)
+    return out
+
+
 def _q_mask_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetMaskBand GMF_NODATA (gcore/gdalnodatamaskband.cpp:160) over
     the nearblack output (nodata 0): the mask re-derives the collar."""
@@ -2624,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_checksums": _q_raster_checksums,
         "nearblack_checksums": _q_nearblack,
         "mask_band_checksums": _q_mask_band,
+        "overview_select": _q_overview_select,
         "gdal_edit_gt": _q_gdal_edit,
         "gdalmove_gt": _q_gdalmove,
         "checkpoint_lineage": _q_checkpoint,

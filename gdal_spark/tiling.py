@@ -923,6 +923,51 @@ CHECKSUM_SCHEMA = T.StructType(
 )
 
 
+def best_overview_level(
+    full_x: int, full_y: int, ov_sizes: list[tuple[int, int]],
+    nxoff: int, nyoff: int, nxsize: int, nysize: int,
+    nbufx: int, nbufy: int,
+) -> tuple[int, tuple[int, int, int, int]]:
+    """Faithful port of GDALBandGetBestOverviewLevel2
+    (gcore/rasterio.cpp:3648): pick the most-downsampled pyramid level
+    whose resolution stays under 1.2x the requested decimation, and
+    re-express the source window in that level's pixel space. Returns
+    (level index or -1, (xoff, yoff, xsize, ysize)); -1 keeps the
+    full-resolution window. Pure metadata arithmetic — this is the
+    planner that decides which tile TABLE a decimated read scans."""
+    if (nxsize / float(nbufx)) < (nysize / float(nbufy)) or nbufy == 1:
+        desired = nxsize / float(nbufx)
+    else:
+        desired = nysize / float(nbufy)
+    best = -1
+    best_res = 0.0
+    for i, (ox, oy) in enumerate(ov_sizes):
+        if ox > full_x or oy > full_y:
+            continue
+        if (full_x / float(ox)) < (full_y / float(oy)):
+            res = full_x / float(ox)
+        else:
+            res = full_y / float(oy)
+        if res >= desired * 1.2 or res <= best_res:
+            continue
+        best = i
+        best_res = res
+    if best < 0:
+        return -1, (nxoff, nyoff, nxsize, nysize)
+    bx, by = ov_sizes[best]
+    xres = full_x / float(bx)
+    yres = full_y / float(by)
+    oxoff = min(bx - 1, int(nxoff / xres + 0.5))
+    oyoff = min(by - 1, int(nyoff / yres + 0.5))
+    oxsize = max(1, int(nxsize / xres + 0.5))
+    oysize = max(1, int(nysize / yres + 0.5))
+    if oxoff + oxsize > bx:
+        oxsize = bx - oxoff
+    if oyoff + oysize > by:
+        oysize = by - oyoff
+    return best, (oxoff, oyoff, oxsize, oysize)
+
+
 def checksum_table(tiles: DataFrame) -> DataFrame:
     """Per-tile GDAL checksum (alg/gdalchecksum.cpp:64-180) — the
     raster golden-test oracle. Map-only."""

@@ -888,6 +888,7 @@ def oracle_entries() -> dict:
         "decontaminate": sql_decontaminate,
         "dem_slope_pct_checksums": sql_dem_slope_pct_checksums,
         "mask_band_checksums": sql_mask_band_checksums,
+        "overview_select": sql_overview_select,
     }
     out = {}
     for name, fn in makers.items():
@@ -2119,3 +2120,64 @@ def sql_mask_band_checksums() -> str:
     mask = np.where(out == 0, 0, 255).astype(np.uint8)
     return values_sql(tile_checksums(mask, 64, "collar", 201, 0),
                       CKS_COLS, CKS_TYPES)
+
+
+def sql_overview_select() -> str:
+    """Independent restatement of the best-overview selection
+    (gcore/rasterio.cpp:3648) + per-tile window checksums."""
+    g = global_mosaic(4, 4)
+    l1 = _gdal_cast_local(
+        g.astype(np.float64).reshape(512, 2, 512, 2).mean(axis=(1, 3)),
+        "uint8")
+    l2 = _gdal_cast_local(
+        l1.astype(np.float64).reshape(256, 2, 256, 2).mean(axis=(1, 3)),
+        "uint8")
+    levels = [l1, l2]
+    reqs = [
+        ("A", 100, 50, 500, 300, 250, 150),
+        ("B", 0, 0, 1024, 1024, 1024, 1024),
+        ("C", 64, 64, 800, 600, 100, 100),
+        ("D", 10, 20, 1000, 1000, 10, 10),
+    ]
+    rows = []
+    for rid, xo, yo, xs, ys, bx, by in reqs:
+        desired = xs / float(bx) \
+            if (xs / float(bx)) < (ys / float(by)) or by == 1 \
+            else ys / float(by)
+        best, bres = -1, 0.0
+        for i, arr in enumerate(levels):
+            res = 1024.0 / arr.shape[1]
+            if res >= desired * 1.2 or res <= bres:
+                continue
+            best, bres = i, res
+        if best < 0:
+            arr = g
+            axo, ayo, axs, ays = xo, yo, xs, ys
+        else:
+            arr = levels[best]
+            side = arr.shape[1]
+            r = 1024.0 / side
+            axo = min(side - 1, int(xo / r + 0.5))
+            ayo = min(side - 1, int(yo / r + 0.5))
+            axs = max(1, int(xs / r + 0.5))
+            ays = max(1, int(ys / r + 0.5))
+            axs = min(axs, side - axo)
+            ays = min(ays, side - ayo)
+        nt = arr.shape[1] // 256
+        for ty in range(nt):
+            for tx in range(nt):
+                x0 = max(axo, tx * 256)
+                x1 = min(axo + axs, (tx + 1) * 256)
+                y0 = max(ayo, ty * 256)
+                y1 = min(ayo + ays, (ty + 1) * 256)
+                if x1 <= x0 or y1 <= y0:
+                    continue
+                rows.append((rid, best, axo, ayo, axs, ays, tx, ty,
+                             G.gdal_checksum(arr[y0:y1, x0:x1])))
+    return values_sql(
+        rows,
+        ["req", "level", "oxoff", "oyoff", "oxsize", "oysize",
+         "tile_x", "tile_y", "checksum"],
+        ["varchar", "integer", "integer", "integer", "integer",
+         "integer", "integer", "integer", "bigint"],
+    )

@@ -295,3 +295,30 @@ def test_stack_separate(spark):
     bands = {r["band"] for r in out.select("band").distinct().collect()}
     assert bands == {1, 2}
     assert out.filter(F.col("raster_id") != "stack").count() == 0
+
+
+def test_best_overview_level():
+    from gdal_spark.tiling import best_overview_level
+
+    sizes = [(512, 512), (256, 256)]
+    # exact 2x decimation -> first overview, window halved
+    lvl, win = best_overview_level(1024, 1024, sizes, 100, 50, 500, 300,
+                                   250, 150)
+    assert lvl == 0 and win == (50, 25, 250, 150)
+    # full-res request -> no overview helps
+    lvl, win = best_overview_level(1024, 1024, sizes, 0, 0, 1024, 1024,
+                                   1024, 1024)
+    assert lvl == -1 and win == (0, 0, 1024, 1024)
+    # heavy decimation -> coarsest level, window clamped inside
+    lvl, (xo, yo, xs, ys) = best_overview_level(
+        1024, 1024, sizes, 10, 20, 1000, 1000, 10, 10)
+    assert lvl == 1
+    assert xo + xs <= 256 and yo + ys <= 256
+    # the 1.2 slack both ways: decimation 1.7 still uses the 2x level
+    # (2 < 1.7*1.2); decimation 1.6 does not (2 >= 1.6*1.2)
+    lvl, _ = best_overview_level(1024, 1024, sizes, 0, 0, 850, 850,
+                                 500, 500)
+    assert lvl == 0
+    lvl, _ = best_overview_level(1024, 1024, sizes, 0, 0, 800, 800,
+                                 500, 500)
+    assert lvl == -1
