@@ -126,6 +126,9 @@ def main():
         # CC dedup groups, eval-set decontamination, linear referencing
         "nearblack_checksums", "gdal_calc_checksums", "dedup_groups",
         "decontaminate", "lineref",
+        # and the planner/metadata/composite ops (cheap, breadth)
+        "cog_plan", "overview_select", "gdal_edit_gt", "salted_join",
+        "gopher_filter", "span_scrub", "warped_layer_conic",
     ]:
         df_fn = qs[name]
         timed(name, lambda f=df_fn: f(spark, SF_DIR).count())
