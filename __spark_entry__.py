@@ -716,6 +716,25 @@ _OVSEL_REQS = [
 ]
 
 
+def _q_translate_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -scale src_min src_max dst_min dst_max
+    [-exponent e]: linear range remap into int32 and the VRT
+    exponential curve (frmts/vrt/vrtsources.cpp
+    VRT_SCALING_EXPONENTIAL) into uint8, per-tile checksums."""
+    base = synth.tiles_src_df(spark, 2, 2)
+    lin = tiling.checksum_table(
+        tiling.translate(base, scale_range=(4.0, 254.0, 0.0, 1000.0),
+                         cast_to="int32")
+    ).select(F.lit("linear").alias("which"), "tile_x", "tile_y",
+             "checksum")
+    expo = tiling.checksum_table(
+        tiling.translate(base, scale_range=(4.0, 254.0, 0.0, 255.0),
+                         exponent=0.5, cast_to="uint8")
+    ).select(F.lit("exponent").alias("which"), "tile_x", "tile_y",
+             "checksum")
+    return lin.unionByName(expo)
+
+
 def _q_overview_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overview-source selection (GDALBandGetBestOverviewLevel2,
     gcore/rasterio.cpp:3648) driving decimated reads: for each request
@@ -2664,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearblack_checksums": _q_nearblack,
         "mask_band_checksums": _q_mask_band,
         "overview_select": _q_overview_select,
+        "translate_scale": _q_translate_scale,
         "gdal_edit_gt": _q_gdal_edit,
         "gdalmove_gt": _q_gdalmove,
         "checkpoint_lineage": _q_checkpoint,

@@ -94,6 +94,8 @@ def translate(
     cast_to: str | None = None,
     scale: tuple[float, float] | None = None,
     pixel_window: tuple[int, int, int, int] | None = None,
+    scale_range: tuple[float, float, float, float] | None = None,
+    exponent: float | None = None,
 ) -> DataFrame:
     """gdal_translate as a tile-table op (apps/gdal_translate_lib.cpp):
     window = (tx0, ty0, tx1, ty1) inclusive tile range -> plain column
@@ -101,7 +103,11 @@ def translate(
     = (px0, py0, w, h) in GLOBAL pixel coords (-srcwin) -> each tile
     emits its clipped piece (the result stays a tile table covering
     the window); band select -> filter; scale (a, b): v*a + b; cast
-    with GDAL float->int rounding.
+    with GDAL float->int rounding; scale_range = (src_min, src_max,
+    dst_min, dst_max) is -scale's range remap — linear
+    (v - smin) * ratio + dmin, or with `exponent` the VRT exponential
+    scaling (frmts/vrt/vrtsources.cpp VRT_SCALING_EXPONENTIAL: the
+    [0,1]-clipped power curve).
 
     Map-only: no shuffle at any scale."""
     out = tiles
@@ -151,7 +157,7 @@ def translate(
                 )
 
         out = out.mapInPandas(clip, schema=TILE_SCHEMA)
-    if cast_to is None and scale is None:
+    if cast_to is None and scale is None and scale_range is None:
         return out
 
     dst_dtype = cast_to
@@ -165,6 +171,15 @@ def translate(
                 arr = _decode(r.data, r.dtype, r.height, r.width)
                 if scale is not None:
                     arr = arr.astype(np.float64) * a + b
+                if scale_range is not None:
+                    smin, smax, dmin, dmax = scale_range
+                    v = arr.astype(np.float64)
+                    if exponent is not None:
+                        p = np.clip((v - smin) / (smax - smin), 0.0, 1.0)
+                        arr = (dmax - dmin) * np.power(p, exponent) + dmin
+                    else:
+                        ratio = (dmax - dmin) / (smax - smin)
+                        arr = (v - smin) * ratio + dmin
                 # gdal_translate keeps the source type unless -ot is given
                 # (values clamp on write-back, GDALCopyWords semantics)
                 dd = dst_dtype or r.dtype

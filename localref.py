@@ -889,6 +889,7 @@ def oracle_entries() -> dict:
         "dem_slope_pct_checksums": sql_dem_slope_pct_checksums,
         "mask_band_checksums": sql_mask_band_checksums,
         "overview_select": sql_overview_select,
+        "translate_scale": sql_translate_scale,
     }
     out = {}
     for name, fn in makers.items():
@@ -2181,3 +2182,20 @@ def sql_overview_select() -> str:
         ["varchar", "integer", "integer", "integer", "integer",
          "integer", "integer", "integer", "bigint"],
     )
+
+
+def sql_translate_scale() -> str:
+    g = global_mosaic(2, 2).astype(np.float64)
+    ratio = (1000.0 - 0.0) / (254.0 - 4.0)
+    lin = _gdal_cast_local((g - 4.0) * ratio + 0.0, "int32")
+    p = np.clip((g - 4.0) / (254.0 - 4.0), 0.0, 1.0)
+    expo = _gdal_cast_local((255.0 - 0.0) * np.power(p, 0.5) + 0.0,
+                            "uint8")
+    rows = []
+    for which, arr in (("linear", lin), ("exponent", expo)):
+        for ty in range(2):
+            for tx in range(2):
+                sub = arr[ty * 256:(ty + 1) * 256, tx * 256:(tx + 1) * 256]
+                rows.append((which, tx, ty, G.gdal_checksum(sub)))
+    return values_sql(rows, ["which", "tile_x", "tile_y", "checksum"],
+                      ["varchar", "integer", "integer", "bigint"])
