@@ -60,7 +60,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "LEFT", "JOIN", "ON", "WHERE", "ORDER",
     "BY", "ASC", "DESC", "LIMIT", "OFFSET", "AND", "OR", "NOT", "IN",
-    "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "AS", "CAST", "COUNT",
+    "BETWEEN", "LIKE", "ILIKE", "ESCAPE", "IS", "NULL", "AS", "CAST", "COUNT",
     "MIN", "MAX", "AVG", "SUM", "UNION", "ALL",
 }
 
@@ -265,7 +265,12 @@ def _parse_comparison(p: _P):
         return ~c if neg else c
     if p.accept("kw", "LIKE"):
         pat = p.expect("str")
-        c = Q.ogr_like(e, pat)
+        esc = None
+        if p.accept("kw", "ESCAPE"):
+            esc = p.expect("str")
+            if len(esc) != 1:
+                raise ValueError("OGR SQL: ESCAPE needs a single char")
+        c = Q.ogr_like(e, pat, esc)
         return ~c if neg else c
     if p.accept("kw", "ILIKE"):
         pat = p.expect("str")

@@ -180,3 +180,19 @@ def test_execute_sqlite_sql_windows_and_st(spark):
     rows = {r["grp"]: (r["n"], r["a"], r["rnk"]) for r in out}
     assert rows["a"] == (2, 5.0, 1)
     assert rows["b"] == (1, 9.0, 2)
+
+
+def test_like_escape(spark):
+    import pandas as pd
+
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"fid": [1, 2, 3],
+                      "s": ["100%", "100x", "10o%"]})
+    )
+    out = execute_ogr_sql(
+        spark, "SELECT fid FROM t WHERE s LIKE '100!%' ESCAPE '!'",
+        {"t": df},
+    ).collect()
+    assert sorted(r["fid"] for r in out) == [1]  # literal %, not wildcard
