@@ -845,6 +845,31 @@ def hillshade(tiles: DataFrame, res: float, azimuth: float = 315.0,
     return _focal(tiles, kern, "uint8", dst_raster_id, res)
 
 
+def hillshade_combined(tiles: DataFrame, res: float,
+                       azimuth: float = 315.0, altitude: float = 45.0,
+                       z_factor: float = 1.0,
+                       dst_raster_id: str = "hillshade_comb") -> DataFrame:
+    """gdaldem hillshade -combined (apps/gdaldem_lib.cpp:1131
+    GDALHillshadeCombinedAlg): the oblique shade modulated by slope —
+    cang = 1 - acos(shade) * slope_angle / (pi/2)^2; non-positive
+    shading maps to 1 (the reference's fcang floor)."""
+    az = math.radians(360.0 - azimuth + 90.0)
+    alt = math.radians(altitude)
+    inv_sq_half_pi = 1.0 / ((math.pi / 2.0) ** 2)
+
+    def kern(pad, r):
+        dzdx, dzdy = _horn_gradients(pad * z_factor, r)
+        s = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        shade = np.sin(alt) * np.cos(s) \
+            + np.cos(alt) * np.sin(s) * np.cos(az - aspect)
+        cang = 1.0 - np.arccos(np.clip(shade, -1.0, 1.0)) * s \
+            * inv_sq_half_pi
+        return np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+
+    return _focal(tiles, kern, "uint8", dst_raster_id, res)
+
+
 def hillshade_igor(tiles: DataFrame, res: float, azimuth: float = 315.0,
                    z_factor: float = 1.0, alg: str = "horn",
                    dst_raster_id: str = "hillshade_igor") -> DataFrame:

@@ -890,6 +890,7 @@ def oracle_entries() -> dict:
         "mask_band_checksums": sql_mask_band_checksums,
         "overview_select": sql_overview_select,
         "translate_scale": sql_translate_scale,
+        "dem_hillshade_comb_checksums": sql_dem_hillshade_comb_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -2199,3 +2200,21 @@ def sql_translate_scale() -> str:
                 rows.append((which, tx, ty, G.gdal_checksum(sub)))
     return values_sql(rows, ["which", "tile_x", "tile_y", "checksum"],
                       ["varchar", "integer", "integer", "bigint"])
+
+
+def sql_dem_hillshade_comb_checksums() -> str:
+    g = global_mosaic(2, 2).astype(np.float64)
+    pad = np.pad(g, 1, mode="edge")
+    dzdx, dzdy = _horn(pad, 1.0)
+    az = math.radians(360.0 - 315.0 + 90.0)
+    alt = math.radians(45.0)
+    s = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shade = (np.sin(alt) * np.cos(s)
+             + np.cos(alt) * np.sin(s) * np.cos(az - aspect))
+    cang = 1.0 - np.arccos(np.clip(shade, -1.0, 1.0)) * s \
+        / ((math.pi / 2.0) ** 2)
+    out = _gdal_cast_local(
+        np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang), "uint8")
+    return values_sql(tile_checksums(out, 256, "hillshade_comb", 1, 12),
+                      CKS_COLS, CKS_TYPES)
