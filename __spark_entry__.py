@@ -2155,6 +2155,14 @@ def _q_dem_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.hillshade(tiles, res=1.0))
 
 
+def _q_dem_hillshade_zt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade -alg ZevenbergenThorne."""
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(
+        RST.hillshade(tiles, res=1.0, alg="zevenbergen_thorne")
+    )
+
+
 def _q_dem_hillshade_comb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaldem hillshade -combined (GDALHillshadeCombinedAlg,
     apps/gdaldem_lib.cpp:1131)."""
@@ -2789,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_slope_zt_checksums": _q_dem_slope_zt,
         "dem_hillshade_checksums": _q_dem_hillshade,
         "dem_hillshade_comb_checksums": _q_dem_hillshade_comb,
+        "dem_hillshade_zt_checksums": _q_dem_hillshade_zt,
         "dem_slope_checksums": _q_dem_slope,
         "dem_slope_pct_checksums": _q_dem_slope_pct,
         "gcp_transform": _q_gcp_transform,

@@ -829,14 +829,17 @@ _GRADIENTS = {"horn": _horn_gradients, "zevenbergen_thorne": _zt_gradients}
 
 def hillshade(tiles: DataFrame, res: float, azimuth: float = 315.0,
               altitude: float = 45.0, z_factor: float = 1.0,
-              dst_raster_id: str = "hillshade") -> DataFrame:
-    """Horn hillshade (gdaldem hillshade, apps/gdaldem_lib.cpp:901-1035),
-    output Byte 1..255 like GDAL."""
+              dst_raster_id: str = "hillshade",
+              alg: str = "horn") -> DataFrame:
+    """Hillshade (gdaldem hillshade, apps/gdaldem_lib.cpp:901-1035),
+    output Byte 1..255 like GDAL; alg 'horn' (default) or
+    'zevenbergen_thorne' (-alg ZT)."""
     az = math.radians(360.0 - azimuth + 90.0)
     alt = math.radians(altitude)
+    grad = _GRADIENTS[alg]
 
     def kern(pad, r):
-        dzdx, dzdy = _horn_gradients(pad * z_factor, r)
+        dzdx, dzdy = grad(pad * z_factor, r)
         slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
         aspect = np.arctan2(dzdy, -dzdx)
         shade = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - aspect)

@@ -891,6 +891,7 @@ def oracle_entries() -> dict:
         "overview_select": sql_overview_select,
         "translate_scale": sql_translate_scale,
         "dem_hillshade_comb_checksums": sql_dem_hillshade_comb_checksums,
+        "dem_hillshade_zt_checksums": sql_dem_hillshade_zt_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -2217,4 +2218,23 @@ def sql_dem_hillshade_comb_checksums() -> str:
     out = _gdal_cast_local(
         np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang), "uint8")
     return values_sql(tile_checksums(out, 256, "hillshade_comb", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
+def sql_dem_hillshade_zt_checksums() -> str:
+    g = global_mosaic(2, 2).astype(np.float64)
+    pad = np.pad(g, 1, mode="edge")
+    n = pad[:-2, 1:-1]
+    w_, e = pad[1:-1, :-2], pad[1:-1, 2:]
+    s = pad[2:, 1:-1]
+    dzdx = (e - w_) / 2.0
+    dzdy = (s - n) / 2.0
+    az = math.radians(360.0 - 315.0 + 90.0)
+    alt = math.radians(45.0)
+    sl = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shade = (np.sin(alt) * np.cos(sl)
+             + np.cos(alt) * np.sin(sl) * np.cos(az - aspect))
+    out = _gdal_cast_local(1.0 + 254.0 * np.maximum(shade, 0.0), "uint8")
+    return values_sql(tile_checksums(out, 256, "hillshade", 1, 12),
                       CKS_COLS, CKS_TYPES)
