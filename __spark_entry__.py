@@ -2091,6 +2091,36 @@ def _q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.fill_nodata(punched, search=8))
 
 
+def _q_fillnodata_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_fillnodata -si 3 (GDALMultiFilter, alg/rasterfill.cpp:142):
+    same holes, filled then smoothed by three cross-tile-exact 3x3
+    passes over the interpolated pixels."""
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    holes = RST.pixel_calc(tiles, "square", out_dtype="float64")
+
+    def punch(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            new = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.float64).reshape(
+                    r.height, r.width
+                ).copy()
+                arr[100:120, 100:140] = -1.0
+                new.append(arr.tobytes())
+            pdf["data"] = new
+            pdf["nodata"] = -1.0
+            yield pdf
+
+    punched = holes.mapInPandas(punch, schema=synth.TILE_SCHEMA)
+    return tiling.checksum_table(
+        RST.fill_nodata(punched, search=8, smoothing=3,
+                        dst_raster_id="filled_si")
+    )
+
+
 def _q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.contour import contour_totals
 
@@ -2825,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_full_checksums": _q_proximity_full,
         "media_thumbnails": _q_media_thumbs,
         "fillnodata_checksums": _q_fillnodata,
+        "fillnodata_smooth_checksums": _q_fillnodata_smooth,
         "sieve_checksums": _q_sieve,
         "viewshed_counts": _q_viewshed,
         "dither_checksums": _q_dither,

@@ -1434,8 +1434,44 @@ def _neighbor_blocks(tiles: DataFrame, h: int) -> DataFrame:
     return tiles.mapInPandas(emit, schema=BLOCK_SCHEMA)
 
 
+def fill_smooth_window(pad: np.ndarray, search: int, n_smooth: int,
+                       nodata: float, power: float = 2.0) -> np.ndarray:
+    """Fill + the reference's -si post-smoothing (GDALMultiFilter,
+    alg/rasterfill.cpp:142; per-line math GDALFilterLine :51): each
+    smoothing pass replaces every INTERPOLATED pixel by the unweighted
+    mean of its 3x3 neighbors that are valid-after-fill (original
+    valid pixels contribute but never change). `pad` carries a halo of
+    search + n_smooth; returns the core (pad minus the full halo) —
+    the n_smooth margin absorbs one ring per iteration, the classic
+    halo-iteration trade. Shared with the single-node oracle."""
+    filled = idw_fill_window(pad, search, nodata, power)
+    core0 = pad[search:pad.shape[0] - search, search:pad.shape[1] - search]
+    orig_invalid = np.isnan(core0) | (core0 == nodata)
+    valid = ~(np.isnan(filled) | (filled == nodata))
+    fmask = orig_invalid & valid
+    cur = filled.copy()
+    for _ in range(n_smooth):
+        padv = np.pad(cur, 1, constant_values=np.nan)
+        padm = np.pad(valid, 1, constant_values=False)
+        s = np.zeros_like(cur)
+        c = np.zeros_like(cur)
+        H, W = cur.shape
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                v = padv[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+                m = padm[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+                s += np.where(m, v, 0.0)
+                c += m
+        cur = np.where(fmask, s / np.maximum(c, 1), cur)
+    if n_smooth:
+        cur = cur[n_smooth : cur.shape[0] - n_smooth,
+                  n_smooth : cur.shape[1] - n_smooth]
+    return cur
+
+
 def fill_nodata(tiles: DataFrame, search: int = 8, power: float = 2.0,
-                dst_raster_id: str = "filled") -> DataFrame:
+                dst_raster_id: str = "filled",
+                smoothing: int = 0) -> DataFrame:
     """Fill nodata pixels by inverse-distance weighting the valid
     pixels within Chebyshev radius `search` (GDALFillNodata,
     alg/rasterfill.cpp:412 — GDAL scans toward the nearest valid pixel
@@ -1443,9 +1479,11 @@ def fill_nodata(tiles: DataFrame, search: int = 8, power: float = 2.0,
     the same bounded search). `search` <= tile size: each tile pulls a
     search-wide halo block from its 8 neighbors, so one pass is exact
     within the search bound; pixels with no valid pixel in range keep
-    nodata. GDAL's optional post-smoothing iterations are not applied.
+    nodata. `smoothing` applies GDAL's -si 3x3 post-smoothing passes
+    (alg/rasterfill.cpp:142) — the halo widens by one ring per
+    iteration so the passes stay exact across tile borders.
     """
-    h = search
+    h = search + smoothing
     blocks = _neighbor_blocks(tiles, h).groupBy("dst_tx", "dst_ty").agg(
         F.collect_list(F.struct("dx", "dy", "bh", "bw", "block")).alias("halo")
     )
@@ -1478,7 +1516,8 @@ def fill_nodata(tiles: DataFrame, search: int = 8, power: float = 2.0,
                         ys = slice(0, h) if dy < 0 else (slice(h + H, None) if dy > 0 else slice(h, h + H))
                         xs = slice(0, h) if dx < 0 else (slice(h + W, None) if dx > 0 else slice(h, h + W))
                         pad[ys, xs] = piece
-                filled = idw_fill_window(pad, h, float(r.nodata), power)
+                filled = fill_smooth_window(pad, search, smoothing,
+                                            float(r.nodata), power)
                 rows.append(
                     {
                         "raster_id": dst_raster_id, "band": int(r.band),

@@ -892,6 +892,7 @@ def oracle_entries() -> dict:
         "translate_scale": sql_translate_scale,
         "dem_hillshade_comb_checksums": sql_dem_hillshade_comb_checksums,
         "dem_hillshade_zt_checksums": sql_dem_hillshade_zt_checksums,
+        "fillnodata_smooth_checksums": sql_fillnodata_smooth_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -2237,4 +2238,21 @@ def sql_dem_hillshade_zt_checksums() -> str:
              + np.cos(alt) * np.sin(sl) * np.cos(az - aspect))
     out = _gdal_cast_local(1.0 + 254.0 * np.maximum(shade, 0.0), "uint8")
     return values_sql(tile_checksums(out, 256, "hillshade", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
+def sql_fillnodata_smooth_checksums() -> str:
+    from gdal_spark.raster import fill_smooth_window
+
+    g = global_mosaic(2, 2).astype(np.float64)
+    g = g * g  # pixel_calc 'square'
+    for ty in range(2):
+        for tx in range(2):
+            g[ty * 256 + 100 : ty * 256 + 120,
+              tx * 256 + 100 : tx * 256 + 140] = -1.0
+    hx = 8 + 3
+    pad = np.full((512 + 2 * hx, 512 + 2 * hx), np.nan)
+    pad[hx:-hx, hx:-hx] = g
+    out = fill_smooth_window(pad, 8, 3, -1.0, 2.0)
+    return values_sql(tile_checksums(out, 256, "filled_si", 1, 12),
                       CKS_COLS, CKS_TYPES)

@@ -57,3 +57,54 @@ def test_fill_nodata_out_of_range_keeps_nodata(spark):
     arr = np.frombuffer(out[0]["data"], dtype=np.float64).reshape(32, 32)
     assert arr[0, 1] != NODATA  # within range of the lone valid pixel
     assert arr[31, 31] == NODATA  # far beyond search radius
+
+
+def test_fill_smoothing_matches_global(spark):
+    """-si smoothing across tile borders equals the global single-node
+    computation (halo widens by one ring per iteration)."""
+    import numpy as np
+
+    from gdal_spark import synth
+    from gdal_spark.raster import fill_nodata, fill_smooth_window
+    from gdal_spark.tiling import _decode
+
+    tiles = synth.checker_tiles_df(spark, 2, 2, tile_px=64)
+
+    def punch(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            new = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, np.uint8).reshape(64, 64)
+                arr = arr.astype(np.float64) * 100.0
+                # hole touching the tile's bottom edge so the fill AND
+                # the smoothing both cross tile borders
+                arr[52:64, 40:60] = -1.0
+                new.append(arr.tobytes())
+            pdf["data"] = new
+            pdf["dtype"] = "float64"
+            pdf["nodata"] = -1.0
+            yield pdf
+
+    punched = tiles.mapInPandas(punch, schema=tiles.schema)
+    rows = fill_nodata(punched, search=6, smoothing=2).collect()
+    got = np.zeros((128, 128))
+    for r in rows:
+        a = _decode(r.data, r.dtype, 64, 64)
+        got[r.tile_y * 64:(r.tile_y + 1) * 64,
+            r.tile_x * 64:(r.tile_x + 1) * 64] = a
+
+    gp = synth.checker_np(128).astype(np.float64) * 100.0
+    for ty in range(2):
+        for tx in range(2):
+            gp[ty * 64 + 52:ty * 64 + 64, tx * 64 + 40:tx * 64 + 60] = -1.0
+    hx = 6 + 2
+    pad = np.full((128 + 2 * hx, 128 + 2 * hx), np.nan)
+    pad[hx:-hx, hx:-hx] = gp
+    ref = fill_smooth_window(pad, 6, 2, -1.0, 2.0)
+    assert np.allclose(got, ref, equal_nan=True)
+    # and smoothing actually changed the filled region vs plain fill
+    pad2 = np.full((128 + 12, 128 + 12), np.nan)
+    pad2[6:-6, 6:-6] = gp
+    plain = fill_smooth_window(pad2, 6, 0, -1.0, 2.0)
+    assert not np.allclose(ref, plain)
