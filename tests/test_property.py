@@ -138,3 +138,54 @@ def test_wkb_roundtrip_polygon(pts):
     assert g2.kind == "polygon"
     assert np.array_equal(g2.parts[0][0][0], xs)
     assert np.array_equal(g2.parts[0][0][1], ys)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(-179.999, 179.999),
+    st.floats(-85.0, 85.0),
+    st.integers(1, 18),
+)
+def test_tile_math_invariants(lon, lat, zoom):
+    """gdal2tiles math invariants: tile ids in range; the quadkey has
+    zoom digits; the quadkey prefix IS the parent tile's quadkey
+    (the property prefix-range pruning relies on); meters roundtrip."""
+    from gdal_spark import cells
+
+    tx, ty = cells.np_lonlat_to_tile(np.array([lon]), np.array([lat]), zoom)
+    n = 2 ** zoom
+    assert 0 <= tx[0] < n and 0 <= ty[0] < n
+    ty_tms = (n - 1) - ty
+    qk = cells.np_quadkey(tx, ty_tms, zoom)[0]
+    assert len(qk) == zoom and set(qk) <= set("0123")
+    if zoom > 1:
+        # parent at zoom-1
+        ptx, pty = cells.np_lonlat_to_tile(
+            np.array([lon]), np.array([lat]), zoom - 1
+        )
+        # parent of the child tile by index must match the direct
+        # parent computation (consistent pyramid)...
+        assert ptx[0] == tx[0] // 2 and pty[0] == ty[0] // 2
+        pqk = cells.np_quadkey(
+            ptx, np.array([(2 ** (zoom - 1) - 1) - pty[0]]), zoom - 1
+        )[0]
+        assert qk.startswith(pqk)
+    # meters forward is monotone in lon and bounded by the world
+    mx, my = cells.np_lonlat_to_meters(np.array([lon]), np.array([lat]))
+    assert abs(mx[0]) <= cells.ORIGIN_SHIFT + 1e-6
+    assert abs(my[0]) <= cells.ORIGIN_SHIFT * 1.1
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(-180, 180), st.floats(-90, 90), st.integers(0, 20))
+def test_geo_cell_consistency(lon, lat, level):
+    """The packed geodetic cell id decodes back to the scalar helper's
+    (cx, cy) for every input — the PIP index depends on this."""
+    from gdal_spark import cells
+
+    cid = int(cells.np_geo_cell(np.array([lon]), np.array([lat]), level)[0])
+    cx, cy = cells.geo_cell_xy(lon, lat, level)
+    lvl = cid >> 52
+    rx = (cid - (lvl << 52)) >> 26
+    ry = cid & ((1 << 26) - 1)
+    assert (lvl, rx, ry) == (level, cx, cy)
