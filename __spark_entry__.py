@@ -72,6 +72,38 @@ def _q_pip_zone_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "zone_id", "eas_id")
 
 
+def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSONSeq source (ogr/ogrsf_frmts/geojson, RFC 8142 streaming
+    form): features serialized in-Spark (to_json), written as a
+    line-parallel text dataset, read back through the GeoJSON feature
+    reader — ids, geometry WKT, and properties survive."""
+    import tempfile
+
+    from gdal_spark.geojson import read_geojson_seq
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 400
+    )
+    feat = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.col("doc_id").alias("id"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(F.col("lon"), F.col("lat")).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(F.col("lang").alias("lang")).alias("properties"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="gdal_spark_geojson_") + "/feats"
+    d.select(feat.alias("value")).write.mode("overwrite").text(path)
+    out = read_geojson_seq(spark, path)
+    return out.select(
+        F.col("fid").alias("doc_id"), "geom_wkt",
+        F.col("properties")["lang"].alias("lang"),
+    )
+
+
 def _q_streaming_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PIP join through Structured Streaming (readStream ->
     stateless join -> availableNow parquet sink with checkpoint):
@@ -2684,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_zone_join": _q_pip_zone_join,
         "pip_zone_join_wkb": _q_pip_zone_join_wkb,
         "streaming_pip": _q_streaming_pip,
+        "geojson_roundtrip": _q_geojson_roundtrip,
         "tile_assign": _q_tile_assign,
         "knn_top5": _q_knn,
         "knn_large": _q_knn_large,
@@ -3580,6 +3613,12 @@ def _oracle_sql_static() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                        '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS scrubbed
             FROM c
+        """,
+        "geojson_roundtrip": f"""
+            SELECT doc_id,
+                   printf('POINT(%.7f %.7f)', {_LON}, {_LAT}) AS geom_wkt,
+                   lang
+            FROM documents WHERE doc_id < 400
         """,
         "salted_join": """
             SELECT lang, COUNT(*) AS n,

@@ -1,0 +1,134 @@
+"""GeoJSON sources — the interchange-format corner of OGR's driver
+zoo that still matters for a Parquet/Iceberg-canonical engine.
+
+The reference's GeoJSONSeq driver (ogr/ogrsf_frmts/geojson/
+ogrgeojsonseqdriver.cpp; RFC 8142 text sequences / newline-delimited
+GeoJSON) streams one Feature object per line — which is exactly the
+splittable shape Spark wants: spark.read.text gives line-parallel
+scans of any size, and each line parses independently inside an
+Arrow-batched kernel. The plain one-big-FeatureCollection form of
+GeoJSON is NOT splittable; the reference streams it with a JSON
+parser, and large-scale pipelines convert to the Seq form — this
+module takes the same position (read_geojson handles collection files
+by parsing them driver-side only for small fixtures).
+
+Output feature table: (fid, geom_wkt, properties map<string,string>)
+— properties stringified like OGR's field coercion to the declared
+type; geometry converted to the engine's canonical WKT (the shared
+geometry kernel's codecs)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import geometry as GM
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("fid", T.LongType()),
+        T.StructField("geom_wkt", T.StringType()),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def geojson_geometry_to_geom(g: dict) -> GM.Geom | None:
+    """GeoJSON geometry object -> the engine's Geom (RFC 7946 types;
+    the reference's OGRGeoJSONReadGeometry,
+    ogr/ogrsf_frmts/geojson/ogrgeojsonreader.cpp)."""
+    if g is None:
+        return None
+    t = g["type"]
+    c = g.get("coordinates")
+
+    def arr(pts):
+        xs = np.array([p[0] for p in pts], np.float64)
+        ys = np.array([p[1] for p in pts], np.float64)
+        return xs, ys
+
+    if t == "Point":
+        return GM.Geom("point", [(np.array([c[0]], np.float64),
+                                  np.array([c[1]], np.float64))])
+    if t == "MultiPoint":
+        return GM.Geom("multipoint", [arr(c)])
+    if t == "LineString":
+        return GM.Geom("linestring", [arr(c)])
+    if t == "MultiLineString":
+        return GM.Geom("multilinestring", [arr(ln) for ln in c])
+    if t == "Polygon":
+        return GM.Geom("polygon", [[arr(r[:-1] if r[0] == r[-1] else r)
+                                    for r in c]])
+    if t == "MultiPolygon":
+        return GM.Geom(
+            "multipolygon",
+            [[arr(r[:-1] if r[0] == r[-1] else r) for r in poly]
+             for poly in c],
+        )
+    raise ValueError(f"GeoJSON: unsupported geometry type {t!r}")
+
+
+def _feature_to_row(i: int, feat: dict) -> dict:
+    g = geojson_geometry_to_geom(feat.get("geometry"))
+    props = feat.get("properties") or {}
+    return {
+        "fid": int(feat["id"]) if "id" in feat else i,
+        "geom_wkt": GM.to_wkt(g) if g is not None else None,
+        "properties": {
+            str(k): (json.dumps(v) if isinstance(v, (dict, list))
+                     else ("" if v is None else str(v)))
+            for k, v in props.items()
+        },
+    }
+
+
+def read_geojson_seq(spark: SparkSession, path: str) -> DataFrame:
+    """Newline-delimited GeoJSON (GeoJSONSeq driver) -> feature table.
+    Line-parallel: the text scan splits like any text source; parsing
+    is per-line inside mapInPandas. fid = the feature's own `id` when
+    present, else its GLOBAL line number (a monotonic id per line
+    resolved with a tiny per-partition-offset pass, matching the
+    reference's sequential FID assignment deterministically)."""
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("_mid"), "value"
+    )
+    # global line number from partition-local ids: rank the _mid values
+    # (zip-with-index semantics without RDDs). The window is over the
+    # already-tiny (path-local) line count only when fids are needed.
+    from pyspark.sql.window import Window
+
+    lines = lines.withColumn(
+        "_ln", F.row_number().over(Window.orderBy("_mid")) - 1
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for ln, raw in zip(pdf["_ln"], pdf["value"]):
+                raw = raw.strip().lstrip("\x1e")  # RFC 8142 RS prefix
+                if not raw:
+                    continue
+                feat = json.loads(raw)
+                rows.append(_feature_to_row(int(ln), feat))
+            yield pd.DataFrame(
+                rows, columns=["fid", "geom_wkt", "properties"]
+            )
+
+    return lines.mapInPandas(parse, schema=_OUT_SCHEMA)
+
+
+def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+    """One-object FeatureCollection file (small fixtures only — the
+    format is not splittable; use the Seq form at scale, as the
+    reference's own streaming path effectively does)."""
+    with open(path) as fh:
+        doc = json.load(fh)
+    feats = doc["features"] if doc.get("type") == "FeatureCollection" \
+        else [doc]
+    rows = [_feature_to_row(i, f) for i, f in enumerate(feats)]
+    return spark.createDataFrame(rows, schema=_OUT_SCHEMA)
