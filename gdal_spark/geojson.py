@@ -132,3 +132,65 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
         else [doc]
     rows = [_feature_to_row(i, f) for i, f in enumerate(feats)]
     return spark.createDataFrame(rows, schema=_OUT_SCHEMA)
+
+
+def geom_to_geojson_geometry(g: GM.Geom) -> dict:
+    """Inverse of geojson_geometry_to_geom (the writer half of the
+    reference's GeoJSON driver, ogrgeojsonwriter.cpp)."""
+    def pts(xs, ys):
+        return [[float(x), float(y)] for x, y in zip(xs, ys)]
+
+    def ring(xs, ys):
+        r = pts(xs, ys)
+        return r + [r[0]]
+
+    if g.kind == "point":
+        xs, ys = g.parts[0]
+        return {"type": "Point", "coordinates": [float(xs[0]), float(ys[0])]}
+    if g.kind == "multipoint":
+        return {"type": "MultiPoint", "coordinates": pts(*g.parts[0])}
+    if g.kind == "linestring":
+        return {"type": "LineString", "coordinates": pts(*g.parts[0])}
+    if g.kind == "multilinestring":
+        return {"type": "MultiLineString",
+                "coordinates": [pts(*ln) for ln in g.parts]}
+    if g.kind == "polygon":
+        return {"type": "Polygon",
+                "coordinates": [ring(*r) for r in g.parts[0]]}
+    if g.kind == "multipolygon":
+        return {"type": "MultiPolygon",
+                "coordinates": [[ring(*r) for r in rings]
+                                for rings in g.parts]}
+    raise ValueError(f"GeoJSON: unsupported kind {g.kind!r}")
+
+
+def geojson_feature_lines(df: DataFrame, wkt_col: str, id_col: str,
+                          prop_cols: list[str]) -> DataFrame:
+    """Feature table -> one GeoJSONSeq line per row (column `value`,
+    ready for write.text) — the ogr2ogr -f GeoJSONSeq direction.
+    Serialization is per-row in an Arrow batch kernel; key order is
+    fixed (type, id, geometry, properties) so output is
+    deterministic."""
+    cols = [F.col(id_col), F.col(wkt_col)] + [F.col(c) for c in prop_cols]
+
+    def ser(batches):
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                feat = {
+                    "type": "Feature",
+                    "id": int(r[id_col]),
+                    "geometry": geom_to_geojson_geometry(
+                        GM.parse_wkt(r[wkt_col])
+                    ),
+                    "properties": {c: (None if pd.isna(r[c]) else r[c])
+                                   for c in prop_cols},
+                }
+                out.append(json.dumps(feat, separators=(",", ":"),
+                                      default=str))
+            yield pd.DataFrame({"value": out})
+
+    return df.select(*cols).mapInPandas(
+        ser, schema=T.StructType([T.StructField("value", T.StringType())])
+    )

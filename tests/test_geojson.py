@@ -45,3 +45,27 @@ def test_read_seq_and_collection(spark, tmp_path):
         {"type": "FeatureCollection", "features": feats}))
     got = read_geojson(spark, str(coll)).collect()
     assert len(got) == 2
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    from gdal_spark.geojson import geojson_feature_lines
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "fid": [1, 2],
+                "wkt": ["POINT(1.5 2.5)",
+                        "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"],
+                "name": ["a", "b"],
+            }
+        )
+    )
+    lines = geojson_feature_lines(df, "wkt", "fid", ["name"])
+    path = str(tmp_path / "out")
+    lines.write.mode("overwrite").text(path)
+    back = {r["fid"]: r for r in read_geojson_seq(spark, path).collect()}
+    assert back[1]["geom_wkt"] == "POINT(1.5000000 2.5000000)"
+    assert back[2]["geom_wkt"].startswith("POLYGON((")
+    assert back[1]["properties"]["name"] == "a"
