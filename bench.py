@@ -129,6 +129,11 @@ def main():
         # and the planner/metadata/composite ops (cheap, breadth)
         "cog_plan", "overview_select", "gdal_edit_gt", "salted_join",
         "gopher_filter", "span_scrub", "warped_layer_conic",
+        # last batch: interchange roundtrip, -si smoothing, -scale,
+        # combined hillshade, mask bands, lineref -create
+        "geojson_roundtrip", "fillnodata_smooth_checksums",
+        "translate_scale", "dem_hillshade_comb_checksums",
+        "mask_band_checksums", "lineref_create",
     ]:
         df_fn = qs[name]
         timed(name, lambda f=df_fn: f(spark, SF_DIR).count())
