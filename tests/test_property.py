@@ -189,3 +189,20 @@ def test_geo_cell_consistency(lon, lat, level):
     rx = (cid - (lvl << 52)) >> 26
     ry = cid & ((1 << 26) - 1)
     assert (lvl, rx, ry) == (level, cx, cy)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_warp_identity_and_checksum_stability(seed):
+    """Identity warp (same grid, nearest) reproduces the source
+    exactly, and the GDAL checksum is a pure function of the pixels."""
+    import localref
+    from gdal_spark import geomlite as G
+
+    rng = np.random.RandomState(seed % (2**31))
+    src = rng.randint(0, 255, size=(32, 32)).astype(np.float64)
+    out = localref._warp_global(src, 0.0, 32.0, 1.0, 0.0, 32.0, 1.0,
+                                32, 32, "nearest")
+    assert np.array_equal(out, src)
+    assert G.gdal_checksum(src) == G.gdal_checksum(src.copy())
+    assert 0 <= G.gdal_checksum(src) <= 0xFFFF
