@@ -553,6 +553,23 @@ def _q_simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.simhash(d, "text", "doc_id")
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (4x16-bit banding, hot-bucket
+    cap, hamming <= 3) over a duplicated-doc fixture: doc_id < 2000
+    plus verbatim copies at doc_id + 1000000, so every original/copy
+    pair must surface at hamming 0 alongside any natural near-dups.
+    Oracle: localref.sql_simhash_pairs reruns the banding + cap
+    single-node."""
+    d = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 2000
+    ).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    sh = TX.simhash(d.unionByName(dup), "text", "doc_id")
+    return TX.simhash_pairs(sh, "doc_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _ann_queries_pdf(spark: SparkSession, sf_dir: str) -> pd.DataFrame:
     e = (
         _read(spark, sf_dir, "embeddings")
@@ -649,7 +666,9 @@ def _q_gdal_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.calc import gdal_calc
 
     a = synth.tiles_src_df(spark, 2, 2)
-    b = synth.dome_tiles_df(spark, 2, 2, 256)
+    # co-register: gdal_calc joins on the full tile identity
+    # (zoom, tile_x, tile_y); the dome fixture stamps zoom 0
+    b = synth.dome_tiles_df(spark, 2, 2, 256).withColumn("zoom", F.lit(12))
     return tiling.checksum_table(gdal_calc({"A": a, "B": b}, _CALC_EXPR))
 
 
@@ -2754,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "salted_join": _q_salted_join,
         "simhash_table": _q_simhash_table,
+        "simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -3622,7 +3642,7 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "salted_join": """
             SELECT lang, COUNT(*) AS n,
-                   SUM(LENGTH(lang)) AS wsum
+                   CAST(SUM(LENGTH(lang)) AS BIGINT) AS wsum
             FROM documents GROUP BY lang
         """,
         "span_scrub": r"""

@@ -78,12 +78,34 @@ def compile_calc(calc: str, letters: list[str]):
 
 def gdal_calc(inputs: dict[str, DataFrame], calc: str,
               out_dtype: str = "float64",
-              raster_id: str = "calc") -> DataFrame:
+              raster_id: str = "calc",
+              validate: bool = True) -> DataFrame:
     """Evaluate `calc` over the letter-named single-band tile tables
     (all on the same tile grid). Output tile table carries the first
-    input's georeferencing."""
+    input's georeferencing.
+
+    Each letter input must be single-band per tile key: gdal_calc's
+    CLI binds one band per letter (osgeo_utils/gdal_calc.py --A_band).
+    The join key is the full tile identity (zoom, tile_x, tile_y) so a
+    table carrying several zoom levels can never cross-match tiles
+    from different levels. `validate=True` (default) runs one cheap
+    duplicate-key probe per input and raises on multi-band/duplicate
+    tiles; pass validate=False on huge inputs you have already
+    deduplicated."""
     letters = sorted(inputs)
     run = compile_calc(calc, letters)
+
+    key = ["zoom", "tile_x", "tile_y"]
+    if validate:
+        for name in letters:
+            dup = (inputs[name].groupBy(*key).count()
+                   .filter(F.col("count") > 1).limit(1).collect())
+            if dup:
+                r = dup[0]
+                raise ValueError(
+                    f"gdal_calc: input {name!r} has {r['count']} rows for "
+                    f"tile (zoom={r['zoom']}, x={r['tile_x']}, "
+                    f"y={r['tile_y']}) — select one band per letter")
 
     first = letters[0]
     joined = inputs[first].select(
@@ -95,11 +117,11 @@ def gdal_calc(inputs: dict[str, DataFrame], calc: str,
     for name in letters[1:]:
         joined = joined.join(
             inputs[name].select(
-                "tile_x", "tile_y",
+                "zoom", "tile_x", "tile_y",
                 F.col("dtype").alias(f"_dt_{name}"),
                 F.col("data").alias(f"_d_{name}"),
             ),
-            on=["tile_x", "tile_y"],
+            on=key,
         )
 
     def kern(batches):

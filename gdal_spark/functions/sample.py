@@ -5,12 +5,15 @@ Training-data pipelines need REPRODUCIBLE subset selection — a rerun
 df.sample (partition-RNG based, changes under repartitioning) is the
 wrong tool. Everything here is a pure function of the row id:
 
-  hash_u01          u = ((id + seed) * 2654435761) % 2^32 / 2^32 — the
-                    Knuth multiplicative hash already used by the
+  hash_u01          u = pmod((id + seed) * 2654435761, 2^32) / 2^32 —
+                    the Knuth multiplicative hash already used by the
                     fixture generators; odd multiplier -> injective on
-                    [0, 2^32), so u is collision-free for ids < 2^32.
-                    For 10^12-row ids swap in synth.sm64_col
-                    (splitmix64) — same pattern, 64-bit safe.
+                    [0, 2^32), so u is collision-free for ids < 2^31
+                    (beyond that the 64-bit product wraps, u stays in
+                    [0,1) via pmod but injectivity is no longer
+                    guaranteed). For 10^12-row ids swap in
+                    synth.sm64_col (splitmix64) — same pattern, 64-bit
+                    safe.
   split_assign      named train/val/test split by u thresholds; pure
                     column math, no shuffle, stable under any
                     partitioning.
@@ -38,7 +41,10 @@ MOD32 = 1 << 32
 
 def hash_u01(col: Column | str, seed: int = 0) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    u = ((c.cast("long") + F.lit(seed)) * F.lit(KNUTH)) % F.lit(MOD32)
+    # pmod, not %: the 64-bit product wraps negative for ids above
+    # ~3.47e9 and Spark's % keeps the dividend's sign — a plain % would
+    # put u in (-1, 0) and route every such row to 'train'
+    u = F.pmod((c.cast("long") + F.lit(seed)) * F.lit(KNUTH), F.lit(MOD32))
     return u.cast("double") / float(MOD32)
 
 

@@ -348,26 +348,48 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), _simhash_bits_udf(wh).alias("simhash"))
 
 
-def simhash_pairs(sh: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(sh: DataFrame, id_col: str, max_hamming: int = 3,
+                  max_bucket: int | None = 10000) -> DataFrame:
     """Candidate pairs within hamming distance via 4x16-bit banding
-    (a pair within distance 3 shares at least one exact band)."""
-    bands = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
-        for i in range(4)
-    ]
-    banded = sh.select(F.col(id_col), F.col("simhash"), *bands)
-    pieces = []
-    for i in range(4):
-        a = banded.select(F.col(f"b{i}").alias("bk"), F.col(id_col).alias("id_a"),
-                          F.col("simhash").alias("h_a"))
-        b = banded.select(F.col(f"b{i}").alias("bk"), F.col(id_col).alias("id_b"),
-                          F.col("simhash").alias("h_b"))
-        pieces.append(a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
-                      .select("id_a", "id_b", "h_a", "h_b"))
-    cand = pieces[0]
-    for p in pieces[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    (a pair within distance 3 shares at least one exact band).
+
+    Scale design: one self-join on the long (band, bk) key — not four
+    separate joins — and, like lsh_candidates, a `max_bucket` cap:
+    degenerate band values are common in web corpora (simhash 0 from
+    empty/near-empty docs puts band 0 of every such doc in one bucket)
+    and an uncapped bucket is |B|^2 in the join. Capped buckets are
+    dropped; a true near-dup pair in a dropped bucket still surfaces
+    through its other, more selective bands unless ALL its shared
+    bands are degenerate (overwhelmingly the all-zero-hash case, which
+    is boilerplate, not content)."""
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("bk"),
+                )
+                for i in range(4)
+            ])
+        ).alias("_b"),
+    ).select(id_col, "simhash", F.col("_b.band").alias("band"),
+             F.col("_b.bk").alias("bk"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bk")
+        banded = banded.withColumn(
+            "_bc", F.count(F.lit(1)).over(w)
+        ).filter(F.col("_bc") <= max_bucket).drop("_bc")
+    a = banded.select("band", "bk", F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("h_a"))
+    b = banded.select("band", "bk", F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("h_b"))
+    cand = (a.join(b, ["band", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h_a", "h_b")
+            .dropDuplicates(["id_a", "id_b"]))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

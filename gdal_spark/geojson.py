@@ -73,17 +73,43 @@ def geojson_geometry_to_geom(g: dict) -> GM.Geom | None:
     raise ValueError(f"GeoJSON: unsupported geometry type {t!r}")
 
 
+def _fid_of(feat: dict) -> int | None:
+    """RFC 7946 allows string ids; the reference's GeoJSON driver only
+    promotes integral ids to FID and keeps others as attributes
+    (ogr/ogrsf_frmts/geojson/ogrgeojsonreader.cpp id handling). Returns
+    None when the id is absent or non-integral."""
+    v = feat.get("id")
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    if isinstance(v, str):
+        s = v.strip()
+        if s.lstrip("+-").isdigit():
+            return int(s)
+    return None
+
+
 def _feature_to_row(i: int, feat: dict) -> dict:
     g = geojson_geometry_to_geom(feat.get("geometry"))
     props = feat.get("properties") or {}
+    fid = _fid_of(feat)
+    out_props = {
+        str(k): (json.dumps(v) if isinstance(v, (dict, list))
+                 else ("" if v is None else str(v)))
+        for k, v in props.items()
+    }
+    if fid is None:
+        fid = i
+        if "id" in feat and feat["id"] is not None:
+            # non-integral id: preserved as an attribute, like the reference
+            out_props.setdefault("id", str(feat["id"]))
     return {
-        "fid": int(feat["id"]) if "id" in feat else i,
+        "fid": fid,
         "geom_wkt": GM.to_wkt(g) if g is not None else None,
-        "properties": {
-            str(k): (json.dumps(v) if isinstance(v, (dict, list))
-                     else ("" if v is None else str(v)))
-            for k, v in props.items()
-        },
+        "properties": out_props,
     }
 
 
@@ -94,17 +120,14 @@ def read_geojson_seq(spark: SparkSession, path: str) -> DataFrame:
     present, else its GLOBAL line number (a monotonic id per line
     resolved with a tiny per-partition-offset pass, matching the
     reference's sequential FID assignment deterministically)."""
-    lines = spark.read.text(path).select(
-        F.monotonically_increasing_id().alias("_mid"), "value"
-    )
-    # global line number from partition-local ids: rank the _mid values
-    # (zip-with-index semantics without RDDs). The window is over the
-    # already-tiny (path-local) line count only when fids are needed.
-    from pyspark.sql.window import Window
+    from .zipindex import with_global_index
 
-    lines = lines.withColumn(
-        "_ln", F.row_number().over(Window.orderBy("_mid")) - 1
-    )
+    # global line number via partition-offset zip-with-index: one tiny
+    # per-partition count pass + broadcast prefix sums — no global sort,
+    # no single-partition Exchange, so the scan stays line-parallel at
+    # any size (the r3 version's Window.orderBy funneled the whole file
+    # through one reducer).
+    lines = with_global_index(spark.read.text(path), "_ln")
 
     def parse(batches):
         for pdf in batches:

@@ -58,18 +58,27 @@ def _query_cells(queries: pd.DataFrame, level: int, radius: int) -> pd.DataFrame
     for q in queries.itertuples(index=False):
         cx = min(max(int(math.floor((q.lon + 180.0) / 360.0 * n)), 0), n - 1)
         cy = min(max(int(math.floor((q.lat + 90.0) / 180.0 * n)), 0), n - 1)
-        # guard: min distance from the query point to the boundary of
-        # the covered lon/lat block (conservative planar->sphere bound:
-        # use great-circle distances to the four boundary lines)
-        lon_lo = max(-180.0, -180.0 + (cx - radius) * cell_w)
-        lon_hi = min(180.0, -180.0 + (cx + radius + 1) * cell_w)
+        # guard: a LOWER bound on the distance from the query point to
+        # any uncovered point. Any geodesic leaving the covered block
+        # crosses one of its boundary lines, so min over:
+        #   - lat boundaries: exact meridian distance R*|dphi|
+        #   - lon boundaries: cross-track distance to the boundary
+        #     meridian's great circle, R*asin(|sin dlon|*cos lat) —
+        #     always <= the true distance to the meridian segment (the
+        #     r3 along-parallel haversine OVERestimated it away from
+        #     the equator, breaking the exactness contract). sin is
+        #     periodic, so antimeridian wrap needs no special-casing:
+        #     the ring is lon-complete only when (2r+1) cells >= n.
         lat_lo = max(-90.0, -90.0 + (cy - radius) * cell_h)
         lat_hi = min(90.0, -90.0 + (cy + radius + 1) * cell_h)
         cand = []
-        if lon_lo > -180.0:
-            cand.append(G.haversine(q.lon, q.lat, lon_lo, q.lat))
-        if lon_hi < 180.0:
-            cand.append(G.haversine(q.lon, q.lat, lon_hi, q.lat))
+        if (2 * radius + 1) < n:
+            lon_lo = -180.0 + (cx - radius) * cell_w  # unclamped: wraps
+            lon_hi = -180.0 + (cx + radius + 1) * cell_w
+            cosphi = math.cos(math.radians(q.lat))
+            for lb in (lon_lo, lon_hi):
+                s = abs(math.sin(math.radians(q.lon - lb))) * cosphi
+                cand.append(G.MEAN_EARTH_RADIUS * math.asin(min(1.0, s)))
         if lat_lo > -90.0:
             cand.append(G.haversine(q.lon, q.lat, q.lon, lat_lo))
         if lat_hi < 90.0:
@@ -261,19 +270,29 @@ def knn_join_distributed(
             .localCheckpoint()
         )
 
-        # column-math guard: min great-circle distance from the query
-        # point to the boundary of the covered lon/lat block
-        lon_lo = F.greatest(F.lit(-180.0), F.lit(-180.0) + (F.col("cx") - radius) * cell_w)
-        lon_hi = F.least(F.lit(180.0), F.lit(-180.0) + (F.col("cx") + radius + 1) * cell_w)
+        # column-math guard: LOWER bound on the distance to uncovered
+        # territory — lat boundaries by exact meridian distance, lon
+        # boundaries by cross-track distance to the boundary meridian
+        # (R*asin(|sin dlon|*cos lat), periodic so antimeridian wrap
+        # is free; same bound as _query_cells, see the comment there)
         lat_lo = F.greatest(F.lit(-90.0), F.lit(-90.0) + (F.col("cy") - radius) * cell_h)
         lat_hi = F.least(F.lit(90.0), F.lit(-90.0) + (F.col("cy") + radius + 1) * cell_h)
+
+        def xtrack(lon_b):
+            s = F.abs(F.sin(F.radians(F.col("q_lon") - lon_b))) * F.cos(
+                F.radians(F.col("q_lat"))
+            )
+            return G.MEAN_EARTH_RADIUS * F.asin(F.least(s, F.lit(1.0)))
+
+        if (2 * radius + 1) < n:
+            lon_lo = F.lit(-180.0) + (F.col("cx") - radius) * cell_w
+            lon_hi = F.lit(-180.0) + (F.col("cx") + radius + 1) * cell_w
+            guard_w, guard_e = xtrack(lon_lo), xtrack(lon_hi)
+        else:
+            guard_w = guard_e = inf
         guard = F.least(
-            F.when(lon_lo > -180.0,
-                   _haversine_col(F.col("q_lon"), F.col("q_lat"), lon_lo, F.col("q_lat"))
-                   ).otherwise(inf),
-            F.when(lon_hi < 180.0,
-                   _haversine_col(F.col("q_lon"), F.col("q_lat"), lon_hi, F.col("q_lat"))
-                   ).otherwise(inf),
+            guard_w,
+            guard_e,
             F.when(lat_lo > -90.0,
                    _haversine_col(F.col("q_lon"), F.col("q_lat"), F.col("q_lon"), lat_lo)
                    ).otherwise(inf),

@@ -424,10 +424,11 @@ def _attach_special_fields(df: DataFrame, needed: set, geom_col: str):
     FID is the feature's 0-based sequence number in the layer's
     first-column order (our layers are frames without an engine FID;
     a deterministic total order is required for the dialect's FID to
-    mean anything). The global row_number is a single-reducer sort —
-    fine for the dialect-parity path; at scale carry a real id column
-    instead."""
-    from pyspark.sql import Window
+    mean anything). The rank is computed with a parallel range-sort +
+    partition-offset zip-with-index (zipindex.with_global_index) — no
+    single-reducer global window, so `WHERE FID < 10` over a 10^9-row
+    layer never total-sorts through one partition."""
+    from .zipindex import with_global_index
 
     # a layer field with the same name wins over the special field —
     # the declared schema is authoritative for our frame-backed layers
@@ -437,11 +438,7 @@ def _attach_special_fields(df: DataFrame, needed: set, geom_col: str):
     }
     out = df
     if "FID" in needed:
-        out = out.withColumn(
-            "FID",
-            (F.row_number().over(Window.orderBy(df.columns[0])) - 1
-             ).cast("long"),
-        )
+        out = with_global_index(df, "FID", order_by=[df.columns[0]])
     geom_needed = needed - {"FID", "OGR_STYLE"}
     if geom_needed and geom_col not in df.columns:
         raise ValueError(

@@ -740,26 +740,62 @@ def sql_minhash_pairs(threshold: float = 0.8, n_hashes: int = 64,
     return values_sql(rows, ["id_a", "id_b"], ["bigint", "bigint"])
 
 
-def sql_simhash_table() -> str:
+def _simhash_of(text) -> int:
     import re
 
-    docs = _read_parquet(f"{ORACLE_SF_DIR}/documents.parquet")
     shifts = np.arange(64, dtype=np.uint64)
-    rows = []
-    for did, text in zip(docs["doc_id"], docs["text"]):
-        toks = [t for t in re.split(r"\s+", (text or "").lower()) if t]
-        if not toks:
-            rows.append((int(did), 0))
-            continue
-        hs = np.array(
-            [xxh64_bytes(t.encode("utf-8")) for t in toks], dtype=np.int64
-        ).astype(np.uint64)
-        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        maj = (bits.sum(axis=0) * 2 > len(hs)).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            sh = np.int64((maj << shifts).sum().astype(np.uint64).astype(np.int64))
-        rows.append((int(did), int(sh)))
+    toks = [t for t in re.split(r"\s+", (text or "").lower()) if t]
+    if not toks:
+        return 0
+    hs = np.array(
+        [xxh64_bytes(t.encode("utf-8")) for t in toks], dtype=np.int64
+    ).astype(np.uint64)
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    maj = (bits.sum(axis=0) * 2 > len(hs)).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return int(np.int64((maj << shifts).sum().astype(np.uint64).astype(np.int64)))
+
+
+def sql_simhash_table() -> str:
+    docs = _read_parquet(f"{ORACLE_SF_DIR}/documents.parquet")
+    rows = [
+        (int(did), _simhash_of(text))
+        for did, text in zip(docs["doc_id"], docs["text"])
+    ]
     return values_sql(rows, ["doc_id", "simhash"], ["bigint", "bigint"])
+
+
+def sql_simhash_pairs(max_hamming: int = 3, max_bucket: int = 10000) -> str:
+    """Independent single-node rerun of simhash + 4x16-bit banding +
+    hot-bucket cap + hamming filter over the duplicated-doc fixture
+    (doc_id < 2000 plus verbatim copies at doc_id + 1000000)."""
+    docs = _read_parquet(f"{ORACLE_SF_DIR}/documents.parquet")
+    sel = docs[docs["doc_id"] < 2000]
+    sh = {}
+    for did, text in zip(sel["doc_id"], sel["text"]):
+        h = _simhash_of(text)
+        sh[int(did)] = h
+        sh[int(did) + 1000000] = h
+    buckets: dict = {}
+    for did, h in sh.items():
+        for b in range(4):
+            buckets.setdefault((b, (h >> (16 * b)) & 0xFFFF), []).append(did)
+    pairs = set()
+    for mem in buckets.values():
+        if len(mem) > max_bucket:
+            continue
+        mem = sorted(mem)
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                pairs.add((mem[i], mem[j]))
+    rows = sorted(
+        (a, b, int(bin(sh[a] ^ sh[b]).count("1")))
+        for a, b in pairs
+        if bin(sh[a] ^ sh[b]).count("1") <= max_hamming
+    )
+    return values_sql(
+        rows, ["id_a", "id_b", "hamming"], ["bigint", "bigint", "bigint"]
+    )
 
 
 def sql_ann_lsh_topk(k: int = 10, n_bits: int = 4, tables: int = 16) -> str:
@@ -842,6 +878,7 @@ def oracle_entries() -> dict:
         "media_thumbnails": sql_media_thumbnails,
         "minhash_pairs": sql_minhash_pairs,
         "simhash_table": sql_simhash_table,
+        "simhash_pairs": sql_simhash_pairs,
         "ann_lsh_topk": sql_ann_lsh_topk,
         "ann_ivf_topk": sql_ann_ivf_topk,
         "overview_mode_checksums": sql_overview_mode_checksums,

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from gdal_spark.calc import compile_calc, gdal_calc
 
@@ -37,7 +38,7 @@ def test_gdal_calc_tiles(spark):
     from gdal_spark.tiling import _decode
 
     a = synth.tiles_src_df(spark, 2, 2)
-    b = synth.dome_tiles_df(spark, 2, 2, 256)
+    b = synth.dome_tiles_df(spark, 2, 2, 256).withColumn("zoom", F.lit(12))
     out = gdal_calc({"A": a, "B": b}, "A + B*0.0")
     rows = {(r.tile_x, r.tile_y): r for r in out.collect()}
     arr = _decode(rows[(0, 0)].data, rows[(0, 0)].dtype, 256, 256)

@@ -64,6 +64,28 @@ def test_simhash_pairs(spark):
         assert got[(1, 4)] == 6
 
 
+def test_simhash_pairs_degenerate_band_cap(spark):
+    """Web corpora produce degenerate bands (simhash 0 from empty /
+    whitespace docs puts EVERY such doc in one bucket per band); the
+    hot-bucket cap must drop those buckets instead of going |B|^2,
+    while selective buckets keep pairing."""
+    rows = [Row(doc_id=i, text="   ") for i in range(40)]  # simhash 0
+    rows += [
+        Row(doc_id=100, text="unique informative text about spark plans"),
+        Row(doc_id=101, text="unique informative text about spark plans"),
+    ]
+    sh = TX.simhash(spark.createDataFrame(rows), "text", "doc_id")
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert all(vals[i] == 0 for i in range(40))
+    capped = TX.simhash_pairs(sh, "doc_id", max_hamming=3, max_bucket=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # degenerate-bucket pairs dropped; the real dup pair survives
+    assert got == {(100, 101)}
+    # uncapped still returns the full quadratic set (40*39/2 + 1)
+    full = TX.simhash_pairs(sh, "doc_id", max_hamming=3, max_bucket=None)
+    assert full.count() == 40 * 39 // 2 + 1
+
+
 def test_ngram_jaccard_verification(spark):
     docs = _docs(spark)
     cand = TX.minhash_dedup(docs, "text", "doc_id", threshold=0.4)
