@@ -553,6 +553,65 @@ def _q_simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.simhash(d, "text", "doc_id")
 
 
+def _q_geometry_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curve geometry types (ogr_core.h:349-398) through the engine:
+    per document a circular CURVEPOLYGON (full circle as a two-arc
+    CIRCULARSTRING), linearized at the reference's default 4-degree
+    arc step (OGRGeometryFactory curveToLineString / OGR_ARC_STEPSIZE)
+    inside the area/perimeter kernels. Oracle:
+    localref.sql_geometry_curves reruns the arc sampling + shoelace
+    single-node."""
+    from gdal_spark.functions import geometry as SG
+
+    d = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 150
+    )
+    half = F.col("lon") - F.col("x0")
+    wkt = F.format_string(
+        "CURVEPOLYGON(CIRCULARSTRING("
+        "%.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f))",
+        F.col("lon") - half, F.col("lat"),
+        F.col("lon"), F.col("lat") + half,
+        F.col("lon") + half, F.col("lat"),
+        F.col("lon"), F.col("lat") - half,
+        F.col("lon") - half, F.col("lat"),
+    )
+    return d.select(
+        "doc_id",
+        SG.st_area(wkt).alias("area"),
+        SG.st_perimeter(wkt).alias("perimeter"),
+        SG.st_npoints(wkt).cast("long").alias("npoints"),
+    )
+
+
+def _q_geometry_makevalid_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MakeValid with full re-noding (ogrgeometry.cpp:3695; GEOS
+    'linework'): per document a bowtie ring over its derived square's
+    corners; the result must be the valid two-triangle multipolygon
+    (even-odd reassembly), emitted canonically. Oracle:
+    localref.sql_geometry_makevalid_bowtie constructs the expected
+    triangles analytically."""
+    from gdal_spark.functions import geometry as SG
+
+    d = DRV.with_derived_squares(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 150
+    )
+    # 3-decimal inputs keep the 6-decimal canonical output tie-free
+    wkt = F.format_string(
+        "POLYGON((%.3f %.3f, %.3f %.3f, %.3f %.3f, %.3f %.3f, %.3f %.3f))",
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
+        F.col("x1"), F.col("y0"), F.col("x0"), F.col("y1"),
+        F.col("x0"), F.col("y0"),
+    )
+    valid = SG.st_make_valid_canonical(wkt)
+    return d.select(
+        "doc_id",
+        valid.alias("valid_wkt"),
+        F.round(SG.st_area(valid), 9).alias("area"),
+        SG.st_is_valid_shape(valid).alias("is_valid"),
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidate pairs (4x16-bit banding, hot-bucket
     cap, hamming <= 3) over a duplicated-doc fixture: doc_id < 2000
@@ -2774,6 +2833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         "simhash_table": _q_simhash_table,
         "simhash_pairs": _q_simhash_pairs,
+        "geometry_curves": _q_geometry_curves,
+        "geometry_makevalid_bowtie": _q_geometry_makevalid_bowtie,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,

@@ -305,6 +305,36 @@ def _group_polys(rings, scale: float):
     return polys
 
 
+def renode_even_odd(g: Geom):
+    """Full MakeValid noding (ogrgeometry.cpp:3695; GEOS MakeValid
+    'linework' method): split every boundary segment at every
+    self-intersection, keep sub-segments where even-odd parity differs
+    across the edge (interior left), chain into rings, orient + group.
+    A bowtie ring becomes the valid two-triangle multipolygon. Returns
+    the polygon_boolean-style [[exterior CCW, holes CW], ...] list."""
+    polys = g.parts if g.kind == "multipolygon" else [g.parts[0]]
+    raw = []
+    for rings in polys:
+        nr = []
+        for xs, ys in rings:
+            # no orientation normalization: a bowtie's signed area is
+            # ~0 (its lobes cancel) and parity ignores direction
+            xs, ys = dedupe_ring(np.asarray(xs, np.float64),
+                                 np.asarray(ys, np.float64))
+            if len(xs) >= 3:
+                nr.append((xs, ys))
+        if nr:
+            raw.append(nr)
+    segs = _directed_segs(raw)
+    if len(segs) == 0:
+        return []
+    scale = float(np.ptp(segs.reshape(-1, 2), axis=0).max()) or 1.0
+    subs = _split_against(segs, segs, scale)
+    kept = _classify(subs, raw, [], lambda in_g, _unused: in_g, scale)
+    kept = _dedupe_directed(kept, scale)
+    return _group_polys(_chain_rings(kept, scale), scale)
+
+
 _OPS = {
     "intersection": lambda a, b: a & b,
     "union": lambda a, b: a | b,

@@ -61,6 +61,24 @@ st_centroid_x = _udf1(lambda g: GM.centroid(g)[0], T.DoubleType())
 st_centroid_y = _udf1(lambda g: GM.centroid(g)[1], T.DoubleType())
 st_convex_hull = _udf1(lambda g: GM.to_wkt(GM.convex_hull(g)), T.StringType())
 st_make_valid = _udf1(lambda g: GM.to_wkt(GM.make_valid(g)), T.StringType())
+
+
+def _make_valid_canonical(g):
+    v = GM.make_valid(g)
+    if v.kind not in ("polygon", "multipolygon"):
+        return GM.to_wkt(v)  # non-area kinds pass through untouched
+    polys = v.parts if v.kind == "multipolygon" else (
+        [v.parts[0]] if v.parts else [])
+    from ..boolean import canonical_wkt
+
+    return canonical_wkt(
+        [[np.stack([xs, ys], axis=1) for xs, ys in rings]
+         for rings in polys if rings], 6)
+
+
+# MakeValid with deterministic output ordering (canonical ring
+# rotation + polygon sort) — the golden-comparable form
+st_make_valid_canonical = _udf1(_make_valid_canonical, T.StringType())
 st_is_valid_shape = _udf1(GM.is_valid_shape, T.BooleanType())
 st_union_cascaded = _udf1(lambda g: GM.to_wkt(GM.union_cascaded(g)), T.StringType())
 st_normalize = _udf1(lambda g: GM.to_wkt(GM.normalize(g)), T.StringType())
@@ -79,6 +97,19 @@ st_force_linestring = _udf1(
 )
 st_astext = _udf1(GM.to_wkt, T.StringType())
 st_aswkb = _udf1(GM.to_wkb, T.BinaryType())
+
+def _perimeter(g):
+    ax, ay, bx, by = g.boundary_segments()
+    return float(np.hypot(bx - ax, by - ay).sum())
+
+
+# boundary length (OGRCurve::get_Length over polygon rings)
+st_perimeter = _udf1(_perimeter, T.DoubleType())
+st_npoints = _udf1(lambda g: int(g.all_points()[0].shape[0]), T.IntegerType())
+# OGRGeometry::CurveToLine / ogr2ogr -nlt CONVERT_TO_LINEAR: curve WKT
+# in (CIRCULARSTRING / COMPOUNDCURVE / CURVEPOLYGON / MULTICURVE /
+# MULTISURFACE), linearized classic WKT out at the default 4-deg step
+st_curve_to_line = _udf1(GM.to_wkt, T.StringType())
 
 st_boundary = _udf1(lambda g: GM.to_wkt(GM.boundary(g)), T.StringType())
 st_point_on_surface_x = _udf1(lambda g: GM.point_on_surface(g)[0], T.DoubleType())

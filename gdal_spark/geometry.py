@@ -170,13 +170,16 @@ def intersection_area_tris(ta, sa, tb, sb) -> float:
 class Geom:
     """Parsed geometry: kind in {point, multipoint, linestring,
     multilinestring, polygon, multipolygon}; rings = [(xs, ys), ...]
-    per polygon part."""
+    per polygon part. `zs` optionally carries Z ordinates for
+    point/linestring kinds (2.5D input: carried, never computed on —
+    like the reference where get_Area/predicates are XY-only)."""
 
-    __slots__ = ("kind", "parts")
+    __slots__ = ("kind", "parts", "zs")
 
-    def __init__(self, kind: str, parts):
+    def __init__(self, kind: str, parts, zs=None):
         self.kind = kind
         self.parts = parts  # point/linestring: [(xs, ys)]; polygon: [rings]
+        self.zs = zs
 
     # -- areas / triangles ------------------------------------------------
     def signed_tris(self):
@@ -251,12 +254,35 @@ class Geom:
 def parse_wkt(wkt: str) -> Geom:
     s = wkt.strip()
     up = s.upper()
+    from .curves import CURVE_WKT_PREFIXES, parse_curve_wkt
+
+    if up.startswith(CURVE_WKT_PREFIXES):
+        return parse_curve_wkt(s)
 
     def nums(chunk):
         pts = [p.strip().split() for p in chunk.split(",")]
         xs = np.array([float(p[0]) for p in pts])
         ys = np.array([float(p[1]) for p in pts])
         return xs, ys
+
+    def nums_z(chunk, has_m_token):
+        """x y [z] [m] tuples: Z captured when the dim token or the
+        tuple width says so (x y m reads m as the 3rd number only
+        under an explicit M token)."""
+        pts = [p.strip().split() for p in chunk.split(",")]
+        xs = np.array([float(p[0]) for p in pts])
+        ys = np.array([float(p[1]) for p in pts])
+        zs = None
+        if pts and len(pts[0]) >= 3 and not (has_m_token and len(pts[0]) == 3):
+            zs = np.array([float(p[2]) for p in pts])
+        return xs, ys, zs
+
+    def dim_token(name):
+        rest = up[len(name):].lstrip()
+        for tok in ("ZM", "Z", "M"):
+            if rest.startswith(tok) and rest[len(tok):].lstrip().startswith("("):
+                return tok
+        return ""
 
     def rings_of(body):
         # body like "(x y, ...), (x y, ...)"
@@ -287,11 +313,13 @@ def parse_wkt(wkt: str) -> Geom:
         xs, ys = nums(body.replace("(", "").replace(")", ""))
         return Geom("multipoint", [(xs, ys)])
     if up.startswith("POINT"):
-        xs, ys = nums(s[s.index("(") + 1 : s.rindex(")")])
-        return Geom("point", [(xs, ys)])
+        xs, ys, zs = nums_z(s[s.index("(") + 1 : s.rindex(")")],
+                            dim_token("POINT") == "M")
+        return Geom("point", [(xs, ys)], zs=zs)
     if up.startswith("LINESTRING"):
-        xs, ys = nums(s[s.index("(") + 1 : s.rindex(")")])
-        return Geom("linestring", [(xs, ys)])
+        xs, ys, zs = nums_z(s[s.index("(") + 1 : s.rindex(")")],
+                            dim_token("LINESTRING") == "M")
+        return Geom("linestring", [(xs, ys)], zs=zs)
     if up.startswith("MULTILINESTRING"):
         body = s[s.index("(") + 1 : s.rindex(")")]
         lines = []
@@ -341,10 +369,20 @@ def to_wkt(g: Geom, prec: int = 7) -> str:
 
     if g.kind == "point":
         xs, ys = g.parts[0]
+        if g.zs is not None:
+            return (f"POINT Z ({xs[0]:.{prec}f} {ys[0]:.{prec}f} "
+                    f"{g.zs[0]:.{prec}f})")
         return f"POINT({xs[0]:.{prec}f} {ys[0]:.{prec}f})"
     if g.kind == "multipoint":
         return "MULTIPOINT(" + pt(*g.parts[0]) + ")"
     if g.kind == "linestring":
+        xs, ys = g.parts[0]
+        if g.zs is not None and len(g.zs) == len(xs):
+            body = ", ".join(
+                f"{x:.{prec}f} {y:.{prec}f} {z:.{prec}f}"
+                for x, y, z in zip(xs, ys, g.zs)
+            )
+            return "LINESTRING Z (" + body + ")"
         return "LINESTRING(" + pt(*g.parts[0]) + ")"
     if g.kind == "multilinestring":
         return "MULTILINESTRING(" + ", ".join(
@@ -364,9 +402,18 @@ _WKB_MULTIPOINT, _WKB_MULTILINESTRING, _WKB_MULTIPOLYGON = 4, 5, 6
 
 def parse_wkb(buf: bytes) -> Geom:
     """createFromWkb (ogrgeometryfactory.cpp:106): either byte order;
-    Point / MultiPoint / LineString / MultiLineString / Polygon /
-    MultiPolygon, 2-D."""
-    pos = [0]
+    the full ISO hierarchy — classic Point..MultiPolygon plus the
+    curve/surface types (linearized, see curves.py) — with Z/M/ZM
+    variants in ISO (+1000/+2000/+3000), legacy 2.5D (wkb25DBit
+    0x80000000), and EWKB-SRID-flagged encodings. Z ordinates are
+    carried on point/linestring Geoms (`zs`), never computed on."""
+    return parse_wkb_at(bytes(buf), [0])
+
+
+def parse_wkb_at(buf: bytes, pos: list, step_deg=None) -> Geom:
+    """Parse one geometry at cursor `pos` (shared with nested curve
+    parsing in curves.py); advances the cursor."""
+    from . import curves as CV
 
     def take(fmt, bo):
         sz = struct.calcsize(fmt)
@@ -374,56 +421,61 @@ def parse_wkb(buf: bytes) -> Geom:
         pos[0] += sz
         return v
 
-    def header():
-        (order,) = struct.unpack_from("B", buf, pos[0])
-        pos[0] += 1
-        bo = "<" if order == 1 else ">"
-        (gtype,) = take("I", bo)
-        return bo, gtype & 0xFF  # mask Z/M/SRID flags
+    (order,) = struct.unpack_from("B", buf, pos[0])
+    pos[0] += 1
+    bo = "<" if order == 1 else ">"
+    (gtype,) = take("I", bo)
+    if gtype & 0x20000000:  # EWKB SRID flag: skip the srid word
+        gtype &= ~0x20000000
+        take("I", bo)
+    base, has_z, has_m = CV.decode_wkb_type(gtype)
+    ncoord = 2 + int(has_z) + int(has_m)
 
-    def ring(bo):
+    def coords(n):
+        a = np.asarray(take(f"{ncoord * n}d", bo)).reshape(n, ncoord)
+        return (a[:, 0].copy(), a[:, 1].copy(),
+                a[:, 2].copy() if has_z else None)
+
+    def ring():
         (n,) = take("I", bo)
-        coords = take(f"{2 * n}d", bo)
-        a = np.asarray(coords).reshape(n, 2)
-        return dedupe_ring(a[:, 0].copy(), a[:, 1].copy())
+        xs, ys, _ = coords(n)
+        return dedupe_ring(xs, ys)
 
-    def one():
-        bo, gtype = header()
-        if gtype == _WKB_POINT:
-            x, y = take("2d", bo)
-            return Geom("point", [(np.array([x]), np.array([y]))])
-        if gtype == _WKB_LINESTRING:
-            (n,) = take("I", bo)
-            coords = take(f"{2 * n}d", bo)
-            a = np.asarray(coords).reshape(n, 2)
-            return Geom("linestring", [(a[:, 0].copy(), a[:, 1].copy())])
-        if gtype == _WKB_POLYGON:
-            (nr,) = take("I", bo)
-            return Geom("polygon", [[ring(bo) for _ in range(nr)]])
-        if gtype == _WKB_MULTIPOINT:
-            (np_,) = take("I", bo)
-            pts = [one() for _ in range(np_)]
-            return Geom(
-                "multipoint",
-                [(np.concatenate([p.parts[0][0] for p in pts]),
-                  np.concatenate([p.parts[0][1] for p in pts]))]
-                if pts else [],
-            )
-        if gtype == _WKB_MULTILINESTRING:
-            (np_,) = take("I", bo)
-            return Geom(
-                "multilinestring", [one().parts[0] for _ in range(np_)]
-            )
-        if gtype == _WKB_MULTIPOLYGON:
-            (np_,) = take("I", bo)
-            polys = []
-            for _ in range(np_):
-                sub = one()
-                polys.append(sub.parts[0])
-            return Geom("multipolygon", polys)
-        raise ValueError(f"unsupported WKB geometry type {gtype}")
-
-    return one()
+    if base == _WKB_POINT:
+        xs, ys, zs = coords(1)
+        return Geom("point", [(xs, ys)], zs=zs)
+    if base == _WKB_LINESTRING:
+        (n,) = take("I", bo)
+        xs, ys, zs = coords(n)
+        return Geom("linestring", [(xs, ys)], zs=zs)
+    if base == _WKB_POLYGON:
+        (nr,) = take("I", bo)
+        return Geom("polygon", [[ring() for _ in range(nr)]])
+    if base == _WKB_MULTIPOINT:
+        (np_,) = take("I", bo)
+        pts = [parse_wkb_at(buf, pos, step_deg) for _ in range(np_)]
+        return Geom(
+            "multipoint",
+            [(np.concatenate([p.parts[0][0] for p in pts]),
+              np.concatenate([p.parts[0][1] for p in pts]))]
+            if pts else [],
+        )
+    if base == _WKB_MULTILINESTRING:
+        (np_,) = take("I", bo)
+        return Geom(
+            "multilinestring",
+            [parse_wkb_at(buf, pos, step_deg).parts[0] for _ in range(np_)],
+        )
+    if base == _WKB_MULTIPOLYGON:
+        (np_,) = take("I", bo)
+        return Geom(
+            "multipolygon",
+            [parse_wkb_at(buf, pos, step_deg).parts[0] for _ in range(np_)],
+        )
+    return CV.parse_curve_wkb(
+        buf, pos, bo, base, has_z, has_m, take,
+        step_deg if step_deg is not None else CV.ARC_STEP_DEG,
+    )
 
 
 def to_wkb(g: Geom) -> bytes:
@@ -616,9 +668,13 @@ def simplify(g: Geom, tol: float) -> Geom:
 
 
 def make_valid(g: Geom) -> Geom:
-    """Normalization subset of MakeValid (:3695): close/dedupe rings,
-    exterior CCW, holes CW, drop sub-3-vertex rings. Self-intersecting
-    rings are NOT re-noded (GEOS does; documented restriction)."""
+    """MakeValid (:3695). Fast path: close/dedupe rings, exterior CCW,
+    holes CW, drop sub-3-vertex rings. When the normalized shape is
+    still invalid (self-intersecting rings, e.g. a bowtie), fall
+    through to full re-noding: split boundary segments at every
+    self-intersection and reassemble by the even-odd rule
+    (boolean.renode_even_odd — the GEOS MakeValid 'linework'
+    semantics)."""
     if g.kind not in ("polygon", "multipolygon"):
         return g
 
@@ -635,8 +691,22 @@ def make_valid(g: Geom) -> Geom:
         return out
 
     if g.kind == "polygon":
-        return Geom("polygon", [fix(g.parts[0])])
-    return Geom("multipolygon", [fix(r) for r in g.parts])
+        norm = Geom("polygon", [fix(g.parts[0])])
+    else:
+        norm = Geom("multipolygon", [fix(r) for r in g.parts])
+    if not norm.parts or all(not r for r in norm.parts) \
+            or is_valid_shape(norm):
+        return norm
+    from .boolean import renode_even_odd
+
+    polys = renode_even_odd(g)
+    if not polys:
+        return norm
+    parts = [[(r[:, 0].copy(), r[:, 1].copy()) for r in rings]
+             for rings in polys]
+    if len(parts) == 1:
+        return Geom("polygon", parts)
+    return Geom("multipolygon", parts)
 
 
 def simplify_preserve_topology(g: Geom, tol: float) -> Geom:

@@ -740,6 +740,122 @@ def sql_minhash_pairs(threshold: float = 0.8, n_hashes: int = 64,
     return values_sql(rows, ["id_a", "id_b"], ["bigint", "bigint"])
 
 
+def sql_geometry_curves() -> str:
+    """Single-node rerun of the geometry_curves query: linearize each
+    document's circular CURVEPOLYGON per the CurveToLine spec (uniform
+    angular sampling at <= 4-degree steps, endpoints exact, CW/CCW by
+    where the middle point falls) and measure with shoelace/hypot —
+    no engine geometry code involved."""
+    step = math.radians(4.0)
+    two_pi = 2.0 * math.pi
+
+    def arc(p0, p1, p2):
+        (x0, y0), (x1, y1), (x2, y2) = p0, p1, p2
+        d = 2.0 * (x0 * (y1 - y2) + x1 * (y2 - y0) + x2 * (y0 - y1))
+        if abs(d) < 1e-12:
+            return [p0, p1, p2]
+        s0, s1, s2 = x0 * x0 + y0 * y0, x1 * x1 + y1 * y1, x2 * x2 + y2 * y2
+        ux = (s0 * (y1 - y2) + s1 * (y2 - y0) + s2 * (y0 - y1)) / d
+        uy = (s0 * (x2 - x1) + s1 * (x0 - x2) + s2 * (x1 - x0)) / d
+        r = math.hypot(x0 - ux, y0 - uy)
+        a0 = math.atan2(y0 - uy, x0 - ux)
+        a1 = math.atan2(y1 - uy, x1 - ux)
+        a2 = math.atan2(y2 - uy, x2 - ux)
+        d1 = (a1 - a0) % two_pi
+        d2 = (a2 - a0) % two_pi
+        if x0 == x2 and y0 == y2:
+            sweep = two_pi if d1 > 0 else -two_pi
+        elif d1 <= d2:
+            sweep = d2
+        else:
+            sweep = d2 - two_pi
+        n = max(1, int(math.ceil(abs(sweep) / step)))
+        pts = [(ux + r * math.cos(a0 + sweep * k / n),
+                uy + r * math.sin(a0 + sweep * k / n)) for k in range(n + 1)]
+        pts[0], pts[-1] = p0, p2
+        return pts
+
+    i, x0s, x1s, y0s, y1s = _doc_squares()
+    lon = (x0s + x1s) / 2.0
+    lat = (y0s + y1s) / 2.0
+    half = (x1s - x0s) / 2.0
+    rows = []
+    for k in range(len(i)):
+        did = int(i[k])
+        if did >= 150:
+            continue
+        f7 = lambda v: float(f"{v:.7f}")  # noqa: E731 — printf parity
+        p = [
+            (f7(lon[k] - half[k]), f7(lat[k])),
+            (f7(lon[k]), f7(lat[k] + half[k])),
+            (f7(lon[k] + half[k]), f7(lat[k])),
+            (f7(lon[k]), f7(lat[k] - half[k])),
+            (f7(lon[k] - half[k]), f7(lat[k])),
+        ]
+        ring = arc(p[0], p[1], p[2])
+        ring += arc(p[2], p[3], p[4])[1:]
+        if ring[0] == ring[-1]:
+            ring = ring[:-1]
+        # consecutive-duplicate drop, mirroring WKT ring normalization
+        ring = [q for j, q in enumerate(ring) if j == 0 or q != ring[j - 1]]
+        xs = np.array([q[0] for q in ring])
+        ys = np.array([q[1] for q in ring])
+        area = abs(0.5 * np.sum(
+            xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+        per = float(np.hypot(np.roll(xs, -1) - xs, np.roll(ys, -1) - ys).sum())
+        rows.append((did, float(area), per, len(ring)))
+    rows.sort()
+    return values_sql(
+        rows, ["doc_id", "area", "perimeter", "npoints"],
+        ["bigint", "double", "double", "bigint"],
+    )
+
+
+def sql_geometry_makevalid_bowtie() -> str:
+    """Analytic expected output for the bowtie MakeValid query: the
+    even-odd reassembly of (x0 y0, x1 y1, x1 y0, x0 y1) is exactly the
+    two triangles meeting at the rectangle center — constructed here
+    directly in canonical form, no noding code involved."""
+    def fmt(v):
+        s = f"{round(float(v), 6):.6f}".rstrip("0").rstrip(".")
+        return "0" if s == "-0" else s
+
+    def ring(*pts):
+        closed = list(pts) + [pts[0]]
+        return "(" + ", ".join(f"{fmt(x)} {fmt(y)}" for x, y in closed) + ")"
+
+    i, x0s, x1s, y0s, y1s = _doc_squares()
+    rows = []
+    for k in range(len(i)):
+        did = int(i[k])
+        if did >= 150:
+            continue
+        f3 = lambda v: float(f"{v:.3f}")  # noqa: E731 — printf parity
+        x0, x1 = f3(x0s[k]), f3(x1s[k])
+        y0, y1 = f3(y0s[k]), f3(y1s[k])
+        cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+        left = ring((x0, y0), (cx, cy), (x0, y1))
+        right = ring((cx, cy), (x1, y0), (x1, y1))
+        wkt = f"MULTIPOLYGON(({left}), ({right}))"
+        area = round((x1 - x0) * (y1 - y0) / 2.0, 9)
+        rows.append((did, wkt, float(area), True))
+    rows.sort()
+    out = []
+    for did, wkt, area, _ in rows:
+        w = wkt.replace("'", "''")
+        out.append(
+            f"({did}, '{w}', {area!r}, TRUE)"
+        )
+    body = ",\n".join(out)
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(valid_wkt AS VARCHAR) AS valid_wkt, "
+        "CAST(area AS DOUBLE) AS area, "
+        "CAST(is_valid AS BOOLEAN) AS is_valid "
+        f"FROM (VALUES\n{body}\n) AS t(doc_id, valid_wkt, area, is_valid)"
+    )
+
+
 def _simhash_of(text) -> int:
     import re
 
@@ -879,6 +995,8 @@ def oracle_entries() -> dict:
         "minhash_pairs": sql_minhash_pairs,
         "simhash_table": sql_simhash_table,
         "simhash_pairs": sql_simhash_pairs,
+        "geometry_curves": sql_geometry_curves,
+        "geometry_makevalid_bowtie": sql_geometry_makevalid_bowtie,
         "ann_lsh_topk": sql_ann_lsh_topk,
         "ann_ivf_topk": sql_ann_ivf_topk,
         "overview_mode_checksums": sql_overview_mode_checksums,
