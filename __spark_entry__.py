@@ -2430,6 +2430,18 @@ _CONIC_REGION = {
     # sterea is defined everywhere except near the antipode of the
     # projection centre (B -> 0) and the poles; keep a wide band
     28992: "lon > -150.0 AND lon < 170.0 AND lat > -75.0 AND lat < 85.0",
+    # Europe Equidistant Conic: the cone is defined at any latitude
+    # while rho > 0 (G > M(phi) for all phi here); bound the meridian
+    # distance only. No lat clause: the derived lat is a deterministic
+    # function of lon (shifted hash lane), so joint lat+lon filters can
+    # silently empty the region.
+    102031: "lon > -20.0 AND lon < 50.0",
+    # polar AEQD: northern hemisphere (series accuracy degrades toward
+    # the antipodal pole)
+    102016: "lat > 5.0",
+    # Krovak: keep |V| < 90 deg (asin principal branch) and stay away
+    # from the oblique pole the coupled lat curve grazes near lon -50
+    5514: "lon > -40.0 AND lon < 105.0",
 }
 
 
@@ -2953,6 +2965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polar_stereo_transform": _q_conic(3031),
         "mercator_transform": _q_conic(3395),
         "sterea_transform": _q_conic(28992),
+        "eqdc_transform": _q_conic(102031),
+        "aeqd_transform": _q_conic(102016),
+        "krovak_transform": _q_conic(5514),
         "pansharpen_checksums": _q_pansharpen,
         "pixel_functions_checksums": _q_pixel_functions,
         "pixel_multiband_checksums": _q_pixel_multiband,
@@ -4644,6 +4659,9 @@ def _oracle_sql_static() -> dict[str, str]:
         "polar_stereo_transform": _conic_sql(3031),
         "mercator_transform": _conic_sql(3395),
         "sterea_transform": _conic_sql(28992),
+        "eqdc_transform": _conic_sql(102031),
+        "aeqd_transform": _conic_sql(102016),
+        "krovak_transform": _conic_sql(5514),
         "reproject_3857": f"""
             SELECT doc_id,
                    lon * 20037508.342789244 / 180.0 AS mx,

@@ -662,6 +662,215 @@ def sterea_inverse(B, x, y, phi0: float, lon0: float, a: float, f: float,
     return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
 
 
+# ------------------------------------------------- meridional arc helpers
+def _m_coeffs(e2: float):
+    """Meridional-arc series coefficients (Snyder 3-21), per unit a."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return (
+        1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0,
+        3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0,
+        15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0,
+        35.0 * e6 / 3072.0,
+    )
+
+
+def _m_of(e2: float, phi: float) -> float:
+    c0, c2, c4, c6 = _m_coeffs(e2)
+    return (c0 * phi - c2 * math.sin(2 * phi)
+            + c4 * math.sin(4 * phi) - c6 * math.sin(6 * phi))
+
+
+def _m_expr(B, e2: float, phi):
+    c0, c2, c4, c6 = _m_coeffs(e2)
+    return (B.lit(c0) * phi - B.lit(c2) * B.sin(phi * 2.0)
+            + B.lit(c4) * B.sin(phi * 4.0) - B.lit(c6) * B.sin(phi * 6.0))
+
+
+def _mu_series(e2: float):
+    """Rectifying -> geodetic latitude series (Snyder 3-26)."""
+    e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    return (
+        3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0,
+        21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0,
+        151.0 * e1 ** 3 / 96.0,
+        1097.0 * e1 ** 4 / 512.0,
+    )
+
+
+def _phi_from_mu(B, e2: float, mu):
+    s2, s4, s6, s8 = _mu_series(e2)
+    return (mu + B.lit(s2) * B.sin(mu * 2.0) + B.lit(s4) * B.sin(mu * 4.0)
+            + B.lit(s6) * B.sin(mu * 6.0) + B.lit(s8) * B.sin(mu * 8.0))
+
+
+def eqdc_forward(B, lon, lat, phi1: float, phi2: float, phi0: float,
+                 lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Equidistant Conic 2SP forward (Snyder 16-1..16-6, ellipsoidal;
+    PROJ +proj=eqdc)."""
+    e2 = f * (2.0 - f)
+    p1, p2, p0 = map(math.radians, (phi1, phi2, phi0))
+    m1, m2 = _msc(e2, p1), _msc(e2, p2)
+    M1, M2, M0 = _m_of(e2, p1), _m_of(e2, p2), _m_of(e2, p0)
+    n = (m1 - m2) / (M2 - M1)
+    G = m1 / n + M1
+    rho0 = a * (G - M0)
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    rho = B.lit(a) * (B.lit(G) - _m_expr(B, e2, phi))
+    th = lam * B.lit(n)
+    x = B.lit(fe) + rho * B.sin(th)
+    y = B.lit(fn) + B.lit(rho0) - rho * B.cos(th)
+    return x, y
+
+
+def eqdc_inverse(B, x, y, phi1: float, phi2: float, phi0: float,
+                 lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Equidistant Conic inverse (Snyder 16-7..16-10 + 3-26 series).
+    Presets here use n > 0 (northern standard parallels)."""
+    e2 = f * (2.0 - f)
+    p1, p2, p0 = map(math.radians, (phi1, phi2, phi0))
+    m1, m2 = _msc(e2, p1), _msc(e2, p2)
+    M1, M2, M0 = _m_of(e2, p1), _m_of(e2, p2), _m_of(e2, p0)
+    n = (m1 - m2) / (M2 - M1)
+    G = m1 / n + M1
+    rho0 = a * (G - M0)
+    c0 = _m_coeffs(e2)[0]
+
+    xe = x - B.lit(fe)
+    yn = B.lit(rho0) - (y - B.lit(fn))
+    rho = B.sqrt(xe * xe + yn * yn)
+    mu = (B.lit(G) - rho / B.lit(a)) / B.lit(c0)
+    phi = _phi_from_mu(B, e2, mu)
+    lam = B.atan2(xe, yn) / B.lit(n)
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+def aeqd_north_forward(B, lon, lat, lon0: float, a: float, f: float,
+                       fe: float = 0.0, fn: float = 0.0):
+    """Azimuthal Equidistant, north polar aspect, ellipsoidal (Snyder
+    25-1..25-2 with rho = Mp - M; PROJ +proj=aeqd +lat_0=90)."""
+    e2 = f * (2.0 - f)
+    Mp = a * _m_of(e2, math.pi / 2.0)
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    rho = B.lit(Mp) - B.lit(a) * _m_expr(B, e2, phi)
+    x = B.lit(fe) + rho * B.sin(lam)
+    y = B.lit(fn) - rho * B.cos(lam)
+    return x, y
+
+
+def aeqd_north_inverse(B, x, y, lon0: float, a: float, f: float,
+                       fe: float = 0.0, fn: float = 0.0):
+    """Polar AEQD inverse (Snyder 25-15..25-17 + 3-26 series)."""
+    e2 = f * (2.0 - f)
+    Mp = a * _m_of(e2, math.pi / 2.0)
+    c0 = _m_coeffs(e2)[0]
+    xe = x - B.lit(fe)
+    yn = y - B.lit(fn)
+    rho = B.sqrt(xe * xe + yn * yn)
+    mu = (B.lit(Mp) - rho) / B.lit(a * c0)
+    phi = _phi_from_mu(B, e2, mu)
+    lam = B.atan2(xe, B.lit(0.0) - yn)
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+# ------------------------------------------------------------------ Krovak
+_KROVAK = dict(
+    phiC=49.5,                      # latitude of projection centre
+    lon0=24.833333333333332,        # 24d50' E of Greenwich (42d30' Ferro)
+    alphaC=30.288139752777778,      # azimuth of centre line 30d17'17.30311"
+    phiP=78.5,                      # pseudo standard parallel
+    kP=0.9999,
+)
+
+
+def _krovak_consts(a: float, f: float):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pC = math.radians(_KROVAK["phiC"])
+    pP = math.radians(_KROVAK["phiP"])
+    A_ = a * math.sqrt(1.0 - e2) / (1.0 - e2 * math.sin(pC) ** 2)
+    B_ = math.sqrt(1.0 + e2 * math.cos(pC) ** 4 / (1.0 - e2))
+    g0 = math.asin(math.sin(pC) / B_)
+    t0 = (math.tan(math.pi / 4.0 + g0 / 2.0)
+          * ((1.0 + e * math.sin(pC)) / (1.0 - e * math.sin(pC)))
+          ** (e * B_ / 2.0)
+          / math.tan(math.pi / 4.0 + pC / 2.0) ** B_)
+    n = math.sin(pP)
+    r0 = _KROVAK["kP"] * A_ / math.tan(pP)
+    return e, e2, B_, g0, t0, n, r0, pP
+
+
+def krovak_forward(B, lon, lat, a: float, f: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    """Krovak oblique conformal conic (EPSG method 9819 / guidance
+    note 7-2; PROJ +proj=krovak). Emits EPSG:5514 'Krovak East North'
+    axes: East = -westing, North = -southing."""
+    e, e2, B_, g0, t0, n, r0, pP = _krovak_consts(a, f)
+    aC = math.radians(_KROVAK["alphaC"])
+    lam0 = math.radians(_KROVAK["lon0"])
+    pi4 = math.pi / 4.0
+
+    phi = B.radians(lat)
+    sphi = B.sin(phi)
+    U = (B.atan(
+        B.lit(t0)
+        * B.exp(B.lit(B_) * B.log(B.tan(phi * 0.5 + B.lit(pi4))))
+        * B.exp(B.lit(e * B_ / 2.0)
+                * B.log((1.0 - sphi * B.lit(e)) / (1.0 + sphi * B.lit(e))))
+    ) - B.lit(pi4)) * 2.0
+    V = (B.lit(lam0) - B.radians(lon)) * B.lit(B_)
+    T = B.asin(B.lit(math.cos(aC)) * B.sin(U)
+               + B.lit(math.sin(aC)) * B.cos(U) * B.cos(V))
+    D = B.asin(B.cos(U) * B.sin(V) / B.cos(T))
+    th = D * B.lit(n)
+    r = (B.lit(r0 * math.tan(pi4 + pP / 2.0) ** n)
+         * B.exp(B.lit(-n) * B.log(B.tan(T * 0.5 + B.lit(pi4)))))
+    southing = r * B.cos(th)
+    westing = r * B.sin(th)
+    return B.lit(fe) - westing, B.lit(fn) - southing
+
+
+def krovak_inverse(B, x, y, a: float, f: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    """Krovak inverse (EPSG 9819 reversed; phi by the standard
+    4-iteration fixed point on the conformal latitude)."""
+    e, e2, B_, g0, t0, n, r0, pP = _krovak_consts(a, f)
+    aC = math.radians(_KROVAK["alphaC"])
+    lam0 = math.radians(_KROVAK["lon0"])
+    pi4 = math.pi / 4.0
+
+    westing = B.lit(fe) - x
+    southing = B.lit(fn) - y
+    r = B.sqrt(westing * westing + southing * southing)
+    th = B.atan2(westing, southing)
+    D = th / B.lit(n)
+    T = (B.atan(
+        B.lit(math.tan(pi4 + pP / 2.0))
+        * B.exp(B.lit(1.0 / n) * B.log(B.lit(r0) / r))
+    ) - B.lit(pi4)) * 2.0
+    U = B.asin(B.lit(math.cos(aC)) * B.sin(T)
+               - B.lit(math.sin(aC)) * B.cos(T) * B.cos(D))
+    V = B.asin(B.cos(T) * B.sin(D) / B.cos(U))
+    lam = B.lit(lam0) - V / B.lit(B_)
+    base = (B.lit(t0 ** (-1.0 / B_))
+            * B.exp(B.lit(1.0 / B_) * B.log(B.tan(U * 0.5 + B.lit(pi4)))))
+    phi = U
+    for _ in range(4):
+        sphi = B.sin(phi)
+        phi = (B.atan(
+            base * B.exp(B.lit(e / 2.0) * B.log(
+                (1.0 + sphi * B.lit(e)) / (1.0 - sphi * B.lit(e))))
+        ) - B.lit(pi4)) * 2.0
+    deg = 180.0 / math.pi
+    return lam * B.lit(deg), phi * B.lit(deg)
+
+
 # EPSG presets for the conic/polar families
 CONIC_PRESETS = {
     3395: ("merc", "WGS84",  # WGS 84 / World Mercator (ellipsoidal)
@@ -680,6 +889,13 @@ CONIC_PRESETS = {
                 fe=0.0, fn=0.0)),
     3031: ("ps_south", "WGS84",  # Antarctic Polar Stereographic
            dict(phi_f=-71.0, lon0=0.0, fe=0.0, fn=0.0)),
+    102031: ("eqdc", "GRS80",  # ESRI Europe Equidistant Conic (ETRS89)
+             dict(phi1=43.0, phi2=62.0, phi0=30.0, lon0=10.0,
+                  fe=0.0, fn=0.0)),
+    102016: ("aeqd_north", "WGS84",  # ESRI North Pole Azimuthal Equidist.
+             dict(lon0=0.0, fe=0.0, fn=0.0)),
+    5514: ("krovak", "bessel",  # S-JTSK / Krovak East North (CZ/SK)
+           dict(fe=0.0, fn=0.0)),
 }
 
 _CONIC_FNS = {
@@ -688,7 +904,22 @@ _CONIC_FNS = {
     "ps_south": (ps_south_forward, ps_south_inverse),
     "merc": (merc_forward, merc_inverse),
     "sterea": (sterea_forward, sterea_inverse),
+    "eqdc": (eqdc_forward, eqdc_inverse),
+    "aeqd_north": (aeqd_north_forward, aeqd_north_inverse),
+    "krovak": (krovak_forward, krovak_inverse),
 }
+
+# EPSG/ESRI code -> projection family dispatch (the engine's answer to
+# "which codes resolve"): every key of CONIC_PRESETS plus the UTM /
+# web-mercator fast paths handled elsewhere.
+#   326xx/327xx  -> Transverse Mercator (utm_forward/utm_inverse)
+#   269xx        -> Transverse Mercator on GRS80 (NAD83 UTM)
+#   3857         -> spherical web mercator (cells.py)
+#   3395         -> ellipsoidal Mercator        | 2154, 3347 -> LCC 2SP
+#   5070         -> Albers Equal Area           | 3031 -> Polar Stereo S
+#   28992        -> Oblique Stereographic       | 5514 -> Krovak (9819)
+#   102031(ESRI) -> Equidistant Conic           | 102016(ESRI) -> polar AEQD
+# Anything else raises KeyError: no silent fallback, no general PROJ.
 
 
 def conic_forward(epsg: int, lon: Column, lat: Column) -> tuple[Column, Column]:

@@ -167,3 +167,64 @@ def test_oblique_stereographic_28992_epsg_example(spark):
     rt = df.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
     assert abs(rt["lon"] - 6.0) < 1e-8
     assert abs(rt["lat"] - 53.0) < 1e-7
+
+
+def test_krovak_5514_epsg_example(spark):
+    """EPSG Guidance Note 7-2 worked example for S-JTSK / Krovak
+    (method 9819): (50d12'32.442"N, 16d50'59.179"E) -> southing
+    1050538.63, westing 568991.00; EPSG:5514 East North negates both."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark import crs
+
+    lat = 50 + 12 / 60 + 32.442 / 3600
+    lon = 16 + 50 / 60 + 59.179 / 3600
+    df = spark.createDataFrame(pd.DataFrame({"lon": [lon], "lat": [lat]}))
+    x, y = crs.conic_forward(5514, F.col("lon"), F.col("lat"))
+    got = df.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(got["x"] - (-568991.00)) < 0.02
+    assert abs(got["y"] - (-1050538.64)) < 0.02
+
+    lon2, lat2 = crs.conic_inverse(5514, F.lit(got["x"]), F.lit(got["y"]))
+    rt = df.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
+    assert abs(rt["lon"] - lon) < 1e-8
+    assert abs(rt["lat"] - lat) < 1e-8
+
+
+def test_eqdc_and_aeqd_roundtrip_and_sql_parity(spark):
+    """Equidistant Conic (102031) and polar AEQD (102016): Spark
+    forward+inverse round-trips to the input, and the SQL backend
+    (DuckDB) reproduces the projected meters to sub-mm."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark import crs
+
+    pts = pd.DataFrame({
+        "lon": [-15.0, 10.0, 30.0, 45.0],
+        "lat": [-60.0, 50.0, 75.0, 10.0],
+    })
+    df = spark.createDataFrame(pts)
+    con = duckdb.connect()
+    con.register("_pts", pts)
+    for code in (102031, 102016):
+        x, y = crs.conic_forward(code, F.col("lon"), F.col("lat"))
+        proj = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+        lon2, lat2 = crs.conic_inverse(code, F.col("x"), F.col("y"))
+        rt = proj.select(
+            (F.abs(lon2 - F.col("lon"))).alias("dl"),
+            (F.abs(lat2 - F.col("lat"))).alias("dp"),
+        ).collect()
+        assert all(r["dl"] < 1e-8 and r["dp"] < 1e-7 for r in rt), code
+
+        xs, ys = crs.conic_forward_sql(code, "lon", "lat")
+        sql_rows = con.execute(
+            f"SELECT {xs} AS x, {ys} AS y FROM _pts ORDER BY lon"
+        ).fetchall()
+        spark_rows = [
+            (r["x"], r["y"]) for r in proj.orderBy("lon").collect()
+        ]
+        for (sx, sy), (dx, dy) in zip(spark_rows, sql_rows):
+            assert abs(sx - dx) < 1e-4 and abs(sy - dy) < 1e-4, code
