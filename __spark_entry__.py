@@ -1786,6 +1786,72 @@ def _q_mdarray_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.to_rows()
 
 
+_KSP_N, _KSP_SRC, _KSP_DST, _KSP_K = 30, 0, 17, 3
+
+
+def _ksp_edges(spark: SparkSession) -> DataFrame:
+    """Deterministic directed test network: ring (+1), skip (+5) and a
+    hash chord per node, hash-fractional weights so every path cost is
+    distinct (no tie-break ambiguity between engine and oracle)."""
+    K, M = 2654435761, 4294967296
+    i = F.col("id").cast("long")
+    u = lambda s: (((i + s) * K) % M).cast("double") / M  # noqa: E731
+    base = spark.range(_KSP_N)
+    ring = base.select(
+        i.alias("src"), ((i + 1) % _KSP_N).alias("dst"),
+        (F.lit(1.0) + u(0)).alias("w"))
+    skip = base.select(
+        i.alias("src"), ((i + 5) % _KSP_N).alias("dst"),
+        (F.lit(1.5) + u(1)).alias("w"))
+    chord = base.select(
+        i.alias("src"), ((i * 7 + 3) % _KSP_N).alias("dst"),
+        (F.lit(2.0) + u(2)).alias("w"))
+    return ring.unionByName(skip).unionByName(chord) \
+        .filter(F.col("src") != F.col("dst"))
+
+
+def _q_graph_ksp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNM K-shortest loopless paths — Yen's over the distributed SSSP
+    (GNMGraph::KShortestPaths, gnm/gnmgraph.cpp:238): each spur search
+    is a Pregel relaxation over the edge table filtered by broadcast
+    exclusion lists. Oracle: localref.sql_graph_ksp reruns Yen with an
+    independent heapq Dijkstra."""
+    from gdal_spark.graph import k_shortest_paths
+
+    edges = _ksp_edges(spark).persist()
+    paths = k_shortest_paths(edges, _KSP_SRC, _KSP_DST, k=_KSP_K)
+    edges.unpersist()
+    rows = [
+        (rank, round(cost, 9), "-".join(str(int(x)) for x in path))
+        for rank, (path, cost) in enumerate(paths)
+    ]
+    return spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("rank", T.LongType()),
+            T.StructField("cost", T.DoubleType()),
+            T.StructField("path", T.StringType()),
+        ])
+    )
+
+
+def _q_mdarray_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidim Transpose (gdalmultidim.cpp:4257) + GetUnscaled (:838,
+    GDALMDArrayUnscaled) chained with a GetView slice: a (12, 10, 6)
+    array transposed [2, 0, 1], sliced [1:5, 2:10:2, ::3], unscaled
+    value*0.5 + 100 with raw nodata 432 -> NULL. The whole chain is
+    lazy relational algebra Catalyst folds into one scan."""
+    from gdal_spark.multidim import mdarray_from_fn
+
+    arr = mdarray_from_fn(
+        spark, [("i", 12), ("j", 10), ("k", 6)],
+        F.col("i") * 100 + F.col("j") * 10 + F.col("k"),
+    )
+    v = (arr.transpose([2, 0, 1])
+         .get_view("[1:5, 2:10:2, ::3]")
+         .unscaled(scale=0.5, offset=100.0, nodata=432.0))
+    return v.to_rows()
+
+
 def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi / anti joins (the EXISTS / NOT-EXISTS shapes the reference
     reaches via its SQLite dialect): customers WITH orders tagged
@@ -2902,6 +2968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_lines_z": _q_rasterize_lines_z,
         "dem_igor_checksums": _q_hillshade_igor,
         "mdarray_view": _q_mdarray_view,
+        "mdarray_transpose": _q_mdarray_transpose,
+        "graph_ksp": _q_graph_ksp,
         "cutline_blend": _q_cutline_blend,
         "overlay_concave_wkt": _q_overlay_concave_wkt,
         "rasterize_counts": _q_rasterize_counts,
@@ -4081,6 +4149,20 @@ def _oracle_sql_static() -> dict[str, str]:
                    CAST((2 + 3 * a.range) * 7919
                         + (2 * b.range) * 131 + 5 AS BIGINT) AS value
             FROM range(6) a CROSS JOIN range(8) b
+        """,
+        "mdarray_transpose": """
+            WITH v AS (
+              SELECT CAST(kk.range AS BIGINT) AS k,
+                     CAST(ii.range AS BIGINT) AS i,
+                     CAST(jj.range AS BIGINT) AS j,
+                     (2 + 2 * ii.range) * 100 + (3 * jj.range) * 10
+                       + (1 + kk.range) AS raw
+              FROM range(4) kk CROSS JOIN range(4) ii CROSS JOIN range(4) jj
+            )
+            SELECT k, i, j,
+                   CASE WHEN raw = 432 THEN NULL
+                        ELSE CAST(raw AS DOUBLE) * 0.5 + 100.0 END AS value
+            FROM v
         """,
         "rasterize_z": f"""
             WITH p AS (

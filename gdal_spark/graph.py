@@ -60,6 +60,158 @@ def sssp(edges: DataFrame, source, weight_col: str = "w",
     return dist.filter(F.col("dist") < _INF)
 
 
+def sssp_with_pred(edges: DataFrame, source, weight_col: str = "w",
+                   max_iter: int = 100) -> DataFrame:
+    """(node, dist, pred) for every node reachable from `source` —
+    the path-reconstructing variant of sssp (GNMGraph::Dijkstra keeps
+    the same predecessor map, gnmgraph.cpp:176). Ties in dist resolve
+    to the smallest predecessor id (min over struct(nd, src)), so the
+    predecessor tree — and every path walked from it — is
+    deterministic given the edge table."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == source, 0.0).otherwise(F.lit(_INF)).alias("dist"),
+        F.lit(None).cast(nodes.schema["node"].dataType).alias("pred"),
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        cand = (
+            dist.filter(F.col("dist") < _INF)
+            .join(edges, dist.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.struct(
+                    (F.col("dist") + F.col(weight_col)).alias("nd"),
+                    F.col("src").alias("via"),
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.min("c").alias("c"))
+        )
+        merged = (
+            dist.join(cand, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("c.nd") < F.col("dist"), F.col("c.nd")
+                ).otherwise(F.col("dist")).alias("dist"),
+                F.when(
+                    F.col("c.nd") < F.col("dist"), F.col("c.via")
+                ).otherwise(F.col("pred")).alias("pred"),
+                (F.coalesce(F.col("c.nd"), F.lit(_INF)) < F.col("dist")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = merged.filter(F.col("_chg")).count()
+        dist = merged.drop("_chg")
+        if changed == 0:
+            break
+    return dist.filter(F.col("dist") < _INF)
+
+
+def shortest_path(edges: DataFrame, source, target,
+                  weight_col: str = "w") -> tuple[list, float]:
+    """One concrete min-cost path source->target as (node list, cost),
+    or ([], inf) when unreachable. CONTRACT: collects the reachable
+    predecessor map to the driver — this is the GNM-network-scale
+    operator (road/utility graphs, like the reference's SQLite-backed
+    networks), not a corpus-scale one; the distance table itself comes
+    from the distributed relaxation."""
+    rows = {
+        r["node"]: (r["dist"], r["pred"])
+        for r in sssp_with_pred(edges, source, weight_col).collect()
+    }
+    if target not in rows:
+        return [], _INF
+    path = [target]
+    while path[-1] != source:
+        p = rows[path[-1]][1]
+        if p is None:
+            return [], _INF
+        path.append(p)
+    return list(reversed(path)), rows[target][0]
+
+
+def k_shortest_paths(edges: DataFrame, source, target, k: int = 3,
+                     weight_col: str = "w") -> list[tuple[list, float]]:
+    """Yen's K-shortest loopless paths (GNMGraph::KShortestPaths,
+    gnm/gnmgraph.cpp:238 — the reference runs repeated Dijkstra over a
+    temporarily modified graph; same structure here with each spur
+    search a distributed sssp over the edge table filtered by
+    broadcast-small exclusion lists). Candidates are selected by
+    (cost, path) so the result is deterministic under cost ties.
+    Returns up to k (path, cost) pairs, cheapest first."""
+    first = shortest_path(edges, source, target, weight_col)
+    if not first[0]:
+        return []
+
+    edge_w: dict = {}
+
+    def fetch_weights(path):
+        """Cache weights of the path's edges (one tiny filtered collect
+        per new accepted path; parallel edges take the min, matching
+        the relaxation)."""
+        missing = [
+            (path[i], path[i + 1]) for i in range(len(path) - 1)
+            if (path[i], path[i + 1]) not in edge_w
+        ]
+        if not missing:
+            return
+        cond = None
+        for s, d in missing:
+            c = (F.col("src") == s) & (F.col("dst") == d)
+            cond = c if cond is None else (cond | c)
+        for r in (edges.filter(cond).groupBy("src", "dst")
+                  .agg(F.min(weight_col).alias("_w")).collect()):
+            edge_w[(r["src"], r["dst"])] = float(r["_w"])
+
+    fetch_weights(first[0])
+    A = [first]
+    B: list[tuple[float, list]] = []
+    while len(A) < k:
+        prev_path = A[-1][0]
+        for si in range(len(prev_path) - 1):
+            spur = prev_path[si]
+            root = prev_path[: si + 1]
+            removed_edges = {
+                (p[0][si], p[0][si + 1])
+                for p in A
+                if len(p[0]) > si + 1 and p[0][: si + 1] == root
+            }
+            removed_nodes = set(root[:-1])
+            g = edges
+            if removed_nodes:
+                g = g.filter(~F.col("src").isin(list(removed_nodes))
+                             & ~F.col("dst").isin(list(removed_nodes)))
+            cond = None
+            for s, d in removed_edges:
+                c = (F.col("src") == s) & (F.col("dst") == d)
+                cond = c if cond is None else (cond | c)
+            if cond is not None:
+                g = g.filter(~cond)
+            spur_path, spur_cost = shortest_path(g, spur, target, weight_col)
+            if not spur_path:
+                continue
+            total = root[:-1] + spur_path
+            root_cost = sum(
+                edge_w[(root[i], root[i + 1])] for i in range(len(root) - 1)
+            )
+            cand = (spur_cost + root_cost, total)
+            if cand not in B and not any(p == total for p, _ in A):
+                B.append(cand)
+        if not B:
+            break
+        B.sort(key=lambda c: (c[0], c[1]))
+        cost, path = B.pop(0)
+        fetch_weights(path)
+        A.append((path, cost))
+    return A
+
+
 def connected_components(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     """(node, component) with component = min node id of the component
     (GNMGraph::ConnectedComponents, gnmgraph.cpp:417). Treats edges as

@@ -84,6 +84,20 @@ class MDArray:
             raise ValueError("order must be a permutation of the dims")
         return MDArray(self.df, [self.dims[i] for i in order])
 
+    def unscaled(self, scale: float = 1.0, offset: float = 0.0,
+                 nodata: float | None = None) -> "MDArray":
+        """GDALMDArray::GetUnscaled (gcore/gdalmultidim.cpp:838 region;
+        GDALMDArrayUnscaled): value*scale + offset as double, with the
+        raw nodata sentinel mapped to NULL — the COO-relational analog
+        of the NaN dstNodata GDAL writes for floating outputs. Pure
+        column math; Catalyst folds it into the scan projection."""
+        v = F.col("value").cast("double")
+        expr = v * F.lit(float(scale)) + F.lit(float(offset))
+        if nodata is not None:
+            expr = F.when(v == F.lit(float(nodata)),
+                          F.lit(None).cast("double")).otherwise(expr)
+        return MDArray(self.df.withColumn("value", expr), self.dims)
+
     def to_rows(self) -> DataFrame:
         """(dim columns in order, value), deterministic column order."""
         return self.df.select(*[n for n, _ in self.dims], "value")

@@ -856,6 +856,87 @@ def sql_geometry_makevalid_bowtie() -> str:
     )
 
 
+def sql_graph_ksp() -> str:
+    """Independent Yen's K-shortest-paths over the same deterministic
+    test network (heapq Dijkstra, not the engine's Pregel relaxation).
+    Path costs are all distinct by construction, so the k-set and its
+    order are unique and no tie-break coupling is needed."""
+    import heapq
+
+    from __spark_entry__ import _KSP_DST, _KSP_K, _KSP_N, _KSP_SRC
+
+    K, M = 2654435761, 4294967296
+    adj: dict = {}
+
+    def add(s, d, w):
+        if s != d:
+            cur = adj.setdefault(s, {})
+            cur[d] = min(cur.get(d, math.inf), w)
+
+    for i in range(_KSP_N):
+        add(i, (i + 1) % _KSP_N, 1.0 + ((i + 0) * K % M) / M)
+        add(i, (i + 5) % _KSP_N, 1.5 + ((i + 1) * K % M) / M)
+        add(i, (i * 7 + 3) % _KSP_N, 2.0 + ((i + 2) * K % M) / M)
+
+    def dijkstra(src, dst, banned_nodes, banned_edges):
+        dist = {src: 0.0}
+        prev: dict = {}
+        pq = [(0.0, src)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, math.inf):
+                continue
+            if u == dst:
+                break
+            for v, w in adj.get(u, {}).items():
+                if v in banned_nodes or (u, v) in banned_edges:
+                    continue
+                nd = d + w
+                if nd < dist.get(v, math.inf):
+                    dist[v] = nd
+                    prev[v] = u
+                    heapq.heappush(pq, (nd, v))
+        if dst not in dist:
+            return [], math.inf
+        path = [dst]
+        while path[-1] != src:
+            path.append(prev[path[-1]])
+        return path[::-1], dist[dst]
+
+    first = dijkstra(_KSP_SRC, _KSP_DST, set(), set())
+    A = [first]
+    B: list = []
+    while len(A) < _KSP_K:
+        prev_path = A[-1][0]
+        for si in range(len(prev_path) - 1):
+            root = prev_path[: si + 1]
+            banned_e = {
+                (p[0][si], p[0][si + 1])
+                for p in A
+                if len(p[0]) > si + 1 and p[0][: si + 1] == root
+            }
+            banned_n = set(root[:-1])
+            sp, sc = dijkstra(root[-1], _KSP_DST, banned_n, banned_e)
+            if not sp:
+                continue
+            total = root[:-1] + sp
+            rc = sum(adj[root[j]][root[j + 1]] for j in range(len(root) - 1))
+            cand = (sc + rc, total)
+            if cand not in B and not any(p == total for p, _ in A):
+                B.append(cand)
+        if not B:
+            break
+        B.sort(key=lambda c: (c[0], c[1]))
+        c, p = B.pop(0)
+        A.append((p, c))
+    rows = [
+        (rank, round(cost, 9), "-".join(str(x) for x in path))
+        for rank, (path, cost) in enumerate(A)
+    ]
+    return values_sql(rows, ["rank", "cost", "path"],
+                      ["bigint", "double", "varchar"])
+
+
 def _simhash_of(text) -> int:
     import re
 
@@ -997,6 +1078,7 @@ def oracle_entries() -> dict:
         "simhash_pairs": sql_simhash_pairs,
         "geometry_curves": sql_geometry_curves,
         "geometry_makevalid_bowtie": sql_geometry_makevalid_bowtie,
+        "graph_ksp": sql_graph_ksp,
         "ann_lsh_topk": sql_ann_lsh_topk,
         "ann_ivf_topk": sql_ann_ivf_topk,
         "overview_mode_checksums": sql_overview_mode_checksums,

@@ -47,3 +47,48 @@ def test_connected_components(spark):
     edges = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst", "w"]))
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 8: 5, 9: 5}
+
+
+def test_k_shortest_paths_yen(spark):
+    """Yen's over the distributed SSSP: k loopless paths, strictly
+    nondecreasing costs, all simple, all distinct, first = SSSP
+    optimum; brute-force DFS oracle on a small graph."""
+    import itertools
+
+    from gdal_spark.graph import k_shortest_paths, shortest_path
+
+    edges = [
+        (0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0),   # cheap chain
+        (0, 2, 2.5), (1, 3, 2.7), (0, 3, 4.5),   # alternates
+        (2, 1, 0.4), (3, 0, 9.9),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = k_shortest_paths(df, 0, 3, k=3)
+    assert len(got) == 3
+    costs = [c for _, c in got]
+    assert costs == sorted(costs)
+    paths = [tuple(p) for p, _ in got]
+    assert len(set(paths)) == 3
+    for p in paths:
+        assert len(set(p)) == len(p)  # loopless
+        assert p[0] == 0 and p[-1] == 3
+
+    # brute force: all simple paths 0 -> 3
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+
+    def all_paths(u, seen, cost):
+        if u == 3:
+            yield cost, tuple(seen)
+            return
+        for v, w in adj.get(u, []):
+            if v not in seen:
+                yield from all_paths(v, seen + [v], cost + w)
+
+    best = sorted(all_paths(0, [0], 0.0))[:3]
+    assert [round(c, 9) for c, _ in best] == [round(c, 9) for c in costs]
+    assert [p for _, p in best] == list(paths)
+
+    sp, sc = shortest_path(df, 0, 3)
+    assert tuple(sp) == paths[0] and abs(sc - costs[0]) < 1e-12
