@@ -1,6 +1,14 @@
 """Benchmark harness — prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...,
+   "docs_per_sec_median": ..., "headline_reps": [...],
+   "probe_reps": [...]}
+
+The headline is repeated 5x post-warm-up with ALL reps emitted, each
+rep preceded by a fixed engine-independent probe (parquet scan +
+hash agg) whose per-rep times are emitted alongside — the interleaved
+drift control: a headline swing that the probe mirrors is machine
+noise, not an engine regression.
 
 Headline = the north-rule benchmark: PIP spatial join + Web-Mercator
 tile assignment over N synthetic interleaved documents (default 2M,
@@ -79,21 +87,36 @@ def main():
             F.sum(F.length("quadkey")).alias("qsum"),
         ).collect()[0]
 
+    # machine-drift probe: a fixed ENGINE-INDEPENDENT workload (scan +
+    # hash-aggregate of the staged parquet — its plan never changes
+    # across engine rounds). Interleaved 1:1 with the headline reps, it
+    # is the built-in A/B: if the probe swings with the headline, the
+    # swing is the box, not the code (the r3 "-39%" lesson — see
+    # BENCH/BASELINE.md repetition record).
+    def probe():
+        return docs.select(
+            F.sum(F.xxhash64("doc_id")).alias("h"), F.count("*").alias("n")
+        ).collect()[0]
+
     # warm-up: one FULL run spawns python workers, finishes JIT of the
     # codegen'd stages, and distributes the broadcast — one-time costs
-    # a long-running cluster job amortizes away; then best of 2 timed
-    pip_tile()
-    head = timed("pip_tile_2m", pip_tile)
-    # this shared VM swings hard within a day (see BENCH/BASELINE.md
-    # repetition record): best of 3 timed runs, not best of 2
-    for _ in range(2):
+    # a long-running cluster job amortizes away
+    head = pip_tile()
+    probe()
+    headline_reps: list[float] = []
+    probe_reps: list[float] = []
+    for _ in range(5):
         t0 = time.time()
-        pip_tile()
-        timings["pip_tile_2m"] = round(
-            min(timings["pip_tile_2m"], time.time() - t0), 3
-        )
+        probe()
+        probe_reps.append(round(time.time() - t0, 3))
+        t0 = time.time()
+        head = pip_tile()
+        headline_reps.append(round(time.time() - t0, 3))
+    timings["pip_tile_2m"] = min(headline_reps)
     n_docs_done = int(head["n"])
-    docs_per_sec = round(n_docs_done / timings["pip_tile_2m"], 1)
+    docs_per_sec = round(n_docs_done / min(headline_reps), 1)
+    med = sorted(headline_reps)[len(headline_reps) // 2]
+    docs_per_sec_median = round(n_docs_done / med, 1)
 
     # ---------------- operator suite at SF_DIR ----------------
     import __spark_entry__ as E
@@ -134,6 +157,13 @@ def main():
         "geojson_roundtrip", "fillnodata_smooth_checksums",
         "translate_scale", "dem_hillshade_comb_checksums",
         "mask_band_checksums", "lineref_create",
+        # round 4: curve linearization, MakeValid re-noding, Krovak,
+        # capped simhash banding, multidim transpose+unscale, and
+        # Yen's K-shortest-paths (driver-orchestrated spur SSSPs — the
+        # suite's one intentionally iterative entry)
+        "geometry_curves", "geometry_makevalid_bowtie",
+        "krovak_transform", "simhash_pairs", "mdarray_transpose",
+        "graph_ksp",
     ]:
         df_fn = qs[name]
         timed(name, lambda f=df_fn: f(spark, SF_DIR).count())
@@ -149,6 +179,9 @@ def main():
                 "sf": sf,
                 "bench_docs": n_docs_done,
                 "docs_per_sec": docs_per_sec,
+                "docs_per_sec_median": docs_per_sec_median,
+                "headline_reps": headline_reps,
+                "probe_reps": probe_reps,
             }
         )
     )
