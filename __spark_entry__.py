@@ -2508,6 +2508,11 @@ _CONIC_REGION = {
     # Krovak: keep |V| < 90 deg (asin principal branch) and stay away
     # from the oblique pole the coupled lat curve grazes near lon -50
     5514: "lon > -40.0 AND lon < 105.0",
+    # pseudo/cylindrical world projections: defined (and round-trip
+    # verified) across the whole derived domain
+    54008: "lon > -179.0 AND lon < 179.0",
+    4087: "lon > -179.0 AND lon < 179.0",
+    54009: "lon > -179.0 AND lon < 179.0",
 }
 
 
@@ -3036,6 +3041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eqdc_transform": _q_conic(102031),
         "aeqd_transform": _q_conic(102016),
         "krovak_transform": _q_conic(5514),
+        "sinu_transform": _q_conic(54008),
+        "eqc_transform": _q_conic(4087),
+        "moll_transform": _q_conic(54009),
         "pansharpen_checksums": _q_pansharpen,
         "pixel_functions_checksums": _q_pixel_functions,
         "pixel_multiband_checksums": _q_pixel_multiband,
@@ -4744,6 +4752,9 @@ def _oracle_sql_static() -> dict[str, str]:
         "eqdc_transform": _conic_sql(102031),
         "aeqd_transform": _conic_sql(102016),
         "krovak_transform": _conic_sql(5514),
+        "sinu_transform": _conic_sql(54008),
+        "eqc_transform": _conic_sql(4087),
+        "moll_transform": _conic_sql(54009),
         "reproject_3857": f"""
             SELECT doc_id,
                    lon * 20037508.342789244 / 180.0 AS mx,

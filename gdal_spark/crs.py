@@ -779,6 +779,107 @@ def aeqd_north_inverse(B, x, y, lon0: float, a: float, f: float,
     return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
 
 
+def sinu_forward(B, lon, lat, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Sinusoidal (Sanson-Flamsteed) forward, ellipsoidal (Snyder
+    30-1..30-2; PROJ +proj=sinu — the MODIS grid projection)."""
+    e2 = f * (2.0 - f)
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    sphi = B.sin(phi)
+    x = B.lit(fe) + B.lit(a) * lam * B.cos(phi) / B.sqrt(
+        1.0 - B.lit(e2) * sphi * sphi)
+    y = B.lit(fn) + B.lit(a) * _m_expr(B, e2, phi)
+    return x, y
+
+
+def sinu_inverse(B, x, y, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Sinusoidal inverse (Snyder 30-6..30-8 + 3-26 series)."""
+    e2 = f * (2.0 - f)
+    c0 = _m_coeffs(e2)[0]
+    mu = (y - B.lit(fn)) / B.lit(a * c0)
+    phi = _phi_from_mu(B, e2, mu)
+    sphi = B.sin(phi)
+    lam = (x - B.lit(fe)) * B.sqrt(1.0 - B.lit(e2) * sphi * sphi) / (
+        B.lit(a) * B.cos(phi))
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+def eqc_forward(B, lon, lat, phi1: float, lon0: float, a: float, f: float,
+                fe: float = 0.0, fn: float = 0.0):
+    """Equidistant Cylindrical / Plate Carree forward (EPSG method
+    1028, ellipsoidal: E = nu1*cos(phi1)*lam, N = a*M(phi))."""
+    e2 = f * (2.0 - f)
+    p1 = math.radians(phi1)
+    nu1 = a / math.sqrt(1.0 - e2 * math.sin(p1) ** 2)
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    x = B.lit(fe) + B.lit(nu1 * math.cos(p1)) * lam
+    y = B.lit(fn) + B.lit(a) * _m_expr(B, e2, phi)
+    return x, y
+
+
+def eqc_inverse(B, x, y, phi1: float, lon0: float, a: float, f: float,
+                fe: float = 0.0, fn: float = 0.0):
+    e2 = f * (2.0 - f)
+    p1 = math.radians(phi1)
+    nu1 = a / math.sqrt(1.0 - e2 * math.sin(p1) ** 2)
+    c0 = _m_coeffs(e2)[0]
+    mu = (y - B.lit(fn)) / B.lit(a * c0)
+    phi = _phi_from_mu(B, e2, mu)
+    lam = (x - B.lit(fe)) / B.lit(nu1 * math.cos(p1))
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+def moll_forward(B, lon, lat, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Mollweide forward (Snyder 31-1..31-5; spherical formulation on
+    the semi-major axis like PROJ +proj=moll +ellps=WGS84 +R_A-less
+    usage in ESRI:54009). theta solves 2*theta + sin(2*theta) =
+    pi*sin(phi): an odd-polynomial seed in sin(phi) (max error 0.026
+    rad for |phi| <= 85 deg, the engine's derived-lat domain) + 4
+    Newton steps (-> float precision). The seed matters because each
+    Newton step QUADRUPLES the emitted expression size — seeding keeps
+    the dual-emitted SQL tree at ~10^2 KB instead of the 4^8 blow-up
+    a from-phi loop would need."""
+    phi = B.radians(lat)
+    sp = B.sin(phi)
+    target = B.lit(math.pi) * sp
+    s2 = sp * sp
+    # least-squares odd polynomial theta(sin phi), fitted on the exact
+    # Newton solution over s in [-1, 1]
+    th = sp * (
+        B.lit(0.7542040984537863)
+        + s2 * (B.lit(0.9686179578818089)
+                + s2 * (B.lit(-5.619628137456549)
+                        + s2 * (B.lit(16.185255610640205)
+                                + s2 * (B.lit(-19.724335873942756)
+                                        + s2 * B.lit(8.802375257557445)))))
+    )
+    for _ in range(4):
+        th = th - (th * 2.0 + B.sin(th * 2.0) - target) / (
+            2.0 + B.cos(th * 2.0) * 2.0)
+    lam = B.radians(lon - B.lit(lon0))
+    k = 2.0 * math.sqrt(2.0) / math.pi
+    x = B.lit(fe) + B.lit(k * a) * lam * B.cos(th)
+    y = B.lit(fn) + B.lit(math.sqrt(2.0) * a) * B.sin(th)
+    return x, y
+
+
+def moll_inverse(B, x, y, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Mollweide inverse (Snyder 31-6..31-8)."""
+    th = B.asin((y - B.lit(fn)) / B.lit(math.sqrt(2.0) * a))
+    phi = B.asin((th * 2.0 + B.sin(th * 2.0)) / B.lit(math.pi))
+    k = 2.0 * math.sqrt(2.0) / math.pi
+    lam = (x - B.lit(fe)) / (B.lit(k * a) * B.cos(th))
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
 # ------------------------------------------------------------------ Krovak
 _KROVAK = dict(
     phiC=49.5,                      # latitude of projection centre
@@ -896,6 +997,12 @@ CONIC_PRESETS = {
              dict(lon0=0.0, fe=0.0, fn=0.0)),
     5514: ("krovak", "bessel",  # S-JTSK / Krovak East North (CZ/SK)
            dict(fe=0.0, fn=0.0)),
+    54008: ("sinu", "WGS84",  # ESRI World Sinusoidal (MODIS-style)
+            dict(lon0=0.0, fe=0.0, fn=0.0)),
+    4087: ("eqc", "WGS84",  # WGS 84 / World Equidistant Cylindrical
+           dict(phi1=0.0, lon0=0.0, fe=0.0, fn=0.0)),
+    54009: ("moll", "WGS84",  # ESRI World Mollweide
+            dict(lon0=0.0, fe=0.0, fn=0.0)),
 }
 
 _CONIC_FNS = {
@@ -907,6 +1014,9 @@ _CONIC_FNS = {
     "eqdc": (eqdc_forward, eqdc_inverse),
     "aeqd_north": (aeqd_north_forward, aeqd_north_inverse),
     "krovak": (krovak_forward, krovak_inverse),
+    "sinu": (sinu_forward, sinu_inverse),
+    "eqc": (eqc_forward, eqc_inverse),
+    "moll": (moll_forward, moll_inverse),
 }
 
 # EPSG/ESRI code -> projection family dispatch (the engine's answer to
@@ -919,6 +1029,8 @@ _CONIC_FNS = {
 #   5070         -> Albers Equal Area           | 3031 -> Polar Stereo S
 #   28992        -> Oblique Stereographic       | 5514 -> Krovak (9819)
 #   102031(ESRI) -> Equidistant Conic           | 102016(ESRI) -> polar AEQD
+#   54008(ESRI)  -> Sinusoidal (MODIS-style)    | 4087 -> Equidist. Cylindrical
+#   54009(ESRI)  -> Mollweide
 # Anything else raises KeyError: no silent fallback, no general PROJ.
 
 

@@ -228,3 +228,44 @@ def test_eqdc_and_aeqd_roundtrip_and_sql_parity(spark):
         ]
         for (sx, sy), (dx, dy) in zip(spark_rows, sql_rows):
             assert abs(sx - dx) < 1e-4 and abs(sy - dy) < 1e-4, code
+
+
+def test_sinu_eqc_moll_roundtrip_and_known_values(spark):
+    """Sinusoidal (Snyder ch. 30), Equidistant Cylindrical (EPSG
+    method 1028) and Mollweide (Snyder ch. 31): forward+inverse
+    round-trips plus anchor values — eqc x(90E, equator) = a*pi/2,
+    Mollweide y(0E, 50N) = 5873471.95 (PROJ) and x(90E, 0N) =
+    sqrt(2)*a."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark import crs
+
+    a = crs.ELLIPSOIDS["WGS84"][0]
+    pts = pd.DataFrame({
+        "lon": [90.0, 0.0, -120.0, 37.5],
+        "lat": [0.0, 50.0, -75.0, 82.0],
+    })
+    df = spark.createDataFrame(pts)
+    for code in (54008, 4087, 54009):
+        x, y = crs.conic_forward(code, F.col("lon"), F.col("lat"))
+        proj = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+        lon2, lat2 = crs.conic_inverse(code, F.col("x"), F.col("y"))
+        rt = proj.select(
+            (F.abs(lon2 - F.col("lon"))).alias("dl"),
+            (F.abs(lat2 - F.col("lat"))).alias("dp"),
+        ).collect()
+        assert all(r["dl"] < 1e-7 and r["dp"] < 1e-7 for r in rt), code
+
+    x, y = crs.conic_forward(4087, F.lit(90.0), F.lit(0.0))
+    got = df.limit(1).select(x.alias("x")).collect()[0]
+    assert abs(got["x"] - a * math.pi / 2) < 1e-6
+
+    x, y = crs.conic_forward(54009, F.lit(0.0), F.lit(50.0))
+    gy = df.limit(1).select(y.alias("y")).collect()[0]
+    assert abs(gy["y"] - 5873471.95) < 0.5
+    x, y = crs.conic_forward(54009, F.lit(90.0), F.lit(0.0))
+    gx = df.limit(1).select(x.alias("x")).collect()[0]
+    assert abs(gx["x"] - math.sqrt(2.0) * a) < 0.5
