@@ -1834,6 +1834,78 @@ def _q_graph_ksp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ogr_style_sql() -> str:
+    from gdal_spark.style import style_param_sql
+
+    style = (
+        "printf('PEN(c:#%06X,w:%dpx);LABEL(f:\"Arial, Bold\",s:%dpt,"
+        "t:doc%d)', (doc_id * 2654435761) % 16777216, doc_id % 9 + 1, "
+        "doc_id % 24 + 6, doc_id)"
+    )
+    return f"""
+        WITH b AS (
+          SELECT doc_id, {style} AS style
+          FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id,
+               {style_param_sql("style", "PEN", "c")} AS pen_color,
+               {style_param_sql("style", "PEN", "w")} AS pen_width,
+               {style_param_sql("style", "LABEL", "s")} AS label_size
+        FROM b
+    """
+
+
+def _q_ogr_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR feature styles (ogr/ogr_featurestyle.h OGRStyleMgr/Tool):
+    per-doc PEN+LABEL style strings resolved through the OGR_STYLE
+    special field (the layer's `_style` column) and picked apart with
+    the codegen regexp extractor — pen color/width and label size,
+    plus the size-unit split. Oracle: identical regexps in SQL."""
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+    from gdal_spark.style import style_param
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    style = F.format_string(
+        'PEN(c:#%06X,w:%dpx);LABEL(f:"Arial, Bold",s:%dpt,t:doc%d)',
+        (F.col("doc_id") * 2654435761) % 16777216,
+        F.col("doc_id") % 9 + 1,
+        F.col("doc_id") % 24 + 6,
+        F.col("doc_id"),
+    )
+    lay = d.select("doc_id", "lang", style.alias("_style"))
+    out = execute_ogr_sql(
+        spark,
+        "SELECT doc_id, OGR_STYLE AS style FROM docs ORDER BY doc_id",
+        {"docs": lay},
+    )
+    return out.select(
+        "doc_id",
+        style_param("style", "PEN", "c").alias("pen_color"),
+        style_param("style", "PEN", "w").alias("pen_width"),
+        style_param("style", "LABEL", "s").alias("label_size"),
+    )
+
+
+def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation through Structured
+    Streaming (withWatermark + window groupBy + append parquet sink,
+    availableNow drain): hour-window counts/sums over the events
+    table. Append mode withholds windows the watermark has not passed,
+    so the oracle applies the same cutoff (window end <= max ts - 10
+    minutes) in plain SQL — the streaming semantics ARE the thing
+    verified."""
+    import tempfile
+
+    from gdal_spark.streaming import stream_windowed_counts
+
+    root = tempfile.mkdtemp(prefix="gdal_spark_swin_")
+    src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ck"
+    ev = _read(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(src)
+    stream_windowed_counts(spark, src, ev.schema, out, ck)
+    return spark.read.parquet(out)
+
+
 def _q_mdarray_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multidim Transpose (gdalmultidim.cpp:4257) + GetUnscaled (:838,
     GDALMDArrayUnscaled) chained with a GetView slice: a (12, 10, 6)
@@ -2975,6 +3047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdarray_view": _q_mdarray_view,
         "mdarray_transpose": _q_mdarray_transpose,
         "graph_ksp": _q_graph_ksp,
+        "streaming_window": _q_streaming_window,
+        "ogr_style": _q_ogr_style,
         "cutline_blend": _q_cutline_blend,
         "overlay_concave_wkt": _q_overlay_concave_wkt,
         "rasterize_counts": _q_rasterize_counts,
@@ -4157,6 +4231,18 @@ def _oracle_sql_static() -> dict[str, str]:
                    CAST((2 + 3 * a.range) * 7919
                         + (2 * b.range) * 131 + 5 AS BIGINT) AS value
             FROM range(6) a CROSS JOIN range(8) b
+        """,
+        "ogr_style": _ogr_style_sql(),
+        "streaming_window": """
+            WITH m AS (SELECT MAX(ts) AS mx FROM events),
+            a AS (
+              SELECT date_trunc('hour', ts) AS wstart, event_type,
+                     COUNT(*) AS n, ROUND(SUM(value), 6) AS vsum
+              FROM events GROUP BY 1, 2
+            )
+            SELECT a.wstart, a.event_type, a.n, a.vsum
+            FROM a, m
+            WHERE a.wstart + INTERVAL 1 HOUR <= m.mx - INTERVAL 10 MINUTE
         """,
         "mdarray_transpose": """
             WITH v AS (

@@ -457,9 +457,14 @@ def _attach_special_fields(df: DataFrame, needed: set, geom_col: str):
 
         out = out.withColumn("OGR_GEOM_AREA", SG.st_area(geom_col))
     if "OGR_STYLE" in needed:
-        # our layers carry no style strings; the special field exists
-        # and is NULL, like a datasource without styles
-        out = out.withColumn("OGR_STYLE", F.lit(None).cast("string"))
+        # layers carrying a `_style` column expose it as OGR_STYLE
+        # (the reference's style-string feature field,
+        # ogr/ogr_featurestyle.h); without one the special field is
+        # NULL, like a datasource without styles
+        if "_style" in df.columns:
+            out = out.withColumn("OGR_STYLE", F.col("_style"))
+        else:
+            out = out.withColumn("OGR_STYLE", F.lit(None).cast("string"))
     return out
 
 

@@ -174,3 +174,47 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+):
+    """Event-time tumbling-window aggregation with a watermark — the
+    Structured Streaming idiom for late data (readStream ->
+    withWatermark -> window groupBy -> append sink). In append mode a
+    window only emits once the watermark (max event time - delay)
+    passes its end, so the tail windows of a drained stream are
+    withheld — exactly the semantics the batch oracle reproduces with
+    an explicit cutoff. Returns after the availableNow drain."""
+    from pyspark.sql import functions as F
+
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    # parquet timestamps may arrive as TIMESTAMP_NTZ; event-time
+    # watermarks require TIMESTAMP (with local-tz semantics)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("vsum"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"), "event_type", "n", "vsum"
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

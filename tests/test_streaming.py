@@ -121,3 +121,47 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
     assert (got["session_start"].to_numpy() == exp["session_start"].to_numpy()).all()
     assert (got["session_end"].to_numpy() == exp["session_end"].to_numpy()).all()
+
+
+def test_stream_windowed_counts_watermark_semantics(spark, tmp_path):
+    """Watermarked tumbling windows (append mode): emitted windows =
+    exactly those the final watermark passed; values match the batch
+    aggregation with the same cutoff."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark.streaming import stream_windowed_counts
+
+    ts = pd.date_range("2024-01-01", periods=500, freq="97s")
+    pdf = pd.DataFrame({
+        "event_id": range(500),
+        "ts": ts,
+        "event_type": ["click" if i % 3 else "view" for i in range(500)],
+        "value": [round(0.5 * (i % 7), 2) for i in range(500)],
+    })
+    ev = spark.createDataFrame(pdf)
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    ev.write.parquet(src)
+    stream_windowed_counts(spark, src, ev.schema, out, ck,
+                           window="1 hour", watermark="10 minutes")
+    got = spark.read.parquet(out)
+    batch = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("vsum"))
+        .select(F.col("w.start").alias("wstart"),
+                F.col("w.end").alias("wend"), "event_type", "n", "vsum")
+    )
+    mx = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    import datetime
+
+    cutoff = mx - datetime.timedelta(minutes=10)
+    expect = {
+        (r["wstart"], r["event_type"]): (r["n"], r["vsum"])
+        for r in batch.collect() if r["wend"] <= cutoff
+    }
+    gotmap = {
+        (r["wstart"], r["event_type"]): (r["n"], r["vsum"])
+        for r in got.collect()
+    }
+    assert gotmap == expect and len(gotmap) > 0
