@@ -1834,6 +1834,40 @@ def _q_graph_ksp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ogr2ogr_sql() -> str:
+    from gdal_spark.crs import conic_forward_sql
+
+    corners = [("x0", "y0"), ("x1", "y0"), ("x1", "y1"),
+               ("x0", "y1"), ("x0", "y0")]
+    args = []
+    for cx, cy in corners:
+        fx, fy = conic_forward_sql(3347, cx, cy)
+        args.append(fx)
+        args.append(fy)
+    fmt = "POLYGON((" + ", ".join(["%.3f %.3f"] * 5) + "))"
+    arglist = ",\n                 ".join(args)
+    return f"""
+        WITH b AS (
+          SELECT doc_id, lang, {_LON} AS lon, {_LAT} AS lat,
+                 {_HALF} AS h
+          FROM documents
+        ), c AS (
+          SELECT doc_id, lang,
+                 FLOOR((lon - h) * 8) / 8 AS x0,
+                 FLOOR((lat - h) * 8) / 8 AS y0,
+                 FLOOR((lon + h) * 8) / 8 AS x1,
+                 FLOOR((lat + h) * 8) / 8 AS y1
+          FROM b
+          WHERE lon >= -139.5 AND lon <= -75.5
+            AND lat >= -90.0 AND lat <= 90.0 AND doc_id < 5000
+        )
+        SELECT doc_id, lang,
+               printf('{fmt}',
+                 {arglist}) AS geom_wkt
+        FROM c
+    """
+
+
 def _ogr_style_sql() -> str:
     from gdal_spark.style import style_param_sql
 
@@ -1853,6 +1887,36 @@ def _ogr_style_sql() -> str:
                {style_param_sql("style", "LABEL", "s")} AS label_size
         FROM b
     """
+
+
+def _q_ogr2ogr_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr as one declarative pipeline (apps/ogr2ogr_lib.cpp):
+    -spat rect filter + -where (textual OGR SQL) + -select pruning +
+    -t_srs EPSG:3347 whole-geometry reprojection (st_transform over
+    the numpy CRS backend). Square corners snap to the 1/8-deg grid so
+    the WKT round-trips bit-exactly; the oracle rebuilds the
+    transformed WKT with printf over the identical SQL-emitted
+    projection expressions."""
+    from gdal_spark.ogr2ogr import ogr2ogr_layer
+
+    d = DRV.with_derived_squares(_read(spark, sf_dir, "documents"))
+    snap = lambda c: F.floor(F.col(c) * 8) / 8  # noqa: E731
+    wkt = F.format_string(
+        "POLYGON((%.3f %.3f, %.3f %.3f, %.3f %.3f, %.3f %.3f, %.3f %.3f))",
+        snap("x0"), snap("y0"), snap("x1"), snap("y0"),
+        snap("x1"), snap("y1"), snap("x0"), snap("y1"),
+        snap("x0"), snap("y0"),
+    )
+    lay = d.select("doc_id", "lang", "lon", "lat", wkt.alias("geom_wkt"))
+    out = ogr2ogr_layer(
+        lay,
+        spat=(-139.5, -90.0, -75.5, 90.0),
+        where="doc_id < 5000",
+        select=["doc_id", "lang"],
+        t_srs_epsg=3347,
+        t_srs_prec=3,
+    )
+    return out.select("doc_id", "lang", "geom_wkt")
 
 
 def _q_ogr_style(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3049,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ksp": _q_graph_ksp,
         "streaming_window": _q_streaming_window,
         "ogr_style": _q_ogr_style,
+        "ogr2ogr_translate": _q_ogr2ogr_translate,
         "cutline_blend": _q_cutline_blend,
         "overlay_concave_wkt": _q_overlay_concave_wkt,
         "rasterize_counts": _q_rasterize_counts,
@@ -4233,6 +4298,7 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM range(6) a CROSS JOIN range(8) b
         """,
         "ogr_style": _ogr_style_sql(),
+        "ogr2ogr_translate": _ogr2ogr_sql(),
         "streaming_window": """
             WITH m AS (SELECT MAX(ts) AS mx FROM events),
             a AS (

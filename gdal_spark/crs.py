@@ -1034,6 +1034,36 @@ _CONIC_FNS = {
 # Anything else raises KeyError: no silent fallback, no general PROJ.
 
 
+class _NpBackend:
+    """numpy instantiation of the same formulas — the vertex-array
+    path for whole-geometry reprojection (st_transform / the ogr2ogr
+    -t_srs composition), where coordinates arrive as numpy arrays
+    inside an Arrow batch rather than as Columns."""
+
+    import numpy as _np
+
+    lit = staticmethod(float)
+    sin = staticmethod(_np.sin)
+    cos = staticmethod(_np.cos)
+    tan = staticmethod(_np.tan)
+    sqrt = staticmethod(_np.sqrt)
+    radians = staticmethod(_np.radians)
+    log = staticmethod(_np.log)
+    exp = staticmethod(_np.exp)
+    atan = staticmethod(_np.arctan)
+    atan2 = staticmethod(_np.arctan2)
+    asin = staticmethod(_np.arcsin)
+
+
+def transform_points_np(epsg: int, xs, ys, inverse: bool = False):
+    """Project numpy lon/lat arrays (or inverse) with the same closed
+    forms as the Column backend."""
+    kind, ellps, p = CONIC_PRESETS[epsg]
+    a, f = ELLIPSOIDS[ellps]
+    fn = _CONIC_FNS[kind][1 if inverse else 0]
+    return fn(_NpBackend, xs, ys, a=a, f=f, **p)
+
+
 def conic_forward(epsg: int, lon: Column, lat: Column) -> tuple[Column, Column]:
     kind, ellps, p = CONIC_PRESETS[epsg]
     a, f = ELLIPSOIDS[ellps]

@@ -98,6 +98,35 @@ st_force_linestring = _udf1(
 st_astext = _udf1(GM.to_wkt, T.StringType())
 st_aswkb = _udf1(GM.to_wkb, T.BinaryType())
 
+def st_transform(col, epsg: int, prec: int = 3, inverse: bool = False):
+    """Reproject every vertex of a WKT/WKB geometry with the engine's
+    closed-form CRS families (crs.CONIC_PRESETS; the
+    OGRCoordinateTransformation::Transform whole-geometry path,
+    ogr/ogrct.cpp:1822 via ogrgeometry.cpp transform) — numpy over the
+    parsed coordinate arrays inside the Arrow batch; geometry
+    structure (kind, ring order, vertex order) is preserved."""
+    from .. import crs
+
+    def tx(g):
+        def conv(xs, ys):
+            x2, y2 = crs.transform_points_np(
+                epsg, np.asarray(xs, np.float64),
+                np.asarray(ys, np.float64), inverse)
+            return np.asarray(x2, np.float64), np.asarray(y2, np.float64)
+
+        if g.kind in ("point", "multipoint", "linestring"):
+            parts = [conv(*g.parts[0])] if g.parts else []
+        elif g.kind == "multilinestring":
+            parts = [conv(*ln) for ln in g.parts]
+        elif g.kind == "polygon":
+            parts = [[conv(*r) for r in g.parts[0]]] if g.parts else []
+        else:  # multipolygon
+            parts = [[conv(*r) for r in rings] for rings in g.parts]
+        return GM.to_wkt(GM.Geom(g.kind, parts), prec)
+
+    return _udf1(tx, T.StringType())(col)
+
+
 def _perimeter(g):
     ax, ay, bx, by = g.boundary_segments()
     return float(np.hypot(bx - ax, by - ay).sum())

@@ -1,0 +1,106 @@
+"""ogr2ogr as a layer-to-layer composition — the vector translate app
+(gdal/apps/ogr2ogr_lib.cpp, 5,996 LoC) restated as a pipeline of the
+engine's existing declarative operators, applied in the reference's
+own order (ogr2ogr_lib.cpp SetupCT / TranslateArrow loop):
+
+    -spat          spatial filter (rect fast path stays codegen)
+    -where         attribute filter (OGR SQL WHERE semantics)
+    -select        field list (column pruning reaches the scan)
+    -t_srs         whole-geometry reprojection (st_transform)
+    -segmentize    max-length densification
+    -simplify      distance simplification
+    -explodecollections  one row per part (st_dump + explode)
+    -wrapdateline  split at the antimeridian
+    -nlt           geometry type coercion (force_* family)
+
+Everything stays a single declarative plan: filters/pruning are
+Catalyst-visible, geometry steps are Arrow-batched row-local kernels,
+nothing shuffles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions import geometry as SG
+
+_NLT = {
+    "POLYGON": SG.st_force_polygon,
+    "MULTIPOLYGON": SG.st_force_multipolygon,
+    "MULTIPOINT": SG.st_force_multipoint,
+    "MULTILINESTRING": SG.st_force_multilinestring,
+    "LINESTRING": SG.st_force_linestring,
+    # curve inputs linearize on parse; CONVERT_TO_LINEAR is therefore
+    # a canonical re-emit (ogr2ogr -nlt CONVERT_TO_LINEAR)
+    "CONVERT_TO_LINEAR": SG.st_curve_to_line,
+}
+
+
+def ogr2ogr_layer(
+    df: DataFrame,
+    geom_col: str = "geom_wkt",
+    spat: tuple | None = None,
+    where: str | None = None,
+    select: list[str] | None = None,
+    t_srs_epsg: int | None = None,
+    t_srs_prec: int = 3,
+    segmentize: float | None = None,
+    simplify: float | None = None,
+    explode_collections: bool = False,
+    wrapdateline: bool = False,
+    nlt: str | None = None,
+) -> DataFrame:
+    """Translate a feature layer like `ogr2ogr` does, one declarative
+    plan. `spat` = (xmin, ymin, xmax, ymax) rect in SOURCE coords
+    (applied before reprojection, like the reference). `select` lists
+    attribute columns to keep (the geometry column always survives)."""
+    from .ogr_sql_exec import execute_ogr_sql
+
+    out = df
+    if spat is not None:
+        x0, y0, x1, y1 = spat
+        # rect fast path over the geometry's bbox via its WKT vertices
+        # would need a parse; documents-style layers carry lon/lat —
+        # use them when present, else the exact intersects predicate
+        if "lon" in out.columns and "lat" in out.columns:
+            out = out.filter(
+                (F.col("lon") >= x0) & (F.col("lon") <= x1)
+                & (F.col("lat") >= y0) & (F.col("lat") <= y1)
+            )
+        else:
+            rect = (f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                    f"{x0} {y1}, {x0} {y0}))")
+            out = out.filter(SG.st_intersects(F.col(geom_col), F.lit(rect)))
+    if where is not None:
+        out = execute_ogr_sql(
+            out.sparkSession,
+            f"SELECT * FROM layer WHERE {where}",
+            {"layer": out},
+        )
+    if select is not None:
+        keep = [c for c in select if c in out.columns]
+        if geom_col not in keep:
+            keep.append(geom_col)
+        out = out.select(*keep)
+    g = F.col(geom_col)
+    if segmentize is not None:
+        out = out.withColumn(geom_col, SG.st_segmentize(g, segmentize))
+    if simplify is not None:
+        out = out.withColumn(geom_col, SG.st_simplify(g, simplify))
+    if t_srs_epsg is not None:
+        out = out.withColumn(
+            geom_col, SG.st_transform(g, t_srs_epsg, prec=t_srs_prec)
+        )
+    if wrapdateline:
+        out = out.withColumn("_parts", SG.st_wrapdateline(g)) \
+            .withColumn(geom_col, F.explode("_parts")).drop("_parts")
+    if explode_collections:
+        out = out.withColumn("_parts", SG.st_dump(g)) \
+            .withColumn(geom_col, F.explode("_parts")).drop("_parts")
+    if nlt is not None:
+        try:
+            fn = _NLT[nlt.upper()]
+        except KeyError:
+            raise ValueError(f"unsupported -nlt {nlt!r}") from None
+        out = out.withColumn(geom_col, fn(F.col(geom_col)))
+    return out

@@ -1,0 +1,79 @@
+"""ogr2ogr composition (apps/ogr2ogr_lib.cpp as a declarative
+pipeline) + whole-geometry st_transform."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gdal_spark import crs
+from gdal_spark.functions import geometry as SG
+from gdal_spark.ogr2ogr import ogr2ogr_layer
+
+
+def test_st_transform_matches_column_backend(spark):
+    """Per-vertex numpy reprojection must agree with the Column
+    backend on the same points."""
+    df = spark.createDataFrame(
+        [(1, "LINESTRING(-100 50, -95 55, -90 60)")], ["id", "wkt"]
+    )
+    out = df.select(SG.st_transform("wkt", 3347, prec=6).alias("t")).collect()[0]["t"]
+    pts = [tuple(map(float, p.split())) for p in
+           out[out.index("(") + 1 : out.rindex(")")].split(",")]
+    ref = df.select(
+        *[crs.conic_forward(3347, F.lit(lo), F.lit(la))[k].alias(f"v{i}{k}")
+          for i, (lo, la) in enumerate([(-100.0, 50.0), (-95.0, 55.0), (-90.0, 60.0)])
+          for k in (0, 1)]
+    ).collect()[0]
+    for i, (x, y) in enumerate(pts):
+        assert abs(x - ref[f"v{i}0"]) < 1e-5
+        assert abs(y - ref[f"v{i}1"]) < 1e-5
+
+
+def test_st_transform_polygon_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "POLYGON((-100 50, -95 50, -95 55, -100 55, -100 50))")],
+        ["id", "wkt"],
+    )
+    fwd = df.select(SG.st_transform("wkt", 3347, prec=6).alias("t"))
+    back = fwd.select(
+        SG.st_transform("t", 3347, prec=6, inverse=True).alias("b")
+    ).collect()[0]["b"]
+    pts = [tuple(map(float, p.split())) for p in
+           back[back.index("((") + 2 : back.rindex("))")].split(",")]
+    exp = [(-100, 50), (-95, 50), (-95, 55), (-100, 55), (-100, 50)]
+    for (x, y), (ex, ey) in zip(pts, exp):
+        assert abs(x - ex) < 1e-4 and abs(y - ey) < 1e-4
+
+
+def test_ogr2ogr_pipeline(spark):
+    rows = [
+        (1, "a", -100.0, 50.0, "POLYGON((-101 49, -99 49, -99 51, -101 51, -101 49))"),
+        (2, "b", -100.0, 50.0,
+         "GEOMETRYCOLLECTION EMPTY"),  # dropped by where
+        (3, "c", 10.0, 50.0, "POLYGON((9 49, 11 49, 11 51, 9 51, 9 49))"),  # spat-filtered
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "lang", "lon", "lat", "geom_wkt"]
+    )
+    out = ogr2ogr_layer(
+        df,
+        spat=(-139.5, -90.0, -75.5, 90.0),
+        where="doc_id = 1",
+        select=["doc_id"],
+        t_srs_epsg=3347,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 1 and "lang" not in r.asDict()
+    assert r["geom_wkt"].startswith("POLYGON((")
+    x0 = float(r["geom_wkt"].split("((")[1].split()[0])
+    assert abs(x0) > 1e5  # projected meters, not degrees
+
+
+def test_ogr2ogr_explode_and_nlt(spark):
+    df = spark.createDataFrame(
+        [(1, "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")],
+        ["doc_id", "geom_wkt"],
+    )
+    out = ogr2ogr_layer(df, explode_collections=True, nlt="POLYGON").collect()
+    assert len(out) == 2
+    assert all(r["geom_wkt"].startswith("POLYGON(") for r in out)
