@@ -1889,6 +1889,28 @@ def _ogr_style_sql() -> str:
     """
 
 
+def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (Gopher-style repetition
+    filter; deterministic at a fixed level). Oracle:
+    localref.sql_compression_ratio recomputes with python zlib."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.compression_ratio(F.col("text")).alias("cratio")
+    )
+
+
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup retention policy: minhash clusters -> keep the highest
+    text-length doc per cluster (ties to smallest id) — the fused
+    dedup+quality-select a pipeline runs instead of keep-min-id.
+    Oracle: the dedup_groups recursive-CTE closure + a window argmax
+    in plain SQL."""
+    d = _read(spark, sf_dir, "documents")
+    return TX.dedup_keep_best(
+        d, "text", "doc_id", F.length("text").cast("long")
+    )
+
+
 def _q_ogr2ogr_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr as one declarative pipeline (apps/ogr2ogr_lib.cpp):
     -spat rect filter + -where (textual OGR SQL) + -select pruning +
@@ -3114,6 +3136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": _q_streaming_window,
         "ogr_style": _q_ogr_style,
         "ogr2ogr_translate": _q_ogr2ogr_translate,
+        "compression_ratio": _q_compression_ratio,
+        "dedup_keep_best": _q_dedup_keep_best,
         "cutline_blend": _q_cutline_blend,
         "overlay_concave_wkt": _q_overlay_concave_wkt,
         "rasterize_counts": _q_rasterize_counts,

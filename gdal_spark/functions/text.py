@@ -718,3 +718,62 @@ def bm25_scores(
         )
     return d.select(id_col, F.col("dl").alias("doc_len"),
                     score.alias("bm25"))
+
+
+# --------------------------------------------- quality: compression ratio
+@F.pandas_udf(T.DoubleType())
+def compression_ratio(text: pd.Series) -> pd.Series:
+    """zlib-compressed size / raw UTF-8 size (level 6) — the classic
+    repetition/boilerplate quality signal (low ratio = highly
+    compressible = repetitive; used by Gopher-style corpus filters
+    alongside the token heuristics in gopher_flags). Deterministic:
+    zlib with a fixed level is bit-stable across platforms. Empty
+    text -> 1.0 (incompressible by convention)."""
+    import zlib
+
+    out = np.empty(len(text))
+    for i, s in enumerate(text):
+        if s is None or len(s) == 0:
+            out[i] = 1.0
+            continue
+        raw = s.encode("utf-8")
+        out[i] = len(zlib.compress(raw, 6)) / len(raw)
+    return pd.Series(out)
+
+
+def dedup_keep_best(df: DataFrame, text_col: str, id_col: str,
+                    score_col, threshold: float = 0.8,
+                    n_hashes: int = 64, bands: int = 16,
+                    shingle_k: int = 5) -> DataFrame:
+    """Near-dup retention policy: cluster with minhash connected
+    components, keep ONE doc per cluster — the highest `score_col`
+    (ties to the smallest id) — instead of blindly keeping the min id.
+    This is the keep-best-quality dedup a training-data pipeline
+    actually runs (dedup THEN quality-select loses good docs; this
+    fuses them). Returns (id, canonical_id, keep) for every doc.
+
+    Scale: the groups frame carries only (id, canonical, score); the
+    per-cluster argmax is one partial-aggregating groupBy on the
+    cluster key — corpus text never shuffles."""
+    score_col = F.col(score_col) if isinstance(score_col, str) else score_col
+    groups = minhash_dedup_groups(df, text_col, id_col, threshold,
+                                  n_hashes, bands, shingle_k)
+    scored = groups.join(
+        df.select(F.col(id_col), score_col.alias("_score")), id_col
+    )
+    best = (
+        scored.groupBy("canonical_id")
+        .agg(F.max(F.struct(F.col("_score"),
+                            (-F.col(id_col)).alias("_negid"))).alias("_b"))
+        .select(
+            "canonical_id",
+            (-F.col("_b._negid")).alias("_best_id"),
+        )
+    )
+    return (
+        scored.join(best, "canonical_id")
+        .select(
+            id_col, "canonical_id",
+            (F.col(id_col) == F.col("_best_id")).alias("keep"),
+        )
+    )

@@ -1120,6 +1120,8 @@ def oracle_entries() -> dict:
         "expand_rgb_checksums": sql_expand_rgb_checksums,
         "nearblack_checksums": sql_nearblack_checksums,
         "dedup_groups": sql_dedup_groups,
+        "dedup_keep_best": sql_dedup_keep_best,
+        "compression_ratio": sql_compression_ratio,
         "gdal_calc_checksums": sql_gdal_calc_checksums,
         "vrt_separate_checksums": sql_vrt_separate_checksums,
         "decontaminate": sql_decontaminate,
@@ -2302,6 +2304,56 @@ def sql_dedup_groups() -> str:
                     AS BIGINT) AS canonical_id
         FROM documents d LEFT JOIN walk w ON d.doc_id = w.node
         GROUP BY d.doc_id
+    """
+
+
+def sql_compression_ratio() -> str:
+    """python-zlib recomputation of the compression-ratio quality
+    signal (level 6, same as the engine's Arrow kernel)."""
+    import zlib
+
+    docs = _read_parquet(f"{ORACLE_SF_DIR}/documents.parquet")
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        raw = (text or "").encode("utf-8")
+        r = 1.0 if not raw else len(zlib.compress(raw, 6)) / len(raw)
+        rows.append((int(did), float(r)))
+    return values_sql(rows, ["doc_id", "cratio"], ["bigint", "double"])
+
+
+def sql_dedup_keep_best() -> str:
+    """dedup_groups' recursive-CTE closure + per-cluster argmax by
+    text length (ties to smallest id) — the keep-best retention
+    policy, independently in SQL."""
+    pairs_sql = sql_minhash_pairs()
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        und AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        walk AS (
+          SELECT s AS node, d AS reach FROM und
+          UNION
+          SELECT w.node, u.d FROM walk w JOIN und u ON w.reach = u.s
+        ),
+        g AS (
+          SELECT d.doc_id,
+                 CAST(LEAST(d.doc_id, COALESCE(MIN(w.reach), d.doc_id))
+                      AS BIGINT) AS canonical_id,
+                 LENGTH(d.text) AS sc
+          FROM documents d LEFT JOIN walk w ON d.doc_id = w.node
+          GROUP BY d.doc_id, LENGTH(d.text)
+        ),
+        r AS (
+          SELECT doc_id, canonical_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY canonical_id
+                   ORDER BY sc DESC, doc_id ASC
+                 ) AS rk
+          FROM g
+        )
+        SELECT doc_id, canonical_id, (rk = 1) AS keep FROM r
     """
 
 

@@ -298,3 +298,37 @@ def test_ngram_overlap(spark):
     # doc1: grams 'a b c d','b c d e','c d e f' all in eval -> 3
     # doc3: 'c d e f' and 'd e f g' -> 2; doc2 absent
     assert got == {1: 3, 3: 2}
+
+
+def test_compression_ratio(spark):
+    import zlib
+
+    rows = [
+        Row(doc_id=1, text="abc " * 500),         # highly repetitive
+        Row(doc_id=2, text=""),                     # empty -> 1.0
+        Row(doc_id=3, text="The quick brown fox jumps over the lazy dog."),
+    ]
+    got = {r["doc_id"]: r["c"] for r in spark.createDataFrame(rows).select(
+        "doc_id", TX.compression_ratio(F.col("text")).alias("c")).collect()}
+    assert got[1] < 0.05          # repetition compresses away
+    assert got[2] == 1.0
+    raw = rows[2].text.encode()
+    assert abs(got[3] - len(zlib.compress(raw, 6)) / len(raw)) < 1e-12
+
+
+def test_dedup_keep_best(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " with an extra longer tail of words"),
+        Row(doc_id=3, text=base),
+        Row(doc_id=4, text="completely different content about spark shuffles"),
+    ]
+    got = {r["doc_id"]: r for r in TX.dedup_keep_best(
+        spark.createDataFrame(rows), "text", "doc_id",
+        F.length("text").cast("long"), threshold=0.5).collect()}
+    # 1,2,3 cluster under canonical 1; the LONGEST (2) is kept
+    assert got[1]["canonical_id"] == got[2]["canonical_id"] == got[3]["canonical_id"] == 1
+    assert got[2]["keep"] and not got[1]["keep"] and not got[3]["keep"]
+    # singleton keeps itself
+    assert got[4]["keep"] and got[4]["canonical_id"] == 4
