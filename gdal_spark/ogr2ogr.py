@@ -41,6 +41,8 @@ def ogr2ogr_layer(
     geom_col: str = "geom_wkt",
     spat: tuple | None = None,
     where: str | None = None,
+    sql: str | None = None,
+    clipsrc: str | tuple | None = None,
     select: list[str] | None = None,
     t_srs_epsg: int | None = None,
     t_srs_prec: int = 3,
@@ -71,12 +73,28 @@ def ogr2ogr_layer(
             rect = (f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, "
                     f"{x0} {y1}, {x0} {y0}))")
             out = out.filter(SG.st_intersects(F.col(geom_col), F.lit(rect)))
+    if sql is not None:  # -sql: a full OGR SQL statement replaces the layer
+        out = execute_ogr_sql(out.sparkSession, sql, {"layer": out})
     if where is not None:
         out = execute_ogr_sql(
             out.sparkSession,
             f"SELECT * FROM layer WHERE {where}",
             {"layer": out},
         )
+    if clipsrc is not None:
+        # -clipsrc: geometrically clip every feature to the clip
+        # polygon (rect tuple or WKT); empty intersections drop —
+        # ogr2ogr_lib.cpp's poClipSrc path via the boolean clipper
+        if isinstance(clipsrc, tuple):
+            cx0, cy0, cx1, cy1 = clipsrc
+            clip_wkt = (f"POLYGON(({cx0} {cy0}, {cx1} {cy0}, {cx1} {cy1}, "
+                        f"{cx0} {cy1}, {cx0} {cy0}))")
+        else:
+            clip_wkt = clipsrc
+        out = out.withColumn(
+            geom_col,
+            SG.st_intersection(F.col(geom_col), F.lit(clip_wkt)),
+        ).filter(~F.col(geom_col).like("%EMPTY"))
     if select is not None:
         keep = [c for c in select if c in out.columns]
         if geom_col not in keep:

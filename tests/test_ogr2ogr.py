@@ -77,3 +77,24 @@ def test_ogr2ogr_explode_and_nlt(spark):
     out = ogr2ogr_layer(df, explode_collections=True, nlt="POLYGON").collect()
     assert len(out) == 2
     assert all(r["geom_wkt"].startswith("POLYGON(") for r in out)
+
+
+def test_ogr2ogr_clipsrc_and_sql(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"),   # straddles clip
+            (2, "POLYGON((10 10, 12 10, 12 12, 10 12, 10 10))"),  # outside
+        ],
+        ["doc_id", "geom_wkt"],
+    )
+    out = ogr2ogr_layer(
+        df,
+        sql="SELECT doc_id, geom_wkt FROM layer",
+        clipsrc=(2.0, 2.0, 20.0, 3.0),
+    ).collect()
+    got = {r["doc_id"]: r["geom_wkt"] for r in out}
+    assert 2 not in got  # fully outside -> dropped
+    # clipped piece of 1 = rect (2,2)-(4,3), area 2
+    from gdal_spark import geometry as GM
+
+    assert abs(GM.parse_wkt(got[1]).area() - 2.0) < 1e-9
