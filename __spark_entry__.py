@@ -2772,6 +2772,99 @@ def _conic_sql(epsg: int) -> str:
     """
 
 
+def _q_helmert_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full datum pipeline WGS84 -> OSGB36 (reference: ogrct.cpp:1822
+    -> PROJ +cart/+helmert/+inv +cart; EPSG method 1033): geodetic ->
+    ECEF -> position-vector Helmert -> geodetic on Airy 1830, plus the
+    reverse closing the round trip. Pure JVM column math, global
+    domain — no region filter needed."""
+    from gdal_spark import datum
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    x, y, z = datum.geocentric_cols(F.col("lon"), F.col("lat"), F.lit(0.0))
+    lon_os, lat_os, h_os = datum.datum_shift_cols(
+        F.col("lon"), F.col("lat"), F.lit(0.0), "WGS84", "OSGB36")
+    d = d.select("doc_id", "lon", "lat",
+                 F.round(x, 3).alias("ecef_x"),
+                 F.round(y, 3).alias("ecef_y"),
+                 F.round(z, 3).alias("ecef_z"),
+                 lon_os.alias("_lon_os"), lat_os.alias("_lat_os"),
+                 h_os.alias("_h_os"))
+    lon_rt, lat_rt, _ = datum.datum_shift_cols(
+        F.col("_lon_os"), F.col("_lat_os"), F.col("_h_os"),
+        "OSGB36", "WGS84")
+    return d.select(
+        "doc_id", "ecef_x", "ecef_y", "ecef_z",
+        F.round("_lon_os", 6).alias("lon_osgb"),
+        F.round("_lat_os", 6).alias("lat_osgb"),
+        F.round(lon_rt, 6).alias("lon_rt"),
+        F.round(lat_rt, 6).alias("lat_rt"))
+
+
+def _helmert_sql() -> str:
+    from gdal_spark import datum
+
+    x, y, z = datum.geocentric_sql("lon", "lat", "0.0")
+    lon_os, lat_os, h_os = datum.datum_shift_sql(
+        "lon", "lat", "0.0", "WGS84", "OSGB36")
+    lon_rt, lat_rt, _ = datum.datum_shift_sql(
+        "lon_os", "lat_os", "h_os", "OSGB36", "WGS84")
+    return f"""
+        WITH b AS (
+          SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 ROUND({x}, 3) AS ecef_x,
+                 ROUND({y}, 3) AS ecef_y,
+                 ROUND({z}, 3) AS ecef_z,
+                 {lon_os} AS lon_os, {lat_os} AS lat_os, {h_os} AS h_os
+          FROM b
+        )
+        SELECT doc_id, ecef_x, ecef_y, ecef_z,
+               ROUND(lon_os, 6) AS lon_osgb, ROUND(lat_os, 6) AS lat_osgb,
+               ROUND({lon_rt}, 6) AS lon_rt, ROUND({lat_rt}, 6) AS lat_rt
+        FROM s
+    """
+
+
+def _q_gridshift_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTv2-style horizontal grid shift (reference: PROJ hgridshift on
+    .gsb subgrids, the NAD27->NAD83 path GDAL exposes through
+    ogrct.cpp): the synthetic shift grid joins in as a broadcast table
+    four times (one per bilinear corner) — the corpus never reshuffles,
+    so the stage stays map-side at any input size."""
+    from gdal_spark import datum
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    d = d.filter(F.expr(datum.grid_region_predicate()))
+    out = datum.apply_grid_shift(d, datum.shift_grid(spark))
+    return out.select(
+        "doc_id",
+        F.round("lon_shifted", 6).alias("lon_nad"),
+        F.round("lat_shifted", 6).alias("lat_nad"),
+        F.round((F.col("lat_shifted") - F.col("lat")) * 3600.0, 4)
+        .alias("dlat_sec"))
+
+
+def _gridshift_sql() -> str:
+    from gdal_spark import datum
+
+    glon, glat = datum.grid_shift_sql("lon", "lat")
+    return f"""
+        WITH b AS (
+          SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+        ), c AS (
+          SELECT doc_id, lon, lat FROM b
+          WHERE {datum.grid_region_predicate()}
+        )
+        SELECT doc_id,
+               ROUND({glon}, 6) AS lon_nad,
+               ROUND({glat}, 6) AS lat_nad,
+               ROUND(({glat} - lat) * 3600.0, 4) AS dlat_sec
+        FROM c
+    """
+
+
 def _q_hillshade_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synth.tiles_src_df(spark, 2, 2)
     return tiling.checksum_table(
@@ -3207,6 +3300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sinu_transform": _q_conic(54008),
         "eqc_transform": _q_conic(4087),
         "moll_transform": _q_conic(54009),
+        "helmert_transform": _q_helmert_transform,
+        "gridshift_transform": _q_gridshift_transform,
         "pansharpen_checksums": _q_pansharpen,
         "pixel_functions_checksums": _q_pixel_functions,
         "pixel_multiband_checksums": _q_pixel_multiband,
@@ -4931,6 +5026,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "sinu_transform": _conic_sql(54008),
         "eqc_transform": _conic_sql(4087),
         "moll_transform": _conic_sql(54009),
+        "helmert_transform": _helmert_sql(),
+        "gridshift_transform": _gridshift_sql(),
         "reproject_3857": f"""
             SELECT doc_id,
                    lon * 20037508.342789244 / 180.0 AS mx,
