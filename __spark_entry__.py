@@ -2865,6 +2865,104 @@ def _gridshift_sql() -> str:
     """
 
 
+def _q_bng_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 -> EPSG:27700 (British National Grid), the compound
+    Helmert + Airy-TM pipeline the reference builds through PROJ
+    (ogrct.cpp:1822), plus the inverse closing the round trip.
+    Derived points are remapped into the GB domain so every document
+    contributes a row."""
+    from gdal_spark import projpipe
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    d = d.select(
+        "doc_id",
+        (-7.0 + (F.col("lon") + 180.0) / 360.0 * 8.5).alias("ulon"),
+        (49.8 + (F.col("lat") + 85.0) / 170.0 * 8.8).alias("ulat"))
+    d = projpipe.to_bng(d, lon_col="ulon", lat_col="ulat", keep=["doc_id"])
+    d = projpipe.from_bng(d, keep=["doc_id", "easting", "northing"])
+    return d.select(
+        "doc_id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        F.round("lon_wgs84", 6).alias("lon_rt"),
+        F.round("lat_wgs84", 6).alias("lat_rt"))
+
+
+def _bng_sql() -> str:
+    # one CTE per pipeline step — the textual expression tree is
+    # multiplicative if the steps are nested, so each stage projects
+    # its outputs as plain columns for the next (same float pipeline,
+    # identical association order within each step)
+    from gdal_spark import datum, projpipe
+
+    lon_os, lat_os, _h = datum.datum_shift_sql(
+        "ulon", "ulat", "0.0", "WGS84", "OSGB36")
+    e, n = projpipe.bng_tm_forward_sql("lon_os", "lat_os")
+    lon_i, lat_i = projpipe.bng_tm_inverse_sql("e", "n")
+    # reverse datum step runs at h=0.0, matching projpipe.bng_inverse
+    lon2, lat2, _ = datum.datum_shift_sql(
+        "lon_i", "lat_i", "0.0", "OSGB36", "WGS84")
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 (-7.0 + ({_LON} + 180.0) / 360.0 * 8.5) AS ulon,
+                 (49.8 + ({_LAT} + 85.0) / 170.0 * 8.8) AS ulat
+          FROM documents
+        ), s AS (
+          SELECT doc_id, {lon_os} AS lon_os, {lat_os} AS lat_os
+          FROM b
+        ), p AS (
+          SELECT doc_id, {e} AS e, {n} AS n FROM s
+        ), i AS (
+          SELECT doc_id, e, n, {lon_i} AS lon_i, {lat_i} AS lat_i
+          FROM p
+        )
+        SELECT doc_id, ROUND(e, 3) AS easting, ROUND(n, 3) AS northing,
+               ROUND({lon2}, 6) AS lon_rt, ROUND({lat2}, 6) AS lat_rt
+        FROM i
+    """
+
+
+def _q_nad27_utm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAD27 -> NAD83 UTM zone 14: NTv2-style grid shift (broadcast
+    bilinear) feeding GRS80 UTM — the gdalwarp -s_srs EPSG:4267
+    -t_srs EPSG:26914 pipeline."""
+    from gdal_spark import datum, projpipe
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    d = d.select(
+        "doc_id",
+        (-102.0 + (F.col("lon") + 180.0) / 360.0 * 6.0).alias("lon"),
+        (26.0 + (F.col("lat") + 85.0) / 170.0 * 22.0).alias("lat"))
+    out = projpipe.nad27_utm_cols(d, datum.shift_grid(spark), zone=14)
+    return out.select(
+        "doc_id",
+        F.round("lon_nad83", 6).alias("lon_nad83"),
+        F.round("lat_nad83", 6).alias("lat_nad83"),
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"))
+
+
+def _nad27_utm_sql() -> str:
+    from gdal_spark import projpipe
+
+    glon, glat, e, n = projpipe.nad27_utm_sql("lon", "lat", 14)
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 (-102.0 + ({_LON} + 180.0) / 360.0 * 6.0) AS lon,
+                 (26.0 + ({_LAT} + 85.0) / 170.0 * 22.0) AS lat
+          FROM documents
+        )
+        SELECT doc_id,
+               ROUND({glon}, 6) AS lon_nad83,
+               ROUND({glat}, 6) AS lat_nad83,
+               ROUND({e}, 3) AS easting,
+               ROUND({n}, 3) AS northing
+        FROM b
+    """
+
+
 def _q_hillshade_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synth.tiles_src_df(spark, 2, 2)
     return tiling.checksum_table(
@@ -3302,6 +3400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moll_transform": _q_conic(54009),
         "helmert_transform": _q_helmert_transform,
         "gridshift_transform": _q_gridshift_transform,
+        "bng_transform": _q_bng_transform,
+        "nad27_utm_transform": _q_nad27_utm_transform,
         "pansharpen_checksums": _q_pansharpen,
         "pixel_functions_checksums": _q_pixel_functions,
         "pixel_multiband_checksums": _q_pixel_multiband,
@@ -5028,6 +5128,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "moll_transform": _conic_sql(54009),
         "helmert_transform": _helmert_sql(),
         "gridshift_transform": _gridshift_sql(),
+        "bng_transform": _bng_sql(),
+        "nad27_utm_transform": _nad27_utm_sql(),
         "reproject_3857": f"""
             SELECT doc_id,
                    lon * 20037508.342789244 / 180.0 AS mx,
