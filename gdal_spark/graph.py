@@ -113,6 +113,71 @@ def sssp_with_pred(edges: DataFrame, source, weight_col: str = "w",
     return dist.filter(F.col("dist") < _INF)
 
 
+def sssp_multi_pred(tagged: DataFrame, sources: dict,
+                    weight_col: str = "w", max_iter: int = 100) -> DataFrame:
+    """Batched multi-source SSSP with predecessors: `tagged` is
+    (sid, src, dst, w) — an independent subgraph per sid — and
+    `sources` maps sid -> source node. All searches advance in the
+    SAME Pregel rounds (state keyed by (sid, node)), so B parallel
+    spur searches cost one relaxation sweep instead of B — the
+    round count is max over sids, and every round is one shuffle on
+    (sid, node) regardless of B. Tie-handling matches sssp_with_pred
+    (min over struct(nd, via))."""
+    src_rows = [(s, n) for s, n in sources.items()]
+    nodes = (
+        tagged.select("sid", F.col("src").alias("node"))
+        .union(tagged.select("sid", F.col("dst").alias("node")))
+        .distinct()
+    )
+    spark = tagged.sparkSession
+    srcs = F.broadcast(spark.createDataFrame(
+        src_rows, ["sid", "_src_node"]))
+    dist = nodes.join(srcs, "sid", "left").select(
+        "sid", "node",
+        F.when(F.col("node") == F.col("_src_node"), 0.0)
+        .otherwise(F.lit(_INF)).alias("dist"),
+        F.lit(None).cast(nodes.schema["node"].dataType).alias("pred"),
+    ).localCheckpoint()
+
+    edges_a = tagged.select(
+        F.col("sid").alias("_esid"), F.col("src").alias("_esrc"),
+        F.col("dst").alias("_edst"), F.col(weight_col).alias("_ew"))
+    for _ in range(max_iter):
+        cand = (
+            dist.filter(F.col("dist") < _INF)
+            .join(edges_a, (F.col("sid") == F.col("_esid")) &
+                  (F.col("node") == F.col("_esrc")))
+            .select(
+                "sid",
+                F.col("_edst").alias("node"),
+                F.struct(
+                    (F.col("dist") + F.col("_ew")).alias("nd"),
+                    F.col("_esrc").alias("via"),
+                ).alias("c"),
+            )
+            .groupBy("sid", "node")
+            .agg(F.min("c").alias("c"))
+        )
+        merged = (
+            dist.join(cand, ["sid", "node"], "left")
+            .select(
+                "sid", "node",
+                F.when(
+                    F.col("c.nd") < F.col("dist"), F.col("c.nd")
+                ).otherwise(F.col("dist")).alias("dist"),
+                F.when(
+                    F.col("c.nd") < F.col("dist"), F.col("c.via")
+                ).otherwise(F.col("pred")).alias("pred"),
+                (F.coalesce(F.col("c.nd"), F.lit(_INF)) < F.col("dist")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = merged.filter(F.col("_chg")).count()
+        dist = merged.drop("_chg")
+        if changed == 0:
+            break
+    return dist.filter(F.col("dist") < _INF)
+
+
 def shortest_path(edges: DataFrame, source, target,
                   weight_col: str = "w") -> tuple[list, float]:
     """One concrete min-cost path source->target as (node list, cost),
@@ -174,6 +239,12 @@ def k_shortest_paths(edges: DataFrame, source, target, k: int = 3,
     B: list[tuple[float, list]] = []
     while len(A) < k:
         prev_path = A[-1][0]
+        # all spur searches of this Yen iteration batch into ONE
+        # multi-source relaxation (sid = spur index): B spurs cost one
+        # Pregel sweep instead of B sequential ones — the round count
+        # is the max over spurs and each round is a single shuffle.
+        spurs = []
+        tagged = None
         for si in range(len(prev_path) - 1):
             spur = prev_path[si]
             root = prev_path[: si + 1]
@@ -193,9 +264,30 @@ def k_shortest_paths(edges: DataFrame, source, target, k: int = 3,
                 cond = c if cond is None else (cond | c)
             if cond is not None:
                 g = g.filter(~cond)
-            spur_path, spur_cost = shortest_path(g, spur, target, weight_col)
-            if not spur_path:
+            g = g.select(F.lit(si).alias("sid"), "src", "dst", weight_col)
+            tagged = g if tagged is None else tagged.unionByName(g)
+            spurs.append((si, spur, root))
+        res = sssp_multi_pred(
+            tagged, {si: spur for si, spur, _ in spurs}, weight_col)
+        by_sid: dict = {}
+        for r in res.collect():
+            by_sid.setdefault(r["sid"], {})[r["node"]] = (
+                r["dist"], r["pred"])
+        for si, spur, root in spurs:
+            rows = by_sid.get(si, {})
+            if target not in rows:
                 continue
+            spur_path = [target]
+            while spur_path[-1] != spur:
+                p = rows[spur_path[-1]][1]
+                if p is None:
+                    spur_path = None
+                    break
+                spur_path.append(p)
+            if spur_path is None:
+                continue
+            spur_path = list(reversed(spur_path))
+            spur_cost = rows[target][0]
             total = root[:-1] + spur_path
             root_cost = sum(
                 edge_w[(root[i], root[i + 1])] for i in range(len(root) - 1)

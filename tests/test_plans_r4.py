@@ -101,3 +101,31 @@ def test_textual_fid_no_global_window(spark):
     assert "Window" not in p, p
     got = [(r["fid"], r["doc_id"]) for r in out.collect()]
     assert got == [(i, i) for i in range(20)]
+
+
+def test_datum_pipelines_plan_shapes(spark):
+    """Round-4 CRS additions: the Helmert/BNG pipelines must be pure
+    map stages (no Exchange at all), and the NTv2-style grid shift
+    must join its grid broadcast-only — at 10^12 rows the corpus never
+    reshuffles for a coordinate transform."""
+    from gdal_spark import datum, projpipe
+
+    df = spark.range(200).select(
+        (F.col("id") / 40.0 - 4.0).alias("lon"),
+        (F.col("id") / 100.0 + 50.0).alias("lat"))
+    bng = projpipe.from_bng(projpipe.to_bng(df))
+    p = _plan(bng)
+    assert "Exchange" not in p, p
+
+    lon2, lat2, _ = datum.datum_shift_cols(
+        F.col("lon"), F.col("lat"), F.lit(0.0), "WGS84", "OSGB36")
+    hp = _plan(df.select(lon2.alias("a"), lat2.alias("b")))
+    assert "Exchange" not in hp, hp
+
+    us = spark.range(200).select(
+        (F.col("id") / 10.0 - 110.0).alias("lon"),
+        (F.col("id") / 20.0 + 30.0).alias("lat"))
+    gs = datum.apply_grid_shift(us, datum.shift_grid(spark))
+    gp = _plan(gs)
+    assert "BroadcastHashJoin" in gp, gp
+    assert "SortMergeJoin" not in gp and "ShuffledHashJoin" not in gp, gp
