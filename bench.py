@@ -164,9 +164,17 @@ def main():
         "geometry_curves", "geometry_makevalid_bowtie",
         "krovak_transform", "simhash_pairs", "mdarray_transpose",
         "graph_ksp",
+        # datum pipelines: ECEF+Helmert, NTv2-style broadcast grid
+        # shift, the compound BNG and NAD27->NAD83-UTM pipelines
+        "helmert_transform", "gridshift_transform", "bng_transform",
+        "nad27_utm_transform",
     ]:
         df_fn = qs[name]
-        timed(name, lambda f=df_fn: f(spark, SF_DIR).count())
+        # noop sink, NOT count(): count() lets Catalyst prune every
+        # computed column, so pure-transform queries would be timed as
+        # bare scans (methodology fix this round — see BENCH/BASELINE.md)
+        timed(name, lambda f=df_fn: f(spark, SF_DIR)
+              .write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 3)
     print(
@@ -182,6 +190,7 @@ def main():
                 "docs_per_sec_median": docs_per_sec_median,
                 "headline_reps": headline_reps,
                 "probe_reps": probe_reps,
+                "suite_eval": "noop-sink",
             }
         )
     )
