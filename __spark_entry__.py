@@ -945,6 +945,28 @@ def _q_warp_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(warped)
 
 
+def _q_warp_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -t_srs: general-transformer warp EPSG:3857 ->
+    EPSG:3031 (GDALGenImgProjTransformer + GDALWarpOperation,
+    alg/gdaltransformer.cpp:1000 / gdalwarpoperation.cpp:2118) — each
+    dst tile's source window from a transformed boundary lattice, the
+    dst pixel lattice inverse-projected in one vectorized call per
+    tile. Oracle: localref._warp_transform_global re-runs the warp
+    sequentially over the global mosaic."""
+    import localref
+    from gdal_spark.crs import grid_transform_np
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    (sx0, sy0), res, dst_origin, dres = localref.reproject_fixture_grid()
+    _, inv = grid_transform_np(3857, 3031)
+    warped = tiling.warp_transform(
+        tiles, (sx0, sy0), res, dst_origin, dres,
+        dst_tiles_x=2, dst_tiles_y=2, inv_transform=inv,
+        kernel="bilinear", dst_raster_id="reprojected",
+        dst_crs="EPSG:3031")
+    return tiling.checksum_table(warped)
+
+
 def _q_warp_kernel(kernel: str, factor: float):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiles = synth.tiles_src_df(spark, 2, 2)
@@ -3424,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dither_checksums": _q_dither,
         "expand_rgb_checksums": _q_expand_rgb,
         "warp_cutline_checksums": _q_warp_cutline,
+        "warp_reproject_checksums": _q_warp_reproject,
         "ogr_special_fields": _q_special_fields,
         "layer_merge": _q_layer_merge,
     }

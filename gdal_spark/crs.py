@@ -1090,3 +1090,52 @@ def conic_inverse_sql(epsg: int, x_expr: str, y_expr: str) -> tuple[str, str]:
     lon, lat = _CONIC_FNS[kind][1](_SqlBackend, _Sql(x_expr), _Sql(y_expr),
                                    a=a, f=f, **p)
     return str(lon), str(lat)
+
+
+# ------------------------------------------------- raster reprojection
+_R_SPH = 6378137.0  # spherical web-mercator radius (EPSG:3857)
+
+
+def webmerc_forward_np(lon, lat):
+    """EPSG:4326 -> EPSG:3857 (spherical), numpy — same formula the
+    tile grid in cells.py uses as Columns."""
+    import numpy as np
+    x = np.asarray(lon, dtype=np.float64) * (math.pi * _R_SPH / 180.0)
+    y = _R_SPH * np.log(np.tan((90.0 + np.asarray(lat, dtype=np.float64))
+                               * (math.pi / 360.0)))
+    return x, y
+
+
+def webmerc_inverse_np(x, y):
+    import numpy as np
+    lon = np.asarray(x, dtype=np.float64) / (math.pi * _R_SPH) * 180.0
+    lat = (2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / _R_SPH))
+           - math.pi / 2.0) * (180.0 / math.pi)
+    return lon, lat
+
+
+def grid_transform_np(src_epsg: int, dst_epsg: int):
+    """(fwd, inv) vectorized world->world numpy transforms between two
+    projected CRS through geodetic — the GDALGenImgProjTransformer
+    chain (alg/gdaltransformer.cpp:1000) for tiling.warp_transform.
+    Supports EPSG:3857 (spherical) plus every CONIC_PRESETS family;
+    both functions are picklable and ship inside UDF closures."""
+    def _to_geo(epsg, x, y):
+        if epsg == 3857:
+            return webmerc_inverse_np(x, y)
+        return transform_points_np(epsg, x, y, inverse=True)
+
+    def _from_geo(epsg, lon, lat):
+        if epsg == 3857:
+            return webmerc_forward_np(lon, lat)
+        return transform_points_np(epsg, lon, lat)
+
+    def fwd(x, y):
+        lon, lat = _to_geo(src_epsg, x, y)
+        return _from_geo(dst_epsg, lon, lat)
+
+    def inv(x, y):
+        lon, lat = _to_geo(dst_epsg, x, y)
+        return _from_geo(src_epsg, lon, lat)
+
+    return fwd, inv

@@ -848,6 +848,194 @@ def warp_affine(
     return joined.groupBy("d_tx", "d_ty").applyInPandas(warp_group, schema=TILE_SCHEMA)
 
 
+def suggested_warp_output(src_origin: tuple[float, float], src_res: float,
+                          src_w_px: int, src_h_px: int, fwd_transform,
+                          samples: int = 21):
+    """GDALSuggestedWarpOutput (alg/gdaltransformer.cpp:1384): sample a
+    lattice over the source extent through the forward transform
+    (src world -> dst world) and return (dst_origin, dst_res, dst_w_px,
+    dst_h_px) covering the image of the source, pixel count preserved
+    along the larger axis. Driver-side, O(samples^2) — same cost class
+    as the reference's 21-point edge walk."""
+    sx0, sy0 = src_origin
+    xs = np.linspace(sx0, sx0 + src_w_px * src_res, samples)
+    ys = np.linspace(sy0 - src_h_px * src_res, sy0, samples)
+    gx, gy = np.meshgrid(xs, ys)
+    dx, dy = fwd_transform(gx.ravel(), gy.ravel())
+    ok = np.isfinite(dx) & np.isfinite(dy)
+    xmin, xmax = float(dx[ok].min()), float(dx[ok].max())
+    ymin, ymax = float(dy[ok].min()), float(dy[ok].max())
+    res = max((xmax - xmin) / src_w_px, (ymax - ymin) / src_h_px)
+    w = int(math.ceil((xmax - xmin) / res))
+    h = int(math.ceil((ymax - ymin) / res))
+    return (xmin, ymax), res, w, h
+
+
+def warp_transform(
+    tiles: DataFrame,
+    src_origin: tuple[float, float],
+    src_res: float,
+    dst_origin: tuple[float, float],
+    dst_res: float,
+    dst_tiles_x: int,
+    dst_tiles_y: int,
+    inv_transform,
+    kernel: str = "nearest",
+    dst_raster_id: str = "reprojected",
+    dst_crs: str = "custom",
+    tile_px: int | None = None,
+    src_tile_px: int | None = None,
+    window_samples: int = 11,
+) -> DataFrame:
+    """gdalwarp with a GENERAL coordinate transformer — the -t_srs
+    reprojection core (GDALGenImgProjTransformer, alg/gdaltransformer
+    .cpp:1000; GDALWarpOperation per-chunk source-window computation,
+    alg/gdalwarpoperation.cpp:2118 samples boundary points the same
+    way). `inv_transform` is a picklable vectorized numpy function
+    (dst world xs, ys) -> (src world xs, ys) — the composition
+    inverse-dst-projection -> [datum step] -> forward-src-projection;
+    build it from crs.grid_transform_np / datum.* numpy backends. It
+    ships to executors inside the UDF closures.
+
+    Plan (all distributed, two stages):
+      1. mapInPandas over the dst tile list: each tile's conservative
+         source window from a transformed window_samples^2 lattice
+         (+ kernel margin + curvature slack).
+      2. explode the window -> shuffle-join the source tile table ->
+         per-dst-tile grouped pandas UDF inverse-transforms the dst
+         pixel-center lattice (vectorized, one call per tile) and
+         samples the assembled window. Pixels whose preimage falls
+         outside the source become nodata.
+
+    Kernels: nearest / bilinear (GDAL's default near and the common
+    reprojection choice). Dst tiles whose preimage intersects no
+    source tile produce no row, like warp_affine."""
+    if kernel not in ("nearest", "bilinear"):
+        raise ValueError(f"unsupported warp_transform kernel: {kernel}")
+    sx0, sy0 = src_origin
+    dx0, dy0 = dst_origin
+    spark = tiles.sparkSession
+    ts = tile_px if tile_px is not None else TILE_SIZE
+    sts = src_tile_px if src_tile_px is not None else ts
+    margin = {"nearest": 1, "bilinear": 2}[kernel] + 2  # + curvature slack
+    nsamp = window_samples
+
+    dst = spark.range(0, dst_tiles_x * dst_tiles_y, 1).select(
+        (F.col("id") % dst_tiles_x).cast("int").alias("d_tx"),
+        (F.col("id") / dst_tiles_x).cast("int").alias("d_ty"),
+    )
+
+    win_schema = T.StructType([
+        T.StructField("d_tx", T.IntegerType()),
+        T.StructField("d_ty", T.IntegerType()),
+        T.StructField("stx0", T.IntegerType()),
+        T.StructField("stx1", T.IntegerType()),
+        T.StructField("sty0", T.IntegerType()),
+        T.StructField("sty1", T.IntegerType()),
+    ])
+
+    def windows(batches):
+        lin = np.linspace(0.0, 1.0, nsamp)
+        for pdf in batches:
+            rows = []
+            for tx, ty in zip(pdf["d_tx"], pdf["d_ty"]):
+                wx0 = dx0 + int(tx) * ts * dst_res
+                wy1 = dy0 - int(ty) * ts * dst_res
+                gx, gy = np.meshgrid(wx0 + lin * ts * dst_res,
+                                     wy1 - lin * ts * dst_res)
+                sxw, syw = inv_transform(gx.ravel(), gy.ravel())
+                ok = np.isfinite(sxw) & np.isfinite(syw)
+                if not ok.any():
+                    continue
+                spx = (sxw[ok] - sx0) / src_res
+                spy = (sy0 - syw[ok]) / src_res
+                rows.append((int(tx), int(ty),
+                             int(np.floor((spx.min() - margin) / sts)),
+                             int(np.floor((spx.max() + margin) / sts)),
+                             int(np.floor((spy.min() - margin) / sts)),
+                             int(np.floor((spy.max() + margin) / sts))))
+            yield pd.DataFrame(rows, columns=[f.name for f in win_schema])
+
+    win = dst.mapInPandas(windows, schema=win_schema)
+    needs = win.select(
+        "d_tx", "d_ty",
+        F.explode(F.sequence(F.col("stx0"), F.col("stx1"))).alias("s_tx"),
+        "sty0", "sty1",
+    ).select(
+        "d_tx", "d_ty", "s_tx",
+        F.explode(F.sequence(F.col("sty0"), F.col("sty1"))).alias("s_ty"),
+    )
+    joined = needs.join(
+        tiles.withColumnRenamed("tile_x", "s_tx")
+             .withColumnRenamed("tile_y", "s_ty"),
+        ["s_tx", "s_ty"], "inner")
+
+    def warp_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        d_tx, d_ty = int(key[0]), int(key[1])
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                [], columns=[f.name for f in TILE_SCHEMA.fields])
+        first = pdf.iloc[0]
+        nodata = float(first["nodata"])
+        tx_min, ty_min = int(pdf["s_tx"].min()), int(pdf["s_ty"].min())
+        tx_max, ty_max = int(pdf["s_tx"].max()), int(pdf["s_ty"].max())
+        W = (tx_max - tx_min + 1) * sts
+        H = (ty_max - ty_min + 1) * sts
+        mosaic = np.full((H, W), nodata, dtype=np.float64)
+        for r in pdf.itertuples(index=False):
+            arr = _decode(r.data, r.dtype, r.height, r.width)
+            ox = (int(r.s_tx) - tx_min) * sts
+            oy = (int(r.s_ty) - ty_min) * sts
+            mosaic[oy:oy + arr.shape[0], ox:ox + arr.shape[1]] = arr
+
+        jj, ii = np.mgrid[0:ts, 0:ts]
+        wxp = dx0 + (d_tx * ts + ii + 0.5) * dst_res
+        wyp = dy0 - (d_ty * ts + jj + 0.5) * dst_res
+        sxw, syw = inv_transform(wxp.ravel(), wyp.ravel())
+        # global source pixel coords, then window-local (exact integer
+        # shift — bit-identical to the single-node oracle's global lx)
+        spx = (np.asarray(sxw) - sx0) / src_res - 0.5
+        spy = (sy0 - np.asarray(syw)) / src_res - 0.5
+        lx = (spx - tx_min * sts).reshape(ts, ts)
+        ly = (spy - ty_min * sts).reshape(ts, ts)
+        valid = (np.isfinite(lx) & np.isfinite(ly) &
+                 (lx > -0.5) & (lx < W - 0.5) &
+                 (ly > -0.5) & (ly < H - 0.5))
+        lxs = np.where(valid, lx, 0.0)
+        lys = np.where(valid, ly, 0.0)
+        if kernel == "nearest":
+            xi = np.clip(np.round(lxs).astype(np.int64), 0, W - 1)
+            yi = np.clip(np.round(lys).astype(np.int64), 0, H - 1)
+            out = mosaic[yi, xi]
+        else:
+            x0i = np.clip(np.floor(lxs).astype(np.int64), 0, W - 1)
+            y0i = np.clip(np.floor(lys).astype(np.int64), 0, H - 1)
+            x1i = np.clip(x0i + 1, 0, W - 1)
+            y1i = np.clip(y0i + 1, 0, H - 1)
+            fx = np.clip(lxs - x0i, 0.0, 1.0)
+            fy = np.clip(lys - y0i, 0.0, 1.0)
+            out = (mosaic[y0i, x0i] * (1 - fx) * (1 - fy)
+                   + mosaic[y0i, x1i] * fx * (1 - fy)
+                   + mosaic[y1i, x0i] * (1 - fx) * fy
+                   + mosaic[y1i, x1i] * fx * fy)
+        out = np.where(valid, out, nodata)
+        out = _gdal_cast(out, str(first["dtype"]))
+        return pd.DataFrame(
+            [{
+                "raster_id": dst_raster_id, "band": int(first["band"]),
+                "zoom": int(first["zoom"]), "tile_x": d_tx, "tile_y": d_ty,
+                "width": ts, "height": ts, "dtype": str(out.dtype),
+                "nodata": nodata, "crs": dst_crs,
+                "geotransform": [dx0 + d_tx * ts * dst_res, dst_res, 0.0,
+                                 dy0 - d_ty * ts * dst_res, 0.0, -dst_res],
+                "data": out.tobytes(),
+            }]
+        )
+
+    return joined.groupBy("d_tx", "d_ty").applyInPandas(
+        warp_group, schema=TILE_SCHEMA)
+
+
 def cutline_blend_density(
     tiles: DataFrame,
     cutline_rings: list,

@@ -1061,6 +1061,7 @@ def oracle_entries() -> dict:
         "overview_checksums": sql_overview_checksums,
         "warp_checksums": sql_warp_checksums,
         "warp_cutline_checksums": sql_warp_cutline_checksums,
+        "warp_reproject_checksums": sql_warp_reproject_checksums,
         "mosaic_checksums": sql_mosaic_checksums,
         "dem_tri_checksums": sql_dem_tri_checksums,
         "dem_aspect_checksums": sql_dem_aspect_checksums,
@@ -2544,4 +2545,82 @@ def sql_fillnodata_smooth_checksums() -> str:
     pad[hx:-hx, hx:-hx] = g
     out = fill_smooth_window(pad, 8, 3, -1.0, 2.0)
     return values_sql(tile_checksums(out, 256, "filled_si", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
+# ------------------------------------------------- general reprojection
+def reproject_fixture_grid():
+    """Deterministic fixture for the general-transformer warp
+    (gdalwarp -t_srs): the 2x2 synthetic EPSG:3857 source at zoom 12
+    reprojected to EPSG:3031 (Antarctic Polar Stereographic — the
+    source sits at lat ~ -85, inside 3031's domain). The dst grid is a
+    2x2-tile window CENTERED on the image of the source (every dst
+    pixel's preimage falls inside the source), derived once here and
+    imported by BOTH the engine query and this oracle so the grids are
+    identical python floats. Returns (src_origin, src_res, dst_origin,
+    dst_res)."""
+    from gdal_spark.crs import grid_transform_np
+    from gdal_spark.tiling import suggested_warp_output
+
+    res = _zoom_res(12)
+    x0 = -math.pi * _R_EARTH
+    origin = (x0, x0 + 2 * 256 * res)
+    fwd, _ = grid_transform_np(3857, 3031)
+    (ox, oy), sres, w, h = suggested_warp_output(origin, res, 512, 512, fwd)
+    dres = sres * 0.45  # zoom into the interior: 512 dst px span ~23%
+    cx = ox + (w / 2.0) * sres
+    cy = oy - (h / 2.0) * sres
+    dst_origin = (cx - 256.0 * dres, cy + 256.0 * dres)
+    return origin, res, dst_origin, dres
+
+
+def _warp_transform_global(src: np.ndarray, sx0, sy0, src_res,
+                           dx0, dy0, dst_res, dst_w, dst_h, inv_fn,
+                           kernel: str = "bilinear",
+                           nodata: float = 0.0) -> np.ndarray:
+    """Single-node counterpart of tiling.warp_transform: inverse-
+    transform every dst pixel center, sample the GLOBAL source.
+    Identical arithmetic sequence (global pixel index + 0.5, then the
+    exact-integer window shift on the engine side) so values are
+    bit-equal wherever the engine's window covers the kernel support."""
+    H, W = src.shape
+    src = src.astype(np.float64)
+    jj, ii = np.mgrid[0:dst_h, 0:dst_w]
+    wx = dx0 + (ii + 0.5) * dst_res
+    wy = dy0 - (jj + 0.5) * dst_res
+    sxw, syw = inv_fn(wx.ravel(), wy.ravel())
+    lx = ((np.asarray(sxw) - sx0) / src_res - 0.5).reshape(dst_h, dst_w)
+    ly = ((sy0 - np.asarray(syw)) / src_res - 0.5).reshape(dst_h, dst_w)
+    valid = (np.isfinite(lx) & np.isfinite(ly) &
+             (lx > -0.5) & (lx < W - 0.5) & (ly > -0.5) & (ly < H - 0.5))
+    lxs = np.where(valid, lx, 0.0)
+    lys = np.where(valid, ly, 0.0)
+    if kernel == "nearest":
+        xi = np.clip(np.round(lxs).astype(np.int64), 0, W - 1)
+        yi = np.clip(np.round(lys).astype(np.int64), 0, H - 1)
+        out = src[yi, xi]
+    else:
+        x0i = np.clip(np.floor(lxs).astype(np.int64), 0, W - 1)
+        y0i = np.clip(np.floor(lys).astype(np.int64), 0, H - 1)
+        x1i = np.clip(x0i + 1, 0, W - 1)
+        y1i = np.clip(y0i + 1, 0, H - 1)
+        fx = np.clip(lxs - x0i, 0.0, 1.0)
+        fy = np.clip(lys - y0i, 0.0, 1.0)
+        out = (src[y0i, x0i] * (1 - fx) * (1 - fy)
+               + src[y0i, x1i] * fx * (1 - fy)
+               + src[y1i, x0i] * (1 - fx) * fy
+               + src[y1i, x1i] * fx * fy)
+    return np.where(valid, out, nodata)
+
+
+def sql_warp_reproject_checksums() -> str:
+    from gdal_spark.crs import grid_transform_np
+
+    (sx0, sy0), res, (dx0, dy0), dres = reproject_fixture_grid()
+    _, inv = grid_transform_np(3857, 3031)
+    g = global_mosaic(2, 2)
+    out = _warp_transform_global(g, sx0, sy0, res, dx0, dy0, dres,
+                                 512, 512, inv, "bilinear")
+    out = _gdal_cast_local(out, "uint8")
+    return values_sql(tile_checksums(out, 256, "reprojected", 1, 12),
                       CKS_COLS, CKS_TYPES)
