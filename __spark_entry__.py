@@ -967,6 +967,26 @@ def _q_warp_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(warped)
 
 
+def _q_warp_datum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-datum raster warp: EPSG:3857 -> EPSG:27700 (the
+    transformer chain runs TM inverse + OSGB36 Helmert per pixel
+    lattice — gdalwarp -t_srs EPSG:27700 through PROJ's +towgs84
+    pipeline). Same windowed warp_transform engine as the 3031
+    reprojection, different transformer composition."""
+    import localref
+    from gdal_spark.crs import grid_transform_np
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    (sx0, sy0), res, dst_origin, dres = localref.datum_warp_fixture_grid()
+    _, inv = grid_transform_np(3857, 27700)
+    warped = tiling.warp_transform(
+        tiles, (sx0, sy0), res, dst_origin, dres,
+        dst_tiles_x=2, dst_tiles_y=2, inv_transform=inv,
+        kernel="bilinear", dst_raster_id="bng_warp",
+        dst_crs="EPSG:27700")
+    return tiling.checksum_table(warped)
+
+
 def _q_warp_kernel(kernel: str, factor: float):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiles = synth.tiles_src_df(spark, 2, 2)
@@ -3447,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expand_rgb_checksums": _q_expand_rgb,
         "warp_cutline_checksums": _q_warp_cutline,
         "warp_reproject_checksums": _q_warp_reproject,
+        "warp_datum_checksums": _q_warp_datum,
         "ogr_special_fields": _q_special_fields,
         "layer_merge": _q_layer_merge,
     }

@@ -168,6 +168,9 @@ def main():
         # shift, the compound BNG and NAD27->NAD83-UTM pipelines
         "helmert_transform", "gridshift_transform", "bng_transform",
         "nad27_utm_transform",
+        # general-transformer raster warps (gdalwarp -t_srs): polar
+        # reprojection and the cross-datum BNG chain
+        "warp_reproject_checksums", "warp_datum_checksums",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -1118,17 +1118,40 @@ def grid_transform_np(src_epsg: int, dst_epsg: int):
     """(fwd, inv) vectorized world->world numpy transforms between two
     projected CRS through geodetic — the GDALGenImgProjTransformer
     chain (alg/gdaltransformer.cpp:1000) for tiling.warp_transform.
-    Supports EPSG:3857 (spherical) plus every CONIC_PRESETS family;
-    both functions are picklable and ship inside UDF closures."""
+    Supports EPSG:3857 (spherical), every CONIC_PRESETS family, UTM
+    codes (326xx/327xx/269xx), and EPSG:27700 — the British National
+    Grid INCLUDING its OSGB36 Helmert datum step (projpipe), so the
+    raster warp crosses datums the way gdalwarp does through PROJ.
+    Geodetic interchange is WGS84 lon/lat (27700 is the one code here
+    with a non-WGS84 datum and carries its own shift). Both returned
+    functions are picklable and ship inside UDF closures."""
     def _to_geo(epsg, x, y):
         if epsg == 3857:
             return webmerc_inverse_np(x, y)
-        return transform_points_np(epsg, x, y, inverse=True)
+        if epsg == 27700:
+            from .projpipe import bng_inverse
+            return bng_inverse(_NpBackend, x, y)
+        try:
+            ellps, zone, south = utm_params(epsg)
+        except ValueError:
+            return transform_points_np(epsg, x, y, inverse=True)
+        a, f = ELLIPSOIDS[ellps]
+        return _tm_inverse(_NpBackend, x, y, float(zone * 6 - 183), a, f,
+                           false_n=10000000.0 if south else 0.0)
 
     def _from_geo(epsg, lon, lat):
         if epsg == 3857:
             return webmerc_forward_np(lon, lat)
-        return transform_points_np(epsg, lon, lat)
+        if epsg == 27700:
+            from .projpipe import bng_forward
+            return bng_forward(_NpBackend, lon, lat)
+        try:
+            ellps, zone, south = utm_params(epsg)
+        except ValueError:
+            return transform_points_np(epsg, lon, lat)
+        a, f = ELLIPSOIDS[ellps]
+        return _tm_forward(_NpBackend, lon, lat, float(zone * 6 - 183), a, f,
+                           false_n=10000000.0 if south else 0.0)
 
     def fwd(x, y):
         lon, lat = _to_geo(src_epsg, x, y)

@@ -1062,6 +1062,7 @@ def oracle_entries() -> dict:
         "warp_checksums": sql_warp_checksums,
         "warp_cutline_checksums": sql_warp_cutline_checksums,
         "warp_reproject_checksums": sql_warp_reproject_checksums,
+        "warp_datum_checksums": sql_warp_datum_checksums,
         "mosaic_checksums": sql_mosaic_checksums,
         "dem_tri_checksums": sql_dem_tri_checksums,
         "dem_aspect_checksums": sql_dem_aspect_checksums,
@@ -2623,4 +2624,38 @@ def sql_warp_reproject_checksums() -> str:
                                  512, 512, inv, "bilinear")
     out = _gdal_cast_local(out, "uint8")
     return values_sql(tile_checksums(out, 256, "reprojected", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
+def datum_warp_fixture_grid():
+    """Fixture for the cross-DATUM raster warp: the same 2x2 synthetic
+    tile content declared on a zoom-12 EPSG:3857 grid over London,
+    warped to EPSG:27700 (British National Grid, OSGB36 datum — the
+    transformer chain includes the position-vector Helmert step, like
+    gdalwarp -s_srs EPSG:3857 -t_srs EPSG:27700 through PROJ).
+    Returns (src_origin, src_res, dst_origin, dst_res)."""
+    from gdal_spark.crs import grid_transform_np, webmerc_forward_np
+    from gdal_spark.tiling import suggested_warp_output
+
+    res = _zoom_res(12)
+    x0, ytop = webmerc_forward_np(np.array([-0.35]), np.array([51.7]))
+    origin = (float(x0[0]), float(ytop[0]))
+    fwd, _ = grid_transform_np(3857, 27700)
+    (ox, oy), sres, w, h = suggested_warp_output(origin, res, 512, 512, fwd)
+    dres = sres * 0.45
+    cx = ox + (w / 2.0) * sres
+    cy = oy - (h / 2.0) * sres
+    return origin, res, (cx - 256.0 * dres, cy + 256.0 * dres), dres
+
+
+def sql_warp_datum_checksums() -> str:
+    from gdal_spark.crs import grid_transform_np
+
+    (sx0, sy0), res, (dx0, dy0), dres = datum_warp_fixture_grid()
+    _, inv = grid_transform_np(3857, 27700)
+    g = global_mosaic(2, 2)
+    out = _warp_transform_global(g, sx0, sy0, res, dx0, dy0, dres,
+                                 512, 512, inv, "bilinear")
+    out = _gdal_cast_local(out, "uint8")
+    return values_sql(tile_checksums(out, 256, "bng_warp", 1, 12),
                       CKS_COLS, CKS_TYPES)
