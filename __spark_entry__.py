@@ -1828,6 +1828,52 @@ def _q_mdarray_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.to_rows()
 
 
+def _q_mdarray_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidim ComputeStatistics (gcore/gdalmultidim.cpp:6119) over a
+    (20,16,8) COO array with a nodata sentinel — one partial+final
+    aggregate, population stddev like the reference."""
+    from gdal_spark.multidim import mdarray_from_fn
+
+    arr = mdarray_from_fn(
+        spark, [("i", 20), ("j", 16), ("k", 8)],
+        ((F.col("i") * 7919 + F.col("j") * 131 + F.col("k")) % 97)
+        .cast("double"),
+    )
+    return arr.statistics(nodata=0.0).select(
+        "vmin", "vmax",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        "valid_count")
+
+
+def _q_mdarray_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidim GetMask (gcore/gdalmultidim.cpp:5436) composed under a
+    GetView slice — the mask is itself a lazy view, Catalyst folds
+    slice + mask into one scan."""
+    from gdal_spark.multidim import mdarray_from_fn
+
+    arr = mdarray_from_fn(
+        spark, [("i", 20), ("j", 16), ("k", 8)],
+        ((F.col("i") * 7919 + F.col("j") * 131 + F.col("k")) % 97)
+        .cast("double"),
+    )
+    return arr.get_view("[::5, 3, ::2]").mask(0.0).to_rows()
+
+
+def _q_mdarray_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidim AsClassicDataset (gcore/gdalmultidim.cpp:5927): a 2-D
+    COO array becomes the raster tile table (one shuffle on tile key),
+    verified through GDAL checksums per tile."""
+    from gdal_spark.multidim import mdarray_from_fn
+
+    arr = mdarray_from_fn(
+        spark, [("y", 512), ("x", 512)],
+        ((F.col("y") * 131 + F.col("x")) % 251).cast("double"),
+    )
+    tiles = arr.as_classic_dataset(dtype="uint8", raster_id="md_classic")
+    return tiling.checksum_table(tiles)
+
+
 _KSP_N, _KSP_SRC, _KSP_DST, _KSP_K = 30, 0, 17, 3
 
 
@@ -3365,6 +3411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_igor_checksums": _q_hillshade_igor,
         "mdarray_view": _q_mdarray_view,
         "mdarray_transpose": _q_mdarray_transpose,
+        "mdarray_stats": _q_mdarray_stats,
+        "mdarray_mask": _q_mdarray_mask,
+        "mdarray_classic_checksums": _q_mdarray_classic,
         "graph_ksp": _q_graph_ksp,
         "streaming_window": _q_streaming_window,
         "ogr_style": _q_ogr_style,
@@ -4559,6 +4608,27 @@ def _oracle_sql_static() -> dict[str, str]:
                    CAST((2 + 3 * a.range) * 7919
                         + (2 * b.range) * 131 + 5 AS BIGINT) AS value
             FROM range(6) a CROSS JOIN range(8) b
+        """,
+        "mdarray_stats": """
+            WITH v AS (
+              SELECT CAST((a.range * 7919 + b.range * 131 + c.range) % 97
+                          AS DOUBLE) AS x
+              FROM range(20) a CROSS JOIN range(16) b CROSS JOIN range(8) c
+            ), f AS (SELECT x FROM v WHERE x <> 0.0)
+            SELECT MIN(x) AS vmin, MAX(x) AS vmax,
+                   ROUND(SUM(x) / COUNT(*), 6) AS mean,
+                   ROUND(SQRT(SUM(x * x) / COUNT(*)
+                              - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*))),
+                         6) AS std,
+                   COUNT(*) AS valid_count
+            FROM f
+        """,
+        "mdarray_mask": """
+            SELECT CAST(a.range AS BIGINT) AS i, CAST(c.range AS BIGINT) AS k,
+                   CASE WHEN ((5 * a.range) * 7919 + 3 * 131
+                              + (2 * c.range)) % 97 = 0
+                        THEN 0 ELSE 1 END AS value
+            FROM range(4) a CROSS JOIN range(4) c
         """,
         "ogr_style": _ogr_style_sql(),
         "ogr2ogr_translate": _ogr2ogr_sql(),

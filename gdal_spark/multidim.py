@@ -98,6 +98,83 @@ class MDArray:
                           F.lit(None).cast("double")).otherwise(expr)
         return MDArray(self.df.withColumn("value", expr), self.dims)
 
+    def mask(self, nodata: float) -> "MDArray":
+        """GDALMDArray::GetMask (gcore/gdalmultidim.cpp:5436,
+        GDALMDArrayMask :4899): UInt8-like validity array — 1 where valid,
+        0 at the nodata sentinel. Pure column math."""
+        m = F.when(F.col("value") == F.lit(float(nodata)), F.lit(0)) \
+             .otherwise(F.lit(1)).cast("int")
+        return MDArray(self.df.withColumn("value", m), self.dims)
+
+    def statistics(self, nodata: float | None = None) -> DataFrame:
+        """GDALMDArray::ComputeStatistics (gcore/gdalmultidim.cpp:6119;
+        same accumulation as GDALRasterBand::ComputeStatistics):
+        one-row (vmin, vmax, mean, std, valid_count) over non-nodata
+        elements, population stddev like the reference. One partial+
+        final aggregate — no element leaves its partition before the
+        combine."""
+        v = F.col("value").cast("double")
+        df = self.df
+        if nodata is not None:
+            df = df.filter(v != F.lit(float(nodata)))
+        mean = F.sum(v) / F.count("*")
+        return df.agg(
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+            mean.alias("mean"),
+            F.sqrt(F.sum(v * v) / F.count("*") - mean * mean).alias("std"),
+            F.count("*").alias("valid_count"),
+        )
+
+    def as_classic_dataset(self, tile_px: int = 256,
+                           raster_id: str = "mdarray",
+                           dtype: str = "float64",
+                           nodata: float = 0.0) -> DataFrame:
+        """GDALMDArray::AsClassicDataset (gcore/gdalmultidim.cpp:5927):
+        expose a 2-D array (dims = [y, x]) as a classic raster — here
+        as the tile table every raster operator consumes (warp,
+        overview, DEM, pixel functions...). COO rows shuffle ONCE on
+        (tile_y, tile_x); each tile assembles its pixels in a grouped
+        Arrow batch; partial edge tiles pad with nodata. Higher-rank
+        arrays: slice to 2-D with get_view first, exactly like the
+        reference's iXDim/iYDim contract."""
+        import numpy as np
+        import pandas as pd
+
+        from .synth import TILE_SCHEMA
+        from .tiling import _gdal_cast
+
+        if len(self.dims) != 2:
+            raise ValueError("as_classic_dataset needs a 2-D view")
+        (yname, H), (xname, W) = self.dims
+        ts = tile_px
+
+        coo = self.df.select(
+            (F.col(yname) / ts).cast("int").alias("t_y"),
+            (F.col(xname) / ts).cast("int").alias("t_x"),
+            (F.col(yname) % ts).cast("int").alias("p_y"),
+            (F.col(xname) % ts).cast("int").alias("p_x"),
+            F.col("value").cast("double").alias("value"),
+        )
+
+        def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            t_x, t_y = int(key[1]), int(key[0])
+            arr = np.full((ts, ts), float(nodata), dtype=np.float64)
+            arr[pdf["p_y"].to_numpy(), pdf["p_x"].to_numpy()] = \
+                pdf["value"].to_numpy()
+            out = _gdal_cast(arr, dtype)
+            return pd.DataFrame([{
+                "raster_id": raster_id, "band": 1, "zoom": 0,
+                "tile_x": t_x, "tile_y": t_y, "width": ts, "height": ts,
+                "dtype": str(out.dtype), "nodata": float(nodata),
+                "crs": "", "geotransform": [float(t_x * ts), 1.0, 0.0,
+                                            -float(t_y * ts), 0.0, -1.0],
+                "data": out.tobytes(),
+            }])
+
+        return coo.groupBy("t_y", "t_x").applyInPandas(
+            assemble, schema=TILE_SCHEMA)
+
     def to_rows(self) -> DataFrame:
         """(dim columns in order, value), deterministic column order."""
         return self.df.select(*[n for n, _ in self.dims], "value")

@@ -1063,6 +1063,7 @@ def oracle_entries() -> dict:
         "warp_cutline_checksums": sql_warp_cutline_checksums,
         "warp_reproject_checksums": sql_warp_reproject_checksums,
         "warp_datum_checksums": sql_warp_datum_checksums,
+        "mdarray_classic_checksums": sql_mdarray_classic_checksums,
         "mosaic_checksums": sql_mosaic_checksums,
         "dem_tri_checksums": sql_dem_tri_checksums,
         "dem_aspect_checksums": sql_dem_aspect_checksums,
@@ -2658,4 +2659,13 @@ def sql_warp_datum_checksums() -> str:
                                  512, 512, inv, "bilinear")
     out = _gdal_cast_local(out, "uint8")
     return values_sql(tile_checksums(out, 256, "bng_warp", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
+def sql_mdarray_classic_checksums() -> str:
+    """Expected checksums for the AsClassicDataset bridge: the same
+    (y*131 + x) % 251 lattice assembled sequentially."""
+    y, x = np.mgrid[0:512, 0:512]
+    arr = _gdal_cast_local(((y * 131 + x) % 251).astype(np.float64), "uint8")
+    return values_sql(tile_checksums(arr, 256, "md_classic", 1, 0),
                       CKS_COLS, CKS_TYPES)

@@ -45,3 +45,47 @@ def test_view_prunes_scan(spark):
     assert len(rows) == 1 and rows[0]["value"] == 12
     plan = v.to_rows()._jdf.queryExecution().executedPlan().toString()
     assert "Filter" in plan  # the slice reaches the plan as a filter
+
+
+def test_mask_and_statistics(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from gdal_spark.multidim import mdarray_from_fn
+
+    arr = mdarray_from_fn(
+        spark, [("i", 6), ("j", 5)],
+        ((F.col("i") * 7 + F.col("j")) % 11).cast("double"))
+    a = (np.arange(6)[:, None] * 7 + np.arange(5)[None, :]) % 11
+    # mask: 0 at the nodata sentinel
+    m = {(r["i"], r["j"]): r["value"]
+         for r in arr.mask(0.0).to_rows().collect()}
+    for i in range(6):
+        for j in range(5):
+            assert m[(i, j)] == (0 if a[i, j] == 0 else 1)
+    # statistics: population stddev over non-nodata values
+    row = arr.statistics(nodata=0.0).collect()[0]
+    v = a[a != 0].astype(float)
+    assert row["vmin"] == v.min() and row["vmax"] == v.max()
+    assert abs(row["mean"] - v.mean()) < 1e-12
+    assert abs(row["std"] - v.std()) < 1e-12
+    assert row["valid_count"] == int((a != 0).sum())
+
+
+def test_as_classic_dataset_roundtrip(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from gdal_spark import tiling
+    from gdal_spark.multidim import mdarray_from_fn
+
+    arr = mdarray_from_fn(
+        spark, [("y", 40), ("x", 48)],
+        (F.col("y") * 100 + F.col("x")).cast("double"))
+    tiles = arr.as_classic_dataset(tile_px=16, nodata=-1.0)
+    rows = {(r["tile_y"], r["tile_x"]):
+            np.frombuffer(r["data"], dtype=r["dtype"]).reshape(16, 16)
+            for r in tiles.collect()}
+    assert len(rows) == (40 // 16 + 1) * (48 // 16)
+    assert rows[(0, 0)][3, 5] == 305.0
+    assert rows[(2, 1)][1, 2] == (32 + 1) * 100 + (16 + 2)
+    # edge tile padded with nodata below row 40
+    assert rows[(2, 0)][9, 0] == -1.0
