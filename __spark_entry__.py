@@ -1874,6 +1874,23 @@ def _q_mdarray_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(tiles)
 
 
+def _q_mdarray_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both multidim<->classic bridges end to end: COO array ->
+    AsClassicDataset tile table (gdalmultidim.cpp:5927) ->
+    RasterBand::AsMDArray back to COO (gdalrasterband.cpp:7394) ->
+    GetView slice. The oracle is the directly-sliced lattice, so any
+    padding/indexing defect in either bridge breaks the hash."""
+    from gdal_spark.multidim import mdarray_from_fn, mdarray_from_tiles
+
+    arr = mdarray_from_fn(
+        spark, [("y", 512), ("x", 512)],
+        ((F.col("y") * 131 + F.col("x")) % 251).cast("double"),
+    )
+    tiles = arr.as_classic_dataset(dtype="uint8", raster_id="md_rt")
+    back = mdarray_from_tiles(tiles, 512, 512)
+    return back.get_view("[100:400:7, 37:510:11]").to_rows()
+
+
 _KSP_N, _KSP_SRC, _KSP_DST, _KSP_K = 30, 0, 17, 3
 
 
@@ -3414,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdarray_stats": _q_mdarray_stats,
         "mdarray_mask": _q_mdarray_mask,
         "mdarray_classic_checksums": _q_mdarray_classic,
+        "mdarray_roundtrip": _q_mdarray_roundtrip,
         "graph_ksp": _q_graph_ksp,
         "streaming_window": _q_streaming_window,
         "ogr_style": _q_ogr_style,
@@ -4622,6 +4640,12 @@ def _oracle_sql_static() -> dict[str, str]:
                          6) AS std,
                    COUNT(*) AS valid_count
             FROM f
+        """,
+        "mdarray_roundtrip": """
+            SELECT CAST(a.range AS BIGINT) AS y, CAST(b.range AS BIGINT) AS x,
+                   CAST(((100 + 7 * a.range) * 131
+                         + (37 + 11 * b.range)) % 251 AS DOUBLE) AS value
+            FROM range(43) a CROSS JOIN range(43) b
         """,
         "mdarray_mask": """
             SELECT CAST(a.range AS BIGINT) AS i, CAST(c.range AS BIGINT) AS k,

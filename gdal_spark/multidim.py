@@ -195,3 +195,40 @@ def mdarray_from_fn(spark, dims: list[tuple[str, int]], value_col) -> MDArray:
         )
     df = df.drop("id").withColumn("value", value_col)
     return MDArray(df, dims)
+
+
+def mdarray_from_tiles(tiles: DataFrame, height: int, width: int,
+                       tile_px: int = 256) -> MDArray:
+    """GDALRasterBand::AsMDArray (gcore/gdalrasterband.cpp:7394) — the
+    reverse of as_classic_dataset: a raster tile table becomes a 2-D
+    COO MDArray (dims y, x). Each tile explodes to element rows inside
+    mapInPandas (vectorized, one numpy reshape per tile); rows beyond
+    the declared raster extent (edge-tile padding) are dropped. Purely
+    map-side — no shuffle; the COO is immediately sliceable with
+    get_view."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("y", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def explode(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=r.dtype).reshape(
+                    r.height, r.width).astype(np.float64)
+                yy, xx = np.mgrid[0:r.height, 0:r.width]
+                gy = yy.ravel() + int(r.tile_y) * tile_px
+                gx = xx.ravel() + int(r.tile_x) * tile_px
+                keep = (gy < height) & (gx < width)
+                yield pd.DataFrame({
+                    "y": gy[keep], "x": gx[keep],
+                    "value": arr.ravel()[keep],
+                })
+
+    return MDArray(tiles.mapInPandas(explode, schema=schema),
+                   [("y", height), ("x", width)])
