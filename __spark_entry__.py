@@ -2097,6 +2097,27 @@ def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup (dropDuplicatesWithinWatermark + append
+    parquet sink, availableNow drain) over the events firehose keyed
+    by (user_id, event_type). Emitting only the key columns makes the
+    drained result exactly the batch DISTINCT, which is the oracle."""
+    import tempfile
+
+    from gdal_spark.streaming import stream_dedup
+
+    root = tempfile.mkdtemp(prefix="gdal_spark_sdd_")
+    src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ck"
+    ev = _read(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(src)
+    # watermark wider than the fixture's event-time span: state never
+    # evicts during the drain, so the drained output is exactly batch
+    # DISTINCT however availableNow splits the micro-batches
+    stream_dedup(spark, src, ev.schema, out, ck,
+                 key_cols=["user_id", "event_type"], watermark="365 days")
+    return spark.read.parquet(out)
+
+
 def _q_mdarray_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multidim Transpose (gdalmultidim.cpp:4257) + GetUnscaled (:838,
     GDALMDArrayUnscaled) chained with a GetView slice: a (12, 10, 6)
@@ -3432,6 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdarray_mask": _q_mdarray_mask,
         "mdarray_classic_checksums": _q_mdarray_classic,
         "mdarray_roundtrip": _q_mdarray_roundtrip,
+        "streaming_dedup": _q_streaming_dedup,
         "graph_ksp": _q_graph_ksp,
         "streaming_window": _q_streaming_window,
         "ogr_style": _q_ogr_style,
@@ -4640,6 +4662,9 @@ def _oracle_sql_static() -> dict[str, str]:
                          6) AS std,
                    COUNT(*) AS valid_count
             FROM f
+        """,
+        "streaming_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "mdarray_roundtrip": """
             SELECT CAST(a.range AS BIGINT) AS y, CAST(b.range AS BIGINT) AS x,

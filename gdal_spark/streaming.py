@@ -218,3 +218,43 @@ def stream_windowed_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+):
+    """Streaming deduplication with bounded state:
+    dropDuplicatesWithinWatermark over the key columns — the
+    Structured Streaming counterpart of the batch exact-dedup operator
+    (the training-pipeline 'dedupe the firehose' op). The watermark
+    evicts per-key state once event time passes key-first-seen +
+    delay, so state is O(keys inside the watermark horizon), not
+    O(stream length). Only the key columns are emitted, so the result
+    is deterministic regardless of which physical duplicate wins the
+    race inside a micro-batch. Returns after the availableNow drain."""
+    from pyspark.sql import functions as F
+
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    dd = (
+        src.withWatermark(ts_col, watermark)
+        .select(ts_col, *key_cols)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .select(*key_cols)
+    )
+    q = (
+        dd.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
