@@ -668,6 +668,28 @@ def _q_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(tiles)
 
 
+def _q_enhance_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalenhance -equalize (apps/gdalenhance.cpp:493-660): exact
+    distributed per-band histogram (shuffle state = nbins rows) ->
+    cumulative LUT on the driver -> shuffle-free per-tile apply.
+    Oracle: localref.enhance_equalize_np on the assembled mosaic."""
+    from gdal_spark import enhance
+
+    tiles = synth.tiles_src_df(spark, 4, 4)
+    return tiling.checksum_table(enhance.enhance_equalize(tiles))
+
+
+def _q_apply_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_lut (osgeo_utils/samples/gdal_lut.py:46-118): direct
+    integer table lookup, values beyond the table unaltered. Map-only;
+    the LUT is a task-closure literal."""
+    import localref
+    from gdal_spark import enhance
+
+    tiles = synth.tiles_src_df(spark, 4, 4)
+    return tiling.checksum_table(enhance.apply_lut(tiles, localref.gamma_lut()))
+
+
 def _edit_grid(spark: SparkSession, ntx: int, nty: int, x0: float,
                y0: float, res: float) -> DataFrame:
     """Synth tiles with a dataset-consistent north-up geotransform
@@ -3397,6 +3419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "raster_checksums": _q_raster_checksums,
+        "enhance_equalize_checksums": _q_enhance_equalize,
+        "lut_checksums": _q_apply_lut,
         "nearblack_checksums": _q_nearblack,
         "mask_band_checksums": _q_mask_band,
         "overview_select": _q_overview_select,

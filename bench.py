@@ -171,6 +171,8 @@ def main():
         # general-transformer raster warps (gdalwarp -t_srs): polar
         # reprojection and the cross-datum BNG chain
         "warp_reproject_checksums", "warp_datum_checksums",
+        # enhancement: distributed-histogram equalization + gdal_lut
+        "enhance_equalize_checksums", "lut_checksums",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

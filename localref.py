@@ -1135,6 +1135,8 @@ def oracle_entries() -> dict:
         "dem_hillshade_comb_checksums": sql_dem_hillshade_comb_checksums,
         "dem_hillshade_zt_checksums": sql_dem_hillshade_zt_checksums,
         "fillnodata_smooth_checksums": sql_fillnodata_smooth_checksums,
+        "enhance_equalize_checksums": sql_enhance_checksums,
+        "lut_checksums": sql_lut_checksums,
     }
     out = {}
     for name, fn in makers.items():
@@ -2668,4 +2670,47 @@ def sql_mdarray_classic_checksums() -> str:
     y, x = np.mgrid[0:512, 0:512]
     arr = _gdal_cast_local(((y * 131 + x) % 251).astype(np.float64), "uint8")
     return values_sql(tile_checksums(arr, 256, "md_classic", 1, 0),
+                      CKS_COLS, CKS_TYPES)
+
+
+# ====================================================== enhance / gdal_lut
+def gamma_lut(n: int = 200) -> list:
+    """Shared LUT fixture for the gdal_lut query: gamma-ish curve over
+    the first n input values (values >= n pass through, per the
+    sample's contract)."""
+    return [int(min(255, math.floor(255.0 * math.sqrt(i / 255.0) + 0.5)))
+            for i in range(n)]
+
+
+def enhance_equalize_np(g: np.ndarray, nbins: int = 256,
+                        smin: float = -0.5, smax: float = 255.5) -> np.ndarray:
+    """Sequential mirror of gdal_spark.enhance.enhance_equalize
+    (apps/gdalenhance.cpp:493-660 semantics, exact histogram)."""
+    h, _ = np.histogram(g.astype(np.float64).ravel(),
+                        bins=np.linspace(smin, smax, nbins + 1))
+    h = h.astype(np.int64)
+    h[0] = 0
+    h[-1] = 0
+    cum = np.cumsum(h) - h + h // 2
+    total = max(1, int(h.sum()))
+    j = (np.arange(nbins) * len(h)) // nbins
+    lut = np.clip((cum[j] * nbins) // total, 0, nbins - 1)
+    scale = nbins / (smax - smin)
+    bins = np.clip(((g.astype(np.float64) - smin) * scale).astype(np.int64),
+                   0, nbins - 1)
+    return lut[bins].astype(np.uint8)
+
+
+def sql_enhance_checksums() -> str:
+    out = enhance_equalize_np(global_mosaic(4, 4))
+    return values_sql(tile_checksums(out, 256, "byte_like", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
+def sql_lut_checksums() -> str:
+    g = global_mosaic(4, 4).astype(np.int64)
+    table = np.asarray(gamma_lut(), dtype=np.int64)
+    mapped = np.where(g < len(table), table[np.minimum(g, len(table) - 1)], g)
+    out = np.clip(mapped, 0, 255).astype(np.uint8)
+    return values_sql(tile_checksums(out, 256, "byte_like", 1, 12),
                       CKS_COLS, CKS_TYPES)
