@@ -2819,6 +2819,11 @@ _CONIC_REGION = {
     54008: "lon > -179.0 AND lon < 179.0",
     4087: "lon > -179.0 AND lon < 179.0",
     54009: "lon > -179.0 AND lon < 179.0",
+    # LAEA Europe: defined away from the antipode of (10E, 52N); the
+    # European lon band keeps rho well inside 2*Rq
+    3035: "lon > -20.0 AND lon < 49.0",
+    6933: "lon > -179.0 AND lon < 179.0",
+    8857: "lon > -179.0 AND lon < 179.0",
 }
 
 
@@ -3553,6 +3558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sinu_transform": _q_conic(54008),
         "eqc_transform": _q_conic(4087),
         "moll_transform": _q_conic(54009),
+        "laea_transform": _q_conic(3035),
+        "cea_transform": _q_conic(6933),
+        "eqearth_transform": _q_conic(8857),
         "helmert_transform": _q_helmert_transform,
         "gridshift_transform": _q_gridshift_transform,
         "bng_transform": _q_bng_transform,
@@ -5313,6 +5321,9 @@ def _oracle_sql_static() -> dict[str, str]:
         "sinu_transform": _conic_sql(54008),
         "eqc_transform": _conic_sql(4087),
         "moll_transform": _conic_sql(54009),
+        "laea_transform": _conic_sql(3035),
+        "cea_transform": _conic_sql(6933),
+        "eqearth_transform": _conic_sql(8857),
         "helmert_transform": _helmert_sql(),
         "gridshift_transform": _gridshift_sql(),
         "bng_transform": _bng_sql(),

@@ -173,6 +173,9 @@ def main():
         "warp_reproject_checksums", "warp_datum_checksums",
         # enhancement: distributed-histogram equalization + gdal_lut
         "enhance_equalize_checksums", "lut_checksums",
+        # equal-area CRS families: LAEA Europe, EASE-Grid 2.0 CEA,
+        # Equal Earth
+        "laea_transform", "cea_transform", "eqearth_transform",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

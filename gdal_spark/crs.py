@@ -880,6 +880,173 @@ def moll_inverse(B, x, y, lon0: float, a: float, f: float,
     return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
 
 
+def _q_expr(B, e: float, e2: float, sphi):
+    """Authalic q(phi) per Snyder 3-12 as a backend expression (the
+    Column/SQL twin of the scalar _qsc)."""
+    return B.lit(1.0 - e2) * (
+        sphi / (1.0 - sphi * sphi * B.lit(e2))
+        - B.lit(1.0 / (2.0 * e)) * B.log(
+            (1.0 - sphi * B.lit(e)) / (1.0 + sphi * B.lit(e)))
+    )
+
+
+def _phi_from_beta(B, e2: float, beta):
+    """Authalic -> geodetic latitude via the Snyder 3-18 closed series
+    (no iteration: keeps the dual-emitted SQL tree small)."""
+    c1, c2, c3 = _beta_series(e2)
+    return (beta + B.lit(c1) * B.sin(beta * 2.0)
+            + B.lit(c2) * B.sin(beta * 4.0)
+            + B.lit(c3) * B.sin(beta * 6.0))
+
+
+def laea_forward(B, lon, lat, phi0: float, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Lambert Azimuthal Equal Area, ellipsoidal oblique aspect (EPSG
+    method 9820, e.g. EPSG:3035 ETRS89 / LAEA Europe; Snyder
+    24-3..24-19; reference reaches it via PROJ +proj=laea,
+    ogr/ogrct.cpp:1822)."""
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+    qp = _qsc(e2, math.pi / 2.0)
+    p0 = math.radians(phi0)
+    beta0 = math.asin(_qsc(e2, p0) / qp)
+    rq = a * math.sqrt(qp / 2.0)
+    d = a * _msc(e2, p0) / (rq * math.cos(beta0))
+    phi = B.radians(lat)
+    beta = B.asin(_q_expr(B, e, e2, B.sin(phi)) / B.lit(qp))
+    lam = B.radians(lon - B.lit(lon0))
+    bb = B.lit(rq) * B.sqrt(
+        2.0 / (1.0 + B.lit(math.sin(beta0)) * B.sin(beta)
+               + B.lit(math.cos(beta0)) * B.cos(beta) * B.cos(lam)))
+    x = B.lit(fe) + bb * B.lit(d) * B.cos(beta) * B.sin(lam)
+    y = B.lit(fn) + (bb / B.lit(d)) * (
+        B.lit(math.cos(beta0)) * B.sin(beta)
+        - B.lit(math.sin(beta0)) * B.cos(beta) * B.cos(lam))
+    return x, y
+
+
+def laea_inverse(B, x, y, phi0: float, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """LAEA ellipsoidal inverse (Snyder 24-26..24-31): rho -> angular
+    distance ce -> authalic beta -> geodetic phi by the 3-18 series."""
+    e2 = 2.0 * f - f * f
+    qp = _qsc(e2, math.pi / 2.0)
+    p0 = math.radians(phi0)
+    beta0 = math.asin(_qsc(e2, p0) / qp)
+    rq = a * math.sqrt(qp / 2.0)
+    d = a * _msc(e2, p0) / (rq * math.cos(beta0))
+    xp = (x - B.lit(fe)) / B.lit(d)
+    yp = (y - B.lit(fn)) * B.lit(d)
+    # with m = sin^2(ce/2) = (rho/(2Rq))^2: cos ce = 1-2m and
+    # sin(ce)/rho = sqrt(1-m)/Rq — the 0/0 at the projection centre
+    # (rho = 0) is removable, so emit the trig-free form directly
+    m = (xp * xp + yp * yp) / B.lit(4.0 * rq * rq)
+    cce = 1.0 - m * 2.0
+    k = B.sqrt(1.0 - m) / B.lit(rq)
+    sbeta = cce * B.lit(math.sin(beta0)) + yp * k * B.lit(math.cos(beta0))
+    beta = B.asin(sbeta)
+    lam = B.atan2(
+        xp * k,
+        cce * B.lit(math.cos(beta0)) - yp * B.lit(math.sin(beta0)) * k)
+    deg = 180.0 / math.pi
+    return (B.lit(lon0) + lam * B.lit(deg),
+            _phi_from_beta(B, e2, beta) * B.lit(deg))
+
+
+def cea_forward(B, lon, lat, phi1: float, lon0: float, a: float, f: float,
+                fe: float = 0.0, fn: float = 0.0):
+    """Lambert Cylindrical Equal Area, ellipsoidal (EPSG method 9835,
+    e.g. EPSG:6933 WGS 84 / NSIDC EASE-Grid 2.0 Global; Snyder
+    10-13..10-14): x = a k0 lam, y = a q / (2 k0)."""
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+    k0 = _msc(e2, math.radians(phi1))
+    lam = B.radians(lon - B.lit(lon0))
+    q = _q_expr(B, e, e2, B.sin(B.radians(lat)))
+    return (B.lit(fe) + B.lit(a * k0) * lam,
+            B.lit(fn) + B.lit(a / (2.0 * k0)) * q)
+
+
+def cea_inverse(B, x, y, phi1: float, lon0: float, a: float, f: float,
+                fe: float = 0.0, fn: float = 0.0):
+    """CEA ellipsoidal inverse (Snyder 10-17, 10-26 + 3-18 series)."""
+    e2 = 2.0 * f - f * f
+    qp = _qsc(e2, math.pi / 2.0)
+    k0 = _msc(e2, math.radians(phi1))
+    beta = B.asin((y - B.lit(fn)) * B.lit(2.0 * k0 / (a * qp)))
+    deg = 180.0 / math.pi
+    lam = (x - B.lit(fe)) / B.lit(a * k0)
+    return (B.lit(lon0) + lam * B.lit(deg),
+            _phi_from_beta(B, e2, beta) * B.lit(deg))
+
+
+# --------------------------------------------------------------- Equal Earth
+_EE_A1, _EE_A2, _EE_A3, _EE_A4 = 1.340264, -0.081106, 0.000893, 0.003796
+_EE_M = math.sqrt(3.0) / 2.0
+# odd least-squares seed for the Newton inverse theta(y/R), fitted on
+# the converged solution over the full |theta| <= pi/3 range (max seed
+# error 6.5e-7 rad; 2 Newton steps -> float precision). Same
+# seed-then-fixed-steps design as moll_forward: it bounds the
+# dual-emitted SQL tree instead of nesting a from-zero iteration.
+_EE_SEED = (0.7461226043135681, 0.025115625692564106,
+            0.0026604294346023764, -4.5734646288456894e-05,
+            0.000182830667591629, -0.0002773684111987005,
+            5.274562353392273e-06)
+
+
+def _ee_y(B, th):
+    t2 = th * th
+    return th * (B.lit(_EE_A1) + t2 * B.lit(_EE_A2)
+                 + t2 * t2 * t2 * (B.lit(_EE_A3) + t2 * B.lit(_EE_A4)))
+
+
+def _ee_dy(B, th):
+    t2 = th * th
+    return (B.lit(_EE_A1) + t2 * B.lit(3.0 * _EE_A2)
+            + t2 * t2 * t2 * (B.lit(7.0 * _EE_A3) + t2 * B.lit(9.0 * _EE_A4)))
+
+
+def eqearth_forward(B, lon, lat, lon0: float, a: float, f: float,
+                    fe: float = 0.0, fn: float = 0.0):
+    """Equal Earth, ellipsoidal (EPSG method 1078, e.g. EPSG:8857
+    WGS 84 / Equal Earth Greenwich; Savric/Patterson/Jenny 2018).
+    Like PROJ +proj=eqearth the ellipsoid enters through the authalic
+    latitude and the authalic radius R = a*sqrt(qp/2)."""
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+    qp = _qsc(e2, math.pi / 2.0)
+    r = a * math.sqrt(qp / 2.0)
+    sbeta = _q_expr(B, e, e2, B.sin(B.radians(lat))) / B.lit(qp)
+    th = B.asin(sbeta * B.lit(_EE_M))
+    lam = B.radians(lon - B.lit(lon0))
+    x = B.lit(fe) + B.lit(r / _EE_M) * lam * B.cos(th) / _ee_dy(B, th)
+    y = B.lit(fn) + B.lit(r) * _ee_y(B, th)
+    return x, y
+
+
+def eqearth_inverse(B, x, y, lon0: float, a: float, f: float,
+                    fe: float = 0.0, fn: float = 0.0):
+    """Equal Earth inverse: Newton for the parametric latitude theta
+    (seed polynomial + 2 steps), then beta = asin(sin theta / M) and
+    the 3-18 authalic series."""
+    e2 = 2.0 * f - f * f
+    qp = _qsc(e2, math.pi / 2.0)
+    r = a * math.sqrt(qp / 2.0)
+    yh = (y - B.lit(fn)) / B.lit(r)
+    y2 = yh * yh
+    th = yh * (B.lit(_EE_SEED[0]) + y2 * (
+        B.lit(_EE_SEED[1]) + y2 * (B.lit(_EE_SEED[2]) + y2 * (
+            B.lit(_EE_SEED[3]) + y2 * (B.lit(_EE_SEED[4]) + y2 * (
+                B.lit(_EE_SEED[5]) + y2 * B.lit(_EE_SEED[6])))))))
+    for _ in range(2):
+        th = th - (_ee_y(B, th) - yh) / _ee_dy(B, th)
+    beta = B.asin(B.sin(th) / B.lit(_EE_M))
+    lam = (x - B.lit(fe)) * B.lit(_EE_M / r) * _ee_dy(B, th) / B.cos(th)
+    deg = 180.0 / math.pi
+    return (B.lit(lon0) + lam * B.lit(deg),
+            _phi_from_beta(B, e2, beta) * B.lit(deg))
+
+
 # ------------------------------------------------------------------ Krovak
 _KROVAK = dict(
     phiC=49.5,                      # latitude of projection centre
@@ -1003,6 +1170,12 @@ CONIC_PRESETS = {
            dict(phi1=0.0, lon0=0.0, fe=0.0, fn=0.0)),
     54009: ("moll", "WGS84",  # ESRI World Mollweide
             dict(lon0=0.0, fe=0.0, fn=0.0)),
+    3035: ("laea", "GRS80",  # ETRS89-extended / LAEA Europe
+           dict(phi0=52.0, lon0=10.0, fe=4321000.0, fn=3210000.0)),
+    6933: ("cea", "WGS84",  # WGS 84 / NSIDC EASE-Grid 2.0 Global
+           dict(phi1=30.0, lon0=0.0, fe=0.0, fn=0.0)),
+    8857: ("eqearth", "WGS84",  # WGS 84 / Equal Earth Greenwich
+           dict(lon0=0.0, fe=0.0, fn=0.0)),
 }
 
 _CONIC_FNS = {
@@ -1017,6 +1190,9 @@ _CONIC_FNS = {
     "sinu": (sinu_forward, sinu_inverse),
     "eqc": (eqc_forward, eqc_inverse),
     "moll": (moll_forward, moll_inverse),
+    "laea": (laea_forward, laea_inverse),
+    "cea": (cea_forward, cea_inverse),
+    "eqearth": (eqearth_forward, eqearth_inverse),
 }
 
 # EPSG/ESRI code -> projection family dispatch (the engine's answer to
@@ -1030,7 +1206,8 @@ _CONIC_FNS = {
 #   28992        -> Oblique Stereographic       | 5514 -> Krovak (9819)
 #   102031(ESRI) -> Equidistant Conic           | 102016(ESRI) -> polar AEQD
 #   54008(ESRI)  -> Sinusoidal (MODIS-style)    | 4087 -> Equidist. Cylindrical
-#   54009(ESRI)  -> Mollweide
+#   54009(ESRI)  -> Mollweide                   | 3035 -> LAEA Europe (9820)
+#   6933         -> Cylindrical Equal Area      | 8857 -> Equal Earth (1078)
 # Anything else raises KeyError: no silent fallback, no general PROJ.
 
 

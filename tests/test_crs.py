@@ -269,3 +269,55 @@ def test_sinu_eqc_moll_roundtrip_and_known_values(spark):
     x, y = crs.conic_forward(54009, F.lit(90.0), F.lit(0.0))
     gx = df.limit(1).select(x.alias("x")).collect()[0]
     assert abs(gx["x"] - math.sqrt(2.0) * a) < 0.5
+
+
+def test_laea_cea_eqearth_roundtrip_and_known_values(spark):
+    """Equal-area families: LAEA ellipsoidal (EPSG method 9820 —
+    guidance note 7-2 worked example for EPSG:3035-style params),
+    Cylindrical Equal Area (9835 / EPSG:6933) and Equal Earth (1078 /
+    EPSG:8857): forward+inverse round-trips, the EPSG worked example,
+    the false origin anchor, and the equal-area Jacobian property."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gdal_spark import crs
+
+    # EPSG GN 7-2 example for 9820 (ETRS89/LAEA): 50N 5E
+    x, y = crs.transform_points_np(3035, np.array([5.0]), np.array([50.0]))
+    assert abs(x[0] - 3962799.45) < 0.02
+    assert abs(y[0] - 2999718.85) < 0.02
+    # projection centre maps to the false origin
+    x, y = crs.transform_points_np(3035, np.array([10.0]), np.array([52.0]))
+    assert abs(x[0] - 4321000.0) < 1e-6 and abs(y[0] - 3210000.0) < 1e-6
+
+    pts = pd.DataFrame({
+        "lon": [5.0, 10.0, -15.0, 40.0],
+        "lat": [50.0, 52.0, 38.0, 65.0],
+    })
+    df = spark.createDataFrame(pts)
+    from pyspark.sql import functions as F
+    for code in (3035, 6933, 8857):
+        x, y = crs.conic_forward(code, F.col("lon"), F.col("lat"))
+        proj = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+        lon2, lat2 = crs.conic_inverse(code, F.col("x"), F.col("y"))
+        rt = proj.select(
+            (F.abs(lon2 - F.col("lon"))).alias("dl"),
+            (F.abs(lat2 - F.col("lat"))).alias("dp"),
+        ).collect()
+        assert all(r["dl"] < 1e-7 and r["dp"] < 1e-7 for r in rt), code
+
+    # equal-area property: |det J| == a^2 (1-e2) cos(phi)/(1-e2 sin^2 phi)^2
+    for code, f in ((3035, 1 / 298.257222101), (6933, 1 / 298.257223563),
+                    (8857, 1 / 298.257223563)):
+        a = 6378137.0
+        e2 = 2 * f - f * f
+        lo = np.linspace(-15.0, 39.0, 25)
+        la = np.linspace(36.0, 69.0, 25)
+        h = 1e-6
+        x0, y0 = crs.transform_points_np(code, lo, la)
+        x1, y1 = crs.transform_points_np(code, lo + h, la)
+        x2, y2 = crs.transform_points_np(code, lo, la + h)
+        J = ((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) / np.radians(h) ** 2
+        phi = np.radians(la)
+        want = a * a * (1 - e2) * np.cos(phi) / (1 - e2 * np.sin(phi) ** 2) ** 2
+        assert np.max(np.abs(J / want - 1)) < 1e-5, code
