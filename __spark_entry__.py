@@ -908,6 +908,49 @@ def _q_mask_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.mask_band(tiles))
 
 
+def _stripe_nodata(tiles: DataFrame, c0: int, c1: int) -> DataFrame:
+    """Test fixture edit: force global pixel columns [c0, c1) to the
+    nodata value 0 (splits the collar footprint into two regions)."""
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = pdf.copy()
+            datas = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.uint8).reshape(
+                    r.height, r.width).copy()
+                gx0 = int(r.tile_x) * int(r.width)
+                lo = max(0, c0 - gx0)
+                hi = min(int(r.width), c1 - gx0)
+                if lo < hi:
+                    arr[:, lo:hi] = 0
+                datas.append(arr.tobytes())
+            out["data"] = datas
+            yield out
+
+    return tiles.mapInPandas(run, schema=synth.TILE_SCHEMA)
+
+
+def _q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_footprint (apps/gdal_footprint.cpp): nodata mask ->
+    polygonize valid regions -> georef vertex transform; the regions
+    row set plus the -dissolve MULTIPOLYGON row. Fixture: nearblack
+    collar output split in two by a nodata stripe."""
+    from gdal_spark.footprint import footprint
+    from gdal_spark.nearblack import nearblack
+
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    tiles = _stripe_nodata(
+        nearblack(synth.collar_tiles_df(spark, 4, 4, 64), set_mask=False),
+        120, 136)
+    regions = footprint(tiles, gt=gt).select(
+        F.lit("regions").alias("mode"), "npix", "wkt")
+    dissolved = footprint(tiles, gt=gt, dissolve=True).select(
+        F.lit("dissolve").alias("mode"), "npix", "wkt")
+    return regions.unionByName(dissolved)
+
+
 def _q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band statistics (GDALRasterBand::ComputeStatistics — population
     stddev) via distributed per-tile partials; uint8 sums are exact
@@ -3428,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lut_checksums": _q_apply_lut,
         "nearblack_checksums": _q_nearblack,
         "mask_band_checksums": _q_mask_band,
+        "footprint": _q_footprint,
         "overview_select": _q_overview_select,
         "translate_scale": _q_translate_scale,
         "gdal_edit_gt": _q_gdal_edit,

@@ -176,6 +176,8 @@ def main():
         # equal-area CRS families: LAEA Europe, EASE-Grid 2.0 CEA,
         # Equal Earth
         "laea_transform", "cea_transform", "eqearth_transform",
+        # gdal_footprint: mask -> polygonize -> georef transform
+        "footprint",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -1137,6 +1137,7 @@ def oracle_entries() -> dict:
         "fillnodata_smooth_checksums": sql_fillnodata_smooth_checksums,
         "enhance_equalize_checksums": sql_enhance_checksums,
         "lut_checksums": sql_lut_checksums,
+        "footprint": sql_footprint,
     }
     out = {}
     for name, fn in makers.items():
@@ -2714,3 +2715,61 @@ def sql_lut_checksums() -> str:
     out = np.clip(mapped, 0, 255).astype(np.uint8)
     return values_sql(tile_checksums(out, 256, "byte_like", 1, 12),
                       CKS_COLS, CKS_TYPES)
+
+
+# ========================================================== gdal_footprint
+def _mask_regions(mask: np.ndarray):
+    """4-connected flood fill over a boolean mask -> list of
+    (npix, region_mask) for every True component."""
+    H, W = mask.shape
+    seen = np.zeros((H, W), dtype=bool)
+    out = []
+    for sy in range(H):
+        for sx in range(W):
+            if not mask[sy, sx] or seen[sy, sx]:
+                continue
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            px = []
+            while stack:
+                y, x = stack.pop()
+                px.append((y, x))
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if 0 <= ny < H and 0 <= nx < W and mask[ny, nx] \
+                            and not seen[ny, nx]:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            rm = np.zeros((H, W), dtype=bool)
+            ys_, xs_ = zip(*px)
+            rm[list(ys_), list(xs_)] = True
+            out.append((len(px), rm))
+    return out
+
+
+def sql_footprint() -> str:
+    """Sequential mirror of the footprint query: nearblack collar ->
+    nodata stripe -> per-region rings -> georef transform -> regions
+    rows + the dissolve MULTIPOLYGON row."""
+    from gdal_spark.footprint import _transform_wkt
+    from gdal_spark.polygonize import (boundary_edges_for_mask,
+                                       rings_to_wkt, trace_rings)
+
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    arr, _ = nearblack_ref(synth.collar_np(256))
+    arr = arr.copy()
+    arr[:, 120:136] = 0
+    rows = []
+    pieces = []
+    for npix, rm in _mask_regions(arr != 0):
+        w = rings_to_wkt(trace_rings(boundary_edges_for_mask(rm)))
+        w = _transform_wkt(w, gt, 0.0, 7)
+        rows.append(("regions", npix, w))
+        pieces.append((npix, w))
+    bodies = []
+    for w in sorted(p[1] for p in pieces):
+        b = w.strip()
+        bodies.append(b[len("POLYGON"):].strip())
+    rows.append(("dissolve", sum(p[0] for p in pieces),
+                 "MULTIPOLYGON (" + ", ".join(bodies) + ")"))
+    return values_sql(rows, ["mode", "npix", "wkt"],
+                      ["varchar", "bigint", "varchar"])
