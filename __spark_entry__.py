@@ -2867,6 +2867,11 @@ _CONIC_REGION = {
     3035: "lon > -20.0 AND lon < 49.0",
     6933: "lon > -179.0 AND lon < 179.0",
     8857: "lon > -179.0 AND lon < 179.0",
+    # HOM-B (conformal): defined away from the poles and the aposphere
+    # wrap; generous windows around each projection centre verified by
+    # round-trip at 1e-10 deg
+    2056: "lon > -60.0 AND lon < 75.0 AND lat > -70.0 AND lat < 80.0",
+    29873: "lon > 50.0 AND lon < 178.0 AND lat > -60.0 AND lat < 70.0",
 }
 
 
@@ -3605,6 +3610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laea_transform": _q_conic(3035),
         "cea_transform": _q_conic(6933),
         "eqearth_transform": _q_conic(8857),
+        "hom_swiss_transform": _q_conic(2056),
+        "hom_rso_transform": _q_conic(29873),
         "helmert_transform": _q_helmert_transform,
         "gridshift_transform": _q_gridshift_transform,
         "bng_transform": _q_bng_transform,
@@ -5368,6 +5375,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "laea_transform": _conic_sql(3035),
         "cea_transform": _conic_sql(6933),
         "eqearth_transform": _conic_sql(8857),
+        "hom_swiss_transform": _conic_sql(2056),
+        "hom_rso_transform": _conic_sql(29873),
         "helmert_transform": _helmert_sql(),
         "gridshift_transform": _gridshift_sql(),
         "bng_transform": _bng_sql(),

@@ -178,6 +178,8 @@ def main():
         "laea_transform", "cea_transform", "eqearth_transform",
         # gdal_footprint: mask -> polygonize -> georef transform
         "footprint",
+        # Hotine Oblique Mercator variant B (Swiss LV95 + RSO Borneo)
+        "hom_swiss_transform", "hom_rso_transform",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -30,6 +30,7 @@ ELLIPSOIDS = {
     "GRS80": (6378137.0, 1.0 / 298.257222101),
     "clrk66": (6378206.4, 1.0 - 6356583.8 / 6378206.4),
     "bessel": (6377397.155, 1.0 / 299.1528128),
+    "evrst67": (6377298.556, 1.0 / 300.8017),  # Everest 1830 (1967 defn)
 }
 
 
@@ -1047,6 +1048,95 @@ def eqearth_inverse(B, x, y, lon0: float, a: float, f: float,
             _phi_from_beta(B, e2, beta) * B.lit(deg))
 
 
+def _hom_consts(phic: float, lonc: float, alphac: float, kc: float,
+                a: float, f: float):
+    """Hotine Oblique Mercator variant B constants (EPSG method 9815,
+    guidance note 7-2; Snyder ch. 9). Validated against the GN 7-2
+    Timbalai 1948 / RSO Borneo worked example (1 cm) and the LV95
+    centre anchor."""
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+    pc = math.radians(phic)
+    lc = math.radians(lonc)
+    ac = math.radians(alphac)
+    sp = math.sin(pc)
+    b_ = math.sqrt(1.0 + e2 * math.cos(pc) ** 4 / (1.0 - e2))
+    a_ = a * b_ * kc * math.sqrt(1.0 - e2) / (1.0 - e2 * sp * sp)
+    t0 = math.tan(math.pi / 4.0 - pc / 2.0) / (
+        ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0))
+    d = b_ * math.sqrt(1.0 - e2) / (
+        math.cos(pc) * math.sqrt(1.0 - e2 * sp * sp))
+    d2 = max(d * d, 1.0)
+    f_ = d + math.sqrt(d2 - 1.0) * (1.0 if pc >= 0 else -1.0)
+    h_ = f_ * t0 ** b_
+    g_ = (f_ - 1.0 / f_) / 2.0
+    g0 = math.asin(math.sin(ac) / d)
+    l0 = lc - math.asin(g_ * math.tan(g0)) / b_
+    if abs(alphac - 90.0) < 1e-12:
+        uc = a_ * (lc - l0)
+    else:
+        uc = (a_ / b_) * math.atan2(math.sqrt(d2 - 1.0), math.cos(ac)) * (
+            1.0 if pc >= 0 else -1.0)
+    return e, e2, b_, a_, h_, g0, l0, abs(uc) * (1.0 if pc >= 0 else -1.0)
+
+
+def hom_forward(B, lon, lat, phic: float, lonc: float, alphac: float,
+                gammac: float, kc: float, a: float, f: float,
+                fe: float = 0.0, fn: float = 0.0):
+    """Hotine Oblique Mercator variant B forward (EPSG 9815, e.g.
+    EPSG:2056 CH1903+/LV95 with the alpha=90 Swiss special case, and
+    the RSO Borneo/Malaysia grids). fe/fn are the Easting/Northing at
+    the projection centre (Ec, Nc)."""
+    e, _, b_, a_, h_, g0, l0, uc = _hom_consts(phic, lonc, alphac, kc, a, f)
+    gc = math.radians(gammac)
+    phi = B.radians(lat)
+    sp = B.sin(phi)
+    t = _t_expr(B, e, phi, sp)
+    q = B.lit(h_) / B.exp(B.lit(b_) * B.log(t))
+    s = (q - 1.0 / q) * 0.5
+    tt = (q + 1.0 / q) * 0.5
+    dl = B.radians(lon) - B.lit(l0)
+    v_ = B.sin(dl * B.lit(b_))
+    u_ = (s * B.lit(math.sin(g0)) - v_ * B.lit(math.cos(g0))) / tt
+    v = B.lit(a_ / (2.0 * b_)) * B.log((1.0 - u_) / (1.0 + u_))
+    u = (B.lit(a_ / b_) * B.atan2(
+        s * B.lit(math.cos(g0)) + v_ * B.lit(math.sin(g0)),
+        B.cos(dl * B.lit(b_))) - B.lit(uc))
+    x = B.lit(fe) + v * B.lit(math.cos(gc)) + u * B.lit(math.sin(gc))
+    y = B.lit(fn) + u * B.lit(math.cos(gc)) - v * B.lit(math.sin(gc))
+    return x, y
+
+
+def hom_inverse(B, x, y, phic: float, lonc: float, alphac: float,
+                gammac: float, kc: float, a: float, f: float,
+                fe: float = 0.0, fn: float = 0.0):
+    """HOM variant B inverse (EPSG 9815 reversed; conformal latitude
+    recovered by the Snyder 3-5 series)."""
+    e, e2, b_, a_, h_, g0, l0, uc = _hom_consts(phic, lonc, alphac, kc, a, f)
+    gc = math.radians(gammac)
+    xp = x - B.lit(fe)
+    yp = y - B.lit(fn)
+    u = xp * B.lit(math.sin(gc)) + yp * B.lit(math.cos(gc)) + B.lit(uc)
+    v = xp * B.lit(math.cos(gc)) - yp * B.lit(math.sin(gc))
+    q = B.exp(v * B.lit(-b_ / a_))
+    s = (q - 1.0 / q) * 0.5
+    tt = (q + 1.0 / q) * 0.5
+    bu = u * B.lit(b_ / a_)
+    v_ = B.sin(bu)
+    u_ = (v_ * B.lit(math.cos(g0)) + s * B.lit(math.sin(g0))) / tt
+    t = B.exp(B.lit(1.0 / b_) * B.log(
+        B.lit(h_) / B.sqrt((1.0 + u_) / (1.0 - u_))))
+    chi = B.lit(math.pi / 2.0) - B.atan(t) * 2.0
+    c1, c2, c3, c4 = _chi_series(e2)
+    phi = (chi + B.lit(c1) * B.sin(chi * 2.0) + B.lit(c2) * B.sin(chi * 4.0)
+           + B.lit(c3) * B.sin(chi * 6.0) + B.lit(c4) * B.sin(chi * 8.0))
+    lam = B.lit(l0) - B.atan2(
+        s * B.lit(math.cos(g0)) - v_ * B.lit(math.sin(g0)), B.cos(bu)
+    ) / b_
+    deg = 180.0 / math.pi
+    return lam * B.lit(deg), phi * B.lit(deg)
+
+
 # ------------------------------------------------------------------ Krovak
 _KROVAK = dict(
     phiC=49.5,                      # latitude of projection centre
@@ -1176,6 +1266,15 @@ CONIC_PRESETS = {
            dict(phi1=30.0, lon0=0.0, fe=0.0, fn=0.0)),
     8857: ("eqearth", "WGS84",  # WGS 84 / Equal Earth Greenwich
            dict(lon0=0.0, fe=0.0, fn=0.0)),
+    2056: ("hom", "bessel",  # CH1903+ / LV95 (Swiss Oblique Mercator)
+           dict(phic=46.952405555555554, lonc=7.439583333333333,
+                alphac=90.0, gammac=90.0, kc=1.0,
+                fe=2600000.0, fn=1200000.0)),
+    29873: ("hom", "evrst67",  # Timbalai 1948 / RSO Borneo (m) — the
+            # EPSG GN 7-2 method-9815 worked example
+            dict(phic=4.0, lonc=115.0, alphac=53.31582047908333,
+                 gammac=53.13010236111111, kc=0.99984,
+                 fe=590476.87, fn=442857.65)),
 }
 
 _CONIC_FNS = {
@@ -1193,6 +1292,7 @@ _CONIC_FNS = {
     "laea": (laea_forward, laea_inverse),
     "cea": (cea_forward, cea_inverse),
     "eqearth": (eqearth_forward, eqearth_inverse),
+    "hom": (hom_forward, hom_inverse),
 }
 
 # EPSG/ESRI code -> projection family dispatch (the engine's answer to
@@ -1208,6 +1308,7 @@ _CONIC_FNS = {
 #   54008(ESRI)  -> Sinusoidal (MODIS-style)    | 4087 -> Equidist. Cylindrical
 #   54009(ESRI)  -> Mollweide                   | 3035 -> LAEA Europe (9820)
 #   6933         -> Cylindrical Equal Area      | 8857 -> Equal Earth (1078)
+#   2056         -> HOM variant B, Swiss LV95   | 29873 -> HOM-B RSO Borneo
 # Anything else raises KeyError: no silent fallback, no general PROJ.
 
 

@@ -321,3 +321,52 @@ def test_laea_cea_eqearth_roundtrip_and_known_values(spark):
         phi = np.radians(la)
         want = a * a * (1 - e2) * np.cos(phi) / (1 - e2 * np.sin(phi) ** 2) ** 2
         assert np.max(np.abs(J / want - 1)) < 1e-5, code
+
+
+def test_hom_variant_b_epsg_example_and_lv95(spark):
+    """Hotine Oblique Mercator variant B (EPSG method 9815): the GN
+    7-2 Timbalai 1948 / RSO Borneo worked example (679245.73,
+    596562.78), the LV95 centre anchor, round-trips, and conformality
+    (Jacobian is a scaled rotation in isometric coordinates)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gdal_spark import crs
+
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    x, y = crs.transform_points_np(29873, np.array([lon]), np.array([lat]))
+    assert abs(x[0] - 679245.73) < 0.02 and abs(y[0] - 596562.78) < 0.02
+
+    x, y = crs.transform_points_np(
+        2056, np.array([7.439583333333333]), np.array([46.952405555555554]))
+    assert abs(x[0] - 2600000.0) < 1e-6 and abs(y[0] - 1200000.0) < 1e-6
+
+    # Column-backend roundtrip (Spark side of the dual backend)
+    pts = pd.DataFrame({"lon": [7.44, 6.1, 10.4, 8.73],
+                        "lat": [46.95, 46.2, 47.6, 46.0]})
+    df = spark.createDataFrame(pts)
+    from pyspark.sql import functions as F
+    xx, yy = crs.conic_forward(2056, F.col("lon"), F.col("lat"))
+    proj = df.select("lon", "lat", xx.alias("x"), yy.alias("y"))
+    lon2, lat2 = crs.conic_inverse(2056, F.col("x"), F.col("y"))
+    rt = proj.select(F.max(F.abs(lon2 - F.col("lon"))).alias("dl"),
+                     F.max(F.abs(lat2 - F.col("lat"))).alias("dp")).collect()[0]
+    assert rt["dl"] < 1e-9 and rt["dp"] < 1e-9
+
+    # conformality over the Swiss window
+    lo = np.linspace(6.0, 10.5, 20)
+    la = np.linspace(45.8, 47.8, 20)
+    h = 1e-7
+    e2 = 2 * (1 / 299.1528128) - (1 / 299.1528128) ** 2
+    x0, y0 = crs.transform_points_np(2056, lo, la)
+    x1, y1 = crs.transform_points_np(2056, lo + h, la)
+    x2, y2 = crs.transform_points_np(2056, lo, la + h)
+    phi = np.radians(la)
+    dq = (1 - e2) / ((1 - e2 * np.sin(phi) ** 2) * np.cos(phi)) * np.radians(h)
+    dl = np.radians(h)
+    n1 = np.hypot((x1 - x0) / dl, (y1 - y0) / dl)
+    n2 = np.hypot((x2 - x0) / dq, (y2 - y0) / dq)
+    dot = ((x1 - x0) * (x2 - x0) + (y1 - y0) * (y2 - y0)) / (n1 * n2 * dl * dq)
+    assert np.max(np.abs(n1 / n2 - 1)) < 1e-5
+    assert np.max(np.abs(dot)) < 1e-5
