@@ -2872,6 +2872,8 @@ _CONIC_REGION = {
     # round-trip at 1e-10 deg
     2056: "lon > -60.0 AND lon < 75.0 AND lat > -70.0 AND lat < 80.0",
     29873: "lon > 50.0 AND lon < 178.0 AND lat > -60.0 AND lat < 70.0",
+    # NZTM2000: standard TM-series window around the 173E meridian
+    2193: "lon > 166.0 AND lon < 179.0",
 }
 
 
@@ -3612,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eqearth_transform": _q_conic(8857),
         "hom_swiss_transform": _q_conic(2056),
         "hom_rso_transform": _q_conic(29873),
+        "nztm_transform": _q_conic(2193),
         "helmert_transform": _q_helmert_transform,
         "gridshift_transform": _q_gridshift_transform,
         "bng_transform": _q_bng_transform,
@@ -5377,6 +5380,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "eqearth_transform": _conic_sql(8857),
         "hom_swiss_transform": _conic_sql(2056),
         "hom_rso_transform": _conic_sql(29873),
+        "nztm_transform": _conic_sql(2193),
         "helmert_transform": _helmert_sql(),
         "gridshift_transform": _gridshift_sql(),
         "bng_transform": _bng_sql(),

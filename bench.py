@@ -179,7 +179,7 @@ def main():
         # gdal_footprint: mask -> polygonize -> georef transform
         "footprint",
         # Hotine Oblique Mercator variant B (Swiss LV95 + RSO Borneo)
-        "hom_swiss_transform", "hom_rso_transform",
+        "hom_swiss_transform", "hom_rso_transform", "nztm_transform",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -1048,6 +1048,20 @@ def eqearth_inverse(B, x, y, lon0: float, a: float, f: float,
             _phi_from_beta(B, e2, beta) * B.lit(deg))
 
 
+def tmerc_forward(B, lon, lat, lon0: float, k0: float, a: float, f: float,
+                  fe: float = 500000.0, fn: float = 0.0):
+    """Non-UTM Transverse Mercator preset wrapper (EPSG method 9807
+    with latitude-of-origin 0, e.g. EPSG:2193 NZGD2000 / NZTM2000) —
+    same Snyder series as the UTM fast path."""
+    return _tm_forward(B, lon, lat, lon0, a, f, k0=k0, false_e=fe,
+                       false_n=fn)
+
+
+def tmerc_inverse(B, x, y, lon0: float, k0: float, a: float, f: float,
+                  fe: float = 500000.0, fn: float = 0.0):
+    return _tm_inverse(B, x, y, lon0, a, f, k0=k0, false_e=fe, false_n=fn)
+
+
 def _hom_consts(phic: float, lonc: float, alphac: float, kc: float,
                 a: float, f: float):
     """Hotine Oblique Mercator variant B constants (EPSG method 9815,
@@ -1275,6 +1289,8 @@ CONIC_PRESETS = {
             dict(phic=4.0, lonc=115.0, alphac=53.31582047908333,
                  gammac=53.13010236111111, kc=0.99984,
                  fe=590476.87, fn=442857.65)),
+    2193: ("tmerc", "GRS80",  # NZGD2000 / New Zealand Transverse Merc.
+           dict(lon0=173.0, k0=0.9996, fe=1600000.0, fn=10000000.0)),
 }
 
 _CONIC_FNS = {
@@ -1293,6 +1309,7 @@ _CONIC_FNS = {
     "cea": (cea_forward, cea_inverse),
     "eqearth": (eqearth_forward, eqearth_inverse),
     "hom": (hom_forward, hom_inverse),
+    "tmerc": (tmerc_forward, tmerc_inverse),
 }
 
 # EPSG/ESRI code -> projection family dispatch (the engine's answer to
