@@ -467,6 +467,45 @@ def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(docs, "doc_id", seed=7).select("doc_id", "split")
 
 
+def _q_ogrmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrmerge -single (osgeo_utils/ogrmerge.py): two layers with
+    partially overlapping schemas under the Union and Intersection
+    field strategies, with the -src_layer_field provenance column.
+    unionByName = metadata-only append, no shuffle at any scale."""
+    from gdal_spark.ogrmerge import ogr_merge
+
+    a = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("fid"), "lang", "n_chars")
+    b = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("fid"), "event_type", "value")
+    layers = [("docs.parquet", "documents", a),
+              ("events.parquet", "events", b)]
+    u = ogr_merge(layers, "Union", src_layer_field_name="source_ds").select(
+        F.lit("union").alias("strategy"), "source_ds", "fid",
+        "lang", "n_chars", "event_type", "value")
+    i = ogr_merge(layers, "Intersection",
+                  src_layer_field_name="source_ds").select(
+        F.lit("intersection").alias("strategy"), "source_ds", "fid",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("n_chars"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"))
+    return u.unionByName(i)
+
+
+def _q_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix resampling to a target language mix (downsample-only
+    largest-feasible subset; deterministic per doc_id). The corpus
+    never shuffles: one #domains-row groupBy, broadcast thresholds,
+    map-only filter."""
+    from gdal_spark.functions.sample import domain_resample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = domain_resample(
+        docs, "lang", {"en": 0.4, "de": 0.3, "fr": 0.3}, seed=11)
+    return out.select("doc_id", "lang")
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quota sampling: the 25 smallest-hash docs per detected
     language (per-stratum deterministic top-n)."""
@@ -3459,6 +3498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "sample_split": _q_sample_split,
         "stratified_sample": _q_stratified_sample,
+        "domain_resample": _q_domain_resample,
+        "ogrmerge_single": _q_ogrmerge,
         "url_blocklist": _q_url_blocklist,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
@@ -4217,6 +4258,35 @@ def _sample_split_sql() -> str:
     )
 
 
+def _ogrmerge_sql() -> str:
+    return """
+      WITH a AS (SELECT doc_id AS fid, lang, n_chars FROM documents),
+      b AS (SELECT event_id AS fid, event_type, value FROM events),
+      u AS (
+        SELECT 'docs.parquet/documents' AS source_ds, fid, lang, n_chars,
+               CAST(NULL AS VARCHAR) AS event_type,
+               CAST(NULL AS DOUBLE) AS value FROM a
+        UNION ALL
+        SELECT 'events.parquet/events', fid, CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), event_type, value FROM b
+      )
+      SELECT 'union' AS strategy, * FROM u
+      UNION ALL
+      SELECT 'intersection', source_ds, fid,
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+      FROM u
+    """
+
+
+def _domain_resample_sql() -> str:
+    from gdal_spark.functions.sample import domain_resample_sql
+
+    return domain_resample_sql(
+        "documents", "lang", {"en": 0.4, "de": 0.3, "fr": 0.3}, seed=11,
+        cols="doc_id, t.lang")
+
+
 def _stratified_sample_sql() -> str:
     from gdal_spark.functions.sample import hash_u01_sql
 
@@ -4518,6 +4588,8 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "sample_split": _sample_split_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "domain_resample": _domain_resample_sql(),
+        "ogrmerge_single": _ogrmerge_sql(),
         "dup_spans": rf"""
             WITH t AS (
               SELECT doc_id,

@@ -180,6 +180,8 @@ def main():
         "footprint",
         # Hotine Oblique Mercator variant B (Swiss LV95 + RSO Borneo)
         "hom_swiss_transform", "hom_rso_transform", "nztm_transform",
+        # vector-layer append + domain-mix resampling
+        "ogrmerge_single", "domain_resample",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -96,3 +96,65 @@ def stratified_sample(
         .filter(F.col("_rank") <= n_per_stratum)
         .drop("_rank")
     )
+
+
+def domain_resample(
+    df: DataFrame,
+    domain_col: str,
+    targets: dict,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample-only domain-mix resampling: keep a deterministic
+    subset whose domain proportions match `targets` (weights, need not
+    sum to 1), as large as the corpus allows.
+
+    With n_d rows per domain and normalized target t_d, the largest
+    achievable output is M = min_d n_d / t_d; each domain keeps rows
+    with hash u < p_d = t_d * M / n_d (so E[m_d] = t_d * M and the
+    binding domain keeps everything). Deterministic per id: a rerun or
+    a resumed checkpoint selects exactly the same rows.
+
+    Scale shape: one groupBy producing #domains rows, a broadcast of
+    the per-domain thresholds, then a map-only filter — the corpus
+    itself never shuffles. Domains absent from `targets` are dropped
+    (ogrmerge of web-corpus practice: unlisted = excluded)."""
+    tsum = float(sum(targets.values()))
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(str(k), float(v) / tsum) for k, v in targets.items()],
+        f"{domain_col} string, _t double",
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    j = counts.join(F.broadcast(tgt), domain_col, "inner")
+    mrow = j.select(F.min(F.col("_n") / F.col("_t")).alias("_m"))
+    probs = j.crossJoin(F.broadcast(mrow)).select(
+        domain_col,
+        F.least(F.lit(1.0), F.col("_t") * F.col("_m") / F.col("_n")).alias("_p"),
+    )
+    out = df.join(F.broadcast(probs), domain_col, "inner")
+    return out.filter(hash_u01(id_col, seed) < F.col("_p")).drop("_p")
+
+
+def domain_resample_sql(
+    table: str, domain_col: str, targets: dict, id_col: str = "doc_id",
+    seed: int = 0, cols: str = "*",
+) -> str:
+    """ANSI-SQL twin of domain_resample for the DuckDB oracle — the
+    identical integer hash and threshold arithmetic."""
+    tsum = float(sum(targets.values()))
+    vals = ", ".join(
+        f"('{k}', CAST({float(v) / tsum!r} AS DOUBLE))" for k, v in targets.items()
+    )
+    u = hash_u01_sql(id_col, seed)
+    return f"""
+      WITH tgt({domain_col}, _t) AS (VALUES {vals}),
+      c AS (SELECT {domain_col}, COUNT(*) AS _n FROM {table} GROUP BY 1),
+      jn AS (SELECT c.{domain_col}, _n, _t FROM c JOIN tgt USING ({domain_col})),
+      m AS (SELECT MIN(_n / _t) AS _m FROM jn),
+      p AS (SELECT {domain_col},
+                   LEAST(1.0, _t * (SELECT _m FROM m) / _n) AS _p FROM jn)
+      SELECT {cols} FROM {table} t
+      JOIN p USING ({domain_col})
+      WHERE {u} < _p
+    """
