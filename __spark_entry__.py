@@ -467,6 +467,28 @@ def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(docs, "doc_id", seed=7).select("doc_id", "split")
 
 
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer (Sennrich et al. 2016 reference algorithm):
+    distributed pair-count training over the synth interleaved corpus
+    (one vocabulary-sized shuffle), then the map-only broadcast-ranks
+    apply. Oracle = sequential BPE over the identical corpus."""
+    from gdal_spark.functions.bpe import bpe_apply, bpe_train
+
+    docs = synth.documents_df(spark, 400)
+    text = F.concat_ws(
+        " ", F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"]))
+    flat = docs.select("doc_id", text.alias("text"))
+    merges = bpe_train(flat, "text", 20)
+    out = bpe_apply(flat.filter(F.col("doc_id") < "doc000000060"),
+                    "text", merges)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "bpe_tokens").alias("tok_str"),
+        F.size("bpe_tokens").cast("long").alias("n_tokens"))
+
+
 def _q_ogrmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrmerge -single (osgeo_utils/ogrmerge.py): two layers with
     partially overlapping schemas under the Union and Intersection
@@ -3500,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "domain_resample": _q_domain_resample,
         "ogrmerge_single": _q_ogrmerge,
+        "bpe_tokenize": _q_bpe_tokenize,
         "url_blocklist": _q_url_blocklist,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,

@@ -182,6 +182,8 @@ def main():
         "hom_swiss_transform", "hom_rso_transform", "nztm_transform",
         # vector-layer append + domain-mix resampling
         "ogrmerge_single", "domain_resample",
+        # BPE tokenizer: distributed pair-count train + map-only apply
+        "bpe_tokenize",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

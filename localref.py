@@ -1138,6 +1138,7 @@ def oracle_entries() -> dict:
         "enhance_equalize_checksums": sql_enhance_checksums,
         "lut_checksums": sql_lut_checksums,
         "footprint": sql_footprint,
+        "bpe_tokenize": sql_bpe_tokenize,
     }
     out = {}
     for name, fn in makers.items():
@@ -2773,3 +2774,59 @@ def sql_footprint() -> str:
                  "MULTIPOLYGON (" + ", ".join(bodies) + ")"))
     return values_sql(rows, ["mode", "npix", "wkt"],
                       ["varchar", "bigint", "varchar"])
+
+
+# ==================================================================== BPE
+def sql_bpe_tokenize() -> str:
+    """Sequential BPE over the same 400-doc synth corpus: identical
+    pair counts, identical lexicographic tie-break, identical apply —
+    verifies the distributed word-frequency shuffle and the
+    broadcast-ranks pandas-UDF apply end to end."""
+    from gdal_spark.functions.bpe import (_WORD_RE, _merge_word,
+                                          _pair_counts_local,
+                                          _word_symbols)
+
+    docs = synth.documents_np(400)
+    texts = {}
+    for r in docs.itertuples(index=False):
+        texts[r.doc_id] = " ".join(
+            s["text"] for s in r.spans if s["kind"] == "text")
+    words: dict = {}
+    for t in texts.values():
+        for w in _WORD_RE.findall(t.lower()):
+            k = _word_symbols(w)
+            words[k] = words.get(k, 0) + 1
+    merges = []
+    for _ in range(20):
+        pc = _pair_counts_local(words)
+        if not pc:
+            break
+        best = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        merges.append(best[0])
+        words = {_merge_word(s, best[0]): n for s, n in words.items()}
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def encode(word):
+        syms = list(_word_symbols(word))
+        while len(syms) > 1:
+            bi, br = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (br is None or r < br):
+                    bi, br = i, r
+            if br is None:
+                break
+            syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+        return syms
+
+    rows = []
+    for did in sorted(texts):
+        if did >= "doc000000060":
+            continue
+        toks = [s for w in _WORD_RE.findall(texts[did].lower())
+                for s in encode(w)]
+        rows.append((did, " ".join(toks), len(toks)))
+    return values_sql(rows, ["doc_id", "tok_str", "n_tokens"],
+                      ["varchar", "varchar", "bigint"])
