@@ -467,6 +467,46 @@ def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(docs, "doc_id", seed=7).select("doc_id", "split")
 
 
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup: per-doc injected
+    messy URLs (mixed-case host, default port, utm/fbclid params,
+    fragment, trailing slash) normalize to a canonical form; docs
+    sharing a canonical URL dedup to the smallest doc_id. Map-only
+    normalize, one narrow groupBy."""
+    from gdal_spark.functions.text import canonicalize_url
+
+    docs = _read(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/path"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("/?utm_source=x&utm_campaign=y&id="),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit("&fbclid=zzz#frag"))
+    from pyspark.sql.window import Window
+
+    d = docs.select("doc_id", messy.alias("url")).withColumn(
+        "curl", canonicalize_url("url"))
+    w = Window.partitionBy("curl")
+    return d.select(
+        "doc_id", "curl",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"))
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup: 5-word paragraphs derived from the
+    docs table, first occurrence (by doc_id, position) survives, docs
+    reassembled in original paragraph order. One narrow-key shuffle +
+    one per-doc reassembly; never a global window."""
+    from gdal_spark.functions.text import paragraph_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    ptext = F.regexp_replace(
+        F.col("text"), r"((?:\w+ ){4}\w+) ", "$1\n\n")
+    out = paragraph_dedup(
+        docs.select("doc_id", ptext.alias("ptext")), "ptext", "doc_id")
+    return out.select("doc_id", "dedup_text", "n_paras_kept")
+
+
 def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer (Sennrich et al. 2016 reference algorithm):
     distributed pair-count training over the synth interleaved corpus
@@ -3523,6 +3563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_resample": _q_domain_resample,
         "ogrmerge_single": _q_ogrmerge,
         "bpe_tokenize": _q_bpe_tokenize,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "url_canonical_dedup": _q_url_canonical,
         "url_blocklist": _q_url_blocklist,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
@@ -4281,6 +4323,40 @@ def _sample_split_sql() -> str:
     )
 
 
+def _url_canonical_sql() -> str:
+    from gdal_spark.functions.text import canonicalize_url_sql
+
+    c = canonicalize_url_sql("url")
+    return f"""
+      WITH d AS (
+        SELECT doc_id,
+               'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) ||
+               '.Example.COM:443/path' || CAST(doc_id % 3 AS VARCHAR) ||
+               '/?utm_source=x&utm_campaign=y&id=' ||
+               CAST(doc_id % 2 AS VARCHAR) || '&fbclid=zzz#frag' AS url
+        FROM documents
+      ), n AS (SELECT doc_id, {c} AS curl FROM d)
+      SELECT doc_id, curl,
+             doc_id = MIN(doc_id) OVER (PARTITION BY curl) AS is_canonical
+      FROM n
+    """
+
+
+def _paragraph_dedup_sql() -> str:
+    from gdal_spark.functions.text import paragraph_dedup_sql
+
+    inner = paragraph_dedup_sql("pdocs", "ptext", "doc_id")
+    return f"""
+      WITH pdocs AS (
+        SELECT doc_id,
+               REGEXP_REPLACE(text, '((?:\\w+ ){{4}}\\w+) ',
+                              '\\1' || CHR(10) || CHR(10), 'g') AS ptext
+        FROM documents
+      )
+      SELECT doc_id, dedup_text, n_paras_kept FROM ({inner})
+    """
+
+
 def _ogrmerge_sql() -> str:
     return """
       WITH a AS (SELECT doc_id AS fid, lang, n_chars FROM documents),
@@ -4613,6 +4689,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "domain_resample": _domain_resample_sql(),
         "ogrmerge_single": _ogrmerge_sql(),
+        "paragraph_dedup": _paragraph_dedup_sql(),
+        "url_canonical_dedup": _url_canonical_sql(),
         "dup_spans": rf"""
             WITH t AS (
               SELECT doc_id,

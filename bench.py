@@ -183,7 +183,7 @@ def main():
         # vector-layer append + domain-mix resampling
         "ogrmerge_single", "domain_resample",
         # BPE tokenizer: distributed pair-count train + map-only apply
-        "bpe_tokenize",
+        "bpe_tokenize", "paragraph_dedup", "url_canonical_dedup",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

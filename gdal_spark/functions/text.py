@@ -777,3 +777,109 @@ def dedup_keep_best(df: DataFrame, text_col: str, id_col: str,
             (F.col(id_col) == F.col("_best_id")).alias("keep"),
         )
     )
+
+
+def paragraph_dedup(df: DataFrame, text_col: str, id_col: str,
+                    min_chars: int = 1) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the paragraph variant
+    of exact_dedup, standard web-corpus cleaning): split each document
+    on blank lines, keep only the FIRST occurrence of every normalized
+    paragraph across the corpus (first = smallest (id, position)),
+    and reassemble each document from its surviving paragraphs in
+    original order.
+
+    Scale shape: explode -> one groupBy on the paragraph hash carrying
+    (hash, id, idx) only -> join back on the narrow key -> per-doc
+    reassembly via sort_array(collect_list) keyed by the DOCUMENT id
+    (never a global window). Paragraph text rides the shuffle once as
+    the reassembly payload; at 100 TB the wide column can be re-read
+    from the source instead (id+idx join), trade documented here."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n\s*\n+")).alias("idx", "para"),
+    ).filter(F.length(F.trim("para")) >= min_chars)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " "))
+    paras = paras.withColumn("phash", F.xxhash64(norm))
+    w = Window.partitionBy("phash")
+    first = F.struct(F.col(id_col), F.col("idx"))
+    kept = paras.withColumn("_first", F.min(first).over(w)).filter(
+        (F.col(f"_first.{id_col}") == F.col(id_col))
+        & (F.col("_first.idx") == F.col("idx")))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+
+
+def paragraph_dedup_sql(table: str, text_col: str, id_col: str,
+                        min_chars: int = 1) -> str:
+    """DuckDB twin of paragraph_dedup (hash replaced by the normalized
+    paragraph itself as the group key — same grouping, same survivors)."""
+    return f"""
+      WITH p AS (
+        SELECT {id_col},
+               UNNEST(regexp_split_to_array({text_col}, '\\n\\s*\\n+')) AS para,
+               GENERATE_SUBSCRIPTS(
+                 regexp_split_to_array({text_col}, '\\n\\s*\\n+'), 1) - 1 AS idx
+        FROM {table}
+      ), f AS (
+        SELECT *, TRIM(REGEXP_REPLACE(LOWER(para), '\\s+', ' ', 'g')) AS norm
+        FROM p WHERE LENGTH(TRIM(para)) >= {min_chars}
+      ), k AS (
+        SELECT {id_col}, idx, para,
+               ROW_NUMBER() OVER (PARTITION BY norm
+                                  ORDER BY {id_col}, idx) AS rn
+        FROM f
+      )
+      SELECT {id_col},
+             STRING_AGG(para, CHR(10) || CHR(10) ORDER BY idx) AS dedup_text,
+             COUNT(*) AS n_paras_kept
+      FROM k WHERE rn = 1 GROUP BY {id_col}
+    """
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """URL canonicalization for URL-level dedup (the usual web-corpus
+    normalization: CCNet/RefinedWeb-style): lowercase scheme+host,
+    strip the fragment, strip tracking query params (utm_*, fbclid,
+    gclid, msclkid, ref), drop an emptied '?', drop default ports,
+    collapse a bare trailing slash. Pure JVM regexp chain — map-only,
+    codegen'd, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(c, r"#.*$", "")                       # fragment
+    # lowercase scheme://host (group 1) but not path/query
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([^/]*//[^/?#]*)", 1)),
+        F.regexp_replace(u, r"^[^/]*//[^/?#]*", ""),
+    )
+    u = F.regexp_replace(u, r"(://[^/?#]*):(80|443)([/?#]|$)", "$1$3")
+    u = F.regexp_replace(
+        u, r"([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*", "$1")
+    u = F.regexp_replace(u, r"[?&]+$", "")                     # emptied query
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"^([^?]*[^/?])/$", "$1")          # trailing slash
+    return u
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB twin of canonicalize_url — the same regexp chain with
+    the 'g' flag where Spark replaces globally."""
+    u = f"REGEXP_REPLACE({expr}, '#.*$', '')"
+    u = (f"LOWER(REGEXP_EXTRACT({u}, '^([^/]*//[^/?#]*)', 1)) || "
+         f"REGEXP_REPLACE({u}, '^[^/]*//[^/?#]*', '')")
+    u = f"REGEXP_REPLACE({u}, '(://[^/?#]*):(80|443)([/?#]|$)', '\\1\\3')"
+    u = (f"REGEXP_REPLACE({u}, "
+         f"'([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*', "
+         f"'\\1', 'g')")
+    u = f"REGEXP_REPLACE({u}, '[?&]+$', '')"
+    u = f"REGEXP_REPLACE({u}, '\\?&+', '?')"
+    u = f"REGEXP_REPLACE({u}, '&&+', '&', 'g')"
+    u = f"REGEXP_REPLACE({u}, '^([^?]*[^/?])/$', '\\1')"
+    return u

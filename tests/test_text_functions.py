@@ -332,3 +332,48 @@ def test_dedup_keep_best(spark):
     assert got[2]["keep"] and not got[1]["keep"] and not got[3]["keep"]
     # singleton keeps itself
     assert got[4]["keep"] and got[4]["canonical_id"] == 4
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    import pandas as pd
+
+    from gdal_spark.functions.text import paragraph_dedup
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3],
+        "t": ["alpha beta\n\ngamma", "alpha  BETA\n\ndelta", "gamma\n\ndelta"],
+    }))
+    out = {r["id"]: (r["dedup_text"], r["n_paras_kept"])
+           for r in paragraph_dedup(df, "t", "id").collect()}
+    # doc 1 keeps both; doc 2 loses 'alpha BETA' (normalized dup of doc 1)
+    # but keeps 'delta'; doc 3 loses both
+    assert out[1] == ("alpha beta\n\ngamma", 2)
+    assert out[2] == ("delta", 1)
+    assert 3 not in out
+
+
+def test_canonicalize_url_rules(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark.functions.text import canonicalize_url
+
+    urls = [
+        "HTTP://WWW.Example.COM:80/A/b/?utm_source=x#top",
+        "https://ex.com/p?gclid=1&q=2&utm_medium=m",
+        "https://ex.com/p/",
+        "https://ex.com:8080/p",          # non-default port kept
+        "https://ex.com/p?fbclid=z",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"u": urls}))
+    got = [r["c"] for r in
+           df.select(canonicalize_url("u").alias("c")).collect()]
+    assert got == [
+        # host lowercased (path case untouched), :80 dropped, utm query
+        # emptied and removed, then the now-bare trailing slash dropped
+        "http://www.example.com/A/b",
+        "https://ex.com/p?q=2",
+        "https://ex.com/p",
+        "https://ex.com:8080/p",
+        "https://ex.com/p",
+    ]
