@@ -467,6 +467,37 @@ def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(docs, "doc_id", seed=7).select("doc_id", "split")
 
 
+def _q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-asset manifest over the interleaved span sequence (the
+    fetch/decode worklist of a multimodal pipeline): explode media
+    spans, aggregate per asset — reference count, distinct citing
+    docs, and the first (doc, offset) citation. One narrow shuffle on
+    media_ref; span order rides the offset column."""
+    flat = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spans = F.array(
+        F.struct(F.lit("text").alias("kind"), F.col("text").alias("text"),
+                 F.lit("").alias("media_ref"), F.lit(0).alias("offset")),
+        F.struct(F.lit("media").alias("kind"), F.lit("").alias("text"),
+                 F.format_string("media://%09d", did % 211).alias("media_ref"),
+                 F.lit(1).alias("offset")),
+        F.struct(F.lit("media").alias("kind"), F.lit("").alias("text"),
+                 F.format_string("media://%09d", (did % 13) + 1000).alias(
+                     "media_ref"),
+                 F.lit(2).alias("offset")),
+    )
+    s = flat.select("doc_id", F.explode(spans).alias("s")).filter(
+        F.col("s.kind") == "media")
+    return s.groupBy(F.col("s.media_ref").alias("media_ref")).agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min(F.struct(F.col("doc_id"),
+                       F.col("s.offset").alias("offset"))).alias("_f"),
+    ).select("media_ref", "n_refs", "n_docs",
+             F.col("_f.doc_id").alias("first_doc"),
+             F.col("_f.offset").cast("long").alias("first_offset"))
+
+
 def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + canonical-URL dedup: per-doc injected
     messy URLs (mixed-case host, default port, utm/fbclid params,
@@ -3565,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "paragraph_dedup": _q_paragraph_dedup,
         "url_canonical_dedup": _q_url_canonical,
+        "media_manifest": _q_media_manifest,
         "url_blocklist": _q_url_blocklist,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
@@ -4323,6 +4355,29 @@ def _sample_split_sql() -> str:
     )
 
 
+def _media_manifest_sql() -> str:
+    return """
+      WITH m AS (
+        SELECT doc_id, printf('media://%09d', doc_id % 211) AS media_ref,
+               1 AS off FROM documents
+        UNION ALL
+        SELECT doc_id, printf('media://%09d', (doc_id % 13) + 1000),
+               2 FROM documents
+      ), f AS (
+        SELECT media_ref, doc_id, off,
+               ROW_NUMBER() OVER (PARTITION BY media_ref
+                                  ORDER BY doc_id, off) AS rn
+        FROM m
+      )
+      SELECT media_ref, COUNT(*) AS n_refs,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             MIN(CASE WHEN rn = 1 THEN doc_id END) AS first_doc,
+             CAST(MIN(CASE WHEN rn = 1 THEN off END) AS BIGINT)
+               AS first_offset
+      FROM f GROUP BY media_ref
+    """
+
+
 def _url_canonical_sql() -> str:
     from gdal_spark.functions.text import canonicalize_url_sql
 
@@ -4691,6 +4746,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "ogrmerge_single": _ogrmerge_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
         "url_canonical_dedup": _url_canonical_sql(),
+        "media_manifest": _media_manifest_sql(),
         "dup_spans": rf"""
             WITH t AS (
               SELECT doc_id,

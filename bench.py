@@ -184,6 +184,7 @@ def main():
         "ogrmerge_single", "domain_resample",
         # BPE tokenizer: distributed pair-count train + map-only apply
         "bpe_tokenize", "paragraph_dedup", "url_canonical_dedup",
+        "media_manifest",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every
