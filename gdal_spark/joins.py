@@ -333,6 +333,7 @@ def pip_join(
     docs: DataFrame,
     zindex: IX.ZoneIndex,
     mode: str = "first",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Join documents to zones by geometric intersection.
 
@@ -342,9 +343,24 @@ def pip_join(
       when none — OGR SQL LEFT JOIN semantics (ogr_sql_dialect.rst:490).
     mode 'all': one row per intersecting pair, NULL row when none —
       overlay-join semantics (generic/ogrlayer.cpp:2062).
+    engine 'arrow' (default): everything through the fused pandas UDF.
+      'auto': point documents run the pure-JVM Catalyst leg (jvmpip.py
+      — zero Arrow/Python on the hot path), the polygon minority keeps
+      the Arrow kernel; legs are unioned. Both produce identical rows
+      (tests assert it). MEASURED (8M docs, local[32], interleaved
+      reps): arrow best 5.4 s / auto best 10.9 s — Catalyst's
+      higher-order-function lambdas evaluate interpreted per vertex,
+      which costs more than the Arrow IPC they avoid, so the Arrow
+      kernel remains the default; 'auto' exists for clusters where
+      Python workers are unavailable or their memory is the constraint.
     """
     if mode not in ("first", "all"):
         raise ValueError(f"mode must be 'first' or 'all', got {mode}")
+    if engine not in ("auto", "arrow"):
+        raise ValueError(f"engine must be 'auto' or 'arrow', got {engine}")
+
+    if engine == "auto" and "gx" not in docs.columns:
+        return _pip_join_hybrid(docs, zindex, mode)
 
     if "gx" in docs.columns:  # pre-extracted geometry path
         udf = _make_prepared_udf(zindex.bc, zindex.level, mode)
@@ -400,6 +416,42 @@ def pip_join(
         .withColumn("eas_id", F.col("_e.eas_id"))
         .drop("_matches", "_e")
     )
+
+
+def _pip_join_hybrid(docs: DataFrame, zindex: IX.ZoneIndex, mode: str) -> DataFrame:
+    """engine='auto': point rows (WKT matches the POINT regexp, parsed
+    by JVM codegen) take the pure-JVM Catalyst leg — broadcast cover
+    join + expression ray cast, zero Arrow/Python (jvmpip.py); the
+    polygon/malformed minority takes the fused Arrow kernel. Legs are
+    unioned by name; both are map-only over a broadcast, so the
+    document side still never shuffles. The source is scanned twice
+    (once per leg) — at 95% points that trades one cheap extra codegen
+    scan for a 20x cut in Arrow IPC traffic, the measured 8->32-core
+    bottleneck (BENCH/BASELINE.md)."""
+    from . import jvmpip
+
+    if "geom_wkt" in docs.columns:
+        src = docs
+    else:
+        src = docs.withColumn("geom_wkt", geom_wkt_col())
+    src = src.withColumn(
+        "_plon", F.regexp_extract("geom_wkt", _POINT_RE, 1).cast("double")
+    ).withColumn(
+        "_plat", F.regexp_extract("geom_wkt", _POINT_RE, 2).cast("double")
+    )
+
+    pts = (
+        src.filter(F.col("_plon").isNotNull())
+        .withColumn("lon", F.col("_plon"))
+        .withColumn("lat", F.col("_plat"))
+        .drop("_plon", "_plat")
+    )
+    cover = zindex.cover_df(docs.sparkSession)
+    jvm_leg = jvmpip.pip_points_jvm(pts, cover, zindex.level, mode=mode)
+
+    rest = src.filter(F.col("_plon").isNull()).drop("_plon", "_plat")
+    arrow_leg = pip_join(rest, zindex, mode=mode, engine="arrow")
+    return jvm_leg.unionByName(arrow_leg)
 
 
 def pip_join_full(

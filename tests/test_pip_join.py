@@ -8,9 +8,10 @@ NULL zone columns when nothing intersects.
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from gdal_spark import synth
-from gdal_spark.joins import pip_join_full
+from gdal_spark.joins import pip_join, pip_join_full
 
 from .oracle import pip_oracle, span_tuples
 
@@ -79,3 +80,44 @@ def test_pip_join_plan_has_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_pip_join_jvm_engine_parity(spark):
+    """engine='auto' (pure-JVM Catalyst leg for points + Arrow leg for
+    the polygon minority, jvmpip.py) must produce IDENTICAL rows to the
+    default Arrow kernel in both modes — the ray cast is
+    expression-for-expression the same IEEE-754 arithmetic, so this is
+    exact equality, not approximate."""
+    docs = synth.documents_df(spark, N_DOCS)
+    zones = synth.zones_np(N_ZONES)
+    from gdal_spark.index import zone_index
+
+    zidx = zone_index(spark, zones)
+    for mode in ("first", "all"):
+        cols = ["doc_id", "lon", "lat", "zone_id", "eas_id"]
+        a = sorted(map(tuple, pip_join(docs, zidx, mode=mode, engine="arrow").select(*cols).collect()))
+        b = sorted(map(tuple, pip_join(docs, zidx, mode=mode, engine="auto").select(*cols).collect()))
+        assert a == b
+        assert len(a) >= N_DOCS
+
+
+def test_pip_points_jvm_no_python_in_plan(spark):
+    """The JVM leg's physical plan must contain no Python/Arrow eval
+    node — that is its entire reason to exist."""
+    from gdal_spark import derived as DRV
+    from gdal_spark import jvmpip
+    from gdal_spark.index import zone_index
+
+    docs = spark.range(0, 1000).select(
+        (F.col("id")).alias("doc_id")
+    )
+    docs = DRV.with_derived_points(docs)
+    zidx = zone_index(spark, synth.zones_np(N_ZONES))
+    out = jvmpip.pip_points_jvm(docs, zidx.cover_df(spark), zidx.level)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    got = out.groupBy().agg(
+        F.count("*").alias("n"), F.count("zone_id").alias("m")
+    ).collect()[0]
+    assert got["n"] == 1000 and got["m"] > 0
