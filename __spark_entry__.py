@@ -815,6 +815,48 @@ def _q_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(tiles)
 
 
+def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF sink + source (gdal/frmts/gtiff): the synthetic tile
+    table written as a real tiled GeoTIFF via planned-offset parallel
+    pwrite, read back via the distributed IFD-plan/segment-scan reader
+    — per-tile checksums must equal the source table's (same oracle as
+    raster_checksums)."""
+    import tempfile
+
+    from gdal_spark import geotiff
+
+    tiles = synth.tiles_src_df(spark, 4, 4)
+    path = tempfile.mkdtemp(prefix="gdal_spark_gtiff_") + "/rt.tif"
+    geotiff.write_geotiff(tiles, path)
+    back = geotiff.read_geotiff(spark, path, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
+def _q_geotiff_byte_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical byte.tif fixture through the
+    from-scratch TIFF parser: checksum 4672 + the documented
+    geotransform/CRS (autotest/utilities/test_gdalwarp.py:56,
+    gcore/data/byte.tif)."""
+    from gdal_spark import geotiff
+
+    t = geotiff.read_geotiff(
+        spark, "/root/reference/autotest/gcore/data/byte.tif",
+        raster_id="byte",
+    )
+    c = tiling.checksum_table(t)
+    g = t.select(
+        "raster_id", "band", "tile_x", "tile_y", "crs",
+        F.element_at("geotransform", 1).alias("gt0"),
+        F.element_at("geotransform", 2).alias("gt1"),
+        F.element_at("geotransform", 4).alias("gt3"),
+        F.element_at("geotransform", 6).alias("gt5"),
+    )
+    return c.join(g, ["raster_id", "band", "tile_x", "tile_y"]).select(
+        "raster_id", "band", "tile_x", "tile_y", "checksum",
+        "crs", "gt0", "gt1", "gt3", "gt5",
+    )
+
+
 def _q_enhance_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalenhance -equalize (apps/gdalenhance.cpp:493-660): exact
     distributed per-band histogram (shuffle state = nbins rows) ->
@@ -3628,6 +3670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "raster_checksums": _q_raster_checksums,
+        "geotiff_roundtrip": _q_geotiff_roundtrip,
+        "geotiff_byte_ref": _q_geotiff_byte_ref,
         "enhance_equalize_checksums": _q_enhance_equalize,
         "lut_checksums": _q_apply_lut,
         "nearblack_checksums": _q_nearblack,
@@ -5656,6 +5700,20 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_static()
     # the streaming path answers to the same oracle as the batch join
     d.setdefault("streaming_pip", d["pip_zone_join"])
+    # a faithful GeoTIFF roundtrip reproduces the source tile table
+    # exactly, so it answers to the raster_checksums oracle
+    try:
+        import localref
+
+        d.setdefault("geotiff_roundtrip", localref.sql_raster_checksums())
+    except Exception:
+        pass
+    d.setdefault(
+        "geotiff_byte_ref",
+        "SELECT 'byte' AS raster_id, 1 AS band, 0 AS tile_x, 0 AS tile_y,"
+        " 4672 AS checksum, 'EPSG:26711' AS crs, 440720.0 AS gt0,"
+        " 60.0 AS gt1, 3751320.0 AS gt3, -60.0 AS gt5",
+    )
     # non-SQL-expressible queries (hash kernels, pixel kernels, LSH)
     # get literal VALUES oracles computed by the single-node reference
     # implementations in localref.py — any entry whose inputs are

@@ -1,0 +1,553 @@
+"""GeoTIFF source + sink — a real raster format driver, Spark-first.
+
+The reference's GTiff driver (gdal/frmts/gtiff/, ~50k LoC with libtiff)
+is its most-used raster format. This module re-expresses the two sides
+for Spark's execution model:
+
+READ  (read_geotiff): the driver process reads ONLY the header + IFD
+  (kilobytes), turning the segment layout (strip/tile offsets + byte
+  counts, TIFF tags 273/279 or 324/325) into a small DataFrame of
+  segment descriptors; executors then range-read their segments
+  directly from the file in parallel inside mapInPandas and emit
+  standard TILE_SCHEMA rows. This is exactly how a 100 TB cluster
+  reads COGs from object storage — header GET, then per-task ranged
+  GETs — no driver bottleneck, no whole-file broadcast. Multiple IFDs
+  (overview pyramid, gcore/overview.cpp) surface as zoom levels.
+
+WRITE (write_geotiff): uncompressed tiled output. Because uncompressed
+  segment sizes are a closed form of (tile dims, dtype), every tile's
+  file offset is computable without any scan — the driver writes the
+  header + IFD, and executors pwrite their tiles at their planned
+  offsets IN PARALLEL (foreachPartition). The same planned-offset
+  idea as the COG layout planner (layout.py); on a real cluster the
+  pwrite becomes a multipart-upload part per partition.
+
+Format coverage (reader): classic TIFF + BigTIFF, II/MM byte orders,
+strip and tile organization, PlanarConfiguration 1 (chunky, band
+de-interleave) and 2 (separate), Compression 1 (none) / 8+32946
+(DEFLATE) / 32773 (PackBits) / 5 (LZW, pure-Python slow path),
+Predictor 2 (horizontal differencing), BitsPerSample 8/16/32/64 x
+SampleFormat uint/int/float, GDAL_NODATA (tag 42113), geotransform
+from ModelPixelScale+ModelTiepoint (33550/33922) or
+ModelTransformation (34264), CRS from the GeoKey directory (34735:
+GeographicTypeGeoKey 2048 / ProjectedCSTypeGeoKey 3072 -> "EPSG:n").
+
+Parity oracle: the reference's canonical fixture
+autotest/gcore/data/byte.tif (20x20 Byte, EPSG:26711, checksum 4672 —
+asserted all over autotest, e.g. utilities/test_gdalwarp.py:56) read
+through this parser must reproduce checksum 4672 and the documented
+geotransform (440720, 60, 0, 3751320, 0, -60).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .synth import TILE_SCHEMA
+
+# TIFF tag ids
+_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    273: "strip_offsets", 277: "spp", 278: "rows_per_strip",
+    279: "strip_counts", 284: "planar", 317: "predictor",
+    322: "tile_w", 323: "tile_h", 324: "tile_offsets",
+    325: "tile_counts", 339: "sample_format",
+    33550: "pixel_scale", 33922: "tiepoint", 34264: "model_transform",
+    34735: "geokeys", 42113: "nodata_ascii",
+}
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q"}
+
+
+def _read_values(f, bo: str, typ: int, cnt: int, raw: bytes):
+    size = _TYPE_SIZE.get(typ, 1) * cnt
+    if size > len(raw):
+        (off,) = struct.unpack(bo + ("Q" if len(raw) == 8 else "I"), raw)
+        pos = f.tell()
+        f.seek(off)
+        data = f.read(size)
+        f.seek(pos)
+    else:
+        data = raw[:size]
+    if typ == 2:
+        return data.rstrip(b"\x00").decode("ascii", "replace")
+    if typ == 5:  # RATIONAL
+        vals = struct.unpack(bo + "I" * (2 * cnt), data)
+        return [vals[2 * i] / max(vals[2 * i + 1], 1) for i in range(cnt)]
+    if typ == 7:
+        return data
+    fmt = _TYPE_FMT[typ]
+    return list(struct.unpack(bo + fmt * cnt, data))
+
+
+def _parse_ifds(path: str) -> tuple[str, list[dict]]:
+    """Parse every IFD in the file (main image + overviews). Returns
+    (byte_order, [tag dict per IFD]). Driver-side, header-only I/O."""
+    with open(path, "rb") as f:
+        hdr = f.read(8)
+        if hdr[:2] == b"II":
+            bo = "<"
+        elif hdr[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError(f"not a TIFF: {path}")
+        (magic,) = struct.unpack(bo + "H", hdr[2:4])
+        big = magic == 43
+        if big:
+            f.seek(4)
+            osize, zero, off = struct.unpack(bo + "HHQ", f.read(12))
+        else:
+            if magic != 42:
+                raise ValueError(f"bad TIFF magic {magic}")
+            (off,) = struct.unpack(bo + "I", hdr[4:8])
+
+        ifds = []
+        while off:
+            f.seek(off)
+            if big:
+                (n,) = struct.unpack(bo + "Q", f.read(8))
+                entry_sz, cnt_fmt = 20, "Q"
+            else:
+                (n,) = struct.unpack(bo + "H", f.read(2))
+                entry_sz, cnt_fmt = 12, "I"
+            entries = f.read(entry_sz * n)
+            tags: dict = {}
+            for i in range(n):
+                e = entries[i * entry_sz : (i + 1) * entry_sz]
+                tag, typ = struct.unpack(bo + "HH", e[:4])
+                (cnt,) = struct.unpack(bo + cnt_fmt, e[4 : 4 + len(struct.pack(cnt_fmt, 0))])
+                raw = e[4 + len(struct.pack(cnt_fmt, 0)) :]
+                if tag in _TAGS:
+                    tags[_TAGS[tag]] = _read_values(f, bo, typ, cnt, raw)
+            ifds.append(tags)
+            nxt = f.read(8 if big else 4)
+            (off,) = struct.unpack(bo + ("Q" if big else "I"), nxt)
+    return bo, ifds
+
+
+def _dtype_of(tags: dict) -> str:
+    bits = tags.get("bits", [8])[0]
+    sfmt = tags.get("sample_format", [1])[0]
+    kind = {1: "uint", 2: "int", 3: "float"}[sfmt]
+    if kind == "float":
+        return f"float{bits}"
+    return f"{kind}{bits}"
+
+
+def _geotransform(tags: dict) -> list[float]:
+    if "model_transform" in tags:
+        m = tags["model_transform"]
+        return [m[3], m[0], m[1], m[7], m[4], m[5]]
+    if "pixel_scale" in tags and "tiepoint" in tags:
+        sx, sy = tags["pixel_scale"][0], tags["pixel_scale"][1]
+        i, j, _, x, y, _ = tags["tiepoint"][:6]
+        return [x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy]
+    return [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+
+
+def _crs_of(tags: dict) -> str:
+    gk = tags.get("geokeys")
+    if not gk:
+        return ""
+    # GeoKey directory: 4-short header then (key, loc, count, value)*
+    n = gk[3]
+    keys = {gk[4 + 4 * i]: gk[4 + 4 * i + 3] for i in range(n)
+            if gk[4 + 4 * i + 1] == 0}
+    code = keys.get(3072) or keys.get(2048)
+    return f"EPSG:{code}" if code and code != 32767 else ""
+
+
+def _nodata_of(tags: dict) -> float | None:
+    s = tags.get("nodata_ascii")
+    if s is None:
+        return None
+    try:
+        return float(str(s).strip())
+    except ValueError:
+        return None
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, EarlyChange=1). Pure Python —
+    the documented slow path; DEFLATE is the performance encoding."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out[:expected])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out[:expected])
+
+
+def _decompress(data: bytes, comp: int, expected: int) -> bytes:
+    if comp == 1:
+        return data
+    if comp in (8, 32946):
+        return zlib.decompress(data)
+    if comp == 32773:
+        return _unpackbits(data, expected)
+    if comp == 5:
+        return _lzw_decode(data, expected)
+    raise NotImplementedError(f"TIFF compression {comp} not supported")
+
+
+def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
+    if predictor == 2:
+        return np.cumsum(arr, axis=-1, dtype=arr.dtype)
+    return arr
+
+
+def ifd_meta(path: str) -> list[dict]:
+    """Per-IFD summary (width, height, segments) — gdalinfo's skeleton."""
+    bo, ifds = _parse_ifds(path)
+    out = []
+    for k, t in enumerate(ifds):
+        out.append(
+            {
+                "ifd": k,
+                "width": t["width"][0],
+                "height": t["height"][0],
+                "bands": t.get("spp", [1])[0],
+                "dtype": _dtype_of(t),
+                "tiled": "tile_offsets" in t,
+                "compression": t.get("compression", [1])[0],
+                "geotransform": _geotransform(t),
+                "crs": _crs_of(t),
+            }
+        )
+    return out
+
+
+def _segment_rows(tags: dict, path: str, raster_id: str, zoom: int) -> list[tuple]:
+    """One row per (segment, band): the executor-side read plan."""
+    width, height = tags["width"][0], tags["height"][0]
+    spp = tags.get("spp", [1])[0]
+    planar = tags.get("planar", [1])[0]
+    if "tile_offsets" in tags:
+        tw, th = tags["tile_w"][0], tags["tile_h"][0]
+        offs, cnts = tags["tile_offsets"], tags["tile_counts"]
+        tiled = True
+    else:
+        tw = width
+        th = tags.get("rows_per_strip", [height])[0]
+        offs = tags["strip_offsets"]
+        cnts = tags.get("strip_counts", [])
+        if not cnts:  # single uncompressed strip fallback
+            cnts = [tw * th * spp * (int(_dtype_of(tags)[-2:].lstrip("tn")) // 8)]
+        tiled = False
+    ntx = (width + tw - 1) // tw
+    nty = (height + th - 1) // th
+    per_plane = ntx * nty
+    rows = []
+    for k in range(len(offs)):
+        plane = k // per_plane if planar == 2 else 0
+        ki = k % per_plane
+        ty, tx = divmod(ki, ntx)
+        w_eff = min(tw, width - tx * tw)
+        h_eff = min(th, height - ty * th)
+        rows.append(
+            (raster_id, zoom, int(tx), int(ty), int(w_eff), int(h_eff),
+             int(tw), int(th), int(offs[k]), int(cnts[k]), int(plane))
+        )
+    return rows
+
+
+_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("zoom", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pad_w", T.IntegerType()),
+        T.StructField("pad_h", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("nbytes", T.LongType()),
+        T.StructField("plane", T.IntegerType()),
+    ]
+)
+
+
+def read_geotiff(
+    spark: SparkSession,
+    path: str,
+    raster_id: str | None = None,
+    ifd: int = 0,
+    zoom: int = 0,
+) -> DataFrame:
+    """Distributed GeoTIFF scan -> TILE_SCHEMA tile table.
+
+    Driver I/O is the header + IFD only; pixel segments are range-read
+    by executors (mapInPandas), decompressed, de-interleaved, and
+    emitted one row per (tile, band). `ifd` selects an overview level
+    (the reference's GDALBandGetBestOverviewLevel2 source selection,
+    gcore/rasterio.cpp:382, composes with tiling.select_overview)."""
+    rid = raster_id or os.path.splitext(os.path.basename(path))[0]
+    bo, ifds = _parse_ifds(path)
+    tags = ifds[ifd]
+    dtype = _dtype_of(tags)
+    gt = _geotransform(tags)
+    crs = _crs_of(tags)
+    nodata = _nodata_of(tags)
+    comp = tags.get("compression", [1])[0]
+    pred = tags.get("predictor", [1])[0]
+    spp = tags.get("spp", [1])[0]
+    planar = tags.get("planar", [1])[0]
+    itemsize = int(dtype.lstrip("uintfloa")) // 8
+
+    rows = _segment_rows(tags, path, rid, zoom)
+    nslices = max(4, min(len(rows), 256))
+    seg = spark.createDataFrame(rows, _SEG_SCHEMA).repartition(nslices)
+
+    np_dtype = np.dtype(dtype).newbyteorder(bo)
+
+    def scan(batches):
+        for pdf in batches:
+            out = []
+            with open(path, "rb") as f:
+                for r in pdf.itertuples(index=False):
+                    f.seek(r.offset)
+                    raw = f.read(r.nbytes)
+                    expected = r.pad_w * r.pad_h * (spp if planar == 1 else 1) * itemsize
+                    data = _decompress(raw, comp, expected)
+                    arr = np.frombuffer(data, dtype=np_dtype)
+                    ch = spp if planar == 1 else 1
+                    # a final uncompressed strip is NOT padded to
+                    # rows_per_strip — reshape by the rows present
+                    rows_have = arr.size // (r.pad_w * ch)
+                    if planar == 1 and spp > 1:
+                        arr = arr.reshape(rows_have, r.pad_w, spp)
+                        arr = _undo_predictor(arr.swapaxes(-1, -2), pred).swapaxes(-1, -2)
+                        planes = [(b + 1, np.ascontiguousarray(arr[..., b])) for b in range(spp)]
+                    else:
+                        arr = arr.reshape(rows_have, r.pad_w)
+                        arr = _undo_predictor(arr, pred)
+                        planes = [(int(r.plane) + 1, arr)]
+                    for band, a in planes:
+                        a = a[: r.height, : r.width]
+                        a = np.ascontiguousarray(a).astype(np.dtype(dtype), copy=False)
+                        out.append(
+                            {
+                                "raster_id": r.raster_id,
+                                "band": band,
+                                "zoom": int(r.zoom),
+                                "tile_x": int(r.tile_x),
+                                "tile_y": int(r.tile_y),
+                                "width": int(r.width),
+                                "height": int(r.height),
+                                "dtype": dtype,
+                                "nodata": np.nan if nodata is None else float(nodata),
+                                "crs": crs,
+                                "geotransform": [float(v) for v in gt],
+                                "data": a.tobytes(),
+                            }
+                        )
+            yield pd.DataFrame(out, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return seg.mapInPandas(scan, schema=TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------- writer
+def _pack(bo, fmt, *vals):
+    return struct.pack(bo + fmt, *vals)
+
+
+def write_geotiff(tiles: DataFrame, path: str) -> dict:
+    """Write a single-band-or-multiband tile table as an UNCOMPRESSED
+    tiled GeoTIFF (BigTIFF automatically when the payload needs it).
+
+    Spark-first: uncompressed segment sizes are a closed form, so each
+    tile's absolute file offset is planned as a column — the driver
+    writes only the header + IFD and truncates the file to size, then
+    executors os.pwrite their tiles at their planned offsets in
+    parallel (foreachPartition). No collect of pixel data, no
+    sequential writer bottleneck; on object storage the pwrite becomes
+    one multipart part per partition (the COG layout planner in
+    layout.py computes the same offsets for that path).
+
+    Requires a uniform tile grid (equal pad dims) — the engine's tile
+    tables are built that way. Returns the metadata dict written.
+    """
+    meta_rows = tiles.groupBy("raster_id").agg(
+        F.max("tile_x").alias("ntx1"), F.max("tile_y").alias("nty1"),
+        F.max("width").alias("tw"), F.max("height").alias("th"),
+        F.first("dtype").alias("dtype"), F.first("nodata").alias("nodata"),
+        F.first("crs").alias("crs"),
+        F.first("geotransform").alias("gt"),
+        F.max("band").alias("nbands"),
+        F.sum(F.when((F.col("tile_x") == 0) & (F.col("band") == 1), F.col("height"))).alias("img_h"),
+        F.sum(F.when((F.col("tile_y") == 0) & (F.col("band") == 1), F.col("width"))).alias("img_w"),
+    ).collect()
+    if len(meta_rows) != 1:
+        raise ValueError("write_geotiff expects exactly one raster_id")
+    m = meta_rows[0]
+    ntx, nty = int(m.ntx1) + 1, int(m.nty1) + 1
+    tw, th = int(m.tw), int(m.th)
+    nbands = int(m.nbands)
+    dtype = str(m.dtype)
+    itemsize = np.dtype(dtype).itemsize
+    seg_bytes = tw * th * itemsize
+    nseg = ntx * nty * nbands  # planar config 2: one plane per band
+    width, height = int(m.img_w), int(m.img_h)
+
+    total_data = nseg * seg_bytes
+    big = total_data > 2**31
+    bo = "<"
+
+    bits = itemsize * 8
+    sfmt = {"u": 1, "i": 2, "f": 3}[np.dtype(dtype).kind]
+    gt = list(m.gt) if m.gt is not None else [0, 1, 0, 0, 0, -1]
+    epsg = 0
+    if m.crs and str(m.crs).upper().startswith("EPSG:"):
+        epsg = int(str(m.crs).split(":")[1])
+
+    # ---- build IFD
+    def entries(data_start: int):
+        segs = [data_start + k * seg_bytes for k in range(nseg)]
+        e = [
+            (256, 3, 1, [width]), (257, 3, 1, [height]),
+            (258, 3, nbands, [bits] * nbands), (259, 3, 1, [1]),
+            (262, 3, 1, [1]), (277, 3, 1, [nbands]),
+            (284, 3, 1, [2]),  # planar separate: segments are per band
+            (322, 3, 1, [tw]), (323, 3, 1, [th]),
+            (324, 16 if big else 4, nseg, segs),
+            (325, 16 if big else 4, nseg, [seg_bytes] * nseg),
+            (339, 3, nbands, [sfmt] * nbands),
+            (33550, 12, 3, [gt[1], -gt[5], 0.0]),
+            (33922, 12, 6, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]),
+        ]
+        if epsg:
+            model = 2 if 4000 <= epsg < 5000 else 1
+            gk = [1, 1, 0, 3, 1024, 0, 1, model, 1025, 0, 1, 1,
+                  (2048 if model == 2 else 3072), 0, 1, epsg]
+            gk[3] = (len(gk) - 4) // 4
+            e.append((34735, 3, len(gk), gk))
+        nod = m.nodata
+        if nod is not None and not (isinstance(nod, float) and np.isnan(nod)):
+            s = (repr(float(nod)) + "\x00").encode()
+            if len(s) % 2:  # keep following offsets word-aligned
+                s += b"\x00"
+            e.append((42113, 2, len(s), s))
+        return sorted(e)
+
+    # layout: header | IFD | overflow values | tile data
+    hdr_len = 16 if big else 8
+    n_entries = len(entries(0))
+    entry_sz = 20 if big else 12
+    cnt_sz = 8 if big else 2
+    next_sz = 8 if big else 4
+    ifd_len = cnt_sz + n_entries * entry_sz + next_sz
+    inline_max = 8 if big else 4
+
+    def serialize(data_start: int):
+        ov_pos = hdr_len + ifd_len
+        ifd = b""
+        overflow = b""
+        for tag, typ, cnt, vals in entries(data_start):
+            if typ == 2:
+                payload = bytes(vals)
+            else:
+                fmt = _TYPE_FMT[typ]
+                payload = struct.pack(bo + fmt * cnt, *vals)
+            ent = _pack(bo, "HH", tag, typ)
+            ent += _pack(bo, "Q" if big else "I", cnt)
+            if len(payload) <= inline_max:
+                ent += payload + b"\x00" * (inline_max - len(payload))
+            else:
+                ent += _pack(bo, "Q" if big else "I", ov_pos + len(overflow))
+                overflow += payload
+            ifd += ent
+        body = _pack(bo, "Q" if big else "H", n_entries) if big else _pack(bo, "H", n_entries)
+        body += ifd + (b"\x00" * next_sz)
+        return body, overflow
+
+    body0, overflow0 = serialize(0)
+    data_start = hdr_len + len(body0) + len(overflow0)
+    body, overflow = serialize(data_start)
+
+    if big:
+        header = b"II" + _pack(bo, "HHHQ", 43, 8, 0, hdr_len)
+    else:
+        header = b"II" + _pack(bo, "HI", 42, hdr_len)
+
+    with open(path, "wb") as f:
+        f.write(header + body + overflow)
+        f.truncate(data_start + total_data)
+
+    def write_part(rows):
+        with open(path, "r+b") as f:
+            for r in rows:
+                k = (int(r["band"]) - 1) * (ntx * nty) + int(r["tile_y"]) * ntx + int(r["tile_x"])
+                arr = np.frombuffer(bytes(r["data"]), dtype=np.dtype(r["dtype"]))
+                arr = arr.reshape(int(r["height"]), int(r["width"]))
+                if arr.shape != (th, tw):  # pad edge tiles to the grid
+                    p = np.zeros((th, tw), dtype=arr.dtype)
+                    p[: arr.shape[0], : arr.shape[1]] = arr
+                    arr = p
+                os.pwrite(f.fileno(), arr.tobytes(), data_start + k * seg_bytes)
+
+    tiles.foreachPartition(write_part)
+    return {
+        "path": path, "width": width, "height": height, "bands": nbands,
+        "tiles": nseg, "bigtiff": big, "dtype": dtype,
+    }
