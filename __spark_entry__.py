@@ -815,6 +815,41 @@ def _q_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(tiles)
 
 
+def _q_shapefile_poly_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical poly.shp vector fixture
+    (autotest/ogr/data/poly.*) through the distributed .shx-planned
+    shapefile scan — attribute values must equal the dbf transcription
+    the reference's own ogr_sql tests assert against."""
+    from gdal_spark import shapefile as SHPF
+
+    df = SHPF.read_shapefile(spark, "/root/reference/autotest/ogr/data/poly")
+    return df.select(
+        "fid",
+        F.col("AREA").alias("area"),
+        F.col("EAS_ID").alias("eas_id"),
+        F.col("PRFEDEA").alias("prfedea"),
+    )
+
+
+def _q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapefile sink + source roundtrip over the derived zone grid:
+    write .shp/.shx/.dbf, re-read through the range-read scan, attrs
+    must survive bit-exactly (N-field fixed decimals are sized to hold
+    the closed-form values)."""
+    import tempfile
+
+    from gdal_spark import shapefile as SHPF
+
+    zones = DRV.rect_zone_grid(ZONE_G)
+    src = spark.createDataFrame(
+        zones[["zone_id", "eas_id", "prfedea", "geom_wkt"]]
+    )
+    base = tempfile.mkdtemp(prefix="gdal_spark_shp_") + "/zones"
+    SHPF.write_shapefile(src, base)
+    back = SHPF.read_shapefile(spark, base, records_per_batch=16)
+    return back.select("fid", "zone_id", "eas_id", "prfedea")
+
+
 def _q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoTIFF sink + source (gdal/frmts/gtiff): the synthetic tile
     table written as a real tiled GeoTIFF via planned-offset parallel
@@ -3672,6 +3707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_checksums": _q_raster_checksums,
         "geotiff_roundtrip": _q_geotiff_roundtrip,
         "geotiff_byte_ref": _q_geotiff_byte_ref,
+        "shapefile_poly_ref": _q_shapefile_poly_ref,
+        "shapefile_roundtrip": _q_shapefile_roundtrip,
         "enhance_equalize_checksums": _q_enhance_equalize,
         "lut_checksums": _q_apply_lut,
         "nearblack_checksums": _q_nearblack,
@@ -5706,6 +5743,43 @@ def oracle_sql() -> dict[str, str]:
         import localref
 
         d.setdefault("geotiff_roundtrip", localref.sql_raster_checksums())
+    except Exception:
+        pass
+    # poly.shp attribute transcription (autotest/ogr/data/poly.dbf —
+    # the same literal expectations as autotest/ogr/ogr_sql_test.py)
+    try:
+        import localref
+
+        _poly_rows = list(
+            zip(
+                range(10),
+                [215229.266, 247328.172, 261752.781, 547597.188, 15775.758,
+                 101429.977, 268597.625, 1634833.375, -596610.313, 5268.813],
+                [168, 179, 171, 173, 172, 169, 166, 158, 165, 170],
+                ["35043411", "35043423", "35043414", "35043416", "35043415",
+                 "35043412", "35043409", "35043369", "35043408", "35043413"],
+            )
+        )
+        d.setdefault(
+            "shapefile_poly_ref",
+            localref.values_sql(
+                _poly_rows,
+                ["fid", "area", "eas_id", "prfedea"],
+                ["bigint", "double", "bigint", "varchar"],
+            ),
+        )
+        _zr = DRV.rect_zone_grid(ZONE_G).reset_index(drop=True)
+        d.setdefault(
+            "shapefile_roundtrip",
+            localref.values_sql(
+                [
+                    (k, int(r.zone_id), int(r.eas_id), r.prfedea)
+                    for k, r in enumerate(_zr.itertuples(index=False))
+                ],
+                ["fid", "zone_id", "eas_id", "prfedea"],
+                ["bigint", "bigint", "bigint", "varchar"],
+            ),
+        )
     except Exception:
         pass
     d.setdefault(
