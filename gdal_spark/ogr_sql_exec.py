@@ -670,14 +670,29 @@ def _exec_select(p: _P, spark: SparkSession,
             else:
                 cols.append(e.alias(alias))
         if distinct and len(select_items) == 1 and order == []:
-            # OGR case-insensitive DISTINCT applies to single string cols;
-            # fall back to plain distinct for non-strings
-            out = df.select(*cols)
+            # OGR's DISTINCT_LIST returns values in FIRST-ENCOUNTER
+            # (FID scan) order (ogr/swq.cpp:342-351) and is
+            # case-insensitive for strings. When the layer carries a
+            # fid column, reproduce that order exactly: group on the
+            # value, order by min(fid) — the sort runs over DISTINCT
+            # values only (bounded), never the full layer.
             name = select_items[0][1]
-            if dict(out.dtypes)[name] == "string":
-                df = Q.distinct_ci(out, name)
+            if "fid" in df.columns:
+                out = df.select(cols[0], F.col("fid"))
+                if dict(out.dtypes)[name] == "string":
+                    g = out.groupBy(F.lower(F.col(name)).alias("_k")).agg(
+                        F.min_by(F.col(name), F.col("fid")).alias(name),
+                        F.min("fid").alias("_ord"),
+                    )
+                else:
+                    g = out.groupBy(name).agg(F.min("fid").alias("_ord"))
+                df = g.orderBy("_ord").select(name)
             else:
-                df = out.distinct()
+                out = df.select(*cols)
+                if dict(out.dtypes)[name] == "string":
+                    df = Q.distinct_ci(out, name)
+                else:
+                    df = out.distinct()
         else:
             df = df.select(*cols)
             if distinct:

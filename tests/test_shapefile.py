@@ -10,6 +10,7 @@ the reference's own test expectations); the documented extent is
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from gdal_spark import geometry as GM
 from gdal_spark import shapefile as SHP
@@ -108,3 +109,45 @@ def test_distributed_scan_many_batches(spark, tmp_path):
     assert len(got) == 500
     assert [r.fid for r in got] == list(range(500))
     assert [r.v for r in got] == list(range(500))
+
+
+def test_ogr2ogr_over_real_shapefile(spark, tmp_path):
+    """The classic test_ogr2ogr flow end-to-end on the real fixture:
+    ogr2ogr -where 'eas_id < 170' -select prfedea poly.shp out.shp
+    (autotest/utilities/test_ogr2ogr.py idiom) — filter + pruning +
+    shapefile sink + re-scan."""
+    from gdal_spark.ogr2ogr import ogr2ogr_layer
+
+    src = SHP.read_shapefile(spark, POLY_BASE).withColumnRenamed(
+        "EAS_ID", "eas_id"
+    ).withColumnRenamed("PRFEDEA", "prfedea")
+    out = ogr2ogr_layer(src, where="eas_id < 170", select=["prfedea", "eas_id"])
+    SHP.write_shapefile(out, str(tmp_path / "out"))
+    back = SHP.read_shapefile(spark, str(tmp_path / "out"))
+    got = sorted(r.eas_id for r in back.collect())
+    assert got == [158, 165, 166, 168, 169]
+
+
+def test_ogr_sql_over_real_shapefile(spark):
+    """autotest/ogr/ogr_sql_test.py expectations straight off the real
+    file through the textual OGR SQL engine: select distinct eas_id
+    ... in first-encounter order (swq DISTINCT_LIST semantics)."""
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    poly = SHP.read_shapefile(spark, POLY_BASE).select(
+        "fid",
+        F.col("AREA").alias("area"),
+        F.col("EAS_ID").alias("eas_id"),
+        F.col("PRFEDEA").alias("prfedea"),
+    )
+    out = execute_ogr_sql(
+        spark,
+        "SELECT DISTINCT eas_id FROM poly WHERE eas_id < 170",
+        {"poly": poly},
+    )
+    assert [r.eas_id for r in out.collect()] == [168, 169, 166, 158, 165]
+    cnt = execute_ogr_sql(
+        spark, "SELECT COUNT(*) AS cnt FROM poly WHERE eas_id < 167",
+        {"poly": poly},
+    ).collect()[0].cnt
+    assert cnt == 3
