@@ -2597,10 +2597,28 @@ def _q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(edges, 0).select("node", "dist")
 
 
-def _sssp_oracle_sql() -> str:
+_SSSP_BLOCKED = (5, 50, 120)
+
+
+def _q_graph_sssp_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNM blocked-vertex Dijkstra (gnm/gnmgraph.cpp block list):
+    blocked nodes drop out of the edge set; paths detour."""
+    from gdal_spark.graph import sssp_blocked
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(_sssp_edges(), columns=["src", "dst", "w"])
+    )
+    return sssp_blocked(edges, 0, list(_SSSP_BLOCKED)).select("node", "dist")
+
+
+def _sssp_oracle_sql(blocked: tuple = ()) -> str:
     import heapq
 
-    rows = _sssp_edges()
+    rows = [
+        (s, d, w)
+        for s, d, w in _sssp_edges()
+        if s not in blocked and d not in blocked
+    ]
     adj: dict = {}
     for s, d, w in rows:
         adj.setdefault(s, []).append((d, w))
@@ -2756,6 +2774,37 @@ def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = RST.viewshed(tiles, obs, radius_px=60)
     return out.select("obs_id", "visible_px", "in_range_px")
+
+
+def _q_viewshed_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """viewshed -cc earth-curvature/refraction mode
+    (alg/viewshed.cpp:64-75): every height drops by
+    cc * dist^2 / earth_diameter before the ray test."""
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    obs = pd.DataFrame(
+        {"obs_id": [1, 2, 3], "gx": [100, 300, 450], "gy": [100, 260, 400]}
+    )
+    out = RST.viewshed(
+        tiles, obs, radius_px=60, curv_coeff=0.85714,
+        sphere_diameter=2 * 6378137.0, pixel_size=700.0,
+    )
+    return out.select("obs_id", "visible_px", "in_range_px")
+
+
+def _q_contour_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_contour -i/-off level generation (level_generator.h:
+    IntervalLevelRangeIterator) feeding the distributed marching-squares
+    totals — the level list itself comes from a distributed band
+    min/max aggregate."""
+    from gdal_spark.contour import contour_levels
+
+    from gdal_spark.contour import contour_totals
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    lv = contour_levels(tiles, interval=48.0, offset=7.0)
+    return contour_totals(tiles, lv).select(
+        "level", "n_segments", F.round("length", 6).alias("length")
+    )
 
 
 def _q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3866,6 +3915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_invariance": _q_span_invariance,
         "sessionize": _q_sessionize,
         "graph_sssp": _q_graph_sssp,
+        "graph_sssp_blocked": _q_graph_sssp_blocked,
+        "viewshed_curvature": _q_viewshed_curvature,
+        "contour_interval": _q_contour_interval,
         "proximity_checksums": _q_proximity,
         "proximity_full_checksums": _q_proximity_full,
         "media_thumbnails": _q_media_thumbs,
@@ -5686,6 +5738,7 @@ def _oracle_sql_static() -> dict[str, str]:
             GROUP BY user_id
         """,
         "graph_sssp": _sssp_oracle_sql(),
+        "graph_sssp_blocked": _sssp_oracle_sql(_SSSP_BLOCKED),
         "utm_transform": _utm_sql(),
         "gcp_transform": _gcp_sql(),
         "tps_transform": _tps_sql(),

@@ -524,3 +524,40 @@ def contour_polygons(tiles: DataFrame, levels: list[float],
         "npix",
         "wkt",
     )
+
+
+# ------------------------------------------------------- level generation
+def contour_levels(
+    tiles: "DataFrame",
+    interval: float | None = None,
+    offset: float = 0.0,
+    exp_base: float | None = None,
+) -> list[float]:
+    """gdal_contour's -i/-off and -e level generation (marching_squares/
+    level_generator.h IntervalLevelRangeIterator:128-183 and
+    ExponentialLevelRangeIterator:186-249): one distributed band
+    min/max aggregate, then the closed-form level list on the driver
+    (levels are O(range/interval) — tiny). Feed the result to
+    contour()/contour_polylines(); -fl fixed levels are already the
+    native `levels` argument."""
+    import math
+
+    from .raster import band_stats
+
+    s = band_stats(tiles).collect()
+    if not s:
+        return []
+    zmin = min(r["min"] for r in s)
+    zmax = max(r["max"] for r in s)
+    if exp_base is not None:
+        if zmax <= 0:
+            return []
+        lb = math.log(exp_base)
+        k1 = math.ceil(math.log(max(zmin, 1e-300)) / lb)
+        k2 = math.floor(math.log(zmax) / lb)
+        return [float(exp_base ** k) for k in range(int(k1), int(k2) + 1)]
+    if interval is None or interval <= 0:
+        raise ValueError("contour_levels needs interval > 0 or exp_base")
+    k1 = math.ceil((zmin - offset) / interval)
+    k2 = math.floor((zmax - offset) / interval)
+    return [float(k * interval + offset) for k in range(int(k1), int(k2) + 1)]

@@ -359,3 +359,24 @@ def connected_components(edges: DataFrame, max_iter: int = 100) -> DataFrame:
         if changed == 0:
             break
     return lab
+
+
+def block_nodes(edges: DataFrame, blocked) -> DataFrame:
+    """GNM blocked-vertex semantics (gnm/gnmgraph.cpp m_stBlockedVertices:
+    DijkstraShortestPathTree skips blocked vertices entirely): drop
+    every edge incident to a blocked node. `blocked` is a small
+    driver-side collection — it ships as an IN-list literal (codegen),
+    matching the reference where the block set is in-memory state."""
+    b = [x for x in blocked]
+    if not b:
+        return edges
+    return edges.filter(~F.col("src").isin(b) & ~F.col("dst").isin(b))
+
+
+def sssp_blocked(edges: DataFrame, source, blocked,
+                 weight_col: str = "w", max_iter: int = 100) -> DataFrame:
+    """Dijkstra with blocked vertices (GNMGraph::DijkstraShortestPath
+    honoring the block list, gnm/gnmgraph.cpp:176 + ChangeBlockState):
+    routes must detour around blocked nodes; a blocked node is
+    unreachable by definition."""
+    return sssp(block_nodes(edges, blocked), source, weight_col, max_iter)

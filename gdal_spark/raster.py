@@ -1535,7 +1535,9 @@ def fill_nodata(tiles: DataFrame, search: int = 8, power: float = 2.0,
 
 # ---------------------------------------------------------------- viewshed
 def los_visibility(dem: np.ndarray, ox: int, oy: int, obs_height: float,
-                   radius: int) -> np.ndarray:
+                   radius: int, curv_coeff: float = 0.0,
+                   sphere_diameter: float = float("inf"),
+                   pixel_size: float = 1.0) -> np.ndarray:
     """Shared kernel (also the single-node test oracle): boolean
     visibility of every pixel from observer (ox, oy) standing
     `obs_height` above the DEM, bounded by `radius` pixels.
@@ -1544,16 +1546,29 @@ def los_visibility(dem: np.ndarray, ox: int, oy: int, obs_height: float,
     is sampled at unit steps with bilinear DEM interpolation; the
     target is visible iff no intermediate sample rises above the
     observer->target ray. Vectorized over ALL pixels at once per step
-    index (the step loop is bounded by `radius`)."""
+    index (the step loop is bounded by `radius`).
+
+    Earth curvature + refraction (gdalwarp viewshed -cc): every height
+    drops by curv_coeff * geo_dist^2 / sphere_diameter before the ray
+    test (alg/viewshed.cpp:64-75 AdjustHeightInRange; GDAL's default
+    coefficient 0.85714 approximates atmospheric refraction).
+    geo_dist = pixel distance * pixel_size."""
     H, W = dem.shape
     yy, xx = np.mgrid[0:H, 0:W]
     dx = xx - ox
     dy = yy - oy
     dist = np.sqrt(dx * dx + dy * dy)
     in_range = dist <= radius
+
+    def drop(d_px):
+        if curv_coeff == 0.0 or not np.isfinite(sphere_diameter):
+            return 0.0
+        g = d_px * pixel_size
+        return curv_coeff * g * g / sphere_diameter
+
     eye = dem[oy, ox] + obs_height
     with np.errstate(divide="ignore", invalid="ignore"):
-        tgt_slope = (dem - eye) / np.maximum(dist, 1e-12)
+        tgt_slope = (dem - drop(dist) - eye) / np.maximum(dist, 1e-12)
     visible = in_range.copy()
     nsteps = int(np.ceil(min(radius, max(H, W))))
     for s in range(1, nsteps):
@@ -1573,7 +1588,10 @@ def los_visibility(dem: np.ndarray, ox: int, oy: int, obs_height: float,
             + dem[y0 + 1, x0] * (1 - fx) * fy
             + dem[y0 + 1, x0 + 1] * fx * fy
         )
-        blocked = act & ((z - eye) / (frac * np.maximum(dist, 1e-12)) > tgt_slope + 1e-12)
+        blocked = act & (
+            (z - drop(float(s)) - eye) / (frac * np.maximum(dist, 1e-12))
+            > tgt_slope + 1e-12
+        )
         visible &= ~blocked
     visible[oy, ox] = True
     return visible
@@ -1594,7 +1612,10 @@ VIEWSHED_SCHEMA = T.StructType(
 
 
 def viewshed(tiles: DataFrame, observers: "pd.DataFrame",
-             radius_px: int, obs_height: float = 2.0) -> DataFrame:
+             radius_px: int, obs_height: float = 2.0,
+             curv_coeff: float = 0.0,
+             sphere_diameter: float = float("inf"),
+             pixel_size: float = 1.0) -> DataFrame:
     """Viewshed (alg/viewshed.cpp:202): per-observer visibility over a
     bounded radius. Observers are a small table (gx, gy in global pixel
     coords); each observer's radius window of tiles is gathered to ONE
@@ -1632,7 +1653,8 @@ def viewshed(tiles: DataFrame, observers: "pd.DataFrame",
             y = int(row["_ty0"])
             x = int(row["_tx0"])
             dem[y - ty0 : y - ty0 + h, x - tx0 : x - tx0 + w] = arr
-        vis = los_visibility(dem, gx - tx0, gy - ty0, obs_height, radius_px)
+        vis = los_visibility(dem, gx - tx0, gy - ty0, obs_height, radius_px,
+                             curv_coeff, sphere_diameter, pixel_size)
         yy, xx = np.mgrid[0 : dem.shape[0], 0 : dem.shape[1]]
         in_rng = ((xx - (gx - tx0)) ** 2 + (yy - (gy - ty0)) ** 2) <= radius_px**2
         return pd.DataFrame(

@@ -451,6 +451,43 @@ def sql_fillnodata_checksums() -> str:
     return values_sql(tile_checksums(out, 256, "filled", 1, 12), CKS_COLS, CKS_TYPES)
 
 
+def sql_viewshed_curv_counts() -> str:
+    """Curvature-mode viewshed oracle (alg/viewshed.cpp:64-75): the
+    same single-node window assembly as sql_viewshed_counts with the
+    height-drop parameters the contract query uses."""
+    from gdal_spark.raster import los_visibility
+
+    g = global_mosaic(2, 2).astype(np.float64)
+    rows = []
+    for obs_id, gx, gy in ((1, 100, 100), (2, 300, 260), (3, 450, 400)):
+        radius = 60
+        txs = [t for t in range(2) if t * 256 <= gx + radius and (t + 1) * 256 >= gx - radius]
+        tys = [t for t in range(2) if t * 256 <= gy + radius and (t + 1) * 256 >= gy - radius]
+        x0, x1 = min(txs) * 256, (max(txs) + 1) * 256
+        y0, y1 = min(tys) * 256, (max(tys) + 1) * 256
+        dem = g[y0:y1, x0:x1]
+        vis = los_visibility(dem, gx - x0, gy - y0, 2.0, radius,
+                             curv_coeff=0.85714,
+                             sphere_diameter=2 * 6378137.0,
+                             pixel_size=700.0)
+        yy, xx = np.mgrid[0 : dem.shape[0], 0 : dem.shape[1]]
+        in_rng = ((xx - (gx - x0)) ** 2 + (yy - (gy - y0)) ** 2) <= radius ** 2
+        rows.append((obs_id, int((vis & in_rng).sum()), int(in_rng.sum())))
+    return values_sql(rows, ["obs_id", "visible_px", "in_range_px"],
+                      ["bigint", "bigint", "bigint"])
+
+
+def sql_contour_totals_interval(interval=48.0, offset=7.0) -> str:
+    """-i/-off level generation oracle: the closed-form level list from
+    the mosaic min/max (level_generator.h:128-183), then the same
+    cell_segments totals as sql_contour_totals."""
+    g = global_mosaic(2, 2).astype(np.float64)
+    k1 = math.ceil((float(g.min()) - offset) / interval)
+    k2 = math.floor((float(g.max()) - offset) / interval)
+    levels = tuple(float(k * interval + offset) for k in range(int(k1), int(k2) + 1))
+    return sql_contour_totals(levels)
+
+
 def sql_contour_totals(levels=(64.0, 128.5, 200.0)) -> str:
     from gdal_spark.contour import cell_segments
 
@@ -1072,6 +1109,8 @@ def oracle_entries() -> dict:
         "fillnodata_checksums": sql_fillnodata_checksums,
         "contour_totals": sql_contour_totals,
         "viewshed_counts": sql_viewshed_counts,
+        "viewshed_curvature": sql_viewshed_curv_counts,
+        "contour_interval": sql_contour_totals_interval,
         "polygonize_regions": sql_polygonize_regions,
         "sieve_checksums": sql_sieve_checksums,
         "dither_checksums": sql_dither_checksums,

@@ -100,3 +100,42 @@ def test_contour_polygons_dome(spark):
     # annulus bands carry a hole ring, the top disk does not
     assert out.wkt[2].count("(") > out.wkt[3].count("(")
     assert all(w.startswith("POLYGON(") for w in out.wkt)
+
+
+def test_contour_levels_interval_offset(spark):
+    """-i/-off level generation (level_generator.h:128-183): levels =
+    k*interval + offset covering [band_min, band_max]."""
+    import numpy as np
+
+    import localref
+
+    from gdal_spark import synth
+    from gdal_spark.contour import contour_levels
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    g = localref.global_mosaic(2, 2).astype(np.float64)
+    lv = contour_levels(tiles, interval=32.0, offset=10.0)
+    assert lv, "some levels generated"
+    assert all((v - 10.0) % 32.0 == 0 for v in lv)
+    assert lv[0] >= g.min() and lv[-1] <= g.max()
+    assert lv[0] - 32.0 < g.min() and lv[-1] + 32.0 > g.max()
+
+
+def test_contour_levels_exp_base(spark):
+    """-e level generation (ExponentialLevelRangeIterator): powers of
+    the base inside the band range."""
+    import numpy as np
+
+    import localref
+
+    from gdal_spark import synth
+    from gdal_spark.contour import contour_levels
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    g = localref.global_mosaic(2, 2).astype(np.float64)
+    lv = contour_levels(tiles, exp_base=2.0)
+    assert lv
+    for v in lv:
+        k = np.log2(v)
+        assert abs(k - round(k)) < 1e-12
+        assert g.min() <= v <= g.max()

@@ -92,3 +92,20 @@ def test_k_shortest_paths_yen(spark):
 
     sp, sc = shortest_path(df, 0, 3)
     assert tuple(sp) == paths[0] and abs(sc - costs[0]) < 1e-12
+
+
+def test_sssp_blocked_routes_around(spark):
+    """GNM blocked vertices (gnm/gnmgraph.cpp block list): blocking the
+    short middle hop forces the detour; the blocked node itself becomes
+    unreachable."""
+    from gdal_spark.graph import sssp, sssp_blocked
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 4, 1.0), (1, 3, 5.0), (3, 4, 5.0)],
+        ["src", "dst", "w"],
+    )
+    base = {r.node: r.dist for r in sssp(edges, 1).collect()}
+    assert base[4] == 2.0
+    blk = {r.node: r.dist for r in sssp_blocked(edges, 1, [2]).collect()}
+    assert blk[4] == 10.0
+    assert 2 not in blk

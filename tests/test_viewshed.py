@@ -63,3 +63,27 @@ def test_distributed_matches_kernel(spark):
         np.frombuffer(r["mask"], dtype=np.uint8), count=h * w
     ).reshape(h, w).astype(bool)
     assert np.array_equal(got_mask, vis_exp & in_rng)
+
+
+def test_curvature_hides_beyond_horizon(spark):
+    """Flat DEM + earth curvature (-cc, alg/viewshed.cpp:64-75):
+    targets beyond the horizon distance sqrt(2*h*R/cc) drop below the
+    sight line and become invisible; with cc=0 the whole flat plane
+    stays visible. Observer height 100 m, pixel 1000 m, R_e sphere."""
+    import numpy as np
+
+    from gdal_spark.raster import los_visibility
+
+    dem = np.zeros((41, 41))
+    D = 2 * 6378137.0
+    vis_curv = los_visibility(dem, 20, 20, 100.0, 28, curv_coeff=1.0,
+                              sphere_diameter=D, pixel_size=1000.0)
+    vis_flat = los_visibility(dem, 20, 20, 100.0, 28)
+    # horizon ~ sqrt(2*100*R) ~ 35.7 km = ~35.7 px: inside visible
+    assert vis_curv[20, 20 + 20]
+    # a curved-earth viewshed loses pixels a flat one keeps
+    assert vis_curv.sum() <= vis_flat.sum()
+    yy, xx = np.mgrid[0:41, 0:41]
+    d = np.sqrt((xx - 20.0) ** 2 + (yy - 20.0) ** 2)
+    inr = d <= 28
+    assert vis_flat[inr].all()
