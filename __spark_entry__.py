@@ -892,6 +892,74 @@ def _q_geotiff_byte_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gpkg_byte_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's byte.gpkg fixture (byte.tif as a GeoPackage
+    tile pyramid, autotest/gdrivers/data/gpkg/byte.gpkg) through the
+    distributed sqlite tile scan + the from-scratch PNG codec:
+    the 20x20 contents window must checksum to the canonical 4672
+    with byte.tif's exact geotransform (ogr/ogrsf_frmts/gpkg/
+    ogrgeopackagedataset.cpp tile decode path)."""
+    from gdal_spark import gpkg as GPKG
+
+    t = GPKG.read_gpkg_tiles(
+        spark,
+        "/root/reference/autotest/gdrivers/data/gpkg/byte.gpkg",
+        raster_id="byte",
+    ).filter("band = 1")
+    win = tiling.translate(t, pixel_window=(0, 0, 20, 20))
+    c = tiling.checksum_table(win)
+    g = t.select(
+        "raster_id", "band", "crs",
+        F.element_at("geotransform", 1).alias("gt0"),
+        F.element_at("geotransform", 2).alias("gt1"),
+        F.element_at("geotransform", 4).alias("gt3"),
+        F.element_at("geotransform", 6).alias("gt5"),
+    )
+    return c.join(g, ["raster_id", "band"]).select(
+        "raster_id", "band", "checksum", "crs", "gt0", "gt1", "gt3", "gt5",
+    )
+
+
+def _q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoPackage vector sink + source roundtrip over the derived
+    zone grid: write a feature table with GPB geometry blobs + the
+    gpkg_* catalog, re-read through the rowid-range distributed
+    scan (ogrgeopackagetablelayer.cpp feature I/O semantics)."""
+    import tempfile
+
+    from gdal_spark import gpkg as GPKG
+
+    zones = DRV.rect_zone_grid(ZONE_G)
+    src = spark.createDataFrame(
+        zones[["zone_id", "eas_id", "prfedea", "geom_wkt"]]
+    )
+    path = tempfile.mkdtemp(prefix="gdal_spark_gpkg_") + "/zones.gpkg"
+    GPKG.write_gpkg(src, path, table="zones", wkt_col="geom_wkt",
+                    srs_id=4326)
+    back = GPKG.read_gpkg(spark, path, rows_per_batch=16)
+    return back.select("fid", "zone_id", "eas_id", "prfedea")
+
+
+def _q_gpkg_tiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoPackage tile sink + source roundtrip: PNG encoding runs
+    distributed (mapInPandas), the driver writes only finished blobs
+    + catalog rows; read back through the tile scan and re-key the
+    spec's top-origin tile_row to the synth table's TMS row so the
+    checksums answer to the raster_checksums oracle."""
+    import tempfile
+
+    from gdal_spark import gpkg as GPKG
+
+    tiles = synth.tiles_src_df(spark, 4, 4)
+    path = tempfile.mkdtemp(prefix="gdal_spark_gpkg_") + "/rt.gpkg"
+    GPKG.write_gpkg_tiles(tiles, path, srs_id=3857)
+    back = GPKG.read_gpkg_tiles(spark, path, raster_id="byte_like")
+    back = back.withColumn(
+        "tile_y", (F.lit(3) - F.col("tile_y")).cast("int")
+    )
+    return tiling.checksum_table(back)
+
+
 def _q_enhance_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalenhance -equalize (apps/gdalenhance.cpp:493-660): exact
     distributed per-band histogram (shuffle state = nbins rows) ->
@@ -3758,6 +3826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_byte_ref": _q_geotiff_byte_ref,
         "shapefile_poly_ref": _q_shapefile_poly_ref,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
+        "gpkg_byte_ref": _q_gpkg_byte_ref,
+        "gpkg_roundtrip": _q_gpkg_roundtrip,
+        "gpkg_tiles_roundtrip": _q_gpkg_tiles_roundtrip,
         "enhance_equalize_checksums": _q_enhance_equalize,
         "lut_checksums": _q_apply_lut,
         "nearblack_checksums": _q_nearblack,
@@ -5841,6 +5912,33 @@ def oracle_sql() -> dict[str, str]:
         " 4672 AS checksum, 'EPSG:26711' AS crs, 440720.0 AS gt0,"
         " 60.0 AS gt1, 3751320.0 AS gt3, -60.0 AS gt5",
     )
+    # byte.gpkg carries the same byte.tif raster: same canonical
+    # checksum + geotransform (the GPKG tile was PNG-encoded by GDAL)
+    d.setdefault(
+        "gpkg_byte_ref",
+        "SELECT 'byte' AS raster_id, 1 AS band, 4672 AS checksum,"
+        " 'EPSG:26711' AS crs, 440720.0 AS gt0, 60.0 AS gt1,"
+        " 3751320.0 AS gt3, -60.0 AS gt5",
+    )
+    try:
+        import localref
+
+        # a faithful tile roundtrip reproduces the synth tile table
+        d.setdefault("gpkg_tiles_roundtrip", localref.sql_raster_checksums())
+        _zr = DRV.rect_zone_grid(ZONE_G).reset_index(drop=True)
+        d.setdefault(
+            "gpkg_roundtrip",
+            localref.values_sql(
+                [
+                    (k + 1, int(r.zone_id), int(r.eas_id), r.prfedea)
+                    for k, r in enumerate(_zr.itertuples(index=False))
+                ],
+                ["fid", "zone_id", "eas_id", "prfedea"],
+                ["bigint", "bigint", "bigint", "varchar"],
+            ),
+        )
+    except Exception:
+        pass
     # non-SQL-expressible queries (hash kernels, pixel kernels, LSH)
     # get literal VALUES oracles computed by the single-node reference
     # implementations in localref.py — any entry whose inputs are
