@@ -3765,8 +3765,67 @@ def _q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VRT_XML_COMPOSITE = """
+<VRTDataset rasterXSize="512" rasterYSize="512">
+  <VRTRasterBand dataType="Byte" band="1">
+    <SimpleSource>
+      <SourceFilename>base</SourceFilename><SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="512" ySize="512"/>
+      <DstRect xOff="0" yOff="0" xSize="512" ySize="512"/>
+    </SimpleSource>
+    <ComplexSource>
+      <SourceFilename>patch</SourceFilename><SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="256" ySize="256"/>
+      <DstRect xOff="256" yOff="256" xSize="256" ySize="256"/>
+      <ScaleRatio>2.0</ScaleRatio><ScaleOffset>3.0</ScaleOffset>
+    </ComplexSource>
+  </VRTRasterBand>
+</VRTDataset>
+"""
+
+_VRT_XML_DERIVED = """
+<VRTDataset rasterXSize="512" rasterYSize="512">
+  <VRTRasterBand dataType="Float64" band="1" subClass="VRTDerivedRasterBand">
+    <PixelFunctionType>sum</PixelFunctionType>
+    <SimpleSource><SourceFilename>a</SourceFilename></SimpleSource>
+    <SimpleSource><SourceFilename>b</SourceFilename></SimpleSource>
+  </VRTRasterBand>
+</VRTDataset>
+"""
+
+
+def _q_vrt_xml_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDAL VRT dataset XML opened as a lazy tile-table plan: SimpleSource
+    base + later-wins ComplexSource patch with linear scaling
+    (frmts/vrt/vrtdataset.cpp XMLInit; vrtsources.cpp
+    VRTComplexSource::RasterIOInternal). Oracle:
+    localref.sql_vrt_composite_checksums replays the draw order in numpy."""
+    from gdal_spark import vrt as VRT
+
+    base = synth.tiles_src_df(spark, 2, 2)
+    patch = synth.tiles_src_df(spark, 1, 1, raster_id="p", seed=9)
+    return tiling.checksum_table(
+        VRT.open_vrt(_VRT_XML_COMPOSITE, {"base": base, "patch": patch})
+    )
+
+
+def _q_vrt_xml_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRTDerivedRasterBand: PixelFunctionType=sum over two stacked
+    sources (frmts/vrt/vrtderivedrasterband.cpp:678,1205) — one narrow
+    shuffle on the tile key, numpy per block."""
+    from gdal_spark import vrt as VRT
+
+    a = synth.tiles_src_df(spark, 2, 2)
+    b = synth.tiles_src_df(spark, 2, 2, raster_id="b", seed=9)
+    return tiling.checksum_table(
+        VRT.open_vrt(_VRT_XML_DERIVED, {"a": a, "b": b})
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "vrt_xml_composite": _q_vrt_xml_composite,
+        "vrt_xml_derived": _q_vrt_xml_derived,
         "pip_zone_join": _q_pip_zone_join,
         "pip_zone_join_jvm": _q_pip_zone_join_jvm,
         "pip_zone_join_wkb": _q_pip_zone_join_wkb,
@@ -5867,6 +5926,8 @@ def oracle_sql() -> dict[str, str]:
         import localref
 
         d.setdefault("geotiff_roundtrip", localref.sql_raster_checksums())
+        d.setdefault("vrt_xml_composite", localref.sql_vrt_composite_checksums())
+        d.setdefault("vrt_xml_derived", localref.sql_vrt_derived_checksums())
     except Exception:
         pass
     # poly.shp attribute transcription (autotest/ogr/data/poly.dbf —

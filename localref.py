@@ -358,6 +358,27 @@ def sql_mosaic_checksums() -> str:
     return values_sql(rows, CKS_COLS, CKS_TYPES)
 
 
+def sql_vrt_composite_checksums() -> str:
+    """VRT XML composite oracle: 2x2 base mosaic + a ComplexSource
+    patch (v*2+3, Byte cast) drawn later at tile (1,1) — later sources
+    win (frmts/vrt/vrtsourcedrasterband.cpp draw order)."""
+    rows = tile_checksums(global_mosaic(2, 2), 256, "vrt", 1, 12)
+    patch = tile_pixels_np(0, 0, seed=9).astype(np.float64) * 2.0 + 3.0
+    patch = _gdal_cast_local(patch, "uint8")
+    rows = [r for r in rows if not (r[3] == 1 and r[4] == 1)]
+    rows.append(("vrt", 1, 12, 1, 1, G.gdal_checksum(patch)))
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+def sql_vrt_derived_checksums() -> str:
+    """VRT derived-band oracle: PixelFunctionType=sum over two 2x2
+    sources, Float64 output (vrtderivedrasterband.cpp:678)."""
+    s = global_mosaic(2, 2).astype(np.float64) + \
+        global_mosaic(2, 2, seed=9).astype(np.float64)
+    return values_sql(tile_checksums(s, 256, "vrt", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
 def _horn(pad: np.ndarray, res: float):
     nw, n, ne = pad[:-2, :-2], pad[:-2, 1:-1], pad[:-2, 2:]
     w_, e = pad[1:-1, :-2], pad[1:-1, 2:]
