@@ -3822,8 +3822,31 @@ def _q_vrt_xml_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR CSV driver full loop (ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp):
+    documents' scalar fields through the parallel CSV sink (Spark
+    native writer), read back via the layer scan with the distributed
+    AutodetectFieldTypes pass (:1050 — one bit_or aggregation, not a
+    serial 1 MB prefix read), values must survive exactly. doc_id
+    autodetects Integer at this SF; cast to long for the compare."""
+    import tempfile
+
+    from gdal_spark import csvdrv
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="gdal_spark_csv_") + "/docs"
+    csvdrv.write_csv_layer(d, path)
+    back = csvdrv.read_csv_layer(spark, path, autodetect_type=True,
+                                 with_fid=False)
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "csv_layer_roundtrip": _q_csv_roundtrip,
         "vrt_xml_composite": _q_vrt_xml_composite,
         "vrt_xml_derived": _q_vrt_xml_derived,
         "pip_zone_join": _q_pip_zone_join,
@@ -4744,6 +4767,8 @@ def _cluster_sql(which: str) -> str:
 
 def _oracle_sql_static() -> dict[str, str]:
     return {
+        "csv_layer_roundtrip":
+            "SELECT doc_id, lang, source, n_chars FROM documents",
         "pip_zone_join": _PIP_SQL,
         "pip_zone_join_jvm": _PIP_SQL,
         "pip_zone_join_wkb": _PIP_SQL,
