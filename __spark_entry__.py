@@ -3822,6 +3822,44 @@ def _q_vrt_xml_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_aaigrid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAIGrid full loop (gdal/frmts/aaigrid/aaigriddataset.cpp): the
+    2x2 synth tile table through the sequential .asc sink, re-read via
+    the line-parallel distributed scan (spark.read.text + zipindex +
+    one keyed shuffle), per-tile checksums must equal the source's."""
+    import tempfile
+
+    from gdal_spark import asciigrid
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_asc_") + "/rt.asc"
+    asciigrid.write_aaigrid(src, path)
+    back = asciigrid.read_aaigrid(spark, path, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
+def _q_xyz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ driver loop (gdal/frmts/xyz/xyzdataset.cpp): gdal2xyz dump
+    of the 2x2 synth tiles -> text -> distributed grid re-inference
+    (one aggregation, no serial pre-scan) -> tiles -> checksums."""
+    import tempfile
+
+    from gdal_spark import asciigrid
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    xyz = RST.to_xyz(src).select(
+        F.col("gx").cast("string"), F.col("gy").cast("string"),
+        F.col("value").cast("string"))
+    path = tempfile.mkdtemp(prefix="gdal_spark_xyz_") + "/pts"
+    xyz.write.mode("overwrite").option("sep", " ").csv(path)
+    back = asciigrid.read_xyz(spark, path, raster_id="byte_like", zoom=12)
+    # the synth grid keys tiles TMS-style (tile_y up, synth.py
+    # tiles_src_df geotransform); the XYZ reconstruction is top-down —
+    # flip back to the source keying for the per-tile compare
+    back = back.withColumn("tile_y", (F.lit(1) - F.col("tile_y")).cast("int"))
+    return tiling.checksum_table(back)
+
+
 def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGR CSV driver full loop (ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp):
     documents' scalar fields through the parallel CSV sink (Spark
@@ -3847,6 +3885,8 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "csv_layer_roundtrip": _q_csv_roundtrip,
+        "aaigrid_roundtrip": _q_aaigrid_roundtrip,
+        "xyz_roundtrip": _q_xyz_roundtrip,
         "vrt_xml_composite": _q_vrt_xml_composite,
         "vrt_xml_derived": _q_vrt_xml_derived,
         "pip_zone_join": _q_pip_zone_join,
@@ -5952,6 +5992,8 @@ def oracle_sql() -> dict[str, str]:
 
         d.setdefault("geotiff_roundtrip", localref.sql_raster_checksums())
         d.setdefault("vrt_xml_composite", localref.sql_vrt_composite_checksums())
+        d.setdefault("aaigrid_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("xyz_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("vrt_xml_derived", localref.sql_vrt_derived_checksums())
     except Exception:
         pass

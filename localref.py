@@ -358,6 +358,15 @@ def sql_mosaic_checksums() -> str:
     return values_sql(rows, CKS_COLS, CKS_TYPES)
 
 
+def sql_raster_checksums_2x2() -> str:
+    """Checksums of the 2x2 synth tile grid — oracle for the
+    AAIGrid/XYZ driver roundtrips (the loops must reproduce the source
+    tile table exactly)."""
+    g = global_mosaic(2, 2)
+    return values_sql(tile_checksums(g, 256, "byte_like", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
 def sql_vrt_composite_checksums() -> str:
     """VRT XML composite oracle: 2x2 base mosaic + a ComplexSource
     patch (v*2+3, Byte cast) drawn later at tile (1,1) — later sources
