@@ -3822,6 +3822,31 @@ def _q_vrt_xml_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG writer loop (gdal/frmts/gtiff/cogdriver.cpp; layout spec
+    gdal.org/drivers/raster/cog.html): 2x2 synth tiles + 2 average
+    overview levels written as a multi-IFD COG (overview bytes lead the
+    data region, geo tags on IFD0 only), every level read back through
+    the distributed IFD-planned scan and checksummed."""
+    import tempfile
+
+    from gdal_spark import geotiff
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_cog_") + "/rt.tif"
+    geotiff.write_cog(src, path, levels=2)
+    parts = [
+        tiling.checksum_table(
+            geotiff.read_geotiff(spark, path, ifd=i, raster_id="byte_like",
+                                 zoom=12 - i))
+        for i in range(3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _q_aaigrid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AAIGrid full loop (gdal/frmts/aaigrid/aaigriddataset.cpp): the
     2x2 synth tile table through the sequential .asc sink, re-read via
@@ -3885,6 +3910,7 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "csv_layer_roundtrip": _q_csv_roundtrip,
+        "cog_roundtrip": _q_cog_roundtrip,
         "aaigrid_roundtrip": _q_aaigrid_roundtrip,
         "xyz_roundtrip": _q_xyz_roundtrip,
         "vrt_xml_composite": _q_vrt_xml_composite,
@@ -5993,6 +6019,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("geotiff_roundtrip", localref.sql_raster_checksums())
         d.setdefault("vrt_xml_composite", localref.sql_vrt_composite_checksums())
         d.setdefault("aaigrid_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("cog_roundtrip", localref.sql_cog_checksums())
         d.setdefault("xyz_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("vrt_xml_derived", localref.sql_vrt_derived_checksums())
     except Exception:

@@ -551,3 +551,220 @@ def write_geotiff(tiles: DataFrame, path: str) -> dict:
         "path": path, "width": width, "height": height, "bands": nbands,
         "tiles": nseg, "bigtiff": big, "dtype": dtype,
     }
+
+
+# ------------------------------------------------------------- COG writer
+def _level_meta(tiles: DataFrame) -> list:
+    """One metadata row per pyramid level (zoom), smallest collect."""
+    return (
+        tiles.groupBy("zoom").agg(
+            F.max("tile_x").alias("ntx1"), F.max("tile_y").alias("nty1"),
+            F.max("width").alias("tw"), F.max("height").alias("th"),
+            F.first("dtype").alias("dtype"), F.first("nodata").alias("nodata"),
+            F.first("crs").alias("crs"), F.first("geotransform").alias("gt"),
+            F.max("band").alias("nbands"),
+            F.sum(F.when((F.col("tile_x") == 0) & (F.col("band") == 1),
+                         F.col("height"))).alias("img_h"),
+            F.sum(F.when((F.col("tile_y") == 0) & (F.col("band") == 1),
+                         F.col("width"))).alias("img_w"),
+        ).collect()
+    )
+
+
+def write_cog(tiles: DataFrame, path: str, levels: int = 2,
+              kernel: str = "average") -> dict:
+    """Cloud-Optimized GeoTIFF writer (gdal/frmts/gtiff/cogdriver.cpp;
+    layout spec gdal.org/drivers/raster/cog.html):
+
+      header | IFD0 (full res) -> IFD1.. (overviews, NewSubfileType=1)
+             | tile data, OVERVIEWS FIRST (coarsest level leads)
+
+    so a range-reader gets all metadata in the first bytes and the
+    preview levels before the full-resolution payload — exactly the
+    property cogdriver enforces by writing overviews first.
+
+    Spark-first: the pyramid is built with tiling.build_overview
+    (bounded 4->1 keyed shuffles per level); every tile's absolute file
+    offset is a closed form (uncompressed segments), so the driver
+    writes header+IFD chain only, truncates to size, and executors
+    os.pwrite full-res AND overview tiles in the same single
+    foreachPartition pass — no sequential writer, no pixel collect.
+
+    Geo tags (33550/33922/34735/42113) live on IFD0 only, like the
+    reference's COG output.
+    """
+    from . import tiling as TI
+
+    pyr = [tiles]
+    for _ in range(levels):
+        pyr.append(TI.build_overview(pyr[-1], kernel))
+    allt = pyr[0]
+    for p in pyr[1:]:
+        allt = allt.unionByName(p)
+    allt = allt.persist()
+    try:
+        metas = {int(m.zoom): m for m in _level_meta(allt)}
+        zooms_desc = sorted(metas, reverse=True)  # IFD order: full res first
+        zooms_asc = sorted(metas)                 # data order: coarsest first
+        z0 = zooms_desc[0]
+        w0, h0 = int(metas[z0].img_w), int(metas[z0].img_h)
+        lv = {}
+        for z in metas:
+            m = metas[z]
+            ntx, nty = int(m.ntx1) + 1, int(m.nty1) + 1
+            tw, th = int(m.tw), int(m.th)
+            nb = int(m.nbands)
+            itemsize = np.dtype(str(m.dtype)).itemsize
+            # level dims halve from FULL RES (ceil), like overview.cpp
+            # (n+1)/2 — build_overview tiles stay padded to the child
+            # tile size, and TIFF tiles legitimately pad past the edge
+            f = 1 << (z0 - z)
+            lv[z] = {
+                "ntx": ntx, "nty": nty, "tw": tw, "th": th, "nbands": nb,
+                "dtype": str(m.dtype), "itemsize": itemsize,
+                "seg_bytes": tw * th * itemsize, "nseg": ntx * nty * nb,
+                "width": (w0 + f - 1) // f, "height": (h0 + f - 1) // f,
+            }
+        total_data = sum(v["seg_bytes"] * v["nseg"] for v in lv.values())
+        big = total_data > 2**31
+        bo = "<"
+        m0 = metas[zooms_desc[0]]
+        gt = list(m0.gt) if m0.gt is not None else [0, 1, 0, 0, 0, -1]
+        epsg = 0
+        if m0.crs and str(m0.crs).upper().startswith("EPSG:"):
+            epsg = int(str(m0.crs).split(":")[1])
+
+        def entries(z: int, data_base: int) -> list:
+            v = lv[z]
+            segs = [data_base + k * v["seg_bytes"] for k in range(v["nseg"])]
+            sfmt = {"u": 1, "i": 2, "f": 3}[np.dtype(v["dtype"]).kind]
+            bits = v["itemsize"] * 8
+            e = [
+                (256, 3, 1, [v["width"]]), (257, 3, 1, [v["height"]]),
+                (258, 3, v["nbands"], [bits] * v["nbands"]),
+                (259, 3, 1, [1]), (262, 3, 1, [1]),
+                (277, 3, 1, [v["nbands"]]), (284, 3, 1, [2]),
+                (322, 3, 1, [v["tw"]]), (323, 3, 1, [v["th"]]),
+                (324, 16 if big else 4, v["nseg"], segs),
+                (325, 16 if big else 4, v["nseg"],
+                 [v["seg_bytes"]] * v["nseg"]),
+                (339, 3, v["nbands"], [sfmt] * v["nbands"]),
+            ]
+            if z != zooms_desc[0]:
+                e.append((254, 4, 1, [1]))  # NewSubfileType: reduced image
+            else:
+                e.append((33550, 12, 3, [gt[1], -gt[5], 0.0]))
+                e.append((33922, 12, 6, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]))
+                if epsg:
+                    model = 2 if 4000 <= epsg < 5000 else 1
+                    gk = [1, 1, 0, 3, 1024, 0, 1, model, 1025, 0, 1, 1,
+                          (2048 if model == 2 else 3072), 0, 1, epsg]
+                    gk[3] = (len(gk) - 4) // 4
+                    e.append((34735, 3, len(gk), gk))
+                nod = m0.nodata
+                if nod is not None and not (
+                    isinstance(nod, float) and np.isnan(nod)
+                ):
+                    s = (repr(float(nod)) + "\x00").encode()
+                    if len(s) % 2:
+                        s += b"\x00"
+                    e.append((42113, 2, len(s), s))
+            return sorted(e)
+
+        hdr_len = 16 if big else 8
+        entry_sz = 20 if big else 12
+        cnt_sz = 8 if big else 2
+        next_sz = 8 if big else 4
+        inline_max = 8 if big else 4
+
+        # --- two-pass layout: sizes first (entry counts fixed), then data
+        ifd_sizes = {}
+        ov_sizes = {}
+        for z in zooms_desc:
+            ents = entries(z, 0)
+            ifd_sizes[z] = cnt_sz + len(ents) * entry_sz + next_sz
+            ov = 0
+            for tag, typ, cnt, vals in ents:
+                if typ == 2:
+                    plen = len(bytes(vals))
+                else:
+                    plen = struct.calcsize(_TYPE_FMT[typ]) * cnt
+                if plen > inline_max:
+                    ov += plen
+            ov_sizes[z] = ov
+        pos = hdr_len
+        ifd_pos = {}
+        for z in zooms_desc:
+            ifd_pos[z] = pos
+            pos += ifd_sizes[z] + ov_sizes[z]
+        data_start = pos
+        data_base = {}
+        acc = data_start
+        for z in zooms_asc:  # COG: coarsest level's data first
+            data_base[z] = acc
+            acc += lv[z]["seg_bytes"] * lv[z]["nseg"]
+
+        def emit_ifd(z: int, nxt: int) -> bytes:
+            ents = entries(z, data_base[z])
+            ov_pos = ifd_pos[z] + ifd_sizes[z]
+            body = _pack(bo, "Q", len(ents)) if big else _pack(bo, "H", len(ents))
+            overflow = b""
+            for tag, typ, cnt, vals in ents:
+                if typ == 2:
+                    payload = bytes(vals)
+                else:
+                    payload = struct.pack(bo + _TYPE_FMT[typ] * cnt, *vals)
+                ent = _pack(bo, "HH", tag, typ)
+                ent += _pack(bo, "Q" if big else "I", cnt)
+                if len(payload) <= inline_max:
+                    ent += payload + b"\x00" * (inline_max - len(payload))
+                else:
+                    ent += _pack(bo, "Q" if big else "I",
+                                 ov_pos + len(overflow))
+                    overflow += payload
+                body += ent
+            body += _pack(bo, "Q" if big else "I", nxt)
+            return body + overflow
+
+        chain = b""
+        for i, z in enumerate(zooms_desc):
+            nxt = ifd_pos[zooms_desc[i + 1]] if i + 1 < len(zooms_desc) else 0
+            chain += emit_ifd(z, nxt)
+
+        if big:
+            header = b"II" + _pack(bo, "HHHQ", 43, 8, 0, hdr_len)
+        else:
+            header = b"II" + _pack(bo, "HI", 42, hdr_len)
+        with open(path, "wb") as f:
+            f.write(header + chain)
+            assert f.tell() == data_start
+            f.truncate(data_start + total_data)
+
+        lvb = {z: (data_base[z], lv[z]["ntx"], lv[z]["nty"], lv[z]["tw"],
+                   lv[z]["th"], lv[z]["seg_bytes"]) for z in lv}
+
+        def write_part(rows):
+            with open(path, "r+b") as f:
+                for r in rows:
+                    base, ntx, nty, tw, th, seg_bytes = lvb[int(r["zoom"])]
+                    k = ((int(r["band"]) - 1) * (ntx * nty)
+                         + int(r["tile_y"]) * ntx + int(r["tile_x"]))
+                    arr = np.frombuffer(bytes(r["data"]),
+                                        dtype=np.dtype(r["dtype"]))
+                    arr = arr.reshape(int(r["height"]), int(r["width"]))
+                    if arr.shape != (th, tw):
+                        p = np.zeros((th, tw), dtype=arr.dtype)
+                        p[: arr.shape[0], : arr.shape[1]] = arr
+                        arr = p
+                    os.pwrite(f.fileno(), arr.tobytes(), base + k * seg_bytes)
+
+        allt.foreachPartition(write_part)
+        return {
+            "path": path, "levels": len(lv), "bigtiff": big,
+            "data_start": data_start,
+            "zooms": zooms_desc,
+            "width": lv[zooms_desc[0]]["width"],
+            "height": lv[zooms_desc[0]]["height"],
+        }
+    finally:
+        allt.unpersist()

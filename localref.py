@@ -367,6 +367,24 @@ def sql_raster_checksums_2x2() -> str:
                       CKS_COLS, CKS_TYPES)
 
 
+def _avg2x2_u8(a: np.ndarray) -> np.ndarray:
+    q = a.astype(np.float64).reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2)
+    m = q.mean(axis=(1, 3))
+    return np.clip(np.floor(m + 0.5), 0, 255).astype(np.uint8)
+
+
+def sql_cog_checksums() -> str:
+    """COG writer loop oracle: full-res 2x2 tiles at zoom 12 plus two
+    average-kernel overview levels (gcore/overview.cpp average; COG
+    overview chain), all checksummed."""
+    g = global_mosaic(2, 2)
+    rows = tile_checksums(g, 256, "byte_like", 1, 12)
+    l1 = _avg2x2_u8(g)
+    rows.append(("byte_like", 1, 11, 0, 0, G.gdal_checksum(l1)))
+    rows.append(("byte_like", 1, 10, 0, 0, G.gdal_checksum(_avg2x2_u8(l1))))
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
 def sql_vrt_composite_checksums() -> str:
     """VRT XML composite oracle: 2x2 base mosaic + a ComplexSource
     patch (v*2+3, Byte cast) drawn later at tile (1,1) — later sources
