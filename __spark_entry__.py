@@ -3822,6 +3822,47 @@ def _q_vrt_xml_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gdalinfo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalinfo (apps/gdalinfo_lib.cpp GDALInfo): size / origin / pixel
+    size / dtype / nodata plus ComputeStatistics over the 2x2 synth
+    raster — one map-side pass, O(1) result rows. Oracle:
+    localref.sql_gdalinfo replays the report in numpy."""
+    from gdal_spark import info as NF
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    d = NF.gdalinfo(tiles)
+    return d.select(
+        "raster_id", "band", "size_x", "size_y", "dtype", "nodata", "crs",
+        F.round("origin_x", 6).alias("origin_x"),
+        F.round("origin_y", 6).alias("origin_y"),
+        F.round("pixel_size_x", 6).alias("pixel_size_x"),
+        F.round("pixel_size_y", 6).alias("pixel_size_y"),
+        "tiles", "count",
+        F.round("min", 6).alias("min"), F.round("max", 6).alias("max"),
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+    )
+
+
+def _q_ogrinfo_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrinfo -so (apps/ogrinfo.cpp ReportOnLayer): feature count +
+    extent + geometry type over the zone fixture layer; the extent is a
+    JVM regex scan of the WKT coordinate stream, no geometry parse."""
+    from gdal_spark import info as NF
+
+    zones = spark.createDataFrame(
+        DRV.rect_zone_grid(ZONE_G)[
+            ["zone_id", "eas_id", "prfedea", "geom_wkt"]]
+    )
+    d = NF.ogrinfo(zones)
+    return d.select(
+        "feature_count",
+        F.round("xmin", 6).alias("xmin"), F.round("ymin", 6).alias("ymin"),
+        F.round("xmax", 6).alias("xmax"), F.round("ymax", 6).alias("ymax"),
+        "geometry_type",
+    )
+
+
 def _q_cog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COG writer loop (gdal/frmts/gtiff/cogdriver.cpp; layout spec
     gdal.org/drivers/raster/cog.html): 2x2 synth tiles + 2 average
@@ -3910,6 +3951,8 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "csv_layer_roundtrip": _q_csv_roundtrip,
+        "gdalinfo_report": _q_gdalinfo_report,
+        "ogrinfo_zones": _q_ogrinfo_zones,
         "cog_roundtrip": _q_cog_roundtrip,
         "aaigrid_roundtrip": _q_aaigrid_roundtrip,
         "xyz_roundtrip": _q_xyz_roundtrip,
@@ -6020,6 +6063,19 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("vrt_xml_composite", localref.sql_vrt_composite_checksums())
         d.setdefault("aaigrid_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("cog_roundtrip", localref.sql_cog_checksums())
+        d.setdefault("gdalinfo_report", localref.sql_gdalinfo_2x2())
+        _zg = DRV.rect_zone_grid(ZONE_G)
+        d.setdefault(
+            "ogrinfo_zones",
+            localref.values_sql(
+                [(len(_zg), round(float(_zg.xmin.min()), 6),
+                  round(float(_zg.ymin.min()), 6),
+                  round(float(_zg.xmax.max()), 6),
+                  round(float(_zg.ymax.max()), 6), "POLYGON")],
+                ["feature_count", "xmin", "ymin", "xmax", "ymax",
+                 "geometry_type"],
+                ["bigint", "double", "double", "double", "double", "varchar"],
+            ))
         d.setdefault("xyz_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("vrt_xml_derived", localref.sql_vrt_derived_checksums())
     except Exception:

@@ -367,6 +367,30 @@ def sql_raster_checksums_2x2() -> str:
                       CKS_COLS, CKS_TYPES)
 
 
+def sql_gdalinfo_2x2() -> str:
+    """gdalinfo report oracle for the 2x2 synth raster."""
+    g = global_mosaic(2, 2).astype(np.float64)
+    mean = g.mean()
+    std = math.sqrt((g * g).mean() - mean * mean)
+    res = 2 * math.pi * 6378137.0 / 256 / (2 ** 12)
+    origin = -math.pi * 6378137.0
+    rows = [(
+        "byte_like", 1, 512, 512, "uint8", 0.0, "EPSG:3857",
+        _round6(origin), _round6(origin + 256 * res), _round6(res),
+        _round6(-res), 4, int(g.size), _round6(g.min()), _round6(g.max()),
+        _round6(mean), _round6(std),
+    )]
+    return values_sql(
+        rows,
+        ["raster_id", "band", "size_x", "size_y", "dtype", "nodata", "crs",
+         "origin_x", "origin_y", "pixel_size_x", "pixel_size_y", "tiles",
+         "count", "min", "max", "mean", "stddev"],
+        ["varchar", "bigint", "bigint", "bigint", "varchar", "double",
+         "varchar", "double", "double", "double", "double", "bigint",
+         "bigint", "double", "double", "double", "double"],
+    )
+
+
 def _avg2x2_u8(a: np.ndarray) -> np.ndarray:
     q = a.astype(np.float64).reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2)
     m = q.mean(axis=(1, 3))
