@@ -3904,6 +3904,43 @@ def _q_aaigrid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EHdr raw-binary full loop (gdal/frmts/raw/ehdrdataset.cpp): the
+    2x2 synth tiles through the parallel-pwrite BIL sink (driver writes
+    only the keyword .hdr), back via the map-only strip scan — every
+    byte offset a closed form, zero shuffles, zero driver pixel I/O.
+    Per-tile checksums must equal the source's."""
+    import tempfile
+
+    from gdal_spark import ehdr
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_ehdr_") + "/rt.bil"
+    ehdr.write_ehdr(src, path, layout="bil")
+    back = ehdr.read_ehdr(spark, path, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
+def _q_envi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENVI 2-band pixel-interleaved loop (gdal/frmts/envi/
+    envidataset.cpp): a 2-band stack (default-seed + seed-9 synth
+    mosaics) through the BIP sink — one narrow keyed shuffle
+    interleaves each tile's bands into contiguous row buffers — then
+    the map-only scan de-interleaves with numpy reshapes. Oracle:
+    localref.sql_envi_checksums_2x2_2band."""
+    import tempfile
+
+    from gdal_spark import ehdr
+
+    b1 = synth.tiles_src_df(spark, 2, 2)
+    b2 = synth.tiles_src_df(spark, 2, 2, seed=9).withColumn(
+        "band", F.lit(2).cast("int"))
+    path = tempfile.mkdtemp(prefix="gdal_spark_envi_") + "/rt.dat"
+    ehdr.write_envi(b1.unionByName(b2), path, interleave="bip")
+    back = ehdr.read_envi(spark, path, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_xyz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XYZ driver loop (gdal/frmts/xyz/xyzdataset.cpp): gdal2xyz dump
     of the 2x2 synth tiles -> text -> distributed grid re-inference
@@ -3956,6 +3993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cog_roundtrip": _q_cog_roundtrip,
         "aaigrid_roundtrip": _q_aaigrid_roundtrip,
         "xyz_roundtrip": _q_xyz_roundtrip,
+        "ehdr_roundtrip": _q_ehdr_roundtrip,
+        "envi_roundtrip": _q_envi_roundtrip,
         "vrt_xml_composite": _q_vrt_xml_composite,
         "vrt_xml_derived": _q_vrt_xml_derived,
         "pip_zone_join": _q_pip_zone_join,
@@ -6077,6 +6116,9 @@ def oracle_sql() -> dict[str, str]:
                 ["bigint", "double", "double", "double", "double", "varchar"],
             ))
         d.setdefault("xyz_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("ehdr_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("envi_roundtrip",
+                     localref.sql_envi_checksums_2x2_2band())
         d.setdefault("vrt_xml_derived", localref.sql_vrt_derived_checksums())
     except Exception:
         pass

@@ -185,6 +185,9 @@ def main():
         # BPE tokenizer: distributed pair-count train + map-only apply
         "bpe_tokenize", "paragraph_dedup", "url_canonical_dedup",
         "media_manifest",
+        # raw-binary drivers: EHdr BIL loop (map-only scan), ENVI BIP
+        # 2-band loop (one keyed interleave shuffle in the sink)
+        "ehdr_roundtrip", "envi_roundtrip",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -367,6 +367,16 @@ def sql_raster_checksums_2x2() -> str:
                       CKS_COLS, CKS_TYPES)
 
 
+def sql_envi_checksums_2x2_2band() -> str:
+    """2-band ENVI/EHdr roundtrip oracle: band 1 = default-seed synth
+    mosaic, band 2 = seed-9 mosaic (the writer interleaves them BIP,
+    the reader must split them back untouched)."""
+    rows = tile_checksums(global_mosaic(2, 2), 256, "byte_like", 1, 12)
+    rows += tile_checksums(global_mosaic(2, 2, seed=9), 256,
+                           "byte_like", 2, 12)
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
 def sql_gdalinfo_2x2() -> str:
     """gdalinfo report oracle for the 2x2 synth raster."""
     g = global_mosaic(2, 2).astype(np.float64)
