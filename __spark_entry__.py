@@ -3941,6 +3941,24 @@ def _q_envi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBTiles full loop (gdal/frmts/mbtiles/mbtilesdataset.cpp): the
+    2x2 synth tiles PNG-encoded DISTRIBUTED (pure-zlib codec, one keyed
+    shuffle per tile), driver INSERTs blobs with the TMS row flip
+    (:2903); read back via (zoom, tile_column-range) descriptor
+    windows — works on table- or view-backed `tiles` — with the flip
+    undone (:1262). Checksums must equal the source's."""
+    import tempfile
+
+    from gdal_spark import mbtiles
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_mbt_") + "/rt.mbtiles"
+    mbtiles.write_mbtiles(src, path, name="byte_like")
+    back = mbtiles.read_mbtiles(spark, path, raster_id="byte_like")
+    return tiling.checksum_table(back)
+
+
 def _q_xyz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XYZ driver loop (gdal/frmts/xyz/xyzdataset.cpp): gdal2xyz dump
     of the 2x2 synth tiles -> text -> distributed grid re-inference
@@ -3995,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xyz_roundtrip": _q_xyz_roundtrip,
         "ehdr_roundtrip": _q_ehdr_roundtrip,
         "envi_roundtrip": _q_envi_roundtrip,
+        "mbtiles_roundtrip": _q_mbtiles_roundtrip,
         "vrt_xml_composite": _q_vrt_xml_composite,
         "vrt_xml_derived": _q_vrt_xml_derived,
         "pip_zone_join": _q_pip_zone_join,
@@ -6119,6 +6138,8 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("ehdr_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("envi_roundtrip",
                      localref.sql_envi_checksums_2x2_2band())
+        d.setdefault("mbtiles_roundtrip",
+                     localref.sql_raster_checksums_2x2())
         d.setdefault("vrt_xml_derived", localref.sql_vrt_derived_checksums())
     except Exception:
         pass

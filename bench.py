@@ -188,6 +188,8 @@ def main():
         # raw-binary drivers: EHdr BIL loop (map-only scan), ENVI BIP
         # 2-band loop (one keyed interleave shuffle in the sink)
         "ehdr_roundtrip", "envi_roundtrip",
+        # MBTiles loop: distributed PNG encode/decode + TMS flip
+        "mbtiles_roundtrip",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every
