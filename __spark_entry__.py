@@ -3941,6 +3941,37 @@ def _q_envi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_pgdump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PGDump sink loop (ogr/ogrsf_frmts/pgdump/ogrpgdumplayer.cpp):
+    documents + a derived point geometry through the parallel
+    directory sink (COPY body part files + driver-written prologue/
+    epilogue; escaping is a JVM regexp chain, hex EWKB the one pandas
+    UDF), parsed back distributed. The `text` column carries real
+    newlines/punctuation — the COPY escape/unescape loop must be
+    lossless. Oracle: straight SQL over documents (the dump is pure
+    transport)."""
+    import tempfile
+
+    from gdal_spark import pgdump
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars",
+        F.concat(F.lit("POINT ("),
+                 (F.col("doc_id") % 360 - 180).cast("string"),
+                 F.lit(" "),
+                 (F.col("doc_id") % 171 - 85).cast("string"),
+                 F.lit(")")).alias("wkt"))
+    path = tempfile.mkdtemp(prefix="gdal_spark_pgd_") + "/docs_dump"
+    pgdump.write_pgdump(d, path, "documents", geom_col="wkt", srid=4326)
+    back = pgdump.read_pgdump(spark, path)
+    w = pgdump.hexewkb_to_wkt("wkt")
+    return back.select(
+        "doc_id", "text", "lang", "n_chars",
+        F.regexp_extract(w, r"\(([-0-9.]+) ", 1).cast("double").alias("lon"),
+        F.regexp_extract(w, r" ([-0-9.]+)\)", 1).cast("double").alias("lat"),
+    )
+
+
 def _q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MBTiles full loop (gdal/frmts/mbtiles/mbtilesdataset.cpp): the
     2x2 synth tiles PNG-encoded DISTRIBUTED (pure-zlib codec, one keyed
@@ -4014,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ehdr_roundtrip": _q_ehdr_roundtrip,
         "envi_roundtrip": _q_envi_roundtrip,
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,
+        "pgdump_roundtrip": _q_pgdump_roundtrip,
         "vrt_xml_composite": _q_vrt_xml_composite,
         "vrt_xml_derived": _q_vrt_xml_derived,
         "pip_zone_join": _q_pip_zone_join,
@@ -5069,6 +5101,12 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n,
                    CAST(SUM(LENGTH(lang)) AS BIGINT) AS wsum
             FROM documents GROUP BY lang
+        """,
+        "pgdump_roundtrip": """
+            SELECT doc_id, text, lang, n_chars,
+                   CAST(doc_id % 360 - 180 AS DOUBLE) AS lon,
+                   CAST(doc_id % 171 - 85 AS DOUBLE) AS lat
+            FROM documents
         """,
         "span_scrub": r"""
             WITH b AS (

@@ -190,6 +190,8 @@ def main():
         "ehdr_roundtrip", "envi_roundtrip",
         # MBTiles loop: distributed PNG encode/decode + TMS flip
         "mbtiles_roundtrip",
+        # PGDump loop: JVM escape chain out, distributed parse back
+        "pgdump_roundtrip",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every
