@@ -3972,6 +3972,58 @@ def _q_pgdump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gpx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPX driver loop (ogr/ogrsf_frmts/gpx/ogrgpxlayer.cpp):
+    documents as waypoints through the parallel one-document-per-
+    partition sink, read back file-per-task (ElementTree on
+    executors). XML escaping must keep lang/source free text
+    lossless. Oracle: straight SQL over documents."""
+    import tempfile
+
+    from gdal_spark import xmlvec
+
+    d = _read(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 171 - 85).cast("double").alias("lat"),
+        (F.col("doc_id") % 360 - 180).cast("double").alias("lon"),
+        F.col("doc_id").cast("string").alias("name"),
+        F.concat(F.col("lang"), F.lit(" & "), F.col("source"))
+        .alias("desc"))
+    path = tempfile.mkdtemp(prefix="gdal_spark_gpx_") + "/wpts"
+    xmlvec.write_gpx(d, path)
+    back = xmlvec.read_gpx(spark, path, layer="waypoints")
+    return back.select(
+        F.col("name").cast("long").alias("doc_id"),
+        "lat", "lon", F.col("desc").alias("lang_source"))
+
+
+def _q_kml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KML driver loop (ogr/ogrsf_frmts/kml/kmllayer.cpp): documents
+    as Point Placemarks through the parallel sink, back via the
+    file-per-task Placemark scan; lon/lat re-extracted from the
+    canonical WKT. Oracle: straight SQL over documents."""
+    import tempfile
+
+    from gdal_spark import xmlvec
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("name"),
+        F.col("source").alias("description"),
+        F.concat(F.lit("POINT ("),
+                 (F.col("doc_id") % 360 - 180).cast("string"), F.lit(" "),
+                 (F.col("doc_id") % 171 - 85).cast("string"), F.lit(")"))
+        .alias("wkt"))
+    path = tempfile.mkdtemp(prefix="gdal_spark_kml_") + "/marks"
+    xmlvec.write_kml(d, path)
+    back = xmlvec.read_kml(spark, path)
+    return back.select(
+        F.col("name").cast("long").alias("doc_id"),
+        F.col("description").alias("source"),
+        F.regexp_extract("wkt", r"\(([-0-9.]+) ", 1).cast("double")
+        .alias("lon"),
+        F.regexp_extract("wkt", r" ([-0-9.]+)\)", 1).cast("double")
+        .alias("lat"))
+
+
 def _q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MBTiles full loop (gdal/frmts/mbtiles/mbtilesdataset.cpp): the
     2x2 synth tiles PNG-encoded DISTRIBUTED (pure-zlib codec, one keyed
@@ -4046,6 +4098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envi_roundtrip": _q_envi_roundtrip,
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,
         "pgdump_roundtrip": _q_pgdump_roundtrip,
+        "gpx_roundtrip": _q_gpx_roundtrip,
+        "kml_roundtrip": _q_kml_roundtrip,
         "vrt_xml_composite": _q_vrt_xml_composite,
         "vrt_xml_derived": _q_vrt_xml_derived,
         "pip_zone_join": _q_pip_zone_join,
@@ -5104,6 +5158,19 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "pgdump_roundtrip": """
             SELECT doc_id, text, lang, n_chars,
+                   CAST(doc_id % 360 - 180 AS DOUBLE) AS lon,
+                   CAST(doc_id % 171 - 85 AS DOUBLE) AS lat
+            FROM documents
+        """,
+        "gpx_roundtrip": """
+            SELECT doc_id,
+                   CAST(doc_id % 171 - 85 AS DOUBLE) AS lat,
+                   CAST(doc_id % 360 - 180 AS DOUBLE) AS lon,
+                   lang || ' & ' || source AS lang_source
+            FROM documents
+        """,
+        "kml_roundtrip": """
+            SELECT doc_id, source,
                    CAST(doc_id % 360 - 180 AS DOUBLE) AS lon,
                    CAST(doc_id % 171 - 85 AS DOUBLE) AS lat
             FROM documents

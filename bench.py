@@ -192,6 +192,8 @@ def main():
         "mbtiles_roundtrip",
         # PGDump loop: JVM escape chain out, distributed parse back
         "pgdump_roundtrip",
+        # XML interchange: file-parallel GPX/KML loops
+        "gpx_roundtrip", "kml_roundtrip",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -1,0 +1,349 @@
+"""GPX and KML vector drivers (read + write), file-parallel.
+
+Reference:
+  - gdal/ogr/ogrsf_frmts/gpx/ogrgpxlayer.cpp — GPX layers: waypoints
+    (<wpt lat lon> + ele/time/name/cmt/desc/sym/type), routes (<rte>
+    -> LineString + the route_points sublayer), tracks (<trk> ->
+    MultiLineString of <trkseg>s + the track_points sublayer with
+    track_fid/track_seg_id/track_seg_point_id).
+  - gdal/ogr/ogrsf_frmts/kml/kmllayer.cpp (+ ogr2kmlgeometry.cpp) —
+    KML Placemarks: name/description + Point/LineString/Polygon
+    <coordinates> (lon,lat tuples).
+
+Spark lowering: XML does not line-split, and the reference reads it as
+a serial expat stream. The distributed unit is therefore the FILE: a
+descriptor DataFrame of paths fans out to executors, each parsing its
+files with stdlib ElementTree (mapInPandas). GPS interchange corpora
+are many modest files — at 100 TB the scan parallelizes across files
+exactly like a parquet directory; a single multi-GB GPX would need the
+serial reader and is documented out of scope (matches the reference's
+own serial parse).
+
+The writers are the same contract in reverse: `foreachPartition` emits
+ONE valid GPX/KML document per partition into a directory (parallel,
+no driver bytes) — or a single streamed file for the small-side
+export. ElementTree does the XML escaping both ways, so free-text
+fields (newlines, &, <) are transport-lossless.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GPX_NS = "http://www.topografix.com/GPX/1/1"
+KML_NS = "http://www.opengis.net/kml/2.2"
+
+WPT_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("fid", T.LongType()),
+    T.StructField("lat", T.DoubleType()),
+    T.StructField("lon", T.DoubleType()),
+    T.StructField("ele", T.DoubleType()),
+    T.StructField("time", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("cmt", T.StringType()),
+    T.StructField("desc", T.StringType()),
+    T.StructField("sym", T.StringType()),
+    T.StructField("type", T.StringType()),
+])
+
+TRACK_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("track_fid", T.LongType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("desc", T.StringType()),
+    T.StructField("wkt", T.StringType()),  # MULTILINESTRING
+])
+
+TRACK_PT_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("track_fid", T.LongType()),
+    T.StructField("track_seg_id", T.LongType()),
+    T.StructField("track_seg_point_id", T.LongType()),
+    T.StructField("lat", T.DoubleType()),
+    T.StructField("lon", T.DoubleType()),
+    T.StructField("ele", T.DoubleType()),
+    T.StructField("time", T.StringType()),
+])
+
+KML_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("fid", T.LongType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("description", T.StringType()),
+    T.StructField("wkt", T.StringType()),
+])
+
+
+def _strip(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _texts(el) -> dict:
+    return {_strip(c.tag): (c.text or "") for c in el}
+
+
+def _file_plan(spark: SparkSession, path: str, suffix: str) -> DataFrame:
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(suffix))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no {suffix} files under {path}")
+    return spark.createDataFrame([(f,) for f in files], "path string") \
+        .repartition(max(4, min(len(files), 256)))
+
+
+# -------------------------------------------------------------------- GPX
+def read_gpx(spark: SparkSession, path: str,
+             layer: str = "waypoints") -> DataFrame:
+    """GPX scan, one file per task. `layer` in waypoints | tracks |
+    track_points (the reference's layer split, ogrgpxlayer.cpp)."""
+    if layer not in ("waypoints", "tracks", "track_points"):
+        raise ValueError(f"unknown GPX layer {layer}")
+    schema = {"waypoints": WPT_SCHEMA, "tracks": TRACK_SCHEMA,
+              "track_points": TRACK_PT_SCHEMA}[layer]
+    plan = _file_plan(spark, path, ".gpx")
+
+    def scan(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                root = ET.parse(p).getroot()
+                base = os.path.basename(p)
+                if layer == "waypoints":
+                    for i, w in enumerate(
+                            root.iter(f"{{{GPX_NS}}}wpt")):
+                        t = _texts(w)
+                        out.append({
+                            "file": base, "fid": i,
+                            "lat": float(w.get("lat")),
+                            "lon": float(w.get("lon")),
+                            "ele": float(t["ele"]) if "ele" in t else None,
+                            "time": t.get("time"), "name": t.get("name"),
+                            "cmt": t.get("cmt"), "desc": t.get("desc"),
+                            "sym": t.get("sym"), "type": t.get("type"),
+                        })
+                else:
+                    for ti, trk in enumerate(
+                            root.iter(f"{{{GPX_NS}}}trk")):
+                        t = _texts(trk)
+                        segs = []
+                        for si, seg in enumerate(
+                                trk.iter(f"{{{GPX_NS}}}trkseg")):
+                            pts = []
+                            for pi, tp in enumerate(
+                                    seg.iter(f"{{{GPX_NS}}}trkpt")):
+                                la, lo = float(tp.get("lat")), \
+                                    float(tp.get("lon"))
+                                pts.append((lo, la))
+                                if layer == "track_points":
+                                    tt = _texts(tp)
+                                    out.append({
+                                        "file": base, "track_fid": ti,
+                                        "track_seg_id": si,
+                                        "track_seg_point_id": pi,
+                                        "lat": la, "lon": lo,
+                                        "ele": float(tt["ele"])
+                                        if "ele" in tt else None,
+                                        "time": tt.get("time"),
+                                    })
+                            segs.append(pts)
+                        if layer == "tracks":
+                            wkt = "MULTILINESTRING (" + ", ".join(
+                                "(" + ", ".join(
+                                    f"{x:.7f} {y:.7f}" for x, y in s)
+                                + ")" for s in segs if s) + ")"
+                            out.append({
+                                "file": base, "track_fid": ti,
+                                "name": t.get("name"),
+                                "desc": t.get("desc"), "wkt": wkt,
+                            })
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return plan.mapInPandas(scan, schema=schema)
+
+
+def write_gpx(df: DataFrame, path: str, *, layer: str = "waypoints",
+              single_file: bool = False) -> None:
+    """GPX sink. Directory mode (default): each partition emits one
+    valid GPX document — parallel, no driver bytes. single_file
+    streams through the driver (small-side export)."""
+    cols = set(df.columns)
+
+    def build(rows) -> bytes:
+        ET.register_namespace("", GPX_NS)
+        root = ET.Element(f"{{{GPX_NS}}}gpx",
+                          {"version": "1.1", "creator": "gdal_spark"})
+        for r in rows:
+            w = ET.SubElement(root, f"{{{GPX_NS}}}wpt",
+                              {"lat": f"{r['lat']:.7f}",
+                               "lon": f"{r['lon']:.7f}"})
+            for k in ("ele", "time", "name", "cmt", "desc", "sym",
+                      "type"):
+                if k in cols and r[k] is not None:
+                    e = ET.SubElement(w, f"{{{GPX_NS}}}{k}")
+                    e.text = f"{r[k]:.7f}" if k == "ele" else str(r[k])
+        return ET.tostring(root, encoding="utf-8",
+                           xml_declaration=True)
+
+    if layer != "waypoints":
+        raise NotImplementedError(
+            "write_gpx emits the waypoints layer; tracks are read-side "
+            "(ogrgpxwriter supports them — extension point)")
+    if single_file:
+        rows = (r.asDict() for r in df.toLocalIterator())
+        with open(path, "wb") as f:
+            f.write(build(rows))
+        return
+    os.makedirs(path, exist_ok=True)
+
+    def part(it):
+        rows = [r.asDict() for r in it]
+        if not rows:
+            return
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        with open(os.path.join(path, f"part-{pid:05d}.gpx"), "wb") as f:
+            f.write(build(rows))
+
+    df.foreachPartition(part)
+
+
+# -------------------------------------------------------------------- KML
+def _coords_to_wkt(geom_el) -> str | None:
+    tag = _strip(geom_el.tag)
+
+    def pairs(el):
+        txt = el.findtext(f"{{{KML_NS}}}coordinates") or ""
+        out = []
+        for tok in txt.split():
+            c = tok.split(",")
+            out.append((float(c[0]), float(c[1])))
+        return out
+
+    if tag == "Point":
+        (x, y), = pairs(geom_el)
+        return f"POINT ({x:.7f} {y:.7f})"
+    if tag == "LineString":
+        ps = pairs(geom_el)
+        return "LINESTRING (" + ", ".join(
+            f"{x:.7f} {y:.7f}" for x, y in ps) + ")"
+    if tag == "Polygon":
+        rings = []
+        for b in geom_el.iter():
+            if _strip(b.tag) in ("outerBoundaryIs", "innerBoundaryIs"):
+                lr = b.find(f"{{{KML_NS}}}LinearRing")
+                if lr is not None:
+                    rings.append(pairs(lr))
+        return "POLYGON (" + ", ".join(
+            "(" + ", ".join(f"{x:.7f} {y:.7f}" for x, y in r) + ")"
+            for r in rings) + ")"
+    return None
+
+
+def read_kml(spark: SparkSession, path: str) -> DataFrame:
+    """KML Placemark scan, one file per task (kmllayer.cpp fields:
+    Name, Description + the geometry)."""
+    plan = _file_plan(spark, path, ".kml")
+
+    def scan(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                root = ET.parse(p).getroot()
+                for i, pm in enumerate(
+                        root.iter(f"{{{KML_NS}}}Placemark")):
+                    wkt = None
+                    for g in pm:
+                        if _strip(g.tag) in ("Point", "LineString",
+                                             "Polygon"):
+                            wkt = _coords_to_wkt(g)
+                    out.append({
+                        "file": os.path.basename(p), "fid": i,
+                        "name": pm.findtext(f"{{{KML_NS}}}name"),
+                        "description":
+                            pm.findtext(f"{{{KML_NS}}}description"),
+                        "wkt": wkt,
+                    })
+            yield pd.DataFrame(out, columns=[f.name for f in KML_SCHEMA])
+
+    return plan.mapInPandas(scan, schema=KML_SCHEMA)
+
+
+def _wkt_to_kml(parent, wkt: str) -> None:
+    from . import geometry as GG
+    g = GG.parse_wkt(wkt)
+
+    def coords(el, xs, ys, close=False):
+        c = ET.SubElement(el, f"{{{KML_NS}}}coordinates")
+        pts = list(zip(xs, ys))
+        if close and pts and pts[0] != pts[-1]:
+            pts.append(pts[0])
+        c.text = " ".join(f"{x:.7f},{y:.7f}" for x, y in pts)
+
+    if g.kind == "point":
+        el = ET.SubElement(parent, f"{{{KML_NS}}}Point")
+        coords(el, g.parts[0][0], g.parts[0][1])
+    elif g.kind == "linestring":
+        el = ET.SubElement(parent, f"{{{KML_NS}}}LineString")
+        coords(el, g.parts[0][0], g.parts[0][1])
+    elif g.kind == "polygon":
+        el = ET.SubElement(parent, f"{{{KML_NS}}}Polygon")
+        for j, (xs, ys) in enumerate(g.parts[0]):
+            b = ET.SubElement(
+                el, f"{{{KML_NS}}}outerBoundaryIs" if j == 0
+                else f"{{{KML_NS}}}innerBoundaryIs")
+            lr = ET.SubElement(b, f"{{{KML_NS}}}LinearRing")
+            coords(lr, xs, ys, close=True)
+    else:
+        raise ValueError(f"KML writer: unsupported kind {g.kind}")
+
+
+def write_kml(df: DataFrame, path: str, *, name_col: str = "name",
+              desc_col: str | None = "description",
+              wkt_col: str = "wkt", single_file: bool = False) -> None:
+    """KML sink: one Document of Placemarks per partition (directory
+    mode) or one streamed file."""
+    def build(rows) -> bytes:
+        ET.register_namespace("", KML_NS)
+        root = ET.Element(f"{{{KML_NS}}}kml")
+        doc = ET.SubElement(root, f"{{{KML_NS}}}Document")
+        for r in rows:
+            pm = ET.SubElement(doc, f"{{{KML_NS}}}Placemark")
+            if r.get(name_col) is not None:
+                ET.SubElement(pm, f"{{{KML_NS}}}name").text = \
+                    str(r[name_col])
+            if desc_col and r.get(desc_col) is not None:
+                ET.SubElement(pm, f"{{{KML_NS}}}description").text = \
+                    str(r[desc_col])
+            if r.get(wkt_col) is not None:
+                _wkt_to_kml(pm, r[wkt_col])
+        return ET.tostring(root, encoding="utf-8",
+                           xml_declaration=True)
+
+    if single_file:
+        rows = (r.asDict() for r in df.toLocalIterator())
+        with open(path, "wb") as f:
+            f.write(build(rows))
+        return
+    os.makedirs(path, exist_ok=True)
+
+    def part(it):
+        rows = [r.asDict() for r in it]
+        if not rows:
+            return
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        with open(os.path.join(path, f"part-{pid:05d}.kml"), "wb") as f:
+            f.write(build(rows))
+
+    df.foreachPartition(part)
