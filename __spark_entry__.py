@@ -119,6 +119,49 @@ def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetCDF-3 classic driver (frmts/netcdf/netcdfdataset.cpp): a
+    fixed int16 grid and a record float32 var with CF
+    scale_factor/add_offset/_FillValue are written by the distributed
+    sink (parallel pwrite strips), read back by the map-only strip
+    scan, and unpacked like GDALNetCDFRasterBand's offset/scale path
+    (netcdfdataset.cpp:447). Both vars in one output table."""
+    import tempfile
+
+    from gdal_spark.netcdf import read_netcdf, write_netcdf
+
+    path = tempfile.mkdtemp(prefix="gdal_spark_nc_") + "/rt.nc"
+    ny, nx, nt, npp = 24, 37, 11, 29
+    grid = (
+        spark.range(ny).select(F.col("id").alias("y"))
+        .crossJoin(spark.range(nx).select(F.col("id").alias("x")))
+        .select("y", "x", ((F.col("y") * 131 + F.col("x")) % 251 - 17)
+                .cast("double").alias("value"))
+    )
+    packed = (
+        spark.range(nt).select(F.col("id").alias("time"))
+        .crossJoin(spark.range(npp).select(F.col("id").alias("p")))
+        .select("time", "p", F.when(
+            (F.col("time") * 53 + F.col("p") * 7) % 113 == 0, F.lit(-999.0)
+        ).otherwise(((F.col("time") * 53 + F.col("p") * 7) % 113 - 9)
+                    .cast("double")).alias("value"))
+    )
+    write_netcdf(path, [
+        {"name": "grid", "dims": [("y", ny), ("x", nx)], "dtype": "int16",
+         "df": grid},
+        {"name": "t", "dims": [("time", 0), ("p", npp)], "dtype": "float32",
+         "atts": {"scale_factor": 0.25, "add_offset": 3.0,
+                  "_FillValue": -999.0}, "df": packed},
+    ], numrecs=nt)
+    g = read_netcdf(spark, path, "grid").to_rows().select(
+        F.lit("grid").alias("var"), F.col("y").alias("d0"),
+        F.col("x").alias("d1"), "value")
+    t = read_netcdf(spark, path, "t").to_rows().select(
+        F.lit("t").alias("var"), F.col("time").alias("d0"),
+        F.col("p").alias("d1"), "value")
+    return g.unionAll(t)
+
+
 def _q_streaming_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PIP join through Structured Streaming (readStream ->
     stateless join -> availableNow parquet sink with checkpoint):
@@ -4107,6 +4150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_zone_join_wkb": _q_pip_zone_join_wkb,
         "streaming_pip": _q_streaming_pip,
         "geojson_roundtrip": _q_geojson_roundtrip,
+        "netcdf_roundtrip": _q_netcdf_roundtrip,
         "tile_assign": _q_tile_assign,
         "knn_top5": _q_knn,
         "knn_large": _q_knn_large,
@@ -5150,6 +5194,20 @@ def _oracle_sql_static() -> dict[str, str]:
                    printf('POINT(%.7f %.7f)', {_LON}, {_LAT}) AS geom_wkt,
                    lang
             FROM documents WHERE doc_id < 400
+        """,
+        "netcdf_roundtrip": """
+            SELECT 'grid' AS var, CAST(a.range AS BIGINT) AS d0,
+                   CAST(b.range AS BIGINT) AS d1,
+                   CAST((a.range * 131 + b.range) % 251 - 17 AS DOUBLE)
+                     AS value
+            FROM range(24) a CROSS JOIN range(37) b
+            UNION ALL
+            SELECT 't', CAST(a.range AS BIGINT), CAST(b.range AS BIGINT),
+                   CASE WHEN (a.range * 53 + b.range * 7) % 113 = 0
+                        THEN NULL
+                        ELSE CAST((a.range * 53 + b.range * 7) % 113 - 9
+                                  AS DOUBLE) * 0.25 + 3.0 END
+            FROM range(11) a CROSS JOIN range(29) b
         """,
         "salted_join": """
             SELECT lang, COUNT(*) AS n,
