@@ -2228,6 +2228,60 @@ def _q_mdarray_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.to_rows()
 
 
+def _q_mdarray_unscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidim GetUnscaled (gcore/gdalmultidim.cpp GDALMDArrayUnscaled;
+    gdalmdimtranslate's -unscale path): raw*scale+offset as double with
+    the raw nodata sentinel mapped to NULL, composed UNDER a GetView
+    slice — Catalyst folds slice + unscale into the one scan
+    projection."""
+    from gdal_spark.multidim import mdarray_from_fn
+
+    arr = mdarray_from_fn(
+        spark, [("i", 20), ("j", 16), ("k", 8)],
+        ((F.col("i") * 7919 + F.col("j") * 131 + F.col("k")) % 97)
+        .cast("double"),
+    )
+    v = arr.get_view("[::4, 1::3, 2]").unscaled(0.5, 10.0, nodata=13.0)
+    return v.to_rows()
+
+
+def _q_mdim_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalmdimtranslate (apps/gdalmdimtranslate_lib.cpp): NetCDF ->
+    view subset (-array spec slicing) -> transposed, unscaled NetCDF.
+    The source var carries CF packing; the pipeline reads it raw
+    (unpack=False), slices, transposes, unscales, and the distributed
+    netcdf sink writes the derived double var; the final read-back is
+    what the query returns — the whole chain is scan -> column math ->
+    one strip-keyed shuffle at the sink."""
+    import tempfile
+
+    from gdal_spark.netcdf import read_netcdf, write_netcdf
+
+    root = tempfile.mkdtemp(prefix="gdal_spark_mdim_")
+    src, dst = f"{root}/src.nc", f"{root}/dst.nc"
+    ny, nx = 30, 22
+    grid = (
+        spark.range(ny).select(F.col("id").alias("y"))
+        .crossJoin(spark.range(nx).select(F.col("id").alias("x")))
+        .select("y", "x", ((F.col("y") * 17 + F.col("x") * 3) % 89)
+                .cast("double").alias("value"))
+    )
+    write_netcdf(src, [
+        {"name": "raw", "dims": [("y", ny), ("x", nx)], "dtype": "int16",
+         "df": grid}])
+    arr = read_netcdf(spark, src, "raw", unpack=False)
+    out = (arr.get_view("[2:28:2, ::3]")
+           .unscaled(0.25, -1.0)
+           .transpose([1, 0]))
+    odims = [(d, int(n)) for d, n in out.dims]
+    write_netcdf(dst, [
+        {"name": "derived", "dims": odims, "dtype": "float64",
+         "df": out.to_rows()}])
+    back = read_netcdf(spark, dst, "derived")
+    return back.to_rows().select(
+        F.col("x").alias("xo"), F.col("y").alias("yo"), "value")
+
+
 def _q_mdarray_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multidim ComputeStatistics (gcore/gdalmultidim.cpp:6119) over a
     (20,16,8) COO array with a nodata sentinel — one partial+final
@@ -4262,6 +4316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_lines_z": _q_rasterize_lines_z,
         "dem_igor_checksums": _q_hillshade_igor,
         "mdarray_view": _q_mdarray_view,
+        "mdarray_unscale": _q_mdarray_unscale,
+        "mdim_translate": _q_mdim_translate,
         "mdarray_transpose": _q_mdarray_transpose,
         "mdarray_stats": _q_mdarray_stats,
         "mdarray_mask": _q_mdarray_mask,
@@ -5598,6 +5654,22 @@ def _oracle_sql_static() -> dict[str, str]:
                    CAST((2 + 3 * a.range) * 7919
                         + (2 * b.range) * 131 + 5 AS BIGINT) AS value
             FROM range(6) a CROSS JOIN range(8) b
+        """,
+        "mdarray_unscale": """
+            SELECT CAST(a.range AS BIGINT) AS i, CAST(b.range AS BIGINT) AS j,
+                   CASE WHEN ((4 * a.range) * 7919
+                              + (1 + 3 * b.range) * 131 + 2) % 97 = 13
+                        THEN NULL
+                        ELSE CAST(((4 * a.range) * 7919
+                                   + (1 + 3 * b.range) * 131 + 2) % 97
+                                  AS DOUBLE) * 0.5 + 10.0 END AS value
+            FROM range(5) a CROSS JOIN range(5) b
+        """,
+        "mdim_translate": """
+            SELECT CAST(a.range AS BIGINT) AS xo, CAST(b.range AS BIGINT) AS yo,
+                   CAST(((2 + 2 * b.range) * 17 + 9 * a.range) % 89
+                        AS DOUBLE) * 0.25 - 1.0 AS value
+            FROM range(8) a CROSS JOIN range(13) b
         """,
         "mdarray_stats": """
             WITH v AS (
