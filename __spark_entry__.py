@@ -162,6 +162,107 @@ def _q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionAll(t)
 
 
+def _lineref_fixture(spark: SparkSession):
+    """40 L-shaped paths A=(10p,0) -> B=(10p+3,4) -> C=(10p+9,12)
+    (legs 5 and 10), repers at path distances 2.5 and 10 carrying
+    M = 1000p+10 and 1000p+25 — closed-form so the DuckDB oracle can
+    restate every lineref output exactly."""
+    from gdal_spark.lineref import create_parts
+
+    paths = spark.range(40).select(
+        F.col("id").alias("path_id"),
+        F.format_string(
+            "LINESTRING (%s 0, %s 4, %s 12)",
+            (F.col("id") * 10).cast("string"),
+            (F.col("id") * 10 + 3).cast("string"),
+            (F.col("id") * 10 + 9).cast("string"),
+        ).alias("wkt"),
+    )
+    repers = spark.range(40).select(F.col("id").alias("path_id")).selectExpr(
+        "path_id",
+        "stack(2, 1000d*path_id+10, 10d*path_id+1.5, 2d,"
+        "         1000d*path_id+25, 10d*path_id+6,   8d) AS (m, x, y)",
+    )
+    return create_parts(paths, repers, tolerance=1e-6)
+
+
+def _q_lineref_repers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -create (apps/ogrlineref.cpp:597
+    CreatePartsFromLineString) over a whole path layer at once: parts
+    between consecutive repers plus the leading/trailing end parts,
+    scale = geometric length / M span. Keyed windows + segment-range
+    joins only — no global shuffle."""
+    parts = _lineref_fixture(spark)
+    return parts.select(
+        "path_id", "part_i", "mbeg", "mend",
+        F.round("scale", 9).alias("scale"), "n_points")
+
+
+def _q_lineref_coord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -get_coord (apps/ogrlineref.cpp:1236 GetCoordinates)
+    vectorized: a table of (path, M) rows range-joins into the parts'
+    [mbeg, mend) intervals, then OGRSimpleCurve::Value locates the
+    point by one more cumulative-distance range join."""
+    from gdal_spark.lineref import get_coordinates
+
+    parts = _lineref_fixture(spark)
+    pos = (
+        spark.range(40).select(F.col("id").alias("path_id"))
+        .crossJoin(spark.range(6).select(F.col("id").alias("pos_id")))
+        .select("path_id", "pos_id",
+                (F.col("path_id") * 1000 + 8 + F.col("pos_id") * 4)
+                .cast("double").alias("m"))
+    )
+    out = get_coordinates(parts, pos)
+    return out.select(
+        "path_id", "pos_id", "m",
+        F.round("x", 9).alias("x"), F.round("y", 9).alias("y"))
+
+
+def _q_lineref_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -get_pos (apps/ogrlineref.cpp:1171 GetPosition)
+    vectorized: points half a unit off the path project back onto the
+    nearest part; position = mbeg + along/scale. One keyed join + one
+    lexicographic struct-MIN — the closest-part scan distributed."""
+    from gdal_spark.lineref import get_position
+
+    parts = _lineref_fixture(spark)
+    # pt q at path distance d in {2,4,7,12}, offset 0.5 along the
+    # left-hand normal of its leg
+    pts = (
+        spark.range(40).select(F.col("id").alias("path_id"))
+        .crossJoin(spark.range(4).select(F.col("id").alias("pt_id")))
+        .select(
+            "path_id", "pt_id",
+            F.element_at(
+                F.array(F.lit(2.0), F.lit(4.0), F.lit(7.0), F.lit(12.0)),
+                (F.col("pt_id") + 1).cast("int")).alias("d"))
+        .select(
+            "path_id", "pt_id",
+            F.when(
+                F.col("d") <= 5.0,
+                F.col("path_id") * 10 + F.col("d") / 5.0 * 3.0
+                + F.lit(0.5) * (-4.0 / 5.0))
+            .otherwise(
+                F.col("path_id") * 10 + 3.0
+                + (F.col("d") - 5.0) / 10.0 * 6.0
+                + F.lit(0.5) * (-8.0 / 10.0)).alias("x"),
+            F.when(
+                F.col("d") <= 5.0,
+                F.col("d") / 5.0 * 4.0 + F.lit(0.5) * (3.0 / 5.0))
+            .otherwise(
+                F.lit(4.0) + (F.col("d") - 5.0) / 10.0 * 8.0
+                + F.lit(0.5) * (6.0 / 10.0)).alias("y"),
+        )
+    )
+    out = get_position(parts, pts)
+    return out.select(
+        "path_id", "pt_id",
+        F.round((F.col("position") - F.col("path_id") * 1000), 9)
+        .alias("relpos"),
+        F.round("dist", 9).alias("dist"))
+
+
 def _q_streaming_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PIP join through Structured Streaming (readStream ->
     stateless join -> availableNow parquet sink with checkpoint):
@@ -4205,6 +4306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pip": _q_streaming_pip,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "netcdf_roundtrip": _q_netcdf_roundtrip,
+        "lineref_repers": _q_lineref_repers,
+        "lineref_coord": _q_lineref_coord,
+        "lineref_pos": _q_lineref_pos,
         "tile_assign": _q_tile_assign,
         "knn_top5": _q_knn,
         "knn_large": _q_knn_large,
@@ -5250,6 +5354,44 @@ def _oracle_sql_static() -> dict[str, str]:
                    printf('POINT(%.7f %.7f)', {_LON}, {_LAT}) AS geom_wkt,
                    lang
             FROM documents WHERE doc_id < 400
+        """,
+        "lineref_repers": """
+            SELECT p.range AS path_id, k.part_i,
+                   1000 * p.range + k.mb AS mbeg,
+                   1000 * p.range + k.me AS mend,
+                   k.scale, k.np AS n_points
+            FROM range(40) p CROSS JOIN (
+              VALUES (0, 7.5, 10.0, 1.0, 2),
+                     (1, 10.0, 25.0, 0.5, 3),
+                     (2, 25.0, 30.0, 1.0, 2)
+            ) AS k(part_i, mb, me, scale, np)
+        """,
+        "lineref_coord": """
+            WITH q AS (
+              SELECT p.range AS path_id, s.range AS pos_id,
+                     8.0 + 4.0 * s.range AS mr
+              FROM range(40) p CROSS JOIN range(6) s
+            ), d AS (
+              SELECT *,
+                     CASE WHEN mr < 10 THEN mr - 7.5
+                          WHEN mr < 25 THEN 2.5 + (mr - 10) * 0.5
+                          ELSE 10 + (mr - 25) END AS dp
+              FROM q
+            )
+            SELECT path_id, pos_id, 1000 * path_id + mr AS m,
+                   ROUND(CASE WHEN dp <= 5
+                              THEN 10 * path_id + dp / 5 * 3
+                              ELSE 10 * path_id + 3 + (dp - 5) / 10 * 6
+                         END, 9) AS x,
+                   ROUND(CASE WHEN dp <= 5 THEN dp / 5 * 4
+                              ELSE 4 + (dp - 5) / 10 * 8 END, 9) AS y
+            FROM d
+        """,
+        "lineref_pos": """
+            SELECT p.range AS path_id, k.pt_id, k.relpos, 0.5 AS dist
+            FROM range(40) p CROSS JOIN (
+              VALUES (0, 9.5), (1, 13.0), (2, 19.0), (3, 27.0)
+            ) AS k(pt_id, relpos)
         """,
         "netcdf_roundtrip": """
             SELECT 'grid' AS var, CAST(a.range AS BIGINT) AS d0,
