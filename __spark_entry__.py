@@ -263,6 +263,40 @@ def _q_lineref_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dist", 9).alias("dist"))
 
 
+def _q_mvt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVT vector-tile driver (ogr/ogrsf_frmts/mvt, Mapbox Vector Tile
+    spec 2.1): derived document points encode distributed into a pbf
+    MBTiles at zoom 6 (buffer 0 so every point lands in exactly one
+    tile), the distributed reader decodes the protobuf back — tile
+    assignment and 4096-extent quantized coordinates must match the
+    closed-form web-mercator arithmetic, and the lang property must
+    survive the layer key/value dictionaries."""
+    import tempfile
+
+    from gdal_spark.mvt import read_mvt_mbtiles, write_mvt_mbtiles
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 500
+    )
+    feats = d.select(
+        F.lit("docs").alias("layer"),
+        F.col("doc_id").alias("fid"),
+        F.concat(F.lit("POINT ("), F.col("lon").cast("string"),
+                 F.lit(" "), F.col("lat").cast("string"),
+                 F.lit(")")).alias("wkt"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("props"),
+    )
+    path = tempfile.mkdtemp(prefix="gdal_spark_mvt_") + "/d.mbtiles"
+    write_mvt_mbtiles(feats, path, zoom=6, buffer=0)
+    out = read_mvt_mbtiles(spark, path)
+    return out.select(
+        F.col("fid").alias("doc_id"), "x", "y",
+        F.element_at("xs", 1).alias("px"),
+        F.element_at("ys", 1).alias("py"),
+        F.col("props")["lang"].alias("lang"),
+    )
+
+
 def _q_streaming_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PIP join through Structured Streaming (readStream ->
     stateless join -> availableNow parquet sink with checkpoint):
@@ -4306,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pip": _q_streaming_pip,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "netcdf_roundtrip": _q_netcdf_roundtrip,
+        "mvt_roundtrip": _q_mvt_roundtrip,
         "lineref_repers": _q_lineref_repers,
         "lineref_coord": _q_lineref_coord,
         "lineref_pos": _q_lineref_pos,
@@ -5392,6 +5427,38 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM range(40) p CROSS JOIN (
               VALUES (0, 9.5), (1, 13.0), (2, 19.0), (3, 27.0)
             ) AS k(pt_id, relpos)
+        """,
+        "mvt_roundtrip": f"""
+            WITH pts AS (
+              SELECT doc_id, {_LON} AS lon, {_LAT} AS lat, lang
+              FROM documents WHERE doc_id < 500
+            ), m AS (
+              SELECT doc_id, lang,
+                     lon * 20037508.342789244 / 180.0 AS mx,
+                     LN(TAN((90.0 + lat) * PI() / 360.0)) * 6378137.0
+                       AS my
+              FROM pts
+            ), t AS (
+              SELECT doc_id, lang, mx, my,
+                     LEAST(63, GREATEST(0, CAST(FLOOR(
+                       (mx + 20037508.342789244)
+                       / (20037508.342789244 / 32.0)) AS BIGINT))) AS x,
+                     LEAST(63, GREATEST(0, CAST(FLOOR(
+                       (20037508.342789244 - my)
+                       / (20037508.342789244 / 32.0)) AS BIGINT))) AS y
+              FROM m
+            )
+            SELECT doc_id, x, y,
+                   CAST(ROUND((mx - (-20037508.342789244
+                          + x * (20037508.342789244 / 32.0)))
+                        / (20037508.342789244 / 32.0) * 4096)
+                        AS BIGINT) AS px,
+                   CAST(ROUND((20037508.342789244
+                          - y * (20037508.342789244 / 32.0) - my)
+                        / (20037508.342789244 / 32.0) * 4096)
+                        AS BIGINT) AS py,
+                   lang
+            FROM t
         """,
         "netcdf_roundtrip": """
             SELECT 'grid' AS var, CAST(a.range AS BIGINT) AS d0,
