@@ -297,6 +297,47 @@ def _q_mvt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dxf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DXF driver (ogr/ogrsf_frmts/dxf): derived document points and
+    squares write through the part-file-parallel sink (ogrdxfwriterds
+    header + ENTITIES), the chunk-aligned distributed reader parses
+    them back — layer, entity type, and %.10g-formatted geometry must
+    survive the group-code pair stream."""
+    import tempfile
+
+    from gdal_spark.dxf import concat_dxf_dir, read_dxf, write_dxf
+
+    d = DRV.with_derived_squares(
+        DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    ).filter(F.col("doc_id") < 300)
+    pts = d.select(
+        F.concat(F.lit("pt_"), F.col("lang")).alias("layer"),
+        F.concat(F.lit("POINT ("), F.col("lon").cast("string"),
+                 F.lit(" "), F.col("lat").cast("string"),
+                 F.lit(")")).alias("wkt"),
+    )
+    sq = d.select(
+        F.lit("sq").alias("layer"),
+        F.concat_ws(
+            "",
+            F.lit("POLYGON (("),
+            F.col("x0").cast("string"), F.lit(" "),
+            F.col("y0").cast("string"), F.lit(", "),
+            F.col("x1").cast("string"), F.lit(" "),
+            F.col("y0").cast("string"), F.lit(", "),
+            F.col("x1").cast("string"), F.lit(" "),
+            F.col("y1").cast("string"), F.lit(", "),
+            F.col("x0").cast("string"), F.lit(" "),
+            F.col("y0").cast("string"), F.lit("))"),
+        ).alias("wkt"),
+    )
+    root = tempfile.mkdtemp(prefix="gdal_spark_dxf_")
+    write_dxf(pts.unionByName(sq), f"{root}/parts")
+    concat_dxf_dir(f"{root}/parts", f"{root}/out.dxf")
+    out = read_dxf(spark, f"{root}/out.dxf")
+    return out.select("layer", "etype", "wkt")
+
+
 def _q_streaming_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PIP join through Structured Streaming (readStream ->
     stateless join -> availableNow parquet sink with checkpoint):
@@ -4341,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": _q_geojson_roundtrip,
         "netcdf_roundtrip": _q_netcdf_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
+        "dxf_roundtrip": _q_dxf_roundtrip,
         "lineref_repers": _q_lineref_repers,
         "lineref_coord": _q_lineref_coord,
         "lineref_pos": _q_lineref_pos,
@@ -5459,6 +5501,23 @@ def _oracle_sql_static() -> dict[str, str]:
                         AS BIGINT) AS py,
                    lang
             FROM t
+        """,
+        "dxf_roundtrip": f"""
+            WITH p AS (
+              SELECT doc_id, {_LON} AS lon, {_LAT} AS lat, lang,
+                     {DRV.DERIVED_HALF_SQL} AS h
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT 'pt_' || lang AS layer, 'POINT' AS etype,
+                   printf('POINT (%.10g %.10g)', lon, lat) AS wkt
+            FROM p
+            UNION ALL
+            SELECT 'sq', 'LWPOLYLINE',
+                   printf('POLYGON ((%.10g %.10g, %.10g %.10g,'
+                          || ' %.10g %.10g, %.10g %.10g))',
+                          lon - h, lat - h, lon + h, lat - h,
+                          lon + h, lat + h, lon - h, lat - h)
+            FROM p
         """,
         "netcdf_roundtrip": """
             SELECT 'grid' AS var, CAST(a.range AS BIGINT) AS d0,
