@@ -338,6 +338,66 @@ def _q_dxf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("layer", "etype", "wkt")
 
 
+def _q_ogr_tindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrtindex (apps/ogrtindex.cpp:730): extent rectangle + LOCATION
+    per source layer, the documents' source column standing in for the
+    source file — ONE keyed partial+final aggregate over the derived
+    points (four doubles of state per layer)."""
+    from gdal_spark.info import ogr_tindex
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    feats = d.select(
+        F.concat(F.col("source"), F.lit(".shp")).alias("location"),
+        F.concat(F.lit("POINT ("), F.col("lon").cast("string"),
+                 F.lit(" "), F.col("lat").cast("string"),
+                 F.lit(")")).alias("geom_wkt"),
+    )
+    out = ogr_tindex(feats)
+    return out.select(
+        "LOCATION",
+        F.round("xmin", 9).alias("xmin"), F.round("ymin", 9).alias("ymin"),
+        F.round("xmax", 9).alias("xmax"), F.round("ymax", 9).alias("ymax"),
+        "feature_count")
+
+
+def _q_identify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalmanage identify / GDALIdentifyDriver (gcore/gdaldriver.cpp
+    identify chain): magic-sniff a directory of freshly written
+    fixture files of every registered format — distributed over path
+    descriptors, each executor reads first-KB probes only."""
+    import os
+    import sqlite3
+    import struct as _s
+    import tempfile
+
+    from gdal_spark.info import identify
+
+    root = tempfile.mkdtemp(prefix="gdal_spark_idy_")
+    fixtures = {
+        "a.tif": b"II*\x00" + b"\x00" * 16,
+        "b.png": b"\x89PNG\r\n\x1a\n" + b"\x00" * 8,
+        "c.nc": b"CDF\x01" + b"\x00" * 32,
+        "d.shp": _s.pack(">i", 9994) + b"\x00" * 96,
+        "f.dxf": b"  0\nSECTION\n  2\nENTITIES\n",
+        "g.json": b'{"type": "FeatureCollection"}',
+        "h.asc": b"ncols 4\nnrows 2\n",
+        "j.bil": b"\x00" * 8,
+        "junk.bin": b"\x00\x01\x02\x03",
+    }
+    for fn, data in fixtures.items():
+        with open(os.path.join(root, fn), "wb") as f:
+            f.write(data)
+    con = sqlite3.connect(os.path.join(root, "e.gpkg"))
+    con.execute("CREATE TABLE t (a)")
+    con.commit()
+    con.close()
+    paths = sorted(os.path.join(root, fn)
+                   for fn in list(fixtures) + ["e.gpkg"])
+    out = identify(spark, paths)
+    return out.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"), "driver")
+
+
 def _q_streaming_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PIP join through Structured Streaming (readStream ->
     stateless join -> availableNow parquet sink with checkpoint):
@@ -4383,6 +4443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf_roundtrip": _q_netcdf_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "dxf_roundtrip": _q_dxf_roundtrip,
+        "ogr_tindex": _q_ogr_tindex,
+        "identify": _q_identify,
         "lineref_repers": _q_lineref_repers,
         "lineref_coord": _q_lineref_coord,
         "lineref_pos": _q_lineref_pos,
@@ -5501,6 +5563,24 @@ def _oracle_sql_static() -> dict[str, str]:
                         AS BIGINT) AS py,
                    lang
             FROM t
+        """,
+        "ogr_tindex": f"""
+            SELECT source || '.shp,0' AS LOCATION,
+                   ROUND(MIN({_LON}), 9) AS xmin,
+                   ROUND(MIN({_LAT}), 9) AS ymin,
+                   ROUND(MAX({_LON}), 9) AS xmax,
+                   ROUND(MAX({_LAT}), 9) AS ymax,
+                   COUNT(*) AS feature_count
+            FROM documents GROUP BY source
+        """,
+        "identify": """
+            SELECT * FROM (VALUES
+              ('a.tif', 'GTiff'), ('b.png', 'PNG'), ('c.nc', 'netCDF'),
+              ('d.shp', 'ESRI Shapefile'), ('e.gpkg', 'GPKG'),
+              ('f.dxf', 'DXF'), ('g.json', 'GeoJSON'),
+              ('h.asc', 'AAIGrid'), ('j.bil', 'EHdr'),
+              ('junk.bin', NULL)
+            ) AS t(name, driver)
         """,
         "dxf_roundtrip": f"""
             WITH p AS (

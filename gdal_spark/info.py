@@ -13,7 +13,7 @@ GDAL_STATS approx path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import raster as RST
@@ -116,3 +116,112 @@ def ogrinfo_fields(layer: DataFrame, geom_col: str = "geom_wkt") -> DataFrame:
         rows.append((i, f.name, t))
     spark = layer.sparkSession
     return spark.createDataFrame(rows, "idx int, name string, type string")
+
+
+def ogr_tindex(features: DataFrame, location_col: str = "location",
+               layer_idx_col: str | None = None,
+               geom_col: str = "geom_wkt") -> DataFrame:
+    """ogrtindex (apps/ogrtindex.cpp:730-740): one feature per source
+    layer whose geometry is the layer's extent rectangle and whose
+    LOCATION field is "<file>,<layer_index>".
+
+    The reference opens every source serially on one core; here the
+    input is the already-loaded feature relation (location + optional
+    layer index columns) and the extent reduces in ONE partial+final
+    aggregate keyed by source — 10^6 source layers index in a single
+    shuffle whose payload is four doubles per layer. The extent uses
+    the same JVM-regex WKT coordinate scan as ogrinfo (no Python, no
+    geometry parse)."""
+    nums = F.expr(
+        f"transform(filter(split(regexp_replace({geom_col}, "
+        f"'[^-0-9.eE]+', ' '), ' '), t -> t != ''), t -> cast(t as double))"
+    )
+    xs = F.filter(nums, lambda v, i: i % 2 == 0)
+    ys = F.filter(nums, lambda v, i: i % 2 == 1)
+    li = (F.col(layer_idx_col) if layer_idx_col
+          else F.lit(0)).cast("int").alias("_li")
+    per = features.select(
+        F.col(location_col).alias("_loc"), li,
+        F.array_min(xs).alias("x0"), F.array_max(xs).alias("x1"),
+        F.array_min(ys).alias("y0"), F.array_max(ys).alias("y1"),
+    )
+    agg = per.groupBy("_loc", "_li").agg(
+        F.min("x0").alias("xmin"), F.min("y0").alias("ymin"),
+        F.max("x1").alias("xmax"), F.max("y1").alias("ymax"),
+        F.count("*").alias("feature_count"),
+    )
+    wkt = F.concat_ws(
+        "", F.lit("POLYGON (("),
+        F.col("xmin").cast("string"), F.lit(" "),
+        F.col("ymin").cast("string"), F.lit(", "),
+        F.col("xmax").cast("string"), F.lit(" "),
+        F.col("ymin").cast("string"), F.lit(", "),
+        F.col("xmax").cast("string"), F.lit(" "),
+        F.col("ymax").cast("string"), F.lit(", "),
+        F.col("xmin").cast("string"), F.lit(" "),
+        F.col("ymax").cast("string"), F.lit(", "),
+        F.col("xmin").cast("string"), F.lit(" "),
+        F.col("ymin").cast("string"), F.lit("))"))
+    return agg.select(
+        F.concat_ws(",", "_loc", F.col("_li").cast("string"))
+        .alias("LOCATION"),
+        wkt.alias("geom_wkt"),
+        "xmin", "ymin", "xmax", "ymax", "feature_count",
+    )
+
+
+_MAGIC_RULES = [
+    # (driver, probe) — first match wins, GDALIdentifyDriver order
+    ("GTiff", lambda h, p: h[:4] in (b"II*\x00", b"MM\x00*")
+        or h[:4] in (b"II+\x00", b"MM\x00+")),
+    ("PNG", lambda h, p: h[:8] == b"\x89PNG\r\n\x1a\n"),
+    ("netCDF", lambda h, p: h[:3] == b"CDF" and h[3:4] in (b"\x01", b"\x02")),
+    ("ESRI Shapefile", lambda h, p: len(h) >= 4
+        and int.from_bytes(h[:4], "big") == 9994),
+    ("GPKG", lambda h, p: h[:16] == b"SQLite format 3\x00"
+        and p.lower().endswith(".gpkg")),
+    ("MBTiles", lambda h, p: h[:16] == b"SQLite format 3\x00"
+        and p.lower().endswith(".mbtiles")),
+    ("SQLite", lambda h, p: h[:16] == b"SQLite format 3\x00"),
+    ("DXF", lambda h, p: b"SECTION" in h[:256]
+        and p.lower().endswith(".dxf")),
+    ("GPX", lambda h, p: b"<gpx" in h[:1024]),
+    ("KML", lambda h, p: b"<kml" in h[:1024]),
+    ("GeoJSON", lambda h, p: h.lstrip()[:1] == b"{"
+        and (b'"type"' in h[:1024])),
+    ("AAIGrid", lambda h, p: h[:5].lower() == b"ncols"),
+    ("EHdr", lambda h, p: p.lower().endswith((".bil", ".bip", ".bsq"))),
+    ("PGDump", lambda h, p: h[:2] == b"--" and b"COPY" in h[:4096]),
+]
+
+
+def identify(spark: SparkSession, paths: list[str],
+             probe_bytes: int = 4096) -> DataFrame:
+    """gdalmanage identify / GDALIdentifyDriver
+    (gcore/gdaldriver.cpp GDALDriver::pfnIdentify chain): sniff each
+    file's magic against the engine's driver registry. Distributed
+    over the path list — each executor preads its files' first KBs
+    only, so identifying 10^7 objects is a map over descriptors."""
+    import pandas as pd
+
+    seg = spark.createDataFrame(
+        [(p,) for p in paths], "path string").repartition(
+        max(4, min(len(paths), 256)))
+    schema = "path string, driver string"
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                try:
+                    with open(p, "rb") as f:
+                        h = f.read(probe_bytes)
+                except OSError:
+                    out.append({"path": p, "driver": None})
+                    continue
+                drv = next((d for d, probe in _MAGIC_RULES
+                            if probe(h, p)), None)
+                out.append({"path": p, "driver": drv})
+            yield pd.DataFrame(out, columns=["path", "driver"])
+
+    return seg.mapInPandas(run, schema=schema)

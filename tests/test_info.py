@@ -62,3 +62,58 @@ def test_ogrinfo_scientific_notation(spark):
         [(1, "POINT (1e2 -2.5e-1)")], "fid long, geom_wkt string")
     [r] = info.ogrinfo(df).collect()
     assert r.xmax == 100.0 and r.ymin == -0.25
+
+
+def test_ogr_tindex(spark):  # noqa: F811
+    rows = []
+    for src in range(6):
+        for li in range(2):
+            for k in range(5):
+                x = src * 100 + li * 10 + k
+                y = src * 2 + k % 3
+                rows.append((f"f{src}.shp", li,
+                             f"POINT ({x} {y})"))
+    df = spark.createDataFrame(
+        rows, "location string, li int, geom_wkt string")
+    from gdal_spark.info import ogr_tindex
+    out = ogr_tindex(df, layer_idx_col="li").toPandas()
+    assert len(out) == 12
+    r = out[out["LOCATION"] == "f2.shp,1"].iloc[0]
+    assert r["xmin"] == 210.0 and r["xmax"] == 214.0
+    assert r["ymin"] == 4.0 and r["ymax"] == 6.0
+    assert r["feature_count"] == 5
+    assert r["geom_wkt"].startswith("POLYGON ((210")
+
+
+def test_identify(spark, tmp_path):  # noqa: F811
+    import sqlite3
+    import struct as _s
+    files = {}
+    (tmp_path / "a.tif").write_bytes(b"II*\x00" + b"\x00" * 16)
+    files[str(tmp_path / "a.tif")] = "GTiff"
+    (tmp_path / "b.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+    files[str(tmp_path / "b.png")] = "PNG"
+    (tmp_path / "c.nc").write_bytes(b"CDF\x01" + b"\x00" * 32)
+    files[str(tmp_path / "c.nc")] = "netCDF"
+    (tmp_path / "d.shp").write_bytes(_s.pack(">i", 9994) + b"\x00" * 96)
+    files[str(tmp_path / "d.shp")] = "ESRI Shapefile"
+    con = sqlite3.connect(str(tmp_path / "e.gpkg"))
+    con.execute("CREATE TABLE t (a)")
+    con.commit()
+    con.close()
+    files[str(tmp_path / "e.gpkg")] = "GPKG"
+    (tmp_path / "f.dxf").write_text("  0\nSECTION\n  2\nENTITIES\n")
+    files[str(tmp_path / "f.dxf")] = "DXF"
+    (tmp_path / "g.json").write_text('{"type": "FeatureCollection"}')
+    files[str(tmp_path / "g.json")] = "GeoJSON"
+    (tmp_path / "h.asc").write_text("ncols 4\nnrows 2\n")
+    files[str(tmp_path / "h.asc")] = "AAIGrid"
+    (tmp_path / "junk.bin").write_bytes(b"\x00\x01\x02\x03")
+    files[str(tmp_path / "junk.bin")] = None
+
+    from gdal_spark.info import identify
+    out = identify(spark, list(files)).toPandas()
+    got = dict(zip(out["path"], out["driver"]))
+    for p, want in files.items():
+        assert got[p] == want or (want is None and got[p] is None), (
+            p, got[p], want)
