@@ -398,6 +398,40 @@ def _q_identify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("path", "/"), -1).alias("name"), "driver")
 
 
+def _q_fgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatGeobuf driver (ogr/ogrsf_frmts/flatgeobuf): derived
+    document points + typed attributes write through the distributed
+    sink (Hilbert-sorted leaf order, packed R-tree built bottom-up,
+    parallel pwrite), the strip-split reader decodes them back —
+    attributes and coordinates must survive the flatbuffer codec."""
+    import tempfile
+
+    from gdal_spark.fgb import read_fgb, write_fgb
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 400
+    )
+    feats = d.select(
+        F.col("doc_id").alias("src_id"),
+        F.concat(F.lit("POINT ("), F.col("lon").cast("string"),
+                 F.lit(" "), F.col("lat").cast("string"),
+                 F.lit(")")).alias("wkt"),
+        "lang", F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    path = tempfile.mkdtemp(prefix="gdal_spark_fgb_") + "/d.fgb"
+    write_fgb(feats, path, name="docs")
+    out = read_fgb(spark, path)
+    nums = F.expr(
+        "transform(filter(split(regexp_replace(wkt, "
+        "'[^-0-9.eE]+', ' '), ' '), t -> t != ''), t -> cast(t as double))"
+    )
+    return out.select(
+        F.col("src_id").alias("doc_id"), "lang", "n_chars",
+        F.round(F.element_at(nums, 1), 6).alias("x"),
+        F.round(F.element_at(nums, 2), 6).alias("y"),
+    )
+
+
 def _q_streaming_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PIP join through Structured Streaming (readStream ->
     stateless join -> availableNow parquet sink with checkpoint):
@@ -4444,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_roundtrip": _q_mvt_roundtrip,
         "dxf_roundtrip": _q_dxf_roundtrip,
         "ogr_tindex": _q_ogr_tindex,
+        "fgb_roundtrip": _q_fgb_roundtrip,
         "identify": _q_identify,
         "lineref_repers": _q_lineref_repers,
         "lineref_coord": _q_lineref_coord,
@@ -5563,6 +5598,11 @@ def _oracle_sql_static() -> dict[str, str]:
                         AS BIGINT) AS py,
                    lang
             FROM t
+        """,
+        "fgb_roundtrip": f"""
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   ROUND({_LON}, 6) AS x, ROUND({_LAT}, 6) AS y
+            FROM documents WHERE doc_id < 400
         """,
         "ogr_tindex": f"""
             SELECT source || '.shp,0' AS LOCATION,
