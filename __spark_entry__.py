@@ -423,7 +423,7 @@ def _q_fgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = read_fgb(spark, path)
     nums = F.expr(
         "transform(filter(split(regexp_replace(wkt, "
-        "'[^-0-9.eE]+', ' '), ' '), t -> t != ''), t -> cast(t as double))"
+        "'[^-0-9.eE]+', ' '), ' '), t -> t rlike '[0-9]'), t -> cast(t as double))"
     )
     return out.select(
         F.col("src_id").alias("doc_id"), "lang", "n_chars",

@@ -554,7 +554,7 @@ def write_fgb(df: DataFrame, path: str, *, wkt_col: str = "wkt",
 
     nums = F.expr(
         f"transform(filter(split(regexp_replace({wkt_col}, "
-        f"'[^-0-9.eE]+', ' '), ' '), t -> t != ''), t -> cast(t as double))"
+        f"'[^-0-9.eE]+', ' '), ' '), t -> t rlike '[0-9]'), t -> cast(t as double))"
     )
     xs = F.filter(nums, lambda v, i: i % 2 == 0)
     ys = F.filter(nums, lambda v, i: i % 2 == 1)
@@ -740,11 +740,63 @@ def write_fgb(df: DataFrame, path: str, *, wkt_col: str = "wkt",
 
 
 # -------------------------------------------------------------- read
+def _search_index(path: str, hdr: dict, bbox) -> np.ndarray:
+    """PackedRTree::streamSearch (packedrtree.cpp): descend the
+    top-down node array from the root, keeping children whose boxes
+    intersect `bbox` — touches O(log n) small node ranges, never the
+    leaves of pruned subtrees. Returns the sorted leaf ITEM indices
+    (feature ordinals) that intersect."""
+    x0, y0, x1, y1 = bbox
+    bounds = hdr["level_bounds"]
+    node_size = hdr["node_size"]
+    dt = [("x0", "<f8"), ("y0", "<f8"), ("x1", "<f8"), ("y1", "<f8"),
+          ("off", "<u8")]
+    leaf_lo, leaf_hi = bounds[0]
+    with open(path, "rb") as f:
+        def read_nodes(a, b):
+            f.seek(hdr["index_offset"] + a * NODE_BYTES)
+            return np.frombuffer(f.read((b - a) * NODE_BYTES), dtype=dt)
+
+        # walk top-down; `front` holds absolute node indices to expand
+        front = [0]
+        hits = []
+        for lvl in range(len(bounds) - 1, -1, -1):
+            lo, hi = bounds[lvl]
+            cur = sorted(i for i in front if lo <= i < hi)
+            front = []
+            # coalesce contiguous runs into single reads
+            runs = []
+            for i in cur:
+                if runs and i == runs[-1][1]:
+                    runs[-1][1] = i + 1
+                else:
+                    runs.append([i, i + 1])
+            for a, b in runs:
+                nodes = read_nodes(a, b)
+                keep = ~((nodes["x0"] > x1) | (nodes["x1"] < x0)
+                         | (nodes["y0"] > y1) | (nodes["y1"] < y0))
+                for k in np.nonzero(keep)[0]:
+                    ni = a + int(k)
+                    if lvl == 0:
+                        hits.append(ni - leaf_lo)
+                    else:
+                        first = int(nodes["off"][k])
+                        front.extend(range(
+                            first, min(first + node_size,
+                                       bounds[lvl - 1][1])))
+    return np.asarray(sorted(hits), dtype=np.int64)
+
+
 def read_fgb(spark: SparkSession, path: str, *,
-             features_per_strip: int = 4096) -> DataFrame:
+             features_per_strip: int = 4096,
+             bbox: tuple | None = None) -> DataFrame:
     """Distributed FlatGeobuf scan. With an index, strips of leaf
     nodes give each executor its own feature offsets; without one the
-    documented fallback is a single sequential task."""
+    documented fallback is a single sequential task. `bbox`
+    (x0, y0, x1, y1) prunes via the packed R-tree BEFORE planning —
+    the driver reads O(log n) node ranges, and only strips containing
+    intersecting features are scheduled (an exact per-feature bbox
+    re-check runs executor-side)."""
     hdr = read_header(path)
     cols = hdr["cols"]
     fields = [T.StructField("fid", T.LongType()),
@@ -759,8 +811,23 @@ def read_fgb(spark: SparkSession, path: str, *,
 
     if hdr["index_bytes"] and count:
         leaf_lo, leaf_hi = hdr["level_bounds"][0]
-        strips = [(i, min(i + features_per_strip, count))
-                  for i in range(0, count, features_per_strip)]
+        if bbox is not None:
+            # Hilbert order clusters hits: merge consecutive ordinals
+            # into runs (capped at features_per_strip). Leaf boxes ARE
+            # exact feature boxes, so the driver prune is exact.
+            hit = _search_index(path, hdr, bbox)
+            strips = []
+            for i in hit:
+                i = int(i)
+                if strips and i == strips[-1][1] \
+                        and strips[-1][1] - strips[-1][0] \
+                        < features_per_strip:
+                    strips[-1] = (strips[-1][0], i + 1)
+                else:
+                    strips.append((i, i + 1))
+        else:
+            strips = [(i, min(i + features_per_strip, count))
+                      for i in range(0, count, features_per_strip)]
     else:
         strips = [(0, count)]
 
@@ -769,8 +836,9 @@ def read_fgb(spark: SparkSession, path: str, *,
     has_index = bool(hdr["index_bytes"])
     leaf_start = hdr["level_bounds"][0][0] if has_index else 0
 
-    seg = spark.createDataFrame(strips, "i0 long, i1 long") \
-        .repartition(max(4, min(len(strips), 128)))
+    seg = spark.createDataFrame(strips or [(0, 0)],
+                                "i0 long, i1 long") \
+        .repartition(max(4, min(max(len(strips), 1), 128)))
 
     def scan(batches):
         for pdf in batches:

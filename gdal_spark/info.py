@@ -69,7 +69,7 @@ def ogrinfo(layer: DataFrame, geom_col: str = "geom_wkt") -> DataFrame:
     # coordinate stream of the WKT: pairs "x y" split on non-numeric
     nums = F.expr(
         f"transform(filter(split(regexp_replace({geom_col}, "
-        f"'[^-0-9.eE]+', ' '), ' '), t -> t != ''), t -> cast(t as double))"
+        f"'[^-0-9.eE]+', ' '), ' '), t -> t rlike '[0-9]'), t -> cast(t as double))"
     )
     xs = F.filter(nums, lambda v, i: i % 2 == 0)
     ys = F.filter(nums, lambda v, i: i % 2 == 1)
@@ -134,7 +134,7 @@ def ogr_tindex(features: DataFrame, location_col: str = "location",
     geometry parse)."""
     nums = F.expr(
         f"transform(filter(split(regexp_replace({geom_col}, "
-        f"'[^-0-9.eE]+', ' '), ' '), t -> t != ''), t -> cast(t as double))"
+        f"'[^-0-9.eE]+', ' '), ' '), t -> t rlike '[0-9]'), t -> cast(t as double))"
     )
     xs = F.filter(nums, lambda v, i: i % 2 == 0)
     ys = F.filter(nums, lambda v, i: i % 2 == 1)

@@ -170,3 +170,33 @@ def test_read_plan_map_only(spark, rt):  # noqa: F811
     plan = read_fgb(spark, path)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "hashpartitioning" not in plan and "Window" not in plan
+
+
+def test_bbox_search(spark, rt):  # noqa: F811
+    path, rows, n = rt
+    from gdal_spark.fgb import _search_index, read_header
+    bbox = (-20.0, -10.0, 20.0, 10.0)
+    out = read_fgb(spark, path, bbox=bbox).toPandas()
+    # oracle: recompute feature bboxes from the inputs
+    want = set()
+    for i, w, name, val, flag in rows:
+        g = parse_wkt(w)
+        xs, ys = [], []
+        if g.kind in ("polygon", "multipolygon"):
+            for poly in g.parts:
+                for rx, ry in poly:
+                    xs += list(rx)
+                    ys += list(ry)
+        else:
+            for rx, ry in g.parts:
+                xs += list(rx)
+                ys += list(ry)
+        if (min(xs) <= bbox[2] and max(xs) >= bbox[0]
+                and min(ys) <= bbox[3] and max(ys) >= bbox[1]):
+            want.add(i)
+    assert set(out["src_id"]) == want
+    assert 0 < len(want) < n  # the filter actually prunes
+    # the planned strip set must be smaller than the full scan
+    hdr = read_header(path)
+    hits = _search_index(path, hdr, bbox)
+    assert len(hits) == len(want)
