@@ -432,6 +432,70 @@ def _q_fgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lineref_subline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -get_subline (apps/ogrlineref.cpp:432 CreateSubline)
+    over the L-path fleet: clip every path's parts to M in [9, 27] and
+    stitch — returns the stitched vertex count and endpoints (the
+    subline spans the head-part tail, the whole mid part, and the
+    tail-part head, crossing both scale changes)."""
+    from gdal_spark.lineref import create_parts, get_subline
+
+    paths = spark.range(40).select(
+        F.col("id").alias("path_id"),
+        F.format_string(
+            "LINESTRING (%s 0, %s 4, %s 12)",
+            (F.col("id") * 10).cast("string"),
+            (F.col("id") * 10 + 3).cast("string"),
+            (F.col("id") * 10 + 9).cast("string"),
+        ).alias("wkt"),
+    )
+    repers = spark.range(40).select(F.col("id").alias("path_id")).selectExpr(
+        "path_id",
+        "stack(2, 10d, 10d*path_id+1.5, 2d,"
+        "         25d, 10d*path_id+6,   8d) AS (m, x, y)",
+    )
+    parts = create_parts(paths, repers, tolerance=1e-6)
+    out = get_subline(parts, 9.0, 27.0)
+    nums = F.expr(
+        "transform(filter(split(regexp_replace(wkt, "
+        "'[^-0-9.eE]+', ' '), ' '), t -> t rlike '[0-9]'), "
+        "t -> cast(t as double))")
+    n = F.size(nums)
+    base = F.col("path_id") * 10
+    return out.select(
+        "path_id", "n_points",
+        F.round(F.element_at(nums, 1) - base, 9).alias("x_first"),
+        F.round(F.element_at(nums, 2), 9).alias("y_first"),
+        F.round(F.element_at(nums, n - 1) - base, 9).alias("x_last"),
+        F.round(F.element_at(nums, n), 9).alias("y_last"),
+    )
+
+
+def _q_ogr_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrdissolve (apps/ogrdissolve.cpp): unit squares keyed by
+    doc_id%20 at column ((doc_id/20)^2 mod 13) — colliding squares are
+    duplicates, so the per-key cascaded union must both dedupe and
+    merge touching cells; dissolved area = distinct cell count, a
+    closed form DuckDB can restate."""
+    from gdal_spark.functions import geometry as SG
+    from gdal_spark.ogr2ogr import dissolve
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    q = (F.col("doc_id") / 20).cast("long")
+    k = F.col("doc_id") % 20
+    x = (q * q) % 13
+    feats = d.select(
+        k.alias("k"),
+        F.format_string(
+            "POLYGON ((%d 0, %d 0, %d 1, %d 1, %d 0))",
+            x, x + 1, x + 1, x, x).alias("geom_wkt"),
+    )
+    out = dissolve(feats, ["k"])
+    return out.select(
+        "k", "n_parts",
+        F.round(SG.st_area(F.col("geom_wkt")), 9).alias("area"))
+
+
 def _q_streaming_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PIP join through Structured Streaming (readStream ->
     stateless join -> availableNow parquet sink with checkpoint):
@@ -4479,6 +4543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dxf_roundtrip": _q_dxf_roundtrip,
         "ogr_tindex": _q_ogr_tindex,
         "fgb_roundtrip": _q_fgb_roundtrip,
+        "ogr_dissolve": _q_ogr_dissolve,
+        "lineref_subline": _q_lineref_subline,
         "identify": _q_identify,
         "lineref_repers": _q_lineref_repers,
         "lineref_coord": _q_lineref_coord,
@@ -5598,6 +5664,18 @@ def _oracle_sql_static() -> dict[str, str]:
                         AS BIGINT) AS py,
                    lang
             FROM t
+        """,
+        "lineref_subline": """
+            SELECT p.range AS path_id, 7 AS n_points,
+                   0.9 AS x_first, 1.2 AS y_first,
+                   7.2 AS x_last, 9.6 AS y_last
+            FROM range(40) p
+        """,
+        "ogr_dissolve": """
+            SELECT doc_id % 20 AS k, COUNT(*) AS n_parts,
+                   CAST(COUNT(DISTINCT ((doc_id // 20) * (doc_id // 20))
+                              % 13) AS DOUBLE) AS area
+            FROM documents WHERE doc_id < 600 GROUP BY doc_id % 20
         """,
         "fgb_roundtrip": f"""
             SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,

@@ -175,6 +175,8 @@ _MAGIC_RULES = [
     ("GTiff", lambda h, p: h[:4] in (b"II*\x00", b"MM\x00*")
         or h[:4] in (b"II+\x00", b"MM\x00+")),
     ("PNG", lambda h, p: h[:8] == b"\x89PNG\r\n\x1a\n"),
+    ("FlatGeobuf", lambda h, p: h[:3] == b"fgb" and len(h) > 3
+        and h[3] == 3),
     ("netCDF", lambda h, p: h[:3] == b"CDF" and h[3:4] in (b"\x01", b"\x02")),
     ("ESRI Shapefile", lambda h, p: len(h) >= 4
         and int.from_bytes(h[:4], "big") == 9994),

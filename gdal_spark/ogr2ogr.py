@@ -19,6 +19,7 @@ nothing shuffles."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -122,3 +123,47 @@ def ogr2ogr_layer(
             raise ValueError(f"unsupported -nlt {nlt!r}") from None
         out = out.withColumn(geom_col, fn(F.col(geom_col)))
     return out
+
+
+def dissolve(df: DataFrame, key_cols: list[str],
+             geom_col: str = "geom_wkt",
+             out_col: str = "geom_wkt") -> DataFrame:
+    """ogrdissolve (apps/ogrdissolve.cpp): union all geometries that
+    share the key columns into one geometry per group.
+
+    One keyed shuffle (groupBy the dissolve field) collects each
+    group's polygons; the cascaded union (the same boundary-
+    classification kernel as OGR UnionCascaded, ogrgeometry.cpp:4473)
+    runs per group in an Arrow batch — group state is that key's
+    geometries only, so 10^6 dissolve classes spread across the
+    cluster. A skewed class (one giant key) is the format's inherent
+    hotspot, same as the reference's single-threaded cascade."""
+    @F.pandas_udf("string")
+    def _union_all(geoms: pd.Series) -> pd.Series:
+        from gdal_spark import geometry as GM
+
+        out = []
+        for arr in geoms:
+            rings = []
+            for w in arr:
+                try:
+                    g = GM.parse_wkt(w)
+                except Exception:
+                    continue
+                if g.kind == "polygon":
+                    rings.append(g.parts[0])
+                elif g.kind == "multipolygon":
+                    rings.extend(g.parts)
+            if not rings:
+                out.append(None)
+                continue
+            merged = GM.union_cascaded(GM.Geom("multipolygon", rings))
+            out.append(GM.to_wkt(merged))
+        return pd.Series(out)
+
+    grouped = df.groupBy(*key_cols).agg(
+        F.collect_list(geom_col).alias("_geoms"),
+        F.count("*").alias("n_parts"),
+    )
+    return grouped.select(
+        *key_cols, _union_all("_geoms").alias(out_col), "n_parts")

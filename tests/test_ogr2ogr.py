@@ -98,3 +98,32 @@ def test_ogr2ogr_clipsrc_and_sql(spark):
     from gdal_spark import geometry as GM
 
     assert abs(GM.parse_wkt(got[1]).area() - 2.0) < 1e-9
+
+
+def test_dissolve_touching_squares(spark):  # noqa: F811
+    from gdal_spark.ogr2ogr import dissolve
+    from gdal_spark.functions import geometry as SG
+    from pyspark.sql import functions as F
+    rows = []
+    # key 'a': squares x=0,1,2 touching in a row; key 'b': x=5 and x=7
+    # disjoint
+    for k, xs in (("a", [0, 1, 2]), ("b", [5, 7])):
+        for x in xs:
+            rows.append((k, f"POLYGON (({x} 0, {x + 1} 0, {x + 1} 1,"
+                            f" {x} 1, {x} 0))"))
+    df = spark.createDataFrame(rows, "k string, geom_wkt string")
+    out = dissolve(df, ["k"]).toPandas().set_index("k")
+    import pandas as pd
+    a = out.loc["a"]
+    assert a["n_parts"] == 3
+    ga = a["geom_wkt"]
+    area = spark.createDataFrame([(ga,)], "w string").select(
+        SG.st_area(F.col("w")).alias("ar")).collect()[0]["ar"]
+    assert abs(area - 3.0) < 1e-9
+    b = out.loc["b"]
+    assert b["n_parts"] == 2
+    gb = b["geom_wkt"]
+    areab = spark.createDataFrame([(gb,)], "w string").select(
+        SG.st_area(F.col("w")).alias("ar")).collect()[0]["ar"]
+    assert abs(areab - 2.0) < 1e-9
+    assert gb.startswith("MULTIPOLYGON")
