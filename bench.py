@@ -194,6 +194,14 @@ def main():
         "pgdump_roundtrip",
         # XML interchange: file-parallel GPX/KML loops
         "gpx_roundtrip", "kml_roundtrip",
+        # session-5 drivers: NetCDF strip IO + mdimtranslate chain,
+        # distributed linear referencing, MVT tile pipeline, DXF
+        # chunk scan, FlatGeobuf Hilbert-sort + R-tree build, and the
+        # registry/index/dissolve utilities
+        "netcdf_roundtrip", "mdim_translate",
+        "lineref_repers", "lineref_coord", "lineref_pos",
+        "lineref_subline", "mvt_roundtrip", "dxf_roundtrip",
+        "fgb_roundtrip", "ogr_tindex", "identify", "ogr_dissolve",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every
