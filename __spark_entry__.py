@@ -471,6 +471,55 @@ def _q_lineref_subline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_netcdf_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netCDF classic-raster bridge (frmts/netcdf/netcdfdataset.cpp:
+    geotransform from the 1-D CF coordinate vars, bBottomUp row flip,
+    raw values + _FillValue): a south-up CF grid becomes the engine's
+    tile table; the geotransform corners and the nodata-excluded band
+    statistics are closed forms DuckDB restates."""
+    import tempfile
+
+    from gdal_spark.netcdf import netcdf_as_raster, write_netcdf
+    from gdal_spark.raster import band_stats
+
+    path = tempfile.mkdtemp(prefix="gdal_spark_nccf_") + "/cf.nc"
+    ny, nx = 20, 30
+    lats = spark.range(ny).select(
+        F.col("id").alias("lat"), (10.0 + F.col("id") * 0.5).alias("value"))
+    lons = spark.range(nx).select(
+        F.col("id").alias("lon"),
+        (-40.0 + F.col("id") * 0.25).alias("value"))
+    grid = (
+        spark.range(ny).select(F.col("id").alias("lat"))
+        .crossJoin(spark.range(nx).select(F.col("id").alias("lon")))
+        .select("lat", "lon", F.when(
+            (F.col("lat") * 30 + F.col("lon")) % 41 == 0, F.lit(-999.0)
+        ).otherwise((F.col("lat") * 100 + F.col("lon")).cast("double"))
+            .alias("value"))
+    )
+    write_netcdf(path, [
+        {"name": "lat", "dims": [("lat", ny)], "dtype": "float64",
+         "df": lats},
+        {"name": "lon", "dims": [("lon", nx)], "dtype": "float64",
+         "df": lons},
+        {"name": "t2m", "dims": [("lat", ny), ("lon", nx)],
+         "dtype": "float32", "atts": {"_FillValue": -999.0},
+         "df": grid},
+    ])
+    tiles = netcdf_as_raster(spark, path, "t2m", tile_px=32)
+    gt = tiles.select(F.col("geotransform").alias("g")).limit(1)
+    st = band_stats(tiles)
+    return gt.crossJoin(st).select(
+        F.round(F.col("g")[0], 9).alias("gt0"),
+        F.round(F.col("g")[1], 9).alias("gt1"),
+        F.round(F.col("g")[3], 9).alias("gt3"),
+        F.round(F.col("g")[5], 9).alias("gt5"),
+        F.col("count").alias("n"),
+        F.col("min").alias("vmin"), F.col("max").alias("vmax"),
+        F.round("mean", 6).alias("mean"),
+    )
+
+
 def _q_ogr_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrdissolve (apps/ogrdissolve.cpp): unit squares keyed by
     doc_id%20 at column ((doc_id/20)^2 mod 13) — colliding squares are
@@ -4544,6 +4593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_tindex": _q_ogr_tindex,
         "fgb_roundtrip": _q_fgb_roundtrip,
         "ogr_dissolve": _q_ogr_dissolve,
+        "netcdf_raster": _q_netcdf_raster,
         "lineref_subline": _q_lineref_subline,
         "identify": _q_identify,
         "lineref_repers": _q_lineref_repers,
@@ -5670,6 +5720,20 @@ def _oracle_sql_static() -> dict[str, str]:
                    0.9 AS x_first, 1.2 AS y_first,
                    7.2 AS x_last, 9.6 AS y_last
             FROM range(40) p
+        """,
+        "netcdf_raster": """
+            WITH v AS (
+              SELECT a.range AS lat, b.range AS lon
+              FROM range(20) a CROSS JOIN range(30) b
+              WHERE (a.range * 30 + b.range) % 41 <> 0
+            )
+            SELECT -40.125 AS gt0, 0.25 AS gt1, 19.75 AS gt3,
+                   -0.5 AS gt5, COUNT(*) AS n,
+                   CAST(MIN(lat * 100 + lon) AS DOUBLE) AS vmin,
+                   CAST(MAX(lat * 100 + lon) AS DOUBLE) AS vmax,
+                   ROUND(SUM(lat * 100 + lon) * 1.0 / COUNT(*), 6)
+                     AS mean
+            FROM v
         """,
         "ogr_dissolve": """
             SELECT doc_id % 20 AS k, COUNT(*) AS n_parts,

@@ -444,3 +444,92 @@ def write_netcdf(path: str, arrays: list[dict], *, numrecs: int = 0,
 
         keyed.groupBy("_strip").applyInPandas(
             write_strip, schema=out_schema).agg(F.sum("written")).collect()
+
+
+def _read_coord_var(hdr: dict, name: str) -> np.ndarray | None:
+    """Driver-side read of a 1-D coordinate variable (tiny: dim_len
+    elements) — the CF convention the reference resolves in
+    netcdfdataset.cpp SetProjectionFromVar / the lat/lon coordinate
+    scan (:2800 region)."""
+    v = hdr["vars"].get(name)
+    if v is None or len(v["shape"]) != 1 or v["is_record"]:
+        return None
+    dt = np.dtype(NC_DTYPES[v["nc_type"]])
+    n = v["shape"][0]
+    with open(hdr["path"], "rb") as f:
+        f.seek(v["begin"])
+        raw = f.read(n * dt.itemsize)
+    arr = np.frombuffer(raw, dtype=dt).astype("float64")
+    sc = float(v["atts"].get("scale_factor", 1.0))
+    of = float(v["atts"].get("add_offset", 0.0))
+    return arr * sc + of
+
+
+def netcdf_as_raster(spark: SparkSession, path: str, var: str, *,
+                     tile_px: int = 256, dtype: str | None = None,
+                     nodata: float = float("nan"),
+                     raster_id: str | None = None,
+                     rtol: float = 1e-3):
+    """The reference netCDF driver's CLASSIC-RASTER view of a 2-D
+    variable (frmts/netcdf/netcdfdataset.cpp: geotransform derived
+    from the 1-D lat/lon coordinate variables, regular-spacing check,
+    bBottomUp row flip when latitude ascends): returns the engine's
+    raster tile table with a real geotransform, ready for warp /
+    overview / DEM / pixel-function operators.
+
+    The coordinate vars are KBs and read driver-side; the pixel scan
+    stays the distributed strip scan; the only shuffle is
+    as_classic_dataset's tile assembly."""
+    hdr = open_netcdf(path)
+    v = hdr["vars"][var]
+    if len(v["dims"]) != 2:
+        raise ValueError("netcdf_as_raster needs a 2-D variable")
+    yname, xname = v["dims"]
+    xs = _read_coord_var(hdr, xname)
+    ys = _read_coord_var(hdr, yname)
+    if xs is None or ys is None:
+        raise ValueError("missing 1-D coordinate variables "
+                         f"{xname!r}/{yname!r}")
+    dx = np.diff(xs)
+    dy = np.diff(ys)
+    if not (np.allclose(dx, dx[0], rtol=rtol)
+            and np.allclose(dy, dy[0], rtol=rtol)):
+        raise ValueError("irregular coordinate spacing (the reference "
+                         "falls back to geolocation arrays here)")
+    sx, sy = float(dx[0]), float(dy[0])
+    bottom_up = sy > 0  # CF latitude ascending = south-up storage
+    # the reference band serves RAW (packed) values and reports
+    # scale/offset as band metadata (netcdfdataset.cpp:447) — mirror
+    # that: unpack=False, nodata = the raw _FillValue
+    arr = read_netcdf(spark, path, var, hdr=hdr, unpack=False)
+    (yn, H), (xn, W) = arr.dims
+    if bottom_up:
+        # flip rows so row 0 = northernmost, like the reference's
+        # bBottomUp read path — pure column math, no shuffle
+        flipped = arr.df.withColumn(yn, F.lit(H - 1) - F.col(yn))
+        arr = MDArray(flipped, arr.dims)
+        gt_y0 = float(ys[-1]) + sy / 2.0
+        gt_sy = -sy
+    else:
+        gt_y0 = float(ys[0]) - sy / 2.0
+        gt_sy = sy
+    gt_x0 = float(xs[0]) - sx / 2.0
+    if dtype is None:  # serve the variable's own storage type
+        dtype = {NC_BYTE: "int8", NC_SHORT: "int16", NC_INT: "int32",
+                 NC_FLOAT: "float32", NC_DOUBLE: "float64"}[
+                     v["nc_type"]]
+    fill = v["atts"].get("_FillValue")
+    nd = (float(fill) if fill is not None
+          else (0.0 if math.isnan(nodata) else float(nodata)))
+    tiles = arr.as_classic_dataset(
+        tile_px=tile_px, raster_id=raster_id or var, dtype=dtype,
+        nodata=nd)
+    ts = tile_px
+    gt = F.array(
+        F.lit(gt_x0) + F.col("tile_x") * F.lit(float(ts) * sx),
+        F.lit(sx), F.lit(0.0),
+        F.lit(gt_y0) + F.col("tile_y") * F.lit(float(ts) * gt_sy),
+        F.lit(0.0), F.lit(gt_sy),
+    )
+    return tiles.withColumn("geotransform", gt) \
+        .withColumn("crs", F.lit("EPSG:4326"))

@@ -146,3 +146,49 @@ def test_magic_rejects_garbage():
         parse_header(b"HDF5" + b"\x00" * 64)
     with pytest.raises(ValueError):
         parse_header(b"CDF\x05" + b"\x00" * 64)
+
+
+def test_netcdf_as_raster_cf(spark, tmp_path):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from gdal_spark.netcdf import netcdf_as_raster
+
+    path = str(tmp_path / "cf.nc")
+    ny, nx = 20, 30
+    # CF south-up: latitude ascending 10..10+(ny-1)*0.5
+    lats = spark.range(ny).select(
+        F.col("id").alias("lat_i"),
+        (10.0 + F.col("id") * 0.5).alias("value"))
+    lons = spark.range(nx).select(
+        F.col("id").alias("lon_i"),
+        (-40.0 + F.col("id") * 0.25).alias("value"))
+    grid = (
+        spark.range(ny).select(F.col("id").alias("lat"))
+        .crossJoin(spark.range(nx).select(F.col("id").alias("lon")))
+        .select("lat", "lon",
+                (F.col("lat") * 100 + F.col("lon")).cast("double")
+                .alias("value"))
+    )
+    write_netcdf(path, [
+        {"name": "lat", "dims": [("lat", ny)], "dtype": "float64",
+         "df": lats.select(F.col("lat_i").alias("lat"), "value")},
+        {"name": "lon", "dims": [("lon", nx)], "dtype": "float64",
+         "df": lons.select(F.col("lon_i").alias("lon"), "value")},
+        {"name": "t2m", "dims": [("lat", ny), ("lon", nx)],
+         "dtype": "float32", "df": grid},
+    ])
+    tiles = netcdf_as_raster(spark, path, "t2m", tile_px=32)
+    rows = tiles.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    gt = r["geotransform"]
+    # origin = top-left corner: lon[0]-dx/2, lat[-1]+dy/2; dy negative
+    assert abs(gt[0] - (-40.0 - 0.125)) < 1e-9
+    assert abs(gt[1] - 0.25) < 1e-9
+    assert abs(gt[3] - (10.0 + 9.5 + 0.25)) < 1e-9
+    assert abs(gt[5] - (-0.5)) < 1e-9
+    assert r["crs"] == "EPSG:4326"
+    a = np.frombuffer(r["data"], dtype=np.float32).reshape(32, 32)
+    # row 0 = northernmost = lat index ny-1 -> value 1900+lon
+    assert a[0, 0] == 1900.0 and a[0, 29] == 1929.0
+    assert a[ny - 1, 0] == 0.0
