@@ -422,17 +422,34 @@ def write_mvt_mbtiles(features: DataFrame, path: str, zoom: int, *,
                       extent: int = DEFAULT_EXTENT,
                       buffer: int = DEFAULT_BUFFER,
                       name: str | None = None,
-                      compress: bool = True) -> int:
+                      compress: bool = True,
+                      max_zoom: int | None = None) -> int:
     """Distributed MVT encoder -> MBTiles (ogrmvtdataset.cpp writer,
     MVT spec 2.1). `features`: (layer string, fid long, wkt string,
     props map<string,string>) in EPSG:4326. Geometry clips to each
     covered tile's buffered square (BUFFER in extent units, default
     80/4096 like the reference), quantizes to tile integers, and one
     tile-keyed shuffle assembles gzip'd protobuf blobs. Returns the
-    tile count."""
-    clipped = features.select("layer", "fid", "wkt", "props") \
-        .mapInPandas(_cover_clip_factory(zoom, extent, buffer),
-                     schema=_CLIP_SCHEMA)
+    tile count.
+
+    `max_zoom` turns the sink into a PYRAMID (the reference's
+    MINZOOM/MAXZOOM options): each level is an independent cover+clip
+    map over the same source — coarser zooms simplify for free through
+    integer quantization (consecutive duplicate vertices collapse),
+    the same effect the reference gets from its per-zoom tolerance.
+    The source is read once per level; levels union into one clipped
+    relation, so the tile shuffle stays a single exchange for the
+    whole pyramid."""
+    zooms = list(range(zoom, (max_zoom if max_zoom is not None
+                              else zoom) + 1))
+    src = features.select("layer", "fid", "wkt", "props")
+    if len(zooms) > 1:
+        src = src.cache()
+    clipped = None
+    for z in zooms:
+        part = src.mapInPandas(
+            _cover_clip_factory(z, extent, buffer), schema=_CLIP_SCHEMA)
+        clipped = part if clipped is None else clipped.unionByName(part)
 
     out_schema = T.StructType([
         T.StructField("zoom", T.IntegerType()),
@@ -473,7 +490,8 @@ def write_mvt_mbtiles(features: DataFrame, path: str, zoom: int, *,
         for k, v in [("name", name or os.path.basename(path)),
                      ("format", "pbf"), ("version", "1.1"),
                      ("type", "overlay"),
-                     ("minzoom", str(zoom)), ("maxzoom", str(zoom))]:
+                     ("minzoom", str(zooms[0])),
+                     ("maxzoom", str(zooms[-1]))]:
             con.execute("INSERT INTO metadata VALUES (?, ?)", (k, v))
         for r in encoded.itertuples(index=False):
             tms = (1 << int(r.zoom)) - 1 - int(r.y)

@@ -191,3 +191,27 @@ def test_empty_props_and_gzip_determinism(spark, tmp_path):  # noqa: F811
     assert bytes(b1) == bytes(b2)
     _, _, _, _, props = parse_mvt_blob(bytes(b1))[0]
     assert props == {"a": "1", "b": "2"}
+
+
+def test_pyramid_zoom_range(spark, tmp_path):  # noqa: F811
+    path = str(tmp_path / "pyr.mbtiles")
+    lon, lat = _tile_lonlat(5, 10, 12, 0.5, 0.5)
+    df = spark.createDataFrame(
+        [("p", 1, f"POINT ({lon:.12f} {lat:.12f})", {})],
+        "layer string, fid long, wkt string, props map<string,string>")
+    n = write_mvt_mbtiles(df, path, 2, max_zoom=5)
+    assert n == 4  # one tile per level 2..5
+    con = sqlite3.connect(path)
+    meta = dict(con.execute("SELECT name, value FROM metadata"))
+    assert (meta["minzoom"], meta["maxzoom"]) == ("2", "5")
+    zs = sorted(z for (z,) in con.execute(
+        "SELECT DISTINCT zoom_level FROM tiles"))
+    con.close()
+    assert zs == [2, 3, 4, 5]
+    out = read_mvt_mbtiles(spark, path).toPandas()
+    assert len(out) == 4
+    r5 = out[out["zoom"] == 5].iloc[0]
+    assert (r5["x"], r5["y"]) == (10, 12)
+    assert r5["xs"] == [2048]
+    r2 = out[out["zoom"] == 2].iloc[0]
+    assert (r2["x"], r2["y"]) == (1, 1)  # 10>>3, 12>>3
