@@ -520,6 +520,32 @@ def _q_netcdf_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fgb_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatGeobuf spatial filter: the packed-R-tree streamSearch
+    (flatgeobuf/packedrtree.cpp) prunes leaf strips BEFORE planning —
+    only features intersecting the window are scheduled. The driver
+    walk reads O(log n) node ranges; the result must equal the plain
+    WHERE-range oracle."""
+    import tempfile
+
+    from gdal_spark.fgb import read_fgb, write_fgb
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 500
+    )
+    feats = d.select(
+        F.col("doc_id").alias("src_id"),
+        F.concat(F.lit("POINT ("), F.col("lon").cast("string"),
+                 F.lit(" "), F.col("lat").cast("string"),
+                 F.lit(")")).alias("wkt"),
+        "lang",
+    )
+    path = tempfile.mkdtemp(prefix="gdal_spark_fgbq_") + "/q.fgb"
+    write_fgb(feats, path, name="docs")
+    out = read_fgb(spark, path, bbox=(-60.0, -85.0, 60.0, -40.0))
+    return out.select(F.col("src_id").alias("doc_id"), "lang")
+
+
 def _q_ogr_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrdissolve (apps/ogrdissolve.cpp): unit squares keyed by
     doc_id%20 at column ((doc_id/20)^2 mod 13) — colliding squares are
@@ -4594,6 +4620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fgb_roundtrip": _q_fgb_roundtrip,
         "ogr_dissolve": _q_ogr_dissolve,
         "netcdf_raster": _q_netcdf_raster,
+        "fgb_bbox_filter": _q_fgb_bbox_filter,
         "lineref_subline": _q_lineref_subline,
         "identify": _q_identify,
         "lineref_repers": _q_lineref_repers,
@@ -5720,6 +5747,12 @@ def _oracle_sql_static() -> dict[str, str]:
                    0.9 AS x_first, 1.2 AS y_first,
                    7.2 AS x_last, 9.6 AS y_last
             FROM range(40) p
+        """,
+        "fgb_bbox_filter": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id < 500
+              AND {_LON} BETWEEN -60.0 AND 60.0
+              AND {_LAT} BETWEEN -85.0 AND -40.0
         """,
         "netcdf_raster": """
             WITH v AS (
