@@ -546,6 +546,41 @@ def _q_fgb_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("src_id").alias("doc_id"), "lang")
 
 
+def _q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GML driver (ogr/ogrsf_frmts/gml; geometry subset of
+    gml2ogrgeometry.cpp): derived document points write as a GML 3.2
+    FeatureCollection (one document per partition, parallel), the
+    file-parallel reader parses them back — properties and pos
+    coordinates survive the XML."""
+    import tempfile
+
+    from gdal_spark.xmlvec import read_gml, write_gml
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 400
+    )
+    feats = d.select(
+        F.col("doc_id").alias("oid"), "lang",
+        F.concat(F.lit("POINT ("), F.col("lon").cast("string"),
+                 F.lit(" "), F.col("lat").cast("string"),
+                 F.lit(")")).alias("geom_wkt"),
+    )
+    root = tempfile.mkdtemp(prefix="gdal_spark_gml_")
+    write_gml(feats, f"{root}/parts", layer="docs")
+    out = read_gml(spark, f"{root}/parts")
+    nums = F.expr(
+        "transform(filter(split(regexp_replace(geom_wkt, "
+        "'[^-0-9.eE]+', ' '), ' '), t -> t rlike '[0-9]'), "
+        "t -> cast(t as double))")
+    return out.select(
+        F.col("props")["oid"].cast("long").alias("doc_id"),
+        F.col("props")["lang"].alias("lang"),
+        "layer",
+        F.element_at(nums, 1).alias("x"),
+        F.element_at(nums, 2).alias("y"),
+    )
+
+
 def _q_ogr_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrdissolve (apps/ogrdissolve.cpp): unit squares keyed by
     doc_id%20 at column ((doc_id/20)^2 mod 13) — colliding squares are
@@ -4621,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_dissolve": _q_ogr_dissolve,
         "netcdf_raster": _q_netcdf_raster,
         "fgb_bbox_filter": _q_fgb_bbox_filter,
+        "gml_roundtrip": _q_gml_roundtrip,
         "lineref_subline": _q_lineref_subline,
         "identify": _q_identify,
         "lineref_repers": _q_lineref_repers,
@@ -5747,6 +5783,11 @@ def _oracle_sql_static() -> dict[str, str]:
                    0.9 AS x_first, 1.2 AS y_first,
                    7.2 AS x_last, 9.6 AS y_last
             FROM range(40) p
+        """,
+        "gml_roundtrip": f"""
+            SELECT doc_id, lang, 'docs' AS layer,
+                   {_LON} AS x, {_LAT} AS y
+            FROM documents WHERE doc_id < 400
         """,
         "fgb_bbox_filter": f"""
             SELECT doc_id, lang FROM documents

@@ -347,3 +347,248 @@ def write_kml(df: DataFrame, path: str, *, name_col: str = "name",
             f.write(build(rows))
 
     df.foreachPartition(part)
+
+
+# -------------------------------------------------------------------- GML
+GML_NS = "http://www.opengis.net/gml/3.2"
+GML2_NS = "http://www.opengis.net/gml"
+OGR_NS = "http://ogr.maptools.org/"
+
+GML_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("fid", T.IntegerType()),
+    T.StructField("layer", T.StringType()),
+    T.StructField("gml_id", T.StringType()),
+    T.StructField("geom_wkt", T.StringType()),
+    T.StructField("props", T.MapType(T.StringType(), T.StringType())),
+])
+
+_GML_GEOM_TAGS = {
+    "Point", "LineString", "Polygon", "MultiPoint", "MultiCurve",
+    "MultiLineString", "MultiSurface", "MultiPolygon", "MultiGeometry",
+}
+
+
+def _gml_pts(el):
+    """gml:pos / gml:posList (space-separated x y ...) or GML2
+    gml:coordinates ("x,y x,y")  -> [(x, y), ...].
+    Axis order is taken as (x, y) like the reference's default
+    non-urn srsName handling (gml2ogrgeometry.cpp axis-order notes)."""
+    for c in el:
+        t = _strip(c.tag)
+        if t in ("pos", "posList"):
+            v = [float(x) for x in (c.text or "").split()]
+            return list(zip(v[0::2], v[1::2]))
+        if t == "coordinates":
+            out = []
+            for tok in (c.text or "").split():
+                xy = tok.split(",")
+                out.append((float(xy[0]), float(xy[1])))
+            return out
+    return []
+
+
+def _gml_to_wkt(g) -> str | None:
+    """One gml geometry element -> WKT (gml2ogrgeometry.cpp
+    GML2OGRGeometry_XMLNode, the simple-feature subset)."""
+    t = _strip(g.tag)
+
+    def ring_of(poly_el, which):
+        rings = []
+        for b in poly_el:
+            bt = _strip(b.tag)
+            if bt in which:
+                for lr in b:
+                    if _strip(lr.tag) == "LinearRing":
+                        rings.append(_gml_pts(lr))
+        return rings
+
+    def poly_body(poly_el):
+        ext = ring_of(poly_el, ("exterior", "outerBoundaryIs"))
+        ints = ring_of(poly_el, ("interior", "innerBoundaryIs"))
+        rings = ext + ints
+        return "(" + ", ".join(
+            "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in r) + ")"
+            for r in rings) + ")"
+
+    if t == "Point":
+        p = _gml_pts(g)
+        if not p:
+            return None
+        return f"POINT ({p[0][0]:.10g} {p[0][1]:.10g})"
+    if t == "LineString":
+        p = _gml_pts(g)
+        return "LINESTRING (" + ", ".join(
+            f"{x:.10g} {y:.10g}" for x, y in p) + ")"
+    if t == "Polygon":
+        return "POLYGON " + poly_body(g)
+    if t in ("MultiPolygon", "MultiSurface"):
+        bodies = []
+        for m in g.iter():
+            if _strip(m.tag) == "Polygon":
+                bodies.append(poly_body(m))
+        return "MULTIPOLYGON (" + ", ".join(bodies) + ")"
+    if t in ("MultiLineString", "MultiCurve"):
+        bodies = []
+        for m in g.iter():
+            if _strip(m.tag) == "LineString":
+                bodies.append("(" + ", ".join(
+                    f"{x:.10g} {y:.10g}" for x, y in _gml_pts(m)) + ")")
+        return "MULTILINESTRING (" + ", ".join(bodies) + ")"
+    if t == "MultiPoint":
+        pts = []
+        for m in g.iter():
+            if _strip(m.tag) == "Point":
+                p = _gml_pts(m)
+                if p:
+                    pts.append(f"{p[0][0]:.10g} {p[0][1]:.10g}")
+        return "MULTIPOINT (" + ", ".join(pts) + ")"
+    return None
+
+
+def read_gml(spark: SparkSession, path: str) -> DataFrame:
+    """GML FeatureCollection scan (ogr/ogrsf_frmts/gml;
+    gml2ogrgeometry.cpp for the geometry subset), one FILE per task —
+    the same distributed unit as GPX/KML (XML does not line-split;
+    the reference parses it serially through expat). Features are the
+    children of gml:featureMember / wfs:member elements; the feature
+    element's local name is the layer, simple text children become
+    properties, the first gml geometry found becomes geom_wkt."""
+    plan = _file_plan(spark, path, ".gml")
+
+    def scan(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                root = ET.parse(p).getroot()
+                base = os.path.basename(p)
+                fid = 0
+                for fm in root.iter():
+                    if _strip(fm.tag) not in ("featureMember", "member",
+                                              "featureMembers"):
+                        continue
+                    for feat in fm:
+                        layer = _strip(feat.tag)
+                        gml_id = None
+                        for k, v in feat.attrib.items():
+                            if _strip(k) == "id":
+                                gml_id = v
+                        props = {}
+                        wkt = None
+                        for c in feat:
+                            ct = _strip(c.tag)
+                            geoms = [g for g in c.iter()
+                                     if _strip(g.tag) in _GML_GEOM_TAGS]
+                            if geoms:
+                                if wkt is None:
+                                    wkt = _gml_to_wkt(geoms[0])
+                            elif len(c) == 0:
+                                props[ct] = c.text or ""
+                        out.append({"file": base, "fid": fid,
+                                    "layer": layer, "gml_id": gml_id,
+                                    "geom_wkt": wkt, "props": props})
+                        fid += 1
+            yield pd.DataFrame(
+                out, columns=[f.name for f in GML_SCHEMA])
+
+    return plan.mapInPandas(scan, schema=GML_SCHEMA)
+
+
+def _wkt_to_gml(parent, wkt: str) -> None:
+    from . import geometry as GMM
+
+    g = GMM.parse_wkt(wkt)
+
+    def pos_list(el_parent, pts, tag="posList"):
+        e = ET.SubElement(el_parent, f"{{{GML_NS}}}{tag}")
+        e.text = " ".join(f"{x:.10g} {y:.10g}" for x, y in pts)
+
+    def emit_poly(par, rings):
+        poly = ET.SubElement(par, f"{{{GML_NS}}}Polygon")
+        for i, (xs, ys) in enumerate(rings):
+            pts = list(zip(xs, ys))
+            if pts[0] != pts[-1]:
+                pts.append(pts[0])
+            b = ET.SubElement(
+                poly, f"{{{GML_NS}}}" + ("exterior" if i == 0
+                                         else "interior"))
+            lr = ET.SubElement(b, f"{{{GML_NS}}}LinearRing")
+            pos_list(lr, pts)
+
+    if g.kind == "point":
+        pt = ET.SubElement(parent, f"{{{GML_NS}}}Point")
+        xs, ys = g.parts[0]
+        pos_list(pt, [(xs[0], ys[0])], tag="pos")
+    elif g.kind == "linestring":
+        ls = ET.SubElement(parent, f"{{{GML_NS}}}LineString")
+        xs, ys = g.parts[0]
+        pos_list(ls, list(zip(xs, ys)))
+    elif g.kind == "multilinestring":
+        ml = ET.SubElement(parent, f"{{{GML_NS}}}MultiCurve")
+        for xs, ys in g.parts:
+            cm = ET.SubElement(ml, f"{{{GML_NS}}}curveMember")
+            ls = ET.SubElement(cm, f"{{{GML_NS}}}LineString")
+            pos_list(ls, list(zip(xs, ys)))
+    elif g.kind == "polygon":
+        emit_poly(parent, g.parts[0])
+    elif g.kind == "multipolygon":
+        ms = ET.SubElement(parent, f"{{{GML_NS}}}MultiSurface")
+        for rings in g.parts:
+            sm = ET.SubElement(ms, f"{{{GML_NS}}}surfaceMember")
+            emit_poly(sm, rings)
+    elif g.kind == "multipoint":
+        mp = ET.SubElement(parent, f"{{{GML_NS}}}MultiPoint")
+        for xs, ys in g.parts:
+            pm = ET.SubElement(mp, f"{{{GML_NS}}}pointMember")
+            pt = ET.SubElement(pm, f"{{{GML_NS}}}Point")
+            pos_list(pt, [(xs[0], ys[0])], tag="pos")
+
+
+def write_gml(df: DataFrame, path: str, *, layer: str = "features",
+              wkt_col: str = "geom_wkt",
+              single_file: bool = False) -> None:
+    """GML 3.2 FeatureCollection sink (the reference's ogr2gmlgeometry
+    / GML writer shape): every non-geometry column becomes a simple
+    element; directory mode writes one valid document per partition in
+    parallel."""
+    cols = [c for c in df.columns if c != wkt_col]
+
+    def build(rows) -> bytes:
+        ET.register_namespace("gml", GML_NS)
+        ET.register_namespace("ogr", OGR_NS)
+        root = ET.Element(f"{{{GML_NS}}}FeatureCollection")
+        for i, r in enumerate(rows):
+            fm = ET.SubElement(root, f"{{{GML_NS}}}featureMember")
+            feat = ET.SubElement(fm, f"{{{OGR_NS}}}{layer}")
+            feat.set(f"{{{GML_NS}}}id", f"{layer}.{i}")
+            for c in cols:
+                v = r[c]
+                if v is None:
+                    continue
+                e = ET.SubElement(feat, f"{{{OGR_NS}}}{c}")
+                e.text = str(v)
+            w = r[wkt_col]
+            if w:
+                gp = ET.SubElement(feat,
+                                   f"{{{OGR_NS}}}geometryProperty")
+                _wkt_to_gml(gp, w)
+        return ET.tostring(root, encoding="utf-8",
+                           xml_declaration=True)
+
+    if single_file:
+        rows = (r.asDict() for r in df.toLocalIterator())
+        with open(path, "wb") as f:
+            f.write(build(rows))
+        return
+    os.makedirs(path, exist_ok=True)
+
+    def part(it):
+        rows = [r.asDict() for r in it]
+        if not rows:
+            return
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        with open(os.path.join(path, f"part-{pid:05d}.gml"), "wb") as f:
+            f.write(build(rows))
+
+    df.foreachPartition(part)

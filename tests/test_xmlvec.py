@@ -99,3 +99,89 @@ def test_kml_single_file(spark, tmp_path):
     text = open(path).read()
     assert "<Placemark>" in text and "1.0000000,2.0000000" in text
     assert xmlvec.read_kml(spark, path).count() == 1
+
+
+# ------------------------------------------------------------------ GML
+def test_gml_write_read_roundtrip(spark, tmp_path):  # noqa: F811
+    from gdal_spark.xmlvec import read_gml, write_gml
+
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            w = f"POINT ({i} {i % 7})"
+        elif i % 3 == 1:
+            w = f"LINESTRING ({i} 0, {i} 5, {i + 1} 9)"
+        else:
+            w = (f"POLYGON (({i} 0, {i + 2} 0, {i + 2} 2, {i} 0),"
+                 f" ({i + 0.5} 0.25, {i + 1} 0.25, {i + 1} 0.75,"
+                 f" {i + 0.5} 0.25))")
+        rows.append((i, f"name{i}", w))
+    df = spark.createDataFrame(rows, "oid long, name string,"
+                                     " geom_wkt string")
+    d = str(tmp_path / "parts")
+    write_gml(df, d, layer="roads")
+    out = read_gml(spark, d).toPandas()
+    assert len(out) == 60
+    assert set(out["layer"]) == {"roads"}
+    got = {int(p["oid"]): r for (_, r), p in
+           zip(out.iterrows(), out["props"])}
+    from gdal_spark.geometry import parse_wkt
+    import numpy as np
+    for i, name, w in rows:
+        r = out[out["props"].apply(lambda p: p.get("oid") == str(i))]
+        assert len(r) == 1
+        rr = r.iloc[0]
+        assert rr["props"]["name"] == name
+        g0, g1 = parse_wkt(w), parse_wkt(rr["geom_wkt"])
+        assert g0.kind == g1.kind
+
+        def flat(g):
+            o = []
+            if g.kind in ("polygon", "multipolygon"):
+                for poly in g.parts:
+                    for xs, ys in poly:
+                        o += list(xs) + list(ys)
+            else:
+                for xs, ys in g.parts:
+                    o += list(xs) + list(ys)
+            return np.asarray(o)
+        f0, f1 = flat(g0), flat(g1)
+        if g0.kind == "polygon":
+            # writer closes rings; reader keeps them closed
+            assert len(f1) >= len(f0)
+        else:
+            np.testing.assert_allclose(f1, f0, atol=1e-9)
+
+
+def test_gml_gml2_coordinates_and_multi(spark, tmp_path):  # noqa: F811
+    from gdal_spark.xmlvec import read_gml
+
+    doc = """<?xml version="1.0"?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">
+ <gml:featureMember>
+  <cities fid="F1">
+   <name>alpha</name>
+   <pop>120</pop>
+   <geom><gml:Point><gml:coordinates>3.5,-2.25</gml:coordinates>
+   </gml:Point></geom>
+  </cities>
+ </gml:featureMember>
+ <gml:featureMember>
+  <zones>
+   <geom><gml:MultiPolygon>
+    <gml:polygonMember><gml:Polygon><gml:outerBoundaryIs>
+     <gml:LinearRing><gml:coordinates>0,0 2,0 2,2 0,0</gml:coordinates>
+     </gml:LinearRing></gml:outerBoundaryIs></gml:Polygon>
+    </gml:polygonMember>
+   </gml:MultiPolygon></geom>
+  </zones>
+ </gml:featureMember>
+</gml:FeatureCollection>"""
+    p = tmp_path / "old.gml"
+    p.write_text(doc)
+    out = read_gml(spark, str(p)).toPandas().sort_values("fid")
+    assert list(out["layer"]) == ["cities", "zones"]
+    assert out.iloc[0]["geom_wkt"] == "POINT (3.5 -2.25)"
+    assert out.iloc[0]["props"] == {"name": "alpha", "pop": "120"}
+    assert out.iloc[1]["geom_wkt"] == \
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 0)))"
