@@ -581,6 +581,31 @@ def _q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_osm_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM PBF reader (ogr/ogrsf_frmts/osm/osm_parser.cpp): derived
+    document points synthesize into a multi-block .osm.pbf (zlib
+    blobs, delta-coded DenseNodes, string-table tags); the
+    block-parallel scan decodes them back — ids, nanodegree
+    quantization, and tags must match the closed form."""
+    import tempfile
+
+    from gdal_spark.osm import read_osm_pbf, write_osm_pbf
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 400
+    )
+    rows = d.select("doc_id", "lon", "lat", "lang").collect()
+    nodes = [{"id": int(r["doc_id"]), "lat": float(r["lat"]),
+              "lon": float(r["lon"]), "tags": {"lang": r["lang"]}}
+             for r in sorted(rows, key=lambda r: r["doc_id"])]
+    path = tempfile.mkdtemp(prefix="gdal_spark_osm_") + "/d.osm.pbf"
+    write_osm_pbf(path, nodes, nodes_per_block=64)
+    out = read_osm_pbf(spark, path, "nodes")
+    return out.select(
+        F.col("id").alias("doc_id"), "lat", "lon",
+        F.col("tags")["lang"].alias("lang"))
+
+
 def _q_ogr_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrdissolve (apps/ogrdissolve.cpp): unit squares keyed by
     doc_id%20 at column ((doc_id/20)^2 mod 13) — colliding squares are
@@ -4657,6 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf_raster": _q_netcdf_raster,
         "fgb_bbox_filter": _q_fgb_bbox_filter,
         "gml_roundtrip": _q_gml_roundtrip,
+        "osm_nodes": _q_osm_nodes,
         "lineref_subline": _q_lineref_subline,
         "identify": _q_identify,
         "lineref_repers": _q_lineref_repers,
@@ -5783,6 +5809,13 @@ def _oracle_sql_static() -> dict[str, str]:
                    0.9 AS x_first, 1.2 AS y_first,
                    7.2 AS x_last, 9.6 AS y_last
             FROM range(40) p
+        """,
+        "osm_nodes": f"""
+            SELECT doc_id,
+                   FLOOR({_LAT} * 1000000000.0 + 0.5) * 1e-9 AS lat,
+                   FLOOR({_LON} * 1000000000.0 + 0.5) * 1e-9 AS lon,
+                   lang
+            FROM documents WHERE doc_id < 400
         """,
         "gml_roundtrip": f"""
             SELECT doc_id, lang, 'docs' AS layer,
