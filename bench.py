@@ -202,6 +202,8 @@ def main():
         "lineref_repers", "lineref_coord", "lineref_pos",
         "lineref_subline", "mvt_roundtrip", "dxf_roundtrip",
         "fgb_roundtrip", "ogr_tindex", "identify", "ogr_dissolve",
+        "fgb_bbox_filter", "netcdf_raster", "gml_roundtrip",
+        "osm_nodes",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every
