@@ -606,6 +606,42 @@ def _q_osm_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tags")["lang"].alias("lang"))
 
 
+def _q_osm_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OSM driver's lines layer (ogrosmdatasource.cpp: way refs
+    resolved against the node store): 80 ways of 5 consecutive
+    document nodes each — explode+join on node id, reassemble keyed by
+    way — returned as per-way vertex aggregates the oracle restates
+    from the quantized coordinates."""
+    import tempfile
+
+    from gdal_spark.osm import osm_lines, read_osm_pbf, write_osm_pbf
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 400
+    )
+    rows = sorted(d.select("doc_id", "lon", "lat").collect(),
+                  key=lambda r: r["doc_id"])
+    nodes = [{"id": int(r["doc_id"]), "lat": float(r["lat"]),
+              "lon": float(r["lon"]), "tags": {}} for r in rows]
+    ways = [{"id": w, "refs": list(range(5 * w, 5 * w + 5)),
+             "tags": {"ref": str(w)}} for w in range(80)]
+    path = tempfile.mkdtemp(prefix="gdal_spark_osml_") + "/l.osm.pbf"
+    write_osm_pbf(path, nodes, ways, nodes_per_block=64)
+    n = read_osm_pbf(spark, path, "nodes")
+    w = read_osm_pbf(spark, path, "ways")
+    out = osm_lines(n, w)
+    nums = F.expr(
+        "transform(filter(split(regexp_replace(wkt, "
+        "'[^-0-9.eE]+', ' '), ' '), t -> t rlike '[0-9]'), "
+        "t -> cast(t as double))")
+    return out.select(
+        "id", "n_points",
+        F.col("tags")["ref"].alias("ref"),
+        F.round(F.element_at(nums, 1), 9).alias("x_first"),
+        F.round(F.element_at(nums, 10), 9).alias("y_last"),
+    )
+
+
 def _q_ogr_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrdissolve (apps/ogrdissolve.cpp): unit squares keyed by
     doc_id%20 at column ((doc_id/20)^2 mod 13) — colliding squares are
@@ -4683,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fgb_bbox_filter": _q_fgb_bbox_filter,
         "gml_roundtrip": _q_gml_roundtrip,
         "osm_nodes": _q_osm_nodes,
+        "osm_lines": _q_osm_lines,
         "lineref_subline": _q_lineref_subline,
         "identify": _q_identify,
         "lineref_repers": _q_lineref_repers,
@@ -5809,6 +5846,18 @@ def _oracle_sql_static() -> dict[str, str]:
                    0.9 AS x_first, 1.2 AS y_first,
                    7.2 AS x_last, 9.6 AS y_last
             FROM range(40) p
+        """,
+        "osm_lines": f"""
+            SELECT doc_id // 5 AS id, 5 AS n_points,
+                   CAST(doc_id // 5 AS VARCHAR) AS ref,
+                   ROUND(FLOOR({_LON} * 1000000000.0 + 0.5) * 1e-9, 9)
+                     AS x_first,
+                   ROUND(FLOOR((-85.0 + CAST(((doc_id + 5)
+                         * 2654435761) % 4294967296 AS DOUBLE)
+                         * 170.0 / 4294967296)
+                         * 1000000000.0 + 0.5) * 1e-9, 9) AS y_last
+            FROM documents
+            WHERE doc_id < 400 AND doc_id % 5 = 0
         """,
         "osm_nodes": f"""
             SELECT doc_id,

@@ -355,3 +355,37 @@ def write_osm_pbf(path: str, nodes: list[dict],
             first = False
             if i >= len(nodes):
                 break
+
+
+def osm_lines(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """The reference OSM driver's `lines` layer
+    (ogrosmdatasource.cpp: ways resolved against the node cache into
+    linestrings). The reference resolves refs through an on-disk
+    node DB on one machine; here it is the natural big-big equi-join:
+    explode way refs (keeping order), shuffle once on node id to
+    attach coordinates, shuffle once on way id to reassemble in ref
+    order (sort_array over a collected struct — per-way state only).
+    Ways with missing nodes drop those vertices, like the reference's
+    partial-way handling."""
+    from pyspark.sql import functions as F
+
+    refs = ways.select(
+        F.col("id").alias("way_id"), "tags",
+        F.posexplode("refs").alias("seq", "node_id"))
+    joined = refs.join(
+        nodes.select(F.col("id").alias("node_id"), "lon", "lat"),
+        on="node_id")
+    asm = joined.groupBy("way_id").agg(
+        F.sort_array(F.collect_list(F.struct("seq", "lon", "lat")))
+        .alias("pts"),
+        F.first("tags").alias("tags"),
+    )
+    body = F.concat_ws(", ", F.transform(
+        F.col("pts"),
+        lambda p: F.concat_ws(" ", p["lon"].cast("string"),
+                              p["lat"].cast("string"))))
+    return asm.filter(F.size("pts") >= 2).select(
+        F.col("way_id").alias("id"),
+        F.concat(F.lit("LINESTRING ("), body, F.lit(")")).alias("wkt"),
+        F.size("pts").alias("n_points"), "tags",
+    )

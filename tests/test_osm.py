@@ -83,3 +83,23 @@ def test_plan_map_only(spark, tmp_path):  # noqa: F811
     plan = read_osm_pbf(spark, path)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "hashpartitioning" not in plan and "Window" not in plan
+
+
+def test_osm_lines_layer(spark, tmp_path):  # noqa: F811
+    from gdal_spark.osm import osm_lines
+    path = str(tmp_path / "l.osm.pbf")
+    nodes = [{"id": i, "lat": float(i), "lon": float(2 * i), "tags": {}}
+             for i in range(20)]
+    ways = [
+        {"id": 100, "refs": [0, 3, 5], "tags": {"highway": "a"}},
+        {"id": 101, "refs": [7, 999], "tags": {}},  # 999 missing
+        {"id": 102, "refs": [4, 999998], "tags": {}},  # 1 vertex: drop
+    ]
+    write_osm_pbf(path, nodes, ways)
+    n = read_osm_pbf(spark, path, "nodes")
+    w = read_osm_pbf(spark, path, "ways")
+    out = osm_lines(n, w).toPandas().sort_values("id")
+    assert list(out["id"]) == [100]
+    assert out.iloc[0]["wkt"] == "LINESTRING (0.0 0.0, 6.0 3.0, 10.0 5.0)"
+    assert out.iloc[0]["n_points"] == 3
+    assert dict(out.iloc[0]["tags"]) == {"highway": "a"}
