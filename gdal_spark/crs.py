@@ -1039,7 +1039,13 @@ def eqearth_inverse(B, x, y, lon0: float, a: float, f: float,
         B.lit(_EE_SEED[1]) + y2 * (B.lit(_EE_SEED[2]) + y2 * (
             B.lit(_EE_SEED[3]) + y2 * (B.lit(_EE_SEED[4]) + y2 * (
                 B.lit(_EE_SEED[5]) + y2 * B.lit(_EE_SEED[6])))))))
-    for _ in range(2):
+    # ONE Newton step: the seed is already 6.4e-7 rad, one quadratic
+    # step lands at 1.6e-14 rad — below the 3-18 authalic-series floor
+    # (1.4e-8 deg) that bounds the round-trip anyway. A second step
+    # multiplied the emitted expression tree ~22x (each step
+    # references th ~22 times through _ee_y/_ee_dy) and cost ~20 s of
+    # Catalyst analysis per query at ANY data size.
+    for _ in range(1):
         th = th - (_ee_y(B, th) - yh) / _ee_dy(B, th)
     beta = B.asin(B.sin(th) / B.lit(_EE_M))
     lam = (x - B.lit(fe)) * B.lit(_EE_M / r) * _ee_dy(B, th) / B.cos(th)
