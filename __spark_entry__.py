@@ -642,6 +642,34 @@ def _q_osm_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lineref_pickets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -create -s step (the :923 picket loop): the L-path
+    fleet quantized at step 5 — part boundaries land on the M grid
+    inside each reper interval (pickets generated JVM-side with
+    F.sequence, no driver loop), end parts keep their fractional
+    bounds."""
+    from gdal_spark.lineref import create_parts
+
+    paths = spark.range(40).select(
+        F.col("id").alias("path_id"),
+        F.format_string(
+            "LINESTRING (%s 0, %s 4, %s 12)",
+            (F.col("id") * 10).cast("string"),
+            (F.col("id") * 10 + 3).cast("string"),
+            (F.col("id") * 10 + 9).cast("string"),
+        ).alias("wkt"),
+    )
+    repers = spark.range(40).select(F.col("id").alias("path_id")).selectExpr(
+        "path_id",
+        "stack(2, 10d, 10d*path_id+1.5, 2d,"
+        "         25d, 10d*path_id+6,   8d) AS (m, x, y)",
+    )
+    parts = create_parts(paths, repers, step=5.0, tolerance=1e-6)
+    return parts.select(
+        "path_id", "part_i", "mbeg", "mend",
+        F.round("scale", 9).alias("scale"), "n_points")
+
+
 def _q_ogr_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrdissolve (apps/ogrdissolve.cpp): unit squares keyed by
     doc_id%20 at column ((doc_id/20)^2 mod 13) — colliding squares are
@@ -4721,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_nodes": _q_osm_nodes,
         "osm_lines": _q_osm_lines,
         "lineref_subline": _q_lineref_subline,
+        "lineref_pickets": _q_lineref_pickets,
         "identify": _q_identify,
         "lineref_repers": _q_lineref_repers,
         "lineref_coord": _q_lineref_coord,
@@ -5840,6 +5869,15 @@ def _oracle_sql_static() -> dict[str, str]:
                         AS BIGINT) AS py,
                    lang
             FROM t
+        """,
+        "lineref_pickets": """
+            SELECT p.range AS path_id, k.part_i, k.mb AS mbeg,
+                   k.me AS mend, k.scale, k.np AS n_points
+            FROM range(40) p CROSS JOIN (
+              VALUES (0, 7.5, 10.0, 1.0, 2), (1, 10.0, 15.0, 0.5, 2),
+                     (2, 15.0, 20.0, 0.5, 2), (3, 20.0, 25.0, 0.5, 2),
+                     (4, 25.0, 30.0, 1.0, 2)
+            ) AS k(part_i, mb, me, scale, np)
         """,
         "lineref_subline": """
             SELECT p.range AS path_id, 7 AS n_points,
