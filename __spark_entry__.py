@@ -670,6 +670,22 @@ def _q_lineref_pickets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 9).alias("scale"), "n_points")
 
 
+def _q_gdal_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_create (apps/gdal_create.cpp): a blank 300x260 2-band
+    raster with -burn 7 -burn 9 materialized as the tile table with
+    zero driver bytes (literal constant buffers, JVM tile grid);
+    nodata-inclusive stats and tile accounting are closed forms."""
+    from gdal_spark.raster import band_stats, gdal_create
+
+    t = gdal_create(spark, 300, 260, bands=2, burn=[7, 9],
+                    dtype="uint8",
+                    geotransform=[100.0, 0.5, 0, 200.0, 0, -0.5])
+    st = band_stats(t, exclude_nodata=False)
+    return st.select(
+        "band", F.col("count").alias("n"),
+        "min", "max", F.round("mean", 9).alias("mean"))
+
+
 def _q_ogr_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrdissolve (apps/ogrdissolve.cpp): unit squares keyed by
     doc_id%20 at column ((doc_id/20)^2 mod 13) — colliding squares are
@@ -4750,6 +4766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_lines": _q_osm_lines,
         "lineref_subline": _q_lineref_subline,
         "lineref_pickets": _q_lineref_pickets,
+        "gdal_create": _q_gdal_create,
         "identify": _q_identify,
         "lineref_repers": _q_lineref_repers,
         "lineref_coord": _q_lineref_coord,
@@ -5869,6 +5886,12 @@ def _oracle_sql_static() -> dict[str, str]:
                         AS BIGINT) AS py,
                    lang
             FROM t
+        """,
+        "gdal_create": """
+            SELECT * FROM (VALUES
+              (1, 78000, 7.0, 7.0, 7.0),
+              (2, 78000, 9.0, 9.0, 9.0)
+            ) AS t(band, n, "min", "max", mean)
         """,
         "lineref_pickets": """
             SELECT p.range AS path_id, k.part_i, k.mb AS mbeg,

@@ -1874,3 +1874,76 @@ def compare_rasters(a: DataFrame, b: DataFrame) -> DataFrame:
         F.sum("n_diff").alias("n_diff"),
         F.max("max_diff").alias("max_diff"),
     )
+
+
+def gdal_create(spark, width: int, height: int, *, bands: int = 1,
+                burn: list[float] | None = None, dtype: str = "uint8",
+                nodata: float | None = None,
+                geotransform: list[float] | None = None,
+                crs: str = "", raster_id: str = "created",
+                tile_px: int = 256) -> DataFrame:
+    """gdal_create (apps/gdal_create.cpp): materialize a blank raster
+    of the given size/bands, optionally burning constant values
+    (-burn per band, last value repeated like the reference :199) —
+    directly as the engine's tile table.
+
+    Pure JVM planning: the tile grid comes from a crossJoin of two
+    ranges and the constant pixel data is one literal byte buffer per
+    band, so creating a 10^6-tile blank raster moves zero driver
+    bytes; edge tiles are exact-size like every driver in the
+    engine."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .synth import TILE_SCHEMA
+    from .tiling import _gdal_cast
+
+    gt = geotransform or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+    burn = list(burn) if burn else [0.0]
+    while len(burn) < bands:
+        burn.append(burn[-1])  # gdal_create.cpp repeats the last -burn
+    ntx = (width + tile_px - 1) // tile_px
+    nty = (height + tile_px - 1) // tile_px
+
+    grid = (
+        spark.range(ntx).select(F.col("id").cast("int").alias("tile_x"))
+        .crossJoin(spark.range(nty).select(
+            F.col("id").cast("int").alias("tile_y")))
+        .crossJoin(spark.range(bands).select(
+            (F.col("id") + 1).cast("int").alias("band")))
+    )
+    w_col = F.least(F.lit(tile_px),
+                    F.lit(width) - F.col("tile_x") * tile_px).cast("int")
+    h_col = F.least(F.lit(tile_px),
+                    F.lit(height) - F.col("tile_y") * tile_px).cast("int")
+    # per-band constant blobs for the full-tile case; edge tiles take
+    # an exact-size prefix of the same constant buffer via substring
+    full = {}
+    npdt = _gdal_cast(np.zeros(1), dtype).dtype
+    for b in range(1, bands + 1):
+        full[b] = _gdal_cast(
+            np.full((tile_px, tile_px), burn[b - 1]), dtype).tobytes()
+    itemsize = np.dtype(npdt).itemsize
+    expr = None
+    for b in range(1, bands + 1):
+        branch = F.substring(
+            F.lit(bytearray(full[b])), 1,
+            (w_col * h_col * itemsize).cast("int"))
+        expr = branch if expr is None else F.when(
+            F.col("band") == b, branch).otherwise(expr)
+    tile_gt = F.array(
+        F.lit(float(gt[0])) + F.col("tile_x") * F.lit(float(tile_px * gt[1])),
+        F.lit(float(gt[1])), F.lit(float(gt[2])),
+        F.lit(float(gt[3])) + F.col("tile_y") * F.lit(float(tile_px * gt[5])),
+        F.lit(float(gt[4])), F.lit(float(gt[5])),
+    )
+    return grid.select(
+        F.lit(raster_id).alias("raster_id"), "band",
+        F.lit(0).alias("zoom"), "tile_x", "tile_y",
+        w_col.alias("width"), h_col.alias("height"),
+        F.lit(str(npdt)).alias("dtype"),
+        (F.lit(float(nodata)) if nodata is not None
+         else F.lit(None).cast("double")).alias("nodata"),
+        F.lit(crs).alias("crs"), tile_gt.alias("geotransform"),
+        expr.alias("data"),
+    )

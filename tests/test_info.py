@@ -117,3 +117,25 @@ def test_identify(spark, tmp_path):  # noqa: F811
     for p, want in files.items():
         assert got[p] == want or (want is None and got[p] is None), (
             p, got[p], want)
+
+
+def test_gdal_create(spark):  # noqa: F811
+    import numpy as np
+    from gdal_spark.raster import band_stats, gdal_create
+    t = gdal_create(spark, 300, 260, bands=2, burn=[7, 9],
+                    dtype="uint8", geotransform=[100.0, 0.5, 0, 200.0,
+                                                 0, -0.5])
+    rows = t.collect()
+    # 2x2 tile grid x 2 bands
+    assert len(rows) == 8
+    edge = [r for r in rows if r["tile_x"] == 1 and r["tile_y"] == 1
+            and r["band"] == 2][0]
+    assert (edge["width"], edge["height"]) == (44, 4)
+    a = np.frombuffer(edge["data"], dtype=np.uint8)
+    assert a.size == 44 * 4 and (a == 9).all()
+    assert edge["geotransform"][0] == 100.0 + 256 * 0.5
+    st = {(r["band"]): r for r in band_stats(t,
+                                             exclude_nodata=False).collect()}
+    assert st[1]["min"] == 7.0 and st[1]["max"] == 7.0
+    assert st[1]["count"] == 300 * 260
+    assert st[2]["mean"] == 9.0
