@@ -203,7 +203,8 @@ def main():
         "lineref_subline", "mvt_roundtrip", "dxf_roundtrip",
         "fgb_roundtrip", "ogr_tindex", "identify", "ogr_dissolve",
         "fgb_bbox_filter", "netcdf_raster", "gml_roundtrip",
-        "osm_nodes", "osm_lines",
+        "osm_nodes", "osm_lines", "gdal_create",
+        "lineref_pickets",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every
