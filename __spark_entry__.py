@@ -4490,6 +4490,19 @@ def _q_gdalinfo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_srsinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalsrsinfo (apps/gdalsrsinfo.cpp -o proj4 / -o wkt): PROJ.4 +
+    WKT1 renderings of every CRS code the engine's dispatch table
+    resolves, assembled as Catalyst expressions over the exploded
+    parameter registry (array_sort + array_join inside one groupBy).
+    Oracle: localref.sql_srsinfo re-renders the same registry with
+    plain f-strings, verifying the distributed assembly's ordering,
+    conditional slots, quoting, and the AUTHORITY gate."""
+    from gdal_spark import srsinfo as SR
+
+    return SR.srsinfo(spark)
+
+
 def _q_ogrinfo_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrinfo -so (apps/ogrinfo.cpp ReportOnLayer): feature count +
     extent + geometry type over the zone fixture layer; the extent is a
@@ -4891,6 +4904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdarray_roundtrip": _q_mdarray_roundtrip,
         "streaming_dedup": _q_streaming_dedup,
         "graph_ksp": _q_graph_ksp,
+        "srsinfo_report": _q_srsinfo,
         "streaming_window": _q_streaming_window,
         "ogr_style": _q_ogr_style,
         "ogr2ogr_translate": _q_ogr2ogr_translate,
@@ -7104,6 +7118,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("aaigrid_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("cog_roundtrip", localref.sql_cog_checksums())
         d.setdefault("gdalinfo_report", localref.sql_gdalinfo_2x2())
+        d.setdefault("srsinfo_report", localref.sql_srsinfo())
         _zg = DRV.rect_zone_grid(ZONE_G)
         d.setdefault(
             "ogrinfo_zones",

@@ -2951,3 +2951,62 @@ def sql_bpe_tokenize() -> str:
         rows.append((did, " ".join(toks), len(toks)))
     return values_sql(rows, ["doc_id", "tok_str", "n_tokens"],
                       ["varchar", "varchar", "bigint"])
+
+
+# ============================================================= gdalsrsinfo
+def sql_srsinfo() -> str:
+    """gdalsrsinfo oracle: re-render each registered CRS code's PROJ.4
+    and WKT1 strings with straight f-string assembly (no Catalyst),
+    from the same declared registry rows the engine explodes.  What the
+    comparison verifies is the distributed re-assembly: the groupBy +
+    array_sort ordering, conditional +key=value rendering (bare +south,
+    missing proj4/WKT slots), quoting, and the AUTHORITY gate."""
+    from gdal_spark.srsinfo import registry_rows
+
+    by_code: dict = {}
+    for r in registry_rows():
+        by_code.setdefault(r["epsg"], []).append(r)
+
+    rows = []
+    for code in sorted(by_code):
+        ps = sorted(by_code[code], key=lambda r: r["ordinal"])
+        h = ps[0]
+        p4_items = []
+        wkt_items = []
+        for r in ps:
+            k = r["proj4_key"]
+            if k == "south":
+                p4_items.append("+south")
+            elif k is not None:
+                p4_items.append(f"+{k}={r['value']}")
+            if r["wkt_key"] is not None:
+                wkt_items.append(f'PARAMETER["{r["wkt_key"]}",{r["value"]}]')
+        if h["kind"] == "webmerc":
+            tail = (" +k=1 +units=m +nadgrids=@null"
+                    " +wgs84=0,0,0,0,0,0,0 +no_defs")
+        else:
+            tail = " +units=m +no_defs"
+        ellps = f" {h['ellps_frag']}" if h["ellps_frag"] else ""
+        p4 = "+proj=" + h["proj"]
+        if p4_items:
+            p4 += " " + " ".join(p4_items)
+        p4 += ellps + tail
+        geogcs = (
+            f'GEOGCS["{h["geogcs"]}",DATUM["{h["datum"]}",'
+            f'SPHEROID["{h["spheroid"]}",{h["a"]},{h["rf"]}]],'
+            f'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+        )
+        from gdal_spark.srsinfo import ESRI_CODES
+        auth = ("" if code in ESRI_CODES
+                else f',AUTHORITY["EPSG","{code}"]')
+        wkt = (
+            f'PROJCS["{h["name"]}",{geogcs},'
+            f'PROJECTION["{h["wkt_projection"]}"],'
+            + ",".join(wkt_items)
+            + f',UNIT["metre",1]{auth}]'
+        )
+        rows.append((code, h["name"], h["kind"], p4, wkt))
+    return values_sql(
+        rows, ["epsg", "name", "kind", "proj4", "wkt"],
+        ["bigint", "varchar", "varchar", "varchar", "varchar"],
+    )
