@@ -1894,6 +1894,30 @@ def _q_warp_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(warped)
 
 
+def _q_vshift_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALApplyVerticalShiftGrid (alg/gdalapplyverticalshiftgrid.cpp):
+    bilinear-regrid a coarse float32 shift grid onto the 2x2 synth
+    DEM's pixel grid, then out = (src*srcU + grid)/dstU per pixel with
+    nodata passthrough — stage 1 is the audited warp_affine, stage 2 a
+    1:1 tile join + map-only Arrow combine. Oracle:
+    localref.sql_vshift_checksums replays the regrid+combine on the
+    global mosaic in numpy."""
+    from gdal_spark import vshift
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    res = 2 * math.pi * 6378137 / 256 / (2**ZOOM)
+    x0 = -math.pi * 6378137
+    ytop = x0 + 2 * 256 * res
+    grid = synth.vshift_grid_df(spark, (x0, ytop), res * 2)
+    out = vshift.apply_vertical_shift_grid(
+        tiles, grid,
+        src_origin=(x0, ytop), src_res=res,
+        src_tiles_x=2, src_tiles_y=2,
+        grid_origin=(x0, ytop), grid_res=res * 2,
+    )
+    return tiling.checksum_table(out)
+
+
 def _q_warp_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -t_srs: general-transformer warp EPSG:3857 ->
     EPSG:3031 (GDALGenImgProjTransformer + GDALWarpOperation,
@@ -4905,6 +4929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "graph_ksp": _q_graph_ksp,
         "srsinfo_report": _q_srsinfo,
+        "vshift_checksums": _q_vshift_checksums,
         "streaming_window": _q_streaming_window,
         "ogr_style": _q_ogr_style,
         "ogr2ogr_translate": _q_ogr2ogr_translate,
@@ -7119,6 +7144,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("cog_roundtrip", localref.sql_cog_checksums())
         d.setdefault("gdalinfo_report", localref.sql_gdalinfo_2x2())
         d.setdefault("srsinfo_report", localref.sql_srsinfo())
+        d.setdefault("vshift_checksums", localref.sql_vshift_checksums())
         _zg = DRV.rect_zone_grid(ZONE_G)
         d.setdefault(
             "ogrinfo_zones",

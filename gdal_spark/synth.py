@@ -376,6 +376,51 @@ def tiles_src_df(spark: SparkSession, ntx: int, nty: int, zoom: int = 12,
     return base.mapInPandas(gen, schema=TILE_SCHEMA)
 
 
+def vshift_grid_np(seed: int = SEED) -> np.ndarray:
+    """Deterministic float32 vertical-shift (geoid-like) grid, one
+    256x256 tile: v = tile_pixels_np/8 - 10, range [-9.5, 21.875],
+    never the grid nodata (-32768). Exact in float32 (divide by a
+    power of two, subtract an integer)."""
+    base = tile_pixels_np(0, 0, seed=seed + 7).astype(np.float32)
+    return base * np.float32(0.125) - np.float32(10.0)
+
+
+def vshift_grid_df(spark: SparkSession, origin: tuple[float, float],
+                   res: float, seed: int = SEED) -> DataFrame:
+    """The shift grid as a 1-tile float32 tile table covering
+    [origin_x, origin_x+256*res] x [origin_y-256*res, origin_y]."""
+    base = spark.range(0, 1, 1, 1).select(
+        F.lit(0).cast("int").alias("tile_x"),
+        F.lit(0).cast("int").alias("tile_y"),
+    )
+    ox, oy = float(origin[0]), float(origin[1])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "raster_id": "vshift_grid",
+                    "band": np.int32(1),
+                    "zoom": np.int32(0),
+                    "tile_x": pdf["tile_x"].astype(np.int32),
+                    "tile_y": pdf["tile_y"].astype(np.int32),
+                    "width": np.int32(256),
+                    "height": np.int32(256),
+                    "dtype": "float32",
+                    "nodata": -32768.0,
+                    "crs": "EPSG:3857",
+                    "geotransform": [[ox, res, 0.0, oy, 0.0, -res]
+                                     for _ in range(len(pdf))],
+                    "data": [vshift_grid_np(seed).tobytes()
+                             for _ in range(len(pdf))],
+                }
+            )
+
+    return base.mapInPandas(gen, schema=TILE_SCHEMA)
+
+
 def checker_np(npx: int, cell: int = 16) -> np.ndarray:
     """Deterministic checkerboard: value = (gx//cell + gy//cell) % 2.
     Every same-color square touches its diagonal neighbors only — the

@@ -3010,3 +3010,28 @@ def sql_srsinfo() -> str:
         rows, ["epsg", "name", "kind", "proj4", "wkt"],
         ["bigint", "varchar", "varchar", "varchar", "varchar"],
     )
+
+
+# ============================================== GDALApplyVerticalShiftGrid
+def sql_vshift_checksums() -> str:
+    """Vertical-shift oracle: bilinear-regrid the 1-tile float32 shift
+    grid (2x coarser) onto the 512x512 source mosaic grid with
+    _warp_global, cast to float32 (the warp stage's declared output
+    dtype), then (src*1 + grid)/1 with src-nodata passthrough, cast
+    float32, checksum per 256px tile — the single-node counterpart of
+    vshift.apply_vertical_shift_grid's warp + tile-join + combine."""
+    from gdal_spark.synth import vshift_grid_np
+
+    res = _zoom_res(12)
+    x0 = -math.pi * _R_EARTH
+    ytop = x0 + 2 * 256 * res
+    src = global_mosaic(2, 2).astype(np.float64)
+    gv = vshift_grid_np().astype(np.float64)
+    grid_on_src = _warp_global(
+        gv, x0, ytop, 2 * res, x0, ytop, res, 512, 512, "bilinear")
+    grid_on_src = _gdal_cast_local(grid_on_src, "float32").astype(np.float64)
+    valid = src != 0.0
+    out = np.where(valid, (src * 1.0 + grid_on_src) / 1.0, 0.0)
+    out = _gdal_cast_local(out, "float32")
+    return values_sql(tile_checksums(out, 256, "vshifted", 1, 12),
+                      CKS_COLS, CKS_TYPES)
