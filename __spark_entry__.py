@@ -1894,6 +1894,27 @@ def _q_warp_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(warped)
 
 
+def _q_surf_gcps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALComputeMatchingPoints (alg/gdalmatching.cpp, SimpleSURF
+    alg/gdal_simplesurf.cpp + alg/gdal_octave.cpp): tie points between
+    the bump-field fixture and its (17, 9)-shifted copy — halo-tiled
+    fast-Hessian detection, 64-d Haar descriptors, broadcast ratio-test
+    matching (order-free declared semantics; matching_threshold=1.0
+    since the integer-shift fixture's true-match distances sit at
+    float roundoff scale). Oracle: localref.sql_surf_gcps replays
+    detection + matching on the global mosaic with the shared
+    single-node kernels."""
+    from gdal_spark import surf
+
+    t1 = synth.surf_tiles_df(spark, 2, 2)
+    t2 = synth.surf_tiles_df(spark, 2, 2, shift=(17, 9))
+    g = surf.compute_matching_points(t1, t2, 2, 2, matching_threshold=1.0)
+    return g.select(
+        F.round("pixel", 1).alias("pixel"), F.round("line", 1).alias("line"),
+        F.round("gcp_x", 1).alias("gcp_x"), F.round("gcp_y", 1).alias("gcp_y"),
+    )
+
+
 def _q_vshift_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDALApplyVerticalShiftGrid (alg/gdalapplyverticalshiftgrid.cpp):
     bilinear-regrid a coarse float32 shift grid onto the 2x2 synth
@@ -4930,6 +4951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ksp": _q_graph_ksp,
         "srsinfo_report": _q_srsinfo,
         "vshift_checksums": _q_vshift_checksums,
+        "surf_gcps": _q_surf_gcps,
         "streaming_window": _q_streaming_window,
         "ogr_style": _q_ogr_style,
         "ogr2ogr_translate": _q_ogr2ogr_translate,
@@ -7145,6 +7167,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("gdalinfo_report", localref.sql_gdalinfo_2x2())
         d.setdefault("srsinfo_report", localref.sql_srsinfo())
         d.setdefault("vshift_checksums", localref.sql_vshift_checksums())
+        d.setdefault("surf_gcps", localref.sql_surf_gcps())
         _zg = DRV.rect_zone_grid(ZONE_G)
         d.setdefault(
             "ogrinfo_zones",

@@ -376,6 +376,84 @@ def tiles_src_df(spark: SparkSession, ntx: int, nty: int, zoom: int = 12,
     return base.mapInPandas(gen, schema=TILE_SCHEMA)
 
 
+def surf_bumps_np(n: int = 48, extent: int = 512,
+                  seed: int = SEED) -> np.ndarray:
+    """Deterministic gaussian-bump parameters (cx, cy, sigma, amp) for
+    the SURF tie-point fixture — smooth blobs are exactly what the
+    fast-Hessian detector responds to."""
+    i = np.arange(n, dtype=np.int64)
+    cx = _grid7_np(rnd_u01_np(h_np(i, 61, seed)) * extent)
+    cy = _grid7_np(rnd_u01_np(h_np(i, 62, seed)) * extent)
+    sig = _grid7_np(3.0 + rnd_u01_np(h_np(i, 63, seed)) * 9.0)
+    amp = _grid7_np((40.0 + rnd_u01_np(h_np(i, 64, seed)) * 60.0)
+                    * np.where(rnd_int_np(h_np(i, 65, seed), 2) == 0,
+                               1.0, -1.0))
+    return np.stack([cx, cy, sig, amp], axis=1)
+
+
+def surf_image_window_np(x0: int, y0: int, w: int, h: int,
+                         shift: tuple[int, int] = (0, 0),
+                         n: int = 48, extent: int = 512,
+                         seed: int = SEED) -> np.ndarray:
+    """Evaluate the bump field on pixel window [x0, x0+w) x [y0, y0+h)
+    of the (virtually shifted) image: value(x, y) = clip(120 +
+    sum_k amp_k * exp(-d^2 / (2 sigma_k^2)), 0, 255) sampled at
+    (x + shift_x, y + shift_y) — an integer shift therefore produces
+    bit-identical local patches, the property the matching fixture
+    relies on."""
+    bumps = surf_bumps_np(n, extent, seed)
+    yy, xx = np.mgrid[y0:y0 + h, x0:x0 + w]
+    fx = (xx + shift[0]).astype(np.float64)
+    fy = (yy + shift[1]).astype(np.float64)
+    v = np.full((h, w), 120.0)
+    for cx, cy, sig, amp in bumps:
+        d2 = (fx - cx) ** 2 + (fy - cy) ** 2
+        v += amp * np.exp(-d2 / (2.0 * sig * sig))
+    return np.clip(v, 0.0, 255.0)
+
+
+def surf_tiles_df(spark: SparkSession, ntx: int = 2, nty: int = 2,
+                  shift: tuple[int, int] = (0, 0), tile_px: int = 256,
+                  raster_id: str = "surf_img",
+                  seed: int = SEED) -> DataFrame:
+    """The bump field as a float64 tile table (map-only generation)."""
+    base = spark.range(0, ntx * nty, 1, max(4, ntx * nty)).select(
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        (F.col("id") / ntx).cast("int").alias("tile_y"),
+    )
+    extent = max(ntx, nty) * tile_px
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "raster_id": raster_id,
+                    "band": np.int32(1),
+                    "zoom": np.int32(0),
+                    "tile_x": pdf["tile_x"].astype(np.int32),
+                    "tile_y": pdf["tile_y"].astype(np.int32),
+                    "width": np.int32(tile_px),
+                    "height": np.int32(tile_px),
+                    "dtype": "float64",
+                    "nodata": -1.0,
+                    "crs": "",
+                    "geotransform": [[0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+                                     for _ in range(len(pdf))],
+                    "data": [
+                        surf_image_window_np(
+                            int(tx) * tile_px, int(ty) * tile_px,
+                            tile_px, tile_px, shift=shift,
+                            extent=extent, seed=seed).tobytes()
+                        for tx, ty in zip(pdf["tile_x"], pdf["tile_y"])
+                    ],
+                }
+            )
+
+    return base.mapInPandas(gen, schema=TILE_SCHEMA)
+
+
 def vshift_grid_np(seed: int = SEED) -> np.ndarray:
     """Deterministic float32 vertical-shift (geoid-like) grid, one
     256x256 tile: v = tile_pixels_np/8 - 10, range [-9.5, 21.875],

@@ -3035,3 +3035,27 @@ def sql_vshift_checksums() -> str:
     out = _gdal_cast_local(out, "float32")
     return values_sql(tile_checksums(out, 256, "vshifted", 1, 12),
                       CKS_COLS, CKS_TYPES)
+
+
+# ======================================= GDALComputeMatchingPoints (SURF)
+def sql_surf_gcps() -> str:
+    """SimpleSURF tie-point oracle: run the shared single-node kernels
+    (surf.extract_feature_points_np / surf.match_np — the verbatim
+    transcriptions of alg/gdal_octave.cpp + alg/gdal_simplesurf.cpp)
+    on the GLOBAL 512x512 bump fixtures; what the comparison verifies
+    is the distributed orchestration — the halo-window seam parity of
+    detection/descriptors and the partial-top-2 broadcast matching."""
+    from gdal_spark import surf
+    from gdal_spark.synth import surf_image_window_np
+
+    img1 = surf_image_window_np(0, 0, 512, 512)
+    img2 = surf_image_window_np(0, 0, 512, 512, shift=(17, 9))
+    fp1 = surf.extract_feature_points_np(img1 / 255.0, 2, 2, 0.001)
+    fp2 = surf.extract_feature_points_np(img2 / 255.0, 2, 2, 0.001)
+    m = surf.match_np(fp1, fp2, matching_threshold=1.0)
+    rows = [(round(r.x1 + 0.5, 1), round(r.y1 + 0.5, 1),
+             round(r.x2 + 0.5, 1), round(r.y2 + 0.5, 1))
+            for r in m.itertuples(index=False)]
+    rows.sort()
+    return values_sql(rows, ["pixel", "line", "gcp_x", "gcp_y"],
+                      ["double", "double", "double", "double"])
