@@ -3848,6 +3848,42 @@ _RPC = dict(
 )
 
 
+# Deterministic synthetic CEM model (gdal_cem.cpp frame camera): long
+# focal length in pixel units keeps dTemp near-constant so the
+# reference's 10-iteration inverse converges over the whole derived
+# domain; small omega/phi/kappa = a gently tilted nadir frame
+_CEM = dict(
+    focal_length=10000.0, xs=2000.0, ys=1000.0, zs=3000.0,
+    omega=0.002, phi=-0.0015, kappa=0.001,
+    x0=0.1, y0=-0.2, xps=9e-6, yps=9e-6,
+    k1=1e-9, k2=-2e-13, p1=3e-8, p2=-1e-8, alpha=1e-5, beta=-2e-5,
+    angle_type=1, angle_order=2, height_offset=50.0, height_scale=2.0,
+)
+
+
+def _q_cem_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEM collinearity forward transform (the fork's own transformer,
+    alg/gdal_cem.cpp CEMTransformPoint incl. its raw-map-coordinate
+    denominator and offset*scale height quirks): derived doc points
+    mapped into the camera's local frame, evaluated as pure Column
+    math; the iterative inverse (CEMInverseTransformPoint) is covered
+    by the pytest roundtrip in tests/test_cem.py."""
+    from gdal_spark.cem import CEMTransformer
+
+    t = CEMTransformer(**_CEM)
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 2000
+    ).select(
+        "doc_id",
+        (F.lit(2000.0) + F.col("lon") * F.lit(10.0)).alias("mx"),
+        (F.lit(1000.0) + F.col("lat") * F.lit(10.0)).alias("my"),
+    )
+    px, ln = t.forward_cols(F.col("mx"), F.col("my"))
+    return d.select(
+        "doc_id", F.round(px, 6).alias("pixel"), F.round(ln, 6).alias("line")
+    )
+
+
 def _q_rpc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RPC forward transform (alg/gdal_rpc.cpp RPCTransformPoint):
     20-term RPC00B rational polynomials as column math over the derived
@@ -5014,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gcp_transform": _q_gcp_transform,
         "tps_transform": _q_tps_transform,
         "rpc_transform": _q_rpc_transform,
+        "cem_transform": _q_cem_transform,
         "lcc_transform": _q_conic(3347),
         "warped_layer_conic": _q_warped_layer_conic,
         "albers_transform": _q_conic(5070),
@@ -5457,6 +5494,25 @@ def _tps_sql() -> str:
           FROM documents
         )
         SELECT doc_id, ROUND({ex}, 6) AS gx, ROUND({ey}, 6) AS gy FROM b
+    """
+
+
+def _cem_sql() -> str:
+    """Oracle = the SAME collinearity expressions emitted as
+    mirrored-association SQL (cem.py dual backend)."""
+    from gdal_spark.cem import CEMTransformer
+
+    t = CEMTransformer(**_CEM)
+    px, ln = t.sql_exprs("mx", "my")
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 (2000.0 + ({_LON}) * 10.0) AS mx,
+                 (1000.0 + ({_LAT}) * 10.0) AS my
+          FROM documents WHERE doc_id < 2000
+        )
+        SELECT doc_id, ROUND({px}, 6) AS pixel, ROUND({ln}, 6) AS line
+        FROM b
     """
 
 
@@ -7108,6 +7164,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "gcp_transform": _gcp_sql(),
         "tps_transform": _tps_sql(),
         "rpc_transform": _rpc_sql(),
+        "cem_transform": _cem_sql(),
         "lcc_transform": _conic_sql(3347),
         "warped_layer_conic": _warped_layer_sql(),
         "albers_transform": _conic_sql(5070),

@@ -204,7 +204,7 @@ def main():
         "fgb_roundtrip", "ogr_tindex", "identify", "ogr_dissolve",
         "fgb_bbox_filter", "netcdf_raster", "gml_roundtrip",
         "osm_nodes", "osm_lines", "gdal_create",
-        "lineref_pickets", "surf_gcps",
+        "lineref_pickets", "surf_gcps", "cem_transform",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every
