@@ -4661,6 +4661,26 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_cnsdtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CNSDTF grid full loop (the fork's own GB/T 17798-2007 driver,
+    frmts/cnsdtf/cnsdtfdataset.cpp): the 2x2 synth tiles through the
+    byte-faithful sequential text sink (10-token line wrapping,
+    hard-coded ValueType:Integer) and back via the TOKEN-offset
+    parallel scan (a raster row spans many text lines, so the reader
+    prefix-sums per-line token counts with the zipindex trick — no
+    global sort). Keys and geotransforms must survive; per-tile
+    checksums must equal the source's."""
+    import tempfile
+
+    from gdal_spark import cnsdtf
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_cnsdtf_") + "/rt.grd"
+    cnsdtf.write_cnsdtf(src, path)
+    back = cnsdtf.read_cnsdtf(spark, path, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_envi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENVI 2-band pixel-interleaved loop (gdal/frmts/envi/
     envidataset.cpp): a 2-band stack (default-seed + seed-9 synth
@@ -4835,6 +4855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aaigrid_roundtrip": _q_aaigrid_roundtrip,
         "xyz_roundtrip": _q_xyz_roundtrip,
         "ehdr_roundtrip": _q_ehdr_roundtrip,
+        "cnsdtf_roundtrip": _q_cnsdtf_roundtrip,
         "envi_roundtrip": _q_envi_roundtrip,
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,
         "pgdump_roundtrip": _q_pgdump_roundtrip,
@@ -7239,6 +7260,7 @@ def oracle_sql() -> dict[str, str]:
             ))
         d.setdefault("xyz_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("ehdr_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("cnsdtf_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("envi_roundtrip",
                      localref.sql_envi_checksums_2x2_2band())
         d.setdefault("mbtiles_roundtrip",

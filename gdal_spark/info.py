@@ -191,6 +191,10 @@ _MAGIC_RULES = [
     ("KML", lambda h, p: b"<kml" in h[:1024]),
     ("GeoJSON", lambda h, p: h.lstrip()[:1] == b"{"
         and (b'"type"' in h[:1024])),
+    # fork driver: frmts/cnsdtf/cnsdtfdataset.cpp Identify :489-523
+    ("CNSDTF", lambda h, p: h[:8] == b"DataMark"
+        and any(m in h[8:64] for m in
+                (b"CNSDTF-DEM", b"CNSDTF-RAS", b"CSDTF-DEM", b"CSDTF-RAS"))),
     ("AAIGrid", lambda h, p: h[:5].lower() == b"ncols"),
     ("EHdr", lambda h, p: p.lower().endswith((".bil", ".bip", ".bsq"))),
     ("PGDump", lambda h, p: h[:2] == b"--" and b"COPY" in h[:4096]),
