@@ -4661,6 +4661,30 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_mdreader_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Satellite metadata sweep (the fork's mdreader additions:
+    reader_gaofen/tianhui/triplesat/ziyuan.cpp): 25 synthetic scenes
+    across all five families, dispatched + parsed DISTRIBUTED (pure
+    map over scene descriptors, each task preads its own KB sidecars
+    — the identify() pattern); IMAGERY domain fields + RPC offsets
+    surfaced as columns. Oracle: localref.sql_mdreader_scenes replays
+    the reference derivations from the shared closed-form fixture
+    parameters."""
+    import tempfile
+
+    from gdal_spark import mdreader
+
+    d = tempfile.mkdtemp(prefix="gdal_spark_scenes_")
+    paths = [synth.write_scene_fixture(d, i) for i in range(25)]
+    df = mdreader.read_scene_metadata(spark, paths)
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        "md_type", "satellite_id", "cloud_cover", "acq_datetime",
+        F.col("rpc")["LINE_OFF"].cast("double").alias("line_off"),
+        F.col("rpc")["LONG_SCALE"].cast("double").alias("long_scale"),
+    )
+
+
 def _q_cnsdtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CNSDTF grid full loop (the fork's own GB/T 17798-2007 driver,
     frmts/cnsdtf/cnsdtfdataset.cpp): the 2x2 synth tiles through the
@@ -4856,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xyz_roundtrip": _q_xyz_roundtrip,
         "ehdr_roundtrip": _q_ehdr_roundtrip,
         "cnsdtf_roundtrip": _q_cnsdtf_roundtrip,
+        "mdreader_scenes": _q_mdreader_scenes,
         "envi_roundtrip": _q_envi_roundtrip,
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,
         "pgdump_roundtrip": _q_pgdump_roundtrip,
@@ -7261,6 +7286,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("xyz_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("ehdr_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("cnsdtf_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("mdreader_scenes", localref.sql_mdreader_scenes())
         d.setdefault("envi_roundtrip",
                      localref.sql_envi_checksums_2x2_2band())
         d.setdefault("mbtiles_roundtrip",

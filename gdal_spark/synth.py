@@ -665,3 +665,96 @@ def dome_tiles_df(spark: SparkSession, ntx: int = 2, nty: int = 2,
             yield out
 
     return base.mapInPandas(gen, schema=TILE_SCHEMA)
+
+
+# ------------------------------------------------------- mdreader fixtures
+SCENE_FAMILIES = ["GaoFen", "TianHui", "TripleSat", "ZiYuan02C", "ZiYuan"]
+
+_SCENE_SAT = {"GaoFen": "GF2", "TianHui": "TH-1", "TripleSat": "TripleSat-2",
+              "ZiYuan02C": "ZY02C", "ZiYuan": "ZY3-01"}
+
+
+def scene_params(i: int) -> dict:
+    """Deterministic parameters for synthetic satellite scene #i (the
+    shared ground truth for the mdreader fixtures AND the DuckDB
+    oracle — both sides derive from these closed forms)."""
+    fam = SCENE_FAMILIES[i % 5]
+    cc = (i * 13) % 130
+    dt = (2015 + i % 8, 1 + i % 12, 1 + (i * 3) % 28,
+          i % 24, (i * 7) % 60, (i * 11) % 60)
+    return {
+        "family": fam,
+        "satellite": _SCENE_SAT[fam],
+        "cloud": cc,
+        "dt": dt,
+        "line_off": 1000.0 + i,
+        "samp_off": 2000.0 + 2 * i,
+        "long_scale": 10.0 + (i % 4),
+    }
+
+
+def write_scene_fixture(dirpath: str, i: int) -> str:
+    """Materialize scene #i's sidecars (XML + .rpb or _rpc.txt per
+    family — reader_gaofen/tianhui/triplesat/ziyuan.cpp file
+    contracts) and return the scene path the readers dispatch on."""
+    import os
+
+    p = scene_params(i)
+    fam, (y, mo, d, h, mi, s) = p["family"], p["dt"]
+    base = os.path.join(dirpath, f"scene_{i:03d}")
+    dash = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+
+    if fam == "ZiYuan":
+        xml = ("<sensor_corrected_metadata><ProductInfo>"
+               f"<SatelliteID>ZY3-01</SatelliteID>"
+               f"<CloudPercent>{p['cloud']}</CloudPercent>"
+               f"<AcquistionTime>{dash}</AcquistionTime>"
+               "</ProductInfo></sensor_corrected_metadata>")
+    else:
+        date_key = {"GaoFen": "CenterTime", "ZiYuan02C": "CenterTime",
+                    "TianHui": "ReceiveTime",
+                    "TripleSat": "ReceiveTime"}[fam]
+        date_val = f'"{dash}"' if fam == "TripleSat" else dash
+        xml = ("<ProductMetaData>"
+               f"<SatelliteID>{p['satellite']}</SatelliteID>"
+               f"<CloudPercent>{p['cloud']}</CloudPercent>"
+               f"<{date_key}>{date_val}</{date_key}>"
+               "<Bands>1,2,3</Bands>"
+               "</ProductMetaData>")
+    with open(base + ".xml", "w") as f:
+        f.write(xml)
+
+    coef = lambda k: " ".join(f"{(k * 20 + j) * 1e-6:.6g}"
+                              for j in range(1, 21))
+    if fam == "TripleSat":
+        lines = [f"LINE_OFF: {p['line_off']:+.2f} pixels",
+                 f"SAMP_OFF: {p['samp_off']:+.2f} pixels",
+                 "LAT_OFF: +30.00 degrees", "LONG_OFF: +110.00 degrees",
+                 "HEIGHT_OFF: +500.0 meters", "LINE_SCALE: 6000.0 pixels",
+                 "SAMP_SCALE: 6000.0 pixels", "LAT_SCALE: 0.5 degrees",
+                 f"LONG_SCALE: {p['long_scale']:.1f} degrees",
+                 "HEIGHT_SCALE: 100.0 meters"]
+        for n_, key in enumerate(["LINE_NUM_COEFF", "LINE_DEN_COEFF",
+                                  "SAMP_NUM_COEFF", "SAMP_DEN_COEFF"]):
+            for j, v in enumerate(coef(n_ + 1).split(), start=1):
+                lines.append(f"{key}_{j}: {v}")
+        with open(base + "_rpc.txt", "w") as f:
+            f.write("\n".join(lines) + "\n")
+    else:
+        paren = lambda k: "(" + ", ".join(coef(k).split()) + ")"
+        rpb = ("satId = \"XX\";\nBEGIN_GROUP = IMAGE\n"
+               f"\tlineOffset = {p['line_off']:.2f};\n"
+               f"\tsampOffset = {p['samp_off']:.2f};\n"
+               "\tlatOffset = 30.0;\n\tlongOffset = 110.0;\n"
+               "\theightOffset = 500.0;\n\tlineScale = 6000.0;\n"
+               "\tsampScale = 6000.0;\n\tlatScale = 0.5;\n"
+               f"\tlongScale = {p['long_scale']:.1f};\n"
+               "\theightScale = 100.0;\n"
+               f"\tlineNumCoef = {paren(1)};\n"
+               f"\tlineDenCoef = {paren(2)};\n"
+               f"\tsampNumCoef = {paren(3)};\n"
+               f"\tsampDenCoef = {paren(4)};\n"
+               "END_GROUP = IMAGE\nEND;\n")
+        with open(base + ".rpb", "w") as f:
+            f.write(rpb)
+    return base + ".tiff"

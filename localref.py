@@ -3059,3 +3059,27 @@ def sql_surf_gcps() -> str:
     rows.sort()
     return values_sql(rows, ["pixel", "line", "gcp_x", "gcp_y"],
                       ["double", "double", "double", "double"])
+
+
+def sql_mdreader_scenes(n: int = 25) -> str:
+    """Expected IMAGERY/RPC rows for the synthetic satellite scenes —
+    a literal transcription of the fork's mdreader derivations
+    (reader_gaofen/tianhui/triplesat/ziyuan.cpp: SATELLITEID passthrough,
+    CLOUDCOVER with the >= 99 -> '999' clamp, ACQUISITIONDATETIME in
+    MD_DATETIMEFORMAT) evaluated single-node over the shared
+    closed-form fixture parameters (synth.scene_params)."""
+    from gdal_spark.synth import scene_params
+
+    rows = []
+    for i in range(n):
+        p = scene_params(i)
+        y, mo, d, h, mi, s = p["dt"]
+        cloud = "999" if p["cloud"] >= 99 else str(p["cloud"])
+        dt = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+        rows.append(
+            f"('scene_{i:03d}.tiff', '{p['family']}', "
+            f"'{p['satellite']}', '{cloud}', '{dt}', "
+            f"{p['line_off']!r}, {p['long_scale']!r})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(name, md_type, satellite_id, cloud_cover, "
+              "acq_datetime, line_off, long_scale)")
