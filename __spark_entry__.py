@@ -4661,6 +4661,26 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_tfat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFAT sharded-MBTiles loop (the fork's
+    frmts/mbtiles/tfatmbtilesdataset.cpp): the 2x2 synth tiles split
+    across 2 shards by the reference's positional ordinal formula
+    (column-major TMS, ceil(ord/TileMaxCount)-1), written with
+    distributed PNG encoding, read back through the XML descriptor +
+    per-shard descriptor-parallel scans. Checksums must equal the
+    source's."""
+    import tempfile
+
+    from gdal_spark import tfat
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    xml = tempfile.mkdtemp(prefix="gdal_spark_tfat_") + "/layer.xml"
+    tfat.write_tfat(src, xml, tile_max_count=2)
+    back = tfat.read_tfat(spark, xml)
+    return tiling.checksum_table(
+        back.withColumn("raster_id", F.lit("byte_like")))
+
+
 def _q_mdreader_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Satellite metadata sweep (the fork's mdreader additions:
     reader_gaofen/tianhui/triplesat/ziyuan.cpp): 25 synthetic scenes
@@ -4881,6 +4901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ehdr_roundtrip": _q_ehdr_roundtrip,
         "cnsdtf_roundtrip": _q_cnsdtf_roundtrip,
         "mdreader_scenes": _q_mdreader_scenes,
+        "tfat_roundtrip": _q_tfat_roundtrip,
         "envi_roundtrip": _q_envi_roundtrip,
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,
         "pgdump_roundtrip": _q_pgdump_roundtrip,
@@ -7287,6 +7308,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("ehdr_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("cnsdtf_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("mdreader_scenes", localref.sql_mdreader_scenes())
+        d.setdefault("tfat_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("envi_roundtrip",
                      localref.sql_envi_checksums_2x2_2band())
         d.setdefault("mbtiles_roundtrip",

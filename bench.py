@@ -205,7 +205,7 @@ def main():
         "fgb_bbox_filter", "netcdf_raster", "gml_roundtrip",
         "osm_nodes", "osm_lines", "gdal_create",
         "lineref_pickets", "surf_gcps", "cem_transform",
-        "cnsdtf_roundtrip", "mdreader_scenes",
+        "cnsdtf_roundtrip", "mdreader_scenes", "tfat_roundtrip",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every
