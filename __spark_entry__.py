@@ -4661,6 +4661,39 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_cog_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG validator (osgeo_utils/samples/
+    validate_cloud_optimized_geotiff.py) over three fixtures written
+    by the engine's own sinks: write_cog output must validate clean
+    under the distributed full check; a plain GeoTIFF > 512px draws
+    the no-overviews warning; an external .ovr sibling draws the
+    internal-overviews error. Message text matches the reference
+    script verbatim."""
+    import shutil
+    import tempfile
+
+    from gdal_spark import cogcheck, geotiff
+
+    d = tempfile.mkdtemp(prefix="gdal_spark_cogv_")
+    src = synth.tiles_src_df(spark, 4, 4)
+    cog = d + "/good.tif"
+    geotiff.write_cog(src, cog, levels=2)
+    plain = d + "/plain.tif"
+    geotiff.write_geotiff(src, plain)
+    ext = d + "/ext.tif"
+    shutil.copy(cog, ext)
+    with open(ext + ".ovr", "w") as f:
+        f.write("x")
+
+    out = None
+    for label, path, full in (("good", cog, True), ("plain", plain, False),
+                              ("ext", ext, False)):
+        df = cogcheck.validate_cog(spark, path, full_check=full).select(
+            F.lit(label).alias("file"), "severity", "message")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def _q_tfat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TFAT sharded-MBTiles loop (the fork's
     frmts/mbtiles/tfatmbtilesdataset.cpp): the 2x2 synth tiles split
@@ -4902,6 +4935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cnsdtf_roundtrip": _q_cnsdtf_roundtrip,
         "mdreader_scenes": _q_mdreader_scenes,
         "tfat_roundtrip": _q_tfat_roundtrip,
+        "cog_validate": _q_cog_validate,
         "envi_roundtrip": _q_envi_roundtrip,
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,
         "pgdump_roundtrip": _q_pgdump_roundtrip,
@@ -7309,6 +7343,14 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("cnsdtf_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("mdreader_scenes", localref.sql_mdreader_scenes())
         d.setdefault("tfat_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("cog_validate", """
+            SELECT * FROM (VALUES
+              ('plain', 'WARNING', 'The file is greater than 512xH or ' ||
+               'Wx512, it is recommended to include internal overviews'),
+              ('ext', 'ERROR', 'Overviews found in external .ovr file. ' ||
+               'They should be internal')
+            ) AS t(file, severity, message)
+        """)
         d.setdefault("envi_roundtrip",
                      localref.sql_envi_checksums_2x2_2band())
         d.setdefault("mbtiles_roundtrip",
