@@ -4661,6 +4661,25 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_transform_geolocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALTransformGeolocations (alg/gdaltransformgeolocs.cpp:68):
+    the 2-band lon/lat geolocation ramps pushed through the EPSG:3857
+    forward transform and written back in place — one keyed skew-free
+    shuffle groups each tile's bands, the kernel is vectorized numpy.
+    Oracle: localref.sql_transform_geolocs replays the same closed
+    forms single-node."""
+    from gdal_spark import geoloc
+    from gdal_spark.crs import webmerc_forward_np
+
+    def t(x, y, z):
+        gx, gy = webmerc_forward_np(x, y)
+        return gx, gy
+
+    src = synth.lonlat_bands_df(spark, 2, 2)
+    out = geoloc.transform_geolocations(src, t)
+    return tiling.checksum_table(out)
+
+
 def _q_cog_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COG validator (osgeo_utils/samples/
     validate_cloud_optimized_geotiff.py) over three fixtures written
@@ -4936,6 +4955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdreader_scenes": _q_mdreader_scenes,
         "tfat_roundtrip": _q_tfat_roundtrip,
         "cog_validate": _q_cog_validate,
+        "transform_geolocs": _q_transform_geolocs,
         "envi_roundtrip": _q_envi_roundtrip,
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,
         "pgdump_roundtrip": _q_pgdump_roundtrip,
@@ -7343,6 +7363,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("cnsdtf_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("mdreader_scenes", localref.sql_mdreader_scenes())
         d.setdefault("tfat_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("transform_geolocs", localref.sql_transform_geolocs())
         d.setdefault("cog_validate", """
             SELECT * FROM (VALUES
               ('plain', 'WARNING', 'The file is greater than 512xH or ' ||

@@ -105,3 +105,55 @@ class GeolocTransformer:
             if max(np.max(np.abs(dpx)), np.max(np.abs(dpy))) < tol:
                 break
         return px, py
+
+
+def transform_geolocations(tiles, transform_np, *, x_band: int = 1,
+                           y_band: int = 2, z_band: int | None = None):
+    """GDALTransformGeolocations (alg/gdaltransformgeolocs.cpp:68):
+    the X/Y (and optionally Z) location bands of a raster are pushed
+    through a spatial transformer and written back.
+
+    The reference walks the bands one scanline at a time through a
+    single transformer callback; here the tile table groups each tile
+    key's bands together (ONE keyed skew-free shuffle — every group is
+    exactly the 2-3 bands of one tile) and `transform_np`, a
+    vectorized (x, y, z) -> (x', y', z'|None) kernel, runs Arrow-
+    batched per tile. Non-location bands pass through untouched."""
+    import pandas as pd
+
+    from .synth import TILE_SCHEMA
+    from .tiling import _decode
+
+    def apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bands = {int(b): i for i, b in enumerate(pdf["band"])}
+        if x_band not in bands or y_band not in bands:
+            raise ValueError(
+                f"tile {tuple(key)}: missing X/Y location bands")
+        out = pdf.copy()
+
+        def arr(b):
+            r = pdf.iloc[bands[b]]
+            return _decode(r["data"], r["dtype"], r["height"],
+                           r["width"]).astype(np.float64)
+
+        x, y = arr(x_band), arr(y_band)
+        z = arr(z_band) if z_band is not None and z_band in bands else None
+        res = transform_np(x.ravel(), y.ravel(),
+                           z.ravel() if z is not None else None)
+        x2, y2 = res[0].reshape(x.shape), res[1].reshape(y.shape)
+        z2 = res[2] if len(res) > 2 else None
+
+        def put(b, a):
+            i = bands[b]
+            dt = pdf.iloc[i]["dtype"]
+            out.iat[i, out.columns.get_loc("data")] = \
+                a.astype(dt).tobytes()
+
+        put(x_band, x2)
+        put(y_band, y2)
+        if z2 is not None and z_band is not None and z_band in bands:
+            put(z_band, z2.reshape(x.shape))
+        return out
+
+    return tiles.groupBy("zoom", "tile_x", "tile_y").applyInPandas(
+        apply, schema=TILE_SCHEMA)

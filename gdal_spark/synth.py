@@ -758,3 +758,55 @@ def write_scene_fixture(dirpath: str, i: int) -> str:
         with open(base + ".rpb", "w") as f:
             f.write(rpb)
     return base + ".tiff"
+
+
+def lonlat_bands_np(ntx: int, nty: int, tile_px: int = 256,
+                    lon0: float = -30.0, lat0: float = 20.0,
+                    dlon: float = 0.01, dlat: float = 0.005
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Global lon/lat geolocation ramps (the GDALTransformGeolocations
+    fixture): X = lon0 + col*dlon, Y = lat0 + row*dlat, float64."""
+    H, W = nty * tile_px, ntx * tile_px
+    jj, ii = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    return lon0 + jj * dlon, lat0 + ii * dlat
+
+
+def lonlat_bands_df(spark: SparkSession, ntx: int, nty: int,
+                    tile_px: int = 256, raster_id: str = "geoloc",
+                    zoom: int = 0, **kw) -> DataFrame:
+    """The lon/lat ramps as a 2-band float64 tile table (band 1 = X,
+    band 2 = Y), generated map-only from the closed forms."""
+    base = spark.range(0, ntx * nty * 2, 1, max(4, ntx * nty)).select(
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        ((F.col("id") / ntx) % nty).cast("int").alias("tile_y"),
+        (F.col("id") / (ntx * nty) + 1).cast("int").alias("band"),
+    )
+    args = dict(tile_px=tile_px, **kw)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, b in zip(pdf["tile_x"], pdf["tile_y"], pdf["band"]):
+                lon0 = args.get("lon0", -30.0)
+                lat0 = args.get("lat0", 20.0)
+                dlon = args.get("dlon", 0.01)
+                dlat = args.get("dlat", 0.005)
+                jj, ii = np.meshgrid(
+                    np.arange(tx * tile_px, (tx + 1) * tile_px,
+                              dtype=np.float64),
+                    np.arange(ty * tile_px, (ty + 1) * tile_px,
+                              dtype=np.float64))
+                arr = (lon0 + jj * dlon) if b == 1 else (lat0 + ii * dlat)
+                rows.append({
+                    "raster_id": raster_id, "band": int(b), "zoom": zoom,
+                    "tile_x": int(tx), "tile_y": int(ty),
+                    "width": tile_px, "height": tile_px,
+                    "dtype": "float64", "nodata": float("nan"), "crs": "",
+                    "geotransform": [0.0, 1.0, 0.0, 0.0, 0.0, 1.0],
+                    "data": arr.tobytes(),
+                })
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return base.mapInPandas(gen, schema=TILE_SCHEMA)

@@ -3083,3 +3083,17 @@ def sql_mdreader_scenes(n: int = 25) -> str:
     return ("SELECT * FROM (VALUES " + ", ".join(rows)
             + ") AS t(name, md_type, satellite_id, cloud_cover, "
               "acq_datetime, line_off, long_scale)")
+
+
+def sql_transform_geolocs() -> str:
+    """GDALTransformGeolocations oracle: the lon/lat ramps through the
+    same spherical web-mercator forward, single-node, re-tiled to
+    per-tile checksums."""
+    from gdal_spark.crs import webmerc_forward_np
+    from gdal_spark.synth import lonlat_bands_np
+
+    lon, lat = lonlat_bands_np(2, 2)
+    gx, gy = webmerc_forward_np(lon, lat)
+    rows = tile_checksums(gx, 256, "geoloc", 1, 0) + \
+        tile_checksums(gy, 256, "geoloc", 2, 0)
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
