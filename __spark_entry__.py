@@ -4661,6 +4661,27 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_dump_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dumpoverviews (apps/dumpoverviews.cpp): every overview level of
+    the COG fixture extracted to its own `<base>_<band>_<ovr>.tif`,
+    then each dumped file re-scanned and checksummed. Oracle:
+    localref.sql_dump_overviews replays the average-overview chain."""
+    import tempfile
+
+    from gdal_spark import geotiff
+
+    d = tempfile.mkdtemp(prefix="gdal_spark_dumpovr_")
+    src = synth.tiles_src_df(spark, 2, 2)
+    cog = d + "/good.tif"
+    geotiff.write_cog(src, cog, levels=2)
+    out = None
+    for p in geotiff.dump_overviews(spark, cog):
+        cks = tiling.checksum_table(geotiff.read_geotiff(spark, p)).select(
+            F.lit(p.rsplit("/", 1)[-1]).alias("file"), "checksum")
+        out = cks if out is None else out.unionByName(cks)
+    return out
+
+
 def _q_transform_geolocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDALTransformGeolocations (alg/gdaltransformgeolocs.cpp:68):
     the 2-band lon/lat geolocation ramps pushed through the EPSG:3857
@@ -4956,6 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfat_roundtrip": _q_tfat_roundtrip,
         "cog_validate": _q_cog_validate,
         "transform_geolocs": _q_transform_geolocs,
+        "dump_overviews": _q_dump_overviews,
         "envi_roundtrip": _q_envi_roundtrip,
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,
         "pgdump_roundtrip": _q_pgdump_roundtrip,
@@ -7364,6 +7386,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("mdreader_scenes", localref.sql_mdreader_scenes())
         d.setdefault("tfat_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("transform_geolocs", localref.sql_transform_geolocs())
+        d.setdefault("dump_overviews", localref.sql_dump_overviews())
         d.setdefault("cog_validate", """
             SELECT * FROM (VALUES
               ('plain', 'WARNING', 'The file is greater than 512xH or ' ||

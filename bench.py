@@ -206,7 +206,7 @@ def main():
         "osm_nodes", "osm_lines", "gdal_create",
         "lineref_pickets", "surf_gcps", "cem_transform",
         "cnsdtf_roundtrip", "mdreader_scenes", "tfat_roundtrip",
-        "cog_validate", "transform_geolocs",
+        "cog_validate", "transform_geolocs", "dump_overviews",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -768,3 +768,24 @@ def write_cog(tiles: DataFrame, path: str, levels: int = 2,
         }
     finally:
         allt.unpersist()
+
+
+def dump_overviews(spark: SparkSession, path: str,
+                   outdir: str | None = None) -> list[str]:
+    """apps/dumpoverviews.cpp: extract every overview level of every
+    band into its own GeoTIFF named `<base>_<band>_<ovr>.tif` (the
+    reference's osFilename.Printf :148). Each level rides the engine's
+    distributed GeoTIFF scan + parallel-pwrite sink; the driver only
+    walks the KB IFD chain."""
+    outdir = outdir or (os.path.dirname(path) or ".")
+    base = os.path.splitext(os.path.basename(path))[0]
+    _, ifds = _parse_ifds(path)
+    written = []
+    for i in range(1, len(ifds)):
+        level = read_geotiff(spark, path, ifd=i, zoom=i)
+        for b in [int(r.band) for r in
+                  level.select("band").distinct().collect()]:
+            out = os.path.join(outdir, f"{base}_{b}_{i - 1}.tif")
+            write_geotiff(level.filter(F.col("band") == b), out)
+            written.append(out)
+    return written

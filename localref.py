@@ -3097,3 +3097,14 @@ def sql_transform_geolocs() -> str:
     rows = tile_checksums(gx, 256, "geoloc", 1, 0) + \
         tile_checksums(gy, 256, "geoloc", 2, 0)
     return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+def sql_dump_overviews() -> str:
+    """dumpoverviews oracle: the COG fixture's two average-kernel
+    overview levels, checksummed per dumped file."""
+    g = global_mosaic(2, 2)
+    l1 = _avg2x2_u8(g)
+    l2 = _avg2x2_u8(l1)
+    rows = [("good_1_0.tif", G.gdal_checksum(l1)),
+            ("good_1_1.tif", G.gdal_checksum(l2))]
+    return values_sql(rows, ["file", "checksum"], ["varchar", "bigint"])

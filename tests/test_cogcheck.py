@@ -69,3 +69,17 @@ def test_truncated_file_fails_full_check(spark, tmp, cog_path):
     errs = [r.message for r in
             cogcheck.validate_cog(spark, p, full_check=True).collect()]
     assert any("extends past end of file" in m for m in errs)
+
+
+def test_dump_overviews(spark, tmp, cog_path):
+    import numpy as np
+
+    from gdal_spark.tiling import _decode
+
+    files = geotiff.dump_overviews(spark, cog_path, outdir=tmp)
+    assert sorted(os.path.basename(f) for f in files) == \
+        ["good_1_0.tif", "good_1_1.tif"]
+    lvl0 = geotiff.read_geotiff(spark, files[0]).collect()
+    # first overview of the 1024px fixture is 512px
+    assert sum(r.width for r in lvl0 if r.tile_y == min(
+        t.tile_y for t in lvl0)) == 512
