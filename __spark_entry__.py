@@ -4661,6 +4661,36 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_segmentize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGRGeometry::segmentize (ogr/ogrlinestring.cpp:2474; also the
+    osgeo_utils/samples/densify.py UNIFORM mode): per-doc single-
+    segment linestrings of varying length densified to max_length 1.5
+    — the reference's floor(sqrt(d2/m2)-1e-2) insertion count and
+    trigger, vertices exploded for value comparison. Oracle: the same
+    closed forms in SQL over generate_series."""
+    from gdal_spark.functions.geometry import st_segmentize_points
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 1500
+    ).select(
+        "doc_id", "lon", "lat",
+        (F.lit(1.0) + (F.col("doc_id") % 5)).alias("dx"),
+    )
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        F.col("lon").cast("string"), F.lit(" "),
+        F.col("lat").cast("string"), F.lit(", "),
+        (F.col("lon") + F.col("dx")).cast("string"), F.lit(" "),
+        (F.col("lat") + F.lit(0.7)).cast("string"), F.lit(")"))
+    seg = d.select("doc_id", st_segmentize_points(wkt, 1.5).alias("pts"))
+    pts = seg.select("doc_id", F.posexplode("pts").alias("j", "pt"))
+    return pts.select(
+        "doc_id", F.col("j").cast("long").alias("j"),
+        F.round(F.col("pt")["x"], 5).alias("x"),
+        F.round(F.col("pt")["y"], 5).alias("y"),
+    )
+
+
 def _q_dump_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dumpoverviews (apps/dumpoverviews.cpp): every overview level of
     the COG fixture extracted to its own `<base>_<band>_<ovr>.tif`,
@@ -4978,6 +5008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cog_validate": _q_cog_validate,
         "transform_geolocs": _q_transform_geolocs,
         "dump_overviews": _q_dump_overviews,
+        "segmentize_lines": _q_segmentize_lines,
         "envi_roundtrip": _q_envi_roundtrip,
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,
         "pgdump_roundtrip": _q_pgdump_roundtrip,
@@ -7387,6 +7418,36 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("tfat_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("transform_geolocs", localref.sql_transform_geolocs())
         d.setdefault("dump_overviews", localref.sql_dump_overviews())
+        d.setdefault("segmentize_lines", f"""
+            WITH b AS (
+              SELECT doc_id, {_LON} AS lon, {_LAT} AS lat,
+                     1.0 + (doc_id % 5) AS dx, 0.7 AS dy
+              FROM documents WHERE doc_id < 1500
+            ), k AS (
+              SELECT *,
+                CASE WHEN (dx*dx + dy*dy) - 2.25 > 2.25e-5
+                     THEN CAST(FLOOR(SQRT((dx*dx + dy*dy) / 2.25) - 0.01)
+                               AS INTEGER)
+                     ELSE 0 END AS n
+              FROM b
+            )
+            -- segmentize() canonicalizes direction: x0 < x1 always
+            -- holds here, so the kernel works from the FAR endpoint
+            -- (x1 + (n+1-j)*(x0-x1)/(n+1)) — mirror that association
+            -- exactly for bit-equal doubles
+            SELECT doc_id, CAST(j AS BIGINT) AS j,
+                   ROUND(CASE WHEN j = 0 THEN lon
+                              WHEN j = n + 1 THEN lon + dx
+                              ELSE (lon + dx) + (n + 1 - j)
+                                   * (lon - (lon + dx)) / (n + 1)
+                         END, 5) AS x,
+                   ROUND(CASE WHEN j = 0 THEN lat
+                              WHEN j = n + 1 THEN lat + dy
+                              ELSE (lat + dy) + (n + 1 - j)
+                                   * (lat - (lat + dy)) / (n + 1)
+                         END, 5) AS y
+            FROM k, UNNEST(generate_series(0, n + 1)) AS t(j)
+        """)
         d.setdefault("cog_validate", """
             SELECT * FROM (VALUES
               ('plain', 'WARNING', 'The file is greater than 512xH or ' ||

@@ -388,3 +388,32 @@ def st_wrapdateline(col):
         )
 
     return u(col)
+
+
+def st_segmentize(col, max_length: float):
+    """OGRGeometry::segmentize (ogr/ogrlinestring.cpp:2474) as a
+    vectorized UDF: insert evenly spaced vertices so no segment
+    exceeds max_length (the reference's floor(sqrt(d2/m2)-1e-2) count
+    and both-directions canonicalization preserved)."""
+    return _udf1(
+        lambda g: GM.to_wkt(GM.segmentize(g, max_length)),
+        T.StringType())(col)
+
+
+def st_segmentize_points(col, max_length: float):
+    """segmentize() returning the vertex array numerically (no WKT
+    text quantization) — array<struct<x, y>> in vertex order."""
+    @F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ])))
+    def u(c: pd.Series) -> pd.Series:
+        out = []
+        for w in c:
+            g = GM.segmentize(GM.parse_wkt(w), max_length)
+            xs, ys = g.parts[0]
+            out.append([{"x": float(x), "y": float(y)}
+                        for x, y in zip(xs, ys)])
+        return pd.Series(out)
+
+    return u(col)

@@ -1461,3 +1461,79 @@ def wrapdateline_parts(g: Geom) -> list[Geom]:
             ]
             parts.append(Geom("polygon", [shifted]))
     return parts
+
+
+# ---------------------------------------------------------------- segmentize
+def _segmentize_arrays(xs, ys, zs, max_length: float):
+    """OGRSimpleCurve::segmentize (ogr/ogrlinestring.cpp:2474):
+    per-segment intermediate count floor(sqrt(d^2/m^2) - 1e-2) under
+    the d^2 - m^2 > 1e-5*m^2 trigger, evenly spaced insertions, Z
+    carried (not interpolated) from the segment start, and the
+    direction canonicalization (reverse when first < last lex (x, y))
+    so a line reads the same segmentized in both directions."""
+    n = len(xs)
+    if n < 2:
+        return xs, ys, zs
+    if xs[0] < xs[-1] or (xs[0] == xs[-1] and ys[0] < ys[-1]):
+        rx, ry, rz = _segmentize_arrays(
+            xs[::-1], ys[::-1], zs[::-1] if zs is not None else None,
+            max_length)
+        return rx[::-1], ry[::-1], rz[::-1] if rz is not None else None
+    m2 = max_length * max_length
+    ox, oy, oz = [], [], []
+    for i in range(n):
+        ox.append(xs[i])
+        oy.append(ys[i])
+        if zs is not None:
+            oz.append(zs[i])
+        if i == n - 1:
+            break
+        dx = xs[i + 1] - xs[i]
+        dy = ys[i + 1] - ys[i]
+        d2 = dx * dx + dy * dy
+        if d2 - m2 > 1e-5 * m2:
+            k = int(np.floor(np.sqrt(d2 / m2) - 1e-2))
+            j = np.arange(1, k + 1, dtype=np.float64)
+            ox.extend(xs[i] + j * dx / (k + 1))
+            oy.extend(ys[i] + j * dy / (k + 1))
+            if zs is not None:
+                oz.extend([zs[i]] * k)  # no interpolation (:2583)
+    return (np.asarray(ox), np.asarray(oy),
+            np.asarray(oz) if zs is not None else None)
+
+
+def segmentize(g: Geom, max_length: float) -> Geom:
+    """Segmentize every linestring part / polygon ring of g."""
+    if max_length <= 0:
+        raise ValueError("dfMaxLength must be strictly positive")
+    if g.kind == "point" or g.kind == "multipoint":
+        return g
+    if g.kind in ("linestring", "multilinestring"):
+        zs = g.zs
+        parts, z_out = [], [] if zs is not None else None
+        for idx, (xs, ys) in enumerate(g.parts):
+            pz = zs[idx] if isinstance(zs, list) else zs
+            nx, ny, nz = _segmentize_arrays(
+                np.asarray(xs, np.float64), np.asarray(ys, np.float64),
+                np.asarray(pz, np.float64) if pz is not None else None,
+                max_length)
+            parts.append((nx, ny))
+            if z_out is not None:
+                z_out.append(nz)
+        out_z = None
+        if z_out is not None:
+            out_z = z_out if isinstance(zs, list) else z_out[0]
+        return Geom(g.kind, parts, out_z)
+    # polygon / multipolygon: per ring — rings are stored OPEN, so
+    # close before segmentizing (the closing segment must densify too,
+    # like OGRLinearRing inherits segmentize) and reopen after
+    new_parts = []
+    for rings in g.parts:
+        new_rings = []
+        for xs, ys in rings:
+            cx = np.append(np.asarray(xs, np.float64), float(xs[0]))
+            cy = np.append(np.asarray(ys, np.float64), float(ys[0]))
+            nx, ny, _ = _segmentize_arrays(cx, cy, None, max_length)
+            new_rings.append((nx[:-1], ny[:-1]))
+        new_parts.append(new_rings)
+    return Geom(g.kind, new_parts)
