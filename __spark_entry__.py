@@ -2502,6 +2502,19 @@ def _q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.color_relief(tiles, _RELIEF_RAMP))
 
 
+def _q_hsv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hsv_merge.py (osgeo_utils/samples/hsv_merge.py): hillshade
+    intensity merged into the V channel of the color-relief RGB of the
+    same DEM — the script's canonical use. Oracle:
+    localref.hsv_merge_np over the assembled mosaic."""
+    from gdal_spark import color as CLR
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    rgb = RST.color_relief(tiles, _RELIEF_RAMP)
+    grey = RST.hillshade(tiles, res=1.0)
+    return tiling.checksum_table(CLR.hsv_merge(rgb, grey))
+
+
 def _q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return TX.word_ngram_jaccard_dedup(d, "text", "doc_id", n=2, threshold=0.5).select(
@@ -5098,6 +5111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpkg_tiles_roundtrip": _q_gpkg_tiles_roundtrip,
         "enhance_equalize_checksums": _q_enhance_equalize,
         "lut_checksums": _q_apply_lut,
+        "hsv_merge_checksums": _q_hsv_merge,
         "nearblack_checksums": _q_nearblack,
         "mask_band_checksums": _q_mask_band,
         "footprint": _q_footprint,
@@ -7559,6 +7573,10 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault(
             "color_relief_checksums",
             localref.sql_color_relief_checksums(_RELIEF_RAMP),
+        )
+        d.setdefault(
+            "hsv_merge_checksums",
+            localref.sql_hsv_merge_checksums(_RELIEF_RAMP),
         )
     except Exception:
         pass

@@ -207,7 +207,7 @@ def main():
         "lineref_pickets", "surf_gcps", "cem_transform",
         "cnsdtf_roundtrip", "mdreader_scenes", "tfat_roundtrip",
         "cog_validate", "transform_geolocs", "dump_overviews",
-        "segmentize_lines",
+        "segmentize_lines", "hsv_merge_checksums",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -390,3 +390,100 @@ def expand_rgb(index_tiles: DataFrame, palette: np.ndarray,
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     return index_tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+# ------------------------------------------------------------- hsv_merge
+def rgb_to_hsv_np(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """Vectorized RGB->HSV, h/s in [0,1), v in [0,255] — the exact
+    formula sequence of osgeo_utils/samples/hsv_merge.py:48-80
+    (rgb_to_hsv), including the choose-order tie rule: when channels
+    tie for max, r wins over g wins over b (the reference overwrites
+    h in b, g, r order)."""
+    maxc = np.maximum(r, np.maximum(g, b))
+    minc = np.minimum(r, np.minimum(g, b))
+    v = maxc
+    span = np.where(maxc == minc, 1.0, maxc - minc)
+    s = (maxc - minc) / np.maximum(1.0, maxc)
+    rc = (maxc - r) / span
+    gc = (maxc - g) / span
+    bc = (maxc - b) / span
+    h = np.zeros_like(s)
+    h = np.where(maxc == b, 4.0 + gc - rc, h)
+    h = np.where(maxc == g, 2.0 + rc - bc, h)
+    h = np.where(maxc == r, bc - gc, h)
+    h = np.mod(h / 6.0, 1.0)
+    return h, s, v
+
+
+def hsv_to_rgb_np(h: np.ndarray, s: np.ndarray, v: np.ndarray):
+    """Inverse map (hsv_merge.py:89-110 hsv_to_rgb): sector index
+    i = int(h*6), truncating uint8 cast (the reference's astype)."""
+    i = (h * 6.0).astype(np.int64)
+    f = (h * 6.0) - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return (r.astype(np.uint8), g.astype(np.uint8), b.astype(np.uint8))
+
+
+def hsv_merge(color_tiles: DataFrame, grey_tiles: DataFrame,
+              nodata: float | None = None,
+              dst_raster_id: str = "hsv_merge") -> DataFrame:
+    """hsv_merge.py (osgeo_utils/samples/hsv_merge.py:159-235): merge a
+    greyscale intensity raster (e.g. gdaldem hillshade) into the V
+    channel of an RGB(A) color raster (e.g. gdaldem color-relief).
+    `nodata`: greyscale pixels equal to it keep the color raster's own
+    V (hsv_merge.py:210-214); None means the greyscale V is used
+    everywhere, as in the reference when the band carries no nodata.
+    Band 4 (alpha), when present, passes through untouched.
+
+    Distributed shape: the reference streams scanlines through one
+    process; here the two tile tables join 1:1 on tile identity
+    (zoom, tile_x, tile_y) — both rasters must share the grid, the
+    same precondition the reference enforces by XSize/YSize equality —
+    and the per-tile kernel is one numpy batch. One hash exchange to
+    co-locate the bands of a tile; no halo (the transform is
+    pixel-local)."""
+    key = ["zoom", "tile_x", "tile_y"]
+    grey = grey_tiles.select(
+        *key,
+        F.col("data").alias("_gdata"), F.col("dtype").alias("_gdtype"),
+    )
+    j = color_tiles.join(grey, key, "inner")
+
+    def run(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        hh, ww = int(first["height"]), int(first["width"])
+        bands = {}
+        by_band = {}
+        for i in range(len(pdf)):
+            row = pdf.iloc[i]
+            bands[int(row["band"])] = _decode(
+                row["data"], row["dtype"], hh, ww
+            ).astype(np.float64)
+            by_band[int(row["band"])] = row
+        grey_arr = _decode(first["_gdata"], first["_gdtype"], hh, ww
+                           ).astype(np.float64)
+        h, s, v = rgb_to_hsv_np(bands[1], bands[2], bands[3])
+        if nodata is not None:
+            vv = np.where(grey_arr == float(nodata), v, grey_arr)
+        else:
+            vv = grey_arr
+        out = hsv_to_rgb_np(h, s, vv)
+        rows = []
+        for b in (1, 2, 3):
+            d = by_band[b].to_dict()
+            d.update(raster_id=dst_raster_id, dtype="uint8",
+                     data=out[b - 1].tobytes())
+            rows.append(d)
+        if 4 in by_band:  # alpha passthrough (hsv_merge.py:228-233)
+            d = by_band[4].to_dict()
+            d.update(raster_id=dst_raster_id)
+            rows.append(d)
+        pout = pd.DataFrame(rows)
+        return pout[[f.name for f in TILE_SCHEMA.fields]]
+
+    return j.groupBy(*key).applyInPandas(run, schema=TILE_SCHEMA)

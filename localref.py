@@ -3108,3 +3108,61 @@ def sql_dump_overviews() -> str:
     rows = [("good_1_0.tif", G.gdal_checksum(l1)),
             ("good_1_1.tif", G.gdal_checksum(l2))]
     return values_sql(rows, ["file", "checksum"], ["varchar", "bigint"])
+
+
+# ============================================================== hsv_merge
+def hsv_merge_np(rgb: list, grey: np.ndarray,
+                 nodata: float | None = None) -> list:
+    """Sequential mirror of gdal_spark.color.hsv_merge
+    (osgeo_utils/samples/hsv_merge.py:48-110,199-226): RGB->HSV, V
+    replaced by the greyscale (nodata pixels keep the color V),
+    HSV->RGB with the reference's truncating uint8 cast."""
+    r, g, b = (c.astype(np.float64) for c in rgb)
+    maxc = np.maximum(r, np.maximum(g, b))
+    minc = np.minimum(r, np.minimum(g, b))
+    span = np.where(maxc == minc, 1.0, maxc - minc)
+    s = (maxc - minc) / np.maximum(1.0, maxc)
+    rc, gc, bc = (maxc - r) / span, (maxc - g) / span, (maxc - b) / span
+    h = np.zeros_like(s)
+    h = np.where(maxc == b, 4.0 + gc - rc, h)
+    h = np.where(maxc == g, 2.0 + rc - bc, h)
+    h = np.where(maxc == r, bc - gc, h)
+    h = np.mod(h / 6.0, 1.0)
+    gf = grey.astype(np.float64)
+    v = np.where(gf == float(nodata), maxc, gf) if nodata is not None else gf
+    i = (h * 6.0).astype(np.int64)
+    f = (h * 6.0) - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    return [np.choose(i, [v, q, p, p, t, v]).astype(np.uint8),
+            np.choose(i, [t, v, v, q, p, p]).astype(np.uint8),
+            np.choose(i, [p, p, t, v, v, q]).astype(np.uint8)]
+
+
+def sql_hsv_merge_checksums(ramp) -> str:
+    """color-relief RGB + hillshade intensity of the same 2x2 mosaic,
+    merged; per-band checksums."""
+    g = global_mosaic(2, 2).astype(np.float64)
+    ramp = sorted(ramp)
+    vals = np.array([x[0] for x in ramp], dtype=np.float64)
+    rgb = [
+        _gdal_cast_local(
+            np.interp(g, vals, np.array([x[k] for x in ramp],
+                                        dtype=np.float64)), "uint8")
+        for k in (1, 2, 3)
+    ]
+    pad = np.pad(g, 1, mode="edge")
+    dzdx, dzdy = _horn(pad, 1.0)
+    az = math.radians(360.0 - 315.0 + 90.0)
+    alt = math.radians(45.0)
+    slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shade = (np.sin(alt) * np.cos(slope)
+             + np.cos(alt) * np.sin(slope) * np.cos(az - aspect))
+    grey = _gdal_cast_local(1.0 + 254.0 * np.maximum(shade, 0.0), "uint8")
+    merged = hsv_merge_np(rgb, grey)
+    rows = []
+    for band, arr in enumerate(merged, start=1):
+        rows.extend(tile_checksums(arr, 256, "hsv_merge", band, 12))
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
