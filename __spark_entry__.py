@@ -2502,6 +2502,42 @@ def _q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.color_relief(tiles, _RELIEF_RAMP))
 
 
+def _q_val_repl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """val_repl (osgeo_utils/samples/val_repl.py): replace one pixel
+    value, dtype-preserving, map-only."""
+    from gdal_spark import enhance
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(enhance.val_repl(tiles, 77, 255))
+
+
+def _q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classify (osgeo_utils/samples/classify.py): sequential range
+    classification into a byte image, map-only."""
+    import localref
+    from gdal_spark import enhance
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    return tiling.checksum_table(
+        enhance.classify(tiles, localref.CLASSIFY_DEFS)
+    )
+
+
+def _q_attachpct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalattachpct / rgb2pct -pct + pct2rgb: dither against an
+    external palette (the attached color table), expand back to RGB
+    through it. Exercises the provided-palette path, distinct from
+    the median-cut path of dither/expand_rgb_checksums."""
+    import localref
+    from gdal_spark.color import dither, expand_rgb
+
+    rgb = _derived_rgb_tiles(spark)
+    pal = localref.ATTACH_PCT
+    return tiling.checksum_table(
+        expand_rgb(dither(rgb, pal), pal, dst_raster_id="attached")
+    )
+
+
 def _q_hsv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hsv_merge.py (osgeo_utils/samples/hsv_merge.py): hillshade
     intensity merged into the V channel of the color-relief RGB of the
@@ -3579,11 +3615,10 @@ def _q_contour_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gdal_spark.color import dither, median_cut_palette
-
+def _derived_rgb_tiles(spark: SparkSession) -> DataFrame:
+    """3-band fixture shared by the palette queries: R = source,
+    G = 255-source, B = source//2 (mirrored in localref._derived_rgb)."""
     base = synth.tiles_src_df(spark, 2, 1)
-    # build a 3-band table: R = source, G = 255-source, B = source//2
     import numpy as np
 
     def derive(batches):
@@ -3598,7 +3633,13 @@ def _q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append(d)
             yield pd.DataFrame(rows, columns=[f.name for f in synth.TILE_SCHEMA.fields])
 
-    rgb = base.mapInPandas(derive, schema=synth.TILE_SCHEMA)
+    return base.mapInPandas(derive, schema=synth.TILE_SCHEMA)
+
+
+def _q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.color import dither, median_cut_palette
+
+    rgb = _derived_rgb_tiles(spark)
     pal = median_cut_palette(rgb, n_colors=8)
     return tiling.checksum_table(dither(rgb, pal))
 
@@ -5112,6 +5153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enhance_equalize_checksums": _q_enhance_equalize,
         "lut_checksums": _q_apply_lut,
         "hsv_merge_checksums": _q_hsv_merge,
+        "val_repl_checksums": _q_val_repl,
+        "classify_checksums": _q_classify,
+        "attachpct_checksums": _q_attachpct,
         "nearblack_checksums": _q_nearblack,
         "mask_band_checksums": _q_mask_band,
         "footprint": _q_footprint,
@@ -7578,6 +7622,12 @@ def oracle_sql() -> dict[str, str]:
             "hsv_merge_checksums",
             localref.sql_hsv_merge_checksums(_RELIEF_RAMP),
         )
+        d.setdefault("val_repl_checksums",
+                     localref.sql_val_repl_checksums())
+        d.setdefault("classify_checksums",
+                     localref.sql_classify_checksums())
+        d.setdefault("attachpct_checksums",
+                     localref.sql_attachpct_checksums())
     except Exception:
         pass
     return d

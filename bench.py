@@ -208,6 +208,7 @@ def main():
         "cnsdtf_roundtrip", "mdreader_scenes", "tfat_roundtrip",
         "cog_validate", "transform_geolocs", "dump_overviews",
         "segmentize_lines", "hsv_merge_checksums",
+        "val_repl_checksums", "classify_checksums", "attachpct_checksums",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

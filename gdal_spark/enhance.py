@@ -122,3 +122,53 @@ def apply_lut(tiles: DataFrame, lut) -> DataFrame:
             yield out[[f.name for f in TILE_SCHEMA.fields]]
 
     return tiles.mapInPandas(apply, schema=TILE_SCHEMA)
+
+
+def val_repl(tiles: DataFrame, src_val: float, dst_val: float) -> DataFrame:
+    """val_repl semantics (osgeo_utils/samples/val_repl.py:118-133):
+    pixels equal to src_val become dst_val, all others pass through;
+    dtype is preserved (the script writes the input band type).
+    Map-only."""
+
+    def apply(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            datas = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width)
+                rep = np.where(arr == src_val,
+                               np.asarray(dst_val, dtype=arr.dtype), arr)
+                datas.append(rep.astype(arr.dtype).tobytes())
+            out["data"] = datas
+            yield out[[f.name for f in TILE_SCHEMA.fields]]
+
+    return tiles.mapInPandas(apply, schema=TILE_SCHEMA)
+
+
+def classify(tiles: DataFrame,
+             class_defs: list[tuple[int, float, float]]) -> DataFrame:
+    """classify semantics (osgeo_utils/samples/classify.py:36-62):
+    start from a zero byte image; for each (value, start, end) in
+    order, pixels with start <= v <= end take `value` (later classes
+    overwrite earlier on overlap, the script's sequential choose).
+    Output dtype uint8 (the script creates a GDT_Byte dataset).
+    Map-only — the class table is a task-closure literal."""
+    defs = [(int(v), float(a), float(b)) for v, a, b in class_defs]
+
+    def apply(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            datas = []
+            for r in pdf.itertuples(index=False):
+                arr = _decode(r.data, r.dtype, r.height, r.width
+                              ).astype(np.float64)
+                dst = np.zeros(arr.shape, dtype=np.uint8)
+                for value, start, end in defs:
+                    dst = np.where((arr >= start) & (arr <= end),
+                                   np.uint8(value), dst)
+                datas.append(dst.tobytes())
+            out["data"] = datas
+            out["dtype"] = "uint8"
+            yield out[[f.name for f in TILE_SCHEMA.fields]]
+
+    return tiles.mapInPandas(apply, schema=TILE_SCHEMA)

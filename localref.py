@@ -3166,3 +3166,49 @@ def sql_hsv_merge_checksums(ramp) -> str:
     for band, arr in enumerate(merged, start=1):
         rows.extend(tile_checksums(arr, 256, "hsv_merge", band, 12))
     return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+# ============================================== val_repl / classify / attachpct
+ATTACH_PCT = np.array(
+    [[0, 0, 0], [255, 255, 255], [255, 0, 0], [0, 255, 0],
+     [0, 0, 255], [255, 255, 0], [0, 255, 255], [255, 0, 255]],
+    dtype=np.uint8,
+)
+
+CLASSIFY_DEFS = [(1, 0.0, 63.0), (2, 64.0, 127.0),
+                 (3, 128.0, 191.0), (4, 192.0, 255.0)]
+
+
+def sql_val_repl_checksums() -> str:
+    """Mirror of enhance.val_repl (samples/val_repl.py:118-133)."""
+    g = global_mosaic(2, 2)
+    out = np.where(g == 77, np.uint8(255), g).astype(np.uint8)
+    return values_sql(tile_checksums(out, 256, "byte_like", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
+def sql_classify_checksums() -> str:
+    """Mirror of enhance.classify (samples/classify.py:36-62)."""
+    g = global_mosaic(2, 2).astype(np.float64)
+    dst = np.zeros(g.shape, dtype=np.uint8)
+    for value, start, end in CLASSIFY_DEFS:
+        dst = np.where((g >= start) & (g <= end), np.uint8(value), dst)
+    return values_sql(tile_checksums(dst, 256, "byte_like", 1, 12),
+                      CKS_COLS, CKS_TYPES)
+
+
+def sql_attachpct_checksums() -> str:
+    """Mirror of the gdalattachpct/rgb2pct -pct path: dither against
+    an EXTERNAL palette (no median cut), expand back via the attached
+    table (pct2rgb)."""
+    from gdal_spark.color import dither_tile
+
+    rows = []
+    for tx in range(2):
+        idx = dither_tile(_derived_rgb(tx).astype(np.uint8), ATTACH_PCT)
+        rgb = ATTACH_PCT[idx]
+        for b in range(3):
+            rows.append(
+                ("attached", b + 1, 12, tx, 0, G.gdal_checksum(rgb[:, :, b]))
+            )
+    return values_sql(rows, CKS_COLS, CKS_TYPES)

@@ -51,3 +51,49 @@ def test_apply_lut_passthrough_beyond_table(spark):
     assert np.array_equal(got, want)
     # beyond-table pixels really did pass through
     assert np.array_equal(got[src >= 100], src[src >= 100].astype(np.uint8))
+
+
+def test_val_repl_preserves_dtype(spark):
+    """val_repl.py keeps the band type (float32 in, float32 out) and
+    touches only matching pixels."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from gdal_spark.enhance import val_repl
+    from gdal_spark.synth import TILE_SCHEMA
+
+    arr = np.array([[1.5, 2.0], [2.0, 3.25]], dtype=np.float32)
+    df = spark.createDataFrame(
+        [Row(raster_id="f", band=1, zoom=0, tile_x=0, tile_y=0,
+             width=2, height=2, dtype="float32", nodata=-1.0, crs="",
+             geotransform=[0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+             data=bytearray(arr.tobytes()))],
+        schema=TILE_SCHEMA,
+    )
+    r = val_repl(df, 2.0, -9.0).collect()[0]
+    assert r["dtype"] == "float32"
+    out = np.frombuffer(bytes(r["data"]), dtype=np.float32).reshape(2, 2)
+    assert out.tolist() == [[1.5, -9.0], [-9.0, 3.25]]
+
+
+def test_classify_later_class_wins_on_overlap(spark):
+    """classify.py applies classes sequentially: overlapping ranges
+    resolve to the LAST matching class (numpy.choose overwrite order)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from gdal_spark.enhance import classify
+    from gdal_spark.synth import TILE_SCHEMA
+
+    arr = np.array([[5, 15], [25, 99]], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [Row(raster_id="b", band=1, zoom=0, tile_x=0, tile_y=0,
+             width=2, height=2, dtype="uint8", nodata=-1.0, crs="",
+             geotransform=[0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+             data=bytearray(arr.tobytes()))],
+        schema=TILE_SCHEMA,
+    )
+    r = classify(df, [(1, 0, 20), (2, 15, 30)]).collect()[0]
+    out = np.frombuffer(bytes(r["data"]), dtype=np.uint8).reshape(2, 2)
+    # 15 is in both ranges -> class 2 (later wins); 99 unclassified -> 0
+    assert out.tolist() == [[1, 2], [2, 0]]
