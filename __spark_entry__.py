@@ -2502,6 +2502,28 @@ def _q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.color_relief(tiles, _RELIEF_RAMP))
 
 
+def _q_fft_magphase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fft.py + magphase.py: distributed transpose-method 2-D FFT
+    (two keyed strip exchanges), then map-only |z| / angle(z), per-tile
+    rounded sums. Oracle: sequential np.fft on the assembled mosaic."""
+    from gdal_spark import fftops
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    z = fftops.fft2d(tiles, dst_raster_id="fft")
+    return fftops.tile_sums(fftops.magphase(z))
+
+
+def _q_fft_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fft.py -inv roundtrip: inverse(forward(x)) re-cast to Byte must
+    reproduce the source tile checksums exactly (numpy's per-axis 1/n
+    normalization composes to the 2-D 1/(W*H))."""
+    from gdal_spark import fftops
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    back = fftops.fft2d(fftops.fft2d(tiles), inverse=True)
+    return tiling.checksum_table(fftops.real_cast(back, "uint8"))
+
+
 def _q_val_repl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """val_repl (osgeo_utils/samples/val_repl.py): replace one pixel
     value, dtype-preserving, map-only."""
@@ -5154,6 +5176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lut_checksums": _q_apply_lut,
         "hsv_merge_checksums": _q_hsv_merge,
         "val_repl_checksums": _q_val_repl,
+        "fft_magphase": _q_fft_magphase,
+        "fft_roundtrip": _q_fft_roundtrip,
         "classify_checksums": _q_classify,
         "attachpct_checksums": _q_attachpct,
         "nearblack_checksums": _q_nearblack,
@@ -7628,6 +7652,8 @@ def oracle_sql() -> dict[str, str]:
                      localref.sql_classify_checksums())
         d.setdefault("attachpct_checksums",
                      localref.sql_attachpct_checksums())
+        d.setdefault("fft_magphase", localref.sql_fft_magphase())
+        d.setdefault("fft_roundtrip", localref.sql_raster_checksums_2x2())
     except Exception:
         pass
     return d

@@ -209,6 +209,8 @@ def main():
         "cog_validate", "transform_geolocs", "dump_overviews",
         "segmentize_lines", "hsv_merge_checksums",
         "val_repl_checksums", "classify_checksums", "attachpct_checksums",
+        # distributed transpose-method 2-D FFT (two strip exchanges)
+        "fft_magphase", "fft_roundtrip",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

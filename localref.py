@@ -3212,3 +3212,20 @@ def sql_attachpct_checksums() -> str:
                 ("attached", b + 1, 12, tx, 0, G.gdal_checksum(rgb[:, :, b]))
             )
     return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+# ================================================================== FFT
+def sql_fft_magphase() -> str:
+    """Oracle for the distributed transpose-method 2-D FFT
+    (samples/fft.py) + magphase (samples/magphase.py): sequential
+    np.fft over the assembled mosaic, per-tile rounded sums."""
+    g = global_mosaic(2, 2).astype(np.complex128)
+    z = np.fft.fft(np.fft.fft(g, axis=1), axis=0)
+    rows = []
+    for rid, arr in (("fft_mag", np.abs(z)), ("fft_phase", np.angle(z))):
+        for ty in range(2):
+            for tx in range(2):
+                sub = arr[ty * 256:(ty + 1) * 256, tx * 256:(tx + 1) * 256]
+                rows.append((rid, tx, ty, round(float(np.sum(sub)), 4)))
+    return values_sql(rows, ["raster_id", "tile_x", "tile_y", "px_sum"],
+                      ["varchar", "bigint", "bigint", "double"])
