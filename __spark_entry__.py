@@ -2502,6 +2502,68 @@ def _q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(RST.color_relief(tiles, _RELIEF_RAMP))
 
 
+def _q_graticule_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mkgraticule (non-connected): pure-codegen cross join of two
+    spark.range axes, reference float_range step-count quirk mirrored."""
+    import localref
+    from gdal_spark.graticule import graticule_segments
+
+    return graticule_segments(
+        spark, stepsize=localref.GRAT_STEP, substepsize=localref.GRAT_SUBSTEP
+    )
+
+
+def _q_graticule_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mkgraticule -connected: one polyline per full line of lat/lon;
+    the contract checks (kind, at, n_vertices) — WKT assembly is
+    pytest-verified against a local mirror (float formatting differs
+    between engines, not between runs)."""
+    import localref
+    from gdal_spark.graticule import graticule_lines
+
+    return graticule_lines(
+        spark, stepsize=localref.GRAT_STEP, substepsize=localref.GRAT_SUBSTEP
+    ).select("kind", "at", "n_vertices")
+
+
+def _q_junction_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr_build_junction_table: explode an xlink:href string-list
+    field into a two-column junction table, '#' prefix stripped."""
+    from gdal_spark.layers import build_junction_table
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 1500)
+    src = d.select(
+        F.concat(F.lit("doc"), F.col("doc_id")).alias("gml_id"),
+        F.array(
+            F.concat(F.lit("#"), (F.col("doc_id") * 7 % 97)),
+            F.concat(F.lit("x"), (F.col("doc_id") * 13 % 89)),
+        ).alias("hrefs"),
+    )
+    return build_junction_table(src, "gml_id", "hrefs",
+                                "a_gml_id", "b_gml_id")
+
+
+def _q_gcps2wld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gcps2wld: distributed normal-equation affine fit over a GCP
+    table (13 doubles of driver state), world-file emit order."""
+    from gdal_spark.gcp import gcps_to_geotransform_df
+
+    d = _read(spark, sf_dir, "documents")
+    gcps = d.select(
+        (F.col("doc_id") % 256).cast("double").alias("px"),
+        ((F.col("doc_id") / 256) % 256).cast("double").alias("py"),
+    ).select(
+        "px", "py",
+        (F.lit(1000.0) + 0.05 * F.col("px") - 0.001 * F.col("py")).alias("gx"),
+        (F.lit(2000.0) - 0.002 * F.col("px") - 0.05 * F.col("py")).alias("gy"),
+    )
+    wf = gcps_to_geotransform_df(gcps)["world_file"]
+    cols = ["wld_a", "wld_d", "wld_b", "wld_e", "wld_c", "wld_f"]
+    return spark.createDataFrame(
+        [tuple(round(float(v), 6) for v in wf)], cols
+    )
+
+
 def _q_fft_magphase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fft.py + magphase.py: distributed transpose-method 2-D FFT
     (two keyed strip exchanges), then map-only |z| / angle(z), per-tile
@@ -5178,6 +5240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_repl_checksums": _q_val_repl,
         "fft_magphase": _q_fft_magphase,
         "fft_roundtrip": _q_fft_roundtrip,
+        "graticule_segments": _q_graticule_segments,
+        "graticule_lines": _q_graticule_lines,
+        "junction_table": _q_junction_table,
+        "gcps2wld": _q_gcps2wld,
         "classify_checksums": _q_classify,
         "attachpct_checksums": _q_attachpct,
         "nearblack_checksums": _q_nearblack,
@@ -7654,6 +7720,16 @@ def oracle_sql() -> dict[str, str]:
                      localref.sql_attachpct_checksums())
         d.setdefault("fft_magphase", localref.sql_fft_magphase())
         d.setdefault("fft_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("graticule_segments", localref.sql_graticule_segments())
+        d.setdefault("graticule_lines", localref.sql_graticule_lines())
+        d.setdefault("junction_table", """
+            SELECT CAST('doc' || doc_id AS VARCHAR) AS a_gml_id,
+                   CAST(regexp_replace(h, '^#', '') AS VARCHAR) AS b_gml_id
+            FROM documents, UNNEST(['#' || (doc_id * 7 % 97),
+                                    'x' || (doc_id * 13 % 89)]) AS t(h)
+            WHERE doc_id < 1500
+        """)
+        d.setdefault("gcps2wld", localref.sql_gcps2wld())
     except Exception:
         pass
     return d

@@ -211,6 +211,9 @@ def main():
         "val_repl_checksums", "classify_checksums", "attachpct_checksums",
         # distributed transpose-method 2-D FFT (two strip exchanges)
         "fft_magphase", "fft_roundtrip",
+        # pure-codegen graticule, junction explode, normal-eq GCP fit
+        "graticule_segments", "graticule_lines", "junction_table",
+        "gcps2wld",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

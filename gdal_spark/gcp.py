@@ -89,3 +89,47 @@ def fit_gcps(gcps, order: int = 1) -> GCPTransformer:
     rms = float(np.sqrt(np.mean((pred @ cx - g[:, 2]) ** 2
                                 + (pred @ cy - g[:, 3]) ** 2)))
     return GCPTransformer(cx, cy, order, rms)
+
+
+def gcps_to_geotransform_df(gcps_df, px_col: str = "px", py_col: str = "py",
+                            gx_col: str = "gx", gy_col: str = "gy"):
+    """gdal.GCPsToGeoTransform over a DataFrame of GCPs
+    (gcore/gdal_misc.cpp GDALGCPsToGeoTransform; consumed by
+    osgeo_utils/samples/gcps2wld.py, whose world-file output order —
+    gt1, gt4, gt2, gt5, then the half-pixel-shifted origin — this
+    returns).
+
+    Distributed shape: the affine least squares runs as ONE partial+
+    final aggregate of the normal-equation moments (n, Σpx, Σpy, Σpx²,
+    Σpxpy, Σpy², and the 6 cross moments with gx/gy) — 13 doubles of
+    driver state however many GCPs there are (the reference caps at a
+    few thousand; a dense tie-point grid from e.g. image matching can
+    be millions of rows here). The two 3x3 solves are numpy on the
+    driver."""
+    from pyspark.sql import functions as F
+
+    px, py = F.col(px_col), F.col(py_col)
+    gx, gy = F.col(gx_col), F.col(gy_col)
+    m = gcps_df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(px).alias("sx"), F.sum(py).alias("sy"),
+        F.sum(px * px).alias("sxx"), F.sum(px * py).alias("sxy"),
+        F.sum(py * py).alias("syy"),
+        F.sum(gx).alias("bx0"), F.sum(px * gx).alias("bx1"),
+        F.sum(py * gx).alias("bx2"),
+        F.sum(gy).alias("by0"), F.sum(px * gy).alias("by1"),
+        F.sum(py * gy).alias("by2"),
+    ).collect()[0]
+    A = np.array([[m["n"], m["sx"], m["sy"]],
+                  [m["sx"], m["sxx"], m["sxy"]],
+                  [m["sy"], m["sxy"], m["syy"]]])
+    cx = np.linalg.solve(A, np.array([m["bx0"], m["bx1"], m["bx2"]]))
+    cy = np.linalg.solve(A, np.array([m["by0"], m["by1"], m["by2"]]))
+    # geotransform convention: gx = gt0 + px*gt1 + py*gt2
+    gt = (cx[0], cx[1], cx[2], cy[0], cy[1], cy[2])
+    return {
+        "gt": gt,
+        "world_file": (gt[1], gt[4], gt[2], gt[5],
+                       gt[0] + 0.5 * gt[1] + 0.5 * gt[2],
+                       gt[3] + 0.5 * gt[4] + 0.5 * gt[5]),
+    }

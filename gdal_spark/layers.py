@@ -116,3 +116,25 @@ class SnapshotTable:
         """Transactionally apply a CRUD batch: read current, MERGE,
         commit as a new snapshot."""
         return self.commit(merge_upsert(self.read(), changes, key))
+
+
+def build_junction_table(df: DataFrame, id_col: str, href_col: str,
+                         out_first: str, out_second: str) -> DataFrame:
+    """ogr_build_junction_table (osgeo_utils/samples/
+    ogr_build_junction_table.py): flatten a (gml_id, xlink:href[s])
+    layer into a (first_gml_id, second_gml_id) junction table, leading
+    '#' stripped from each href. href_col may be a string or an
+    array<string> (OFTStringList). Map-only: explode + project; the
+    reference's CREATE INDEX statements are Catalyst's job here."""
+    from pyspark.sql import types as T
+
+    c = F.col(href_col)
+    if not isinstance(df.schema[href_col].dataType, T.ArrayType):
+        c = F.array(c)
+    return df.select(
+        F.col(id_col).cast("string").alias(out_first),
+        F.explode(c).alias("_href"),
+    ).select(
+        out_first,
+        F.regexp_replace(F.col("_href"), "^#", "").alias(out_second),
+    )

@@ -3229,3 +3229,55 @@ def sql_fft_magphase() -> str:
                 rows.append((rid, tx, ty, round(float(np.sum(sub)), 4)))
     return values_sql(rows, ["raster_id", "tile_x", "tile_y", "px_sum"],
                       ["varchar", "bigint", "bigint", "double"])
+
+
+# =================================================== graticule / junction
+def _float_range(start: float, stop: float, step: float) -> list:
+    steps = (stop - start) / step
+    if steps != int(steps):
+        steps = steps + 1.0
+    return [i * step + start for i in range(int(steps))]
+
+
+GRAT_STEP, GRAT_SUBSTEP = 30.0, 15.0
+
+
+def sql_graticule_segments() -> str:
+    """Mirror of graticule.graticule_segments (mkgraticule.py:95-120)
+    at step=30/substep=15 over the full globe."""
+    rows = []
+    for lat in _float_range(-90.0, 90.0 + GRAT_STEP / 2, GRAT_STEP):
+        for lon in _float_range(-180.0, 180.0 - GRAT_SUBSTEP / 2,
+                                GRAT_SUBSTEP):
+            rows.append(("lat", lon, lat, lon + GRAT_SUBSTEP, lat))
+    for lon in _float_range(-180.0, 180.0 + GRAT_STEP / 2, GRAT_STEP):
+        for lat in _float_range(-90.0, 90.0 - GRAT_SUBSTEP / 2,
+                                GRAT_SUBSTEP):
+            rows.append(("lon", lon, lat, lon, lat + GRAT_SUBSTEP))
+    return values_sql(rows, ["kind", "x0", "y0", "x1", "y1"],
+                      ["varchar", "double", "double", "double", "double"])
+
+
+def sql_graticule_lines() -> str:
+    """Connected mode (mkgraticule.py:122-146): (kind, at, n_vertices)."""
+    rows = []
+    nx = len(_float_range(-180.0, 180.0 + GRAT_SUBSTEP / 2, GRAT_SUBSTEP))
+    for lat in _float_range(-90.0, 90.0 + GRAT_STEP / 2, GRAT_STEP):
+        rows.append(("lat", lat, nx))
+    ny = len(_float_range(-90.0, 90.0 + GRAT_SUBSTEP / 2, GRAT_SUBSTEP))
+    for lon in _float_range(-180.0, 180.0 + GRAT_STEP / 2, GRAT_STEP):
+        rows.append(("lon", lon, ny))
+    return values_sql(rows, ["kind", "at", "n_vertices"],
+                      ["varchar", "double", "bigint"])
+
+
+def sql_gcps2wld() -> str:
+    """Exact world file of the synthetic GCP affine (the distributed
+    normal-equation fit recovers a consistent system exactly)."""
+    gt = (1000.0, 0.05, -0.001, 2000.0, -0.002, -0.05)
+    wf = (gt[1], gt[4], gt[2], gt[5],
+          gt[0] + 0.5 * gt[1] + 0.5 * gt[2],
+          gt[3] + 0.5 * gt[4] + 0.5 * gt[5])
+    return values_sql([tuple(round(v, 6) for v in wf)],
+                      ["wld_a", "wld_d", "wld_b", "wld_e", "wld_c", "wld_f"],
+                      ["double"] * 6)
