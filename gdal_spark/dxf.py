@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import geometry as GM
+from .fmt import fmt_coord as _F
 
 ENTITY_KEYWORDS = {
     "POINT", "LINE", "LWPOLYLINE", "POLYLINE", "VERTEX", "SEQEND",
@@ -68,7 +69,9 @@ _SCHEMA = T.StructType([
 
 # ------------------------------------------------------------- parse
 def _fmt(v: float) -> str:
-    return f"{v:.10g}"
+    # Shortest round-trip decimal (the reference DXF writer emits
+    # %.15g, ogrdxfwriterlayer.cpp:169; repr is exact and loss-free).
+    return _F(v)
 
 
 def _entity_to_row(etype: str, codes: list[tuple[str, str]],

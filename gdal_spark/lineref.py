@@ -49,7 +49,10 @@ from pyspark.sql.window import Window
 
 DELTA = 1e-8  # ogrlineref.cpp:58
 
-_COORD = "%.10g %.10g"
+# Coordinate rendering: Spark's CAST(double AS STRING) is Java
+# Double.toString — exact shortest round-trip, matching the
+# reference's OGRFormatDouble fidelity (ogrutils.cpp) without the
+# silent truncation of a fixed %.10g.
 
 
 def _parse_line(wkt):
@@ -189,7 +192,8 @@ def _slice_parts(segments: DataFrame, intervals: DataFrame,
     wkt = F.concat(
         F.lit("LINESTRING ("),
         F.concat_ws(", ", F.transform(
-            dedup, lambda p: F.format_string(_COORD, p["x"], p["y"]))),
+            dedup, lambda p: F.concat_ws(
+                " ", p["x"].cast("string"), p["y"].cast("string")))),
         F.lit(")"),
     )
     return grp.select(

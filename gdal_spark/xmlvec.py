@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .fmt import fmt_coord as _F
+
 GPX_NS = "http://www.topografix.com/GPX/1/1"
 KML_NS = "http://www.opengis.net/kml/2.2"
 
@@ -160,7 +162,7 @@ def read_gpx(spark: SparkSession, path: str,
                         if layer == "tracks":
                             wkt = "MULTILINESTRING (" + ", ".join(
                                 "(" + ", ".join(
-                                    f"{x:.7f} {y:.7f}" for x, y in s)
+                                    f"{_F(x)} {_F(y)}" for x, y in s)
                                 + ")" for s in segs if s) + ")"
                             out.append({
                                 "file": base, "track_fid": ti,
@@ -185,13 +187,13 @@ def write_gpx(df: DataFrame, path: str, *, layer: str = "waypoints",
                           {"version": "1.1", "creator": "gdal_spark"})
         for r in rows:
             w = ET.SubElement(root, f"{{{GPX_NS}}}wpt",
-                              {"lat": f"{r['lat']:.7f}",
-                               "lon": f"{r['lon']:.7f}"})
+                              {"lat": _F(r["lat"]),
+                               "lon": _F(r["lon"])})
             for k in ("ele", "time", "name", "cmt", "desc", "sym",
                       "type"):
                 if k in cols and r[k] is not None:
                     e = ET.SubElement(w, f"{{{GPX_NS}}}{k}")
-                    e.text = f"{r[k]:.7f}" if k == "ele" else str(r[k])
+                    e.text = _F(r[k]) if k == "ele" else str(r[k])
         return ET.tostring(root, encoding="utf-8",
                            xml_declaration=True)
 
@@ -232,11 +234,11 @@ def _coords_to_wkt(geom_el) -> str | None:
 
     if tag == "Point":
         (x, y), = pairs(geom_el)
-        return f"POINT ({x:.7f} {y:.7f})"
+        return f"POINT ({_F(x)} {_F(y)})"
     if tag == "LineString":
         ps = pairs(geom_el)
         return "LINESTRING (" + ", ".join(
-            f"{x:.7f} {y:.7f}" for x, y in ps) + ")"
+            f"{_F(x)} {_F(y)}" for x, y in ps) + ")"
     if tag == "Polygon":
         rings = []
         for b in geom_el.iter():
@@ -245,7 +247,7 @@ def _coords_to_wkt(geom_el) -> str | None:
                 if lr is not None:
                     rings.append(pairs(lr))
         return "POLYGON (" + ", ".join(
-            "(" + ", ".join(f"{x:.7f} {y:.7f}" for x, y in r) + ")"
+            "(" + ", ".join(f"{_F(x)} {_F(y)}" for x, y in r) + ")"
             for r in rings) + ")"
     return None
 
@@ -288,7 +290,7 @@ def _wkt_to_kml(parent, wkt: str) -> None:
         pts = list(zip(xs, ys))
         if close and pts and pts[0] != pts[-1]:
             pts.append(pts[0])
-        c.text = " ".join(f"{x:.7f},{y:.7f}" for x, y in pts)
+        c.text = " ".join(f"{_F(x)},{_F(y)}" for x, y in pts)
 
     if g.kind == "point":
         el = ET.SubElement(parent, f"{{{KML_NS}}}Point")
@@ -408,18 +410,18 @@ def _gml_to_wkt(g) -> str | None:
         ints = ring_of(poly_el, ("interior", "innerBoundaryIs"))
         rings = ext + ints
         return "(" + ", ".join(
-            "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in r) + ")"
+            "(" + ", ".join(f"{_F(x)} {_F(y)}" for x, y in r) + ")"
             for r in rings) + ")"
 
     if t == "Point":
         p = _gml_pts(g)
         if not p:
             return None
-        return f"POINT ({p[0][0]:.10g} {p[0][1]:.10g})"
+        return f"POINT ({_F(p[0][0])} {_F(p[0][1])})"
     if t == "LineString":
         p = _gml_pts(g)
         return "LINESTRING (" + ", ".join(
-            f"{x:.10g} {y:.10g}" for x, y in p) + ")"
+            f"{_F(x)} {_F(y)}" for x, y in p) + ")"
     if t == "Polygon":
         return "POLYGON " + poly_body(g)
     if t in ("MultiPolygon", "MultiSurface"):
@@ -433,7 +435,7 @@ def _gml_to_wkt(g) -> str | None:
         for m in g.iter():
             if _strip(m.tag) == "LineString":
                 bodies.append("(" + ", ".join(
-                    f"{x:.10g} {y:.10g}" for x, y in _gml_pts(m)) + ")")
+                    f"{_F(x)} {_F(y)}" for x, y in _gml_pts(m)) + ")")
         return "MULTILINESTRING (" + ", ".join(bodies) + ")"
     if t == "MultiPoint":
         pts = []
@@ -441,7 +443,7 @@ def _gml_to_wkt(g) -> str | None:
             if _strip(m.tag) == "Point":
                 p = _gml_pts(m)
                 if p:
-                    pts.append(f"{p[0][0]:.10g} {p[0][1]:.10g}")
+                    pts.append(f"{_F(p[0][0])} {_F(p[0][1])}")
         return "MULTIPOINT (" + ", ".join(pts) + ")"
     return None
 
@@ -501,7 +503,7 @@ def _wkt_to_gml(parent, wkt: str) -> None:
 
     def pos_list(el_parent, pts, tag="posList"):
         e = ET.SubElement(el_parent, f"{{{GML_NS}}}{tag}")
-        e.text = " ".join(f"{x:.10g} {y:.10g}" for x, y in pts)
+        e.text = " ".join(f"{_F(x)} {_F(y)}" for x, y in pts)
 
     def emit_poly(par, rings):
         poly = ET.SubElement(par, f"{{{GML_NS}}}Polygon")

@@ -2,7 +2,13 @@
 queries() entry on Spark and its oracle_sql() on DuckDB over the same
 parquet dir, compare row count / schema / order-insensitive values.
 
-Usage: python tools/check_contract.py [sf_dir] [query ...]
+Usage: python tools/check_contract.py [--exact] [--json out.json]
+       [sf_dir] [query ...]
+
+--exact replicates the driver's verdict: floats compare bitwise
+(NaN==NaN), not at rtol 1e-9 — the mode that catches
+silent-precision defects like r4's %.10g GML truncation, which the
+tolerance compare waved through.
 """
 
 from __future__ import annotations
@@ -33,6 +39,9 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns), na_position="last").reset_index(drop=True)
 
 
+EXACT = False
+
+
 def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     errs = []
     if len(a) != len(b):
@@ -48,7 +57,10 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
             af = av.astype("float64").to_numpy()
             bf = bv.astype("float64").to_numpy()
             both_nan = np.isnan(af) & np.isnan(bf)
-            close = np.isclose(af, bf, rtol=1e-9, atol=1e-12) | both_nan
+            if EXACT:
+                close = (af == bf) | both_nan
+            else:
+                close = np.isclose(af, bf, rtol=1e-9, atol=1e-12) | both_nan
             if not close.all():
                 k = int(np.argmin(close))
                 errs.append(f"col {c}: {(~close).sum()} diffs, e.g. row {k}: {af[k]} vs {bf[k]}")
@@ -61,7 +73,11 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 
 def main():
+    global EXACT
     argv = list(sys.argv[1:])
+    if "--exact" in argv:
+        EXACT = True
+        argv.remove("--exact")
     json_out = None
     if "--json" in argv:
         k = argv.index("--json")
