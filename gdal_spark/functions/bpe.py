@@ -73,18 +73,34 @@ def word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
     return df.select(w).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 
 
-def bpe_train(df: DataFrame, text_col: str, n_merges: int) -> list:
+def bpe_train(df: DataFrame, text_col: str, n_merges: int, *,
+              min_freq: int = 2,
+              max_vocab: int | None = 1_000_000) -> list:
     """Learn n_merges BPE merges. Returns [(left, right), ...] in
     merge order. Deterministic: exact integer counts, lexicographic
-    tie-break."""
-    wf = word_freq_table(df, text_col).collect()
+    tie-break.
+
+    Driver memory is BOUNDED: the word table is pruned before it
+    leaves the cluster — `min_freq` drops the heavy tail of
+    singleton types (typos/URLs; standard in BPE training, and
+    freq-1 words can never seed a >=2-frequency merge on their own),
+    and `max_vocab` keeps only the top-N types by (freq desc, word
+    asc), executed as a per-partition top-N + driver merge
+    (TakeOrderedAndProject — no global sort). At web scale the
+    vocabulary is heavy-tailed and unbounded; the collect is now
+    O(max_vocab) regardless of corpus size."""
+    wf_df = word_freq_table(df, text_col)
+    if min_freq > 1:
+        wf_df = wf_df.filter(F.col("freq") >= min_freq)
+    if max_vocab is not None:
+        wf_df = wf_df.orderBy(F.col("freq").desc(), F.col("word")) \
+                     .limit(max_vocab)
+    wf = wf_df.collect()
     # The distributed part of each round: pair counts are a map +
     # #pairs-row reduce over the word table. The word table is
-    # vocabulary-sized, so after the first shuffle the rounds are
-    # cheap; holding it as a driver dict mirrors the per-round plan
-    # while keeping 50-round latency off the Spark scheduler. For a
-    # billion-type vocabulary swap this dict for the DataFrame loop
-    # (same counts, same argmax).
+    # pruned to <= max_vocab rows above, so the rounds are cheap;
+    # holding it as a driver dict mirrors the per-round plan while
+    # keeping 50-round latency off the Spark scheduler.
     words = {_word_symbols(r["word"]): int(r["freq"]) for r in wf}
     merges: list = []
     for _ in range(n_merges):

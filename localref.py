@@ -2917,6 +2917,12 @@ def sql_bpe_tokenize() -> str:
         for w in _WORD_RE.findall(t.lower()):
             k = _word_symbols(w)
             words[k] = words.get(k, 0) + 1
+    # Mirror bpe_train's driver-bounding prune: min_freq=2, then
+    # top-max_vocab by (freq desc, word asc).
+    words = {k: n for k, n in words.items() if n >= 2}
+    words = dict(sorted(words.items(),
+                        key=lambda kv: (-kv[1], "".join(kv[0][:-1])))
+                 [:1_000_000])
     merges = []
     for _ in range(20):
         pc = _pair_counts_local(words)

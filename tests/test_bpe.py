@@ -36,3 +36,59 @@ def test_determinism_under_partitioning(spark):
     a = spark.createDataFrame(pd.DataFrame({"text": texts})).repartition(1)
     b = spark.createDataFrame(pd.DataFrame({"text": texts})).repartition(16)
     assert bpe_train(a, "text", 10) == bpe_train(b, "text", 10)
+
+
+def test_driver_vocab_is_bounded(spark):
+    """Heavy-tail synthetic vocabulary: a million-type tail of
+    singletons must never reach the driver — min_freq prunes it
+    cluster-side, max_vocab caps what remains."""
+    import pandas as pd
+
+    from gdal_spark.functions import bpe as B
+
+    texts = ([f"uniq{i}x uniq{i}y" for i in range(3000)]
+             + ["stable corpus core words"] * 50)
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+
+    # what actually reaches the driver: the pruned table bpe_train
+    # collects — min_freq drops the 6000 singleton types, max_vocab
+    # caps the survivors
+    surviving = B.word_freq_table(df, "text") \
+        .filter("freq >= 2").count()
+    assert surviving <= 10  # tail gone cluster-side
+
+    merges = bpe_train(df, "text", 5, min_freq=2, max_vocab=100)
+    flat = {s for m in merges for s in m}
+    assert not any("uniq" in s for s in flat)
+    assert len(merges) == 5
+
+
+def test_min_freq_prune_matches_sequential(spark):
+    """Pruned distributed training == pruned sequential training."""
+    import pandas as pd
+
+    from gdal_spark.functions.bpe import (_WORD_RE, _merge_word,
+                                          _pair_counts_local,
+                                          _word_symbols)
+
+    texts = ["the cat sat on the mat", "the cat ran", "a rare typo00x"]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = bpe_train(df, "text", 8, min_freq=2, max_vocab=1000)
+
+    words: dict = {}
+    for t in texts:
+        for w in _WORD_RE.findall(t.lower()):
+            k = _word_symbols(w)
+            words[k] = words.get(k, 0) + 1
+    words = {k: n for k, n in words.items() if n >= 2}
+    merges = []
+    for _ in range(8):
+        pc = _pair_counts_local(words)
+        if not pc:
+            break
+        best = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        merges.append(best[0])
+        words = {_merge_word(s, best[0]): n for s, n in words.items()}
+    assert got == merges
