@@ -5093,6 +5093,26 @@ def _q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_mbtiles_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBTiles format=jpg loop (mbtilesdataset.cpp TILE_FORMAT=JPEG;
+    frmts/jpeg/jpgdataset.cpp): tiles encode DISTRIBUTED through the
+    from-scratch baseline T.81 codec (jpeg.py — exact-DCT einsum,
+    Annex K tables), driver INSERTs blobs, read back via descriptor
+    windows decoding with the 16-bit-LUT Huffman reader. JPEG is
+    lossy but decode(encode(x)) is deterministic, so checksums must
+    equal the sequential oracle's exactly."""
+    import tempfile
+
+    from gdal_spark import mbtiles
+
+    src = synth.tiles_src_df(spark, 2, 2, raster_id="jpeg_like")
+    path = tempfile.mkdtemp(prefix="gdal_spark_mbtj_") + "/rt.mbtiles"
+    mbtiles.write_mbtiles(src, path, name="jpeg_like",
+                          tile_format="jpg", quality=85)
+    back = mbtiles.read_mbtiles(spark, path, raster_id="jpeg_like")
+    return tiling.checksum_table(back)
+
+
 def _q_xyz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XYZ driver loop (gdal/frmts/xyz/xyzdataset.cpp): gdal2xyz dump
     of the 2x2 synth tiles -> text -> distributed grid re-inference
@@ -5155,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmentize_lines": _q_segmentize_lines,
         "envi_roundtrip": _q_envi_roundtrip,
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,
+        "mbtiles_jpeg_roundtrip": _q_mbtiles_jpeg_roundtrip,
         "pgdump_roundtrip": _q_pgdump_roundtrip,
         "gpx_roundtrip": _q_gpx_roundtrip,
         "kml_roundtrip": _q_kml_roundtrip,
@@ -7629,6 +7650,8 @@ def oracle_sql() -> dict[str, str]:
                      localref.sql_envi_checksums_2x2_2band())
         d.setdefault("mbtiles_roundtrip",
                      localref.sql_raster_checksums_2x2())
+        d.setdefault("mbtiles_jpeg_roundtrip",
+                     localref.sql_mbtiles_jpeg_checksums(85))
         d.setdefault("vrt_xml_derived", localref.sql_vrt_derived_checksums())
     except Exception:
         pass

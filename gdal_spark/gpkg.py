@@ -56,7 +56,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from . import geometry
-from .png import decode_png, encode_png
+from .jpeg import decode_image, encode_jpeg
+from .png import encode_png
 from .synth import TILE_SCHEMA
 
 
@@ -397,7 +398,7 @@ def read_gpkg_tiles(
                     )
                     for z, tc, tr, blob in cur:
                         tw, th, px, py = tm[int(z)]
-                        img = decode_png(bytes(blob))
+                        img = decode_image(bytes(blob))
                         if img.ndim == 2:
                             img = img[:, :, None]
                         gt = [
@@ -436,12 +437,18 @@ def write_gpkg_tiles(
     path: str,
     table: str = "tiles",
     srs_id: int = 3857,
+    tile_format: str = "png",
+    quality: int = 75,
 ) -> int:
-    """GeoPackage tile sink. PNG encoding (the CPU cost) runs
+    """GeoPackage tile sink. Tile encoding (the CPU cost) runs
     DISTRIBUTED in mapInPandas — bands of one tile group into a
-    grey/RGB/RGBA blob per tile; the driver then single-writer
-    INSERTs the finished blobs and the gpkg catalog rows. Assumes
-    one zoom's tiles share tile size and resolution (validated)."""
+    grey/RGB/RGBA blob per tile (pure-zlib PNG or baseline-T.81 JPEG
+    per tile_format, the gpkgdataset TILE_FORMAT creation option);
+    the driver then single-writer INSERTs the finished blobs and the
+    gpkg catalog rows. Assumes one zoom's tiles share tile size and
+    resolution (validated)."""
+    if tile_format not in ("png", "jpg", "jpeg"):
+        raise ValueError(f"tile_format {tile_format!r}")
     enc_schema = T.StructType(
         [
             T.StructField("zoom", T.IntegerType()),
@@ -466,7 +473,7 @@ def write_gpkg_tiles(
             for d in pdf["data"]
         ]
         img = chans[0] if len(chans) == 1 else np.stack(chans, axis=2)
-        if img.dtype not in (np.uint8, np.uint16):
+        if tile_format != "png" or img.dtype not in (np.uint8, np.uint16):
             img = np.clip(img, 0, 255).astype(np.uint8)
         gt = pdf["geotransform"].iloc[0]
         return pd.DataFrame(
@@ -480,7 +487,8 @@ def write_gpkg_tiles(
                     "px": float(gt[1]),
                     "gt0": float(gt[0]),
                     "gt3": float(gt[3]),
-                    "blob": encode_png(img),
+                    "blob": encode_png(img) if tile_format == "png"
+                    else encode_jpeg(img, quality),
                 }
             ]
         )

@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .jpeg import decode_jpeg, encode_jpeg
 from .png import decode_png, encode_png
 from .synth import TILE_SCHEMA
 
@@ -82,11 +83,12 @@ def read_mbtiles(spark: SparkSession, path: str, *, zoom: int | None = None,
     rid = raster_id or meta.get("name") or \
         os.path.splitext(os.path.basename(path))[0]
     fmt = meta.get("format", "png")
-    if fmt not in ("png",):
+    if fmt not in ("png", "jpg", "jpeg"):
         raise NotImplementedError(
-            f"MBTiles format {fmt!r}: only the pure-zlib PNG codec is "
-            "available in this environment (png.py); jpg/webp decode "
+            f"MBTiles format {fmt!r}: png (pure-zlib codec, png.py) "
+            "and jpg (baseline T.81 codec, jpeg.py) decode here; webp "
             "is injectable the same way the multimodal codecs are")
+    decode_blob = decode_png if fmt == "png" else decode_jpeg
     ranges = []
     for z in zs:
         lo, hi, _ = extents[z]
@@ -111,7 +113,7 @@ def read_mbtiles(spark: SparkSession, path: str, *, zoom: int | None = None,
                         (z, int(r.col_lo), int(r.col_hi)))
                     for tc, tr, blob in cur:
                         ty = nrow - 1 - int(tr)  # TMS -> XYZ
-                        img = decode_png(bytes(blob))
+                        img = decode_blob(bytes(blob))
                         if img.ndim == 2:
                             img = img[:, :, None]
                         h, w = img.shape[0], img.shape[1]
@@ -136,11 +138,17 @@ def read_mbtiles(spark: SparkSession, path: str, *, zoom: int | None = None,
 
 
 def write_mbtiles(tiles: DataFrame, path: str, *, name: str | None = None,
-                  description: str = "") -> int:
-    """MBTiles sink (mbtilesdataset.cpp CreateCopy): PNG encoding runs
-    DISTRIBUTED (one keyed shuffle stacks a tile's bands into a
-    grey/RGB/RGBA blob); the driver INSERTs the finished blobs with the
-    TMS row flip and writes the metadata table. Returns tile count."""
+                  description: str = "", tile_format: str = "png",
+                  quality: int = 75) -> int:
+    """MBTiles sink (mbtilesdataset.cpp CreateCopy, TILE_FORMAT
+    creation option): tile encoding runs DISTRIBUTED (one keyed
+    shuffle stacks a tile's bands into a grey/RGB/RGBA blob, then the
+    pure-zlib PNG codec or the baseline-T.81 JPEG codec); the driver
+    INSERTs the finished blobs with the TMS row flip and writes the
+    metadata table. Returns tile count."""
+    if tile_format not in ("png", "jpg", "jpeg"):
+        raise ValueError(f"tile_format {tile_format!r}")
+    fmt = "png" if tile_format == "png" else "jpg"
     enc_schema = T.StructType([
         T.StructField("zoom", T.IntegerType()),
         T.StructField("tile_x", T.IntegerType()),
@@ -156,13 +164,15 @@ def write_mbtiles(tiles: DataFrame, path: str, *, name: str | None = None,
         chans = [np.frombuffer(d, dtype=dt).reshape(h, w)
                  for d in pdf["data"]]
         img = chans[0] if len(chans) == 1 else np.stack(chans, axis=2)
-        if img.dtype not in (np.uint8, np.uint16):
+        if fmt == "jpg" or img.dtype not in (np.uint8, np.uint16):
             img = np.clip(img, 0, 255).astype(np.uint8)
+        blob = encode_png(img) if fmt == "png" \
+            else encode_jpeg(img, quality)
         return pd.DataFrame([{
             "zoom": int(pdf["zoom"].iloc[0]),
             "tile_x": int(pdf["tile_x"].iloc[0]),
             "tile_y": int(pdf["tile_y"].iloc[0]),
-            "blob": encode_png(img),
+            "blob": blob,
         }])
 
     encoded = tiles.groupBy("zoom", "tile_x", "tile_y") \
@@ -181,7 +191,7 @@ def write_mbtiles(tiles: DataFrame, path: str, *, name: str | None = None,
         zmax = int(encoded["zoom"].max()) if len(encoded) else 0
         for k, v in [("name", name or os.path.basename(path)),
                      ("type", "overlay"), ("version", "1.1"),
-                     ("description", description), ("format", "png"),
+                     ("description", description), ("format", fmt),
                      ("minzoom", str(zmin)), ("maxzoom", str(zmax))]:
             con.execute("INSERT INTO metadata VALUES (?, ?)", (k, v))
         for r in encoded.itertuples(index=False):

@@ -367,6 +367,21 @@ def sql_raster_checksums_2x2() -> str:
                       CKS_COLS, CKS_TYPES)
 
 
+def sql_mbtiles_jpeg_checksums(quality: int = 85) -> str:
+    """Oracle for the lossy MBTiles-JPEG loop: sequential
+    decode(encode(tile)) with the engine's own deterministic baseline
+    codec — the distributed write/read pyramid must land on the exact
+    same pixels."""
+    from gdal_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            dec = decode_jpeg(encode_jpeg(tile_pixels_np(tx, ty), quality))
+            rows.append(("jpeg_like", 1, 12, tx, ty, G.gdal_checksum(dec)))
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
 def sql_envi_checksums_2x2_2band() -> str:
     """2-band ENVI/EHdr roundtrip oracle: band 1 = default-seed synth
     mosaic, band 2 = seed-9 mosaic (the writer interleaves them BIP,
