@@ -4275,6 +4275,32 @@ def _gridshift_sql() -> str:
     """
 
 
+def _q_ntv2_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL NTv2 .gsb consumption (reference: PROJ +hgridshift reached
+    through ogr/ogrct.cpp; file layout frmts/raw/ntv2dataset.cpp): a
+    two-subgrid toy .gsb is serialized and re-parsed (ntv2.py), then
+    applied in ONE pass — finest-containing-subgrid selection in
+    whole-stage codegen, four broadcast corner joins against the node
+    table, bilinear in double. Points outside every subgrid pass
+    through, points in the child box must use the child grid. The
+    DuckDB oracle re-runs the whole thing from an inlined VALUES node
+    table — engine vs engine, not engine vs itself."""
+    from gdal_spark import ntv2
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    d = d.select(
+        "doc_id",
+        (F.lit(-112.0) + (F.col("lon") + 180.0) / 360.0 * 29.0).alias("lon"),
+        (F.lit(28.0) + (F.col("lat") + 85.0) / 170.0 * 24.0).alias("lat"))
+    subs = ntv2.read_gsb(ntv2.toy_gsb_bytes())
+    out = ntv2.apply_gsb(d, spark, subs)
+    return out.select(
+        "doc_id",
+        F.col("_gid").alias("gid"),
+        F.round("lon_shifted", 6).alias("lon_nad83"),
+        F.round("lat_shifted", 6).alias("lat_nad83"))
+
+
 def _q_bng_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPSG:4326 -> EPSG:27700 (British National Grid), the compound
     Helmert + Airy-TM pipeline the reference builds through PROJ
@@ -5420,6 +5446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nztm_transform": _q_conic(2193),
         "helmert_transform": _q_helmert_transform,
         "gridshift_transform": _q_gridshift_transform,
+        "ntv2_transform": _q_ntv2_transform,
         "bng_transform": _q_bng_transform,
         "nad27_utm_transform": _q_nad27_utm_transform,
         "pansharpen_checksums": _q_pansharpen,
@@ -7582,6 +7609,7 @@ def oracle_sql() -> dict[str, str]:
         import localref
 
         d.setdefault("geotiff_roundtrip", localref.sql_raster_checksums())
+        d.setdefault("ntv2_transform", localref.sql_ntv2_transform())
         d.setdefault("vrt_xml_composite", localref.sql_vrt_composite_checksums())
         d.setdefault("aaigrid_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("cog_roundtrip", localref.sql_cog_checksums())

@@ -3302,3 +3302,66 @@ def sql_gcps2wld() -> str:
     return values_sql([tuple(round(v, 6) for v in wf)],
                       ["wld_a", "wld_d", "wld_b", "wld_e", "wld_c", "wld_f"],
                       ["double"] * 6)
+
+
+def sql_ntv2_transform() -> str:
+    """Fully-independent DuckDB oracle for the NTv2 hgridshift apply:
+    the toy .gsb bytes are regenerated, parsed, and the node table is
+    INLINED as VALUES; DuckDB then reruns subgrid selection and the
+    bilinear corner joins itself in plain SQL (same association order
+    as the Column expressions, node floats via shortest repr)."""
+    from gdal_spark import ntv2
+    from gdal_spark.derived import DERIVED_LAT_SQL, DERIVED_LON_SQL
+
+    subs = ntv2.read_gsb(ntv2.toy_gsb_bytes())
+    vals = []
+    for gid, sg in enumerate(subs):
+        sh = sg["shifts"]
+        ni, nj = sh.shape[0], sh.shape[1]
+        for i in range(ni):
+            for j in range(nj):
+                vals.append(f"({gid},{i},{j},{sh[i, j, 0]!r},{sh[i, j, 1]!r})")
+    gid_case = ntv2.subgrid_select_sql(subs, "lon", "lat")
+    c = {
+        "lat0": ntv2.per_gid_const_sql(subs, lambda g: g["lat0"], "gid"),
+        "lon0": ntv2.per_gid_const_sql(subs, lambda g: g["lon0"], "gid"),
+        "dla": ntv2.per_gid_const_sql(subs, lambda g: g["dlat"], "gid", 1.0),
+        "dlo": ntv2.per_gid_const_sql(subs, lambda g: g["dlon"], "gid", 1.0),
+        "nim2": ntv2.per_gid_const_sql(subs, lambda g: g["ni"] - 2, "gid"),
+        "njm2": ntv2.per_gid_const_sql(subs, lambda g: g["nj"] - 2, "gid"),
+    }
+    return f"""
+WITH grid(g, i, j, a, o) AS (VALUES {','.join(vals)}),
+b AS (SELECT doc_id,
+        (-112.0 + ({DERIVED_LON_SQL} + 180.0) / 360.0 * 29.0) AS lon,
+        (28.0 + ({DERIVED_LAT_SQL} + 85.0) / 170.0 * 24.0) AS lat
+      FROM documents),
+s AS (SELECT doc_id, lon, lat, {gid_case} AS gid FROM b),
+c AS (SELECT *, {c['lat0']} AS lat0, {c['lon0']} AS lon0,
+        {c['dla']} AS dla, {c['dlo']} AS dlo,
+        {c['nim2']} AS nim2, {c['njm2']} AS njm2 FROM s),
+f AS (SELECT *, LEAST(FLOOR((lat - lat0) / dla), nim2) AS gi,
+        LEAST(FLOOR((lon - lon0) / dlo), njm2) AS gj FROM c),
+f2 AS (SELECT *, (lat - lat0) / dla - gi AS fi,
+        (lon - lon0) / dlo - gj AS fj FROM f),
+jn AS (SELECT f2.*,
+        g00.a AS a00, g00.o AS o00, g01.a AS a01, g01.o AS o01,
+        g10.a AS a10, g10.o AS o10, g11.a AS a11, g11.o AS o11
+      FROM f2
+      LEFT JOIN grid g00 ON f2.gid = g00.g AND f2.gi = g00.i AND f2.gj = g00.j
+      LEFT JOIN grid g01 ON f2.gid = g01.g AND f2.gi = g01.i AND f2.gj + 1 = g01.j
+      LEFT JOIN grid g10 ON f2.gid = g10.g AND f2.gi + 1 = g10.i AND f2.gj = g10.j
+      LEFT JOIN grid g11 ON f2.gid = g11.g AND f2.gi + 1 = g11.i AND f2.gj + 1 = g11.j),
+w AS (SELECT *,
+        ((1.0 - fi) * (1.0 - fj) * a00 + (1.0 - fi) * fj * a01
+         + fi * (1.0 - fj) * a10 + fi * fj * a11) AS dlat,
+        ((1.0 - fi) * (1.0 - fj) * o00 + (1.0 - fi) * fj * o01
+         + fi * (1.0 - fj) * o10 + fi * fj * o11) AS dlon
+      FROM jn)
+SELECT doc_id, gid,
+       ROUND(CASE WHEN gid >= 0 THEN lon - dlon / 3600.0 ELSE lon END, 6)
+         AS lon_nad83,
+       ROUND(CASE WHEN gid >= 0 THEN lat + dlat / 3600.0 ELSE lat END, 6)
+         AS lat_nad83
+FROM w
+"""
