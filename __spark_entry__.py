@@ -433,6 +433,42 @@ def _q_fgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain SQLite / Spatialite driver (ogr/ogrsf_frmts/sqlite/
+    ogrsqlitelayer.cpp, autotest/ogr/ogr_sqlite.py): derived document
+    points + typed attributes write through the Spatialite-catalog
+    sink (BLOB geometries per the public Spatialite spec), then the
+    rowid-window mapInPandas scan reads them back distributed —
+    attributes and coordinates must survive the blob codec."""
+    import tempfile
+
+    from gdal_spark import sqlitevec
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 400
+    )
+    feats = d.select(
+        F.col("doc_id").alias("src_id"),
+        "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        F.concat(F.lit("POINT ("), F.col("lon").cast("string"),
+                 F.lit(" "), F.col("lat").cast("string"),
+                 F.lit(")")).alias("wkt"),
+    )
+    path = tempfile.mkdtemp(prefix="gdal_spark_sqlite_") + "/d.sqlite"
+    sqlitevec.write_sqlite(feats, path, table="docs",
+                           geometry_type="POINT")
+    out = sqlitevec.read_sqlite(spark, path, "docs", rows_per_batch=128)
+    nums = F.expr(
+        "transform(filter(split(regexp_replace(wkt, "
+        "'[^-0-9.eE]+', ' '), ' '), t -> t rlike '[0-9]'), t -> cast(t as double))"
+    )
+    return out.select(
+        F.col("src_id").alias("doc_id"), "lang", "n_chars",
+        F.round(F.element_at(nums, 1), 6).alias("x"),
+        F.round(F.element_at(nums, 2), 6).alias("y"),
+    )
+
+
 def _q_lineref_subline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrlineref -get_subline (apps/ogrlineref.cpp:432 CreateSubline)
     over the L-path fleet: clip every path's parts to M in [9, 27] and
@@ -5217,6 +5253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dxf_roundtrip": _q_dxf_roundtrip,
         "ogr_tindex": _q_ogr_tindex,
         "fgb_roundtrip": _q_fgb_roundtrip,
+        "sqlite_roundtrip": _q_sqlite_roundtrip,
         "ogr_dissolve": _q_ogr_dissolve,
         "netcdf_raster": _q_netcdf_raster,
         "fgb_bbox_filter": _q_fgb_bbox_filter,
@@ -6467,6 +6504,11 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM documents WHERE doc_id < 600 GROUP BY doc_id % 20
         """,
         "fgb_roundtrip": f"""
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   ROUND({_LON}, 6) AS x, ROUND({_LAT}, 6) AS y
+            FROM documents WHERE doc_id < 400
+        """,
+        "sqlite_roundtrip": f"""
             SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
                    ROUND({_LON}, 6) AS x, ROUND({_LAT}, 6) AS y
             FROM documents WHERE doc_id < 400
