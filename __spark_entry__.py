@@ -2644,6 +2644,34 @@ def _q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster attribute table (gcore/gdal_rat.cpp; autotest/gcore/
+    rat.py): the classified mosaic's default RAT (VALUE/COUNT) builds
+    DISTRIBUTED — per-tile bincount partials, one keyed sum — then
+    roundtrips through the PAM .aux.xml serialization
+    (GDALRasterAttributeTable XML) before reporting."""
+    import tempfile
+
+    import localref
+    from gdal_spark import enhance
+    from gdal_spark import rat as RT
+
+    tiles = synth.tiles_src_df(spark, 2, 2)
+    classified = enhance.classify(tiles, localref.CLASSIFY_DEFS)
+    hist = RT.default_rat_df(classified).toPandas()
+    path = tempfile.mkdtemp(prefix="gdal_spark_rat_") + "/x.aux.xml"
+    RT.write_aux_xml(path, {1: RT.rat_from_df(hist)})
+    back = RT.read_aux_xml(path)[1]
+    pdf = back.to_pandas()
+    pdf.insert(0, "raster_id", "byte_like")
+    pdf.insert(1, "band", 1)
+    out = spark.createDataFrame(pdf)
+    return out.select(
+        "raster_id", F.col("band").cast("int").alias("band"),
+        F.col("VALUE").cast("long").alias("value"),
+        F.col("COUNT").cast("long").alias("count"))
+
+
 def _q_attachpct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalattachpct / rgb2pct -pct + pct2rgb: dither against an
     external palette (the attached color table), expand back to RGB
@@ -2718,6 +2746,43 @@ def _q_ogr_sql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "nseg", F.round("mn", 3).alias("mn"), F.round("mx", 3).alias("mx"),
         F.round("total", 3).alias("total"), F.round("av", 3).alias("av"),
     )
+
+
+def _q_ogr_style_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR_STYLE through the textual dialect (ogr_sql_dialect.rst
+    special fields; ogrfeaturestyle.cpp): a layer carrying per-feature
+    style strings exposes them as the OGR_STYLE special field — WHERE
+    filters on it, the projection returns it, and the engine's
+    style-string accessors (style.py style_param, the OGRStyleTool
+    GetParam path) extract PEN params as pure regexp column math."""
+    from gdal_spark import style as ST
+    from gdal_spark.ogr_sql_exec import execute_ogr_sql
+
+    cust = _read(spark, sf_dir, "customer")
+    lay = cust.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(F.lit("PEN(c:#FF0000,w:"),
+                     (F.col("c_custkey") % 5).cast("string"),
+                     F.lit("px);BRUSH(fc:#33AA55)")),
+        ).otherwise(
+            F.concat(F.lit("SYMBOL(id:ogr-sym-0,s:"),
+                     (F.col("c_custkey") % 7).cast("string"),
+                     F.lit("pt)"))
+        ).alias("_style"),
+    )
+    out = execute_ogr_sql(
+        spark,
+        "SELECT c_custkey, OGR_STYLE AS style FROM customer "
+        "WHERE OGR_STYLE LIKE 'PEN%'",
+        {"customer": lay},
+    )
+    return out.select(
+        "c_custkey", "style",
+        ST.style_param(F.col("style"), "PEN", "w").alias("pen_w"),
+        ST.style_param(F.col("style"), "PEN", "c").alias("pen_c"),
+        ST.style_param(F.col("style"), "BRUSH", "fc").alias("brush_fc"))
 
 
 def _q_ogr_sql_text_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5335,6 +5400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "junction_table": _q_junction_table,
         "gcps2wld": _q_gcps2wld,
         "classify_checksums": _q_classify,
+        "rat_roundtrip": _q_rat_roundtrip,
         "attachpct_checksums": _q_attachpct,
         "nearblack_checksums": _q_nearblack,
         "mask_band_checksums": _q_mask_band,
@@ -5445,6 +5511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": _q_bm25_rank,
         "gdalcompare_stats": _q_gdalcompare,
         "sqlite_dialect_exec": _q_sqlite_dialect_exec,
+        "ogr_style_query": _q_ogr_style_query,
         "hstore_text": _q_hstore_text,
         "tile_index": _q_tile_index,
         "reproject_3857": _q_reproject_3857,
@@ -7830,6 +7897,24 @@ def oracle_sql() -> dict[str, str]:
                      localref.sql_val_repl_checksums())
         d.setdefault("classify_checksums",
                      localref.sql_classify_checksums())
+        d.setdefault("rat_roundtrip", localref.sql_rat_roundtrip())
+        from gdal_spark.style import style_param_sql as _sps
+        d.setdefault("ogr_style_query", f"""
+            WITH s AS (
+              SELECT c_custkey,
+                CASE WHEN c_custkey % 2 = 0
+                     THEN 'PEN(c:#FF0000,w:' || CAST(c_custkey % 5 AS VARCHAR)
+                          || 'px);BRUSH(fc:#33AA55)'
+                     ELSE 'SYMBOL(id:ogr-sym-0,s:'
+                          || CAST(c_custkey % 7 AS VARCHAR) || 'pt)'
+                END AS style
+              FROM customer)
+            SELECT c_custkey, style,
+                   {_sps('style', 'PEN', 'w')} AS pen_w,
+                   {_sps('style', 'PEN', 'c')} AS pen_c,
+                   {_sps('style', 'BRUSH', 'fc')} AS brush_fc
+            FROM s WHERE style LIKE 'PEN%'
+        """)
         d.setdefault("attachpct_checksums",
                      localref.sql_attachpct_checksums())
         d.setdefault("fft_magphase", localref.sql_fft_magphase())

@@ -3365,3 +3365,18 @@ SELECT doc_id, gid,
          AS lat_nad83
 FROM w
 """
+
+
+def sql_rat_roundtrip() -> str:
+    """Oracle for the default-RAT build over the classified mosaic:
+    sequential classify + histogram (gcore/gdal_rat.cpp default RAT =
+    VALUE/COUNT; autotest/gcore/rat.py)."""
+    g = global_mosaic(2, 2).astype(np.float64)
+    dst = np.zeros(g.shape, dtype=np.uint8)
+    for value, start, end in CLASSIFY_DEFS:
+        dst = np.where((g >= start) & (g <= end), np.uint8(value), dst)
+    c = np.bincount(dst.ravel())
+    rows = [("byte_like", 1, int(v), int(c[v]))
+            for v in np.nonzero(c)[0]]
+    return values_sql(rows, ["raster_id", "band", "value", "count"],
+                      ["varchar", "integer", "bigint", "bigint"])
