@@ -158,7 +158,12 @@ def values_sql(rows, cols, types) -> str:
             s = str(v).replace("'", "''")
             return f"'{s}'"
         if t == "double":
-            return repr(float(v))
+            # a bare decimal literal is inferred as DECIMAL and
+            # DuckDB's DECIMAL->DOUBLE conversion double-rounds (int128
+            # / 10^s in floating point) — 1-ulp drift on ~25% of
+            # values.  A string parse is correctly rounded, so this
+            # round-trips every finite double exactly.
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
         return str(int(v))
 
     body = ",\n".join(
