@@ -162,6 +162,54 @@ def _q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionAll(t)
 
 
+def _q_netcdf4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netCDF-4 (HDF5 container) roundtrip — the modern sibling of
+    _q_netcdf_roundtrip (frmts/netcdf/netcdfdataset.cpp opens NC4
+    through libhdf5; frmts/hdf5/hdf5dataset.cpp): the same two vars
+    write into a v0-superblock HDF5 file from scratch (hdf5.py) — the
+    int16 grid CHUNKED through a v1 chunk B-tree (edge chunks
+    included), the float32 var contiguous with CF
+    scale/offset/_FillValue — then the chunk-descriptor-parallel scan
+    reads them back map-only and unpacks."""
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import hdf5
+
+    path = tempfile.mkdtemp(prefix="gdal_spark_nc4_") + "/rt.nc"
+    ny, nx, nt, npp = 24, 37, 11, 29
+    grid = (
+        spark.range(ny).select(F.col("id").alias("y"))
+        .crossJoin(spark.range(nx).select(F.col("id").alias("x")))
+        .select("y", "x", ((F.col("y") * 131 + F.col("x")) % 251 - 17)
+                .cast("double").alias("value"))
+    )
+    packed = (
+        spark.range(nt).select(F.col("id").alias("time"))
+        .crossJoin(spark.range(npp).select(F.col("id").alias("p")))
+        .select("time", "p", F.when(
+            (F.col("time") * 53 + F.col("p") * 7) % 113 == 0, F.lit(-999.0)
+        ).otherwise(((F.col("time") * 53 + F.col("p") * 7) % 113 - 9)
+                    .cast("double")).alias("value"))
+    )
+    hdf5.write_netcdf4(path, [
+        {"name": "grid", "dims": [("y", ny), ("x", nx)], "dtype": "i2",
+         "df": grid, "chunks": (8, 16)},
+        {"name": "t", "dims": [("time", nt), ("p", npp)], "dtype": "f4",
+         "df": packed,
+         "atts": {"scale_factor": 0.25, "add_offset": 3.0,
+                  "_FillValue": np.float32(-999.0)}},
+    ], global_atts={"Conventions": "CF-1.8"})
+    g = hdf5.read_netcdf4(spark, path, "grid").df.select(
+        F.lit("grid").alias("var"), F.col("y").alias("d0"),
+        F.col("x").alias("d1"), "value")
+    t = hdf5.read_netcdf4(spark, path, "t").df.select(
+        F.lit("t").alias("var"), F.col("time").alias("d0"),
+        F.col("p").alias("d1"), "value")
+    return g.unionAll(t)
+
+
 def _lineref_fixture(spark: SparkSession):
     """40 L-shaped paths A=(10p,0) -> B=(10p+3,4) -> C=(10p+9,12)
     (legs 5 and 10), repers at path distances 2.5 and 10 carrying
@@ -5314,6 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pip": _q_streaming_pip,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "netcdf_roundtrip": _q_netcdf_roundtrip,
+        "netcdf4_roundtrip": _q_netcdf4_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "dxf_roundtrip": _q_dxf_roundtrip,
         "ogr_tindex": _q_ogr_tindex,
@@ -6616,6 +6665,20 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM p
         """,
         "netcdf_roundtrip": """
+            SELECT 'grid' AS var, CAST(a.range AS BIGINT) AS d0,
+                   CAST(b.range AS BIGINT) AS d1,
+                   CAST((a.range * 131 + b.range) % 251 - 17 AS DOUBLE)
+                     AS value
+            FROM range(24) a CROSS JOIN range(37) b
+            UNION ALL
+            SELECT 't', CAST(a.range AS BIGINT), CAST(b.range AS BIGINT),
+                   CASE WHEN (a.range * 53 + b.range * 7) % 113 = 0
+                        THEN NULL
+                        ELSE CAST((a.range * 53 + b.range * 7) % 113 - 9
+                                  AS DOUBLE) * 0.25 + 3.0 END
+            FROM range(11) a CROSS JOIN range(29) b
+        """,
+        "netcdf4_roundtrip": """
             SELECT 'grid' AS var, CAST(a.range AS BIGINT) AS d0,
                    CAST(b.range AS BIGINT) AS d1,
                    CAST((a.range * 131 + b.range) % 251 - 17 AS DOUBLE)
