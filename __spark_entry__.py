@@ -1906,16 +1906,19 @@ def _q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     polygonize valid regions -> georef vertex transform; the regions
     row set plus the -dissolve MULTIPOLYGON row. Fixture: nearblack
     collar output split in two by a nodata stripe."""
-    from gdal_spark.footprint import footprint
+    from gdal_spark.footprint import dissolve_regions, footprint
     from gdal_spark.nearblack import nearblack
 
     gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
     tiles = _stripe_nodata(
         nearblack(synth.collar_tiles_df(spark, 4, 4, 64), set_mask=False),
         120, 136)
-    regions = footprint(tiles, gt=gt).select(
-        F.lit("regions").alias("mode"), "npix", "wkt")
-    dissolved = footprint(tiles, gt=gt, dissolve=True).select(
+    # one mask -> polygonize -> stitch pipeline; the regions table is
+    # O(#footprint regions) rows, so checkpointing it is cheap and the
+    # dissolve derives from it instead of re-running the raster pass
+    regs = footprint(tiles, gt=gt).localCheckpoint()
+    regions = regs.select(F.lit("regions").alias("mode"), "npix", "wkt")
+    dissolved = dissolve_regions(regs).select(
         F.lit("dissolve").alias("mode"), "npix", "wkt")
     return regions.unionByName(dissolved)
 

@@ -214,6 +214,12 @@ def main():
         # pure-codegen graticule, junction explode, normal-eq GCP fit
         "graticule_segments", "graticule_lines", "junction_table",
         "gcps2wld",
+        # round 5: real NTv2 .gsb consumption, SQLite/Spatialite scan,
+        # RAT histogram + PAM loop, OGR_STYLE dialect, the from-scratch
+        # HDF5/netCDF-4 chunk-parallel loop, and the baseline-JPEG
+        # MBTiles pyramid
+        "ntv2_transform", "sqlite_roundtrip", "rat_roundtrip",
+        "ogr_style_query", "netcdf4_roundtrip", "mbtiles_jpeg_roundtrip",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

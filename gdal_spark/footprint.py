@@ -154,7 +154,17 @@ def footprint(tiles: DataFrame, bands=None, combine: str = "union",
     ).filter(F.col("wkt").isNotNull())
     if not dissolve:
         return out
+    return dissolve_regions(out)
 
+
+def dissolve_regions(out: DataFrame) -> DataFrame:
+    """-dissolve over an already-computed footprint regions table:
+    distinct 4-connected mask regions are disjoint BY CONSTRUCTION, so
+    the dissolved feature is the plain MULTIPOLYGON concatenation —
+    one applyInPandas gather over O(#regions) rows, no geometry union.
+    Exposed separately so callers needing BOTH shapes (gdal_footprint
+    with and without -dissolve, the bench suite) run the expensive
+    mask -> polygonize -> component-stitch pipeline ONCE."""
     # disjoint-by-construction regions: dissolve = concatenate rings
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bodies = []

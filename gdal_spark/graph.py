@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _INF = float("inf")
 
@@ -304,16 +305,31 @@ def k_shortest_paths(edges: DataFrame, source, target, k: int = 3,
     return A
 
 
-def connected_components(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 100,
+                         driver_cutoff: int = 1_000_000) -> DataFrame:
     """(node, component) with component = min node id of the component
     (GNMGraph::ConnectedComponents, gnmgraph.cpp:417). Treats edges as
     undirected.
 
-    Each round does (a) a neighbor-min propagation and (b) a pointer
+    Adaptive execution, AQE-style: one bounded `take(driver_cutoff+1)`
+    probes the edge count. At or under the cutoff (<= ~32 MB of id
+    pairs — footprint/sieve/contour equivalence graphs are
+    perimeter-bound and land here even for very large rasters) the
+    rows are ALREADY on the driver, so a local union-find finishes in
+    one job instead of O(log diameter) iterative rounds — the
+    iterative loop's per-round scheduling latency dominates exactly
+    when the data is this small.  Above the cutoff nothing was
+    materialized beyond the probe and the distributed loop runs:
+
+    each round does (a) a neighbor-min propagation and (b) a pointer
     jump (component := component-of-component — valid because labels
     are always node ids). The jump halves label chains, so long thin
     components (a region snaking across thousands of raster tiles)
     converge in O(log diameter) rounds instead of O(diameter)."""
+    if driver_cutoff > 0:
+        head = edges.select("src", "dst").take(driver_cutoff + 1)
+        if len(head) <= driver_cutoff:
+            return _cc_local(edges.sparkSession, head)
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -359,6 +375,42 @@ def connected_components(edges: DataFrame, max_iter: int = 100) -> DataFrame:
         if changed == 0:
             break
     return lab
+
+
+def _cc_local(spark, rows) -> DataFrame:
+    """Driver union-find over a bounded edge list (path-halving find,
+    min-id component labels — identical output contract to the
+    distributed loop)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while x != r:                      # path compression
+            nxt = parent.get(x, x)
+            parent[x] = r
+            if nxt == x:
+                break
+            x = nxt
+        return r
+
+    for e in rows:
+        a, b = find(e[0]), find(e[1])
+        if a != b:
+            parent[max(a, b)] = min(a, b)  # min id stays the root
+    nodes = set()
+    for e in rows:
+        nodes.add(e[0])
+        nodes.add(e[1])
+    out = [(n, find(n)) for n in sorted(nodes)]
+    is_int = all(isinstance(n, int) for n in nodes)
+    t = T.LongType() if is_int else T.StringType()
+    return spark.createDataFrame(
+        out, T.StructType([
+            T.StructField("node", t),
+            T.StructField("component", t),
+        ]))
 
 
 def block_nodes(edges: DataFrame, blocked) -> DataFrame:
