@@ -168,9 +168,11 @@ def _q_netcdf4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     through libhdf5; frmts/hdf5/hdf5dataset.cpp): the same two vars
     write into a v0-superblock HDF5 file from scratch (hdf5.py) — the
     int16 grid CHUNKED through a v1 chunk B-tree (edge chunks
-    included), the float32 var contiguous with CF
-    scale/offset/_FillValue — then the chunk-descriptor-parallel scan
-    reads them back map-only and unpacks."""
+    included) with the SHUFFLE+DEFLATE filter pipeline (the standard
+    nc_def_var_deflate configuration), the float32 var contiguous
+    with CF scale/offset/_FillValue — then the chunk-descriptor-
+    parallel scan reads them back map-only, inflates per chunk, and
+    unpacks."""
     import tempfile
 
     import numpy as np
@@ -195,7 +197,8 @@ def _q_netcdf4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hdf5.write_netcdf4(path, [
         {"name": "grid", "dims": [("y", ny), ("x", nx)], "dtype": "i2",
-         "df": grid, "chunks": (8, 16)},
+         "df": grid, "chunks": (8, 16),
+         "compression": "gzip", "shuffle": True},
         {"name": "t", "dims": [("time", nt), ("p", npp)], "dtype": "f4",
          "df": packed,
          "atts": {"scale_factor": 0.25, "add_offset": 3.0,

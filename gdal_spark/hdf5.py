@@ -17,10 +17,11 @@ Reference:
 Scope (documented, per the build plan): version-0 superblock files,
 little-endian fixed-point and IEEE-float datatypes, fixed ASCII
 string / scalar numeric attributes, CONTIGUOUS and CHUNKED (v1
-chunk B-tree) data layouts, no filter pipelines (gzip/shuffle need
-a codec stage — the chunk descriptors are where one would plug in),
-nested groups on read. That covers uncompressed netCDF-4
-classic-model files; compressed variables raise.
+chunk B-tree) data layouts, and the two standard filters real
+netCDF-4 files actually use — DEFLATE (id 1, zlib) and SHUFFLE
+(id 2, byte transposition), pipeline message v1 and v2, per-chunk
+filter-mask honoring.  Unknown filter ids raise. Nested groups on
+read.  That covers gzip-compressed netCDF-4 classic-model files.
 
 Spark lowering — the same descriptor-parallel shape as the GeoTIFF
 and NetCDF-3 scans: the driver parses ONLY the metadata tree (a few
@@ -115,6 +116,76 @@ def _pad8(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 8)
 
 
+# ------------------------------------------------------------- filters
+H5Z_DEFLATE, H5Z_SHUFFLE = 1, 2
+
+
+def _filter_message(filters: list[tuple[int, list[int]]]) -> bytes:
+    """Filter pipeline message v1 (deflate / shuffle)."""
+    out = struct.pack("<BB6x", 1, len(filters))
+    for fid, cvals in filters:
+        out += struct.pack("<HHHH", fid, 0, 1, len(cvals))
+        out += b"".join(struct.pack("<I", v) for v in cvals)
+        if len(cvals) % 2:
+            out += b"\x00" * 4
+    return out
+
+
+def _parse_filters(b: bytes) -> list[tuple[int, list[int]]]:
+    ver, nf = b[0], b[1]
+    pos = 8 if ver == 1 else 2
+    out = []
+    for _ in range(nf):
+        fid, namelen, _flags, ncv = struct.unpack_from("<HHHH", b, pos)
+        pos += 8
+        if ver == 1:
+            pos += namelen + (-namelen % 8) if namelen else 0
+        elif fid >= 256:
+            pos += namelen
+        cvals = list(struct.unpack_from(f"<{ncv}I", b, pos))
+        pos += 4 * ncv
+        if ver == 1 and ncv % 2:
+            pos += 4
+        out.append((fid, cvals))
+    return out
+
+
+def _encode_chunk(raw: bytes, filters, itemsize: int) -> bytes:
+    """Apply the pipeline in order (shuffle, then deflate — the order
+    libhdf5 registers them)."""
+    import zlib
+
+    for fid, cvals in filters:
+        if fid == H5Z_SHUFFLE:
+            a = np.frombuffer(raw, dtype=np.uint8)
+            raw = a.reshape(-1, itemsize).T.tobytes()
+        elif fid == H5Z_DEFLATE:
+            raw = zlib.compress(raw, cvals[0] if cvals else 6)
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    return raw
+
+
+def _decode_chunk(raw: bytes, filters, itemsize: int,
+                  filter_mask: int) -> bytes:
+    """Reverse the pipeline, honoring the per-chunk skip mask (bit k
+    set = filter k was skipped when the chunk was written)."""
+    import zlib
+
+    for k in range(len(filters) - 1, -1, -1):
+        if filter_mask & (1 << k):
+            continue
+        fid, cvals = filters[k]
+        if fid == H5Z_DEFLATE:
+            raw = zlib.decompress(raw)
+        elif fid == H5Z_SHUFFLE:
+            a = np.frombuffer(raw, dtype=np.uint8)
+            raw = a.reshape(itemsize, -1).T.tobytes()
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    return raw
+
+
 def _attr_message(name: str, value) -> bytes:
     """Attribute message v1. value: str | float | int | np scalar |
     1-D numpy array."""
@@ -205,7 +276,21 @@ def write_hdf5(path: str, datasets: list[dict],
             shape, dt = arr.shape, arr.dtype
         else:
             shape, dt = tuple(d["shape"]), np.dtype(d["dtype"])
+        filters: list[tuple[int, list[int]]] = []
+        if d.get("shuffle"):
+            filters.append((H5Z_SHUFFLE, [dt.itemsize]))
+        if d.get("compression") in ("gzip", "deflate"):
+            filters.append((H5Z_DEFLATE,
+                            [int(d.get("compression_level", 6))]))
+        elif d.get("compression"):
+            raise NotImplementedError(
+                f"HDF5 compression {d['compression']!r}")
         chunks = d.get("chunks")
+        if filters and chunks is None:
+            raise ValueError("HDF5 filters require a chunked layout")
+        if filters and arr is None:
+            raise ValueError("planned (pwrite-slot) datasets cannot be "
+                             "filtered: compressed sizes are data-dependent")
         if chunks is None:
             size = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
             addr = al.put(arr.tobytes() if arr is not None
@@ -226,11 +311,16 @@ def write_hdf5(path: str, datasets: list[dict],
                     block = np.zeros(chunks, dtype=dt)
                     block[tuple(slice(0, s.stop - s.start)
                                 for s in sl)] = arr[sl]
-                    caddr = al.put(block.tobytes())
+                    raw = block.tobytes()
+                    if filters:
+                        raw = _encode_chunk(raw, filters, dt.itemsize)
+                    caddr = al.put(raw)
+                    csz_k = len(raw)
                 else:
                     caddr = al.put(b"\x00" * csize)
-                centries.append((o, caddr, csize))
-                chunk_slots[o] = {"addr": caddr, "size": csize}
+                    csz_k = csize
+                centries.append((o, caddr, csz_k))
+                chunk_slots[o] = {"addr": caddr, "size": csz_k}
             node = struct.pack("<4sBBHQQ", b"TREE", 1, 0,
                                len(centries), UNDEF, UNDEF)
             for o, caddr, csz in centries:
@@ -251,6 +341,8 @@ def write_hdf5(path: str, datasets: list[dict],
         msgs = [(0x0001, _ds_message(shape)),
                 (0x0003, _dt_message(dt)),
                 (0x0008, layout)]
+        if filters:
+            msgs.append((0x000B, _filter_message(filters)))
         for k, v in (d.get("attrs") or {}).items():
             msgs.append((0x000C, _attr_message(k, v)))
         oh_addr = al.put(_object_header(msgs))
@@ -360,10 +452,8 @@ def _walk_chunk_btree(buf: bytes, addr: int, ndims: int):
         child = struct.unpack_from("<Q", buf, pos + key_sz)[0]
         pos += key_sz + 8
         if level == 0:
-            if fmask:
-                raise NotImplementedError(
-                    "filtered HDF5 chunks (gzip/shuffle) not supported")
-            out.append((tuple(int(c) for c in coords), child, nbytes))
+            out.append((tuple(int(c) for c in coords), child, nbytes,
+                        int(fmask)))
         else:
             out.extend(_walk_chunk_btree(buf, child, ndims))
     return out
@@ -372,7 +462,7 @@ def _walk_chunk_btree(buf: bytes, addr: int, ndims: int):
 def _parse_object(buf: bytes, oh_addr: int, path: str, out: dict):
     msgs = _read_messages(buf, oh_addr)
     attrs, shape, dt, layout = {}, None, None, None
-    stab = None
+    stab, filters = None, []
     for mtype, body in msgs:
         if mtype == 0x0001:
             shape = _parse_dataspace(body)
@@ -380,6 +470,8 @@ def _parse_object(buf: bytes, oh_addr: int, path: str, out: dict):
             dt = _parse_datatype(body)
         elif mtype == 0x0008:
             layout = body
+        elif mtype == 0x000B:
+            filters = _parse_filters(body)
         elif mtype == 0x000C:
             k, v = _parse_attr(body)
             attrs[k] = v
@@ -395,7 +487,7 @@ def _parse_object(buf: bytes, oh_addr: int, path: str, out: dict):
     if ver != 3:
         raise NotImplementedError(f"data layout version {ver}")
     info = {"shape": tuple(int(s) for s in shape), "dtype": dt,
-            "attrs": attrs}
+            "attrs": attrs, "filters": filters}
     if lclass == 1:
         addr, size = struct.unpack_from("<QQ", layout, 2)
         info["layout"] = ("contiguous", addr, size)
@@ -466,6 +558,7 @@ _CHUNK_PLAN = T.StructType([
     T.StructField("addr", T.LongType()),
     T.StructField("nbytes", T.LongType()),
     T.StructField("origin", T.ArrayType(T.LongType())),
+    T.StructField("fmask", T.LongType()),
 ])
 
 
@@ -493,13 +586,18 @@ def read_hdf5_array(spark: SparkSession, path: str, name: str, *,
         rows = max(1, strip_elems // max(inner, 1))
         plan = [(addr + i * inner * dt.itemsize,
                  min(rows, shape[0] - i) * inner * dt.itemsize,
-                 [i] + [0] * (len(shape) - 1))
+                 [i] + [0] * (len(shape) - 1), 0)
                 for i in range(0, shape[0], rows)]
         chunk_of = None
     else:
         _, cdims, centries = d["layout"]
-        plan = [(a, nb, list(o)) for o, a, nb in centries]
+        plan = [(a, nb, list(o), fm) for o, a, nb, fm in centries]
         chunk_of = tuple(cdims)
+    filters = list(d.get("filters") or [])
+    for fid, _cv in filters:
+        if fid not in (H5Z_DEFLATE, H5Z_SHUFFLE):
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    itemsize = dt.itemsize
 
     seg = spark.createDataFrame(plan, _CHUNK_PLAN).repartition(
         max(4, min(len(plan), 256)))
@@ -514,6 +612,9 @@ def read_hdf5_array(spark: SparkSession, path: str, name: str, *,
                 fd = f.fileno()
                 for r in pdf.itertuples(index=False):
                     raw = os.pread(fd, int(r.nbytes), int(r.addr))
+                    if filters and chunk_of is not None:
+                        raw = _decode_chunk(raw, filters, itemsize,
+                                            int(r.fmask))
                     a = np.frombuffer(raw, dtype=dt)
                     org = list(r.origin)
                     if chunk_of is not None:
@@ -587,7 +688,10 @@ def write_netcdf4(path: str, arrays: list[dict],
         atts["DIMENSION_NAMES"] = ",".join(dn for dn, _ in a["dims"])
         datasets.append({"name": a["name"],
                          "data": np.asarray(data, dtype=a["dtype"]),
-                         "chunks": a.get("chunks"), "attrs": atts})
+                         "chunks": a.get("chunks"), "attrs": atts,
+                         "compression": a.get("compression"),
+                         "compression_level": a.get("compression_level", 6),
+                         "shuffle": a.get("shuffle", False)})
     var_names = {a["name"] for a in arrays}
     for dn, sz in dim_sizes.items():
         if dn in var_names:        # coordinate variable already covers it

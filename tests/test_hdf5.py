@@ -51,7 +51,7 @@ def test_chunked_edge_chunks(tmp_path):
     # reassemble sequentially
     out = np.zeros((12, 15))
     with open(p, "rb") as f:
-        for origin, addr, nbytes in entries:
+        for origin, addr, nbytes, _fmask in entries:
             f.seek(addr)
             block = np.frombuffer(f.read(nbytes), dtype="f8"
                                   ).reshape(4, 5)
@@ -132,17 +132,69 @@ def test_netcdf4_layer(spark, tmp_path):
     np.testing.assert_array_equal(got, a)
 
 
-def test_filtered_chunk_rejected(tmp_path):
-    # write a chunked file, then flip a filter mask bit: the reader
-    # must refuse rather than return garbage
-    p = str(tmp_path / "f.h5")
-    hdf5.write_hdf5(p, [{"name": "v", "data": _arr((4, 4), "f4"),
-                         "chunks": (4, 4)}])
-    raw = bytearray(open(p, "rb").read())
-    k = raw.find(b"TREE", 96)
-    while raw[k + 4] != 1:                 # find the type-1 node
-        k = raw.find(b"TREE", k + 1)
-    raw[k + 24 + 4] = 1                    # filter mask of chunk 0
+def test_gzip_shuffle_roundtrip(tmp_path):
+    p = str(tmp_path / "z.h5")
+    a = _arr((30, 40), "i4")
+    hdf5.write_hdf5(p, [{"name": "v", "data": a, "chunks": (16, 16),
+                         "compression": "gzip", "shuffle": True}])
+    m = hdf5.parse_hdf5(p)
+    d = m["datasets"]["v"]
+    assert d["filters"] == [(hdf5.H5Z_SHUFFLE, [4]),
+                            (hdf5.H5Z_DEFLATE, [6])]
+    # compressed chunks are smaller than raw
+    raw_chunk = 16 * 16 * 4
+    assert all(nb < raw_chunk for _o, _a, nb, _f in d["layout"][2])
+    # sequential decode matches
+    out = np.zeros((32, 48), dtype="i4")
+    with open(p, "rb") as f:
+        for o, addr, nb, fm in d["layout"][2]:
+            f.seek(addr)
+            blk = hdf5._decode_chunk(f.read(nb), d["filters"], 4, fm)
+            out[o[0]:o[0] + 16, o[1]:o[1] + 16] = np.frombuffer(
+                blk, dtype="i4").reshape(16, 16)
+    np.testing.assert_array_equal(out[:30, :40], a)
+
+
+def test_filter_pipeline_v2_parse():
+    v1 = hdf5._filter_message([(hdf5.H5Z_SHUFFLE, [8]),
+                               (hdf5.H5Z_DEFLATE, [4])])
+    assert hdf5._parse_filters(v1) == [(2, [8]), (1, [4])]
+    # hand-build a v2 pipeline message (libhdf5 1.8+ emits these)
     import struct
+    v2 = struct.pack("<BB", 2, 1) + struct.pack("<HHHH", 1, 0, 1, 1) \
+        + struct.pack("<I", 9)
+    assert hdf5._parse_filters(v2) == [(1, [9])]
+
+
+def test_unknown_filter_rejected(spark, tmp_path):
+    p = str(tmp_path / "bad.h5")
+    hdf5.write_hdf5(p, [{"name": "v", "data": _arr((4, 4), "f4"),
+                         "chunks": (4, 4), "compression": "gzip"}])
+    raw = bytearray(open(p, "rb").read())
+    # patch the deflate filter id (1) to an unregistered id (32000):
+    # locate the full 8-byte pipeline message header (type 0x000B,
+    # size 24 = one-filter v1 body) to avoid raw-data false positives
+    import struct
+
+    hdr = struct.pack("<HHB3x", 0x000B, 24, 0)
+    k = raw.find(hdr)
+    assert k > 0
+    fid_off = k + 8 + 8
+    assert struct.unpack_from("<H", raw, fid_off)[0] == 1
+    struct.pack_into("<H", raw, fid_off, 32000)
+    m = hdf5.parse_hdf5(bytes(raw))
     with pytest.raises(NotImplementedError):
-        m = hdf5.parse_hdf5(bytes(raw))
+        hdf5.read_hdf5_array(spark, None, "v", meta=m)
+
+
+def test_netcdf4_compressed(spark, tmp_path):
+    p = str(tmp_path / "c.nc")
+    a = _arr((20, 25), "f8")
+    hdf5.write_netcdf4(p, [{"name": "q", "dims": [("y", 20), ("x", 25)],
+                            "data": a, "dtype": "f8", "chunks": (8, 8),
+                            "compression": "gzip", "shuffle": True}])
+    md = hdf5.read_netcdf4(spark, p, "q")
+    pdf = md.df.toPandas()
+    got = np.zeros((20, 25))
+    got[pdf["y"], pdf["x"]] = pdf["value"]
+    np.testing.assert_array_equal(got, a)
