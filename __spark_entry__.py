@@ -5294,6 +5294,27 @@ def _q_mbtiles_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_webtiles_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ URL-template web tile source (frmts/wms/minidriver_tms.cpp):
+    the tile plan is pure column math (no driver loop, no network on
+    the driver); executors fetch+decode their own slice through the
+    injectable fetcher — here a deterministic fake serving the synth
+    tiles as PNG blobs, since the sandbox has no egress; the URL
+    parse/decode/geotransform path is the real one."""
+    from gdal_spark import webtiles
+    from gdal_spark.png import encode_png
+
+    def fake(url: str) -> bytes:
+        z, x, y = (int(p) for p in url.split("://")[1].split("/"))
+        return encode_png(synth.tile_pixels_np(x, y))
+
+    plan = webtiles.xyz_tile_plan(spark, "xyz://{z}/{x}/{y}", 12,
+                                  (0, 2), (0, 2))
+    tiles = webtiles.read_web_tiles(plan, raster_id="byte_like",
+                                    fetcher=fake)
+    return tiling.checksum_table(tiles)
+
+
 def _q_xyz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XYZ driver loop (gdal/frmts/xyz/xyzdataset.cpp): gdal2xyz dump
     of the 2x2 synth tiles -> text -> distributed grid re-inference
@@ -5346,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cog_roundtrip": _q_cog_roundtrip,
         "aaigrid_roundtrip": _q_aaigrid_roundtrip,
         "xyz_roundtrip": _q_xyz_roundtrip,
+        "webtiles_xyz": _q_webtiles_xyz,
         "ehdr_roundtrip": _q_ehdr_roundtrip,
         "cnsdtf_roundtrip": _q_cnsdtf_roundtrip,
         "mdreader_scenes": _q_mdreader_scenes,
@@ -7808,6 +7830,7 @@ def oracle_sql() -> dict[str, str]:
                 ["bigint", "double", "double", "double", "double", "varchar"],
             ))
         d.setdefault("xyz_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("webtiles_xyz", localref.sql_raster_checksums_2x2())
         d.setdefault("ehdr_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("cnsdtf_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("mdreader_scenes", localref.sql_mdreader_scenes())
