@@ -162,6 +162,62 @@ def _q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionAll(t)
 
 
+def _q_grib2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 write -> message/strip-parallel scan -> per-cell values
+    (frmts/grib/gribdataset.cpp: band per message; degrib simple
+    packing). Band 1: 24x37 lat/lon grid, decimal scale 2, no bitmap
+    (strip-split scan path — fixed bit width makes row offsets closed
+    form). Band 2: 11x29 with a presence BITMAP (section 6) and
+    decimal scale 1 — missing cells decode to NULL. Packing is
+    deterministic (E=0, R=min, one float64 division), so values are
+    hash-exact vs the closed-form oracle."""
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import grib
+
+    path = tempfile.mkdtemp(prefix="gdal_spark_grib_") + "/rt.grib2"
+    r = np.arange(24).reshape(24, 1)
+    c = np.arange(37).reshape(1, 37)
+    a = (((r * 131 + c) % 251) - 17) * 0.25
+    r2 = np.arange(11).reshape(11, 1)
+    c2 = np.arange(29).reshape(1, 29)
+    b = (((r2 * 53 + c2 * 7) % 113) - 9) * 0.5
+    b = np.where((r2 * 7 + c2 * 3) % 19 == 0, np.nan, b)
+    grib.write_grib2(path, [
+        dict(data=a, lat0=60.0, lon0=10.0, dlat=0.5, dlon=0.5,
+             decimals=2, category=3, parameter=5, forecast_hour=6),
+        dict(data=b, lat0=40.0, lon0=350.0, dlat=1.0, dlon=1.0,
+             decimals=1),
+    ])
+    tiles = grib.read_grib2(spark, path, tile_px=16)
+
+    def cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.data, dtype=np.float64).reshape(
+                    row.height, row.width)
+                rr, cc = np.mgrid[0:row.height, 0:row.width]
+                out.append(pd.DataFrame({
+                    "band": int(row.band),
+                    "d0": (row.tile_y * 16 + rr).reshape(-1),
+                    "d1": (row.tile_x * 16 + cc).reshape(-1),
+                    "value": arr.reshape(-1),
+                }))
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["band", "d0", "d1", "value"])
+
+    cell = tiles.mapInPandas(
+        cells, schema="band int, d0 long, d1 long, value double")
+    return cell.select(
+        "band", "d0", "d1",
+        F.when(~F.isnan("value"), F.col("value")).alias("value"))
+
+
 def _q_netcdf4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """netCDF-4 (HDF5 container) roundtrip — the modern sibling of
     _q_netcdf_roundtrip (frmts/netcdf/netcdfdataset.cpp opens NC4
@@ -5391,6 +5447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": _q_geojson_roundtrip,
         "netcdf_roundtrip": _q_netcdf_roundtrip,
         "netcdf4_roundtrip": _q_netcdf4_roundtrip,
+        "grib2_roundtrip": _q_grib2_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "dxf_roundtrip": _q_dxf_roundtrip,
         "ogr_tindex": _q_ogr_tindex,
@@ -6704,6 +6761,20 @@ def _oracle_sql_static() -> dict[str, str]:
                         THEN NULL
                         ELSE CAST((a.range * 53 + b.range * 7) % 113 - 9
                                   AS DOUBLE) * 0.25 + 3.0 END
+            FROM range(11) a CROSS JOIN range(29) b
+        """,
+        "grib2_roundtrip": """
+            SELECT 1 AS band, CAST(a.range AS BIGINT) AS d0,
+                   CAST(b.range AS BIGINT) AS d1,
+                   CAST(((a.range * 131 + b.range) % 251 - 17) * 25
+                        AS DOUBLE) / 100.0 AS value
+            FROM range(24) a CROSS JOIN range(37) b
+            UNION ALL
+            SELECT 2, CAST(a.range AS BIGINT), CAST(b.range AS BIGINT),
+                   CASE WHEN (a.range * 7 + b.range * 3) % 19 = 0
+                        THEN NULL
+                        ELSE CAST(((a.range * 53 + b.range * 7) % 113
+                                   - 9) * 5 AS DOUBLE) / 10.0 END
             FROM range(11) a CROSS JOIN range(29) b
         """,
         "netcdf4_roundtrip": """

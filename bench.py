@@ -220,6 +220,7 @@ def main():
         # MBTiles pyramid
         "ntv2_transform", "sqlite_roundtrip", "rat_roundtrip",
         "ogr_style_query", "netcdf4_roundtrip", "mbtiles_jpeg_roundtrip",
+        "grib2_roundtrip",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

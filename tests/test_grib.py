@@ -1,0 +1,115 @@
+"""GRIB2 driver tests (gdal_spark/grib.py).
+
+Reference behavior: gdal/frmts/grib/gribdataset.cpp (band per
+message); autotest/gdrivers/grib.py (simple packing, bitmap grids).
+"""
+
+import numpy as np
+import pytest
+
+from gdal_spark import grib
+
+
+def _grids():
+    r = np.arange(24).reshape(24, 1)
+    c = np.arange(37).reshape(1, 37)
+    a = (((r * 131 + c) % 251) - 17) * 0.25
+    r2 = np.arange(11).reshape(11, 1)
+    c2 = np.arange(29).reshape(1, 29)
+    b = (((r2 * 53 + c2 * 7) % 113) - 9) * 0.5
+    b = np.where((r2 * 7 + c2 * 3) % 19 == 0, np.nan, b)
+    return a, b
+
+
+def _write(path, a, b):
+    grib.write_grib2(path, [
+        dict(data=a, lat0=60.0, lon0=10.0, dlat=0.5, dlon=0.5,
+             decimals=2, category=3, parameter=5, forecast_hour=6),
+        dict(data=b, lat0=40.0, lon0=350.0, dlat=1.0, dlon=1.0,
+             decimals=1),
+    ])
+
+
+def _assemble(rows, band, nj, ni, tile_px):
+    g = np.full((nj, ni), np.nan)
+    for r in rows:
+        if r.band != band:
+            continue
+        t = np.frombuffer(r.data, dtype=np.float64).reshape(
+            r.height, r.width)
+        g[r.tile_y * tile_px:r.tile_y * tile_px + r.height,
+          r.tile_x * tile_px:r.tile_x * tile_px + r.width] = t
+    return g
+
+
+def test_metadata(tmp_path):
+    a, b = _grids()
+    p = str(tmp_path / "t.grib2")
+    _write(p, a, b)
+    md = grib.grib2_metadata(p)
+    assert [m["band"] for m in md] == [1, 2]
+    assert md[0]["category"] == 3 and md[0]["parameter"] == 5
+    assert md[0]["forecast_hour"] == 6 and not md[0]["bitmap"]
+    assert md[1]["bitmap"] and md[1]["decimals"] == 1
+    assert md[0]["ni"] == 37 and md[0]["nj"] == 24
+    assert md[1]["lat0"] == 40.0 and md[1]["dlon"] == 1.0
+
+
+@pytest.mark.parametrize("tile_px", [16, 8, 256])
+def test_roundtrip_exact(spark, tmp_path, tile_px):
+    """Bit-exact decode at several strip widths — the strip-split bit
+    offsets (no-bitmap path) and the whole-message bitmap path must
+    agree with the written grids exactly."""
+    a, b = _grids()
+    p = str(tmp_path / "t.grib2")
+    _write(p, a, b)
+    rows = grib.read_grib2(spark, p, tile_px=tile_px).collect()
+    g1 = _assemble(rows, 1, 24, 37, tile_px)
+    g2 = _assemble(rows, 2, 11, 29, tile_px)
+    assert np.array_equal(g1, a)
+    m = np.isfinite(b)
+    assert np.array_equal(np.isfinite(g2), m)
+    assert np.array_equal(g2[m], b[m])
+
+
+def test_georef(spark, tmp_path):
+    a, b = _grids()
+    p = str(tmp_path / "t.grib2")
+    _write(p, a, b)
+    rows = grib.read_grib2(spark, p, tile_px=256).collect()
+    t = [r for r in rows if r.band == 1 and r.tile_x == 0
+         and r.tile_y == 0][0]
+    # pixel-is-point: geotransform origin is half a cell out from the
+    # first grid-point coordinate (same convention as ehdr.py ULXMAP)
+    assert t.geotransform == [9.75, 0.5, 0.0, 60.25, 0.0, -0.5]
+    assert t.crs == "EPSG:4326"
+
+
+def test_scan_map_only(spark, tmp_path):
+    a, b = _grids()
+    p = str(tmp_path / "t.grib2")
+    _write(p, a, b)
+    plan = grib.read_grib2(spark, p)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+    assert "Sort" not in plan and "Window" not in plan
+
+
+def test_unsupported_inputs(tmp_path):
+    p = str(tmp_path / "bad.grib2")
+    with open(p, "wb") as f:
+        f.write(b"NOPE" + b"\x00" * 20)
+    with pytest.raises(ValueError):
+        grib.grib2_metadata(p)
+    # edition 1 gated like the reference gates unknown templates
+    with open(p, "wb") as f:
+        f.write(b"GRIB\x00\x00\x00\x01" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError):
+        grib.grib2_metadata(p)
+
+
+def test_reference_value_range_guard():
+    with pytest.raises(NotImplementedError):
+        grib.write_grib2("/tmp/never.grib2", [
+            dict(data=np.array([[1e9]]), lat0=0, lon0=0,
+                 dlat=1, dlon=1, decimals=0)])
