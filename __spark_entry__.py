@@ -5037,6 +5037,43 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_dted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTED full loop (gdal/frmts/dted/dted_api.c, dted_create.c): a
+    synthetic 121x121 int16 level-0 cell with negatives through the
+    column-profile sink (driver writes only UHL/DSI/ACC; one keyed
+    shuffle assembles the format's whole-column checksummed records),
+    back via the strip-parallel map-only scan with checksum
+    verification on. Per-tile checksums must equal the source's."""
+    import tempfile
+
+    from gdal_spark import dted
+
+    src = synth.dem_tiles_df(spark, 121, tile_px=64)
+    path = tempfile.mkdtemp(prefix="gdal_spark_dted_") + "/n43w080.dt0"
+    dted.write_dted(src, path, level=0, tile_px=64)
+    back = dted.read_dted(spark, path, tile_px=64, raster_id="dem_cell",
+                          verify_checksum=True)
+    return tiling.checksum_table(back)
+
+
+def _q_srtmhgt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRTMHGT full loop (gdal/frmts/srtmhgt/srtmhgtdataset.cpp): a
+    1201x1201 int16 cell through the parallel-pwrite big-endian sink
+    (the FILENAME is the georeferencing — the writer derives and
+    enforces N43W080.hgt from the geotransform), back via the map-only
+    raw strip scan. Per-tile checksums must equal the source's."""
+    import tempfile
+
+    from gdal_spark import dted
+
+    src = synth.dem_tiles_df(spark, 1201, tile_px=256)
+    path = tempfile.mkdtemp(prefix="gdal_spark_hgt_") + "/N43W080.hgt"
+    dted.write_srtmhgt(src, path, tile_px=256)
+    back = dted.read_srtmhgt(spark, path, tile_px=256,
+                             raster_id="dem_cell")
+    return tiling.checksum_table(back)
+
+
 def _q_segmentize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGRGeometry::segmentize (ogr/ogrlinestring.cpp:2474; also the
     osgeo_utils/samples/densify.py UNIFORM mode): per-doc single-
@@ -5425,6 +5462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xyz_roundtrip": _q_xyz_roundtrip,
         "webtiles_xyz": _q_webtiles_xyz,
         "ehdr_roundtrip": _q_ehdr_roundtrip,
+        "dted_roundtrip": _q_dted_roundtrip,
+        "srtmhgt_roundtrip": _q_srtmhgt_roundtrip,
         "cnsdtf_roundtrip": _q_cnsdtf_roundtrip,
         "mdreader_scenes": _q_mdreader_scenes,
         "tfat_roundtrip": _q_tfat_roundtrip,
@@ -7903,6 +7942,10 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("xyz_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("webtiles_xyz", localref.sql_raster_checksums_2x2())
         d.setdefault("ehdr_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("dted_roundtrip",
+                     localref.sql_dem_checksums(121, 64, "dem_cell"))
+        d.setdefault("srtmhgt_roundtrip",
+                     localref.sql_dem_checksums(1201, 256, "dem_cell"))
         d.setdefault("cnsdtf_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("mdreader_scenes", localref.sql_mdreader_scenes())
         d.setdefault("tfat_roundtrip", localref.sql_raster_checksums_2x2())

@@ -221,6 +221,9 @@ def main():
         "ntv2_transform", "sqlite_roundtrip", "rat_roundtrip",
         "ogr_style_query", "netcdf4_roundtrip", "mbtiles_jpeg_roundtrip",
         "grib2_roundtrip",
+        # elevation cells: DTED column-profile loop (one keyed strip
+        # shuffle in the sink), SRTMHGT headerless raw loop (map-only)
+        "dted_roundtrip", "srtmhgt_roundtrip",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -810,3 +810,54 @@ def lonlat_bands_df(spark: SparkSession, ntx: int, nty: int,
                                columns=[f.name for f in TILE_SCHEMA.fields])
 
     return base.mapInPandas(gen, schema=TILE_SCHEMA)
+
+
+def dem_pixels_np(x0: int, y0: int, width: int, height: int) -> np.ndarray:
+    """Deterministic int16 DEM patch in GLOBAL pixel coords: the value
+    depends only on (X, Y) so any tiling of the same cell assembles the
+    same image. Range -950..952 exercises the DTED signed-magnitude
+    encoding's negative branch while staying far from the -16000
+    two-complement heuristic and the -32767 nodata."""
+    yy, xx = np.mgrid[y0:y0 + height, x0:x0 + width]
+    return (((7 * xx + 11 * yy + 37) % 1903) - 950).astype(np.int16)
+
+
+def dem_tiles_df(spark: SparkSession, npx: int, tile_px: int = 256,
+                 sw_lon: int = -80, sw_lat: int = 43,
+                 raster_id: str = "dem_cell", zoom: int = 0) -> DataFrame:
+    """One 1-degree DEM cell (npx x npx int16, pixel-is-point) as a
+    tile table — the source fixture for the SRTMHGT / DTED loops.
+    Edge tiles are ragged when tile_px does not divide npx. The
+    geotransform is the reference's half-pixel-shifted cell frame
+    (frmts/srtmhgt/srtmhgtdataset.cpp:443): UL corner =
+    (sw_lon - px/2, sw_lat + 1 + px/2), px = 1/(npx-1)."""
+    nt = math.ceil(npx / tile_px)
+    px = 1.0 / (npx - 1)
+    ulx = sw_lon - 0.5 * px
+    uly = sw_lat + 1 + 0.5 * px
+    base = spark.range(0, nt * nt, 1, max(4, nt * nt)).select(
+        (F.col("id") % nt).cast("int").alias("tile_x"),
+        (F.col("id") / nt).cast("int").alias("tile_y"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty in zip(pdf["tile_x"], pdf["tile_y"]):
+                tx, ty = int(tx), int(ty)
+                w = min(tile_px, npx - tx * tile_px)
+                h = min(tile_px, npx - ty * tile_px)
+                arr = dem_pixels_np(tx * tile_px, ty * tile_px, w, h)
+                rows.append({
+                    "raster_id": raster_id, "band": 1, "zoom": zoom,
+                    "tile_x": tx, "tile_y": ty,
+                    "width": w, "height": h, "dtype": "int16",
+                    "nodata": -32767.0, "crs": "EPSG:4326",
+                    "geotransform": [ulx + tx * tile_px * px, px, 0.0,
+                                     uly - ty * tile_px * px, 0.0, -px],
+                    "data": arr.tobytes(),
+                })
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return base.mapInPandas(gen, schema=TILE_SCHEMA)

@@ -3385,3 +3385,18 @@ def sql_rat_roundtrip() -> str:
             for v in np.nonzero(c)[0]]
     return values_sql(rows, ["raster_id", "band", "value", "count"],
                       ["varchar", "integer", "bigint", "bigint"])
+
+
+def sql_dem_checksums(npx: int, tile_px: int, raster_id: str,
+                      zoom: int = 0) -> str:
+    """Checksums of the synth int16 DEM cell re-split into (possibly
+    ragged) tiles — oracle for the DTED / SRTMHGT driver loops."""
+    arr = synth.dem_pixels_np(0, 0, npx, npx)
+    nt = math.ceil(npx / tile_px)
+    rows = []
+    for ty in range(nt):
+        for tx in range(nt):
+            sub = arr[ty * tile_px:(ty + 1) * tile_px,
+                      tx * tile_px:(tx + 1) * tile_px]
+            rows.append((raster_id, 1, zoom, tx, ty, G.gdal_checksum(sub)))
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
