@@ -4393,6 +4393,43 @@ def _conic_sql(epsg: int) -> str:
     """
 
 
+def _q_nzmg_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NZMG / EPSG:27200 — the complex-polynomial projection (EPSG
+    method 9811; the reference reaches it via PROJ +proj=nzmg,
+    ogr/ogrct.cpp:1822). Forward + two-Newton-step inverse round trip;
+    both directions are trig-free staged polynomial column math (one
+    Project per complex power, gdal_spark/nzmg.py), and the oracle
+    evaluates the IDENTICAL stage templates as a DuckDB CTE chain.
+    Derived points are remapped into the projection's NZ domain with
+    shared affine arithmetic."""
+    from gdal_spark import nzmg
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 4000
+    ).select(
+        "doc_id",
+        (F.lit(166.5) + (F.col("lon") + 180.0) / 360.0 * 12.0).alias("lon"),
+        (F.lit(-47.0) + (F.col("lat") + 90.0) / 180.0 * 12.5).alias("lat"),
+    )
+    out = nzmg.from_nzmg(nzmg.to_nzmg(d))
+    return out.select(
+        "doc_id",
+        F.round("nzmg_e", 3).alias("x"),
+        F.round("nzmg_n", 3).alias("y"),
+        F.round("nzmg_lon", 6).alias("lon_rt"),
+        F.round("nzmg_lat", 6).alias("lat_rt"),
+    )
+
+
+def _nzmg_sql() -> str:
+    from gdal_spark import nzmg
+
+    src = (f"SELECT doc_id, 166.5 + ({_LON} + 180.0) / 360.0 * 12.0 AS lon,"
+           f" -47.0 + ({_LAT} + 90.0) / 180.0 * 12.5 AS lat"
+           f" FROM documents WHERE doc_id < 4000")
+    return nzmg.roundtrip_sql(src)
+
+
 def _q_helmert_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full datum pipeline WGS84 -> OSGB36 (reference: ogrct.cpp:1822
     -> PROJ +cart/+helmert/+inv +cart; EPSG method 1033): geodetic ->
@@ -5712,6 +5749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eqdc_transform": _q_conic(102031),
         "aeqd_transform": _q_conic(102016),
         "krovak_transform": _q_conic(5514),
+        "nzmg_transform": _q_nzmg_transform,
         "sinu_transform": _q_conic(54008),
         "eqc_transform": _q_conic(4087),
         "moll_transform": _q_conic(54009),
@@ -7875,6 +7913,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "eqdc_transform": _conic_sql(102031),
         "aeqd_transform": _conic_sql(102016),
         "krovak_transform": _conic_sql(5514),
+        "nzmg_transform": _nzmg_sql(),
         "sinu_transform": _conic_sql(54008),
         "eqc_transform": _conic_sql(4087),
         "moll_transform": _conic_sql(54009),

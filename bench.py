@@ -224,6 +224,8 @@ def main():
         # elevation cells: DTED column-profile loop (one keyed strip
         # shuffle in the sink), SRTMHGT headerless raw loop (map-only)
         "dted_roundtrip", "srtmhgt_roundtrip",
+        # NZMG complex-polynomial projection, staged pure codegen
+        "nzmg_transform",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every
