@@ -4549,6 +4549,34 @@ def _q_ntv2_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lat_shifted", 6).alias("lat_nad83"))
 
 
+def _q_geoid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTX geoid-model vertical shift (reference: grids via
+    frmts/raw/gtxdataset.cpp, applied through PROJ +vgridshift in
+    ogr/ogrct.cpp compound-CRS pipelines): a toy EGM-like .gtx in the
+    0..360 frame is serialized + re-parsed (gtx.py), then H = h − N
+    with bilinear N — cell math in codegen, four broadcast corner
+    joins, outside/nodata points pass through with NULL undulation.
+    Oracle: DuckDB reruns everything from an inlined VALUES node
+    table."""
+    from gdal_spark import gtx
+
+    g = gtx.read_gtx(gtx.toy_gtx_bytes())
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 4000
+    ).select(
+        "doc_id",
+        (F.lit(-149.0) + (F.col("lon") + 180.0) / 360.0 * 97.0).alias("lon"),
+        (F.lit(-35.0) + (F.col("lat") + 85.0) / 170.0 * 68.0).alias("lat"),
+        ((F.col("doc_id") % 100).cast("double") * 1.5 - 20.0).alias("h"),
+    )
+    out = gtx.apply_geoid(d, spark, g, direction="to_orthometric")
+    return out.select(
+        "doc_id",
+        F.round("undulation", 6).alias("undulation"),
+        F.round("h_shifted", 6).alias("h_ortho"),
+    )
+
+
 def _q_bng_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPSG:4326 -> EPSG:27700 (British National Grid), the compound
     Helmert + Airy-TM pipeline the reference builds through PROJ
@@ -5750,6 +5778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aeqd_transform": _q_conic(102016),
         "krovak_transform": _q_conic(5514),
         "nzmg_transform": _q_nzmg_transform,
+        "geoid_shift": _q_geoid_shift,
         "sinu_transform": _q_conic(54008),
         "eqc_transform": _q_conic(4087),
         "moll_transform": _q_conic(54009),
@@ -7959,6 +7988,7 @@ def oracle_sql() -> dict[str, str]:
 
         d.setdefault("geotiff_roundtrip", localref.sql_raster_checksums())
         d.setdefault("ntv2_transform", localref.sql_ntv2_transform())
+        d.setdefault("geoid_shift", localref.sql_geoid_shift())
         d.setdefault("vrt_xml_composite", localref.sql_vrt_composite_checksums())
         d.setdefault("aaigrid_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("cog_roundtrip", localref.sql_cog_checksums())

@@ -226,6 +226,8 @@ def main():
         "dted_roundtrip", "srtmhgt_roundtrip",
         # NZMG complex-polynomial projection, staged pure codegen
         "nzmg_transform",
+        # GTX geoid vertical shift: broadcast bilinear, no point shuffle
+        "geoid_shift",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -3400,3 +3400,59 @@ def sql_dem_checksums(npx: int, tile_px: int, raster_id: str,
                       tx * tile_px:(tx + 1) * tile_px]
             rows.append((raster_id, 1, zoom, tx, ty, G.gdal_checksum(sub)))
     return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
+def sql_geoid_shift() -> str:
+    """Fully-independent DuckDB oracle for the GTX +vgridshift point
+    apply: the toy .gtx bytes are regenerated and parsed, the node
+    table INLINED as VALUES, and DuckDB reruns the frame shift, cell
+    math, corner joins, bilinear, and nodata/outside passthrough in
+    plain SQL (same association order as the Column expressions)."""
+    from gdal_spark import gtx
+    from gdal_spark.derived import DERIVED_LAT_SQL, DERIVED_LON_SQL
+
+    g = gtx.read_gtx(gtx.toy_gtx_bytes())
+    vals = []
+    for i in range(g["nrows"]):
+        for j in range(g["ncols"]):
+            vals.append(f"({i},{j},{g['values'][i, j]!r})")
+    lat0, lon0 = g["ll_lat"], g["ll_lon"]
+    dla, dlo = g["dlat"], g["dlon"]
+    lat_hi = lat0 + (g["nrows"] - 1) * dla
+    lon_hi = lon0 + (g["ncols"] - 1) * dlo
+    nd = gtx.NODATA + 1e-4
+    return f"""
+WITH grid(i, j, v) AS (VALUES {','.join(vals)}),
+b AS (SELECT doc_id,
+        (-149.0 + ({DERIVED_LON_SQL} + 180.0) / 360.0 * 97.0) AS lon,
+        (-35.0 + ({DERIVED_LAT_SQL} + 85.0) / 170.0 * 68.0) AS lat,
+        (CAST(doc_id % 100 AS DOUBLE) * 1.5 - 20.0) AS h
+      FROM documents WHERE doc_id < 4000),
+fr AS (SELECT *, CASE WHEN lon < {lon0!r} THEN lon + 360.0 ELSE lon END
+        AS long, (lat >= {lat0!r} AND lat <= {lat_hi!r}
+                  AND (CASE WHEN lon < {lon0!r} THEN lon + 360.0
+                       ELSE lon END) >= {lon0!r}
+                  AND (CASE WHEN lon < {lon0!r} THEN lon + 360.0
+                       ELSE lon END) <= {lon_hi!r}) AS inside FROM b),
+f AS (SELECT *, LEAST(FLOOR((lat - {lat0!r}) / {dla!r}),
+                      {g["nrows"] - 2}) AS gi,
+        LEAST(FLOOR((long - {lon0!r}) / {dlo!r}),
+              {g["ncols"] - 2}) AS gj FROM fr),
+f2 AS (SELECT *, (lat - {lat0!r}) / {dla!r} - gi AS fi,
+        (long - {lon0!r}) / {dlo!r} - gj AS fj FROM f),
+jn AS (SELECT f2.*, g00.v AS v00, g01.v AS v01,
+              g10.v AS v10, g11.v AS v11
+      FROM f2
+      LEFT JOIN grid g00 ON f2.gi = g00.i AND f2.gj = g00.j
+      LEFT JOIN grid g01 ON f2.gi = g01.i AND f2.gj + 1 = g01.j
+      LEFT JOIN grid g10 ON f2.gi + 1 = g10.i AND f2.gj = g10.j
+      LEFT JOIN grid g11 ON f2.gi + 1 = g11.i AND f2.gj + 1 = g11.j),
+u AS (SELECT *, CASE WHEN (NOT inside) OR v00 <= {nd!r} OR v01 <= {nd!r}
+            OR v10 <= {nd!r} OR v11 <= {nd!r} THEN NULL
+        ELSE v00 * (1 - fi) * (1 - fj) + v01 * (1 - fi) * fj
+             + v10 * fi * (1 - fj) + v11 * fi * fj END AS und FROM jn)
+SELECT doc_id, ROUND(und, 6) AS undulation,
+       ROUND(CASE WHEN und IS NULL THEN h ELSE h - und END, 6)
+         AS h_ortho
+FROM u
+"""
