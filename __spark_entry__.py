@@ -4549,6 +4549,50 @@ def _q_ntv2_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lat_shifted", 6).alias("lat_nad83"))
 
 
+def _q_laborde_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laborde Oblique Mercator / EPSG:29701 Madagascar grid (EPSG
+    method 9813; reference: ogr/ogrspatialreference.cpp:6390 SetLOM ->
+    PROJ +proj=labrd). Sphere rotation + complex-cubic correction with
+    the two-Newton-step inverse, pure JVM column math on the crs.py
+    dual-backend builder; value-anchored to the EPSG GN 7-2 worked
+    example in tests. Derived points remapped into the Madagascar
+    domain with shared affine arithmetic."""
+    from gdal_spark import crs
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 4000
+    ).select(
+        "doc_id",
+        (F.lit(43.5) + (F.col("lon") + 180.0) / 360.0 * 8.5).alias("lon"),
+        (F.lit(-25.5) + (F.col("lat") + 90.0) / 180.0 * 13.0).alias("lat"),
+    )
+    x, y = crs.conic_forward(29701, F.col("lon"), F.col("lat"))
+    d = d.select("doc_id", "lon", "lat", x.alias("x"), y.alias("y"))
+    d = crs.from_laborde(d)  # staged inverse — one Project per step
+    return d.select(
+        "doc_id",
+        F.round("x", 3).alias("x"),
+        F.round("y", 3).alias("y"),
+        F.round("lab_lon", 6).alias("lon_rt"),
+        F.round("lab_lat", 6).alias("lat_rt"),
+    )
+
+
+def _laborde_sql() -> str:
+    from gdal_spark import nzmg
+    from gdal_spark.crs import conic_forward_sql, laborde_inverse_stages
+
+    x, y = conic_forward_sql(29701, "lon", "lat")
+    src = (f"SELECT doc_id, 43.5 + ({_LON} + 180.0) / 360.0 * 8.5 AS lon,"
+           f" -25.5 + ({_LAT} + 90.0) / 180.0 * 13.0 AS lat"
+           f" FROM documents WHERE doc_id < 4000")
+    fwd = f"SELECT doc_id, {x} AS x, {y} AS y FROM ({src})"
+    final = ("doc_id, ROUND(x, 3) AS x, ROUND(y, 3) AS y, "
+             "ROUND(lab_lon, 6) AS lon_rt, ROUND(lab_lat, 6) AS lat_rt")
+    return nzmg.sql_cte_chain(fwd, laborde_inverse_stages("x", "y"),
+                              final, "lb")
+
+
 def _q_geoid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GTX geoid-model vertical shift (reference: grids via
     frmts/raw/gtxdataset.cpp, applied through PROJ +vgridshift in
@@ -5779,6 +5823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krovak_transform": _q_conic(5514),
         "nzmg_transform": _q_nzmg_transform,
         "geoid_shift": _q_geoid_shift,
+        "laborde_transform": _q_laborde_transform,
         "sinu_transform": _q_conic(54008),
         "eqc_transform": _q_conic(4087),
         "moll_transform": _q_conic(54009),
@@ -7989,6 +8034,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("geotiff_roundtrip", localref.sql_raster_checksums())
         d.setdefault("ntv2_transform", localref.sql_ntv2_transform())
         d.setdefault("geoid_shift", localref.sql_geoid_shift())
+        d.setdefault("laborde_transform", _laborde_sql())
         d.setdefault("vrt_xml_composite", localref.sql_vrt_composite_checksums())
         d.setdefault("aaigrid_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("cog_roundtrip", localref.sql_cog_checksums())

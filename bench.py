@@ -228,6 +228,8 @@ def main():
         "nzmg_transform",
         # GTX geoid vertical shift: broadcast bilinear, no point shuffle
         "geoid_shift",
+        # Laborde complex-cubic oblique Mercator, staged inverse
+        "laborde_transform",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -31,6 +31,7 @@ ELLIPSOIDS = {
     "clrk66": (6378206.4, 1.0 - 6356583.8 / 6378206.4),
     "bessel": (6377397.155, 1.0 / 299.1528128),
     "evrst67": (6377298.556, 1.0 / 300.8017),  # Everest 1830 (1967 defn)
+    "intl": (6378388.0, 1.0 / 297.0),          # International 1924
 }
 
 
@@ -1157,6 +1158,187 @@ def hom_inverse(B, x, y, phic: float, lonc: float, alphac: float,
     return lam * B.lit(deg), phi * B.lit(deg)
 
 
+# ---------------------------------------------------------------- Laborde
+def _laborde_consts(phic: float, lonc: float, alphac: float, kc: float,
+                    a: float, f: float):
+    """EPSG method 9813 constants (Guidance Note 7-2 §Laborde Oblique
+    Mercator): Bc, phi_s, R, C and the complex cubic coefficient G."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pc = math.radians(phic)
+    sp, cp = math.sin(pc), math.cos(pc)
+    Bc = math.sqrt(1.0 + e2 * cp ** 4 / (1.0 - e2))
+    phis = math.asin(sp / Bc)
+    R = a * kc * math.sqrt(1.0 - e2) / (1.0 - e2 * sp * sp)
+    C = (math.log(math.tan(math.pi / 4.0 + phis / 2.0))
+         - Bc * math.log(math.tan(math.pi / 4.0 + pc / 2.0)
+                         * ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0)))
+    ac = math.radians(alphac)
+    G = complex(1.0 - math.cos(2.0 * ac), math.sin(2.0 * ac)) / 12.0
+    return e, e2, Bc, phis, R, C, G, math.radians(lonc)
+
+
+def laborde_forward(B, lon, lat, phic: float, lonc: float, alphac: float,
+                    kc: float, a: float, f: float,
+                    fe: float = 0.0, fn: float = 0.0):
+    """Laborde Oblique Mercator forward (EPSG method 9813, the
+    Madagascar grid; reference names it in ogr/ogrspatialreference.cpp
+    :6390 SetLOM and resolves it through PROJ +proj=labrd). Sphere
+    rotation + complex cubic correction H + G*H^3, all B-backend
+    column math."""
+    e, _, Bc, phis, R, C, G, l0 = _laborde_consts(phic, lonc, alphac,
+                                                  kc, a, f)
+    ss, cs = math.sin(phis), math.cos(phis)
+    phi = B.radians(lat)
+    sphi = B.sin(phi)
+    q = B.lit(C) + B.lit(Bc) * B.log(
+        B.tan(phi * 0.5 + B.lit(math.pi / 4.0))
+        * B.exp(B.lit(e / 2.0) * B.log((1.0 - sphi * B.lit(e))
+                                       / (1.0 + sphi * B.lit(e)))))
+    P = B.atan(B.exp(q)) * 2.0 - B.lit(math.pi / 2.0)
+    L = (B.radians(lon) - B.lit(l0)) * B.lit(Bc)
+    cP = B.cos(P)
+    sP = B.sin(P)
+    U = cP * B.cos(L) * B.lit(cs) + sP * B.lit(ss)
+    V = cP * B.cos(L) * B.lit(ss) - sP * B.lit(cs)
+    W = cP * B.sin(L)
+    d = B.sqrt(U * U + V * V)
+    Lp = B.atan2(V, U + d) * 2.0           # stable half-angle atan2
+    Pp = B.atan2(W, d)
+    # H = -L' + i*ln(tan(pi/4 + P'/2))
+    hr = Lp * B.lit(-1.0)
+    hi = B.log(B.tan(Pp * 0.5 + B.lit(math.pi / 4.0)))
+    h3r = hr * hr * hr - hr * hi * hi * 3.0
+    h3i = hr * hr * hi * 3.0 - hi * hi * hi
+    zr = hr + B.lit(G.real) * h3r - B.lit(G.imag) * h3i
+    zi = hi + B.lit(G.real) * h3i + B.lit(G.imag) * h3r
+    return B.lit(fe) + zi * B.lit(R), B.lit(fn) + zr * B.lit(R)
+
+
+def laborde_inverse(B, x, y, phic: float, lonc: float, alphac: float,
+                    kc: float, a: float, f: float,
+                    fe: float = 0.0, fn: float = 0.0):
+    """Laborde inverse: two Newton steps on the complex cubic
+    G*H^3 + H = zeta (the GN 7-2 iteration), inverse sphere rotation,
+    conformal-latitude series (Snyder 3-5) instead of the iterative
+    isometric solve."""
+    e, e2, Bc, phis, R, C, G, l0 = _laborde_consts(phic, lonc, alphac,
+                                                   kc, a, f)
+    ss, cs = math.sin(phis), math.cos(phis)
+    zr = (y - B.lit(fn)) / B.lit(R)
+    zi = (x - B.lit(fe)) / B.lit(R)
+    hr, hi = zr, zi
+    for _ in range(2):
+        # H <- (zeta + 2 G H^3) / (3 G H^2 + 1)
+        h2r = hr * hr - hi * hi
+        h2i = hr * hi * 2.0
+        h3r = h2r * hr - h2i * hi
+        h3i = h2r * hi + h2i * hr
+        nr = zr + (B.lit(G.real) * h3r - B.lit(G.imag) * h3i) * 2.0
+        ni = zi + (B.lit(G.real) * h3i + B.lit(G.imag) * h3r) * 2.0
+        dr = (B.lit(G.real) * h2r - B.lit(G.imag) * h2i) * 3.0 + 1.0
+        di = (B.lit(G.real) * h2i + B.lit(G.imag) * h2r) * 3.0
+        dd = dr * dr + di * di
+        hr = (nr * dr + ni * di) / dd
+        hi = (ni * dr - nr * di) / dd
+    Lp = hr * B.lit(-1.0)
+    Pp = B.atan(B.exp(hi)) * 2.0 - B.lit(math.pi / 2.0)
+    cPp = B.cos(Pp)
+    sPp = B.sin(Pp)
+    # inverse rotation (transpose of the forward's orthogonal matrix):
+    # x = cosP'cosL'*cs + cosP'sinL'*ss, y = sinP',
+    # z = cosP'cosL'*ss - cosP'sinL'*cs
+    U = cPp * B.cos(Lp) * B.lit(cs) + cPp * B.sin(Lp) * B.lit(ss)
+    V = sPp
+    W = cPp * B.cos(Lp) * B.lit(ss) - cPp * B.sin(Lp) * B.lit(cs)
+    d = B.sqrt(U * U + V * V)
+    L = B.atan2(V, U + d) * 2.0
+    P = B.atan2(W, d)
+    qp = (B.log(B.tan(P * 0.5 + B.lit(math.pi / 4.0))) - B.lit(C)) \
+        / B.lit(Bc)
+    chi = B.atan(B.exp(qp)) * 2.0 - B.lit(math.pi / 2.0)
+    c1, c2, c3, c4 = _chi_series(e2)
+    phi = (chi + B.lit(c1) * B.sin(chi * 2.0) + B.lit(c2) * B.sin(chi * 4.0)
+           + B.lit(c3) * B.sin(chi * 6.0) + B.lit(c4) * B.sin(chi * 8.0))
+    deg = 180.0 / math.pi
+    lam = B.lit(l0) + L / B.lit(Bc)
+    return lam * B.lit(deg), phi * B.lit(deg)
+
+
+def laborde_inverse_stages(x_expr: str, y_expr: str,
+                           epsg: int = 29701) -> list:
+    """The Laborde inverse as NAMED-EXPRESSION STAGES (the nzmg.py
+    pattern): the single-expression B-backend form blows up to a
+    multi-MB tree through the two complex-cubic Newton steps, so the
+    Column path runs one Project per step (still a single map stage)
+    and the oracle runs the IDENTICAL templates as a DuckDB CTE chain
+    — ATAN/ATAN2/EXP/LN/TAN/SIN/COS/SQRT spell the same in both."""
+    kind, ell, p = CONIC_PRESETS[epsg]
+    a, f = ELLIPSOIDS[ell]
+    e, e2, Bc, phis, R, C, G, l0 = _laborde_consts(
+        p["phic"], p["lonc"], p["alphac"], p["kc"], a, f)
+    ss, cs = math.sin(phis), math.cos(phis)
+    fe, fn = p.get("fe", 0.0), p.get("fn", 0.0)
+    gr, gi = G.real, G.imag
+    st = [{"lzr": f"(({y_expr}) - {fn!r}) / {R!r}",
+           "lzi": f"(({x_expr}) - {fe!r}) / {R!r}",
+           "h0r": f"(({y_expr}) - {fn!r}) / {R!r}",
+           "h0i": f"(({x_expr}) - {fe!r}) / {R!r}"}]
+    for k in (1, 2):
+        i, o = f"h{k - 1}", f"h{k}"
+        st.append({f"{o}_2r": f"({i}r * {i}r - {i}i * {i}i)",
+                   f"{o}_2i": f"(2.0 * {i}r * {i}i)"})
+        st.append({f"{o}_3r": f"({o}_2r * {i}r - {o}_2i * {i}i)",
+                   f"{o}_3i": f"({o}_2r * {i}i + {o}_2i * {i}r)"})
+        st.append({
+            f"{o}_nr": f"(lzr + 2.0 * ({gr!r} * {o}_3r - {gi!r} * {o}_3i))",
+            f"{o}_ni": f"(lzi + 2.0 * ({gr!r} * {o}_3i + {gi!r} * {o}_3r))",
+            f"{o}_dr": f"(1.0 + 3.0 * ({gr!r} * {o}_2r - {gi!r} * {o}_2i))",
+            f"{o}_di": f"(3.0 * ({gr!r} * {o}_2i + {gi!r} * {o}_2r))",
+        })
+        st.append({
+            f"{o}r": f"(({o}_nr * {o}_dr + {o}_ni * {o}_di)"
+                     f" / ({o}_dr * {o}_dr + {o}_di * {o}_di))",
+            f"{o}i": f"(({o}_ni * {o}_dr - {o}_nr * {o}_di)"
+                     f" / ({o}_dr * {o}_dr + {o}_di * {o}_di))",
+        })
+    hp = math.pi / 2.0
+    st.append({"llp": "(-h2r)",
+               "lpp": f"(2.0 * ATAN(EXP(h2i)) - {hp!r})"})
+    st.append({
+        "lrx": f"(COS(lpp) * COS(llp) * {cs!r}"
+               f" + COS(lpp) * SIN(llp) * {ss!r})",
+        "lry": "(SIN(lpp))",
+        "lrz": f"(COS(lpp) * COS(llp) * {ss!r}"
+               f" - COS(lpp) * SIN(llp) * {cs!r})",
+    })
+    st.append({"lrd": "(SQRT(lrx * lrx + lry * lry))"})
+    st.append({"lbigl": "(2.0 * ATAN2(lry, lrx + lrd))",
+               "lbigp": "(ATAN2(lrz, lrd))"})
+    qp = math.pi / 4.0
+    st.append({"lqp": f"((LN(TAN(lbigp * 0.5 + {qp!r})) - {C!r}) / {Bc!r})"})
+    st.append({"lchi": f"(2.0 * ATAN(EXP(lqp)) - {hp!r})"})
+    c1, c2, c3, c4 = _chi_series(e2)
+    deg = 180.0 / math.pi
+    st.append({
+        "lab_lat": f"((lchi + {c1!r} * SIN(2.0 * lchi)"
+                   f" + {c2!r} * SIN(4.0 * lchi)"
+                   f" + {c3!r} * SIN(6.0 * lchi)"
+                   f" + {c4!r} * SIN(8.0 * lchi)) * {deg!r})",
+        "lab_lon": f"(({l0!r} + lbigl / {Bc!r}) * {deg!r})",
+    })
+    return st
+
+
+def from_laborde(df, x_col: str = "x", y_col: str = "y",
+                 epsg: int = 29701):
+    """Staged Column inverse — appends lab_lon / lab_lat."""
+    from .nzmg import _apply_stages
+
+    return _apply_stages(df, laborde_inverse_stages(x_col, y_col, epsg),
+                         False, out_prefix="lab_")
+
+
 # ------------------------------------------------------------------ Krovak
 _KROVAK = dict(
     phiC=49.5,                      # latitude of projection centre
@@ -1297,6 +1479,11 @@ CONIC_PRESETS = {
                  fe=590476.87, fn=442857.65)),
     2193: ("tmerc", "GRS80",  # NZGD2000 / New Zealand Transverse Merc.
            dict(lon0=173.0, k0=0.9996, fe=1600000.0, fn=10000000.0)),
+    29701: ("laborde", "intl",  # Tananarive (Paris) / Laborde Grid —
+            # EPSG method 9813; params in grads converted to degrees
+            # (phi_c = 21g S, lon_c = 49g E of Paris, alpha_c = 21g)
+            dict(phic=-18.9, lonc=46.43722916666667, alphac=18.9,
+                 kc=0.9995, fe=400000.0, fn=800000.0)),
 }
 
 _CONIC_FNS = {
@@ -1316,6 +1503,7 @@ _CONIC_FNS = {
     "eqearth": (eqearth_forward, eqearth_inverse),
     "hom": (hom_forward, hom_inverse),
     "tmerc": (tmerc_forward, tmerc_inverse),
+    "laborde": (laborde_forward, laborde_inverse),
 }
 
 # EPSG/ESRI code -> projection family dispatch (the engine's answer to
@@ -1373,6 +1561,10 @@ def conic_forward(epsg: int, lon: Column, lat: Column) -> tuple[Column, Column]:
 
 def conic_inverse(epsg: int, x: Column, y: Column) -> tuple[Column, Column]:
     kind, ellps, p = CONIC_PRESETS[epsg]
+    if kind == "laborde":
+        # the fused Newton tree is multi-MB — use the staged form
+        raise ValueError("laborde inverse must run staged: use "
+                         "crs.from_laborde(df) / laborde_inverse_stages")
     a, f = ELLIPSOIDS[ellps]
     return _CONIC_FNS[kind][1](_ColBackend, x, y, a=a, f=f, **p)
 
@@ -1387,6 +1579,9 @@ def conic_forward_sql(epsg: int, lon_expr: str, lat_expr: str) -> tuple[str, str
 
 def conic_inverse_sql(epsg: int, x_expr: str, y_expr: str) -> tuple[str, str]:
     kind, ellps, p = CONIC_PRESETS[epsg]
+    if kind == "laborde":
+        raise ValueError("laborde inverse must run staged: use "
+                         "laborde_inverse_stages + nzmg.sql_cte_chain")
     a, f = ELLIPSOIDS[ellps]
     lon, lat = _CONIC_FNS[kind][1](_SqlBackend, _Sql(x_expr), _Sql(y_expr),
                                    a=a, f=f, **p)

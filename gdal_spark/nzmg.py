@@ -158,12 +158,13 @@ def inverse_stages(e: str, n: str) -> list[dict[str, str]]:
 
 
 # --------------------------------------------------------- Column path
-def _apply_stages(df: DataFrame, stages, keep_tmp: bool) -> DataFrame:
+def _apply_stages(df: DataFrame, stages, keep_tmp: bool,
+                  out_prefix: str = "nzmg_") -> DataFrame:
     tmp: list[str] = []
     for stage in stages:
         df = df.select("*", *[F.expr(sql).alias(name)
                               for name, sql in stage.items()])
-        tmp += [n for n in stage if not n.startswith("nzmg_")]
+        tmp += [n for n in stage if not n.startswith(out_prefix)]
     if not keep_tmp:
         df = df.drop(*tmp)
     return df
