@@ -55,6 +55,7 @@ def _ellps_info(key: str) -> tuple[str, str, float, float]:
         "GRS80": "+ellps=GRS80",
         "bessel": "+ellps=bessel",
         "clrk66": "+ellps=clrk66",
+        "intl": "+ellps=intl",
         # Everest 1830 (1967 definition) has no stock proj4 alias
         "evrst67": f"+a={_fmt(a)} +rf={_fmt(rf)}",
     }[key]
@@ -63,6 +64,7 @@ def _ellps_info(key: str) -> tuple[str, str, float, float]:
         "GRS80": "GRS 1980",
         "bessel": "Bessel 1841",
         "clrk66": "Clarke 1866",
+        "intl": "International 1924",
         "evrst67": "Everest 1830 (1967 Definition)",
     }[key]
     return frag, name, a, rf
@@ -95,6 +97,8 @@ _NAMES = {
             "Timbalai_1948"),
     2193: ("NZGD2000 / New Zealand Transverse Mercator 2000", "NZGD2000",
            "New_Zealand_Geodetic_Datum_2000"),
+    29701: ("Tananarive (Paris) / Laborde Grid", "Tananarive (Paris)",
+            "Tananarive_1925_Paris"),
     32633: ("WGS 84 / UTM zone 33N", "WGS 84", "WGS_1984"),
     32733: ("WGS 84 / UTM zone 33S", "WGS 84", "WGS_1984"),
     26918: ("NAD83 / UTM zone 18N", "NAD83", "North_American_Datum_1983"),
@@ -195,6 +199,13 @@ _FAMILIES = {
              ("kc", "k", "scale_factor"),
              ("fe", "x_0", "false_easting"),
              ("fn", "y_0", "false_northing")]),
+    "laborde": ("labrd", "Laborde_Oblique_Mercator",
+                [("phic", "lat_0", "latitude_of_center"),
+                 ("lonc", "lon_0", "longitude_of_center"),
+                 ("alphac", "azi", "azimuth"),
+                 ("kc", "k", "scale_factor"),
+                 ("fe", "x_0", "false_easting"),
+                 ("fn", "y_0", "false_northing")]),
     "tmerc": ("tmerc", "Transverse_Mercator",
               [(("=", 0.0), "lat_0", "latitude_of_origin"),
                ("lon0", "lon_0", "central_meridian"),
