@@ -5146,6 +5146,35 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP full loop (gdal/frmts/bmp/bmpdataset.cpp): the 2x2 synth
+    tiles through the 8-bit paletted sink (parallel pwrite of
+    bottom-up 4-byte-padded scanlines at closed-form offsets), plus a
+    3-band stack through the 24-bit sink (one narrow keyed shuffle
+    interleaves each tile's bands B,G,R — the reference's :573 write
+    order, made batch), both back via the map-only strip scan.
+    Oracle: localref.sql_bmp_checksums."""
+    import tempfile
+
+    from gdal_spark import bmp
+
+    d = tempfile.mkdtemp(prefix="gdal_spark_bmp_")
+    src8 = synth.tiles_src_df(spark, 2, 2)
+    bmp.write_bmp(src8, d + "/g8.bmp")
+    rgb = None
+    for band, seed in ((1, 1), (2, 9), (3, 17)):
+        b = synth.tiles_src_df(spark, 2, 2, seed=seed,
+                               raster_id="rgb_like").withColumn(
+            "band", F.lit(band).cast("int"))
+        rgb = b if rgb is None else rgb.unionByName(b)
+    bmp.write_bmp(rgb, d + "/rgb24.bmp")
+    back8 = bmp.read_bmp(spark, d + "/g8.bmp", tile_px=256,
+                         raster_id="byte_like", zoom=12)
+    back24 = bmp.read_bmp(spark, d + "/rgb24.bmp", tile_px=256,
+                          raster_id="rgb_like", zoom=12)
+    return tiling.checksum_table(back8.unionByName(back24))
+
+
 def _q_dted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTED full loop (gdal/frmts/dted/dted_api.c, dted_create.c): a
     synthetic 121x121 int16 level-0 cell with negatives through the
@@ -5571,6 +5600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xyz_roundtrip": _q_xyz_roundtrip,
         "webtiles_xyz": _q_webtiles_xyz,
         "ehdr_roundtrip": _q_ehdr_roundtrip,
+        "bmp_roundtrip": _q_bmp_roundtrip,
         "dted_roundtrip": _q_dted_roundtrip,
         "srtmhgt_roundtrip": _q_srtmhgt_roundtrip,
         "cnsdtf_roundtrip": _q_cnsdtf_roundtrip,
@@ -8057,6 +8087,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("xyz_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("webtiles_xyz", localref.sql_raster_checksums_2x2())
         d.setdefault("ehdr_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("bmp_roundtrip", localref.sql_bmp_checksums())
         d.setdefault("dted_roundtrip",
                      localref.sql_dem_checksums(121, 64, "dem_cell"))
         d.setdefault("srtmhgt_roundtrip",

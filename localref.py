@@ -372,6 +372,17 @@ def sql_raster_checksums_2x2() -> str:
                       CKS_COLS, CKS_TYPES)
 
 
+def sql_bmp_checksums() -> str:
+    """BMP roundtrip oracle: an 8-bit paletted single-band image
+    (default-seed mosaic) plus a 24-bit 3-band image (seeds 1/9/17 for
+    R/G/B) — both loops must reproduce the source tiles exactly."""
+    rows = tile_checksums(global_mosaic(2, 2), 256, "byte_like", 1, 12)
+    for band, seed in ((1, 1), (2, 9), (3, 17)):
+        rows += tile_checksums(global_mosaic(2, 2, seed=seed), 256,
+                               "rgb_like", band, 12)
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
 def sql_mbtiles_jpeg_checksums(quality: int = 85) -> str:
     """Oracle for the lossy MBTiles-JPEG loop: sequential
     decode(encode(tile)) with the engine's own deterministic baseline
