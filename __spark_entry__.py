@@ -5175,6 +5175,76 @@ def _q_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back8.unionByName(back24))
 
 
+def _q_surfer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surfer binary grid loops (gdal/frmts/gsg/gsbgdataset.cpp,
+    gs7bgdataset.cpp): the synth mosaic cast to float32 through the
+    GSBG sink and to float64 through the GS7BG sink (bottom-up rows,
+    node-coordinate extents, distributed non-blank z-range for the
+    header), both back via the map-only strip scan.  Oracle:
+    localref.sql_surfer_checksums."""
+    import tempfile
+
+    from gdal_spark import gsg
+
+    d = tempfile.mkdtemp(prefix="gdal_spark_gsg_")
+    src = synth.tiles_src_df(spark, 2, 2)
+    gsg.write_gsbg(tiling.translate(src, cast_to="float32"),
+                   d + "/g6.grd")
+    gsg.write_gs7bg(tiling.translate(src, cast_to="float64"),
+                    d + "/g7.grd")
+    b6 = gsg.read_gsbg(spark, d + "/g6.grd", tile_px=256,
+                       raster_id="byte_like", zoom=12)
+    b7 = gsg.read_gs7bg(spark, d + "/g7.grd", tile_px=256,
+                        raster_id="gs7_like", zoom=12)
+    return tiling.checksum_table(b6.unionByName(b7))
+
+
+def _q_rst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idrisi RST loops (gdal/frmts/idrisi/IdrisiDataset.cpp): the
+    synth tiles through the byte sink, plus a 3-band stack through the
+    rgb24 sink (stored B,G,R — band numbers remap 4-n on both sides),
+    back via the map-only raw scan.  Checksums must equal the
+    source's; oracle shared with the BMP loop (same mosaics)."""
+    import tempfile
+
+    from gdal_spark import idrisi
+
+    d = tempfile.mkdtemp(prefix="gdal_spark_rst_")
+    idrisi.write_rst(synth.tiles_src_df(spark, 2, 2), d + "/g.rst")
+    rgb = None
+    for band, seed in ((1, 1), (2, 9), (3, 17)):
+        b = synth.tiles_src_df(spark, 2, 2, seed=seed,
+                               raster_id="rgb_like").withColumn(
+            "band", F.lit(band).cast("int"))
+        rgb = b if rgb is None else rgb.unionByName(b)
+    idrisi.write_rst(rgb, d + "/c.rst")
+    back1 = idrisi.read_rst(spark, d + "/g.rst", tile_px=256,
+                            raster_id="byte_like", zoom=12)
+    back3 = idrisi.read_rst(spark, d + "/c.rst", tile_px=256,
+                            raster_id="rgb_like", zoom=12)
+    return tiling.checksum_table(back1.unionByName(back3))
+
+
+def _q_ers_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERMapper ERS loop (gdal/frmts/ers/ersdataset.cpp): a 2-band
+    stack through the BIL sink (nested Begin/End text header
+    driver-side, pixels parallel-pwrite), back via the map-only BIL
+    strip scan.  Oracle: localref.sql_envi_checksums_2x2_2band (same
+    mosaics as the ENVI loop)."""
+    import tempfile
+
+    from gdal_spark import ers
+
+    b1 = synth.tiles_src_df(spark, 2, 2)
+    b2 = synth.tiles_src_df(spark, 2, 2, seed=9).withColumn(
+        "band", F.lit(2).cast("int"))
+    path = tempfile.mkdtemp(prefix="gdal_spark_ers_") + "/rt.ers"
+    ers.write_ers(b1.unionByName(b2), path)
+    back = ers.read_ers(spark, path, tile_px=256, raster_id="byte_like",
+                        zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_dted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTED full loop (gdal/frmts/dted/dted_api.c, dted_create.c): a
     synthetic 121x121 int16 level-0 cell with negatives through the
@@ -5601,6 +5671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtiles_xyz": _q_webtiles_xyz,
         "ehdr_roundtrip": _q_ehdr_roundtrip,
         "bmp_roundtrip": _q_bmp_roundtrip,
+        "surfer_roundtrip": _q_surfer_roundtrip,
+        "rst_roundtrip": _q_rst_roundtrip,
+        "ers_roundtrip": _q_ers_roundtrip,
         "dted_roundtrip": _q_dted_roundtrip,
         "srtmhgt_roundtrip": _q_srtmhgt_roundtrip,
         "cnsdtf_roundtrip": _q_cnsdtf_roundtrip,
@@ -8088,6 +8161,10 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("webtiles_xyz", localref.sql_raster_checksums_2x2())
         d.setdefault("ehdr_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("bmp_roundtrip", localref.sql_bmp_checksums())
+        d.setdefault("surfer_roundtrip", localref.sql_surfer_checksums())
+        d.setdefault("rst_roundtrip", localref.sql_bmp_checksums())
+        d.setdefault("ers_roundtrip",
+                     localref.sql_envi_checksums_2x2_2band())
         d.setdefault("dted_roundtrip",
                      localref.sql_dem_checksums(121, 64, "dem_cell"))
         d.setdefault("srtmhgt_roundtrip",

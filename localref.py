@@ -383,6 +383,16 @@ def sql_bmp_checksums() -> str:
     return values_sql(rows, CKS_COLS, CKS_TYPES)
 
 
+def sql_surfer_checksums() -> str:
+    """Surfer GSBG (float32) + GS7BG (float64) roundtrip oracle: both
+    loops must reproduce the float-cast synth mosaic exactly (GDAL's
+    checksum floors values, so the casts keep the uint8 sums)."""
+    g = global_mosaic(2, 2)
+    rows = tile_checksums(g, 256, "byte_like", 1, 12)
+    rows += tile_checksums(g, 256, "gs7_like", 1, 12)
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
 def sql_mbtiles_jpeg_checksums(quality: int = 85) -> str:
     """Oracle for the lossy MBTiles-JPEG loop: sequential
     decode(encode(tile)) with the engine's own deterministic baseline
