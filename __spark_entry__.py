@@ -4278,6 +4278,9 @@ _CONIC_REGION = {
     # pseudo/cylindrical world projections: defined (and round-trip
     # verified) across the whole derived domain
     54008: "lon > -179.0 AND lon < 179.0",
+    # Bonne: the atan2 inverse holds the full |E| < 180 deg branch and
+    # the derived lat stays off the poles (m > 0)
+    54024: "lon > -179.0 AND lon < 179.0",
     4087: "lon > -179.0 AND lon < 179.0",
     54009: "lon > -179.0 AND lon < 179.0",
     # LAEA Europe: defined away from the antipode of (10E, 52N); the
@@ -4391,6 +4394,113 @@ def _conic_sql(epsg: int) -> str:
                ROUND({lon2}, 6) AS lon_rt, ROUND({lat2}, 6) AS lat_rt
         FROM p
     """
+
+
+_CONIC_DOMAIN = {
+    # affine remaps of the derived (lon, lat) into each CRS's area of
+    # use (the laborde_transform pattern): lon0 + (lon+180)/360*span,
+    # lat0 + (lat+85)/170*span
+    30200: (-62.2, 2.0, 9.9, 1.3),     # Trinidad 1903 / Trinidad Grid
+    29101: (-73.0, 38.0, -33.0, 31.0),  # SAD69 / Brasil Polyconic
+    #                                     (south of the equator: the
+    #                                     9818 cot-phi 0/0 sits at 0)
+    5041: (-179.0, 358.0, 55.0, 34.5),  # WGS 84 / UPS North
+    2054: (26.2, 5.6, -34.5, 12.0),     # Hartebeesthoek94 / Lo29
+}
+
+
+def _domain_select(epsg: int):
+    lon0, lonspan, lat0, latspan = _CONIC_DOMAIN[epsg]
+    return (
+        (F.lit(lon0) + (F.col("lon") + 180.0) / 360.0 * lonspan).alias("lon"),
+        (F.lit(lat0) + (F.col("lat") + 85.0) / 170.0 * latspan).alias("lat"),
+    )
+
+
+def _domain_sql(epsg: int) -> str:
+    lon0, lonspan, lat0, latspan = _CONIC_DOMAIN[epsg]
+    return (f"SELECT doc_id,"
+            f" {lon0!r} + ({_LON} + 180.0) / 360.0 * {lonspan!r} AS lon,"
+            f" {lat0!r} + ({_LAT} + 85.0) / 170.0 * {latspan!r} AS lat"
+            f" FROM documents WHERE doc_id < 4000")
+
+
+def _q_conic_mapped(epsg: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Regional CRS whose area of use the derived points must be
+        remapped into (the laborde_transform affine pattern): forward
+        to projected units plus the inverse round trip, pure JVM
+        column math on the crs.py dual-backend builder (reference
+        reaches these through PROJ, ogr/ogrct.cpp:1822)."""
+        from gdal_spark import crs
+
+        d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+            F.col("doc_id") < 4000
+        ).select("doc_id", *_domain_select(epsg))
+        x, y = crs.conic_forward(epsg, F.col("lon"), F.col("lat"))
+        d = d.select("doc_id", "lon", "lat", x.alias("x"), y.alias("y"))
+        lon2, lat2 = crs.conic_inverse(epsg, F.col("x"), F.col("y"))
+        return d.select(
+            "doc_id",
+            F.round("x", 3).alias("x"),
+            F.round("y", 3).alias("y"),
+            F.round(lon2, 6).alias("lon_rt"),
+            F.round(lat2, 6).alias("lat_rt"),
+        )
+
+    return q
+
+
+def _conic_mapped_sql(epsg: int) -> str:
+    from gdal_spark.crs import conic_forward_sql, conic_inverse_sql
+
+    x, y = conic_forward_sql(epsg, "lon", "lat")
+    lon2, lat2 = conic_inverse_sql(epsg, "x", "y")
+    return f"""
+        WITH c AS ({_domain_sql(epsg)}), p AS (
+          SELECT doc_id, {x} AS x, {y} AS y FROM c
+        )
+        SELECT doc_id, ROUND(x, 3) AS x, ROUND(y, 3) AS y,
+               ROUND({lon2}, 6) AS lon_rt, ROUND({lat2}, 6) AS lat_rt
+        FROM p
+    """
+
+
+def _q_polyconic_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American Polyconic / EPSG:29101 SAD69 Brasil Polyconic (EPSG
+    method 9818; reference via PROJ +proj=poly, named in
+    frmts/gtiff/libgeotiff/geotiff_proj4.c): exact Snyder 18-12 closed
+    forward plus the 18-18..18-21 Newton inverse run STAGED — one
+    Project per step, like Laborde/NZMG, because the fused tree grows
+    ~48x per iteration. The oracle runs the identical stage templates
+    as a DuckDB CTE chain."""
+    from gdal_spark import crs
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 4000
+    ).select("doc_id", *_domain_select(29101))
+    x, y = crs.conic_forward(29101, F.col("lon"), F.col("lat"))
+    d = d.select("doc_id", "lon", "lat", x.alias("x"), y.alias("y"))
+    d = crs.from_polyconic(d)  # staged Newton inverse
+    return d.select(
+        "doc_id",
+        F.round("x", 3).alias("x"),
+        F.round("y", 3).alias("y"),
+        F.round("poly_lon", 6).alias("lon_rt"),
+        F.round("poly_lat", 6).alias("lat_rt"),
+    )
+
+
+def _polyconic_sql() -> str:
+    from gdal_spark import nzmg
+    from gdal_spark.crs import conic_forward_sql, poly_inverse_stages
+
+    x, y = conic_forward_sql(29101, "lon", "lat")
+    fwd = f"SELECT doc_id, {x} AS x, {y} AS y FROM ({_domain_sql(29101)})"
+    final = ("doc_id, ROUND(x, 3) AS x, ROUND(y, 3) AS y, "
+             "ROUND(poly_lon, 6) AS lon_rt, ROUND(poly_lat, 6) AS lat_rt")
+    return nzmg.sql_cte_chain(fwd, poly_inverse_stages("x", "y"),
+                              final, "pc")
 
 
 def _q_nzmg_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5936,6 +6046,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hom_swiss_transform": _q_conic(2056),
         "hom_rso_transform": _q_conic(29873),
         "nztm_transform": _q_conic(2193),
+        "cassini_transform": _q_conic_mapped(30200),
+        "polyconic_transform": _q_polyconic_transform,
+        "bonne_transform": _q_conic(54024),
+        "ups_north_transform": _q_conic_mapped(5041),
+        "tmso_transform": _q_conic_mapped(2054),
         "helmert_transform": _q_helmert_transform,
         "gridshift_transform": _q_gridshift_transform,
         "ntv2_transform": _q_ntv2_transform,
@@ -8100,6 +8215,11 @@ def _oracle_sql_static() -> dict[str, str]:
         "hom_swiss_transform": _conic_sql(2056),
         "hom_rso_transform": _conic_sql(29873),
         "nztm_transform": _conic_sql(2193),
+        "cassini_transform": _conic_mapped_sql(30200),
+        "polyconic_transform": _polyconic_sql(),
+        "bonne_transform": _conic_sql(54024),
+        "ups_north_transform": _conic_mapped_sql(5041),
+        "tmso_transform": _conic_mapped_sql(2054),
         "helmert_transform": _helmert_sql(),
         "gridshift_transform": _gridshift_sql(),
         "bng_transform": _bng_sql(),

@@ -32,6 +32,11 @@ ELLIPSOIDS = {
     "bessel": (6377397.155, 1.0 / 299.1528128),
     "evrst67": (6377298.556, 1.0 / 300.8017),  # Everest 1830 (1967 defn)
     "intl": (6378388.0, 1.0 / 297.0),          # International 1924
+    # Clarke 1858 in Clarke's links (EPSG 7007; 1 chain = 100 links =
+    # 66 ft -> a = 20926348 ft / 0.66) — the Trinidad 1903 grid works
+    # natively in links, per the EPSG GN 7-2 Cassini worked example
+    "clrk58links": (31706587.88, 1.0 / 294.2606764),
+    "GRS67mod": (6378160.0, 1.0 / 298.25),     # GRS 1967 Modified (SAD69)
 }
 
 
@@ -1069,6 +1074,293 @@ def tmerc_inverse(B, x, y, lon0: float, k0: float, a: float, f: float,
     return _tm_inverse(B, x, y, lon0, a, f, k0=k0, false_e=fe, false_n=fn)
 
 
+def tmso_forward(B, lon, lat, lon0: float, a: float, f: float,
+                 k0: float = 1.0, fe: float = 0.0, fn: float = 0.0):
+    """Transverse Mercator South Orientated (EPSG method 9808, the
+    South African Lo grids, e.g. EPSG:2054 Hartebeesthoek94 / Lo29;
+    reference via PROJ +proj=tmerc +axis=wsu, ogr/ogrct.cpp): same
+    Snyder series as 9807 with westing = FE - E', southing = FN - N'."""
+    x, y = _tm_forward(B, lon, lat, lon0, a, f, k0=k0,
+                       false_e=0.0, false_n=0.0)
+    return B.lit(fe) - x, B.lit(fn) - y
+
+
+def tmso_inverse(B, w, s, lon0: float, a: float, f: float,
+                 k0: float = 1.0, fe: float = 0.0, fn: float = 0.0):
+    return _tm_inverse(B, B.lit(fe) - w, B.lit(fn) - s, lon0, a, f,
+                       k0=k0, false_e=0.0, false_n=0.0)
+
+
+# -------------------------------------------- Cassini-Soldner (EPSG 9806)
+def cassini_forward(B, lon, lat, phi0: float, lon0: float,
+                    a: float, f: float, fe: float = 0.0, fn: float = 0.0):
+    """Cassini-Soldner forward (EPSG method 9806; Snyder 13-7..13-8
+    ellipsoidal; reference via PROJ +proj=cass, named in
+    frmts/gtiff/libgeotiff/geotiff_proj4.c). Anchored to the EPSG GN
+    7-2 Trinidad 1903 worked example (10N 62W -> 66644.94 / 82536.22
+    Clarke's links) in tests/test_crs_round5.py."""
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    M0 = a * _m_of(e2, math.radians(phi0))
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    sphi = B.sin(phi)
+    cphi = B.cos(phi)
+    tphi = B.tan(phi)
+    N = B.lit(a) / B.sqrt(1.0 - sphi * sphi * B.lit(e2))
+    T = tphi * tphi
+    A = lam * cphi
+    C = cphi * cphi * B.lit(ep2)
+    A2 = A * A
+    x = B.lit(fe) + N * (
+        A - T * A2 * A / 6.0
+        - (B.lit(8.0) - T + C * 8.0) * T * A2 * A2 * A / 120.0
+    )
+    y = (B.lit(fn) + B.lit(a) * _m_expr(B, e2, phi) - B.lit(M0)
+         + N * tphi * (A2 / 2.0 + (B.lit(5.0) - T + C * 6.0)
+                       * A2 * A2 / 24.0))
+    return x, y
+
+
+def cassini_inverse(B, x, y, phi0: float, lon0: float,
+                    a: float, f: float, fe: float = 0.0, fn: float = 0.0):
+    """Cassini-Soldner inverse (Snyder 13-9..13-12 via the footpoint
+    latitude of the 3-26 rectifying series)."""
+    e2 = f * (2.0 - f)
+    M0 = a * _m_of(e2, math.radians(phi0))
+    c0 = _m_coeffs(e2)[0]
+
+    mu1 = (B.lit(M0) + (y - B.lit(fn))) / B.lit(a * c0)
+    phi1 = _phi_from_mu(B, e2, mu1)
+    s1 = B.sin(phi1)
+    t1 = B.tan(phi1)
+    T1 = t1 * t1
+    w1 = 1.0 - s1 * s1 * B.lit(e2)
+    N1 = B.lit(a) / B.sqrt(w1)
+    R1 = B.lit(a * (1.0 - e2)) / (w1 * B.sqrt(w1))
+    D = (x - B.lit(fe)) / N1
+    D2 = D * D
+    phi = phi1 - (N1 * t1 / R1) * (D2 / 2.0 - (T1 * 3.0 + 1.0)
+                                   * D2 * D2 / 24.0)
+    lam = (D - T1 * D2 * D / 3.0
+           + (T1 * 3.0 + 1.0) * T1 * D2 * D2 * D / 15.0) / B.cos(phi1)
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+# ---------------------------------------- American Polyconic (EPSG 9818)
+def poly_forward(B, lon, lat, phi0: float, lon0: float,
+                 a: float, f: float, fe: float = 0.0, fn: float = 0.0):
+    """American Polyconic forward (EPSG method 9818; Snyder
+    18-12..18-15 ellipsoidal, e.g. EPSG:29101 SAD69 / Brasil
+    Polyconic; reference via PROJ +proj=poly). Exact closed form for
+    phi != 0; the phi == 0 limit (x = a*lam) is the 0/0 of
+    cot(phi)*sin(lam*sin(phi)) — presets keep the domain off the
+    exact equator."""
+    e2 = f * (2.0 - f)
+    M0 = a * _m_of(e2, math.radians(phi0))
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    sphi = B.sin(phi)
+    N = B.lit(a) / B.sqrt(1.0 - sphi * sphi * B.lit(e2))
+    E = lam * sphi
+    cot = B.cos(phi) / sphi
+    x = B.lit(fe) + N * cot * B.sin(E)
+    y = (B.lit(fn) + B.lit(a) * _m_expr(B, e2, phi) - B.lit(M0)
+         + N * cot * (1.0 - B.cos(E)))
+    return x, y
+
+
+def poly_inverse(B, x, y, phi0: float, lon0: float,
+                 a: float, f: float, fe: float = 0.0, fn: float = 0.0,
+                 iters: int = 4):
+    """American Polyconic inverse (Snyder 18-18..18-21 Newton): the
+    eager-backend form (numpy vertex arrays). The Column/SQL tree
+    grows ~48x per Newton step, so the declarative engines must run
+    the STAGED form instead (poly_inverse_stages / from_polyconic) —
+    conic_inverse raises for this family just like Laborde."""
+    e2 = f * (2.0 - f)
+    c0, c2, c4, c6 = _m_coeffs(e2)
+    M0 = a * _m_of(e2, math.radians(phi0))
+
+    xp = (x - B.lit(fe)) / B.lit(a)
+    A = B.lit(M0 / a) + (y - B.lit(fn)) / B.lit(a)
+    Bv = xp * xp + A * A
+    phi = A
+    for _ in range(iters):
+        s2 = B.sin(phi * 2.0)
+        sphi = B.sin(phi)
+        C = B.sqrt(1.0 - sphi * sphi * B.lit(e2)) * B.tan(phi)
+        Ma = _m_expr(B, e2, phi)
+        Mna = (B.lit(c0) - B.lit(2.0 * c2) * B.cos(phi * 2.0)
+               + B.lit(4.0 * c4) * B.cos(phi * 4.0)
+               - B.lit(6.0 * c6) * B.cos(phi * 6.0))
+        num = A * (C * Ma + 1.0) - Ma - (Ma * Ma + Bv) * C * 0.5
+        den = (B.lit(e2) * s2 * (Ma * Ma + Bv - A * Ma * 2.0)
+               / (C * 4.0)
+               + (A - Ma) * (C * Mna - B.lit(2.0) / s2) - Mna)
+        phi = phi - num / den
+    sphi = B.sin(phi)
+    Cf = B.sqrt(1.0 - sphi * sphi * B.lit(e2)) * B.tan(phi)
+    lam = B.asin(xp * Cf) / sphi
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+def poly_inverse_stages(x_expr: str, y_expr: str,
+                        epsg: int = 29101, iters: int = 4) -> list:
+    """The Polyconic Newton inverse as NAMED-EXPRESSION STAGES (the
+    laborde_inverse_stages pattern): one Project per Newton step on
+    the Column path, the IDENTICAL templates as a DuckDB CTE chain on
+    the oracle side. Appends poly_lon / poly_lat."""
+    kind, ell, p = CONIC_PRESETS[epsg]
+    a, f = ELLIPSOIDS[ell]
+    e2 = f * (2.0 - f)
+    c0, c2, c4, c6 = _m_coeffs(e2)
+    M0 = a * _m_of(e2, math.radians(p["phi0"]))
+    fe, fn = p.get("fe", 0.0), p.get("fn", 0.0)
+    lon0 = p["lon0"]
+
+    st = [{
+        "pxp": f"((({x_expr}) - {fe!r}) / {a!r})",
+        "pA": f"({M0 / a!r} + (({y_expr}) - {fn!r}) / {a!r})",
+    }]
+    st.append({"pBv": "(pxp * pxp + pA * pA)", "pphi0": "pA"})
+    for k in range(iters):
+        i, o = f"pphi{k}", f"pphi{k + 1}"
+        st.append({
+            f"ps2_{k}": f"(SIN(2.0 * {i}))",
+            f"pC_{k}": f"(SQRT(1.0 - {e2!r} * SIN({i}) * SIN({i}))"
+                       f" * TAN({i}))",
+            f"pMa_{k}": f"({c0!r} * {i} - {c2!r} * SIN(2.0 * {i})"
+                        f" + {c4!r} * SIN(4.0 * {i})"
+                        f" - {c6!r} * SIN(6.0 * {i}))",
+            f"pMna_{k}": f"({c0!r} - {2.0 * c2!r} * COS(2.0 * {i})"
+                         f" + {4.0 * c4!r} * COS(4.0 * {i})"
+                         f" - {6.0 * c6!r} * COS(6.0 * {i}))",
+        })
+        st.append({o: (
+            f"({i} - (pA * (pC_{k} * pMa_{k} + 1.0) - pMa_{k}"
+            f" - 0.5 * (pMa_{k} * pMa_{k} + pBv) * pC_{k})"
+            f" / ({e2!r} * ps2_{k}"
+            f" * (pMa_{k} * pMa_{k} + pBv - 2.0 * pA * pMa_{k})"
+            f" / (4.0 * pC_{k})"
+            f" + (pA - pMa_{k}) * (pC_{k} * pMna_{k} - 2.0 / ps2_{k})"
+            f" - pMna_{k}))")})
+    fin = f"pphi{iters}"
+    deg = 180.0 / math.pi
+    st.append({
+        "pCf": f"(SQRT(1.0 - {e2!r} * SIN({fin}) * SIN({fin}))"
+               f" * TAN({fin}))",
+    })
+    st.append({
+        "poly_lat": f"({fin} * {deg!r})",
+        "poly_lon": f"({lon0!r} + ASIN(pxp * pCf) / SIN({fin}) * {deg!r})",
+    })
+    return st
+
+
+def from_polyconic(df, x_col: str = "x", y_col: str = "y",
+                   epsg: int = 29101):
+    """Staged Column inverse — appends poly_lon / poly_lat."""
+    from .nzmg import _apply_stages
+
+    return _apply_stages(df, poly_inverse_stages(x_col, y_col, epsg),
+                         False, out_prefix="poly_")
+
+
+# ------------------------------------------------------ Bonne (EPSG 9827)
+def bonne_forward(B, lon, lat, phi1: float, lon0: float,
+                  a: float, f: float, fe: float = 0.0, fn: float = 0.0):
+    """Bonne pseudoconic equal-area forward (EPSG method 9827; Snyder
+    14-3..14-5 ellipsoidal, e.g. ESRI:54024 World Bonne; reference via
+    PROJ +proj=bonne +lat_1)."""
+    e2 = f * (2.0 - f)
+    p1 = math.radians(phi1)
+    m1 = _msc(e2, p1)
+    rho0 = a * m1 / math.sin(p1) + a * _m_of(e2, p1)
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    sphi = B.sin(phi)
+    m = B.cos(phi) / B.sqrt(1.0 - sphi * sphi * B.lit(e2))
+    rho = B.lit(rho0) - B.lit(a) * _m_expr(B, e2, phi)
+    E = m * lam * B.lit(a) / rho
+    x = B.lit(fe) + rho * B.sin(E)
+    y = B.lit(fn) + B.lit(a * m1 / math.sin(p1)) - rho * B.cos(E)
+    return x, y
+
+
+def bonne_inverse(B, x, y, phi1: float, lon0: float,
+                  a: float, f: float, fe: float = 0.0, fn: float = 0.0):
+    """Bonne inverse (Snyder 14-9..14-11 + the 3-26 rectifying
+    series; atan2 keeps the full |E| < 180 deg branch so the whole
+    lon domain round-trips). Presets use phi1 > 0 (rho > 0)."""
+    e2 = f * (2.0 - f)
+    p1 = math.radians(phi1)
+    m1 = _msc(e2, p1)
+    rho0 = a * m1 / math.sin(p1) + a * _m_of(e2, p1)
+    c0 = _m_coeffs(e2)[0]
+
+    xp = x - B.lit(fe)
+    top = B.lit(a * m1 / math.sin(p1)) - (y - B.lit(fn))
+    rho = B.sqrt(xp * xp + top * top)
+    mu = (B.lit(rho0) - rho) / B.lit(a * c0)
+    phi = _phi_from_mu(B, e2, mu)
+    sphi = B.sin(phi)
+    m = B.cos(phi) / B.sqrt(1.0 - sphi * sphi * B.lit(e2))
+    lam = rho * B.atan2(xp, top) / (m * B.lit(a))
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+# ------------------- Polar Stereographic variant A, north (EPSG 9810)
+def ups_north_forward(B, lon, lat, lon0: float, k0: float,
+                      a: float, f: float, fe: float = 0.0,
+                      fn: float = 0.0):
+    """Polar Stereographic variant A, NORTH aspect (EPSG method 9810;
+    Snyder 21-33..21-34 with the 21-39 scaled rho — e.g. EPSG:5041
+    WGS 84 / UPS North). Anchored to the EPSG GN 7-2 worked example
+    (73N 44E -> 3320416.75 E, 632668.43 N) in tests."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    den = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    sphi = B.sin(phi)
+    t = _t_expr(B, e, phi, sphi)
+    rho = B.lit(2.0 * a * k0 / den) * t
+    x = B.lit(fe) + rho * B.sin(lam)
+    y = B.lit(fn) - rho * B.cos(lam)
+    return x, y
+
+
+def ups_north_inverse(B, x, y, lon0: float, k0: float,
+                      a: float, f: float, fe: float = 0.0,
+                      fn: float = 0.0):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    den = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    c2, c4, c6, c8 = _chi_series(e2)
+
+    xe = x - B.lit(fe)
+    yn = y - B.lit(fn)
+    rho = B.sqrt(xe * xe + yn * yn)
+    t = rho * B.lit(den / (2.0 * a * k0))
+    chi = B.lit(math.pi / 2.0) - B.atan(t) * 2.0
+    phi = (chi
+           + B.lit(c2) * B.sin(chi * 2.0)
+           + B.lit(c4) * B.sin(chi * 4.0)
+           + B.lit(c6) * B.sin(chi * 6.0)
+           + B.lit(c8) * B.sin(chi * 8.0))
+    lam = B.atan2(xe, yn * -1.0)
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
 def _hom_consts(phic: float, lonc: float, alphac: float, kc: float,
                 a: float, f: float):
     """Hotine Oblique Mercator variant B constants (EPSG method 9815,
@@ -1484,6 +1776,21 @@ CONIC_PRESETS = {
             # (phi_c = 21g S, lon_c = 49g E of Paris, alpha_c = 21g)
             dict(phic=-18.9, lonc=46.43722916666667, alphac=18.9,
                  kc=0.9995, fe=400000.0, fn=800000.0)),
+    30200: ("cassini", "clrk58links",  # Trinidad 1903 / Trinidad Grid
+            # (Cassini-Soldner, method 9806) — Clarke's links, the
+            # EPSG GN 7-2 worked example CRS
+            dict(phi0=10.441666666666666, lon0=-61.333333333333336,
+                 fe=430000.0, fn=325000.0)),
+    29101: ("poly", "GRS67mod",  # SAD69 / Brasil Polyconic (9818)
+            dict(phi0=0.0, lon0=-54.0, fe=5000000.0, fn=10000000.0)),
+    54024: ("bonne", "WGS84",  # ESRI World Bonne (method 9827)
+            dict(phi1=60.0, lon0=0.0, fe=0.0, fn=0.0)),
+    5041: ("ups_north", "WGS84",  # WGS 84 / UPS North (E,N) — Polar
+           # Stereographic variant A, north aspect (method 9810)
+           dict(lon0=0.0, k0=0.994, fe=2000000.0, fn=2000000.0)),
+    2054: ("tmso", "WGS84",  # Hartebeesthoek94 / Lo29 (method 9808,
+           # TM South Orientated: westing/southing axes)
+           dict(lon0=29.0, k0=1.0, fe=0.0, fn=0.0)),
 }
 
 _CONIC_FNS = {
@@ -1504,6 +1811,11 @@ _CONIC_FNS = {
     "hom": (hom_forward, hom_inverse),
     "tmerc": (tmerc_forward, tmerc_inverse),
     "laborde": (laborde_forward, laborde_inverse),
+    "cassini": (cassini_forward, cassini_inverse),
+    "poly": (poly_forward, poly_inverse),
+    "bonne": (bonne_forward, bonne_inverse),
+    "ups_north": (ups_north_forward, ups_north_inverse),
+    "tmso": (tmso_forward, tmso_inverse),
 }
 
 # EPSG/ESRI code -> projection family dispatch (the engine's answer to
@@ -1520,6 +1832,9 @@ _CONIC_FNS = {
 #   54009(ESRI)  -> Mollweide                   | 3035 -> LAEA Europe (9820)
 #   6933         -> Cylindrical Equal Area      | 8857 -> Equal Earth (1078)
 #   2056         -> HOM variant B, Swiss LV95   | 29873 -> HOM-B RSO Borneo
+#   30200        -> Cassini-Soldner (9806)      | 29101 -> Polyconic (9818)
+#   54024(ESRI)  -> Bonne (9827)                | 5041 -> UPS North (9810)
+#   2054         -> TM South Orientated (9808)
 # Anything else raises KeyError: no silent fallback, no general PROJ.
 
 
@@ -1565,6 +1880,10 @@ def conic_inverse(epsg: int, x: Column, y: Column) -> tuple[Column, Column]:
         # the fused Newton tree is multi-MB — use the staged form
         raise ValueError("laborde inverse must run staged: use "
                          "crs.from_laborde(df) / laborde_inverse_stages")
+    if kind == "poly":
+        # ~48x tree growth per Newton step — use the staged form
+        raise ValueError("polyconic inverse must run staged: use "
+                         "crs.from_polyconic(df) / poly_inverse_stages")
     a, f = ELLIPSOIDS[ellps]
     return _CONIC_FNS[kind][1](_ColBackend, x, y, a=a, f=f, **p)
 
@@ -1582,6 +1901,9 @@ def conic_inverse_sql(epsg: int, x_expr: str, y_expr: str) -> tuple[str, str]:
     if kind == "laborde":
         raise ValueError("laborde inverse must run staged: use "
                          "laborde_inverse_stages + nzmg.sql_cte_chain")
+    if kind == "poly":
+        raise ValueError("polyconic inverse must run staged: use "
+                         "poly_inverse_stages + nzmg.sql_cte_chain")
     a, f = ELLIPSOIDS[ellps]
     lon, lat = _CONIC_FNS[kind][1](_SqlBackend, _Sql(x_expr), _Sql(y_expr),
                                    a=a, f=f, **p)

@@ -39,6 +39,8 @@ def _fmt(x: float) -> str:
     """Shortest round-trip decimal for a parameter value — integers
     print bare (``700000``), everything else via repr (matches PROJ's
     %.17g-then-trim convention closely enough to be stable)."""
+    if isinstance(x, str):          # literal flag values (+axis=wsu)
+        return x
     xf = float(x)
     if xf == int(xf) and abs(xf) < 1e15:
         return str(int(xf))
@@ -58,6 +60,10 @@ def _ellps_info(key: str) -> tuple[str, str, float, float]:
         "intl": "+ellps=intl",
         # Everest 1830 (1967 definition) has no stock proj4 alias
         "evrst67": f"+a={_fmt(a)} +rf={_fmt(rf)}",
+        # Clarke 1858 in Clarke's links (the Trinidad grid's native
+        # frame; no stock alias — a is already in links)
+        "clrk58links": f"+a={_fmt(a)} +rf={_fmt(rf)}",
+        "GRS67mod": "+ellps=aust_SA",  # GRS 1967 Modified = aust_SA
     }[key]
     name = {
         "WGS84": "WGS 84",
@@ -66,6 +72,8 @@ def _ellps_info(key: str) -> tuple[str, str, float, float]:
         "clrk66": "Clarke 1866",
         "intl": "International 1924",
         "evrst67": "Everest 1830 (1967 Definition)",
+        "clrk58links": "Clarke 1858",
+        "GRS67mod": "GRS 1967 Modified",
     }[key]
     return frag, name, a, rf
 
@@ -99,6 +107,14 @@ _NAMES = {
            "New_Zealand_Geodetic_Datum_2000"),
     29701: ("Tananarive (Paris) / Laborde Grid", "Tananarive (Paris)",
             "Tananarive_1925_Paris"),
+    30200: ("Trinidad 1903 / Trinidad Grid", "Trinidad 1903",
+            "Trinidad_1903"),
+    29101: ("SAD69 / Brasil Polyconic", "SAD69",
+            "South_American_Datum_1969"),
+    54024: ("World_Bonne", "WGS 84", "WGS_1984"),
+    5041: ("WGS 84 / UPS North (E,N)", "WGS 84", "WGS_1984"),
+    2054: ("Hartebeesthoek94 / Lo29", "Hartebeesthoek94",
+           "Hartebeesthoek94"),
     32633: ("WGS 84 / UTM zone 33N", "WGS 84", "WGS_1984"),
     32733: ("WGS 84 / UTM zone 33S", "WGS 84", "WGS_1984"),
     26918: ("NAD83 / UTM zone 18N", "NAD83", "North_American_Datum_1983"),
@@ -212,10 +228,47 @@ _FAMILIES = {
                ("k0", "k", "scale_factor"),
                ("fe", "x_0", "false_easting"),
                ("fn", "y_0", "false_northing")]),
+    "cassini": ("cass", "Cassini_Soldner",
+                [("phi0", "lat_0", "latitude_of_origin"),
+                 ("lon0", "lon_0", "central_meridian"),
+                 ("fe", "x_0", "false_easting"),
+                 ("fn", "y_0", "false_northing")]),
+    "poly": ("poly", "Polyconic",
+             [("phi0", "lat_0", "latitude_of_origin"),
+              ("lon0", "lon_0", "central_meridian"),
+              ("fe", "x_0", "false_easting"),
+              ("fn", "y_0", "false_northing")]),
+    "bonne": ("bonne", "Bonne",
+              [("phi1", "lat_1", "standard_parallel_1"),
+               ("lon0", "lon_0", "central_meridian"),
+               ("fe", "x_0", "false_easting"),
+               ("fn", "y_0", "false_northing")]),
+    "ups_north": ("stere", "Polar_Stereographic",
+                  [(("=", 90.0), "lat_0", "latitude_of_origin"),
+                   ("lon0", "lon_0", "central_meridian"),
+                   ("k0", "k", "scale_factor"),
+                   ("fe", "x_0", "false_easting"),
+                   ("fn", "y_0", "false_northing")]),
+    # method 9808: the 9807 series with westing/southing axes — PROJ
+    # spells the axis swap +axis=wsu
+    "tmso": ("tmerc", "Transverse_Mercator_South_Orientated",
+             [(("=", 0.0), "lat_0", "latitude_of_origin"),
+              ("lon0", "lon_0", "central_meridian"),
+              ("k0", "k", "scale_factor"),
+              (("=", "wsu"), "axis", None),
+              ("fe", "x_0", "false_easting"),
+              ("fn", "y_0", "false_northing")]),
+}
+
+# per-code coordinate unit: (WKT unit name, WKT factor, proj4 fragment)
+_UNITS_DEFAULT = ("metre", "1", "+units=m")
+_UNITS = {
+    30200: ("Clarke's link", "0.201166195164",
+            "+to_meter=0.201166195164"),
 }
 
 # ESRI-namespace codes (no EPSG AUTHORITY node in WKT1)
-ESRI_CODES = frozenset({54008, 54009, 102016, 102031})
+ESRI_CODES = frozenset({54008, 54009, 54024, 102016, 102031})
 
 # UTM fast-path codes rendered alongside the conic registry (one
 # representative per ELLIPSOIDS-backed band; the full 326xx/327xx/269xx
@@ -239,11 +292,14 @@ def registry_rows() -> list[dict]:
             frag = "+datum=WGS84"
         elif datum == "North_American_Datum_1983":
             frag = "+datum=NAD83"
+        unit_name, unit_factor, p4_units = _UNITS.get(code, _UNITS_DEFAULT)
         for i, (p4k, wkk, val) in enumerate(params):
             rows.append(dict(
                 epsg=code, kind=kind, name=name, geogcs=gcs, datum=datum,
                 spheroid=sph_name, a=_fmt(a), rf=_fmt(rf),
                 proj=proj_name, wkt_projection=wkt_proj, ellps_frag=frag,
+                unit_name=unit_name, unit_factor=unit_factor,
+                p4_units=p4_units,
                 ordinal=i, proj4_key=p4k, wkt_key=wkk, value=_fmt(val),
             ))
 
@@ -282,6 +338,7 @@ def registry_rows() -> list[dict]:
             spheroid="WGS 84", a=_fmt(6378137.0),
             rf=_fmt(298.257223563), proj="merc",
             wkt_projection="Mercator_1SP", ellps_frag="",
+            unit_name="metre", unit_factor="1", p4_units="+units=m",
             ordinal=i, proj4_key=p4k, wkt_key=wkk, value=_fmt(val),
         ))
     return rows
@@ -317,6 +374,7 @@ def srsinfo(spark: SparkSession) -> DataFrame:
     parts = p.groupBy(
         "epsg", "kind", "name", "geogcs", "datum", "spheroid", "a", "rf",
         "proj", "wkt_projection", "ellps_frag",
+        "unit_name", "unit_factor", "p4_units",
     ).agg(
         F.array_join(F.transform(
             F.array_sort(F.collect_list(F.when(
@@ -333,7 +391,8 @@ def srsinfo(spark: SparkSession) -> DataFrame:
     tail = F.when(F.col("kind") == "webmerc",
                   F.lit(" +k=1 +units=m +nadgrids=@null"
                         " +wgs84=0,0,0,0,0,0,0 +no_defs")
-                  ).otherwise(F.lit(" +units=m +no_defs"))
+                  ).otherwise(F.concat(F.lit(" "), "p4_units",
+                                       F.lit(" +no_defs")))
     ellps = F.when(F.col("ellps_frag") == "", F.lit("")).otherwise(
         F.concat(F.lit(" "), "ellps_frag"))
     proj4 = F.concat(
@@ -353,7 +412,8 @@ def srsinfo(spark: SparkSession) -> DataFrame:
         F.lit('PROJCS['), q, "name", q, F.lit(","), geogcs,
         F.lit(',PROJECTION['), q, "wkt_projection", q, F.lit("]"),
         F.lit(","), "wkt_params",
-        F.lit(',UNIT["metre",1]'),
+        F.concat(F.lit(',UNIT['), q, "unit_name", q, F.lit(","),
+                 "unit_factor", F.lit("]")),
         F.when(~F.col("epsg").isin(*sorted(ESRI_CODES)),
                F.concat(F.lit(',AUTHORITY["EPSG","'),
                         F.col("epsg").cast("string"), F.lit('"]'))

@@ -3032,7 +3032,7 @@ def sql_srsinfo() -> str:
             tail = (" +k=1 +units=m +nadgrids=@null"
                     " +wgs84=0,0,0,0,0,0,0 +no_defs")
         else:
-            tail = " +units=m +no_defs"
+            tail = f" {h['p4_units']} +no_defs"
         ellps = f" {h['ellps_frag']}" if h["ellps_frag"] else ""
         p4 = "+proj=" + h["proj"]
         if p4_items:
@@ -3050,7 +3050,7 @@ def sql_srsinfo() -> str:
             f'PROJCS["{h["name"]}",{geogcs},'
             f'PROJECTION["{h["wkt_projection"]}"],'
             + ",".join(wkt_items)
-            + f',UNIT["metre",1]{auth}]'
+            + f',UNIT["{h["unit_name"]}",{h["unit_factor"]}]{auth}]'
         )
         rows.append((code, h["name"], h["kind"], p4, wkt))
     return values_sql(
