@@ -4406,6 +4406,7 @@ _CONIC_DOMAIN = {
     #                                     9818 cot-phi 0/0 sits at 0)
     5041: (-179.0, 358.0, 55.0, 34.5),  # WGS 84 / UPS North
     2054: (26.2, 5.6, -34.5, 12.0),     # Hartebeesthoek94 / Lo29
+    2154: (-4.5, 12.0, 42.5, 8.0),      # RGF93 / Lambert-93 (France)
 }
 
 
@@ -4501,6 +4502,55 @@ def _polyconic_sql() -> str:
              "ROUND(poly_lon, 6) AS lon_rt, ROUND(poly_lat, 6) AS lat_rt")
     return nzmg.sql_cte_chain(fwd, poly_inverse_stages("x", "y"),
                               final, "pc")
+
+
+def _q_crs_to_crs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic projected -> projected point transform (the
+    OGRCreateCoordinateTransformation(src, dst) point path,
+    ogr/ogrct.cpp:1822, composed through geographic like PROJ's
+    +proj=pipeline): Lambert-93 (EPSG:2154) coordinates re-projected
+    into LAEA Europe (EPSG:3035) and back — inverse(src) to the WGS84
+    hub then forward(dst), all whole-stage codegen, zero exchanges.
+    Oracle: the identical composition emitted by crs_to_crs_sql."""
+    from gdal_spark import crs
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 4000
+    ).select("doc_id", *_domain_select(2154))
+    x, y = crs.conic_forward(2154, F.col("lon"), F.col("lat"))
+    d = d.select("doc_id", x.alias("x"), y.alias("y"))
+    x2, y2 = crs.crs_to_crs_cols(2154, 3035, F.col("x"), F.col("y"))
+    d = d.select("doc_id", "x", "y", x2.alias("x2"), y2.alias("y2"))
+    xb, yb = crs.crs_to_crs_cols(3035, 2154, F.col("x2"), F.col("y2"))
+    return d.select(
+        "doc_id",
+        F.round("x", 3).alias("x_l93"),
+        F.round("y", 3).alias("y_l93"),
+        F.round("x2", 3).alias("x_laea"),
+        F.round("y2", 3).alias("y_laea"),
+        F.round(xb, 3).alias("x_back"),
+        F.round(yb, 3).alias("y_back"),
+    )
+
+
+def _crs_to_crs_sql() -> str:
+    from gdal_spark.crs import conic_forward_sql, crs_to_crs_sql
+
+    fx, fy = conic_forward_sql(2154, "lon", "lat")
+    x2, y2 = crs_to_crs_sql(2154, 3035, "x", "y")
+    xb, yb = crs_to_crs_sql(3035, 2154, "x2", "y2")
+    return f"""
+        WITH c AS ({_domain_sql(2154)}), p AS (
+          SELECT doc_id, {fx} AS x, {fy} AS y FROM c
+        ), q AS (
+          SELECT doc_id, x, y, {x2} AS x2, {y2} AS y2 FROM p
+        )
+        SELECT doc_id,
+               ROUND(x, 3) AS x_l93, ROUND(y, 3) AS y_l93,
+               ROUND(x2, 3) AS x_laea, ROUND(y2, 3) AS y_laea,
+               ROUND({xb}, 3) AS x_back, ROUND({yb}, 3) AS y_back
+        FROM q
+    """
 
 
 def _q_nzmg_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6051,6 +6101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bonne_transform": _q_conic(54024),
         "ups_north_transform": _q_conic_mapped(5041),
         "tmso_transform": _q_conic_mapped(2054),
+        "crs_to_crs_transform": _q_crs_to_crs,
         "helmert_transform": _q_helmert_transform,
         "gridshift_transform": _q_gridshift_transform,
         "ntv2_transform": _q_ntv2_transform,
@@ -8220,6 +8271,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "bonne_transform": _conic_sql(54024),
         "ups_north_transform": _conic_mapped_sql(5041),
         "tmso_transform": _conic_mapped_sql(2054),
+        "crs_to_crs_transform": _crs_to_crs_sql(),
         "helmert_transform": _helmert_sql(),
         "gridshift_transform": _gridshift_sql(),
         "bng_transform": _bng_sql(),

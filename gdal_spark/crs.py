@@ -1914,6 +1914,21 @@ def conic_inverse_sql(epsg: int, x_expr: str, y_expr: str) -> tuple[str, str]:
 _R_SPH = 6378137.0  # spherical web-mercator radius (EPSG:3857)
 
 
+def webmerc_forward(B, lon, lat):
+    """EPSG:4326 -> EPSG:3857 (spherical) on backend B — same formula
+    the tile grid in cells.py uses as Columns."""
+    x = lon * B.lit(math.pi * _R_SPH / 180.0)
+    y = B.log(B.tan((lat + 90.0) * B.lit(math.pi / 360.0))) * B.lit(_R_SPH)
+    return x, y
+
+
+def webmerc_inverse(B, x, y):
+    lon = x * B.lit(180.0 / (math.pi * _R_SPH))
+    lat = (B.atan(B.exp(y / B.lit(_R_SPH))) * 2.0
+           - B.lit(math.pi / 2.0)) * B.lit(180.0 / math.pi)
+    return lon, lat
+
+
 def webmerc_forward_np(lon, lat):
     """EPSG:4326 -> EPSG:3857 (spherical), numpy — same formula the
     tile grid in cells.py uses as Columns."""
@@ -1980,3 +1995,64 @@ def grid_transform_np(src_epsg: int, dst_epsg: int):
         return _from_geo(src_epsg, lon, lat)
 
     return fwd, inv
+
+
+# ----------------------------------- generic CRS -> CRS point transform
+_STAGED_KINDS = ("laborde", "poly")
+
+
+def _geo_hub(B, epsg: int, x, y, inverse: bool):
+    """One leg of the geodetic-hub composition on backend B:
+    projected (x, y) -> WGS84-frame lon/lat when inverse, else
+    lon/lat -> projected. Same dispatch as grid_transform_np minus
+    the two legs that can't run fused declaratively: 27700 (the BNG
+    Helmert pipeline is staged in projpipe) and the staged-inverse
+    families (laborde/poly)."""
+    if epsg == 4326:
+        return x, y
+    if epsg == 3857:
+        return (webmerc_inverse if inverse else webmerc_forward)(B, x, y)
+    if epsg == 27700:
+        raise ValueError("27700 runs staged: use projpipe.to_bng/from_bng")
+    try:
+        ellps, zone, south = utm_params(epsg)
+    except ValueError:
+        kind, ellps, p = CONIC_PRESETS[epsg]
+        if inverse and kind in _STAGED_KINDS:
+            raise ValueError(
+                f"{kind} inverse must run staged: use "
+                f"crs.from_{'laborde' if kind == 'laborde' else 'polyconic'}"
+            )
+        a, f = ELLIPSOIDS[ellps]
+        return _CONIC_FNS[kind][1 if inverse else 0](B, x, y, a=a, f=f, **p)
+    a, f = ELLIPSOIDS[ellps]
+    fn = _tm_inverse if inverse else _tm_forward
+    return fn(B, x, y, float(zone * 6 - 183), a, f,
+              false_n=10000000.0 if south else 0.0)
+
+
+def crs_to_crs_cols(src_epsg: int, dst_epsg: int,
+                    x: Column, y: Column) -> tuple[Column, Column]:
+    """Projected -> projected point transform as pure Column math —
+    the OGRCreateCoordinateTransformation(src, dst) point path
+    (ogr/ogrct.cpp:1822 composed through geographic, like PROJ's
+    +proj=pipeline +inv +step): inverse(src) to the WGS84 hub, then
+    forward(dst). Supports 4326, 3857, UTM codes, and every fused
+    CONIC_PRESETS family — zero shuffles, whole-stage codegen."""
+    lon, lat = _geo_hub(_ColBackend, src_epsg, x, y, inverse=True)
+    return _geo_hub(_ColBackend, dst_epsg, lon, lat, inverse=False)
+
+
+def crs_to_crs_sql(src_epsg: int, dst_epsg: int,
+                   x_expr: str, y_expr: str) -> tuple[str, str]:
+    """The identical composition as ANSI-SQL strings (the oracle)."""
+    lon, lat = _geo_hub(_SqlBackend, src_epsg, _Sql(x_expr),
+                        _Sql(y_expr), inverse=True)
+    x2, y2 = _geo_hub(_SqlBackend, dst_epsg, _Sql(str(lon)),
+                      _Sql(str(lat)), inverse=False)
+    return str(x2), str(y2)
+
+
+def crs_to_crs_np(src_epsg: int, dst_epsg: int, xs, ys):
+    """numpy twin (vertex arrays) — grid_transform_np's forward leg."""
+    return grid_transform_np(src_epsg, dst_epsg)[0](xs, ys)

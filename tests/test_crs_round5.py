@@ -164,3 +164,62 @@ def test_column_roundtrip_and_plan(spark, epsg):
     for r in rows:
         assert abs(r.lon2 - r.lon) < 2e-7
         assert abs(r.lat2 - r.lat) < 1e-8
+
+
+def test_crs_to_crs_matches_numpy_and_plan(spark):
+    """The generic projected->projected Column composition equals the
+    numpy grid_transform_np chain and stays exchange-free."""
+    rng = np.random.default_rng(21)
+    lons = rng.uniform(-4, 7, 200)
+    lats = rng.uniform(43, 50, 200)
+    x93, y93 = crs.transform_points_np(2154, lons, lats)
+    fwd, _ = crs.grid_transform_np(2154, 3035)
+    xt, yt = fwd(x93, y93)
+
+    df = spark.createDataFrame(
+        [(i, float(x93[i]), float(y93[i])) for i in range(200)],
+        "id long, x double, y double")
+    x2, y2 = crs.crs_to_crs_cols(2154, 3035, F.col("x"), F.col("y"))
+    out = df.select("id", x2.alias("x2"), y2.alias("y2"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    rows = out.orderBy("id").collect()
+    np.testing.assert_allclose([r.x2 for r in rows], xt, rtol=0, atol=1e-6)
+    np.testing.assert_allclose([r.y2 for r in rows], yt, rtol=0, atol=1e-6)
+
+
+def test_crs_to_crs_utm_and_webmerc_legs(spark):
+    """UTM and web-mercator legs of the hub dispatch round-trip."""
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(12, 18, 100)     # UTM zone 33N band
+    lats = rng.uniform(40, 60, 100)
+    xu, yu = crs.grid_transform_np(3857, 32633)[1](
+        *crs.grid_transform_np(3857, 32633)[0](
+            *crs.webmerc_forward_np(lons, lats)))
+    # numpy round trip sanity first
+    x0, y0 = crs.webmerc_forward_np(lons, lats)
+    np.testing.assert_allclose(xu, x0, rtol=0, atol=5e-3)
+    np.testing.assert_allclose(yu, y0, rtol=0, atol=5e-3)
+
+    df = spark.createDataFrame(
+        [(i, float(x0[i]), float(y0[i])) for i in range(100)],
+        "id long, x double, y double")
+    xc, yc = crs.crs_to_crs_cols(3857, 32633, F.col("x"), F.col("y"))
+    d = df.select("id", xc.alias("xu"), yc.alias("yu"))
+    xb, yb = crs.crs_to_crs_cols(32633, 3857, F.col("xu"), F.col("yu"))
+    rows = d.select("id", "xu", "yu", xb.alias("x2"), yb.alias("y2")) \
+        .orderBy("id").collect()
+    tx, ty = crs.grid_transform_np(3857, 32633)[0](x0, y0)
+    np.testing.assert_allclose([r.xu for r in rows], tx, rtol=0, atol=1e-6)
+    np.testing.assert_allclose([r.yu for r in rows], ty, rtol=0, atol=1e-6)
+    np.testing.assert_allclose([r.x2 for r in rows], x0, rtol=0, atol=5e-3)
+    np.testing.assert_allclose([r.y2 for r in rows], y0, rtol=0, atol=5e-3)
+
+
+def test_crs_to_crs_staged_kinds_refuse():
+    with pytest.raises(ValueError, match="staged"):
+        crs.crs_to_crs_cols(29101, 4326, F.col("x"), F.col("y"))
+    with pytest.raises(ValueError, match="staged"):
+        crs.crs_to_crs_sql(29701, 3035, "x", "y")
+    # forward INTO a staged family is fine (only the inverse stages)
+    crs.crs_to_crs_cols(4326, 29101, F.col("lon"), F.col("lat"))
