@@ -127,6 +127,35 @@ def st_transform(col, epsg: int, prec: int = 3, inverse: bool = False):
     return _udf1(tx, T.StringType())(col)
 
 
+def st_transform_crs(col, src_epsg: int, dst_epsg: int, prec: int = 3):
+    """Whole-geometry reprojection between two PROJECTED CRS (the
+    ogr2ogr -s_srs/-t_srs pair; OGRCreateCoordinateTransformation
+    composed through geographic, ogr/ogrct.cpp:1822): every vertex
+    runs inverse(src) -> WGS84 hub -> forward(dst) with the numpy
+    twins of the closed-form families (crs.grid_transform_np)."""
+    from .. import crs
+
+    fwd = crs.grid_transform_np(src_epsg, dst_epsg)[0]
+
+    def tx(g):
+        def conv(xs, ys):
+            x2, y2 = fwd(np.asarray(xs, np.float64),
+                         np.asarray(ys, np.float64))
+            return np.asarray(x2, np.float64), np.asarray(y2, np.float64)
+
+        if g.kind in ("point", "multipoint", "linestring"):
+            parts = [conv(*g.parts[0])] if g.parts else []
+        elif g.kind == "multilinestring":
+            parts = [conv(*ln) for ln in g.parts]
+        elif g.kind == "polygon":
+            parts = [[conv(*r) for r in g.parts[0]]] if g.parts else []
+        else:  # multipolygon
+            parts = [[conv(*r) for r in rings] for rings in g.parts]
+        return GM.to_wkt(GM.Geom(g.kind, parts), prec)
+
+    return _udf1(tx, T.StringType())(col)
+
+
 def _perimeter(g):
     ax, ay, bx, by = g.boundary_segments()
     return float(np.hypot(bx - ax, by - ay).sum())

@@ -47,6 +47,7 @@ def ogr2ogr_layer(
     select: list[str] | None = None,
     t_srs_epsg: int | None = None,
     t_srs_prec: int = 3,
+    s_srs_epsg: int | None = None,
     segmentize: float | None = None,
     simplify: float | None = None,
     explode_collections: bool = False,
@@ -107,9 +108,18 @@ def ogr2ogr_layer(
     if simplify is not None:
         out = out.withColumn(geom_col, SG.st_simplify(g, simplify))
     if t_srs_epsg is not None:
-        out = out.withColumn(
-            geom_col, SG.st_transform(g, t_srs_epsg, prec=t_srs_prec)
-        )
+        # -s_srs/-t_srs: a non-geographic source CRS composes through
+        # the geodetic hub (ogr2ogr_lib.cpp's poCT from
+        # OGRCreateCoordinateTransformation(s_srs, t_srs))
+        if s_srs_epsg is not None and s_srs_epsg != 4326:
+            out = out.withColumn(
+                geom_col, SG.st_transform_crs(g, s_srs_epsg, t_srs_epsg,
+                                              prec=t_srs_prec)
+            )
+        else:
+            out = out.withColumn(
+                geom_col, SG.st_transform(g, t_srs_epsg, prec=t_srs_prec)
+            )
     if wrapdateline:
         out = out.withColumn("_parts", SG.st_wrapdateline(g)) \
             .withColumn(geom_col, F.explode("_parts")).drop("_parts")

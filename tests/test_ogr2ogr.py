@@ -127,3 +127,28 @@ def test_dissolve_touching_squares(spark):  # noqa: F811
         SG.st_area(F.col("w")).alias("ar")).collect()[0]["ar"]
     assert abs(areab - 2.0) < 1e-9
     assert gb.startswith("MULTIPOLYGON")
+
+
+def test_st_transform_crs_and_s_srs(spark):
+    """-s_srs/-t_srs: a Lambert-93 layer reprojected into LAEA Europe
+    must match the numpy hub composition vertex by vertex; the
+    ogr2ogr_layer s_srs_epsg path drives the same kernel."""
+    lons = np.array([-1.0, 3.0, 6.5])
+    lats = np.array([43.5, 46.5, 49.0])
+    x93, y93 = crs.transform_points_np(2154, lons, lats)
+    wkt = "LINESTRING(" + ", ".join(
+        f"{x93[i]!r} {y93[i]!r}" for i in range(3)) + ")"
+    df = spark.createDataFrame([(1, wkt)], ["id", "geom_wkt"])
+
+    out = df.select(
+        SG.st_transform_crs("geom_wkt", 2154, 3035, prec=6).alias("t")
+    ).collect()[0]["t"]
+    pts = [tuple(map(float, p.split())) for p in
+           out[out.index("(") + 1: out.rindex(")")].split(",")]
+    xt, yt = crs.grid_transform_np(2154, 3035)[0](x93, y93)
+    for i, (x, y) in enumerate(pts):
+        assert abs(x - xt[i]) < 1e-5 and abs(y - yt[i]) < 1e-5
+
+    piped = ogr2ogr_layer(df, s_srs_epsg=2154, t_srs_epsg=3035,
+                          t_srs_prec=6).collect()[0]["geom_wkt"]
+    assert piped == out
