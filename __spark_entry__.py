@@ -4407,6 +4407,11 @@ _CONIC_DOMAIN = {
     5041: (-179.0, 358.0, 55.0, 34.5),  # WGS 84 / UPS North
     2054: (26.2, 5.6, -34.5, 12.0),     # Hartebeesthoek94 / Lo29
     2154: (-4.5, 12.0, 42.5, 8.0),      # RGF93 / Lambert-93 (France)
+    3413: (-178.0, 310.0, 35.0, 54.0),  # NSIDC PS North — lon capped
+    #                                     below 132E: the inverse
+    #                                     atan2 branch is principal
+    #                                     around lon0=-45
+    5042: (-179.0, 358.0, -89.5, 34.0),  # WGS 84 / UPS South
 }
 
 
@@ -6101,6 +6106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bonne_transform": _q_conic(54024),
         "ups_north_transform": _q_conic_mapped(5041),
         "tmso_transform": _q_conic_mapped(2054),
+        "nsidc_ps_north_transform": _q_conic_mapped(3413),
+        "ups_south_transform": _q_conic_mapped(5042),
         "crs_to_crs_transform": _q_crs_to_crs,
         "helmert_transform": _q_helmert_transform,
         "gridshift_transform": _q_gridshift_transform,
@@ -8271,6 +8278,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "bonne_transform": _conic_sql(54024),
         "ups_north_transform": _conic_mapped_sql(5041),
         "tmso_transform": _conic_mapped_sql(2054),
+        "nsidc_ps_north_transform": _conic_mapped_sql(3413),
+        "ups_south_transform": _conic_mapped_sql(5042),
         "crs_to_crs_transform": _crs_to_crs_sql(),
         "helmert_transform": _helmert_sql(),
         "gridshift_transform": _gridshift_sql(),

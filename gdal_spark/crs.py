@@ -1338,6 +1338,100 @@ def ups_north_forward(B, lon, lat, lon0: float, k0: float,
     return x, y
 
 
+def ups_south_forward(B, lon, lat, lon0: float, k0: float,
+                      a: float, f: float, fe: float = 0.0,
+                      fn: float = 0.0):
+    """Polar Stereographic variant A, SOUTH aspect (EPSG:5042 WGS 84 /
+    UPS South): the north formulas at -phi with N = FN + rho cos(lam).
+    Tested as the exact mirror of the GN 7-2 north worked example."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    den = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    nphi = phi * -1.0
+    t = _t_expr(B, e, nphi, B.sin(nphi))
+    rho = B.lit(2.0 * a * k0 / den) * t
+    x = B.lit(fe) + rho * B.sin(lam)
+    y = B.lit(fn) + rho * B.cos(lam)
+    return x, y
+
+
+def ups_south_inverse(B, x, y, lon0: float, k0: float,
+                      a: float, f: float, fe: float = 0.0,
+                      fn: float = 0.0):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    den = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    c2, c4, c6, c8 = _chi_series(e2)
+
+    xe = x - B.lit(fe)
+    yn = y - B.lit(fn)
+    rho = B.sqrt(xe * xe + yn * yn)
+    t = rho * B.lit(den / (2.0 * a * k0))
+    chi = B.lit(math.pi / 2.0) - B.atan(t) * 2.0
+    phi = (chi
+           + B.lit(c2) * B.sin(chi * 2.0)
+           + B.lit(c4) * B.sin(chi * 4.0)
+           + B.lit(c6) * B.sin(chi * 6.0)
+           + B.lit(c8) * B.sin(chi * 8.0))
+    lam = B.atan2(xe, yn)
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(-deg)
+
+
+def ps_north_forward(B, lon, lat, phi_f: float, lon0: float,
+                     a: float, f: float, fe: float = 0.0,
+                     fn: float = 0.0):
+    """Polar Stereographic variant B, NORTH aspect (EPSG method 9829
+    mirrored from ps_south; e.g. EPSG:3413 NSIDC Sea Ice Polar
+    Stereographic North, the standard Arctic climate-data grid):
+    Snyder 21-33..21-34."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pf = math.radians(phi_f)
+    t_f = _tsc(e, pf)
+    m_f = _msc(e2, pf)
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    t = _t_expr(B, e, phi, B.sin(phi))
+    rho = B.lit(a * m_f / t_f) * t
+    x = B.lit(fe) + rho * B.sin(lam)
+    y = B.lit(fn) - rho * B.cos(lam)
+    return x, y
+
+
+def ps_north_inverse(B, x, y, phi_f: float, lon0: float,
+                     a: float, f: float, fe: float = 0.0,
+                     fn: float = 0.0):
+    """Inverse of ps_north_forward. NOTE: the atan2 longitude is
+    principal-branch around lon0 — for EPSG:3413 (lon0 = -45) points
+    east of 135 E resolve to lon - 360; preset queries bound the
+    domain accordingly."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pf = math.radians(phi_f)
+    t_f = _tsc(e, pf)
+    m_f = _msc(e2, pf)
+    c2, c4, c6, c8 = _chi_series(e2)
+
+    xe = x - B.lit(fe)
+    yn = y - B.lit(fn)
+    rho = B.sqrt(xe * xe + yn * yn)
+    t = rho * B.lit(t_f / (a * m_f))
+    chi = B.lit(math.pi / 2.0) - B.atan(t) * 2.0
+    phi = (chi
+           + B.lit(c2) * B.sin(chi * 2.0)
+           + B.lit(c4) * B.sin(chi * 4.0)
+           + B.lit(c6) * B.sin(chi * 6.0)
+           + B.lit(c8) * B.sin(chi * 8.0))
+    lam = B.atan2(xe, yn * -1.0)
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
 def ups_north_inverse(B, x, y, lon0: float, k0: float,
                       a: float, f: float, fe: float = 0.0,
                       fn: float = 0.0):
@@ -1791,6 +1885,12 @@ CONIC_PRESETS = {
     2054: ("tmso", "WGS84",  # Hartebeesthoek94 / Lo29 (method 9808,
            # TM South Orientated: westing/southing axes)
            dict(lon0=29.0, k0=1.0, fe=0.0, fn=0.0)),
+    3413: ("ps_north", "WGS84",  # WGS 84 / NSIDC Sea Ice Polar
+           # Stereographic North (variant B, lat_ts 70N, lon0 45W)
+           dict(phi_f=70.0, lon0=-45.0, fe=0.0, fn=0.0)),
+    5042: ("ups_south", "WGS84",  # WGS 84 / UPS South (E,N) —
+           # Polar Stereographic variant A, south aspect
+           dict(lon0=0.0, k0=0.994, fe=2000000.0, fn=2000000.0)),
 }
 
 _CONIC_FNS = {
@@ -1815,6 +1915,8 @@ _CONIC_FNS = {
     "poly": (poly_forward, poly_inverse),
     "bonne": (bonne_forward, bonne_inverse),
     "ups_north": (ups_north_forward, ups_north_inverse),
+    "ups_south": (ups_south_forward, ups_south_inverse),
+    "ps_north": (ps_north_forward, ps_north_inverse),
     "tmso": (tmso_forward, tmso_inverse),
 }
 
@@ -1834,7 +1936,8 @@ _CONIC_FNS = {
 #   2056         -> HOM variant B, Swiss LV95   | 29873 -> HOM-B RSO Borneo
 #   30200        -> Cassini-Soldner (9806)      | 29101 -> Polyconic (9818)
 #   54024(ESRI)  -> Bonne (9827)                | 5041 -> UPS North (9810)
-#   2054         -> TM South Orientated (9808)
+#   2054         -> TM South Orientated (9808)  | 5042 -> UPS South (9810)
+#   3413         -> NSIDC Polar Stereo North (9829)
 # Anything else raises KeyError: no silent fallback, no general PROJ.
 
 

@@ -113,6 +113,9 @@ _NAMES = {
             "South_American_Datum_1969"),
     54024: ("World_Bonne", "WGS 84", "WGS_1984"),
     5041: ("WGS 84 / UPS North (E,N)", "WGS 84", "WGS_1984"),
+    5042: ("WGS 84 / UPS South (E,N)", "WGS 84", "WGS_1984"),
+    3413: ("WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+           "WGS 84", "WGS_1984"),
     2054: ("Hartebeesthoek94 / Lo29", "Hartebeesthoek94",
            "Hartebeesthoek94"),
     32633: ("WGS 84 / UTM zone 33N", "WGS 84", "WGS_1984"),
@@ -249,6 +252,19 @@ _FAMILIES = {
                    ("k0", "k", "scale_factor"),
                    ("fe", "x_0", "false_easting"),
                    ("fn", "y_0", "false_northing")]),
+    "ups_south": ("stere", "Polar_Stereographic",
+                  [(("=", -90.0), "lat_0", "latitude_of_origin"),
+                   ("lon0", "lon_0", "central_meridian"),
+                   ("k0", "k", "scale_factor"),
+                   ("fe", "x_0", "false_easting"),
+                   ("fn", "y_0", "false_northing")]),
+    "ps_north": ("stere", "Polar_Stereographic",
+                 [(("=", 90.0), "lat_0", None),
+                  ("phi_f", "lat_ts", "latitude_of_origin"),
+                  ("lon0", "lon_0", "central_meridian"),
+                  (("=", 1.0), None, "scale_factor"),
+                  ("fe", "x_0", "false_easting"),
+                  ("fn", "y_0", "false_northing")]),
     # method 9808: the 9807 series with westing/southing axes — PROJ
     # spells the axis swap +axis=wsu
     "tmso": ("tmerc", "Transverse_Mercator_South_Orientated",

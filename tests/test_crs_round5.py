@@ -223,3 +223,45 @@ def test_crs_to_crs_staged_kinds_refuse():
         crs.crs_to_crs_sql(29701, 3035, "x", "y")
     # forward INTO a staged family is fine (only the inverse stages)
     crs.crs_to_crs_cols(4326, 29101, F.col("lon"), F.col("lat"))
+
+
+def test_ups_south_mirrors_north_anchor():
+    """Variant A south is the exact mirror of the GN 7-2 north worked
+    example: E_south(lam, -phi) = E_north(lam, phi) and
+    N_south = 2*FN - N_north."""
+    _, a, f, ps = _preset(5042)
+    x, y = crs.ups_south_forward(crs._NpBackend, np.array([44.0]),
+                                 np.array([-73.0]), a=a, f=f, **ps)
+    assert abs(x[0] - 3320416.75) < 0.01
+    assert abs(y[0] - (4000000.0 - 632668.43)) < 0.01
+    lon2, lat2 = crs.ups_south_inverse(crs._NpBackend, x, y,
+                                       a=a, f=f, **ps)
+    assert abs(lon2[0] - 44.0) < 1e-9 and abs(lat2[0] + 73.0) < 1e-8
+
+
+def test_ps_north_3413_properties():
+    """NSIDC PS North: the pole maps to the origin, the projection is
+    true-scale at 70N (distance along a meridian ~ arc length), and
+    (70N, 45W) sits on the negative-y axis at rho = a*m(70)."""
+    _, a, f, p = _preset(3413)
+    e2 = f * (2.0 - f)
+    x, y = crs.ps_north_forward(crs._NpBackend, np.array([-45.0, 0.0]),
+                                np.array([90.0, 70.0]), a=a, f=f, **p)
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    s70 = math.sin(math.radians(70.0))
+    rho70 = a * math.cos(math.radians(70.0)) / math.sqrt(1 - e2 * s70 * s70)
+    assert abs(math.hypot(x[1], y[1]) - rho70) < 1e-6
+
+
+@pytest.mark.parametrize("epsg,lo,hi,la0,la1", [
+    (3413, -178.0, 132.0, 35.0, 89.0),
+    (5042, -179.0, 179.0, -89.5, -55.0),
+])
+def test_polar_np_roundtrip(epsg, lo, hi, la0, la1):
+    rng = np.random.default_rng(epsg)
+    lons = rng.uniform(lo, hi, 1500)
+    lats = rng.uniform(la0, la1, 1500)
+    X, Y = crs.transform_points_np(epsg, lons, lats)
+    L2, P2 = crs.transform_points_np(epsg, X, Y, inverse=True)
+    assert np.abs(L2 - lons).max() < 1e-9
+    assert np.abs(P2 - lats).max() < 1e-8
