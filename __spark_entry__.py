@@ -4509,6 +4509,54 @@ def _polyconic_sql() -> str:
                               final, "pc")
 
 
+def _q_proj4_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """importFromProj4 parity (ogr/ogr_srs_proj4.cpp; export side is
+    the srsinfo renderer): every registered projected code's PROJ.4
+    string is re-PARSED into a synthetic preset (gdal_spark/proj4.py)
+    and the Spark side projects two in-domain sample points through
+    the RE-IMPORTED parameters — while the oracle projects the same
+    points through the ORIGINAL presets. Equality proves any user
+    proj4 string of a supported family resolves identically to the
+    enumerated registry."""
+    from gdal_spark import crs as C
+    from gdal_spark import proj4 as P4
+    from gdal_spark import srsinfo as SR
+
+    p4 = SR.proj4_strings()
+    out = None
+    for code in sorted(k for k in C.CONIC_PRESETS if k > 0):
+        kind, _, params = C.CONIC_PRESETS[code]
+        synth = P4.register_proj4(p4[code])
+        lons, lats = P4.sample_lonlat(kind, params)
+        df = spark.createDataFrame(
+            [(code, i, float(lons[i]), float(lats[i])) for i in (0, 1)],
+            "epsg long, pt long, lon double, lat double")
+        x, y = C.conic_forward(synth, F.col("lon"), F.col("lat"))
+        df = df.select("epsg", "pt",
+                       F.round(x, 6).alias("x"), F.round(y, 6).alias("y"))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _proj4_import_sql() -> str:
+    from gdal_spark import crs as C
+    from gdal_spark import proj4 as P4
+    from gdal_spark.crs import conic_forward_sql
+
+    parts = []
+    for code in sorted(k for k in C.CONIC_PRESETS if k > 0):
+        kind, _, params = C.CONIC_PRESETS[code]
+        lons, lats = P4.sample_lonlat(kind, params)
+        for i in (0, 1):
+            x, y = conic_forward_sql(code, repr(float(lons[i])),
+                                     repr(float(lats[i])))
+            parts.append(
+                f"SELECT CAST({code} AS BIGINT) AS epsg,"
+                f" CAST({i} AS BIGINT) AS pt,"
+                f" ROUND({x}, 6) AS x, ROUND({y}, 6) AS y")
+    return " UNION ALL ".join(parts)
+
+
 def _q_crs_to_crs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic projected -> projected point transform (the
     OGRCreateCoordinateTransformation(src, dst) point path,
@@ -6109,6 +6157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsidc_ps_north_transform": _q_conic_mapped(3413),
         "ups_south_transform": _q_conic_mapped(5042),
         "crs_to_crs_transform": _q_crs_to_crs,
+        "proj4_import_parity": _q_proj4_import,
         "helmert_transform": _q_helmert_transform,
         "gridshift_transform": _q_gridshift_transform,
         "ntv2_transform": _q_ntv2_transform,
@@ -8281,6 +8330,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "nsidc_ps_north_transform": _conic_mapped_sql(3413),
         "ups_south_transform": _conic_mapped_sql(5042),
         "crs_to_crs_transform": _crs_to_crs_sql(),
+        "proj4_import_parity": _proj4_import_sql(),
         "helmert_transform": _helmert_sql(),
         "gridshift_transform": _gridshift_sql(),
         "bng_transform": _bng_sql(),

@@ -319,7 +319,11 @@ def registry_rows() -> list[dict]:
                 ordinal=i, proj4_key=p4k, wkt_key=wkk, value=_fmt(val),
             ))
 
+    # negative codes are synthetic proj4-import registrations
+    # (gdal_spark/proj4.py) — dispatchable but not part of the report
     for code, (kind, ellps_key, preset) in sorted(CONIC_PRESETS.items()):
+        if code < 0:
+            continue
         proj_name, wkt_proj, spec = _FAMILIES[kind]
         params = []
         for src, p4k, wkk in spec:
@@ -358,6 +362,36 @@ def registry_rows() -> list[dict]:
             ordinal=i, proj4_key=p4k, wkt_key=wkk, value=_fmt(val),
         ))
     return rows
+
+
+def proj4_strings() -> dict[int, str]:
+    """exportToProj4 for every registered code, rendered driver-side
+    from the same rows the engine explodes (shared by the proj4-import
+    closure test and the proj4_import_parity contract query)."""
+    by_code: dict = {}
+    for r in registry_rows():
+        by_code.setdefault(r["epsg"], []).append(r)
+    out = {}
+    for code, ps in by_code.items():
+        ps = sorted(ps, key=lambda r: r["ordinal"])
+        h = ps[0]
+        items = []
+        for r in ps:
+            k = r["proj4_key"]
+            if k == "south":
+                items.append("+south")
+            elif k is not None:
+                items.append(f"+{k}={r['value']}")
+        if h["kind"] == "webmerc":
+            tail = (" +k=1 +units=m +nadgrids=@null"
+                    " +wgs84=0,0,0,0,0,0,0 +no_defs")
+        else:
+            tail = f" {h['p4_units']} +no_defs"
+        ellps = f" {h['ellps_frag']}" if h["ellps_frag"] else ""
+        out[code] = ("+proj=" + h["proj"]
+                     + (" " + " ".join(items) if items else "")
+                     + ellps + tail)
+    return out
 
 
 def params_df(spark: SparkSession) -> DataFrame:
