@@ -1962,13 +1962,28 @@ class _NpBackend:
     asin = staticmethod(_np.arcsin)
 
 
-def transform_points_np(epsg: int, xs, ys, inverse: bool = False):
-    """Project numpy lon/lat arrays (or inverse) with the same closed
-    forms as the Column backend."""
+def np_transform_fn(epsg: int, inverse: bool = False):
+    """Resolve a preset EAGERLY into a picklable numpy transform
+    closure. UDF paths must use this (not a deferred
+    transform_points_np(epsg, ...) call): synthetic proj4-import
+    registrations (gdal_spark/proj4.py, negative codes) live only in
+    the DRIVER's CONIC_PRESETS — an executor-side dict lookup would
+    KeyError, while the resolved (kind, a, f, params) pickle cleanly
+    into the closure."""
     kind, ellps, p = CONIC_PRESETS[epsg]
     a, f = ELLIPSOIDS[ellps]
     fn = _CONIC_FNS[kind][1 if inverse else 0]
-    return fn(_NpBackend, xs, ys, a=a, f=f, **p)
+
+    def tx(xs, ys):
+        return fn(_NpBackend, xs, ys, a=a, f=f, **p)
+
+    return tx
+
+
+def transform_points_np(epsg: int, xs, ys, inverse: bool = False):
+    """Project numpy lon/lat arrays (or inverse) with the same closed
+    forms as the Column backend."""
+    return np_transform_fn(epsg, inverse)(xs, ys)
 
 
 def conic_forward(epsg: int, lon: Column, lat: Column) -> tuple[Column, Column]:
@@ -2061,41 +2076,35 @@ def grid_transform_np(src_epsg: int, dst_epsg: int):
     Geodetic interchange is WGS84 lon/lat (27700 is the one code here
     with a non-WGS84 datum and carries its own shift). Both returned
     functions are picklable and ship inside UDF closures."""
-    def _to_geo(epsg, x, y):
+    def _leg(epsg, inverse):
+        # resolve EAGERLY so synthetic proj4-import codes (driver-only
+        # dict entries) ship as parameters inside UDF closures
         if epsg == 3857:
-            return webmerc_inverse_np(x, y)
+            return webmerc_inverse_np if inverse else webmerc_forward_np
         if epsg == 27700:
-            from .projpipe import bng_inverse
-            return bng_inverse(_NpBackend, x, y)
+            from .projpipe import bng_forward, bng_inverse
+            fn = bng_inverse if inverse else bng_forward
+            return lambda x, y: fn(_NpBackend, x, y)
         try:
             ellps, zone, south = utm_params(epsg)
         except ValueError:
-            return transform_points_np(epsg, x, y, inverse=True)
+            return np_transform_fn(epsg, inverse)
         a, f = ELLIPSOIDS[ellps]
-        return _tm_inverse(_NpBackend, x, y, float(zone * 6 - 183), a, f,
-                           false_n=10000000.0 if south else 0.0)
+        tm = _tm_inverse if inverse else _tm_forward
+        lon0 = float(zone * 6 - 183)
+        fn0 = 10000000.0 if south else 0.0
+        return lambda x, y: tm(_NpBackend, x, y, lon0, a, f, false_n=fn0)
 
-    def _from_geo(epsg, lon, lat):
-        if epsg == 3857:
-            return webmerc_forward_np(lon, lat)
-        if epsg == 27700:
-            from .projpipe import bng_forward
-            return bng_forward(_NpBackend, lon, lat)
-        try:
-            ellps, zone, south = utm_params(epsg)
-        except ValueError:
-            return transform_points_np(epsg, lon, lat)
-        a, f = ELLIPSOIDS[ellps]
-        return _tm_forward(_NpBackend, lon, lat, float(zone * 6 - 183), a, f,
-                           false_n=10000000.0 if south else 0.0)
+    src_inv = _leg(src_epsg, True)
+    src_fwd = _leg(src_epsg, False)
+    dst_inv = _leg(dst_epsg, True)
+    dst_fwd = _leg(dst_epsg, False)
 
     def fwd(x, y):
-        lon, lat = _to_geo(src_epsg, x, y)
-        return _from_geo(dst_epsg, lon, lat)
+        return dst_fwd(*src_inv(x, y))
 
     def inv(x, y):
-        lon, lat = _to_geo(dst_epsg, x, y)
-        return _from_geo(src_epsg, lon, lat)
+        return src_fwd(*dst_inv(x, y))
 
     return fwd, inv
 

@@ -107,11 +107,14 @@ def st_transform(col, epsg: int, prec: int = 3, inverse: bool = False):
     structure (kind, ring order, vertex order) is preserved."""
     from .. import crs
 
+    # resolve driver-side: synthetic proj4-import codes exist only in
+    # the driver's registry (crs.np_transform_fn docstring)
+    fn = crs.np_transform_fn(epsg, inverse)
+
     def tx(g):
         def conv(xs, ys):
-            x2, y2 = crs.transform_points_np(
-                epsg, np.asarray(xs, np.float64),
-                np.asarray(ys, np.float64), inverse)
+            x2, y2 = fn(np.asarray(xs, np.float64),
+                        np.asarray(ys, np.float64))
             return np.asarray(x2, np.float64), np.asarray(y2, np.float64)
 
         if g.kind in ("point", "multipoint", "linestring"):

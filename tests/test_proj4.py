@@ -83,3 +83,24 @@ def test_unsupported_and_malformed_raise():
         proj4.register_proj4("+ellps=WGS84")
     with pytest.raises(ValueError, match="polar"):
         proj4.register_proj4("+proj=stere +lat_0=52 +ellps=WGS84")
+
+
+def test_synthetic_code_through_executor_udf(spark):
+    """The st_transform numpy path runs INSIDE executors, where a
+    synthetic registration doesn't exist in the module dict — the
+    closure must carry the resolved parameters (crs.np_transform_fn),
+    not the code."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.functions import geometry as SG
+
+    c = proj4.register_proj4(
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96"
+        " +x_0=0 +y_0=0 +datum=NAD83 +units=m +no_defs")  # 5070 twin
+    df = spark.createDataFrame(
+        [(1, "LINESTRING(-100 40, -95 42, -90 44)")], ["id", "wkt"])
+    out = df.select(SG.st_transform("wkt", c, prec=6).alias("t")) \
+        .collect()[0]["t"]
+    ref = df.select(SG.st_transform("wkt", 5070, prec=6).alias("t")) \
+        .collect()[0]["t"]
+    assert out == ref
