@@ -45,9 +45,9 @@ def ogr2ogr_layer(
     sql: str | None = None,
     clipsrc: str | tuple | None = None,
     select: list[str] | None = None,
-    t_srs_epsg: int | None = None,
+    t_srs_epsg: int | str | None = None,
     t_srs_prec: int = 3,
-    s_srs_epsg: int | None = None,
+    s_srs_epsg: int | str | None = None,
     segmentize: float | None = None,
     simplify: float | None = None,
     explode_collections: bool = False,
@@ -110,7 +110,14 @@ def ogr2ogr_layer(
     if t_srs_epsg is not None:
         # -s_srs/-t_srs: a non-geographic source CRS composes through
         # the geodetic hub (ogr2ogr_lib.cpp's poCT from
-        # OGRCreateCoordinateTransformation(s_srs, t_srs))
+        # OGRCreateCoordinateTransformation(s_srs, t_srs)); PROJ.4
+        # parameter strings register like importFromProj4 does
+        from .proj4 import register_proj4
+
+        if isinstance(t_srs_epsg, str):
+            t_srs_epsg = register_proj4(t_srs_epsg)
+        if isinstance(s_srs_epsg, str):
+            s_srs_epsg = register_proj4(s_srs_epsg)
         if s_srs_epsg is not None and s_srs_epsg != 4326:
             out = out.withColumn(
                 geom_col, SG.st_transform_crs(g, s_srs_epsg, t_srs_epsg,

@@ -152,3 +152,20 @@ def test_st_transform_crs_and_s_srs(spark):
     piped = ogr2ogr_layer(df, s_srs_epsg=2154, t_srs_epsg=3035,
                           t_srs_prec=6).collect()[0]["geom_wkt"]
     assert piped == out
+
+
+def test_t_srs_accepts_proj4_string(spark):
+    """ogr2ogr -t_srs takes a PROJ.4 parameter string (the reference
+    accepts any SRS definition there); result must equal the
+    EPSG-coded path."""
+    df = spark.createDataFrame(
+        [(1, "LINESTRING(-100 50, -95 55)")], ["id", "geom_wkt"])
+    by_code = ogr2ogr_layer(df, t_srs_epsg=3347,
+                            t_srs_prec=6).collect()[0]["geom_wkt"]
+    by_str = ogr2ogr_layer(
+        df, t_srs_prec=6,
+        t_srs_epsg="+proj=lcc +lat_1=49 +lat_2=77 +lat_0=63.390675"
+                   " +lon_0=-91.86666666666666 +x_0=6200000"
+                   " +y_0=3000000 +datum=NAD83 +units=m +no_defs",
+    ).collect()[0]["geom_wkt"]
+    assert by_str == by_code
