@@ -4412,6 +4412,9 @@ _CONIC_DOMAIN = {
     #                                     atan2 branch is principal
     #                                     around lon0=-45
     5042: (-179.0, 358.0, -89.5, 34.0),  # WGS 84 / UPS South
+    3575: (-169.5, 348.0, 45.0, 44.5),  # North Pole LAEA Europe —
+    #                                     lon capped: principal atan2
+    #                                     branch around lon0=10
 }
 
 
@@ -6156,6 +6159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tmso_transform": _q_conic_mapped(2054),
         "nsidc_ps_north_transform": _q_conic_mapped(3413),
         "ups_south_transform": _q_conic_mapped(5042),
+        "laea_arctic_transform": _q_conic_mapped(3575),
         "crs_to_crs_transform": _q_crs_to_crs,
         "proj4_import_parity": _q_proj4_import,
         "helmert_transform": _q_helmert_transform,
@@ -8329,6 +8333,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "tmso_transform": _conic_mapped_sql(2054),
         "nsidc_ps_north_transform": _conic_mapped_sql(3413),
         "ups_south_transform": _conic_mapped_sql(5042),
+        "laea_arctic_transform": _conic_mapped_sql(3575),
         "crs_to_crs_transform": _crs_to_crs_sql(),
         "proj4_import_parity": _proj4_import_sql(),
         "helmert_transform": _helmert_sql(),

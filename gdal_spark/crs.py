@@ -1316,6 +1316,48 @@ def bonne_inverse(B, x, y, phi1: float, lon0: float,
     return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
 
 
+# ---------------------------------- LAEA north polar aspect (EPSG 9820)
+def laea_north_forward(B, lon, lat, lon0: float, a: float, f: float,
+                       fe: float = 0.0, fn: float = 0.0):
+    """Lambert Azimuthal Equal Area, NORTH POLAR aspect (Snyder
+    24-23..24-25, e.g. EPSG:3575 WGS 84 / North Pole LAEA Europe —
+    the standard Arctic analysis grid): the oblique formulas
+    degenerate at beta0 = 90 (D divides by cos beta0), so the polar
+    closed form rho = a*sqrt(qp - q) is its own family."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    qp = _qsc(e2, math.pi / 2.0)
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    rho = B.lit(a) * B.sqrt(B.lit(qp) - _q_expr(B, e, e2, B.sin(phi)))
+    x = B.lit(fe) + rho * B.sin(lam)
+    y = B.lit(fn) - rho * B.cos(lam)
+    return x, y
+
+
+def laea_north_inverse(B, x, y, lon0: float, a: float, f: float,
+                       fe: float = 0.0, fn: float = 0.0):
+    """Inverse via the authalic latitude series (Snyder 24-31, 3-18).
+    atan2 longitude is principal-branch around lon0 (same contract as
+    ps_north — preset queries bound the domain)."""
+    e2 = f * (2.0 - f)
+    qp = _qsc(e2, math.pi / 2.0)
+    b2, b4, b6 = _beta_series(e2)
+
+    xe = x - B.lit(fe)
+    yn = y - B.lit(fn)
+    rho2 = (xe * xe + yn * yn) / B.lit(a * a)
+    beta = B.asin((B.lit(qp) - rho2) / B.lit(qp))
+    phi = (beta
+           + B.lit(b2) * B.sin(beta * 2.0)
+           + B.lit(b4) * B.sin(beta * 4.0)
+           + B.lit(b6) * B.sin(beta * 6.0))
+    lam = B.atan2(xe, yn * -1.0)
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
 # ------------------- Polar Stereographic variant A, north (EPSG 9810)
 def ups_north_forward(B, lon, lat, lon0: float, k0: float,
                       a: float, f: float, fe: float = 0.0,
@@ -1891,6 +1933,8 @@ CONIC_PRESETS = {
     5042: ("ups_south", "WGS84",  # WGS 84 / UPS South (E,N) —
            # Polar Stereographic variant A, south aspect
            dict(lon0=0.0, k0=0.994, fe=2000000.0, fn=2000000.0)),
+    3575: ("laea_north", "WGS84",  # WGS 84 / North Pole LAEA Europe
+           dict(lon0=10.0, fe=0.0, fn=0.0)),
 }
 
 _CONIC_FNS = {
@@ -1917,6 +1961,7 @@ _CONIC_FNS = {
     "ups_north": (ups_north_forward, ups_north_inverse),
     "ups_south": (ups_south_forward, ups_south_inverse),
     "ps_north": (ps_north_forward, ps_north_inverse),
+    "laea_north": (laea_north_forward, laea_north_inverse),
     "tmso": (tmso_forward, tmso_inverse),
 }
 
@@ -1938,6 +1983,7 @@ _CONIC_FNS = {
 #   54024(ESRI)  -> Bonne (9827)                | 5041 -> UPS North (9810)
 #   2054         -> TM South Orientated (9808)  | 5042 -> UPS South (9810)
 #   3413         -> NSIDC Polar Stereo North (9829)
+#   3575         -> North Pole LAEA Europe (9820, polar aspect)
 # Anything else raises KeyError: no silent fallback, no general PROJ.
 
 

@@ -116,6 +116,7 @@ _NAMES = {
     5042: ("WGS 84 / UPS South (E,N)", "WGS 84", "WGS_1984"),
     3413: ("WGS 84 / NSIDC Sea Ice Polar Stereographic North",
            "WGS 84", "WGS_1984"),
+    3575: ("WGS 84 / North Pole LAEA Europe", "WGS 84", "WGS_1984"),
     2054: ("Hartebeesthoek94 / Lo29", "Hartebeesthoek94",
            "Hartebeesthoek94"),
     32633: ("WGS 84 / UTM zone 33N", "WGS 84", "WGS_1984"),
@@ -265,6 +266,11 @@ _FAMILIES = {
                   (("=", 1.0), None, "scale_factor"),
                   ("fe", "x_0", "false_easting"),
                   ("fn", "y_0", "false_northing")]),
+    "laea_north": ("laea", "Lambert_Azimuthal_Equal_Area",
+                   [(("=", 90.0), "lat_0", "latitude_of_center"),
+                    ("lon0", "lon_0", "longitude_of_center"),
+                    ("fe", "x_0", "false_easting"),
+                    ("fn", "y_0", "false_northing")]),
     # method 9808: the 9807 series with westing/southing axes — PROJ
     # spells the axis swap +axis=wsu
     "tmso": ("tmerc", "Transverse_Mercator_South_Orientated",

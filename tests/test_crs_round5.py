@@ -265,3 +265,44 @@ def test_polar_np_roundtrip(epsg, lo, hi, la0, la1):
     L2, P2 = crs.transform_points_np(epsg, X, Y, inverse=True)
     assert np.abs(L2 - lons).max() < 1e-9
     assert np.abs(P2 - lats).max() < 1e-8
+
+
+def test_laea_north_polar_properties():
+    """EPSG:3575 Arctic LAEA: the pole maps to the origin, the map is
+    equal-area (rho^2*pi at beta == authalic cap area), and the
+    inverse round-trips across the Arctic domain."""
+    _, a, f, p = _preset(3575)
+    e2 = f * (2.0 - f)
+    x, y = crs.laea_north_forward(crs._NpBackend, np.array([10.0]),
+                                  np.array([90.0]), a=a, f=f, **p)
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # cap area: pi*rho^2 = 2*pi*a^2*(qp - q)/2 exactly by construction;
+    # verify against the spherical-excess integral numerically at 60N
+    x, y = crs.laea_north_forward(crs._NpBackend, np.array([10.0]),
+                                  np.array([60.0]), a=a, f=f, **p)
+    rho = math.hypot(x[0], y[0])
+    qp = crs._qsc(e2, math.pi / 2.0)
+    q60 = crs._qsc(e2, math.radians(60.0))
+    assert abs(rho - a * math.sqrt(qp - q60)) < 1e-6
+    lons = np.linspace(-169.0, 178.0, 500)
+    lats = np.linspace(46.0, 89.5, 500)
+    X, Y = crs.transform_points_np(3575, lons, lats)
+    L2, P2 = crs.transform_points_np(3575, X, Y, inverse=True)
+    assert np.abs(L2 - lons).max() < 1e-9
+    assert np.abs(P2 - lats).max() < 1e-8
+
+
+def test_laea_polar_proj4_import():
+    from gdal_spark import proj4
+
+    c = proj4.register_proj4(
+        "+proj=laea +lat_0=90 +lon_0=10 +x_0=0 +y_0=0"
+        " +datum=WGS84 +units=m +no_defs")
+    lons = np.array([30.0, -60.0])
+    lats = np.array([55.0, 80.0])
+    x0, y0 = crs.transform_points_np(3575, lons, lats)
+    x1, y1 = crs.transform_points_np(c, lons, lats)
+    np.testing.assert_array_equal(x1, x0)
+    np.testing.assert_array_equal(y1, y0)
+    with pytest.raises(ValueError, match="south polar"):
+        proj4.register_proj4("+proj=laea +lat_0=-90 +datum=WGS84")
