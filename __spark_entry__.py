@@ -4415,6 +4415,8 @@ _CONIC_DOMAIN = {
     3575: (-169.5, 348.0, 45.0, 44.5),  # North Pole LAEA Europe —
     #                                     lon capped: principal atan2
     #                                     branch around lon0=10
+    6931: (-179.0, 358.0, 45.0, 44.5),  # NSIDC EASE-Grid 2.0 North
+    6932: (-179.0, 358.0, -89.5, 44.5),  # NSIDC EASE-Grid 2.0 South
 }
 
 
@@ -6160,6 +6162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsidc_ps_north_transform": _q_conic_mapped(3413),
         "ups_south_transform": _q_conic_mapped(5042),
         "laea_arctic_transform": _q_conic_mapped(3575),
+        "ease2_north_transform": _q_conic_mapped(6931),
+        "ease2_south_transform": _q_conic_mapped(6932),
         "crs_to_crs_transform": _q_crs_to_crs,
         "proj4_import_parity": _q_proj4_import,
         "helmert_transform": _q_helmert_transform,
@@ -8334,6 +8338,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "nsidc_ps_north_transform": _conic_mapped_sql(3413),
         "ups_south_transform": _conic_mapped_sql(5042),
         "laea_arctic_transform": _conic_mapped_sql(3575),
+        "ease2_north_transform": _conic_mapped_sql(6931),
+        "ease2_south_transform": _conic_mapped_sql(6932),
         "crs_to_crs_transform": _crs_to_crs_sql(),
         "proj4_import_parity": _proj4_import_sql(),
         "helmert_transform": _helmert_sql(),

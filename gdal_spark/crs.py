@@ -1358,6 +1358,42 @@ def laea_north_inverse(B, x, y, lon0: float, a: float, f: float,
     return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
 
 
+def laea_south_forward(B, lon, lat, lon0: float, a: float, f: float,
+                       fe: float = 0.0, fn: float = 0.0):
+    """LAEA SOUTH polar aspect (Snyder 24-23 south forms, e.g.
+    EPSG:6932 WGS 84 / NSIDC EASE-Grid 2.0 South): rho =
+    a*sqrt(qp + q), y = FN + rho*cos(lam)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    qp = _qsc(e2, math.pi / 2.0)
+
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    rho = B.lit(a) * B.sqrt(B.lit(qp) + _q_expr(B, e, e2, B.sin(phi)))
+    x = B.lit(fe) + rho * B.sin(lam)
+    y = B.lit(fn) + rho * B.cos(lam)
+    return x, y
+
+
+def laea_south_inverse(B, x, y, lon0: float, a: float, f: float,
+                       fe: float = 0.0, fn: float = 0.0):
+    e2 = f * (2.0 - f)
+    qp = _qsc(e2, math.pi / 2.0)
+    b2, b4, b6 = _beta_series(e2)
+
+    xe = x - B.lit(fe)
+    yn = y - B.lit(fn)
+    rho2 = (xe * xe + yn * yn) / B.lit(a * a)
+    beta = B.asin((rho2 - B.lit(qp)) / B.lit(qp))
+    phi = (beta
+           + B.lit(b2) * B.sin(beta * 2.0)
+           + B.lit(b4) * B.sin(beta * 4.0)
+           + B.lit(b6) * B.sin(beta * 6.0))
+    lam = B.atan2(xe, yn)
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
 # ------------------- Polar Stereographic variant A, north (EPSG 9810)
 def ups_north_forward(B, lon, lat, lon0: float, k0: float,
                       a: float, f: float, fe: float = 0.0,
@@ -1935,6 +1971,10 @@ CONIC_PRESETS = {
            dict(lon0=0.0, k0=0.994, fe=2000000.0, fn=2000000.0)),
     3575: ("laea_north", "WGS84",  # WGS 84 / North Pole LAEA Europe
            dict(lon0=10.0, fe=0.0, fn=0.0)),
+    6931: ("laea_north", "WGS84",  # WGS 84 / NSIDC EASE-Grid 2.0 North
+           dict(lon0=0.0, fe=0.0, fn=0.0)),
+    6932: ("laea_south", "WGS84",  # WGS 84 / NSIDC EASE-Grid 2.0 South
+           dict(lon0=0.0, fe=0.0, fn=0.0)),
 }
 
 _CONIC_FNS = {
@@ -1962,6 +2002,7 @@ _CONIC_FNS = {
     "ups_south": (ups_south_forward, ups_south_inverse),
     "ps_north": (ps_north_forward, ps_north_inverse),
     "laea_north": (laea_north_forward, laea_north_inverse),
+    "laea_south": (laea_south_forward, laea_south_inverse),
     "tmso": (tmso_forward, tmso_inverse),
 }
 
@@ -1984,6 +2025,7 @@ _CONIC_FNS = {
 #   2054         -> TM South Orientated (9808)  | 5042 -> UPS South (9810)
 #   3413         -> NSIDC Polar Stereo North (9829)
 #   3575         -> North Pole LAEA Europe (9820, polar aspect)
+#   6931/6932    -> NSIDC EASE-Grid 2.0 North/South (9820 polar)
 # Anything else raises KeyError: no silent fallback, no general PROJ.
 
 

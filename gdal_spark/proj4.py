@@ -134,11 +134,10 @@ def _classify(p: dict) -> tuple[str, dict]:
                           fe=float(p.get("x_0", 0.0)),
                           fn=float(p.get("y_0", 0.0)))
     if name == "laea" and abs(float(p.get("lat_0", 0.0))) > 89.999999:
-        if float(p["lat_0"]) < 0:
-            raise ValueError("south polar +proj=laea not supported")
-        return "laea_north", dict(lon0=float(p.get("lon_0", 0.0)),
-                                  fe=float(p.get("x_0", 0.0)),
-                                  fn=float(p.get("y_0", 0.0)))
+        kind = "laea_north" if float(p["lat_0"]) > 0 else "laea_south"
+        return kind, dict(lon0=float(p.get("lon_0", 0.0)),
+                          fe=float(p.get("x_0", 0.0)),
+                          fn=float(p.get("y_0", 0.0)))
     if name == "aeqd":
         if abs(float(p.get("lat_0", 0.0)) - 90.0) > 1e-9:
             raise ValueError("only the polar +proj=aeqd aspect supported")

@@ -117,6 +117,8 @@ _NAMES = {
     3413: ("WGS 84 / NSIDC Sea Ice Polar Stereographic North",
            "WGS 84", "WGS_1984"),
     3575: ("WGS 84 / North Pole LAEA Europe", "WGS 84", "WGS_1984"),
+    6931: ("WGS 84 / NSIDC EASE-Grid 2.0 North", "WGS 84", "WGS_1984"),
+    6932: ("WGS 84 / NSIDC EASE-Grid 2.0 South", "WGS 84", "WGS_1984"),
     2054: ("Hartebeesthoek94 / Lo29", "Hartebeesthoek94",
            "Hartebeesthoek94"),
     32633: ("WGS 84 / UTM zone 33N", "WGS 84", "WGS_1984"),
@@ -268,6 +270,11 @@ _FAMILIES = {
                   ("fn", "y_0", "false_northing")]),
     "laea_north": ("laea", "Lambert_Azimuthal_Equal_Area",
                    [(("=", 90.0), "lat_0", "latitude_of_center"),
+                    ("lon0", "lon_0", "longitude_of_center"),
+                    ("fe", "x_0", "false_easting"),
+                    ("fn", "y_0", "false_northing")]),
+    "laea_south": ("laea", "Lambert_Azimuthal_Equal_Area",
+                   [(("=", -90.0), "lat_0", "latitude_of_center"),
                     ("lon0", "lon_0", "longitude_of_center"),
                     ("fe", "x_0", "false_easting"),
                     ("fn", "y_0", "false_northing")]),

@@ -304,5 +304,30 @@ def test_laea_polar_proj4_import():
     x1, y1 = crs.transform_points_np(c, lons, lats)
     np.testing.assert_array_equal(x1, x0)
     np.testing.assert_array_equal(y1, y0)
-    with pytest.raises(ValueError, match="south polar"):
-        proj4.register_proj4("+proj=laea +lat_0=-90 +datum=WGS84")
+    cs = proj4.register_proj4("+proj=laea +lat_0=-90 +lon_0=0"
+                              " +datum=WGS84")
+    x2, y2 = crs.transform_points_np(cs, lons, -lats)
+    x6, y6 = crs.transform_points_np(6932, lons, -lats)
+    np.testing.assert_array_equal(x2, x6)
+    np.testing.assert_array_equal(y2, y6)
+
+
+@pytest.mark.parametrize("epsg,la0,la1", [(6931, 35.0, 89.5),
+                                          (6932, -89.5, -35.0)])
+def test_ease2_roundtrip_and_mirror(epsg, la0, la1):
+    """NSIDC EASE-Grid 2.0: both polar aspects round-trip, and the
+    south grid is the exact y-mirror of the north at mirrored
+    latitude (both lon0 = 0)."""
+    rng = np.random.default_rng(epsg)
+    lons = rng.uniform(-179, 179, 1500)
+    lats = rng.uniform(la0, la1, 1500)
+    X, Y = crs.transform_points_np(epsg, lons, lats)
+    L2, P2 = crs.transform_points_np(epsg, X, Y, inverse=True)
+    assert np.abs(L2 - lons).max() < 1e-9
+    assert np.abs(P2 - lats).max() < 1e-8
+    other = 6932 if epsg == 6931 else 6931
+    Xo, Yo = crs.transform_points_np(other, lons, -lats)
+    # q(-phi) = -q(phi) analytically; float evaluation of the log
+    # term differs at the 1e-7 m level
+    np.testing.assert_allclose(Xo, X, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(Yo, -Y, rtol=0, atol=1e-6)
