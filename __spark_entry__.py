@@ -4278,6 +4278,10 @@ _CONIC_REGION = {
     # pseudo/cylindrical world projections: defined (and round-trip
     # verified) across the whole derived domain
     54008: "lon > -179.0 AND lon < 179.0",
+    # world-map cylindricals / pseudo-cylindricals: whole derived domain
+    54003: "lon > -179.0 AND lon < 179.0",
+    54016: "lon > -179.0 AND lon < 179.0",
+    54030: "lon > -179.0 AND lon < 179.0",
     # Bonne: the atan2 inverse holds the full |E| < 180 deg branch and
     # the derived lat stays off the poles (m > 0)
     54024: "lon > -179.0 AND lon < 179.0",
@@ -4417,6 +4421,10 @@ _CONIC_DOMAIN = {
     #                                     branch around lon0=10
     6931: (-179.0, 358.0, 45.0, 44.5),  # NSIDC EASE-Grid 2.0 North
     6932: (-179.0, 358.0, -89.5, 44.5),  # NSIDC EASE-Grid 2.0 South
+    # geostationary full discs: keep points well inside the visible
+    # disc (|great-circle angle from sub-satellite point| < ~81 deg)
+    -90360: (-55.0, 110.0, -54.9, 109.8),   # Meteosat 0 deg (sweep=y)
+    -90750: (-130.0, 110.0, -54.9, 109.8),  # GOES-East ABI (sweep=x)
 }
 
 
@@ -4512,6 +4520,86 @@ def _polyconic_sql() -> str:
              "ROUND(poly_lon, 6) AS lon_rt, ROUND(poly_lat, 6) AS lat_rt")
     return nzmg.sql_cte_chain(fwd, poly_inverse_stages("x", "y"),
                               final, "pc")
+
+
+def _q_robinson_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robinson (ESRI:54030 World_Robinson; reference reaches it via
+    PROJ +proj=robin): fused spline forward (two flat 18-branch CASE
+    cubics — compiles inside one codegen method) + the STAGED Newton
+    inverse (crs.robin_inverse_stages: exact interval selection by
+    node-value comparisons, coefficients materialized once, one
+    Project per Newton step). Oracle runs the identical templates as
+    a DuckDB CTE chain."""
+    from gdal_spark import crs
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    d = d.filter(F.expr(_CONIC_REGION[54030]))
+    x, y = crs.conic_forward(54030, F.col("lon"), F.col("lat"))
+    d = d.select("doc_id", "lon", "lat", x.alias("x"), y.alias("y"))
+    d = crs.from_robinson(d)
+    return d.select(
+        "doc_id",
+        F.round("x", 3).alias("x"),
+        F.round("y", 3).alias("y"),
+        F.round("robin_lon", 6).alias("lon_rt"),
+        F.round("robin_lat", 6).alias("lat_rt"),
+    )
+
+
+def _robinson_sql() -> str:
+    from gdal_spark import nzmg
+    from gdal_spark.crs import conic_forward_sql, robin_inverse_stages
+
+    x, y = conic_forward_sql(54030, "lon", "lat")
+    fwd = (f"SELECT doc_id, {x} AS x, {y} AS y FROM ("
+           f"SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents"
+           f") WHERE {_CONIC_REGION[54030]}")
+    final = ("doc_id, ROUND(x, 3) AS x, ROUND(y, 3) AS y, "
+             "ROUND(robin_lon, 6) AS lon_rt, ROUND(robin_lat, 6) AS lat_rt")
+    return nzmg.sql_cte_chain(fwd, robin_inverse_stages("x", "y"),
+                              final, "rb")
+
+
+def _q_goode_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goode homolosine, uninterrupted (+proj=goode — no EPSG code;
+    sinusoidal inside |phi| <= 40d44', y-shifted Mollweide outside,
+    x continuous at the seam by construction): STAGED in both
+    directions (crs.goode_forward_stages / goode_inverse_stages — the
+    Mollweide Newton under a seam CASE defeats subexpression
+    elimination when fused). Oracle = identical templates as a DuckDB
+    CTE chain."""
+    from gdal_spark import crs
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    d = d.filter(F.expr("lon > -179.0 AND lon < 179.0"))
+    d = d.select("doc_id", "lon", "lat")
+    d = crs.to_goode(d, "lon", "lat", crs.CODE_GOODE)
+    d = d.select("doc_id", "lon", "lat",
+                 F.col("goode_x").alias("x"), F.col("goode_y").alias("y"))
+    d = crs.from_goode(d, "x", "y", crs.CODE_GOODE)
+    return d.select(
+        "doc_id",
+        F.round("x", 3).alias("x"),
+        F.round("y", 3).alias("y"),
+        F.round("goode_lon", 6).alias("lon_rt"),
+        F.round("goode_lat", 6).alias("lat_rt"),
+    )
+
+
+def _goode_sql() -> str:
+    from gdal_spark import crs, nzmg
+
+    src = (f"SELECT doc_id, lon, lat FROM ("
+           f"SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents"
+           f") WHERE lon > -179.0 AND lon < 179.0")
+    fwd = nzmg.sql_cte_chain(
+        src, crs.goode_forward_stages("lon", "lat", crs.CODE_GOODE),
+        "doc_id, lon, lat, goode_x AS x, goode_y AS y", "gf")
+    final = ("doc_id, ROUND(x, 3) AS x, ROUND(y, 3) AS y, "
+             "ROUND(goode_lon, 6) AS lon_rt, ROUND(goode_lat, 6) AS lat_rt")
+    return nzmg.sql_cte_chain(
+        f"({fwd})", crs.goode_inverse_stages("x", "y", crs.CODE_GOODE),
+        final, "gi")
 
 
 def _q_proj4_import(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6164,6 +6252,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laea_arctic_transform": _q_conic_mapped(3575),
         "ease2_north_transform": _q_conic_mapped(6931),
         "ease2_south_transform": _q_conic_mapped(6932),
+        "miller_transform": _q_conic(54003),
+        "gall_transform": _q_conic(54016),
+        "robinson_transform": _q_robinson_transform,
+        "goode_transform": _q_goode_transform,
+        "geos_meteosat_transform": _q_conic_mapped(-90360),
+        "geos_goes_transform": _q_conic_mapped(-90750),
         "crs_to_crs_transform": _q_crs_to_crs,
         "proj4_import_parity": _q_proj4_import,
         "helmert_transform": _q_helmert_transform,
@@ -8340,6 +8434,12 @@ def _oracle_sql_static() -> dict[str, str]:
         "laea_arctic_transform": _conic_mapped_sql(3575),
         "ease2_north_transform": _conic_mapped_sql(6931),
         "ease2_south_transform": _conic_mapped_sql(6932),
+        "miller_transform": _conic_sql(54003),
+        "gall_transform": _conic_sql(54016),
+        "robinson_transform": _robinson_sql(),
+        "goode_transform": _goode_sql(),
+        "geos_meteosat_transform": _conic_mapped_sql(-90360),
+        "geos_goes_transform": _conic_mapped_sql(-90750),
         "crs_to_crs_transform": _crs_to_crs_sql(),
         "proj4_import_parity": _proj4_import_sql(),
         "helmert_transform": _helmert_sql(),

@@ -230,6 +230,9 @@ def main():
         "geoid_shift",
         # Laborde complex-cubic oblique Mercator, staged inverse
         "laborde_transform",
+        # world-map batch: Robinson staged-Newton spline inverse,
+        # Goode staged seam CASE, geostationary GOES-East fixed grid
+        "robinson_transform", "goode_transform", "geos_goes_transform",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -52,6 +52,20 @@ class _ColBackend:
     atan = staticmethod(F.atan)
     atan2 = staticmethod(F.atan2)
     asin = staticmethod(F.asin)
+    # piecewise primitives (Robinson spline / Goode seam / geos aspect
+    # selection) — each has an identical-semantics twin in the SQL and
+    # numpy backends so the dual-emitted formulas stay engine-vs-engine
+    abs = staticmethod(F.abs)
+    sign = staticmethod(F.signum)
+
+    @staticmethod
+    def lt(a, b):
+        a = F.lit(a) if isinstance(a, (int, float)) else a
+        return a < b
+
+    @staticmethod
+    def when(cond, t, f):
+        return F.when(cond, t).otherwise(f)
 
 
 class _Sql(str):
@@ -132,6 +146,25 @@ class _SqlBackend:
     @staticmethod
     def asin(x):
         return _Sql(f"ASIN({x})")
+
+    @staticmethod
+    def abs(x):
+        return _Sql(f"ABS({x})")
+
+    @staticmethod
+    def sign(x):
+        # SIGN returns numeric in both Spark SQL and DuckDB; force
+        # double so downstream arithmetic stays in one type
+        return _Sql(f"(1.0 * SIGN({x}))")
+
+    @staticmethod
+    def lt(a, b):
+        return _Sql(f"({_sqlify(a)} < {_sqlify(b)})")
+
+    @staticmethod
+    def when(cond, t, f):
+        return _Sql(
+            f"(CASE WHEN {cond} THEN {_sqlify(t)} ELSE {_sqlify(f)} END)")
 
 
 def _tm_forward(B, lon, lat, lon0, a: float, f: float,
@@ -841,6 +874,22 @@ def eqc_inverse(B, x, y, phi1: float, lon0: float, a: float, f: float,
     return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
 
 
+def _moll_theta_seed(B, sp):
+    """Least-squares odd polynomial theta(sin phi), fitted on the
+    exact Newton solution over s in [-1, 1] (max error 0.026 rad for
+    |phi| <= 85 deg) — shared by the Mollweide family and the Goode
+    homolosine's Mollweide lobe."""
+    s2 = sp * sp
+    return sp * (
+        B.lit(0.7542040984537863)
+        + s2 * (B.lit(0.9686179578818089)
+                + s2 * (B.lit(-5.619628137456549)
+                        + s2 * (B.lit(16.185255610640205)
+                                + s2 * (B.lit(-19.724335873942756)
+                                        + s2 * B.lit(8.802375257557445)))))
+    )
+
+
 def moll_forward(B, lon, lat, lon0: float, a: float, f: float,
                  fe: float = 0.0, fn: float = 0.0):
     """Mollweide forward (Snyder 31-1..31-5; spherical formulation on
@@ -855,17 +904,7 @@ def moll_forward(B, lon, lat, lon0: float, a: float, f: float,
     phi = B.radians(lat)
     sp = B.sin(phi)
     target = B.lit(math.pi) * sp
-    s2 = sp * sp
-    # least-squares odd polynomial theta(sin phi), fitted on the exact
-    # Newton solution over s in [-1, 1]
-    th = sp * (
-        B.lit(0.7542040984537863)
-        + s2 * (B.lit(0.9686179578818089)
-                + s2 * (B.lit(-5.619628137456549)
-                        + s2 * (B.lit(16.185255610640205)
-                                + s2 * (B.lit(-19.724335873942756)
-                                        + s2 * B.lit(8.802375257557445)))))
-    )
+    th = _moll_theta_seed(B, sp)
     for _ in range(4):
         th = th - (th * 2.0 + B.sin(th * 2.0) - target) / (
             2.0 + B.cos(th * 2.0) * 2.0)
@@ -1058,6 +1097,471 @@ def eqearth_inverse(B, x, y, lon0: float, a: float, f: float,
     deg = 180.0 / math.pi
     return (B.lit(lon0) + lam * B.lit(deg),
             _phi_from_beta(B, e2, beta) * B.lit(deg))
+
+
+# ------------------------------------------------- world-map cylindricals
+def mill_forward(B, lon, lat, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Miller Cylindrical (Snyder 11-1..11-3; ESRI:54003
+    World_Miller_Cylindrical — spherical on the semi-major axis, the
+    ESRI Miller_Cylindrical method; reference reaches it via PROJ
+    +proj=mill, named in frmts/gtiff/libgeotiff/geotiff_proj4.c)."""
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    x = B.lit(fe) + B.lit(a) * lam
+    y = B.lit(fn) + B.lit(1.25 * a) * B.log(
+        B.tan(B.lit(math.pi / 4.0) + phi * 0.4))
+    return x, y
+
+
+def mill_inverse(B, x, y, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Miller inverse (Snyder 11-6..11-7)."""
+    deg = 180.0 / math.pi
+    phi = B.atan(B.exp((y - B.lit(fn)) * B.lit(0.8 / a))) * 2.5 \
+        - B.lit(0.625 * math.pi)
+    lam = (x - B.lit(fe)) / B.lit(a)
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+_GALL_XF = 1.0 / math.sqrt(2.0)
+_GALL_YF = 1.0 + math.sqrt(2.0) / 2.0
+
+
+def gall_forward(B, lon, lat, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Gall Stereographic (Snyder p.108; ESRI:54016
+    World_Gall_Stereographic — spherical on the semi-major axis):
+    cylindrical stereographic from the equatorial antipode onto the
+    secant cylinder at 45 deg."""
+    phi = B.radians(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    x = B.lit(fe) + B.lit(a * _GALL_XF) * lam
+    y = B.lit(fn) + B.lit(a * _GALL_YF) * B.tan(phi * 0.5)
+    return x, y
+
+
+def gall_inverse(B, x, y, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    deg = 180.0 / math.pi
+    phi = B.atan((y - B.lit(fn)) / B.lit(a * _GALL_YF)) * 2.0
+    lam = (x - B.lit(fe)) / B.lit(a * _GALL_XF)
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+# ------------------------------------------------------------- Robinson
+# The published Robinson (1974) node table: parallel length (X) and
+# parallel distance from equator (Y), one node per 5 degrees. The
+# projection is DEFINED only at the nodes; between them any smooth
+# interpolant is a legitimate realization (PROJ's own coefficient
+# table changed in 2017). This engine uses the natural cubic spline
+# through the nodes, solved once at import in pure Python — at the
+# nodes themselves every realization agrees with the table exactly.
+_ROBIN_X = (1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600,
+            0.9427, 0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597,
+            0.7186, 0.6732, 0.6213, 0.5722, 0.5322)
+_ROBIN_Y = (0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720,
+            0.4340, 0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903,
+            0.8435, 0.8936, 0.9394, 0.9761, 1.0000)
+_ROBIN_FXC = 0.8487
+_ROBIN_FYC = 1.3523
+
+
+def _nat_spline(ys, h: float):
+    """Natural cubic spline coefficients per interval: returns a list
+    of (c0, c1, c2, c3) with P(z) = c0 + z(c1 + z(c2 + z c3)),
+    z in [0, h]. Thomas-algorithm tridiagonal solve, pure Python
+    floats (deterministic; runs once at import)."""
+    n = len(ys) - 1
+    # second derivatives M_i, natural BC M0 = Mn = 0
+    sub = [h] * (n - 1)
+    diag = [4.0 * h] * (n - 1)
+    rhs = [6.0 * ((ys[i + 1] - ys[i]) / h - (ys[i] - ys[i - 1]) / h)
+           for i in range(1, n)]
+    for i in range(1, n - 1):
+        w = sub[i] / diag[i - 1]
+        diag[i] -= w * h
+        rhs[i] -= w * rhs[i - 1]
+    m = [0.0] * (n + 1)
+    for i in range(n - 2, -1, -1):
+        m[i + 1] = (rhs[i] - (h * m[i + 2] if i < n - 2 else 0.0)) / diag[i]
+    out = []
+    for i in range(n):
+        c1 = (ys[i + 1] - ys[i]) / h - h * (2.0 * m[i] + m[i + 1]) / 6.0
+        out.append((ys[i], c1, m[i] / 2.0, (m[i + 1] - m[i]) / (6.0 * h)))
+    return out
+
+
+_ROBIN_CX = _nat_spline(_ROBIN_X, 5.0)
+_ROBIN_CY = _nat_spline(_ROBIN_Y, 5.0)
+
+
+def _robin_spline_eval(B, coefs, phi_d):
+    """Flat 18-branch CASE over the 5-degree intervals; each branch a
+    literal-coefficient cubic in z = phi_d - 5i. Flat (not nested
+    per-coefficient) so the emitted tree stays ~2 KB."""
+    def cubic(i):
+        c0, c1, c2, c3 = coefs[i]
+        z = phi_d - B.lit(5.0 * i)
+        return B.lit(c0) + z * (B.lit(c1) + z * (B.lit(c2)
+                                                 + z * B.lit(c3)))
+
+    expr = cubic(17)
+    for i in range(16, -1, -1):
+        expr = B.when(B.lt(phi_d, 5.0 * (i + 1)), cubic(i), expr)
+    return expr
+
+
+def robin_forward(B, lon, lat, lon0: float, a: float, f: float,
+                  fe: float = 0.0, fn: float = 0.0):
+    """Robinson (ESRI:54030 World_Robinson; reference reaches it via
+    PROJ +proj=robin, named in frmts/gtiff/libgeotiff/geotiff_proj4.c):
+    x = 0.8487 R X(|phi|) lam, y = 1.3523 R Y(|phi|) sign(phi), with
+    X/Y the node-table splines."""
+    phi_d = B.abs(lat)
+    lam = B.radians(lon - B.lit(lon0))
+    xf = _robin_spline_eval(B, _ROBIN_CX, phi_d)
+    yf = _robin_spline_eval(B, _ROBIN_CY, phi_d)
+    x = B.lit(fe) + B.lit(_ROBIN_FXC * a) * xf * lam
+    y = B.lit(fn) + B.lit(_ROBIN_FYC * a) * yf * B.sign(B.radians(lat))
+    return x, y
+
+
+def _robin_inv_z(B, i: int, t):
+    """Within interval i (chosen exactly by node-value comparisons),
+    solve the monotone cubic P_i(z) = t: linear seed + two Newton
+    steps (the spline is near-linear per interval — the seed is
+    already < 0.05 deg off; three steps reach float precision, the
+    same count as the staged robin_inverse_stages so the fused
+    numpy/SQL forms and the staged Column form agree to converged
+    double precision)."""
+    c0, c1, c2, c3 = _ROBIN_CY[i]
+    y0, y1 = _ROBIN_Y[i], _ROBIN_Y[i + 1]
+    z = (t - B.lit(y0)) * B.lit(5.0 / (y1 - y0))
+    for _ in range(3):
+        p = B.lit(c0) + z * (B.lit(c1) + z * (B.lit(c2) + z * B.lit(c3)))
+        dp = B.lit(c1) + z * (B.lit(2.0 * c2) + z * B.lit(3.0 * c3))
+        z = z - (p - t) / dp
+    return z
+
+
+def robin_inverse(B, x, y, lon0: float, a: float, f: float,
+                  fe: float = 0.0, fn: float = 0.0):
+    """Robinson inverse: the Y-spline is strictly monotone, so the
+    interval is selected EXACTLY by comparing the target against the
+    node values (flat CASE), then a fixed-interval Newton recovers z;
+    lam divides out the X-spline at the recovered latitude.
+
+    FUSED form — fine for the numpy/SQL backends; the Column path
+    must use robin_inverse_stages/from_robinson (the Newton-in-branch
+    tree trips the JVM 64 KB codegen limit when fused)."""
+    t = B.abs(y - B.lit(fn)) / B.lit(_ROBIN_FYC * a)
+
+    def branch(vals):
+        expr = vals[17]
+        for i in range(16, -1, -1):
+            expr = B.when(B.lt(t, _ROBIN_Y[i + 1]), vals[i], expr)
+        return expr
+
+    phis, lams = [], []
+    for i in range(18):
+        z = _robin_inv_z(B, i, t)
+        cx = _ROBIN_CX[i]
+        xf = B.lit(cx[0]) + z * (B.lit(cx[1]) + z * (B.lit(cx[2])
+                                                     + z * B.lit(cx[3])))
+        phis.append(B.lit(5.0 * i) + z)
+        lams.append((x - B.lit(fe)) / (B.lit(_ROBIN_FXC * a) * xf))
+    deg = 180.0 / math.pi
+    lat = branch(phis) * B.sign(y - B.lit(fn))
+    return B.lit(lon0) + branch(lams) * B.lit(deg), lat
+
+
+# ------------------------------------------------- Goode homolosine
+def _goode_consts():
+    """phi_lim: the latitude where the sinusoidal and Mollweide
+    parallels have equal length (pi cos phi = 2 sqrt(2) cos theta with
+    the Mollweide theta(phi) relation) — the classic 40d44'; y_corr:
+    the Mollweide-frame y offset that makes the seam meet. Solved by
+    bisection in pure Python at import (deterministic)."""
+    def h(phi):
+        th = math.acos(min(1.0, math.pi * math.cos(phi)
+                           / (2.0 * math.sqrt(2.0))))
+        return 2.0 * th + math.sin(2.0 * th) - math.pi * math.sin(phi)
+
+    lo, hi = math.radians(30.0), math.radians(60.0)
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if h(lo) * h(mid) <= 0.0:
+            hi = mid
+        else:
+            lo = mid
+    phi_lim = 0.5 * (lo + hi)
+    th = math.acos(math.pi * math.cos(phi_lim) / (2.0 * math.sqrt(2.0)))
+    return phi_lim, math.sqrt(2.0) * math.sin(th) - phi_lim
+
+
+_GOODE_PHI_LIM, _GOODE_Y_COR = _goode_consts()
+
+
+def goode_forward(B, lon, lat, lon0: float, a: float, f: float,
+                  fe: float = 0.0, fn: float = 0.0):
+    """Goode homolosine, uninterrupted (+proj=goode; spherical on the
+    semi-major axis like the engine's Mollweide): sinusoidal inside
+    |phi| <= 40d44', Mollweide shifted by y_corr outside. x is
+    continuous at the seam by the phi_lim definition."""
+    phi = B.radians(lat)
+    xs = B.lit(a) * B.radians(lon - B.lit(lon0)) * B.cos(phi)
+    ys = B.lit(a) * phi
+    xm, ym = moll_forward(B, lon, lat, lon0, a, f)
+    cond = B.lt(B.abs(phi), _GOODE_PHI_LIM)
+    x = B.lit(fe) + B.when(cond, xs, xm)
+    y = B.lit(fn) + B.when(
+        cond, ys, ym - B.sign(phi) * B.lit(a * _GOODE_Y_COR))
+    return x, y
+
+
+def goode_inverse(B, x, y, lon0: float, a: float, f: float,
+                  fe: float = 0.0, fn: float = 0.0):
+    """Goode inverse: branch on |y| against the seam ordinate; the
+    Mollweide branch un-shifts y first. Both branches stay inside
+    their functions' domains for all on-sphere inputs, so the
+    untaken branch never produces an error (just a discarded
+    value)."""
+    yy = (y - B.lit(fn)) / B.lit(a)
+    xx = x - B.lit(fe)
+    deg = 180.0 / math.pi
+    lat_s = yy * B.lit(deg)
+    lon_s = B.lit(lon0) + xx / (B.lit(a) * B.cos(yy)) * B.lit(deg)
+    ym = (y - B.lit(fn)) + B.sign(yy) * B.lit(a * _GOODE_Y_COR)
+    lon_m, lat_m = moll_inverse(B, xx, ym, lon0, a, f)
+    cond = B.lt(B.abs(yy), _GOODE_PHI_LIM)
+    return B.when(cond, lon_s, lon_m), B.when(cond, lat_s, lat_m)
+
+
+# --------------------------------------------- geostationary satellite
+def geos_forward(B, lon, lat, h: float, lon0: float, sweep_x: float,
+                 a: float, f: float, fe: float = 0.0, fn: float = 0.0):
+    """Geostationary satellite view (+proj=geos; the CGMS LRIT/HRIT
+    normalized geostationary projection used by Meteosat sweep=y and
+    GOES-R ABI sweep=x; the reference's MSG driver frmts/msg and
+    netCDF GOES products carry this CRS). View-vector construction on
+    the ellipsoid, then scan angles about the sweep axis; x/y are
+    h * angle (PROJ convention: radius_g_1 * angle on the unit sphere
+    scaled by a). sweep_x is a per-preset Python scalar, so the
+    branch resolves at expression-build time — no runtime CASE."""
+    one_es = 1.0 - (2.0 * f - f * f)
+    radius_p = math.sqrt(one_es)
+    radius_g_1 = h / a
+    radius_g = 1.0 + radius_g_1
+    phi_c = B.atan(B.lit(one_es) * B.tan(B.radians(lat)))
+    lam = B.radians(lon - B.lit(lon0))
+    sc, cc = B.sin(phi_c), B.cos(phi_c)
+    re = B.lit(radius_p) / B.sqrt(
+        B.lit(one_es) * cc * cc + sc * sc)
+    vx = re * cc * B.cos(lam)
+    vy = re * cc * B.sin(lam)
+    vz = re * sc
+    tmp = B.lit(radius_g) - vx
+    if sweep_x:
+        # GOES-R ABI fixed grid: x = asin(Vy/|s|) = atan(Vy/hypot),
+        # y = atan(Vz/sx) — matches the GOES-R PUG L1b grid equations
+        xa = B.atan(vy / B.sqrt(vz * vz + tmp * tmp))
+        ya = B.atan(vz / tmp)
+    else:
+        xa = B.atan(vy / tmp)
+        ya = B.atan(vz / B.sqrt(vy * vy + tmp * tmp))
+    k = a * radius_g_1
+    return B.lit(fe) + B.lit(k) * xa, B.lit(fn) + B.lit(k) * ya
+
+
+def geos_inverse(B, x, y, h: float, lon0: float, sweep_x: float,
+                 a: float, f: float, fe: float = 0.0, fn: float = 0.0):
+    """Geostationary inverse: intersect the view ray with the
+    ellipsoid (quadratic in the ray parameter; the near root is the
+    visible surface)."""
+    e2 = 2.0 * f - f * f
+    one_es = 1.0 - e2
+    radius_p = math.sqrt(one_es)
+    radius_g_1 = h / a
+    radius_g = 1.0 + radius_g_1
+    big_c = radius_g * radius_g - 1.0
+    xa = (x - B.lit(fe)) / B.lit(a * radius_g_1)
+    ya = (y - B.lit(fn)) / B.lit(a * radius_g_1)
+    if sweep_x:
+        vz = B.tan(ya)
+        vy = B.tan(xa) * B.sqrt(vz * vz + 1.0)
+    else:
+        vy = B.tan(xa)
+        vz = B.tan(ya) * B.sqrt(vy * vy + 1.0)
+    az = vz / B.lit(radius_p)
+    a_q = vy * vy + az * az + 1.0
+    det = B.sqrt(B.lit(4.0 * radius_g * radius_g) - a_q * B.lit(4.0 * big_c))
+    k = (B.lit(2.0 * radius_g) - det) / (a_q * 2.0)
+    wx = B.lit(radius_g) - k
+    lam = B.atan2(vy * k, wx)
+    phi = B.atan(vz * k * B.cos(lam) / wx / B.lit(one_es))
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+# --------------------------- staged forms (Robinson inverse / Goode)
+# The fused Robinson inverse (Newton inside 18 CASE branches) and the
+# fused Goode forward (the Mollweide Newton duplicated under a seam
+# CASE in each output column, where conditional evaluation defeats
+# Catalyst's subexpression elimination) both trip the JVM 64 KB
+# whole-stage-codegen method limit. Same cure as nzmg/poly/laborde:
+# one named expression per step — CollapseProject keeps multiply-
+# referenced non-trivial steps as separate Projects, so every
+# generated method stays small. The IDENTICAL templates drive the
+# DuckDB CTE oracle (nzmg.sql_cte_chain).
+
+def robin_inverse_stages(x_expr: str, y_expr: str, epsg: int = 54030,
+                         steps: int = 3) -> list:
+    """Robinson staged inverse — appends robin_lon / robin_lat.
+    Interval selection is exact (node-value comparisons); per-stage
+    CASE columns materialize the interval's cubic coefficients once,
+    so each Newton step is a tiny generic expression."""
+    kind, ell, p = CONIC_PRESETS[epsg]
+    a, _f = ELLIPSOIDS[ell]
+    fe, fn, lon0 = p.get("fe", 0.0), p.get("fn", 0.0), p.get("lon0", 0.0)
+
+    def sel(vals):
+        """Flat CASE keyed on rb_t vs the Y node values."""
+        expr = repr(float(vals[17]))
+        for i in range(16, -1, -1):
+            expr = (f"CASE WHEN rb_t < {_ROBIN_Y[i + 1]!r}"
+                    f" THEN {float(vals[i])!r} ELSE {expr} END")
+        return f"({expr})"
+
+    st = [{
+        "rb_t": f"(ABS(({y_expr}) - {fn!r}) / {_ROBIN_FYC * a!r})",
+        "rb_sgn": f"(1.0 * SIGN(({y_expr}) - {fn!r}))",
+        "rb_xx": f"(({x_expr}) - {fe!r})",
+    }]
+    st.append({
+        "rb_c0": sel([c[0] for c in _ROBIN_CY]),
+        "rb_c1": sel([c[1] for c in _ROBIN_CY]),
+        "rb_c2": sel([c[2] for c in _ROBIN_CY]),
+        "rb_c3": sel([c[3] for c in _ROBIN_CY]),
+        "rb_x0": sel([c[0] for c in _ROBIN_CX]),
+        "rb_x1": sel([c[1] for c in _ROBIN_CX]),
+        "rb_x2": sel([c[2] for c in _ROBIN_CX]),
+        "rb_x3": sel([c[3] for c in _ROBIN_CX]),
+        "rb_b": sel([5.0 * i for i in range(18)]),
+        # seed inputs: z0 = (t - Y_i) / ((Y_{i+1} - Y_i) / 5)
+        "rb_y0": sel([_ROBIN_Y[i] for i in range(18)]),
+        "rb_sl": sel([(_ROBIN_Y[i + 1] - _ROBIN_Y[i]) / 5.0
+                      for i in range(18)]),
+    })
+    st.append({"rb_zs0": "((rb_t - rb_y0) / rb_sl)"})
+    for k in range(steps):
+        i, o = f"rb_zs{k}", f"rb_zs{k + 1}"
+        st.append({o: (
+            f"({i} - (((rb_c3 * {i} + rb_c2) * {i} + rb_c1) * {i}"
+            f" + rb_c0 - rb_t)"
+            f" / ((3.0 * rb_c3 * {i} + 2.0 * rb_c2) * {i} + rb_c1))")})
+    zf = f"rb_zs{steps}"
+    deg = 180.0 / math.pi
+    st.append({
+        "robin_lat": f"((rb_b + {zf}) * rb_sgn)",
+        "robin_lon": (
+            f"({lon0!r} + rb_xx / ({_ROBIN_FXC * a!r}"
+            f" * (((rb_x3 * {zf} + rb_x2) * {zf} + rb_x1) * {zf}"
+            f" + rb_x0)) * {deg!r})"),
+    })
+    return st
+
+
+def from_robinson(df, x_col: str = "x", y_col: str = "y",
+                  epsg: int = 54030):
+    """Staged Column inverse — appends robin_lon / robin_lat."""
+    from .nzmg import _apply_stages
+
+    return _apply_stages(df, robin_inverse_stages(x_col, y_col, epsg),
+                         False, out_prefix="robin_")
+
+
+def goode_forward_stages(lon_expr: str, lat_expr: str,
+                         epsg: int) -> list:
+    """Goode homolosine staged forward — appends goode_x / goode_y.
+    The Mollweide theta Newton runs one step per Project."""
+    kind, ell, p = CONIC_PRESETS[epsg]
+    a, _f = ELLIPSOIDS[ell]
+    fe, fn, lon0 = p.get("fe", 0.0), p.get("fn", 0.0), p.get("lon0", 0.0)
+    st = [{
+        "gd_phi": f"(RADIANS({lat_expr}))",
+        "gd_lam": f"(RADIANS(({lon_expr}) - {lon0!r}))",
+    }]
+    st.append({"gd_sp": "(SIN(gd_phi))"})
+    st.append({
+        "gd_tg": f"({math.pi!r} * gd_sp)",
+        "gd_th0": str(_moll_theta_seed(_SqlBackend, _Sql("gd_sp"))),
+    })
+    for k in range(4):
+        i, o = f"gd_th{k}", f"gd_th{k + 1}"
+        st.append({o: (
+            f"({i} - ({i} * 2.0 + SIN({i} * 2.0) - gd_tg)"
+            f" / (2.0 + COS({i} * 2.0) * 2.0))")})
+    kx = 2.0 * math.sqrt(2.0) / math.pi
+    st.append({
+        "goode_x": (
+            f"({fe!r} + CASE WHEN ABS(gd_phi) < {_GOODE_PHI_LIM!r}"
+            f" THEN {a!r} * gd_lam * COS(gd_phi)"
+            f" ELSE {kx * a!r} * gd_lam * COS(gd_th4) END)"),
+        "goode_y": (
+            f"({fn!r} + CASE WHEN ABS(gd_phi) < {_GOODE_PHI_LIM!r}"
+            f" THEN {a!r} * gd_phi"
+            f" ELSE {math.sqrt(2.0) * a!r} * SIN(gd_th4)"
+            f" - 1.0 * SIGN(gd_phi) * {a * _GOODE_Y_COR!r} END)"),
+    })
+    return st
+
+
+def goode_inverse_stages(x_expr: str, y_expr: str, epsg: int) -> list:
+    """Goode staged inverse — appends goode_lon / goode_lat."""
+    kind, ell, p = CONIC_PRESETS[epsg]
+    a, _f = ELLIPSOIDS[ell]
+    fe, fn, lon0 = p.get("fe", 0.0), p.get("fn", 0.0), p.get("lon0", 0.0)
+    deg = 180.0 / math.pi
+    kx = 2.0 * math.sqrt(2.0) / math.pi
+    st = [{
+        "gi_yy": f"((({y_expr}) - {fn!r}) / {a!r})",
+        "gi_xx": f"(({x_expr}) - {fe!r})",
+    }]
+    st.append({"gi_th": (
+        f"(ASIN((gi_yy + 1.0 * SIGN(gi_yy) * {_GOODE_Y_COR!r})"
+        f" * {1.0 / math.sqrt(2.0)!r}))")})
+    st.append({
+        "goode_lon": (
+            f"(CASE WHEN ABS(gi_yy) < {_GOODE_PHI_LIM!r}"
+            f" THEN {lon0!r} + gi_xx / ({a!r} * COS(gi_yy)) * {deg!r}"
+            f" ELSE {lon0!r} + gi_xx / ({kx * a!r} * COS(gi_th))"
+            f" * {deg!r} END)"),
+        "goode_lat": (
+            f"(CASE WHEN ABS(gi_yy) < {_GOODE_PHI_LIM!r}"
+            f" THEN gi_yy * {deg!r}"
+            f" ELSE ASIN((gi_th * 2.0 + SIN(gi_th * 2.0))"
+            f" / {math.pi!r}) * {deg!r} END)"),
+    })
+    return st
+
+
+def to_goode(df, lon_col: str = "lon", lat_col: str = "lat",
+             epsg: int = -54052):
+    """Staged Column forward — appends goode_x / goode_y."""
+    from .nzmg import _apply_stages
+
+    return _apply_stages(df, goode_forward_stages(lon_col, lat_col, epsg),
+                         False, out_prefix="goode_")
+
+
+def from_goode(df, x_col: str = "x", y_col: str = "y",
+               epsg: int = -54052):
+    """Staged Column inverse — appends goode_lon / goode_lat."""
+    from .nzmg import _apply_stages
+
+    return _apply_stages(df, goode_inverse_stages(x_col, y_col, epsg),
+                         False, out_prefix="goode_")
 
 
 def tmerc_forward(B, lon, lat, lon0: float, k0: float, a: float, f: float,
@@ -1975,7 +2479,32 @@ CONIC_PRESETS = {
            dict(lon0=0.0, fe=0.0, fn=0.0)),
     6932: ("laea_south", "WGS84",  # WGS 84 / NSIDC EASE-Grid 2.0 South
            dict(lon0=0.0, fe=0.0, fn=0.0)),
+    54003: ("mill", "WGS84",  # ESRI World_Miller_Cylindrical
+            dict(lon0=0.0, fe=0.0, fn=0.0)),
+    54016: ("gall", "WGS84",  # ESRI World_Gall_Stereographic
+            dict(lon0=0.0, fe=0.0, fn=0.0)),
+    54030: ("robin", "WGS84",  # ESRI World_Robinson
+            dict(lon0=0.0, fe=0.0, fn=0.0)),
 }
+
+# Projections with no EPSG/ESRI code (geostationary full-disc CRSs
+# ship as WKT in the products; uninterrupted Goode is a PROJ-only
+# name): registered under fixed negative codes in the same synthetic
+# namespace proj4.register_proj4 uses, so every dispatch surface
+# (Columns where permitted, SQL, numpy, crs_to_crs hub) resolves them.
+CODE_GOODE = -54052          # +proj=goode +lon_0=0 (sphere on WGS84 a)
+CODE_GEOS_MSG = -90360       # Meteosat 0 deg full disc: +proj=geos
+#                              +h=35785831 +sweep=y (EUMETSAT MSG/SEVIRI)
+CODE_GEOS_GOES_EAST = -90750  # GOES-East ABI fixed grid: +proj=geos
+#                              +h=35786023 +lon_0=-75 +sweep=x (GRS80)
+CONIC_PRESETS[CODE_GOODE] = ("goode", "WGS84",
+                             dict(lon0=0.0, fe=0.0, fn=0.0))
+CONIC_PRESETS[CODE_GEOS_MSG] = (
+    "geos", "WGS84",
+    dict(h=35785831.0, lon0=0.0, sweep_x=0.0, fe=0.0, fn=0.0))
+CONIC_PRESETS[CODE_GEOS_GOES_EAST] = (
+    "geos", "GRS80",
+    dict(h=35786023.0, lon0=-75.0, sweep_x=1.0, fe=0.0, fn=0.0))
 
 _CONIC_FNS = {
     "lcc": (lcc_forward, lcc_inverse),
@@ -2004,6 +2533,11 @@ _CONIC_FNS = {
     "laea_north": (laea_north_forward, laea_north_inverse),
     "laea_south": (laea_south_forward, laea_south_inverse),
     "tmso": (tmso_forward, tmso_inverse),
+    "mill": (mill_forward, mill_inverse),
+    "gall": (gall_forward, gall_inverse),
+    "robin": (robin_forward, robin_inverse),
+    "goode": (goode_forward, goode_inverse),
+    "geos": (geos_forward, geos_inverse),
 }
 
 # EPSG/ESRI code -> projection family dispatch (the engine's answer to
@@ -2048,6 +2582,10 @@ class _NpBackend:
     atan = staticmethod(_np.arctan)
     atan2 = staticmethod(_np.arctan2)
     asin = staticmethod(_np.arcsin)
+    abs = staticmethod(_np.abs)
+    sign = staticmethod(_np.sign)
+    lt = staticmethod(_np.less)
+    when = staticmethod(_np.where)
 
 
 def np_transform_fn(epsg: int, inverse: bool = False):
@@ -2076,6 +2614,11 @@ def transform_points_np(epsg: int, xs, ys, inverse: bool = False):
 
 def conic_forward(epsg: int, lon: Column, lat: Column) -> tuple[Column, Column]:
     kind, ellps, p = CONIC_PRESETS[epsg]
+    if kind == "goode":
+        # conditional seam evaluation defeats Catalyst subexpression
+        # elimination on the embedded Mollweide Newton -> 64 KB limit
+        raise ValueError("goode forward must run staged: use "
+                         "crs.to_goode(df) / goode_forward_stages")
     a, f = ELLIPSOIDS[ellps]
     return _CONIC_FNS[kind][0](_ColBackend, lon, lat, a=a, f=f, **p)
 
@@ -2090,12 +2633,22 @@ def conic_inverse(epsg: int, x: Column, y: Column) -> tuple[Column, Column]:
         # ~48x tree growth per Newton step — use the staged form
         raise ValueError("polyconic inverse must run staged: use "
                          "crs.from_polyconic(df) / poly_inverse_stages")
+    if kind == "robin":
+        # Newton-in-CASE-branch trips the 64 KB codegen method limit
+        raise ValueError("robinson inverse must run staged: use "
+                         "crs.from_robinson(df) / robin_inverse_stages")
+    if kind == "goode":
+        raise ValueError("goode inverse must run staged: use "
+                         "crs.from_goode(df) / goode_inverse_stages")
     a, f = ELLIPSOIDS[ellps]
     return _CONIC_FNS[kind][1](_ColBackend, x, y, a=a, f=f, **p)
 
 
 def conic_forward_sql(epsg: int, lon_expr: str, lat_expr: str) -> tuple[str, str]:
     kind, ellps, p = CONIC_PRESETS[epsg]
+    if kind == "goode":
+        raise ValueError("goode forward must run staged: use "
+                         "goode_forward_stages + nzmg.sql_cte_chain")
     a, f = ELLIPSOIDS[ellps]
     x, y = _CONIC_FNS[kind][0](_SqlBackend, _Sql(lon_expr), _Sql(lat_expr),
                                a=a, f=f, **p)
@@ -2110,6 +2663,14 @@ def conic_inverse_sql(epsg: int, x_expr: str, y_expr: str) -> tuple[str, str]:
     if kind == "poly":
         raise ValueError("polyconic inverse must run staged: use "
                          "poly_inverse_stages + nzmg.sql_cte_chain")
+    if kind == "robin":
+        # DuckDB runs the fused form fine, but the oracle must use
+        # the SAME templates as the Spark side (step counts differ)
+        raise ValueError("robinson inverse must run staged: use "
+                         "robin_inverse_stages + nzmg.sql_cte_chain")
+    if kind == "goode":
+        raise ValueError("goode inverse must run staged: use "
+                         "goode_inverse_stages + nzmg.sql_cte_chain")
     a, f = ELLIPSOIDS[ellps]
     lon, lat = _CONIC_FNS[kind][1](_SqlBackend, _Sql(x_expr), _Sql(y_expr),
                                    a=a, f=f, **p)

@@ -72,6 +72,10 @@ _P4_FAMILIES = {
     # Krovak's centre/azimuth/parallel are fixed constants of the
     # S-JTSK definition in crs._KROVAK; only the falsings vary
     "krovak": ("krovak", {"x_0": "fe", "y_0": "fn"}, {}),
+    "mill": ("mill", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
+    "gall": ("gall", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
+    "robin": ("robin", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
+    "goode": ("goode", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
 }
 
 _synth_codes = itertools.count(-1, -1)
@@ -144,6 +148,15 @@ def _classify(p: dict) -> tuple[str, dict]:
         return "aeqd_north", dict(lon0=float(p.get("lon_0", 0.0)),
                                   fe=float(p.get("x_0", 0.0)),
                                   fn=float(p.get("y_0", 0.0)))
+    if name == "geos":
+        # +sweep is a STRING token (x for GOES ABI, y default for
+        # Meteosat/Himawari) — carried as the sweep_x 0/1 scalar the
+        # crs.geos_* builders branch on at expression-build time
+        return "geos", dict(h=float(p["h"]),
+                            lon0=float(p.get("lon_0", 0.0)),
+                            sweep_x=1.0 if p.get("sweep") == "x" else 0.0,
+                            fe=float(p.get("x_0", 0.0)),
+                            fn=float(p.get("y_0", 0.0)))
     if name == "stere":
         lat0 = float(p.get("lat_0", 0.0))
         if abs(abs(lat0) - 90.0) > 1e-9:
@@ -195,6 +208,9 @@ def sample_lonlat(kind: str, params: dict):
         lat = -30.0
     elif kind == "krovak":
         return [17.0, 18.0], [49.2, 49.8]
+    elif kind == "geos":
+        # two points well inside the visible disc
+        return [lon0 - 20.0, lon0 + 35.0], [-30.0, 42.0]
     else:
         lat = params.get("phi0", params.get("phi1", 20.0))
     if abs(lat) < 1.0:          # poly's cot(phi) pole at the equator

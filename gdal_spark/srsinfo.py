@@ -121,6 +121,9 @@ _NAMES = {
     6932: ("WGS 84 / NSIDC EASE-Grid 2.0 South", "WGS 84", "WGS_1984"),
     2054: ("Hartebeesthoek94 / Lo29", "Hartebeesthoek94",
            "Hartebeesthoek94"),
+    54003: ("World_Miller_Cylindrical", "WGS 84", "WGS_1984"),
+    54016: ("World_Gall_Stereographic", "WGS 84", "WGS_1984"),
+    54030: ("World_Robinson", "WGS 84", "WGS_1984"),
     32633: ("WGS 84 / UTM zone 33N", "WGS 84", "WGS_1984"),
     32733: ("WGS 84 / UTM zone 33S", "WGS 84", "WGS_1984"),
     26918: ("NAD83 / UTM zone 18N", "NAD83", "North_American_Datum_1983"),
@@ -278,6 +281,18 @@ _FAMILIES = {
                     ("lon0", "lon_0", "longitude_of_center"),
                     ("fe", "x_0", "false_easting"),
                     ("fn", "y_0", "false_northing")]),
+    "mill": ("mill", "Miller_Cylindrical",
+             [("lon0", "lon_0", "central_meridian"),
+              ("fe", "x_0", "false_easting"),
+              ("fn", "y_0", "false_northing")]),
+    "gall": ("gall", "Gall_Stereographic",
+             [("lon0", "lon_0", "central_meridian"),
+              ("fe", "x_0", "false_easting"),
+              ("fn", "y_0", "false_northing")]),
+    "robin": ("robin", "Robinson",
+              [("lon0", "lon_0", "longitude_of_center"),
+               ("fe", "x_0", "false_easting"),
+               ("fn", "y_0", "false_northing")]),
     # method 9808: the 9807 series with westing/southing axes — PROJ
     # spells the axis swap +axis=wsu
     "tmso": ("tmerc", "Transverse_Mercator_South_Orientated",
@@ -297,7 +312,8 @@ _UNITS = {
 }
 
 # ESRI-namespace codes (no EPSG AUTHORITY node in WKT1)
-ESRI_CODES = frozenset({54008, 54009, 54024, 102016, 102031})
+ESRI_CODES = frozenset({54003, 54008, 54009, 54016, 54024, 54030,
+                        102016, 102031})
 
 # UTM fast-path codes rendered alongside the conic registry (one
 # representative per ELLIPSOIDS-backed band; the full 326xx/327xx/269xx
@@ -404,6 +420,26 @@ def proj4_strings() -> dict[int, str]:
         out[code] = ("+proj=" + h["proj"]
                      + (" " + " ".join(items) if items else "")
                      + ellps + tail)
+    # the built-in no-EPSG-code presets (geostationary full discs,
+    # uninterrupted Goode) export directly: they carry no WKT1 name
+    # block, but their proj4 form — including the STRING +sweep token
+    # WKT1 cannot express — must round-trip through the importer
+    from . import crs as _crs
+
+    for code in (_crs.CODE_GOODE, _crs.CODE_GEOS_MSG,
+                 _crs.CODE_GEOS_GOES_EAST):
+        kind, ell, p = _crs.CONIC_PRESETS[code]
+        frag = {"WGS84": "+datum=WGS84", "GRS80": "+ellps=GRS80"}[ell]
+        if kind == "goode":
+            out[code] = (f"+proj=goode +lon_0={_fmt(p['lon0'])}"
+                         f" +x_0={_fmt(p['fe'])} +y_0={_fmt(p['fn'])}"
+                         f" {frag} +units=m +no_defs")
+        else:
+            sweep = "x" if p["sweep_x"] else "y"
+            out[code] = (f"+proj=geos +h={_fmt(p['h'])}"
+                         f" +lon_0={_fmt(p['lon0'])} +sweep={sweep}"
+                         f" +x_0={_fmt(p['fe'])} +y_0={_fmt(p['fn'])}"
+                         f" {frag} +units=m +no_defs")
     return out
 
 
