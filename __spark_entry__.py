@@ -218,6 +218,67 @@ def _q_grib2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~F.isnan("value"), F.col("value")).alias("value"))
 
 
+def _q_grib2_complex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 complex packing (data templates 5.2/5.3 — degrib's
+    unpk_complex; what real NCEP GFS/NAM output uses): band 1 packs
+    with order-2 spatial differencing, band 2 with plain complex
+    packing (5.2) UNDER a section-6 bitmap, band 3 with order-1
+    differencing. Group splitting is general (fixed 32-value groups,
+    true last length), extra descriptors signed-magnitude. Decode is
+    one float64 division, so every cell is hash-exact vs the
+    closed-form oracle."""
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import grib
+
+    path = tempfile.mkdtemp(prefix="gdal_spark_gribcx_") + "/cx.grib2"
+    r = np.arange(40).reshape(40, 1)
+    c = np.arange(53).reshape(1, 53)
+    a = (((r * 131 + c * 17) % 509) - 200) * 0.25
+    r2 = np.arange(33).reshape(33, 1)
+    c2 = np.arange(29).reshape(1, 29)
+    b = (((r2 * 53 + c2 * 7) % 113) - 9) * 0.5
+    b = np.where((r2 * 7 + c2 * 3) % 19 == 0, np.nan, b)
+    r3 = np.arange(21).reshape(21, 1)
+    c3 = np.arange(17).reshape(1, 17)
+    d = (((r3 * 5 + c3 * 3) % 97) - 40) * 0.25
+    grib.write_grib2(path, [
+        dict(data=a, lat0=60.0, lon0=10.0, dlat=0.5, dlon=0.5,
+             decimals=2, packing="complex", order=2),
+        dict(data=b, lat0=40.0, lon0=350.0, dlat=1.0, dlon=1.0,
+             decimals=1, packing="complex", order=0),
+        dict(data=d, lat0=-10.0, lon0=120.0, dlat=0.25, dlon=0.25,
+             decimals=2, packing="complex", order=1),
+    ])
+    tiles = grib.read_grib2(spark, path, tile_px=16)
+
+    def cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.data, dtype=np.float64).reshape(
+                    row.height, row.width)
+                rr, cc = np.mgrid[0:row.height, 0:row.width]
+                out.append(pd.DataFrame({
+                    "band": int(row.band),
+                    "d0": (row.tile_y * 16 + rr).reshape(-1),
+                    "d1": (row.tile_x * 16 + cc).reshape(-1),
+                    "value": arr.reshape(-1),
+                }))
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["band", "d0", "d1", "value"])
+
+    cell = tiles.mapInPandas(
+        cells, schema="band int, d0 long, d1 long, value double")
+    return cell.select(
+        "band", "d0", "d1",
+        F.when(~F.isnan("value"), F.col("value")).alias("value"))
+
+
 def _q_netcdf4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """netCDF-4 (HDF5 container) roundtrip — the modern sibling of
     _q_netcdf_roundtrip (frmts/netcdf/netcdfdataset.cpp opens NC4
@@ -6005,6 +6066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf_roundtrip": _q_netcdf_roundtrip,
         "netcdf4_roundtrip": _q_netcdf4_roundtrip,
         "grib2_roundtrip": _q_grib2_roundtrip,
+        "grib2_complex_roundtrip": _q_grib2_complex_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "dxf_roundtrip": _q_dxf_roundtrip,
         "ogr_tindex": _q_ogr_tindex,
@@ -7354,6 +7416,25 @@ def _oracle_sql_static() -> dict[str, str]:
                         ELSE CAST(((a.range * 53 + b.range * 7) % 113
                                    - 9) * 5 AS DOUBLE) / 10.0 END
             FROM range(11) a CROSS JOIN range(29) b
+        """,
+        "grib2_complex_roundtrip": """
+            SELECT 1 AS band, CAST(a.range AS BIGINT) AS d0,
+                   CAST(b.range AS BIGINT) AS d1,
+                   CAST(((a.range * 131 + b.range * 17) % 509 - 200)
+                        * 25 AS DOUBLE) / 100.0 AS value
+            FROM range(40) a CROSS JOIN range(53) b
+            UNION ALL
+            SELECT 2, CAST(a.range AS BIGINT), CAST(b.range AS BIGINT),
+                   CASE WHEN (a.range * 7 + b.range * 3) % 19 = 0
+                        THEN NULL
+                        ELSE CAST(((a.range * 53 + b.range * 7) % 113
+                                   - 9) * 5 AS DOUBLE) / 10.0 END
+            FROM range(33) a CROSS JOIN range(29) b
+            UNION ALL
+            SELECT 3, CAST(a.range AS BIGINT), CAST(b.range AS BIGINT),
+                   CAST(((a.range * 5 + b.range * 3) % 97 - 40) * 25
+                        AS DOUBLE) / 100.0
+            FROM range(21) a CROSS JOIN range(17) b
         """,
         "netcdf4_roundtrip": """
             SELECT 'grid' AS var, CAST(a.range AS BIGINT) AS d0,

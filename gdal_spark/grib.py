@@ -45,9 +45,21 @@ decode(encode(x)) == round(x*10**D)/10**D exactly in float64 for
 values within the 24-bit float32-exact range — which makes GRIB
 roundtrips hash-exact against a closed-form oracle.
 
+Complex packing (template 5.2) and complex packing with spatial
+differencing (template 5.3 — what real NCEP GFS/NAM files actually
+use; degrib's unpk_complex) are supported read+write: general group
+splitting, fixed 32-value groups on the write side, order-1/2
+differencing with signed-magnitude extra descriptors, missing-value
+management 0. Group boundaries are data-dependent, so complex
+messages scan at PER-MESSAGE granularity (the same honest fallback
+as bitmapped simple packing) — a multi-message file still spreads
+across the cluster, and the in-kernel decode is fully vectorized
+(np.repeat group expansion + double cumsum integration).
+
 Unsupported (documented, like the reference gates them by template):
-complex/jpeg2000/png packing (templates 5.2/5.3/5.40/5.41), spectral
-data, non-latlon grids (templates other than 3.0), GRIB1 edition.
+jpeg2000/png packing (templates 5.40/5.41), spectral data,
+missing-value management 1/2, non-latlon grids (templates other
+than 3.0), GRIB1 edition.
 """
 
 from __future__ import annotations
@@ -123,6 +135,139 @@ def _unpack_bits(raw: bytes, bit0: int, count: int, nbits: int) -> np.ndarray:
     return bits @ weights
 
 
+# ------------------------------------------- complex packing (5.2/5.3)
+
+_GROUP_LEN = 32  # fixed group size on the write side (general splitting)
+
+
+def _sm32(v: int) -> int:
+    """Signed-magnitude 32-bit encode (GRIB2 stores negatives as
+    sign bit + magnitude, regulation 92.1.5)."""
+    return (0x80000000 | -v) if v < 0 else v
+
+
+def _encode_complex(x: np.ndarray, order: int):
+    """Group-split (and optionally spatially difference) the
+    non-negative scaled field x = scaled - rmin. Returns (payload
+    bytes, template fields dict) per data templates 7.2/7.3: extra
+    descriptors, group references, widths, lengths — each stream
+    padded to an octet boundary (g2clib comunpack layout) — then the
+    bit-contiguous group data."""
+    n = int(x.size)
+    if order:
+        if n <= order:
+            raise NotImplementedError("field shorter than the "
+                                      "differencing order")
+        h = [int(x[i]) for i in range(order)]
+        d = x.astype(np.int64).copy()
+        if order == 1:
+            d[1:] = x[1:] - x[:-1]
+        else:
+            d[2:] = x[2:] - 2 * x[1:-1] + x[:-2]
+        hmin = int(d[order:].min())
+        xx = np.zeros(n, dtype=np.int64)
+        xx[order:] = d[order:] - hmin
+        extras = b"".join(struct.pack(">I", _sm32(v))
+                          for v in (*h, hmin))
+        ds = 4
+    else:
+        xx, extras, ds = x.astype(np.int64), b"", 0
+
+    ng = math.ceil(n / _GROUP_LEN)
+    pad = ng * _GROUP_LEN - n
+    g = np.pad(xx, (0, pad), constant_values=0).reshape(ng, _GROUP_LEN)
+    # the pad rides the LAST group: keep its ref/width from real values
+    last_n = _GROUP_LEN - pad
+    refs = g.min(axis=1)
+    if pad:
+        refs[-1] = g[-1, :last_n].min()
+    spans = g.max(axis=1) - refs
+    if pad:
+        spans[-1] = g[-1, :last_n].max() - refs[-1]
+    widths = np.array([int(s).bit_length() for s in spans], dtype=np.int64)
+    nbits = int(refs.max()).bit_length()
+    wbits = int(widths.max()).bit_length()
+    payload = bytearray(extras)
+    payload += _pack_bits(refs, nbits)
+    payload += _pack_bits(widths, wbits)
+    # group lengths: ref_len = _GROUP_LEN, increment 1, all scaled
+    # lengths 0 (lbits = 0 -> empty stream), true last length in the
+    # template header
+    bit_chunks = []
+    rel = g - refs[:, None]
+    for gi in range(ng):
+        w = int(widths[gi])
+        if w == 0:
+            continue
+        cnt = last_n if gi == ng - 1 else _GROUP_LEN
+        vals = rel[gi, :cnt]
+        b = np.zeros((cnt, w), dtype=np.uint8)
+        for k in range(w):
+            b[:, k] = (vals >> (w - 1 - k)) & 1
+        bit_chunks.append(b.reshape(-1))
+    if bit_chunks:
+        payload += np.packbits(np.concatenate(bit_chunks)).tobytes()
+    fields = dict(nbits=nbits, ng=ng, wbits=wbits,
+                  last_len=last_n, order=order, ds=ds)
+    return bytes(payload), fields
+
+
+def _decode_complex(raw: bytes, m: dict) -> np.ndarray:
+    """Inverse of _encode_complex for any conforming 5.2/5.3 stream
+    (variable group lengths included): returns the reconstructed
+    integer field f with Y = (R + f*2^E)/10^D left to the caller."""
+    n, ng, order, ds = m["ndata"], m["cx_ng"], m["cx_order"], m["cx_ds"]
+    off = 0
+    hs = []
+    for _ in range(order + 1 if order else 0):
+        if ds == 1:
+            v = raw[off]
+            v = -(v & 0x7F) if v & 0x80 else v
+        elif ds == 2:
+            v = struct.unpack_from(">H", raw, off)[0]
+            v = -(v & 0x7FFF) if v & 0x8000 else v
+        elif ds == 4:
+            v = struct.unpack_from(">I", raw, off)[0]
+            v = -(v & 0x7FFFFFFF) if v & 0x80000000 else v
+        else:
+            raise NotImplementedError(f"{ds}-octet extra descriptors")
+        hs.append(int(v))
+        off += ds
+    bit = off * 8
+    refs = _unpack_bits(raw, bit, ng, m["cx_nbits"])
+    bit += ng * m["cx_nbits"]
+    bit = (bit + 7) // 8 * 8
+    widths = m["cx_ref_w"] + _unpack_bits(raw, bit, ng, m["cx_wbits"])
+    bit += ng * m["cx_wbits"]
+    bit = (bit + 7) // 8 * 8
+    lens = m["cx_ref_len"] + m["cx_inc"] * _unpack_bits(
+        raw, bit, ng, m["cx_lbits"])
+    bit += ng * m["cx_lbits"]
+    bit = (bit + 7) // 8 * 8
+    lens[-1] = m["cx_last_len"]
+    parts = []
+    for gi in range(ng):
+        cnt, w = int(lens[gi]), int(widths[gi])
+        if w == 0:
+            parts.append(np.full(cnt, int(refs[gi]), dtype=np.int64))
+        else:
+            parts.append(int(refs[gi]) + _unpack_bits(raw, bit, cnt, w))
+            bit += cnt * w
+    f = np.concatenate(parts)[:n]
+    if order:
+        # first `order` values come from the extra descriptors; the
+        # rest are differences shifted by the overall minimum — undo
+        # by (order x) cumulative summation
+        f[order:] += hs[-1]
+        f[:order] = hs[:order]
+        if order == 1:
+            f = np.cumsum(f)
+        else:
+            u = np.cumsum(np.concatenate([[f[1] - f[0]], f[2:]]))
+            f = np.concatenate([[f[0]], f[0] + np.cumsum(u)])
+    return f
+
+
 # --------------------------------------------------------------- writer
 
 def write_grib2(path: str, messages: list[dict]) -> None:
@@ -151,8 +296,17 @@ def write_grib2(path: str, messages: list[dict]) -> None:
             raise NotImplementedError("reference value exceeds float32-exact range")
         x = (scaled - rmin).astype(np.int64)
         xmax = int(x.max()) if x.size else 0
-        nbits = max(1, xmax.bit_length())
-        payload = _pack_bits(x, nbits)
+        packing = m.get("packing", "simple")
+        if packing == "complex":
+            order = int(m.get("order", 2))
+            payload, cf = _encode_complex(x, order)
+            tnum5 = 3 if order else 2
+        elif packing == "simple":
+            nbits = max(1, xmax.bit_length())
+            payload = _pack_bits(x, nbits)
+            tnum5 = 0
+        else:
+            raise NotImplementedError(f"packing {packing!r}")
 
         sec1 = struct.pack(">HHBBBHBBBBBBB", 255, 255, 2, 1, 1,
                            2026, 1, 1, 0, 0, 0, 0, 1)
@@ -181,11 +335,27 @@ def write_grib2(path: str, messages: list[dict]) -> None:
                             int(m.get("forecast_hour", 0)),
                             1, 0, 0, 255, 0, 0)
         sec4 = struct.pack(">IBHH", 9 + len(tmpl4), 4, 0, 0) + tmpl4
-        # section 5: data representation template 5.0
-        tmpl5 = struct.pack(">fHHBB", float(np.float32(rmin)),
-                            _u16sm(0), _u16sm(D), nbits, 0)
+        # section 5: data representation template 5.0 (simple) or
+        # 5.2/5.3 (complex, +spatial differencing)
+        if tnum5 == 0:
+            tmpl5 = struct.pack(">fHHBB", float(np.float32(rmin)),
+                                _u16sm(0), _u16sm(D), nbits, 0)
+        else:
+            tmpl5 = struct.pack(
+                ">fHHBBBBIIIBBIBIB",
+                float(np.float32(rmin)), _u16sm(0), _u16sm(D),
+                cf["nbits"], 0,
+                1,                      # general group splitting
+                0,                      # no missing-value management
+                0, 0,                   # missing substitutes (unused)
+                cf["ng"],
+                0, cf["wbits"],         # width reference + bits
+                _GROUP_LEN, 1,          # length reference + increment
+                cf["last_len"], 0)      # true last length; lbits = 0
+            if tnum5 == 3:
+                tmpl5 += struct.pack(">BB", cf["order"], cf["ds"])
         sec5 = struct.pack(">IBIH", 11 + len(tmpl5), 5,
-                           int(vals.size), 0) + tmpl5
+                           int(vals.size), tnum5) + tmpl5
         if has_bmp:
             bmp = np.packbits(mask.reshape(-1).astype(np.uint8)).tobytes()
             sec6 = struct.pack(">IBB", 6 + len(bmp), 6, 0) + bmp
@@ -258,13 +428,31 @@ def _index_messages(path: str) -> list[dict]:
                 elif snum == 5:
                     b = f.read(slen - 5)
                     ndata, tnum = struct.unpack_from(">IH", b, 0)
-                    if tnum != 0:
+                    if tnum not in (0, 2, 3):
                         raise NotImplementedError(
                             f"packing template 5.{tnum} not supported")
                     R = struct.unpack_from(">f", b, 6)[0]
                     E = _s16(struct.unpack_from(">H", b, 10)[0])
                     D = _s16(struct.unpack_from(">H", b, 12)[0])
-                    m.update(ndata=ndata, R=float(R), E=E, D=D, nbits=b[14])
+                    m.update(ndata=ndata, R=float(R), E=E, D=D,
+                             nbits=b[14], tnum5=tnum)
+                    if tnum in (2, 3):
+                        if b[16] != 1:
+                            raise NotImplementedError(
+                                "only general group splitting")
+                        if b[17] != 0:
+                            raise NotImplementedError(
+                                "missing-value management 1/2")
+                        m.update(
+                            cx_nbits=b[14],
+                            cx_ng=struct.unpack_from(">I", b, 26)[0],
+                            cx_ref_w=b[30], cx_wbits=b[31],
+                            cx_ref_len=struct.unpack_from(">I", b, 32)[0],
+                            cx_inc=b[36],
+                            cx_last_len=struct.unpack_from(">I", b, 37)[0],
+                            cx_lbits=b[41],
+                            cx_order=b[42] if tnum == 3 else 0,
+                            cx_ds=b[43] if tnum == 3 else 0)
                 elif snum == 6:
                     ind = f.read(1)[0]
                     if ind == 0:
@@ -292,8 +480,10 @@ def read_grib2(spark: SparkSession, path: str, *, tile_px: int = 256,
     rows = []
     for bi, m in enumerate(msgs, start=1):
         nj, ni, nbits = m["nj"], m["ni"], m["nbits"]
-        if m["bmp_off"] >= 0:
-            # bitmap: no closed-form row offsets -> whole message
+        if m["bmp_off"] >= 0 or m.get("tnum5", 0) != 0:
+            # bitmap or complex packing: group boundaries / present-
+            # value offsets are data-dependent, no closed-form row
+            # offsets -> whole-message granularity
             rows.append((bi, 0, 0, nj, m["data_off"], m["data_len"], 0,
                          True, m["bmp_off"], m["bmp_len"],
                          m["R"], m["E"], m["D"], nbits))
@@ -329,15 +519,27 @@ def read_grib2(spark: SparkSession, path: str, *, tile_px: int = 256,
                     two_e = 2.0 ** int(r.E)
                     ten_d = 10.0 ** int(r.D)
                     if r.whole:
-                        bmp = np.unpackbits(np.frombuffer(
-                            os.pread(f.fileno(), int(r.bmp_len),
-                                     int(r.bmp_off)),
-                            dtype=np.uint8))[: m["nj"] * ni].astype(bool)
-                        x = _unpack_bits(raw, 0, int(bmp.sum()),
-                                         int(r.nbits))
-                        full = np.full(m["nj"] * ni, np.nan)
-                        full[bmp] = (float(r.R) + x * two_e) / ten_d
-                        grid = full.reshape(m["nj"], ni)
+                        if int(r.bmp_off) >= 0:
+                            bmp = np.unpackbits(np.frombuffer(
+                                os.pread(f.fileno(), int(r.bmp_len),
+                                         int(r.bmp_off)),
+                                dtype=np.uint8))[: m["nj"] * ni] \
+                                .astype(bool)
+                            npresent = int(bmp.sum())
+                        else:
+                            bmp, npresent = None, m["nj"] * ni
+                        if m.get("tnum5", 0) in (2, 3):
+                            x = _decode_complex(raw, m)[:npresent]
+                        else:
+                            x = _unpack_bits(raw, 0, npresent,
+                                             int(r.nbits))
+                        vals = (float(r.R) + x * two_e) / ten_d
+                        if bmp is None:
+                            grid = vals.reshape(m["nj"], ni)
+                        else:
+                            full = np.full(m["nj"] * ni, np.nan)
+                            full[bmp] = vals
+                            grid = full.reshape(m["nj"], ni)
                         row0, h = 0, m["nj"]
                     else:
                         x = _unpack_bits(raw, int(r.bit0),
@@ -391,5 +593,6 @@ def grib2_metadata(path: str) -> list[dict]:
             "dlat": m["dlat"], "dlon": m["dlon"],
             "nbits": m["nbits"], "decimals": m["D"],
             "bitmap": m["bmp_off"] >= 0,
+            "packing": m.get("tnum5", 0),
         })
     return out

@@ -113,3 +113,85 @@ def test_reference_value_range_guard():
         grib.write_grib2("/tmp/never.grib2", [
             dict(data=np.array([[1e9]]), lat0=0, lon0=0,
                  dlat=1, dlon=1, decimals=0)])
+
+
+# ------------------------- complex packing (templates 5.2 / 5.3)
+
+def _smooth():
+    r = np.arange(60).reshape(60, 1)
+    c = np.arange(81).reshape(1, 81)
+    return 1013.0 + 8.0 * np.sin(r / 15.0) + 5.0 * np.cos(c / 20.0)
+
+
+@pytest.mark.parametrize("order", [0, 1, 2])
+def test_complex_roundtrip_exact(spark, tmp_path, order):
+    """Templates 5.2 (order 0) and 5.3 (orders 1/2): decode must be
+    bit-exact (single float64 division) for any packing the writer
+    emits; per-message granularity, tiles still split on read."""
+    a = (((np.arange(40).reshape(40, 1) * 131
+           + np.arange(53).reshape(1, 53) * 17) % 509) - 200) * 0.25
+    p = str(tmp_path / f"cx{order}.grib2")
+    grib.write_grib2(p, [dict(
+        data=a, lat0=60.0, lon0=10.0, dlat=0.5, dlon=0.5, decimals=2,
+        packing="complex", order=order)])
+    md = grib.grib2_metadata(p)
+    assert md[0]["packing"] == (3 if order else 2)
+    rows = grib.read_grib2(spark, p, tile_px=16).collect()
+    g = _assemble(rows, 1, 40, 53, 16)
+    np.testing.assert_array_equal(g, a)
+
+
+def test_complex_with_bitmap(spark, tmp_path):
+    """Section-6 bitmap composes with complex packing: only present
+    cells enter the group stream; missing decode to NaN."""
+    b = _smooth()
+    b = np.where((np.arange(60).reshape(60, 1) * 7
+                  + np.arange(81).reshape(1, 81) * 3) % 23 == 0,
+                 np.nan, b)
+    p = str(tmp_path / "cxbmp.grib2")
+    grib.write_grib2(p, [dict(
+        data=b, lat0=50.0, lon0=0.0, dlat=0.25, dlon=0.25, decimals=2,
+        packing="complex", order=2)])
+    rows = grib.read_grib2(spark, p, tile_px=32).collect()
+    g = _assemble(rows, 1, 60, 81, 32)
+    np.testing.assert_array_equal(np.isnan(g), np.isnan(b))
+    # D=2 quantization: decode is exactly rint(v*100)/100 via the
+    # writer's deterministic E=0 / R=min (float32-exact) packing
+    q = np.rint(b[~np.isnan(b)] * 100.0)
+    np.testing.assert_array_equal(g[~np.isnan(b)], q / 100.0)
+
+
+def test_spatial_differencing_compresses_smooth_fields(tmp_path):
+    """The point of template 5.3: a pressure-like smooth field packs
+    substantially smaller under order-2 differencing than under
+    simple packing (degrib's default for NCEP output)."""
+    sizes = {}
+    for name, msg in [
+        ("simple", {}),
+        ("cx2", {"packing": "complex", "order": 2}),
+    ]:
+        p = str(tmp_path / f"{name}.grib2")
+        grib.write_grib2(p, [dict(
+            data=_smooth(), lat0=60.0, lon0=10.0, dlat=0.5, dlon=0.5,
+            decimals=2, **msg)])
+        sizes[name] = grib._index_messages(p)[0]["data_len"]
+    assert sizes["cx2"] < 0.6 * sizes["simple"]
+
+
+def test_complex_negative_h_values(tmp_path):
+    """Signed-magnitude extra descriptors: a decreasing field makes
+    hmin (and with negative data h1/h2 relative ints) exercise the
+    sign bit."""
+    import os
+
+    a = -np.arange(400, dtype=np.float64).reshape(20, 20) * 0.5
+    p = str(tmp_path / "neg.grib2")
+    grib.write_grib2(p, [dict(
+        data=a, lat0=10.0, lon0=0.0, dlat=0.5, dlon=0.5, decimals=1,
+        packing="complex", order=2)])
+    m = grib._index_messages(p)[0]
+    with open(p, "rb") as f:
+        raw = os.pread(f.fileno(), m["data_len"], m["data_off"])
+    fv = grib._decode_complex(raw, m)
+    y = (m["R"] + fv * 2.0 ** m["E"]) / 10.0 ** m["D"]
+    np.testing.assert_array_equal(y.reshape(20, 20), a)
