@@ -5895,6 +5895,42 @@ def _q_gpx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lat", "lon", F.col("desc").alias("lang_source"))
 
 
+def _q_mif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapInfo MIF/MID driver loop (ogr/ogrsf_frmts/mitab/
+    mitab_miffile.cpp, mitab_feature_mif.cpp): documents as POINT
+    records with Char/Integer attributes through the ordered
+    single-stream pair sink, read back file-per-task with the
+    COLUMNS-derived schema. Full-precision derived lon/lat must
+    survive the MIF coordinate text exactly (shortest-round-trip
+    fmt), free-text lang/source must survive MID quoting. Oracle:
+    straight SQL over documents."""
+    import tempfile
+
+    from gdal_spark import mif
+
+    d = DRV.with_derived_points(
+        _read(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 3000).select(
+        F.concat(F.lit("POINT ("), F.col("lon").cast("string"),
+                 F.lit(" "), F.col("lat").cast("string"),
+                 F.lit(")")).alias("wkt"),
+        F.col("doc_id").alias("doc_id"),
+        F.concat(F.col("lang"), F.lit(" & "), F.col("source"))
+        .alias("lang_source"),
+        F.col("n_chars").alias("n_chars")).orderBy("doc_id")
+    path = tempfile.mkdtemp(prefix="gdal_spark_mif_") + "/docs"
+    mif.write_mif(d, path)
+    back = mif.read_mif(spark, path + ".mif")
+    m = F.regexp_extract("wkt", r"POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)",
+                         1).cast("double")
+    m2 = F.regexp_extract("wkt", r"POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)",
+                          2).cast("double")
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        m.alias("lon"), m2.alias("lat"),
+        "lang_source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def _q_kml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KML driver loop (ogr/ogrsf_frmts/kml/kmllayer.cpp): documents
     as Point Placemarks through the parallel sink, back via the
@@ -6056,6 +6092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgdump_roundtrip": _q_pgdump_roundtrip,
         "gpx_roundtrip": _q_gpx_roundtrip,
         "kml_roundtrip": _q_kml_roundtrip,
+        "mif_roundtrip": _q_mif_roundtrip,
         "vrt_xml_composite": _q_vrt_xml_composite,
         "vrt_xml_derived": _q_vrt_xml_derived,
         "pip_zone_join": _q_pip_zone_join,
@@ -7467,6 +7504,14 @@ def _oracle_sql_static() -> dict[str, str]:
                    {_LON} AS lon,
                    lang || ' & ' || source AS lang_source
             FROM documents
+        """,
+        "mif_roundtrip": f"""
+            SELECT doc_id,
+                   {_LON} AS lon,
+                   {_LAT} AS lat,
+                   lang || ' & ' || source AS lang_source,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id < 3000
         """,
         "kml_roundtrip": f"""
             SELECT doc_id, source,

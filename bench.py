@@ -194,6 +194,8 @@ def main():
         "pgdump_roundtrip",
         # XML interchange: file-parallel GPX/KML loops
         "gpx_roundtrip", "kml_roundtrip",
+        # MapInfo MIF/MID: ordered pair sink + file-parallel scan
+        "mif_roundtrip",
         # session-5 drivers: NetCDF strip IO + mdimtranslate chain,
         # distributed linear referencing, MVT tile pipeline, DXF
         # chunk scan, FlatGeobuf Hilbert-sort + R-tree build, and the
