@@ -4343,6 +4343,8 @@ _CONIC_REGION = {
     54003: "lon > -179.0 AND lon < 179.0",
     54016: "lon > -179.0 AND lon < 179.0",
     54030: "lon > -179.0 AND lon < 179.0",
+    54012: "lon > -179.0 AND lon < 179.0",
+    54010: "lon > -179.0 AND lon < 179.0",
     # Bonne: the atan2 inverse holds the full |E| < 180 deg branch and
     # the derived lat stays off the poles (m > 0)
     54024: "lon > -179.0 AND lon < 179.0",
@@ -6353,6 +6355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ease2_south_transform": _q_conic_mapped(6932),
         "miller_transform": _q_conic(54003),
         "gall_transform": _q_conic(54016),
+        "eckert4_transform": _q_conic(54012),
+        "eckert6_transform": _q_conic(54010),
         "robinson_transform": _q_robinson_transform,
         "goode_transform": _q_goode_transform,
         "geos_meteosat_transform": _q_conic_mapped(-90360),
@@ -8562,6 +8566,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "ease2_south_transform": _conic_mapped_sql(6932),
         "miller_transform": _conic_sql(54003),
         "gall_transform": _conic_sql(54016),
+        "eckert4_transform": _conic_sql(54012),
+        "eckert6_transform": _conic_sql(54010),
         "robinson_transform": _robinson_sql(),
         "goode_transform": _goode_sql(),
         "geos_meteosat_transform": _conic_mapped_sql(-90360),

@@ -1149,6 +1149,92 @@ def gall_inverse(B, x, y, lon0: float, a: float, f: float,
     return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
 
 
+# ---------------------------------------------------- Eckert IV and VI
+# theta solves: IV: th + sin th cos th + 2 sin th = (2 + pi/2) sin phi
+#               VI: th + sin th = (1 + pi/2) sin phi
+# Seed-then-fixed-steps like moll_forward: least-squares odd
+# polynomials theta(sin phi) fitted on the exact bisection solution
+# over |phi| <= 85 deg (the derived-lat domain; Eckert IV's theta has
+# a square-root pole singularity exactly like Mollweide's).
+_ECK4_SEED = (0.8604771570998087, 0.9718199990292564,
+              -5.301290093886336, 14.807648716891789,
+              -17.55717508975529, 7.678986097172511)  # max err 0.026 rad
+_ECK6_SEED = (1.2852661191517047, 0.18049283039717723,
+              0.03242597849270673, 0.10455851454198765,
+              -0.09865066132832583, 0.06666141587123196)  # 2.7e-5 rad
+_ECK4_T = 2.0 + math.pi / 2.0
+_ECK6_T = 1.0 + math.pi / 2.0
+_ECK4_CX = 2.0 / math.sqrt(math.pi * (4.0 + math.pi))
+_ECK4_CY = 2.0 * math.sqrt(math.pi / (4.0 + math.pi))
+_ECK6_C = math.sqrt(2.0 + math.pi)
+
+
+def _odd_poly(B, coefs, sp):
+    s2 = sp * sp
+    acc = B.lit(coefs[-1])
+    for c in coefs[-2::-1]:
+        acc = B.lit(c) + s2 * acc
+    return sp * acc
+
+
+def eck4_forward(B, lon, lat, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Eckert IV (Snyder p.253; ESRI:54012 World_Eckert_IV, spherical
+    on the semi-major axis; reference via PROJ +proj=eck4): seed + 3
+    Newton steps on g(th) = th + sin th cos th + 2 sin th,
+    g' = 2 cos th (1 + cos th). Four steps like moll_forward — the
+    seed error profile is the same 0.026 rad and the pole-adjacent
+    convergence needs the fourth step for float precision."""
+    sp = B.sin(B.radians(lat))
+    t = B.lit(_ECK4_T) * sp
+    th = _odd_poly(B, _ECK4_SEED, sp)
+    for _ in range(4):
+        c = B.cos(th)
+        s = B.sin(th)
+        th = th - (th + s * c + s * 2.0 - t) / (c * (c + 1.0) * 2.0)
+    lam = B.radians(lon - B.lit(lon0))
+    x = B.lit(fe) + B.lit(_ECK4_CX * a) * lam * (1.0 + B.cos(th))
+    y = B.lit(fn) + B.lit(_ECK4_CY * a) * B.sin(th)
+    return x, y
+
+
+def eck4_inverse(B, x, y, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Eckert IV inverse — closed (Snyder 32-15..32-17 analogues)."""
+    th = B.asin((y - B.lit(fn)) / B.lit(_ECK4_CY * a))
+    phi = B.asin((th + B.sin(th) * B.cos(th) + B.sin(th) * 2.0)
+                 / B.lit(_ECK4_T))
+    lam = (x - B.lit(fe)) / (B.lit(_ECK4_CX * a) * (1.0 + B.cos(th)))
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
+def eck6_forward(B, lon, lat, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    """Eckert VI (ESRI:54010 World_Eckert_VI, spherical on the
+    semi-major axis; reference via PROJ +proj=eck6): seed + 2 Newton
+    steps on g(th) = th + sin th (no pole singularity: g' = 1 +
+    cos th >= 1 at the equator and stays positive)."""
+    sp = B.sin(B.radians(lat))
+    t = B.lit(_ECK6_T) * sp
+    th = _odd_poly(B, _ECK6_SEED, sp)
+    for _ in range(2):
+        th = th - (th + B.sin(th) - t) / (1.0 + B.cos(th))
+    lam = B.radians(lon - B.lit(lon0))
+    x = B.lit(fe) + B.lit(a / _ECK6_C) * lam * (1.0 + B.cos(th))
+    y = B.lit(fn) + B.lit(2.0 * a / _ECK6_C) * th
+    return x, y
+
+
+def eck6_inverse(B, x, y, lon0: float, a: float, f: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    th = (y - B.lit(fn)) * B.lit(_ECK6_C / (2.0 * a))
+    phi = B.asin((th + B.sin(th)) / B.lit(_ECK6_T))
+    lam = (x - B.lit(fe)) * B.lit(_ECK6_C / a) / (1.0 + B.cos(th))
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
 # ------------------------------------------------------------- Robinson
 # The published Robinson (1974) node table: parallel length (X) and
 # parallel distance from equator (Y), one node per 5 degrees. The
@@ -2485,6 +2571,10 @@ CONIC_PRESETS = {
             dict(lon0=0.0, fe=0.0, fn=0.0)),
     54030: ("robin", "WGS84",  # ESRI World_Robinson
             dict(lon0=0.0, fe=0.0, fn=0.0)),
+    54012: ("eck4", "WGS84",  # ESRI World_Eckert_IV
+            dict(lon0=0.0, fe=0.0, fn=0.0)),
+    54010: ("eck6", "WGS84",  # ESRI World_Eckert_VI
+            dict(lon0=0.0, fe=0.0, fn=0.0)),
 }
 
 # Projections with no EPSG/ESRI code (geostationary full-disc CRSs
@@ -2535,6 +2625,8 @@ _CONIC_FNS = {
     "tmso": (tmso_forward, tmso_inverse),
     "mill": (mill_forward, mill_inverse),
     "gall": (gall_forward, gall_inverse),
+    "eck4": (eck4_forward, eck4_inverse),
+    "eck6": (eck6_forward, eck6_inverse),
     "robin": (robin_forward, robin_inverse),
     "goode": (goode_forward, goode_inverse),
     "geos": (geos_forward, geos_inverse),

@@ -73,6 +73,8 @@ _P4_FAMILIES = {
     # S-JTSK definition in crs._KROVAK; only the falsings vary
     "krovak": ("krovak", {"x_0": "fe", "y_0": "fn"}, {}),
     "mill": ("mill", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
+    "eck4": ("eck4", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
+    "eck6": ("eck6", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
     "gall": ("gall", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
     "robin": ("robin", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
     "goode": ("goode", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),

@@ -122,6 +122,8 @@ _NAMES = {
     2054: ("Hartebeesthoek94 / Lo29", "Hartebeesthoek94",
            "Hartebeesthoek94"),
     54003: ("World_Miller_Cylindrical", "WGS 84", "WGS_1984"),
+    54010: ("World_Eckert_VI", "WGS 84", "WGS_1984"),
+    54012: ("World_Eckert_IV", "WGS 84", "WGS_1984"),
     54016: ("World_Gall_Stereographic", "WGS 84", "WGS_1984"),
     54030: ("World_Robinson", "WGS 84", "WGS_1984"),
     32633: ("WGS 84 / UTM zone 33N", "WGS 84", "WGS_1984"),
@@ -293,6 +295,14 @@ _FAMILIES = {
               [("lon0", "lon_0", "longitude_of_center"),
                ("fe", "x_0", "false_easting"),
                ("fn", "y_0", "false_northing")]),
+    "eck4": ("eck4", "Eckert_IV",
+             [("lon0", "lon_0", "central_meridian"),
+              ("fe", "x_0", "false_easting"),
+              ("fn", "y_0", "false_northing")]),
+    "eck6": ("eck6", "Eckert_VI",
+             [("lon0", "lon_0", "central_meridian"),
+              ("fe", "x_0", "false_easting"),
+              ("fn", "y_0", "false_northing")]),
     # method 9808: the 9807 series with westing/southing axes — PROJ
     # spells the axis swap +axis=wsu
     "tmso": ("tmerc", "Transverse_Mercator_South_Orientated",
@@ -312,8 +322,8 @@ _UNITS = {
 }
 
 # ESRI-namespace codes (no EPSG AUTHORITY node in WKT1)
-ESRI_CODES = frozenset({54003, 54008, 54009, 54016, 54024, 54030,
-                        102016, 102031})
+ESRI_CODES = frozenset({54003, 54008, 54009, 54010, 54012, 54016,
+                        54024, 54030, 102016, 102031})
 
 # UTM fast-path codes rendered alongside the conic registry (one
 # representative per ELLIPSOIDS-backed band; the full 326xx/327xx/269xx

@@ -238,3 +238,71 @@ def test_robinson_oracle_cte_matches_spark(spark):
     o = con.execute(q + " ORDER BY lon").fetchnumpy()
     assert np.abs(o["x"] - r.x.values).max() < 1e-6
     assert np.abs(o["robin_lon"] - r.robin_lon.values).max() < 1e-8
+
+
+# --------------------------------------------------- Eckert IV / VI
+
+@pytest.mark.parametrize("fam", ["eck4", "eck6"])
+def test_eckert_roundtrip_numpy(fam):
+    fw, iv = crs._CONIC_FNS[fam]
+    lons = np.linspace(-179.0, 179.0, 401)
+    lats = np.linspace(-84.9, 84.9, 401)
+    x, y = fw(B, lons, lats, lon0=0.0, a=A_WGS84, f=0.0)
+    lo, la = iv(B, x, y, lon0=0.0, a=A_WGS84, f=0.0)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+
+
+@pytest.mark.parametrize("fam", ["eck4", "eck6"])
+def test_eckert_equal_area(fam):
+    fw, _ = crs._CONIC_FNS[fam]
+    h = 1e-5
+    for latd in (0.0, 30.0, 60.0, 80.0):
+        lon = np.array([20.0])
+        la = np.array([latd])
+        xp, yp = fw(B, lon + h, la, lon0=0.0, a=1.0, f=0.0)
+        xm, ym = fw(B, lon - h, la, lon0=0.0, a=1.0, f=0.0)
+        xq, yq = fw(B, lon, la + h, lon0=0.0, a=1.0, f=0.0)
+        xr, yr = fw(B, lon, la - h, lon0=0.0, a=1.0, f=0.0)
+        rad = math.pi / 180.0
+        jac = ((xp - xm) * (yq - yr) - (xq - xr) * (yp - ym))[0] \
+            / (2.0 * h * rad) ** 2
+        assert abs(jac - math.cos(math.radians(latd))) < 1e-4
+
+
+def test_eckert4_shape_constants():
+    # Eckert IV's defining shape: the map is exactly twice as wide as
+    # tall. Half-width = CX*pi*(1+cos 0) = 2*CX*pi at the equator,
+    # half-height = CY at the pole -> 2*CX*pi == 2*CY.
+    x180, _ = crs.eck4_forward(B, np.array([180.0]), np.array([0.0]),
+                               lon0=0.0, a=1.0, f=0.0)
+    assert abs(x180[0] - 2.0 * crs._ECK4_CX * math.pi) < 1e-12
+    assert abs(crs._ECK4_CX * math.pi - crs._ECK4_CY) < 1e-12
+    # the pole line is half the equator: (1 + cos th) halves as th
+    # goes 0 -> pi/2 (evaluated inside the |phi| <= 85 seed domain,
+    # like moll: theta(85) from the exact defining equation)
+    import math as _m
+    t85 = crs._ECK4_T * _m.sin(_m.radians(85.0))
+    th = 1.5
+    for _ in range(60):
+        th -= (th + _m.sin(th) * _m.cos(th) + 2 * _m.sin(th) - t85) \
+            / (2 * _m.cos(th) * (1 + _m.cos(th)))
+    xp, _ = crs.eck4_forward(B, np.array([180.0]), np.array([85.0]),
+                             lon0=0.0, a=1.0, f=0.0)
+    assert abs(xp[0] - crs._ECK4_CX * math.pi * (1 + _m.cos(th))) < 1e-9
+
+
+def test_eckert_spark_fused_roundtrip(spark):
+    lons = np.linspace(-179.0, 179.0, 101)
+    lats = np.linspace(-84.9, 84.9, 101)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lons, lats)],
+        "lon double, lat double")
+    for code in (54012, 54010):
+        x, y = crs.conic_forward(code, F.col("lon"), F.col("lat"))
+        d = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+        lo, la = crs.conic_inverse(code, F.col("x"), F.col("y"))
+        r = d.select("lon", "lat", lo.alias("lo"), la.alias("la")) \
+            .toPandas()
+        assert np.abs(r.lo - r.lon).max() < 1e-9
+        assert np.abs(r.la - r.lat).max() < 1e-9
