@@ -4345,6 +4345,7 @@ _CONIC_REGION = {
     54030: "lon > -179.0 AND lon < 179.0",
     54012: "lon > -179.0 AND lon < 179.0",
     54010: "lon > -179.0 AND lon < 179.0",
+    54042: "lon > -179.0 AND lon < 179.0",
     # Bonne: the atan2 inverse holds the full |E| < 180 deg branch and
     # the derived lat stays off the poles (m > 0)
     54024: "lon > -179.0 AND lon < 179.0",
@@ -4663,6 +4664,44 @@ def _goode_sql() -> str:
     return nzmg.sql_cte_chain(
         f"({fwd})", crs.goode_inverse_stages("x", "y", crs.CODE_GOODE),
         final, "gi")
+
+
+def _q_winkel_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winkel Tripel (ESRI:54042, the National Geographic world map;
+    reference via PROJ +proj=wintri): fused eqc/Aitoff-mean forward +
+    the STAGED bivariate Newton inverse (crs.wintri_inverse_stages —
+    numeric central-difference Jacobian, one Project per step, the
+    same generic scheme PROJ's wintri inverse uses). Oracle runs the
+    identical templates as a DuckDB CTE chain."""
+    from gdal_spark import crs
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    d = d.filter(F.expr(_CONIC_REGION[54042]))
+    x, y = crs.conic_forward(54042, F.col("lon"), F.col("lat"))
+    d = d.select("doc_id", "lon", "lat", x.alias("x"), y.alias("y"))
+    d = crs.from_winkel(d)
+    return d.select(
+        "doc_id",
+        F.round("x", 3).alias("x"),
+        F.round("y", 3).alias("y"),
+        F.round("winkel_lon", 6).alias("lon_rt"),
+        F.round("winkel_lat", 6).alias("lat_rt"),
+    )
+
+
+def _winkel_sql() -> str:
+    from gdal_spark import nzmg
+    from gdal_spark.crs import conic_forward_sql, wintri_inverse_stages
+
+    x, y = conic_forward_sql(54042, "lon", "lat")
+    fwd = (f"SELECT doc_id, {x} AS x, {y} AS y FROM ("
+           f"SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents"
+           f") WHERE {_CONIC_REGION[54042]}")
+    final = ("doc_id, ROUND(x, 3) AS x, ROUND(y, 3) AS y, "
+             "ROUND(winkel_lon, 6) AS lon_rt, "
+             "ROUND(winkel_lat, 6) AS lat_rt")
+    return nzmg.sql_cte_chain(fwd, wintri_inverse_stages("x", "y"),
+                              final, "wt")
 
 
 def _q_proj4_import(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6359,6 +6398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eckert6_transform": _q_conic(54010),
         "robinson_transform": _q_robinson_transform,
         "goode_transform": _q_goode_transform,
+        "winkel_transform": _q_winkel_transform,
         "geos_meteosat_transform": _q_conic_mapped(-90360),
         "geos_goes_transform": _q_conic_mapped(-90750),
         "crs_to_crs_transform": _q_crs_to_crs,
@@ -8570,6 +8610,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "eckert6_transform": _conic_sql(54010),
         "robinson_transform": _robinson_sql(),
         "goode_transform": _goode_sql(),
+        "winkel_transform": _winkel_sql(),
         "geos_meteosat_transform": _conic_mapped_sql(-90360),
         "geos_goes_transform": _conic_mapped_sql(-90750),
         "crs_to_crs_transform": _crs_to_crs_sql(),

@@ -235,7 +235,7 @@ def main():
         # world-map batch: Robinson staged-Newton spline inverse,
         # Goode staged seam CASE, geostationary GOES-East fixed grid
         "robinson_transform", "goode_transform", "geos_goes_transform",
-        "eckert4_transform",
+        "eckert4_transform", "winkel_transform",
     ]:
         df_fn = qs[name]
         # noop sink, NOT count(): count() lets Catalyst prune every

@@ -1149,6 +1149,137 @@ def gall_inverse(B, x, y, lon0: float, a: float, f: float,
     return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
 
 
+# --------------------------------------------------------- Winkel Tripel
+def _wintri_xy(B, l, p, cphi1: float):
+    """Unit-sphere Winkel Tripel core: the arithmetic mean of the
+    equirectangular (standard parallel phi1) and Aitoff projections,
+    on backend values l/p in RADIANS. Shared by the fused forward and
+    by every F-evaluation inside the staged Newton inverse."""
+    v = B.cos(p) * B.cos(l * 0.5)
+    al = B.atan2(B.sqrt(1.0 - v * v), v)  # acos via atan2: no domain
+    #                                       clip needed at v -> 1
+    # guard the removable 0/0 at the projection centre by dividing
+    # through a safe denominator (keeps the numpy backend warning-free
+    # and any eager SQL evaluation finite)
+    safe = B.when(B.lt(al, 1e-8), B.lit(1.0), al)
+    sc = B.when(B.lt(al, 1e-8), B.lit(1.0), B.sin(al) / safe)
+    fx = (l * B.lit(cphi1) + B.cos(p) * B.sin(l * 0.5) * 2.0 / sc) * 0.5
+    fy = (p + B.sin(p) / sc) * 0.5
+    return fx, fy
+
+
+def wintri_forward(B, lon, lat, phi1: float, lon0: float,
+                   a: float, f: float, fe: float = 0.0, fn: float = 0.0):
+    """Winkel Tripel (ESRI:54042 World_Winkel_Tripel — the National
+    Geographic world map; reference via PROJ +proj=wintri, named in
+    frmts/gtiff/libgeotiff/geotiff_proj4.c). Spherical on the
+    semi-major axis; phi1 defaults to Winkel's acos(2/pi)."""
+    l = B.radians(lon - B.lit(lon0))
+    p = B.radians(lat)
+    fx, fy = _wintri_xy(B, l, p, math.cos(math.radians(phi1)))
+    return B.lit(fe) + B.lit(a) * fx, B.lit(fn) + B.lit(a) * fy
+
+
+_WT_H = 1e-7  # central-difference step for the numeric Jacobian
+
+
+def wintri_inverse(B, x, y, phi1: float, lon0: float,
+                   a: float, f: float, fe: float = 0.0, fn: float = 0.0):
+    """Winkel Tripel inverse: bivariate Newton with a numeric
+    central-difference Jacobian (PROJ's wintri inverse is the same
+    generic bivariate scheme), seeded at phi = y/R (exact on the
+    central meridian) and the eqc/Aitoff-averaged lambda. FUSED form
+    for the numpy vertex-array path — the Column/SQL twins must use
+    wintri_inverse_stages (each step quintuples the tree)."""
+    cphi1 = math.cos(math.radians(phi1))
+    xx = (x - B.lit(fe)) / B.lit(a)
+    yy = (y - B.lit(fn)) / B.lit(a)
+    p = yy
+    lam = xx * 2.0 / (B.lit(cphi1) + B.cos(p))
+    for _ in range(6):
+        fx0, fy0 = _wintri_xy(B, lam, p, cphi1)
+        fxl1, fyl1 = _wintri_xy(B, lam + B.lit(_WT_H), p, cphi1)
+        fxl2, fyl2 = _wintri_xy(B, lam - B.lit(_WT_H), p, cphi1)
+        fxp1, fyp1 = _wintri_xy(B, lam, p + B.lit(_WT_H), cphi1)
+        fxp2, fyp2 = _wintri_xy(B, lam, p - B.lit(_WT_H), cphi1)
+        a11 = (fxl1 - fxl2) / B.lit(2.0 * _WT_H)
+        a12 = (fxp1 - fxp2) / B.lit(2.0 * _WT_H)
+        a21 = (fyl1 - fyl2) / B.lit(2.0 * _WT_H)
+        a22 = (fyp1 - fyp2) / B.lit(2.0 * _WT_H)
+        det = a11 * a22 - a12 * a21
+        rx = fx0 - xx
+        ry = fy0 - yy
+        lam = lam - (a22 * rx - a12 * ry) / det
+        p = p - (a11 * ry - a21 * rx) / det
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), p * B.lit(deg)
+
+
+def wintri_inverse_stages(x_expr: str, y_expr: str, epsg: int = 54042,
+                          steps: int = 6) -> list:
+    """The staged twin of wintri_inverse — one Project per Newton
+    step (each step is ~5 F-evaluations; fusing them quintuples the
+    tree per step, the poly/laborde lesson). Appends winkel_lon /
+    winkel_lat; identical templates drive the DuckDB CTE oracle."""
+    kind, ell, prm = CONIC_PRESETS[epsg]
+    a, _f = ELLIPSOIDS[ell]
+    fe, fn = prm.get("fe", 0.0), prm.get("fn", 0.0)
+    lon0 = prm.get("lon0", 0.0)
+    cphi1 = math.cos(math.radians(prm["phi1"]))
+
+    def F(lexpr: str, pexpr: str):
+        fx, fy = _wintri_xy(_SqlBackend, _Sql(lexpr), _Sql(pexpr), cphi1)
+        return str(fx), str(fy)
+
+    st = [{
+        "wt_x": f"((({x_expr}) - {fe!r}) / {a!r})",
+        "wt_y": f"((({y_expr}) - {fn!r}) / {a!r})",
+    }]
+    st.append({"wt_p0": "wt_y"})
+    st.append({"wt_l0": f"(wt_x * 2.0 / ({cphi1!r} + COS(wt_p0)))"})
+    h2 = 2.0 * _WT_H
+    for k in range(steps):
+        li, pi = f"wt_l{k}", f"wt_p{k}"
+        fx0, fy0 = F(li, pi)
+        fxl1, fyl1 = F(f"({li} + {_WT_H!r})", pi)
+        fxl2, fyl2 = F(f"({li} - {_WT_H!r})", pi)
+        fxp1, fyp1 = F(li, f"({pi} + {_WT_H!r})")
+        fxp2, fyp2 = F(li, f"({pi} - {_WT_H!r})")
+        st.append({
+            f"wt_rx_{k}": f"({fx0} - wt_x)",
+            f"wt_ry_{k}": f"({fy0} - wt_y)",
+            f"wt_a11_{k}": f"(({fxl1} - {fxl2}) / {h2!r})",
+            f"wt_a12_{k}": f"(({fxp1} - {fxp2}) / {h2!r})",
+            f"wt_a21_{k}": f"(({fyl1} - {fyl2}) / {h2!r})",
+            f"wt_a22_{k}": f"(({fyp1} - {fyp2}) / {h2!r})",
+        })
+        st.append({f"wt_det_{k}": (
+            f"(wt_a11_{k} * wt_a22_{k} - wt_a12_{k} * wt_a21_{k})")})
+        st.append({
+            f"wt_l{k + 1}": (
+                f"({li} - (wt_a22_{k} * wt_rx_{k}"
+                f" - wt_a12_{k} * wt_ry_{k}) / wt_det_{k})"),
+            f"wt_p{k + 1}": (
+                f"({pi} - (wt_a11_{k} * wt_ry_{k}"
+                f" - wt_a21_{k} * wt_rx_{k}) / wt_det_{k})"),
+        })
+    deg = 180.0 / math.pi
+    st.append({
+        "winkel_lon": f"({lon0!r} + wt_l{steps} * {deg!r})",
+        "winkel_lat": f"(wt_p{steps} * {deg!r})",
+    })
+    return st
+
+
+def from_winkel(df, x_col: str = "x", y_col: str = "y",
+                epsg: int = 54042):
+    """Staged Column inverse — appends winkel_lon / winkel_lat."""
+    from .nzmg import _apply_stages
+
+    return _apply_stages(df, wintri_inverse_stages(x_col, y_col, epsg),
+                         False, out_prefix="winkel_")
+
+
 # ---------------------------------------------------- Eckert IV and VI
 # theta solves: IV: th + sin th cos th + 2 sin th = (2 + pi/2) sin phi
 #               VI: th + sin th = (1 + pi/2) sin phi
@@ -2575,6 +2706,10 @@ CONIC_PRESETS = {
             dict(lon0=0.0, fe=0.0, fn=0.0)),
     54010: ("eck6", "WGS84",  # ESRI World_Eckert_VI
             dict(lon0=0.0, fe=0.0, fn=0.0)),
+    54042: ("wintri", "WGS84",  # ESRI World_Winkel_Tripel —
+            # Winkel's standard parallel acos(2/pi)
+            dict(phi1=math.degrees(math.acos(2.0 / math.pi)),
+                 lon0=0.0, fe=0.0, fn=0.0)),
 }
 
 # Projections with no EPSG/ESRI code (geostationary full-disc CRSs
@@ -2627,6 +2762,7 @@ _CONIC_FNS = {
     "gall": (gall_forward, gall_inverse),
     "eck4": (eck4_forward, eck4_inverse),
     "eck6": (eck6_forward, eck6_inverse),
+    "wintri": (wintri_forward, wintri_inverse),
     "robin": (robin_forward, robin_inverse),
     "goode": (goode_forward, goode_inverse),
     "geos": (geos_forward, geos_inverse),
@@ -2732,6 +2868,11 @@ def conic_inverse(epsg: int, x: Column, y: Column) -> tuple[Column, Column]:
     if kind == "goode":
         raise ValueError("goode inverse must run staged: use "
                          "crs.from_goode(df) / goode_inverse_stages")
+    if kind == "wintri":
+        # 5 F-evaluations per bivariate Newton step — fused tree
+        # quintuples per step
+        raise ValueError("winkel inverse must run staged: use "
+                         "crs.from_winkel(df) / wintri_inverse_stages")
     a, f = ELLIPSOIDS[ellps]
     return _CONIC_FNS[kind][1](_ColBackend, x, y, a=a, f=f, **p)
 
@@ -2763,6 +2904,9 @@ def conic_inverse_sql(epsg: int, x_expr: str, y_expr: str) -> tuple[str, str]:
     if kind == "goode":
         raise ValueError("goode inverse must run staged: use "
                          "goode_inverse_stages + nzmg.sql_cte_chain")
+    if kind == "wintri":
+        raise ValueError("winkel inverse must run staged: use "
+                         "wintri_inverse_stages + nzmg.sql_cte_chain")
     a, f = ELLIPSOIDS[ellps]
     lon, lat = _CONIC_FNS[kind][1](_SqlBackend, _Sql(x_expr), _Sql(y_expr),
                                    a=a, f=f, **p)

@@ -75,6 +75,10 @@ _P4_FAMILIES = {
     "mill": ("mill", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
     "eck4": ("eck4", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
     "eck6": ("eck6", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
+    "wintri": ("wintri", {"lat_1": "phi1", "lon_0": "lon0",
+                          "x_0": "fe", "y_0": "fn"},
+               {"phi1": 50.459776252189805}),  # acos(2/pi), Winkel's
+    #                                             default (PROJ wintri)
     "gall": ("gall", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
     "robin": ("robin", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
     "goode": ("goode", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),

@@ -306,3 +306,51 @@ def test_eckert_spark_fused_roundtrip(spark):
             .toPandas()
         assert np.abs(r.lo - r.lon).max() < 1e-9
         assert np.abs(r.la - r.lat).max() < 1e-9
+
+
+# --------------------------------------------------- Winkel Tripel
+
+def test_wintri_roundtrip_numpy_incl_origin():
+    kind, ell, p = crs.CONIC_PRESETS[54042]
+    a, f = crs.ELLIPSOIDS[ell]
+    lons = np.append(np.linspace(-179.0, 179.0, 401), 0.0)
+    lats = np.append(np.linspace(-84.9, 84.9, 401), 0.0)
+    x, y = crs.wintri_forward(B, lons, lats, a=a, f=f, **p)
+    lo, la = crs.wintri_inverse(B, x, y, a=a, f=f, **p)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+
+
+def test_wintri_central_meridian_identity():
+    # on the central meridian alpha == |phi|, so y = phi exactly and
+    # x = 0 — the projection's defining mean degenerates to identity
+    kind, ell, p = crs.CONIC_PRESETS[54042]
+    x, y = crs.wintri_forward(B, np.array([0.0]), np.array([37.0]),
+                              a=1.0, f=0.0, phi1=p["phi1"], lon0=0.0)
+    assert abs(float(y[0]) - math.radians(37.0)) < 1e-12
+    assert abs(float(x[0])) < 1e-12
+
+
+def test_wintri_standard_parallel_default():
+    # Winkel's choice: phi1 = acos(2/pi)
+    _, _, p = crs.CONIC_PRESETS[54042]
+    assert abs(math.cos(math.radians(p["phi1"])) - 2.0 / math.pi) < 1e-14
+
+
+def test_wintri_staged_spark_matches_numpy(spark):
+    kind, ell, p = crs.CONIC_PRESETS[54042]
+    a, f = crs.ELLIPSOIDS[ell]
+    lons = np.linspace(-179.0, 179.0, 101)
+    lats = np.linspace(-84.9, 84.9, 101)
+    df = spark.createDataFrame(
+        [(float(u), float(v)) for u, v in zip(lons, lats)],
+        "lon double, lat double")
+    x, y = crs.conic_forward(54042, F.col("lon"), F.col("lat"))
+    d = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+    r = crs.from_winkel(d).toPandas().sort_values("lon")
+    xn, yn = crs.wintri_forward(B, lons, lats, a=a, f=f, **p)
+    assert np.abs(r.x.values - xn).max() < 1e-6
+    assert np.abs(r.winkel_lon.values - lons).max() < 1e-8
+    assert np.abs(r.winkel_lat.values - lats).max() < 1e-8
+    with pytest.raises(ValueError, match="staged"):
+        crs.conic_inverse(54042, F.col("x"), F.col("y"))
