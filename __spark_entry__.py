@@ -4666,6 +4666,43 @@ def _goode_sql() -> str:
         final, "gi")
 
 
+def _q_eckert4_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eckert IV (ESRI:54012; reference via PROJ +proj=eck4): STAGED
+    Newton forward (crs.eck4_forward_stages — the fused 4-step tree
+    costs ~15 s of Catalyst/janino compile per query at any data
+    size) + the closed fused inverse. Oracle = identical templates as
+    a DuckDB CTE chain."""
+    from gdal_spark import crs
+
+    d = DRV.with_derived_points(_read(spark, sf_dir, "documents"))
+    d = d.filter(F.expr(_CONIC_REGION[54012]))
+    d = crs.to_eck4(d.select("doc_id", "lon", "lat"))
+    d = d.select("doc_id", "lon", "lat",
+                 F.col("eck4_x").alias("x"), F.col("eck4_y").alias("y"))
+    lon2, lat2 = crs.conic_inverse(54012, F.col("x"), F.col("y"))
+    return d.select(
+        "doc_id",
+        F.round("x", 3).alias("x"),
+        F.round("y", 3).alias("y"),
+        F.round(lon2, 6).alias("lon_rt"),
+        F.round(lat2, 6).alias("lat_rt"),
+    )
+
+
+def _eckert4_sql() -> str:
+    from gdal_spark import nzmg
+    from gdal_spark.crs import conic_inverse_sql, eck4_forward_stages
+
+    src = (f"SELECT doc_id, lon, lat FROM ("
+           f"SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents"
+           f") WHERE {_CONIC_REGION[54012]}")
+    lon2, lat2 = conic_inverse_sql(54012, "eck4_x", "eck4_y")
+    final = ("doc_id, ROUND(eck4_x, 3) AS x, ROUND(eck4_y, 3) AS y, "
+             f"ROUND({lon2}, 6) AS lon_rt, ROUND({lat2}, 6) AS lat_rt")
+    return nzmg.sql_cte_chain(src, eck4_forward_stages("lon", "lat"),
+                              final, "e4")
+
+
 def _q_winkel_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winkel Tripel (ESRI:54042, the National Geographic world map;
     reference via PROJ +proj=wintri): fused eqc/Aitoff-mean forward +
@@ -6394,7 +6431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ease2_south_transform": _q_conic_mapped(6932),
         "miller_transform": _q_conic(54003),
         "gall_transform": _q_conic(54016),
-        "eckert4_transform": _q_conic(54012),
+        "eckert4_transform": _q_eckert4_transform,
         "eckert6_transform": _q_conic(54010),
         "robinson_transform": _q_robinson_transform,
         "goode_transform": _q_goode_transform,
@@ -8606,7 +8643,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "ease2_south_transform": _conic_mapped_sql(6932),
         "miller_transform": _conic_sql(54003),
         "gall_transform": _conic_sql(54016),
-        "eckert4_transform": _conic_sql(54012),
+        "eckert4_transform": _eckert4_sql(),
         "eckert6_transform": _conic_sql(54010),
         "robinson_transform": _robinson_sql(),
         "goode_transform": _goode_sql(),

@@ -1329,6 +1329,44 @@ def eck4_forward(B, lon, lat, lon0: float, a: float, f: float,
     return x, y
 
 
+def eck4_forward_stages(lon_expr: str, lat_expr: str,
+                        epsg: int = 54012) -> list:
+    """The staged twin of eck4_forward — seed plus one Project per
+    Newton step (the fused 4-step tree costs ~15 s of Catalyst/janino
+    compile per query at ANY data size; staging makes it
+    milliseconds). Appends eck4_x / eck4_y; identical templates drive
+    the DuckDB CTE oracle."""
+    kind, ell, p = CONIC_PRESETS[epsg]
+    a, _f = ELLIPSOIDS[ell]
+    fe, fn, lon0 = p.get("fe", 0.0), p.get("fn", 0.0), p.get("lon0", 0.0)
+    st = [{"e4_sp": f"(SIN(RADIANS({lat_expr})))",
+           "e4_lam": f"(RADIANS(({lon_expr}) - {lon0!r}))"}]
+    st.append({
+        "e4_t": f"({_ECK4_T!r} * e4_sp)",
+        "e4_th0": str(_odd_poly(_SqlBackend, _ECK4_SEED, _Sql("e4_sp"))),
+    })
+    for k in range(4):
+        i, o = f"e4_th{k}", f"e4_th{k + 1}"
+        st.append({o: (
+            f"({i} - ({i} + SIN({i}) * COS({i}) + SIN({i}) * 2.0"
+            f" - e4_t) / (COS({i}) * (COS({i}) + 1.0) * 2.0))")})
+    st.append({
+        "eck4_x": (f"({fe!r} + {_ECK4_CX * a!r} * e4_lam"
+                   f" * (1.0 + COS(e4_th4)))"),
+        "eck4_y": f"({fn!r} + {_ECK4_CY * a!r} * SIN(e4_th4))",
+    })
+    return st
+
+
+def to_eck4(df, lon_col: str = "lon", lat_col: str = "lat",
+            epsg: int = 54012):
+    """Staged Column forward — appends eck4_x / eck4_y."""
+    from .nzmg import _apply_stages
+
+    return _apply_stages(df, eck4_forward_stages(lon_col, lat_col, epsg),
+                         False, out_prefix="eck4_")
+
+
 def eck4_inverse(B, x, y, lon0: float, a: float, f: float,
                  fe: float = 0.0, fn: float = 0.0):
     """Eckert IV inverse — closed (Snyder 32-15..32-17 analogues)."""
