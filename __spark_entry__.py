@@ -279,6 +279,85 @@ def _q_grib2_complex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~F.isnan("value"), F.col("value")).alias("value"))
 
 
+_LCC_GRIB = dict(la1=21.138, lo1=-122.72, lad=25.0, lov=-95.0,
+                 latin1=25.0, latin2=25.0, dx=12191.0, dy=12191.0)
+
+
+def _q_grib2_lcc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 Lambert-conformal grid (grid template 3.30, the NCEP
+    NAM/HRRR class; frmts/grib via degrib's lcc support): write an
+    order-2 complex-packed message on a tangent cone (Latin1 ==
+    Latin2 — the LCC-1SP n -> sin(phi1) limit), scan mode 0x40
+    (south-first), read back north-up with projected georeferencing.
+    Every cell returns its value AND its projected centre derived
+    from the tile geotransform; the oracle recomputes the centres
+    from the engine's own lcc forward SQL of (Lo1, La1) — the
+    georeferencing itself is value-verified engine-vs-engine."""
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import grib
+
+    path = tempfile.mkdtemp(prefix="gdal_spark_griblcc_") + "/lcc.grib2"
+    r = np.arange(40).reshape(40, 1)
+    c = np.arange(55).reshape(1, 55)
+    a = (((r * 131 + c * 17) % 509) - 200) * 0.25
+    grib.write_grib2(path, [dict(data=a, grid="lcc", decimals=2,
+                                 packing="complex", order=2,
+                                 **_LCC_GRIB)])
+    tiles = grib.read_grib2(spark, path, tile_px=16)
+
+    def cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.data, dtype=np.float64).reshape(
+                    row.height, row.width)
+                gt = row.geotransform
+                rr, cc = np.mgrid[0:row.height, 0:row.width]
+                out.append(pd.DataFrame({
+                    "d0": (row.tile_y * 16 + rr).reshape(-1),
+                    "d1": (row.tile_x * 16 + cc).reshape(-1),
+                    "value": arr.reshape(-1),
+                    "px": (gt[0] + (cc + 0.5) * gt[1]).reshape(-1),
+                    "py": (gt[3] + (rr + 0.5) * gt[5]).reshape(-1),
+                }))
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["d0", "d1", "value", "px", "py"])
+
+    cell = tiles.mapInPandas(
+        cells,
+        schema="d0 long, d1 long, value double, px double, py double")
+    return cell.select("d0", "d1", "value",
+                       F.round("px", 3).alias("px"),
+                       F.round("py", 3).alias("py"))
+
+
+def _grib2_lcc_sql() -> str:
+    from gdal_spark.crs import conic_forward_sql
+    from gdal_spark.proj4 import register_proj4
+
+    g = _LCC_GRIB
+    code = register_proj4(
+        f"+proj=lcc +lat_1={g['latin1']!r} +lat_2={g['latin2']!r}"
+        f" +lat_0={g['lad']!r} +lon_0={g['lov']!r}"
+        f" +a=6371229.0 +b=6371229.0 +units=m +no_defs")
+    x1, y1 = conic_forward_sql(code, repr(g["lo1"]), repr(g["la1"]))
+    return f"""
+        WITH fp AS (SELECT {x1} AS x1, {y1} AS y1)
+        SELECT CAST(a.range AS BIGINT) AS d0,
+               CAST(b.range AS BIGINT) AS d1,
+               CAST(((a.range * 131 + b.range * 17) % 509 - 200) * 25
+                    AS DOUBLE) / 100.0 AS value,
+               ROUND(fp.x1 + b.range * {g['dx']!r}, 3) AS px,
+               ROUND(fp.y1 + (39 - a.range) * {g['dy']!r}, 3) AS py
+        FROM range(40) a CROSS JOIN range(55) b CROSS JOIN fp
+    """
+
+
 def _q_netcdf4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """netCDF-4 (HDF5 container) roundtrip — the modern sibling of
     _q_netcdf_roundtrip (frmts/netcdf/netcdfdataset.cpp opens NC4
@@ -6182,6 +6261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf4_roundtrip": _q_netcdf4_roundtrip,
         "grib2_roundtrip": _q_grib2_roundtrip,
         "grib2_complex_roundtrip": _q_grib2_complex_roundtrip,
+        "grib2_lcc_roundtrip": _q_grib2_lcc_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "dxf_roundtrip": _q_dxf_roundtrip,
         "ogr_tindex": _q_ogr_tindex,
@@ -7535,6 +7615,7 @@ def _oracle_sql_static() -> dict[str, str]:
                                    - 9) * 5 AS DOUBLE) / 10.0 END
             FROM range(11) a CROSS JOIN range(29) b
         """,
+        "grib2_lcc_roundtrip": _grib2_lcc_sql(),
         "grib2_complex_roundtrip": """
             SELECT 1 AS band, CAST(a.range AS BIGINT) AS d0,
                    CAST(b.range AS BIGINT) AS d1,

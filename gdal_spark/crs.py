@@ -433,7 +433,11 @@ def lcc_forward(B, lon, lat, phi1: float, phi2: float, phi0: float,
     p1, p2, p0 = map(math.radians, (phi1, phi2, phi0))
     m1, m2 = _msc(e2, p1), _msc(e2, p2)
     t1, t2, t0 = _tsc(e, p1), _tsc(e, p2), _tsc(e, p0)
-    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    # tangent-cone limit (phi1 == phi2, the LCC-1SP method 9801 —
+    # e.g. NCEP NAM grids with Latin1 == Latin2): n -> sin(phi1)
+    n = (math.sin(p1) if abs(t1 - t2) < 1e-14
+         else (math.log(m1) - math.log(m2))
+         / (math.log(t1) - math.log(t2)))
     F_ = m1 / (n * t1 ** n)
     rho0 = a * F_ * t0 ** n
 
@@ -457,7 +461,11 @@ def lcc_inverse(B, x, y, phi1: float, phi2: float, phi0: float,
     p1, p2, p0 = map(math.radians, (phi1, phi2, phi0))
     m1, m2 = _msc(e2, p1), _msc(e2, p2)
     t1, t2, t0 = _tsc(e, p1), _tsc(e, p2), _tsc(e, p0)
-    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    # tangent-cone limit (phi1 == phi2, the LCC-1SP method 9801 —
+    # e.g. NCEP NAM grids with Latin1 == Latin2): n -> sin(phi1)
+    n = (math.sin(p1) if abs(t1 - t2) < 1e-14
+         else (math.log(m1) - math.log(m2))
+         / (math.log(t1) - math.log(t2)))
     F_ = m1 / (n * t1 ** n)
     rho0 = a * F_ * t0 ** n
     sg = 1.0 if n >= 0 else -1.0

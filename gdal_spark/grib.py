@@ -90,6 +90,8 @@ _SEG_SCHEMA = T.StructType([
     T.StructField("E", T.IntegerType()),
     T.StructField("D", T.IntegerType()),
     T.StructField("nbits", T.IntegerType()),
+    T.StructField("flip", T.BooleanType()),     # scan 0x40: file rows
+    #                                             run south->north
 ])
 
 
@@ -283,6 +285,11 @@ def write_grib2(path: str, messages: list[dict]) -> None:
     out = bytearray()
     for m in messages:
         a = np.asarray(m["data"], dtype=np.float64)
+        if m.get("grid", "latlon") == "lcc":
+            # template 3.30 writes scanning mode 0x40 (+i +j, first
+            # row southernmost — the NCEP convention): flip the
+            # caller's north-up array into file order
+            a = a[::-1]
         nj, ni = a.shape
         D = int(m.get("decimals", 0))
         mask = np.isfinite(a)
@@ -311,22 +318,46 @@ def write_grib2(path: str, messages: list[dict]) -> None:
         sec1 = struct.pack(">HHBBBHBBBBBBB", 255, 255, 2, 1, 1,
                            2026, 1, 1, 0, 0, 0, 0, 1)
         sec1 = struct.pack(">IB", 5 + len(sec1), 1) + sec1
-        # section 3: grid definition template 3.0 (lat/lon)
-        lat0 = int(round(m["lat0"] * 1_000_000))
-        lon0 = int(round(m["lon0"] * 1_000_000)) % 360_000_000
-        dlat = int(round(m["dlat"] * 1_000_000))
-        dlon = int(round(m["dlon"] * 1_000_000))
-        lat1 = lat0 - (nj - 1) * dlat
-        lon1 = (lon0 + (ni - 1) * dlon) % 360_000_000
-        tmpl3 = struct.pack(
-            ">BBIBIBIIIIIIIBIIIIB",
-            6, 0, 6_371_229, 0, 0, 0, 0,       # spherical earth, radii
-            ni, nj, 0, 0,
-            _u32sm(lat0), lon0, 0x30,
-            _u32sm(lat1), lon1,
-            dlon, dlat, 0x00)                  # scan mode 0: +i, -j
-        sec3 = struct.pack(">IBBIBBH", 14 + len(tmpl3), 3, 0,
-                           ni * nj, 0, 0, 0) + tmpl3
+        if m.get("grid", "latlon") == "lcc":
+            # section 3: grid template 3.30 (Lambert conformal) —
+            # frmts/grib reads these through degrib's lcc support;
+            # la1/lo1 = geographic coords of the FIRST point in file
+            # order (the SW corner under scan 0x40)
+            rad = int(m.get("earth_radius", 6_371_229))
+            la1 = _u32sm(int(round(m["la1"] * 1_000_000)))
+            lo1 = int(round(m["lo1"] * 1_000_000)) % 360_000_000
+            tmpl3 = struct.pack(
+                ">BBIBIBIIIIIBIIIIBBIIII",
+                6, 0, rad, 0, 0, 0, 0,        # spherical earth
+                ni, nj,
+                la1, lo1, 0x08,
+                _u32sm(int(round(m["lad"] * 1_000_000))),
+                int(round(m["lov"] * 1_000_000)) % 360_000_000,
+                int(round(m["dx"] * 1_000)),   # Dx/Dy in mm
+                int(round(m["dy"] * 1_000)),
+                0x00, 0x40,                    # centre flag; scan +i +j
+                _u32sm(int(round(m["latin1"] * 1_000_000))),
+                _u32sm(int(round(m["latin2"] * 1_000_000))),
+                _u32sm(-90_000_000), 0)        # southern pole (unused)
+            sec3 = struct.pack(">IBBIBBH", 14 + len(tmpl3), 3, 0,
+                               ni * nj, 0, 0, 30) + tmpl3
+        else:
+            # section 3: grid definition template 3.0 (lat/lon)
+            lat0 = int(round(m["lat0"] * 1_000_000))
+            lon0 = int(round(m["lon0"] * 1_000_000)) % 360_000_000
+            dlat = int(round(m["dlat"] * 1_000_000))
+            dlon = int(round(m["dlon"] * 1_000_000))
+            lat1 = lat0 - (nj - 1) * dlat
+            lon1 = (lon0 + (ni - 1) * dlon) % 360_000_000
+            tmpl3 = struct.pack(
+                ">BBIBIBIIIIIIIBIIIIB",
+                6, 0, 6_371_229, 0, 0, 0, 0,   # spherical earth, radii
+                ni, nj, 0, 0,
+                _u32sm(lat0), lon0, 0x30,
+                _u32sm(lat1), lon1,
+                dlon, dlat, 0x00)              # scan mode 0: +i, -j
+            sec3 = struct.pack(">IBBIBBH", 14 + len(tmpl3), 3, 0,
+                               ni * nj, 0, 0, 0) + tmpl3
         # section 4: product definition template 4.0
         tmpl4 = struct.pack(">BBBBBHBBIBBIBBI",
                             int(m.get("category", 0)),
@@ -403,22 +434,66 @@ def _index_messages(path: str) -> list[dict]:
                     b = f.read(slen - 5)
                     src, npts, noct, interp, tnum = struct.unpack_from(
                         ">BIBBH", b, 0)
-                    if tnum != 0:
+                    if tnum not in (0, 30):
                         raise NotImplementedError(
                             f"grid template 3.{tnum} not supported")
                     t = b[9:]  # template octet 15 -> t[0]
                     ni, nj = struct.unpack_from(">II", t, 16)
-                    lat0 = _s32(struct.unpack_from(">I", t, 32)[0])
-                    lon0 = struct.unpack_from(">I", t, 36)[0]
-                    dlon = struct.unpack_from(">I", t, 49)[0]
-                    dlat = struct.unpack_from(">I", t, 53)[0]
-                    scan = t[57]
-                    if scan != 0:
-                        raise NotImplementedError(
-                            f"scanning mode {scan:#04x} not supported")
-                    m.update(ni=ni, nj=nj, npts=npts,
-                             lat0=lat0 / 1e6, lon0=lon0 / 1e6,
-                             dlat=dlat / 1e6, dlon=dlon / 1e6)
+                    if tnum == 0:
+                        lat0 = _s32(struct.unpack_from(">I", t, 32)[0])
+                        lon0 = struct.unpack_from(">I", t, 36)[0]
+                        dlon = struct.unpack_from(">I", t, 49)[0]
+                        dlat = struct.unpack_from(">I", t, 53)[0]
+                        scan = t[57]
+                        if scan != 0:
+                            raise NotImplementedError(
+                                f"scanning mode {scan:#04x} unsupported"
+                                " for template 3.0")
+                        m.update(ni=ni, nj=nj, npts=npts, grid="latlon",
+                                 lat0=lat0 / 1e6, lon0=lon0 / 1e6,
+                                 dlat=dlat / 1e6, dlon=dlon / 1e6,
+                                 flip=False)
+                    else:
+                        # template 3.30: Lambert conformal (what NCEP
+                        # NAM/HRRR-class products use); degrib's lcc
+                        # path in frmts/grib. Scan 0x40 (+i +j, first
+                        # row southernmost) is the NCEP convention.
+                        rad = struct.unpack_from(">I", t, 2)[0] \
+                            / (10.0 ** t[1])
+                        la1 = _s32(struct.unpack_from(">I", t, 24)[0]) / 1e6
+                        lo1 = struct.unpack_from(">I", t, 28)[0] / 1e6
+                        if lo1 > 180.0:  # stored 0..360 per the spec
+                            lo1 -= 360.0
+                        lad = _s32(struct.unpack_from(">I", t, 33)[0]) / 1e6
+                        lov = struct.unpack_from(">I", t, 37)[0] / 1e6
+                        if lov > 180.0:
+                            lov -= 360.0
+                        dx = struct.unpack_from(">I", t, 41)[0] / 1e3
+                        dy = struct.unpack_from(">I", t, 45)[0] / 1e3
+                        scan = t[50]
+                        if scan not in (0x00, 0x40):
+                            raise NotImplementedError(
+                                f"scanning mode {scan:#04x} unsupported"
+                                " for template 3.30")
+                        lat1 = _s32(struct.unpack_from(">I", t, 51)[0]) / 1e6
+                        lat2 = _s32(struct.unpack_from(">I", t, 55)[0]) / 1e6
+                        from . import crs as _crs
+
+                        x1, y1 = _crs.lcc_forward(
+                            _crs._NpBackend, np.float64(lo1),
+                            np.float64(la1), phi1=lat1, phi2=lat2,
+                            phi0=lad, lon0=lov, a=rad, f=0.0)
+                        m.update(
+                            ni=ni, nj=nj, npts=npts, grid="lcc",
+                            flip=(scan == 0x40),
+                            x1=float(x1), y1=float(y1), dx=dx, dy=dy,
+                            la1=la1, lo1=lo1, lad=lad, lov=lov,
+                            latin1=lat1, latin2=lat2,
+                            earth_radius=rad,
+                            proj4=(f"+proj=lcc +lat_1={lat1!r}"
+                                   f" +lat_2={lat2!r} +lat_0={lad!r}"
+                                   f" +lon_0={lov!r} +a={rad!r}"
+                                   f" +b={rad!r} +units=m +no_defs"))
                 elif snum == 4:
                     b = f.read(min(slen - 5, 64))
                     tnum = struct.unpack_from(">H", b, 2)[0]
@@ -480,25 +555,31 @@ def read_grib2(spark: SparkSession, path: str, *, tile_px: int = 256,
     rows = []
     for bi, m in enumerate(msgs, start=1):
         nj, ni, nbits = m["nj"], m["ni"], m["nbits"]
+        flip = bool(m.get("flip", False))
         if m["bmp_off"] >= 0 or m.get("tnum5", 0) != 0:
             # bitmap or complex packing: group boundaries / present-
             # value offsets are data-dependent, no closed-form row
             # offsets -> whole-message granularity
             rows.append((bi, 0, 0, nj, m["data_off"], m["data_len"], 0,
                          True, m["bmp_off"], m["bmp_len"],
-                         m["R"], m["E"], m["D"], nbits))
+                         m["R"], m["E"], m["D"], nbits, flip))
         else:
             for ty in range(math.ceil(nj / tile_px)):
                 r0 = ty * tile_px
                 h = min(tile_px, nj - r0)
-                bit0 = r0 * ni * nbits
-                bit1 = (r0 + h) * ni * nbits
+                # scan 0x40 stores rows south->north: the NORTH-UP
+                # strip [r0, r0+h) is the contiguous file-row range
+                # [nj-r0-h, nj-r0) — still closed-form, still
+                # strip-parallel
+                fr0 = nj - r0 - h if flip else r0
+                bit0 = fr0 * ni * nbits
+                bit1 = (fr0 + h) * ni * nbits
                 byte0 = bit0 // 8
                 byte1 = min((bit1 + 7) // 8, m["data_len"])
                 rows.append((bi, ty, r0, h, m["data_off"] + byte0,
                              byte1 - byte0, bit0 - byte0 * 8,
                              False, -1, 0,
-                             m["R"], m["E"], m["D"], nbits))
+                             m["R"], m["E"], m["D"], nbits, flip))
     meta = {bi: m for bi, m in enumerate(msgs, start=1)}
     seg = spark.createDataFrame(rows, _SEG_SCHEMA) \
         .repartition(max(4, min(len(rows), 256)))
@@ -540,12 +621,16 @@ def read_grib2(spark: SparkSession, path: str, *, tile_px: int = 256,
                             full = np.full(m["nj"] * ni, np.nan)
                             full[bmp] = vals
                             grid = full.reshape(m["nj"], ni)
+                        if r.flip:
+                            grid = grid[::-1]
                         row0, h = 0, m["nj"]
                     else:
                         x = _unpack_bits(raw, int(r.bit0),
                                          int(r.height) * ni, int(r.nbits))
                         grid = ((float(r.R) + x * two_e) / ten_d) \
                             .reshape(int(r.height), ni)
+                        if r.flip:
+                            grid = grid[::-1]
                         row0, h = int(r.row0), int(r.height)
                     for ty0 in range(0, h, tile_px):
                         hh = min(tile_px, h - ty0)
@@ -556,20 +641,30 @@ def read_grib2(spark: SparkSession, path: str, *, tile_px: int = 256,
                                 grid[ty0:ty0 + hh,
                                      tx * tile_px:tx * tile_px + w]
                             ).astype(np.float64, copy=False)
-                            gt0 = m["lon0"] - m["dlon"] / 2.0
-                            gt3 = m["lat0"] + m["dlat"] / 2.0
+                            if m.get("grid", "latlon") == "lcc":
+                                dx, dy = m["dx"], m["dy"]
+                                ytop = m["y1"] + (
+                                    (m["nj"] - 1) * dy if r.flip else 0.0)
+                                gt0 = m["x1"] - dx / 2.0
+                                gt3 = ytop + dy / 2.0
+                                crs_s = m["proj4"]
+                            else:
+                                dx, dy = m["dlon"], m["dlat"]
+                                gt0 = m["lon0"] - dx / 2.0
+                                gt3 = m["lat0"] + dy / 2.0
+                                crs_s = "EPSG:4326"
                             out.append({
                                 "raster_id": rid, "band": int(r.band),
                                 "zoom": 0, "tile_x": tx, "tile_y": ty,
                                 "width": w, "height": hh,
                                 "dtype": "float64",
                                 "nodata": float("nan"),
-                                "crs": "EPSG:4326",
+                                "crs": crs_s,
                                 "geotransform": [
-                                    gt0 + tx * tile_px * m["dlon"],
-                                    m["dlon"], 0.0,
-                                    gt3 - (row0 + ty0) * m["dlat"],
-                                    0.0, -m["dlat"]],
+                                    gt0 + tx * tile_px * dx,
+                                    dx, 0.0,
+                                    gt3 - (row0 + ty0) * dy,
+                                    0.0, -dy],
                                 "data": t.tobytes(),
                             })
             yield pd.DataFrame(out, columns=[f.name for f in TILE_SCHEMA])
@@ -583,16 +678,24 @@ def grib2_metadata(path: str) -> list[dict]:
     (gribdataset.cpp GRIBRasterBand::GetMetadata)."""
     out = []
     for bi, m in enumerate(_index_messages(path), start=1):
-        out.append({
+        rec = {
             "band": bi, "discipline": m["discipline"],
             "category": m.get("category", 0),
             "parameter": m.get("parameter", 0),
             "forecast_hour": m.get("forecast_hour", 0),
             "ni": m["ni"], "nj": m["nj"],
-            "lat0": m["lat0"], "lon0": m["lon0"],
-            "dlat": m["dlat"], "dlon": m["dlon"],
+            "grid": m.get("grid", "latlon"),
             "nbits": m["nbits"], "decimals": m["D"],
             "bitmap": m["bmp_off"] >= 0,
             "packing": m.get("tnum5", 0),
-        })
+        }
+        if rec["grid"] == "lcc":
+            rec.update(la1=m["la1"], lo1=m["lo1"], lad=m["lad"],
+                       lov=m["lov"], latin1=m["latin1"],
+                       latin2=m["latin2"], dx=m["dx"], dy=m["dy"],
+                       proj4=m["proj4"])
+        else:
+            rec.update(lat0=m["lat0"], lon0=m["lon0"],
+                       dlat=m["dlat"], dlon=m["dlon"])
+        out.append(rec)
     return out

@@ -195,3 +195,81 @@ def test_complex_negative_h_values(tmp_path):
     fv = grib._decode_complex(raw, m)
     y = (m["R"] + fv * 2.0 ** m["E"]) / 10.0 ** m["D"]
     np.testing.assert_array_equal(y.reshape(20, 20), a)
+
+
+# ----------------------- Lambert conformal grids (template 3.30)
+
+def _lcc_msg(a, **kw):
+    base = dict(data=a, grid="lcc", la1=21.138, lo1=-122.72, lad=25.0,
+                lov=-95.0, latin1=25.0, latin2=25.0, dx=12191.0,
+                dy=12191.0, decimals=2)
+    base.update(kw)
+    return base
+
+
+def test_lcc_grid_roundtrip(spark, tmp_path):
+    """Template 3.30 (NCEP NAM-style tangent cone, scan 0x40 south-
+    first): values bit-exact, rows returned north-up."""
+    a = (((np.arange(40).reshape(40, 1) * 131
+           + np.arange(55).reshape(1, 55) * 17) % 509) - 200) * 0.25
+    p = str(tmp_path / "lcc.grib2")
+    grib.write_grib2(p, [_lcc_msg(a)])
+    md = grib.grib2_metadata(p)[0]
+    assert md["grid"] == "lcc" and md["latin1"] == 25.0
+    rows = grib.read_grib2(spark, p, tile_px=16).collect()
+    g = _assemble(rows, 1, 40, 55, 16)
+    np.testing.assert_array_equal(g, a)
+
+
+def test_lcc_georef_and_proj4_closure(spark, tmp_path):
+    """The grid's georeferencing closes through the engine's own
+    proj4 importer: inverse-projecting the computed first-point
+    (x1, y1) through the emitted +proj=lcc string recovers La1/Lo1;
+    the tangent cone (Latin1 == Latin2) exercises the LCC-1SP
+    n -> sin(phi1) limit."""
+    from gdal_spark import crs, proj4
+
+    a = np.arange(12.0).reshape(3, 4)
+    p = str(tmp_path / "geo.grib2")
+    grib.write_grib2(p, [_lcc_msg(a, decimals=0)])
+    m = grib._index_messages(p)[0]
+    md = grib.grib2_metadata(p)[0]
+    code = proj4.register_proj4(md["proj4"])
+    lo, la = crs.np_transform_fn(code, inverse=True)(
+        np.array([m["x1"]]), np.array([m["y1"]]))
+    assert abs(lo[0] - -122.72) < 1e-9 and abs(la[0] - 21.138) < 1e-9
+    rows = grib.read_grib2(spark, p, tile_px=16).collect()
+    gt = rows[0].geotransform
+    # scan 0x40: first point is the SW corner -> UL edge is
+    # y1 + (nj-1)*dy + dy/2
+    assert abs(gt[3] - (m["y1"] + 2 * 12191.0 + 12191.0 / 2)) < 1e-6
+    assert abs(gt[0] - (m["x1"] - 12191.0 / 2)) < 1e-6
+    assert gt[5] == -12191.0
+    assert rows[0].crs.startswith("+proj=lcc")
+
+
+def test_lcc_complex_packing_combination(spark, tmp_path):
+    """The realistic NCEP combination: Lambert grid + order-2 complex
+    packing (whole-message decode + south-first flip compose)."""
+    a = (((np.arange(40).reshape(40, 1) * 131
+           + np.arange(55).reshape(1, 55) * 17) % 509) - 200) * 0.25
+    p = str(tmp_path / "lcccx.grib2")
+    grib.write_grib2(p, [_lcc_msg(a, packing="complex", order=2)])
+    rows = grib.read_grib2(spark, p, tile_px=16).collect()
+    g = _assemble(rows, 1, 40, 55, 16)
+    np.testing.assert_array_equal(g, a)
+
+
+def test_lcc_tangent_cone_limit():
+    """latin1 == latin2 must hit the n = sin(phi1) limit, matching
+    the 2SP formula's value as the parallels merge."""
+    from gdal_spark import crs
+
+    B = crs._NpBackend
+    x1, y1 = crs.lcc_forward(B, np.array([-100.0]), np.array([35.0]),
+                             phi1=25.0, phi2=25.0, phi0=25.0,
+                             lon0=-95.0, a=6371229.0, f=0.0)
+    x2, y2 = crs.lcc_forward(B, np.array([-100.0]), np.array([35.0]),
+                             phi1=25.0 - 1e-7, phi2=25.0 + 1e-7,
+                             phi0=25.0, lon0=-95.0, a=6371229.0, f=0.0)
+    assert abs(x1[0] - x2[0]) < 0.5 and abs(y1[0] - y2[0]) < 0.5
