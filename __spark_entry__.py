@@ -358,6 +358,82 @@ def _grib2_lcc_sql() -> str:
     """
 
 
+_PS_GRIB = dict(la1=44.0, lo1=-125.0, lad=60.0, lov=-105.0,
+                dx=47625.0, dy=47625.0)
+
+
+def _q_grib2_ps_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 polar stereographic grid (grid template 3.20, the NCEP
+    Alaska/polar grids): simple-packed message with scan mode 0x40 —
+    this exercises the STRIP-parallel path under the south-first row
+    order (each north-up strip is a contiguous file byte range, rows
+    flip in-kernel). Per-cell value + projected centre, centres
+    verified against the oracle's own polar-stereographic forward
+    SQL (variant B, lat_ts = LaD)."""
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import grib
+
+    path = tempfile.mkdtemp(prefix="gdal_spark_gribps_") + "/ps.grib2"
+    r = np.arange(24).reshape(24, 1)
+    c = np.arange(31).reshape(1, 31)
+    a = (((r * 37 + c * 11) % 211) - 90) * 0.5
+    grib.write_grib2(path, [dict(data=a, grid="ps", decimals=1,
+                                 **_PS_GRIB)])
+    tiles = grib.read_grib2(spark, path, tile_px=16)
+
+    def cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.data, dtype=np.float64).reshape(
+                    row.height, row.width)
+                gt = row.geotransform
+                rr, cc = np.mgrid[0:row.height, 0:row.width]
+                out.append(pd.DataFrame({
+                    "d0": (row.tile_y * 16 + rr).reshape(-1),
+                    "d1": (row.tile_x * 16 + cc).reshape(-1),
+                    "value": arr.reshape(-1),
+                    "px": (gt[0] + (cc + 0.5) * gt[1]).reshape(-1),
+                    "py": (gt[3] + (rr + 0.5) * gt[5]).reshape(-1),
+                }))
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["d0", "d1", "value", "px", "py"])
+
+    cell = tiles.mapInPandas(
+        cells,
+        schema="d0 long, d1 long, value double, px double, py double")
+    return cell.select("d0", "d1", "value",
+                       F.round("px", 3).alias("px"),
+                       F.round("py", 3).alias("py"))
+
+
+def _grib2_ps_sql() -> str:
+    from gdal_spark.crs import conic_forward_sql
+    from gdal_spark.proj4 import register_proj4
+
+    g = _PS_GRIB
+    code = register_proj4(
+        f"+proj=stere +lat_0=90 +lat_ts={g['lad']!r}"
+        f" +lon_0={g['lov']!r} +a=6371229.0 +b=6371229.0"
+        f" +units=m +no_defs")
+    x1, y1 = conic_forward_sql(code, repr(g["lo1"]), repr(g["la1"]))
+    return f"""
+        WITH fp AS (SELECT {x1} AS x1, {y1} AS y1)
+        SELECT CAST(a.range AS BIGINT) AS d0,
+               CAST(b.range AS BIGINT) AS d1,
+               CAST(((a.range * 37 + b.range * 11) % 211 - 90) * 5
+                    AS DOUBLE) / 10.0 AS value,
+               ROUND(fp.x1 + b.range * {g['dx']!r}, 3) AS px,
+               ROUND(fp.y1 + (23 - a.range) * {g['dy']!r}, 3) AS py
+        FROM range(24) a CROSS JOIN range(31) b CROSS JOIN fp
+    """
+
+
 def _q_netcdf4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """netCDF-4 (HDF5 container) roundtrip — the modern sibling of
     _q_netcdf_roundtrip (frmts/netcdf/netcdfdataset.cpp opens NC4
@@ -6262,6 +6338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grib2_roundtrip": _q_grib2_roundtrip,
         "grib2_complex_roundtrip": _q_grib2_complex_roundtrip,
         "grib2_lcc_roundtrip": _q_grib2_lcc_roundtrip,
+        "grib2_ps_roundtrip": _q_grib2_ps_roundtrip,
         "mvt_roundtrip": _q_mvt_roundtrip,
         "dxf_roundtrip": _q_dxf_roundtrip,
         "ogr_tindex": _q_ogr_tindex,
@@ -7616,6 +7693,7 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM range(11) a CROSS JOIN range(29) b
         """,
         "grib2_lcc_roundtrip": _grib2_lcc_sql(),
+        "grib2_ps_roundtrip": _grib2_ps_sql(),
         "grib2_complex_roundtrip": """
             SELECT 1 AS band, CAST(a.range AS BIGINT) AS d0,
                    CAST(b.range AS BIGINT) AS d1,

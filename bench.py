@@ -223,7 +223,7 @@ def main():
         "ntv2_transform", "sqlite_roundtrip", "rat_roundtrip",
         "ogr_style_query", "netcdf4_roundtrip", "mbtiles_jpeg_roundtrip",
         "grib2_roundtrip", "grib2_complex_roundtrip",
-        "grib2_lcc_roundtrip",
+        "grib2_lcc_roundtrip", "grib2_ps_roundtrip",
         # elevation cells: DTED column-profile loop (one keyed strip
         # shuffle in the sink), SRTMHGT headerless raw loop (map-only)
         "dted_roundtrip", "srtmhgt_roundtrip",

@@ -285,9 +285,9 @@ def write_grib2(path: str, messages: list[dict]) -> None:
     out = bytearray()
     for m in messages:
         a = np.asarray(m["data"], dtype=np.float64)
-        if m.get("grid", "latlon") == "lcc":
-            # template 3.30 writes scanning mode 0x40 (+i +j, first
-            # row southernmost — the NCEP convention): flip the
+        if m.get("grid", "latlon") in ("lcc", "ps"):
+            # templates 3.20/3.30 write scanning mode 0x40 (+i +j,
+            # first row southernmost — the NCEP convention): flip the
             # caller's north-up array into file order
             a = a[::-1]
         nj, ni = a.shape
@@ -318,7 +318,28 @@ def write_grib2(path: str, messages: list[dict]) -> None:
         sec1 = struct.pack(">HHBBBHBBBBBBB", 255, 255, 2, 1, 1,
                            2026, 1, 1, 0, 0, 0, 0, 1)
         sec1 = struct.pack(">IB", 5 + len(sec1), 1) + sec1
-        if m.get("grid", "latlon") == "lcc":
+        if m.get("grid", "latlon") == "ps":
+            # section 3: grid template 3.20 (polar stereographic —
+            # the NCEP Alaska/polar product grids); hemisphere from
+            # the sign of LaD via the projection-centre flag
+            rad = int(m.get("earth_radius", 6_371_229))
+            south = m["lad"] < 0
+            tmpl3 = struct.pack(
+                ">BBIBIBIIIIIBIIIIBB",
+                6, 0, rad, 0, 0, 0, 0,
+                ni, nj,
+                _u32sm(int(round(m["la1"] * 1_000_000))),
+                int(round(m["lo1"] * 1_000_000)) % 360_000_000,
+                0x08,
+                _u32sm(int(round(m["lad"] * 1_000_000))),
+                int(round(m["lov"] * 1_000_000)) % 360_000_000,
+                int(round(m["dx"] * 1_000)),
+                int(round(m["dy"] * 1_000)),
+                0x80 if south else 0x00,       # projection centre flag
+                0x40)                          # scan +i +j
+            sec3 = struct.pack(">IBBIBBH", 14 + len(tmpl3), 3, 0,
+                               ni * nj, 0, 0, 20) + tmpl3
+        elif m.get("grid", "latlon") == "lcc":
             # section 3: grid template 3.30 (Lambert conformal) —
             # frmts/grib reads these through degrib's lcc support;
             # la1/lo1 = geographic coords of the FIRST point in file
@@ -434,12 +455,52 @@ def _index_messages(path: str) -> list[dict]:
                     b = f.read(slen - 5)
                     src, npts, noct, interp, tnum = struct.unpack_from(
                         ">BIBBH", b, 0)
-                    if tnum not in (0, 30):
+                    if tnum not in (0, 20, 30):
                         raise NotImplementedError(
                             f"grid template 3.{tnum} not supported")
                     t = b[9:]  # template octet 15 -> t[0]
                     ni, nj = struct.unpack_from(">II", t, 16)
-                    if tnum == 0:
+                    if tnum == 20:
+                        # template 3.20: polar stereographic (NCEP
+                        # Alaska/polar grids) — ps_north/ps_south
+                        # variant B with lat_ts = LaD
+                        rad = struct.unpack_from(">I", t, 2)[0] \
+                            / (10.0 ** t[1])
+                        la1 = _s32(struct.unpack_from(">I", t, 24)[0]) / 1e6
+                        lo1 = struct.unpack_from(">I", t, 28)[0] / 1e6
+                        if lo1 > 180.0:
+                            lo1 -= 360.0
+                        lad = _s32(struct.unpack_from(">I", t, 33)[0]) / 1e6
+                        lov = struct.unpack_from(">I", t, 37)[0] / 1e6
+                        if lov > 180.0:
+                            lov -= 360.0
+                        dx = struct.unpack_from(">I", t, 41)[0] / 1e3
+                        dy = struct.unpack_from(">I", t, 45)[0] / 1e3
+                        south = bool(t[49] & 0x80)
+                        scan = t[50]
+                        if scan not in (0x00, 0x40):
+                            raise NotImplementedError(
+                                f"scanning mode {scan:#04x} unsupported"
+                                " for template 3.20")
+                        from . import crs as _crs
+
+                        fwd = (_crs.ps_south_forward if south
+                               else _crs.ps_north_forward)
+                        x1, y1 = fwd(_crs._NpBackend, np.float64(lo1),
+                                     np.float64(la1), phi_f=lad,
+                                     lon0=lov, a=rad, f=0.0)
+                        lat0s = "-90" if south else "90"
+                        m.update(
+                            ni=ni, nj=nj, npts=npts, grid="ps",
+                            flip=(scan == 0x40),
+                            x1=float(x1), y1=float(y1), dx=dx, dy=dy,
+                            la1=la1, lo1=lo1, lad=lad, lov=lov,
+                            earth_radius=rad,
+                            proj4=(f"+proj=stere +lat_0={lat0s}"
+                                   f" +lat_ts={lad!r} +lon_0={lov!r}"
+                                   f" +a={rad!r} +b={rad!r}"
+                                   f" +units=m +no_defs"))
+                    elif tnum == 0:
                         lat0 = _s32(struct.unpack_from(">I", t, 32)[0])
                         lon0 = struct.unpack_from(">I", t, 36)[0]
                         dlon = struct.unpack_from(">I", t, 49)[0]
@@ -641,7 +702,7 @@ def read_grib2(spark: SparkSession, path: str, *, tile_px: int = 256,
                                 grid[ty0:ty0 + hh,
                                      tx * tile_px:tx * tile_px + w]
                             ).astype(np.float64, copy=False)
-                            if m.get("grid", "latlon") == "lcc":
+                            if m.get("grid", "latlon") in ("lcc", "ps"):
                                 dx, dy = m["dx"], m["dy"]
                                 ytop = m["y1"] + (
                                     (m["nj"] - 1) * dy if r.flip else 0.0)
@@ -689,11 +750,12 @@ def grib2_metadata(path: str) -> list[dict]:
             "bitmap": m["bmp_off"] >= 0,
             "packing": m.get("tnum5", 0),
         }
-        if rec["grid"] == "lcc":
+        if rec["grid"] in ("lcc", "ps"):
             rec.update(la1=m["la1"], lo1=m["lo1"], lad=m["lad"],
-                       lov=m["lov"], latin1=m["latin1"],
-                       latin2=m["latin2"], dx=m["dx"], dy=m["dy"],
+                       lov=m["lov"], dx=m["dx"], dy=m["dy"],
                        proj4=m["proj4"])
+            if rec["grid"] == "lcc":
+                rec.update(latin1=m["latin1"], latin2=m["latin2"])
         else:
             rec.update(lat0=m["lat0"], lon0=m["lon0"],
                        dlat=m["dlat"], dlon=m["dlon"])

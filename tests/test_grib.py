@@ -273,3 +273,32 @@ def test_lcc_tangent_cone_limit():
                              phi1=25.0 - 1e-7, phi2=25.0 + 1e-7,
                              phi0=25.0, lon0=-95.0, a=6371229.0, f=0.0)
     assert abs(x1[0] - x2[0]) < 0.5 and abs(y1[0] - y2[0]) < 0.5
+
+
+def test_ps_grid_roundtrip_both_hemispheres(spark, tmp_path):
+    """Template 3.20 (NCEP polar stereographic, scan 0x40): values
+    bit-exact, georeferencing closes through the engine's proj4
+    importer for both hemispheres."""
+    from gdal_spark import crs, proj4
+
+    a = (((np.arange(24).reshape(24, 1) * 37
+           + np.arange(31).reshape(1, 31) * 11) % 211) - 90) * 0.5
+    for lad, la1, lo1 in ((60.0, 44.0, -125.0), (-60.0, -44.0, 155.0)):
+        p = str(tmp_path / f"ps{int(lad)}.grib2")
+        grib.write_grib2(p, [dict(
+            data=a, grid="ps", la1=la1, lo1=lo1, lad=lad, lov=-105.0,
+            dx=47625.0, dy=47625.0, decimals=1)])
+        md = grib.grib2_metadata(p)[0]
+        assert md["grid"] == "ps" and md["lad"] == lad
+        rows = grib.read_grib2(spark, p, tile_px=16).collect()
+        g = _assemble(rows, 1, 24, 31, 16)
+        np.testing.assert_array_equal(g, a)
+        m = grib._index_messages(p)[0]
+        code = proj4.register_proj4(md["proj4"])
+        lo, la = crs.np_transform_fn(code, inverse=True)(
+            np.array([m["x1"]]), np.array([m["y1"]]))
+        # the stere inverse returns the principal branch around lon0;
+        # compare modulo 360
+        assert abs((lo[0] - lo1 + 180.0) % 360.0 - 180.0) < 1e-9
+        assert abs(la[0] - la1) < 1e-9
+        assert rows[0].crs.startswith("+proj=stere")
