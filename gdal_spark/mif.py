@@ -253,13 +253,7 @@ def _mif_geom(wkt: str | None) -> str:
     raise NotImplementedError(f"MIF geometry for {g.kind}")
 
 
-def write_mif(df: DataFrame, path: str, *, wkt_col: str = "wkt",
-              style_col: str | None = None,
-              delimiter: str = ",") -> None:
-    """Ordered single-stream MIF+MID pair (record i of .mif pairs with
-    line i of .mid — the same sequential-sink contract as
-    write_aaigrid). `path` without extension; attribute columns =
-    everything except the wkt/style columns."""
+def _column_spec(df: DataFrame, wkt_col: str, style_col):
     skip = {wkt_col} | ({style_col} if style_col else set())
     attr = [f for f in df.schema.fields if f.name not in skip]
     cols = []
@@ -271,27 +265,34 @@ def write_mif(df: DataFrame, path: str, *, wkt_col: str = "wkt",
             cols.append((f.name, "Float"))
         else:
             cols.append((f.name, "Char(254)"))
+    return attr, cols
+
+
+def _header_text(cols, delimiter: str) -> str:
+    out = ["VERSION 300", 'CHARSET "Neutral"',
+           f'DELIMITER "{delimiter}"', f"COLUMNS {len(cols)}"]
+    out += [f"  {n} {t}" for n, t in cols]
+    out += ["DATA", ""]
+    return "\n".join(out) + "\n"
+
+
+def _render_pair(rows, attr, has_style: bool, delimiter: str):
+    """(mif record text, mid text) for an iterable of selected rows
+    ordered (wkt[, style], *attrs) — shared by the single-stream and
+    the partition-parallel directory sinks."""
     mif = io.StringIO()
-    mif.write("VERSION 300\nCHARSET \"Neutral\"\n"
-              f"DELIMITER \"{delimiter}\"\n")
-    mif.write(f"COLUMNS {len(cols)}\n")
-    for n, t in cols:
-        mif.write(f"  {n} {t}\n")
-    mif.write("DATA\n\n")
     mid = io.StringIO()
     w = csv.writer(mid, delimiter=delimiter, quotechar='"',
                    quoting=csv.QUOTE_NONNUMERIC, lineterminator="\n")
-    sel = [wkt_col] + ([style_col] if style_col else []) \
-        + [f.name for f in attr]
-    for row in df.select(*sel).toLocalIterator():
+    numeric = (T.LongType, T.IntegerType, T.ShortType,
+               T.DoubleType, T.FloatType)
+    for row in rows:
         mif.write(_mif_geom(row[0]) + "\n")
-        if style_col and row[1]:
+        if has_style and row[1]:
             mif.write(f"    {row[1]}\n")
         vals = []
-        for f, v in zip(attr, row[1 + bool(style_col):]):
-            if isinstance(f.dataType, (T.LongType, T.IntegerType,
-                                       T.ShortType, T.DoubleType,
-                                       T.FloatType)):
+        for f, v in zip(attr, row[1 + has_style:]):
+            if isinstance(f.dataType, numeric):
                 vals.append(v if v is not None else "")
             else:
                 s = "" if v is None else str(v)
@@ -300,7 +301,56 @@ def write_mif(df: DataFrame, path: str, *, wkt_col: str = "wkt",
                         "MID has no quote escape; value contains '\"'")
                 vals.append(s)
         w.writerow(vals)
+    return mif.getvalue(), mid.getvalue()
+
+
+def write_mif(df: DataFrame, path: str, *, wkt_col: str = "wkt",
+              style_col: str | None = None,
+              delimiter: str = ",") -> None:
+    """Ordered single-stream MIF+MID pair (record i of .mif pairs with
+    line i of .mid — the same sequential-sink contract as
+    write_aaigrid). `path` without extension; attribute columns =
+    everything except the wkt/style columns. For corpus-scale exports
+    use write_mif_dir (one pair per partition, no driver bytes)."""
+    attr, cols = _column_spec(df, wkt_col, style_col)
+    sel = [wkt_col] + ([style_col] if style_col else []) \
+        + [f.name for f in attr]
+    body, mid = _render_pair(df.select(*sel).toLocalIterator(),
+                             attr, bool(style_col), delimiter)
     with open(path + ".mif", "w", encoding="latin-1") as f:
-        f.write(mif.getvalue())
+        f.write(_header_text(cols, delimiter) + body)
     with open(path + ".mid", "w", encoding="latin-1") as f:
-        f.write(mid.getvalue())
+        f.write(mid)
+
+
+def write_mif_dir(df: DataFrame, path: str, *, wkt_col: str = "wkt",
+                  style_col: str | None = None,
+                  delimiter: str = ",") -> None:
+    """Partition-parallel MIF sink: each partition emits one complete
+    .mif/.mid pair into `path` (the xmlvec directory contract — no
+    driver bytes, read_mif consumes the directory as one layer).
+    Record/line pairing is per-file, so the format's ordering
+    invariant holds inside each pair while the fleet writes in
+    parallel."""
+    attr, cols = _column_spec(df, wkt_col, style_col)
+    head = _header_text(cols, delimiter)
+    sel = [wkt_col] + ([style_col] if style_col else []) \
+        + [f.name for f in attr]
+    has_style = bool(style_col)
+    os.makedirs(path, exist_ok=True)
+
+    def part(it):
+        rows = list(it)
+        if not rows:
+            return
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        body, mid = _render_pair(rows, attr, has_style, delimiter)
+        with open(os.path.join(path, f"part-{pid:05d}.mif"), "w",
+                  encoding="latin-1") as f:
+            f.write(head + body)
+        with open(os.path.join(path, f"part-{pid:05d}.mid"), "w",
+                  encoding="latin-1") as f:
+            f.write(mid)
+
+    df.select(*sel).foreachPartition(part)

@@ -110,3 +110,20 @@ def test_quote_guard(spark, tmp_path):
                                "wkt string, name string")
     with pytest.raises(ValueError, match="quote"):
         mif.write_mif(df, str(tmp_path / "bad"))
+
+
+def test_parallel_directory_sink(spark, tmp_path):
+    """write_mif_dir: one complete pair per partition, no driver
+    bytes; read_mif consumes the directory as one layer."""
+    rows, df = _df(spark)
+    out = str(tmp_path / "fleet")
+    mif.write_mif_dir(df.repartition(3), out)
+    import os
+    mifs = sorted(f for f in os.listdir(out) if f.endswith(".mif"))
+    assert 1 <= len(mifs) <= 3
+    for m in mifs:
+        assert os.path.exists(os.path.join(out, m[:-4] + ".mid"))
+    back = mif.read_mif(spark, out)
+    assert back.count() == 5
+    got = {(r.wkt, r.name, r.k, r.v) for r in back.collect()}
+    assert got == {tuple(r) for r in rows}
