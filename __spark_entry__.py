@@ -4501,6 +4501,7 @@ _CONIC_REGION = {
     54012: "lon > -179.0 AND lon < 179.0",
     54010: "lon > -179.0 AND lon < 179.0",
     54042: "lon > -179.0 AND lon < 179.0",
+    54044: "lon > -179.0 AND lon < 179.0",
     # Bonne: the atan2 inverse holds the full |E| < 180 deg branch and
     # the derived lat stays off the poles (m > 0)
     54024: "lon > -179.0 AND lon < 179.0",
@@ -6593,6 +6594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robinson_transform": _q_robinson_transform,
         "goode_transform": _q_goode_transform,
         "winkel_transform": _q_winkel_transform,
+        "hammer_transform": _q_conic(54044),
         "geos_meteosat_transform": _q_conic_mapped(-90360),
         "geos_goes_transform": _q_conic_mapped(-90750),
         "crs_to_crs_transform": _q_crs_to_crs,
@@ -8807,6 +8809,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "robinson_transform": _robinson_sql(),
         "goode_transform": _goode_sql(),
         "winkel_transform": _winkel_sql(),
+        "hammer_transform": _conic_sql(54044),
         "geos_meteosat_transform": _conic_mapped_sql(-90360),
         "geos_goes_transform": _conic_mapped_sql(-90750),
         "crs_to_crs_transform": _crs_to_crs_sql(),

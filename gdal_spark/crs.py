@@ -1157,6 +1157,38 @@ def gall_inverse(B, x, y, lon0: float, a: float, f: float,
     return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
 
 
+# --------------------------------------------------------------- Hammer
+def hammer_forward(B, lon, lat, lon0: float, a: float, f: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    """Hammer (Hammer-Aitoff) equal-area forward (Snyder 24-4..24-5
+    spherical azimuthal LAEA re-spaced 2:1; PROJ +proj=hammer, named
+    in frmts/gtiff/libgeotiff/geotiff_proj4.c)."""
+    l = B.radians(lon - B.lit(lon0))
+    p = B.radians(lat)
+    d = B.sqrt(1.0 + B.cos(p) * B.cos(l * 0.5))
+    x = B.lit(fe) + B.lit(a * 2.0 * math.sqrt(2.0)) \
+        * B.cos(p) * B.sin(l * 0.5) / d
+    y = B.lit(fn) + B.lit(a * math.sqrt(2.0)) * B.sin(p) / d
+    return x, y
+
+
+def hammer_inverse(B, x, y, lon0: float, a: float, f: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    """Hammer closed inverse. With unit-sphere coords (xu, yu) and
+    u = cos(phi) cos(lam/2): z = sqrt(1 - xu^2/16 - yu^2/4) equals
+    sqrt((1+u)/2), whence sin(phi) = z*yu and
+    tan(lam/2) = (xu z / 2) / (2 z^2 - 1) exactly — the algebra is
+    verified by the round-trip and equal-area tests."""
+    xu = (x - B.lit(fe)) / B.lit(a)
+    yu = (y - B.lit(fn)) / B.lit(a)
+    z = B.sqrt(1.0 - xu * xu * B.lit(1.0 / 16.0)
+               - yu * yu * B.lit(0.25))
+    phi = B.asin(z * yu)
+    lam = B.atan2(xu * z * 0.5, z * z * 2.0 - 1.0) * 2.0
+    deg = 180.0 / math.pi
+    return B.lit(lon0) + lam * B.lit(deg), phi * B.lit(deg)
+
+
 # --------------------------------------------------------- Winkel Tripel
 def _wintri_xy(B, l, p, cphi1: float):
     """Unit-sphere Winkel Tripel core: the arithmetic mean of the
@@ -2752,6 +2784,8 @@ CONIC_PRESETS = {
             dict(lon0=0.0, fe=0.0, fn=0.0)),
     54010: ("eck6", "WGS84",  # ESRI World_Eckert_VI
             dict(lon0=0.0, fe=0.0, fn=0.0)),
+    54044: ("hammer", "WGS84",  # ESRI World_Hammer_Aitoff
+            dict(lon0=0.0, fe=0.0, fn=0.0)),
     54042: ("wintri", "WGS84",  # ESRI World_Winkel_Tripel —
             # Winkel's standard parallel acos(2/pi)
             dict(phi1=math.degrees(math.acos(2.0 / math.pi)),
@@ -2809,6 +2843,7 @@ _CONIC_FNS = {
     "eck4": (eck4_forward, eck4_inverse),
     "eck6": (eck6_forward, eck6_inverse),
     "wintri": (wintri_forward, wintri_inverse),
+    "hammer": (hammer_forward, hammer_inverse),
     "robin": (robin_forward, robin_inverse),
     "goode": (goode_forward, goode_inverse),
     "geos": (geos_forward, geos_inverse),

@@ -82,6 +82,8 @@ _P4_FAMILIES = {
     "gall": ("gall", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
     "robin": ("robin", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
     "goode": ("goode", {"lon_0": "lon0", "x_0": "fe", "y_0": "fn"}, {}),
+    "hammer": ("hammer", {"lon_0": "lon0", "x_0": "fe",
+                          "y_0": "fn"}, {}),
 }
 
 _synth_codes = itertools.count(-1, -1)

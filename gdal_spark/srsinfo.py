@@ -125,6 +125,7 @@ _NAMES = {
     54010: ("World_Eckert_VI", "WGS 84", "WGS_1984"),
     54012: ("World_Eckert_IV", "WGS 84", "WGS_1984"),
     54042: ("World_Winkel_Tripel", "WGS 84", "WGS_1984"),
+    54044: ("World_Hammer_Aitoff", "WGS 84", "WGS_1984"),
     54016: ("World_Gall_Stereographic", "WGS 84", "WGS_1984"),
     54030: ("World_Robinson", "WGS 84", "WGS_1984"),
     32633: ("WGS 84 / UTM zone 33N", "WGS 84", "WGS_1984"),
@@ -304,6 +305,10 @@ _FAMILIES = {
              [("lon0", "lon_0", "central_meridian"),
               ("fe", "x_0", "false_easting"),
               ("fn", "y_0", "false_northing")]),
+    "hammer": ("hammer", "Hammer_Aitoff",
+               [("lon0", "lon_0", "central_meridian"),
+                ("fe", "x_0", "false_easting"),
+                ("fn", "y_0", "false_northing")]),
     "wintri": ("wintri", "Winkel_Tripel",
                [("phi1", "lat_1", "standard_parallel_1"),
                 ("lon0", "lon_0", "central_meridian"),
@@ -329,7 +334,7 @@ _UNITS = {
 
 # ESRI-namespace codes (no EPSG AUTHORITY node in WKT1)
 ESRI_CODES = frozenset({54003, 54008, 54009, 54010, 54012, 54016,
-                        54024, 54030, 54042, 102016, 102031})
+                        54024, 54030, 54042, 54044, 102016, 102031})
 
 # UTM fast-path codes rendered alongside the conic registry (one
 # representative per ELLIPSOIDS-backed band; the full 326xx/327xx/269xx

@@ -354,3 +354,38 @@ def test_wintri_staged_spark_matches_numpy(spark):
     assert np.abs(r.winkel_lat.values - lats).max() < 1e-8
     with pytest.raises(ValueError, match="staged"):
         crs.conic_inverse(54042, F.col("x"), F.col("y"))
+
+
+# --------------------------------------------------------- Hammer
+
+def test_hammer_roundtrip_and_equal_area():
+    lons = np.linspace(-179.0, 179.0, 401)
+    lats = np.linspace(-84.9, 84.9, 401)
+    x, y = crs.hammer_forward(B, lons, lats, lon0=0.0, a=A_WGS84, f=0.0)
+    lo, la = crs.hammer_inverse(B, x, y, lon0=0.0, a=A_WGS84, f=0.0)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+    h = 1e-5
+    for latd in (0.0, 40.0, 75.0):
+        lon = np.array([60.0])
+        la2 = np.array([latd])
+        xp, yp = crs.hammer_forward(B, lon + h, la2, lon0=0.0, a=1.0, f=0.0)
+        xm, ym = crs.hammer_forward(B, lon - h, la2, lon0=0.0, a=1.0, f=0.0)
+        xq, yq = crs.hammer_forward(B, lon, la2 + h, lon0=0.0, a=1.0, f=0.0)
+        xr, yr = crs.hammer_forward(B, lon, la2 - h, lon0=0.0, a=1.0, f=0.0)
+        rad = math.pi / 180.0
+        jac = ((xp - xm) * (yq - yr) - (xq - xr) * (yp - ym))[0] \
+            / (2.0 * h * rad) ** 2
+        assert abs(jac - math.cos(math.radians(latd))) < 1e-4
+
+
+def test_hammer_2to1_ellipse_boundary():
+    # the Hammer graticule boundary is the 2:1 ellipse
+    # (x / (2 sqrt(2) R))^2 + (y / (sqrt(2) R))^2 = 1 at lam = +-180
+    for latd in (0.0, 30.0, 60.0, 89.0):
+        x, y = crs.hammer_forward(B, np.array([180.0]),
+                                  np.array([latd]), lon0=0.0,
+                                  a=1.0, f=0.0)
+        e = (x[0] / (2.0 * math.sqrt(2.0))) ** 2 \
+            + (y[0] / math.sqrt(2.0)) ** 2
+        assert abs(e - 1.0) < 1e-12
