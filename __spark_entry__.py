@@ -4945,6 +4945,60 @@ def _proj4_import_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _q_wkt_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """importFromWkt parity (ogr/ogrspatialreference.cpp
+    importFromWkt; export side is srsinfo.wkt_strings): every
+    registered projected code's WKT1 string is re-PARSED into a
+    synthetic preset (gdal_spark/wktsrs.py) and the Spark side
+    projects two in-domain sample points through the RE-IMPORTED
+    parameters — while the oracle projects the same points through
+    the ORIGINAL presets. Equality proves any .prj sidecar of a
+    supported family resolves identically to the enumerated
+    registry."""
+    from gdal_spark import crs as C
+    from gdal_spark import proj4 as P4
+    from gdal_spark import srsinfo as SR
+    from gdal_spark import wktsrs as WS
+
+    wkt = SR.wkt_strings()
+    out = None
+    for code in sorted(k for k in C.CONIC_PRESETS
+                       if k > 0 and k in wkt):
+        kind, _, params = C.CONIC_PRESETS[code]
+        synth = WS.register_wkt(wkt[code])
+        lons, lats = P4.sample_lonlat(kind, params)
+        df = spark.createDataFrame(
+            [(code, i, float(lons[i]), float(lats[i])) for i in (0, 1)],
+            "epsg long, pt long, lon double, lat double")
+        x, y = C.conic_forward(synth, F.col("lon"), F.col("lat"))
+        df = df.select("epsg", "pt",
+                       F.round(x, 6).alias("x"), F.round(y, 6).alias("y"))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _wkt_import_sql() -> str:
+    from gdal_spark import crs as C
+    from gdal_spark import proj4 as P4
+    from gdal_spark import srsinfo as SR
+    from gdal_spark.crs import conic_forward_sql
+
+    wkt = SR.wkt_strings()
+    parts = []
+    for code in sorted(k for k in C.CONIC_PRESETS
+                       if k > 0 and k in wkt):
+        kind, _, params = C.CONIC_PRESETS[code]
+        lons, lats = P4.sample_lonlat(kind, params)
+        for i in (0, 1):
+            x, y = conic_forward_sql(code, repr(float(lons[i])),
+                                     repr(float(lats[i])))
+            parts.append(
+                f"SELECT CAST({code} AS BIGINT) AS epsg,"
+                f" CAST({i} AS BIGINT) AS pt,"
+                f" ROUND({x}, 6) AS x, ROUND({y}, 6) AS y")
+    return " UNION ALL ".join(parts)
+
+
 def _q_crs_to_crs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic projected -> projected point transform (the
     OGRCreateCoordinateTransformation(src, dst) point path,
@@ -6599,6 +6653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geos_goes_transform": _q_conic_mapped(-90750),
         "crs_to_crs_transform": _q_crs_to_crs,
         "proj4_import_parity": _q_proj4_import,
+        "wkt_import_parity": _q_wkt_import,
         "helmert_transform": _q_helmert_transform,
         "gridshift_transform": _q_gridshift_transform,
         "ntv2_transform": _q_ntv2_transform,
@@ -8814,6 +8869,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "geos_goes_transform": _conic_mapped_sql(-90750),
         "crs_to_crs_transform": _crs_to_crs_sql(),
         "proj4_import_parity": _proj4_import_sql(),
+        "wkt_import_parity": _wkt_import_sql(),
         "helmert_transform": _helmert_sql(),
         "gridshift_transform": _gridshift_sql(),
         "bng_transform": _bng_sql(),

@@ -110,14 +110,15 @@ def ogr2ogr_layer(
     if t_srs_epsg is not None:
         # -s_srs/-t_srs: a non-geographic source CRS composes through
         # the geodetic hub (ogr2ogr_lib.cpp's poCT from
-        # OGRCreateCoordinateTransformation(s_srs, t_srs)); PROJ.4
-        # parameter strings register like importFromProj4 does
-        from .proj4 import register_proj4
+        # OGRCreateCoordinateTransformation(s_srs, t_srs)); strings
+        # dispatch like OSRSetFromUserInput — WKT1, EPSG:NNNN, or a
+        # PROJ.4 parameter string (importFromWkt / importFromProj4)
+        from .wktsrs import register_srs_string
 
         if isinstance(t_srs_epsg, str):
-            t_srs_epsg = register_proj4(t_srs_epsg)
+            t_srs_epsg = register_srs_string(t_srs_epsg)
         if isinstance(s_srs_epsg, str):
-            s_srs_epsg = register_proj4(s_srs_epsg)
+            s_srs_epsg = register_srs_string(s_srs_epsg)
         if s_srs_epsg is not None and s_srs_epsg != 4326:
             out = out.withColumn(
                 geom_col, SG.st_transform_crs(g, s_srs_epsg, t_srs_epsg,

@@ -189,6 +189,23 @@ _DESC_SCHEMA = T.StructType(
 )
 
 
+def read_prj(base: str) -> int | None:
+    """Register the ``.prj`` sidecar's WKT1 CRS (the way OGR's
+    shapefile driver feeds GetSpatialRef, ogrshape/ogrshapelayer.cpp)
+    and return a code usable with every crs.* surface — the engine's
+    own EPSG code when the AUTHORITY resolves, else a synthetic
+    registration.  None when no sidecar exists."""
+    import os
+
+    path = base + ".prj"
+    if not os.path.exists(path):
+        return None
+    from .wktsrs import register_wkt
+
+    with open(path, "r", encoding="utf-8") as f:
+        return register_wkt(f.read())
+
+
 def read_shapefile(
     spark: SparkSession,
     base: str,
@@ -261,10 +278,13 @@ def read_shapefile(
 
 
 # --------------------------------------------------------------- writer
-def write_shapefile(df: DataFrame, base: str, geom_col: str = "geom_wkt") -> dict:
+def write_shapefile(df: DataFrame, base: str, geom_col: str = "geom_wkt",
+                    srs: int | str | None = None) -> dict:
     """Sequential single-writer sink (see module docstring). Field
     schema is derived from the DataFrame schema; geometry type from
-    the first feature."""
+    the first feature.  ``srs`` (an EPSG code from the registry or a
+    literal WKT string) emits the ``.prj`` sidecar the way OGR's
+    shapefile driver does (ogrshape/ogrshapedatasource.cpp)."""
     from . import geometry as GM
 
     rows = df.collect()
@@ -401,6 +421,13 @@ def write_shapefile(df: DataFrame, base: str, geom_col: str = "geom_wkt") -> dic
             fs.write(rec)
             fx.write(struct.pack(">2i", off_words, len(rec) // 2))
             off_words += (8 + len(rec)) // 2
+    if srs is not None:
+        if isinstance(srs, int):
+            from .srsinfo import wkt_strings
+
+            srs = wkt_strings()[srs]
+        with open(base + ".prj", "w", encoding="utf-8") as fp:
+            fp.write(srs)
     return {
         "records": len(recs), "shape_type": shape_type,
         "extent": (gxmin, gymin, gxmax, gymax),

@@ -464,6 +464,37 @@ def proj4_strings() -> dict[int, str]:
     return out
 
 
+def wkt_strings() -> dict[int, str]:
+    """exportToWkt (WKT1-GDAL flavor) for every registered projected
+    code, rendered driver-side from the same ``registry_rows()`` the
+    ``srsinfo()`` DataFrame explodes — byte-identical to the JVM
+    assembly (asserted in tests).  Shared by the WKT-import closure
+    test and the ``wkt_import_parity`` contract query (reference:
+    ``ogr/ogrspatialreference.cpp exportToWkt``)."""
+    by_code: dict = {}
+    for r in registry_rows():
+        by_code.setdefault(r["epsg"], []).append(r)
+    out = {}
+    for code, ps in by_code.items():
+        ps = sorted(ps, key=lambda r: r["ordinal"])
+        h = ps[0]
+        params = ",".join(
+            f'PARAMETER["{r["wkt_key"]}",{r["value"]}]'
+            for r in ps if r["wkt_key"] is not None)
+        geogcs = (
+            f'GEOGCS["{h["geogcs"]}",DATUM["{h["datum"]}",'
+            f'SPHEROID["{h["spheroid"]}",{h["a"]},{h["rf"]}]],'
+            f'PRIMEM["Greenwich",0],'
+            f'UNIT["degree",0.0174532925199433]]')
+        auth = ("" if code in ESRI_CODES
+                else f',AUTHORITY["EPSG","{code}"]')
+        out[code] = (
+            f'PROJCS["{h["name"]}",{geogcs},'
+            f'PROJECTION["{h["wkt_projection"]}"],{params},'
+            f'UNIT["{h["unit_name"]}",{h["unit_factor"]}]{auth}]')
+    return out
+
+
 def params_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(registry_rows()).repartition(8, "epsg")
 
