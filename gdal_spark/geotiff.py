@@ -58,8 +58,9 @@ _TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     273: "strip_offsets", 277: "spp", 278: "rows_per_strip",
     279: "strip_counts", 284: "planar", 317: "predictor",
-    322: "tile_w", 323: "tile_h", 324: "tile_offsets",
-    325: "tile_counts", 339: "sample_format",
+    262: "photometric", 322: "tile_w", 323: "tile_h",
+    324: "tile_offsets", 325: "tile_counts", 339: "sample_format",
+    347: "jpeg_tables",
     33550: "pixel_scale", 33922: "tiepoint", 34264: "model_transform",
     34735: "geokeys", 42113: "nodata_ascii",
 }
@@ -256,6 +257,27 @@ def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
     return arr
 
 
+def _undo_fp_predictor(data: bytes, n: int, itemsize: int,
+                       dt: np.dtype) -> np.ndarray:
+    """TIFF predictor 3 (floating-point horizontal differencing, the
+    Adobe TIFF Technical Note 3 scheme libtiff implements in
+    tif_predict.c): each row stores its values byte-plane-split in
+    big-endian order (all MSBs, then the next byte plane, ...) with
+    horizontal byte differencing over the whole row stream.  Undo =
+    wrap-around byte accumulate per row, de-interleave the planes,
+    reassemble big-endian values.  `n` = values per row."""
+    rowbytes = n * itemsize
+    rows = len(data) // rowbytes
+    b8 = np.frombuffer(data[: rows * rowbytes],
+                       np.uint8).reshape(rows, rowbytes)
+    acc = np.add.accumulate(b8, axis=1, dtype=np.uint8)
+    be = np.ascontiguousarray(
+        acc.reshape(rows, itemsize, n).transpose(0, 2, 1))
+    flat = be.reshape(rows * n, itemsize).view(
+        dt.newbyteorder(">")).ravel()
+    return flat.astype(dt, copy=False)
+
+
 def ifd_meta(path: str) -> list[dict]:
     """Per-IFD summary (width, height, segments) — gdalinfo's skeleton."""
     bo, ifds = _parse_ifds(path)
@@ -354,6 +376,7 @@ def read_geotiff(
     spp = tags.get("spp", [1])[0]
     planar = tags.get("planar", [1])[0]
     itemsize = int(dtype.lstrip("uintfloa")) // 8
+    jpeg_tables = tags.get("jpeg_tables")  # tag 347 raw bytes or None
 
     rows = _segment_rows(tags, path, rid, zoom)
     nslices = max(4, min(len(rows), 256))
@@ -369,9 +392,46 @@ def read_geotiff(
                     f.seek(r.offset)
                     raw = f.read(r.nbytes)
                     expected = r.pad_w * r.pad_h * (spp if planar == 1 else 1) * itemsize
+                    if comp == 7:
+                        # JPEG-in-TIFF (libtiff tif_jpeg.c): shared
+                        # tables live in tag 347 as an abbreviated
+                        # SOI..EOI stream; per-segment streams splice
+                        # after the tables' EOI / their own SOI
+                        from .jpeg import decode_jpeg
+
+                        blob = raw
+                        if jpeg_tables is not None:
+                            blob = bytes(jpeg_tables[:-2]) + raw[2:]
+                        img = decode_jpeg(blob)
+                        if img.ndim == 2:
+                            img = img[:, :, None]
+                        for b in range(img.shape[2]):
+                            a = img[: r.height, : r.width, b]
+                            a = np.ascontiguousarray(a).astype(
+                                np.dtype(dtype), copy=False)
+                            out.append({
+                                "raster_id": r.raster_id,
+                                "band": b + 1,
+                                "zoom": int(r.zoom),
+                                "tile_x": int(r.tile_x),
+                                "tile_y": int(r.tile_y),
+                                "width": int(r.width),
+                                "height": int(r.height),
+                                "dtype": dtype,
+                                "nodata": np.nan if nodata is None
+                                else float(nodata),
+                                "crs": crs,
+                                "geotransform": [float(v) for v in gt],
+                                "data": a.tobytes(),
+                            })
+                        continue
                     data = _decompress(raw, comp, expected)
-                    arr = np.frombuffer(data, dtype=np_dtype)
                     ch = spp if planar == 1 else 1
+                    if pred == 3:
+                        arr = _undo_fp_predictor(
+                            data, r.pad_w * ch, itemsize, np.dtype(dtype))
+                    else:
+                        arr = np.frombuffer(data, dtype=np_dtype)
                     # a final uncompressed strip is NOT padded to
                     # rows_per_strip — reshape by the rows present
                     rows_have = arr.size // (r.pad_w * ch)
