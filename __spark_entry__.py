@@ -6286,6 +6286,29 @@ def _q_mbtiles_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_tiff_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG-compressed tiled GeoTIFF loop (gdal_translate -co
+    COMPRESS=JPEG; frmts/gtiff/gt_jpeg_copy.cpp + libtiff
+    tif_jpeg.c): the 2x2 synth tiles encode DISTRIBUTED twice (pass 1
+    sizes -> driver IFD layout, pass 2 pwrite — compressed sizes are
+    data-dependent so the uncompressed writer's closed-form plan
+    can't apply), then read back through the compression-7 branch of
+    the distributed scan. decode(encode(x)) is deterministic, so
+    checksums must equal the sequential oracle's exactly — the SAME
+    oracle as the MBTiles-JPEG loop, proving both containers carry
+    the identical codec."""
+    import tempfile
+
+    from gdal_spark import geotiff
+
+    src = synth.tiles_src_df(spark, 2, 2, raster_id="jpeg_like")
+    path = tempfile.mkdtemp(prefix="gdal_spark_tjpg_") + "/rt.tif"
+    geotiff.write_geotiff_jpeg(src, path, quality=85)
+    back = geotiff.read_geotiff(spark, path, raster_id="jpeg_like",
+                                zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_webtiles_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XYZ URL-template web tile source (frmts/wms/minidriver_tms.cpp):
     the tile plan is pure column math (no driver loop, no network on
@@ -6377,6 +6400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envi_roundtrip": _q_envi_roundtrip,
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,
         "mbtiles_jpeg_roundtrip": _q_mbtiles_jpeg_roundtrip,
+        "tiff_jpeg_roundtrip": _q_tiff_jpeg_roundtrip,
         "pgdump_roundtrip": _q_pgdump_roundtrip,
         "gpx_roundtrip": _q_gpx_roundtrip,
         "kml_roundtrip": _q_kml_roundtrip,
@@ -8987,6 +9011,8 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("mbtiles_roundtrip",
                      localref.sql_raster_checksums_2x2())
         d.setdefault("mbtiles_jpeg_roundtrip",
+                     localref.sql_mbtiles_jpeg_checksums(85))
+        d.setdefault("tiff_jpeg_roundtrip",
                      localref.sql_mbtiles_jpeg_checksums(85))
         d.setdefault("vrt_xml_derived", localref.sql_vrt_derived_checksums())
     except Exception:

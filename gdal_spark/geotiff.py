@@ -613,6 +613,165 @@ def write_geotiff(tiles: DataFrame, path: str) -> dict:
     }
 
 
+def write_geotiff_jpeg(tiles: DataFrame, path: str,
+                       quality: int = 85) -> dict:
+    """Write a tile table as a JPEG-compressed tiled GeoTIFF
+    (compression 7 + PhotometricInterpretation YCbCr for RGB, the
+    ``gdal_translate -co COMPRESS=JPEG`` layout; reference
+    frmts/gtiff/gt_jpeg_copy.cpp + libtiff tif_jpeg.c).
+
+    Compressed segment sizes are data-dependent, so the closed-form
+    pwrite plan of :func:`write_geotiff` doesn't apply.  Spark-first
+    two-pass design: pass 1 encodes DISTRIBUTED and returns only the
+    per-tile byte COUNTS (one long per tile — the same cardinality
+    the IFD's own offset array forces on ANY TIFF writer, so the
+    driver state is irreducible); the driver lays out addresses and
+    writes header + IFD; pass 2 re-encodes (deterministic codec) and
+    os.pwrites each blob at its planned offset.  CPU doubles, but no
+    pixel byte ever reaches the driver and no scratch spill is
+    needed; a 10^6-tile mosaic encodes at cluster width twice.
+    Multi-band input takes ONE keyed shuffle per pass (band rows zip
+    into interleaved pixels on the tile key).
+
+    uint8 only; 1 band (grayscale JPEG) or 3 bands (YCbCr 4:4:4).
+    """
+    from .jpeg import encode_jpeg
+
+    meta_rows = tiles.groupBy("raster_id").agg(
+        F.max("tile_x").alias("ntx1"), F.max("tile_y").alias("nty1"),
+        F.max("width").alias("tw"), F.max("height").alias("th"),
+        F.first("dtype").alias("dtype"), F.first("nodata").alias("nodata"),
+        F.first("crs").alias("crs"),
+        F.first("geotransform").alias("gt"),
+        F.max("band").alias("nbands"),
+        F.sum(F.when((F.col("tile_x") == 0) & (F.col("band") == 1),
+                     F.col("height"))).alias("img_h"),
+        F.sum(F.when((F.col("tile_y") == 0) & (F.col("band") == 1),
+                     F.col("width"))).alias("img_w"),
+    ).collect()
+    if len(meta_rows) != 1:
+        raise ValueError("write_geotiff_jpeg expects exactly one raster_id")
+    m = meta_rows[0]
+    ntx, nty = int(m.ntx1) + 1, int(m.nty1) + 1
+    tw, th = int(m.tw), int(m.th)
+    nbands = int(m.nbands)
+    if str(m.dtype) != "uint8":
+        raise ValueError("JPEG compression requires uint8 tiles")
+    if nbands not in (1, 3):
+        raise ValueError("JPEG compression requires 1 or 3 bands")
+    width, height = int(m.img_w), int(m.img_h)
+    gt = list(m.gt) if m.gt is not None else [0, 1, 0, 0, 0, -1]
+    epsg = 0
+    if m.crs and str(m.crs).upper().startswith("EPSG:"):
+        epsg = int(str(m.crs).split(":")[1])
+
+    out_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("nbytes", T.LongType()),
+    ])
+
+    def _encode(pdf: pd.DataFrame) -> bytes:
+        """One tile's rows (1 or 3 bands) -> padded JPEG blob."""
+        img = np.zeros((th, tw, nbands), dtype=np.uint8)
+        for r in pdf.itertuples(index=False):
+            a = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(
+                int(r.height), int(r.width))
+            img[: a.shape[0], : a.shape[1], int(r.band) - 1] = a
+        if nbands == 1:
+            img = img[:, :, 0]
+        return encode_jpeg(img, quality=quality)
+
+    def sizes_fn(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        return pd.DataFrame({"k": [ty * ntx + tx],
+                             "nbytes": [len(_encode(pdf))]})
+
+    grouped = tiles.groupBy("tile_x", "tile_y")
+    size_rows = grouped.applyInPandas(sizes_fn, schema=out_schema).collect()
+    counts = [0] * (ntx * nty)
+    for r in size_rows:
+        counts[int(r.k)] = int(r.nbytes)
+
+    # ---- driver: header + IFD (classic little-endian; JPEG tiles
+    # are small enough that pyramids beyond 4 GiB shard per level)
+    tables_off: list[int] = []
+
+    def _entries(data_start: int):
+        offs, pos = [], data_start
+        for c in counts:
+            offs.append(pos)
+            pos += c + (c & 1)  # word-align segments
+        e = [
+            (256, 3, 1, [width]), (257, 3, 1, [height]),
+            (258, 3, nbands, [8] * nbands),
+            (259, 3, 1, [7]),
+            (262, 3, 1, [6 if nbands == 3 else 1]),
+            (277, 3, 1, [nbands]), (284, 3, 1, [1]),
+            (322, 3, 1, [tw]), (323, 3, 1, [th]),
+            (324, 4, ntx * nty, offs),
+            (325, 4, ntx * nty, counts),
+            (33550, 12, 3, [gt[1], -gt[5], 0.0]),
+            (33922, 12, 6, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]),
+        ]
+        if nbands == 3:
+            e.append((530, 3, 2, [1, 1]))  # 4:4:4 (default would be 2,2)
+        if epsg:
+            model = 2 if 4000 <= epsg < 5000 else 1
+            gk = [1, 1, 0, 3, 1024, 0, 1, model, 1025, 0, 1, 1,
+                  (2048 if model == 2 else 3072), 0, 1, epsg]
+            gk[3] = (len(gk) - 4) // 4
+            e.append((34735, 3, len(gk), gk))
+        return sorted(e)
+
+    hdr_len = 8
+    n_entries = len(_entries(0))
+    ifd_len = 2 + n_entries * 12 + 4
+
+    def _serialize(data_start: int):
+        ov_pos = hdr_len + ifd_len
+        ifd, overflow = b"", b""
+        for tag, typ, cnt, vals in _entries(data_start):
+            fmt = _TYPE_FMT[typ]
+            payload = struct.pack("<" + fmt * cnt, *vals)
+            ent = struct.pack("<HHI", tag, typ, cnt)
+            if len(payload) <= 4:
+                ent += payload + b"\x00" * (4 - len(payload))
+            else:
+                ent += struct.pack("<I", ov_pos + len(overflow))
+                overflow += payload
+            ifd += ent
+        return (struct.pack("<H", n_entries) + ifd + b"\x00" * 4,
+                overflow)
+
+    body0, ov0 = _serialize(0)
+    data_start = hdr_len + len(body0) + len(ov0)
+    body, overflow = _serialize(data_start)
+    offs = []
+    pos = data_start
+    for c in counts:
+        offs.append(pos)
+        pos += c + (c & 1)
+    total = pos
+
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", hdr_len) + body + overflow)
+        f.truncate(total)
+
+    offs_b = offs  # closure: nseg ints, KBs
+
+    def write_fn(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        blob = _encode(pdf)
+        with open(path, "r+b") as f:
+            os.pwrite(f.fileno(), blob, offs_b[ty * ntx + tx])
+        return pd.DataFrame({"k": [ty * ntx + tx],
+                             "nbytes": [len(blob)]})
+
+    grouped.applyInPandas(write_fn, schema=out_schema).count()
+    return {"path": path, "width": width, "height": height,
+            "bands": nbands, "tiles": ntx * nty, "bytes": total}
+
+
 # ------------------------------------------------------------- COG writer
 def _level_meta(tiles: DataFrame) -> list:
     """One metadata row per pyramid level (zoom), smallest collect."""

@@ -157,3 +157,46 @@ def test_jpeg_in_tiff_rgb_shared_tables(spark, tmp_path):
     tiles = _collect(spark, path)
     got = np.stack([tiles[(b, 0, 0)] for b in (1, 2, 3)], axis=-1)
     np.testing.assert_array_equal(got, want)
+
+
+def _rt_tiles(spark, src_df, path, quality):
+    from gdal_spark.geotiff import write_geotiff_jpeg
+
+    info = write_geotiff_jpeg(src_df, path, quality=quality)
+    assert info["tiles"] >= 1
+    return _collect(spark, path)
+
+
+def test_jpeg_tiff_writer_roundtrip_gray(spark, tmp_path):
+    from gdal_spark import synth
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = str(tmp_path / "wj.tif")
+    tiles = _rt_tiles(spark, src, path, 90)
+    # expected: decode(encode(tile)) of the same deterministic pixels
+    for r in src.collect():
+        a = np.frombuffer(r.data, np.uint8).reshape(r.height, r.width)
+        want = decode_jpeg(encode_jpeg(a, quality=90))
+        np.testing.assert_array_equal(
+            tiles[(1, r.tile_x, r.tile_y)], want)
+
+
+def test_jpeg_tiff_writer_roundtrip_rgb(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gdal_spark import synth
+
+    b1 = synth.tiles_src_df(spark, 1, 2)
+    src = b1
+    for b in (2, 3):
+        src = src.unionByName(
+            b1.withColumn("band", F.lit(b).cast("int")))
+    path = str(tmp_path / "wj3.tif")
+    tiles = _rt_tiles(spark, src, path, 85)
+    for r in b1.collect():
+        a = np.frombuffer(r.data, np.uint8).reshape(r.height, r.width)
+        img = np.stack([a, a, a], axis=-1)
+        want = decode_jpeg(encode_jpeg(img, quality=85))
+        got = np.stack(
+            [tiles[(b, r.tile_x, r.tile_y)] for b in (1, 2, 3)], -1)
+        np.testing.assert_array_equal(got, want)
