@@ -5801,6 +5801,26 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF full loop (gdal/frmts/gif/gifdataset.cpp + the GIF89a
+    spec): the 2x2 synth tiles through the ordered single-stream
+    GIF89a sink (one file = one sequential LZW stream, so the frame
+    is the parallel unit), back via the frame-descriptor scan with
+    ``expand='rgb'`` through the identity grayscale palette — three
+    equal bands, checksummed. LZW is lossless, so checksums must
+    equal the mosaic oracle's exactly."""
+    import tempfile
+
+    from gdal_spark import gif as GIF
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_gif_") + "/rt.gif"
+    GIF.write_gif(src, path)
+    back = GIF.read_gif(spark, path, raster_id="byte_like",
+                        expand="rgb", zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BMP full loop (gdal/frmts/bmp/bmpdataset.cpp): the 2x2 synth
     tiles through the 8-bit paletted sink (parallel pwrite of
@@ -6385,6 +6405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtiles_xyz": _q_webtiles_xyz,
         "ehdr_roundtrip": _q_ehdr_roundtrip,
         "bmp_roundtrip": _q_bmp_roundtrip,
+        "gif_roundtrip": _q_gif_roundtrip,
         "surfer_roundtrip": _q_surfer_roundtrip,
         "rst_roundtrip": _q_rst_roundtrip,
         "ers_roundtrip": _q_ers_roundtrip,
@@ -8955,6 +8976,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("webtiles_xyz", localref.sql_raster_checksums_2x2())
         d.setdefault("ehdr_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("bmp_roundtrip", localref.sql_bmp_checksums())
+        d.setdefault("gif_roundtrip", localref.sql_gif_checksums())
         d.setdefault("surfer_roundtrip", localref.sql_surfer_checksums())
         d.setdefault("rst_roundtrip", localref.sql_bmp_checksums())
         d.setdefault("ers_roundtrip",

@@ -408,6 +408,17 @@ def sql_mbtiles_jpeg_checksums(quality: int = 85) -> str:
     return values_sql(rows, CKS_COLS, CKS_TYPES)
 
 
+def sql_gif_checksums() -> str:
+    """GIF loop oracle: the 2x2 mosaic reads back as ONE frame row
+    (LZW has no reset points -> frame granularity), expanded through
+    the identity grayscale palette into 3 equal bands."""
+    m = global_mosaic(2, 2)
+    rows = []
+    for band in (1, 2, 3):
+        rows += tile_checksums(m, 512, "byte_like", band, 12)
+    return values_sql(rows, CKS_COLS, CKS_TYPES)
+
+
 def sql_envi_checksums_2x2_2band() -> str:
     """2-band ENVI/EHdr roundtrip oracle: band 1 = default-seed synth
     mosaic, band 2 = seed-9 mosaic (the writer interleaves them BIP,
