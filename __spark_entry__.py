@@ -5801,6 +5801,23 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_pnm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNM binary P5 loop (gdal/frmts/raw/pnmdataset.cpp): the 2x2
+    synth tiles through the header+strip-parallel sink (driver writes
+    only the ASCII header; body pwrites at closed-form offsets after
+    it), back via the ehdr raw-strip map-only scan. Checksums equal
+    the mosaic oracle's exactly."""
+    import tempfile
+
+    from gdal_spark import pnm
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_pnm_") + "/rt.pgm"
+    pnm.write_pnm(src, path)
+    back = pnm.read_pnm(spark, path, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF full loop (gdal/frmts/gif/gifdataset.cpp + the GIF89a
     spec): the 2x2 synth tiles through the ordered single-stream
@@ -6406,6 +6423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ehdr_roundtrip": _q_ehdr_roundtrip,
         "bmp_roundtrip": _q_bmp_roundtrip,
         "gif_roundtrip": _q_gif_roundtrip,
+        "pnm_roundtrip": _q_pnm_roundtrip,
         "surfer_roundtrip": _q_surfer_roundtrip,
         "rst_roundtrip": _q_rst_roundtrip,
         "ers_roundtrip": _q_ers_roundtrip,
@@ -8977,6 +8995,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("ehdr_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("bmp_roundtrip", localref.sql_bmp_checksums())
         d.setdefault("gif_roundtrip", localref.sql_gif_checksums())
+        d.setdefault("pnm_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("surfer_roundtrip", localref.sql_surfer_checksums())
         d.setdefault("rst_roundtrip", localref.sql_bmp_checksums())
         d.setdefault("ers_roundtrip",

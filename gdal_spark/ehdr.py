@@ -285,7 +285,7 @@ def _collect_meta(tiles: DataFrame):
 
 def _write_raw_data(tiles: DataFrame, data_path: str, *, interleave: str,
                     nrows: int, ncols: int, nbands: int, dtype: str,
-                    tile_px: int) -> None:
+                    tile_px: int, skip: int = 0) -> None:
     """Plan closed-form offsets; executors pwrite tile rows in
     parallel. The driver only truncates the file.
 
@@ -297,8 +297,10 @@ def _write_raw_data(tiles: DataFrame, data_path: str, *, interleave: str,
     writes."""
     isz = np.dtype(dtype).itemsize
     npd = np.dtype(dtype)
-    with open(data_path, "wb") as f:
-        f.truncate(nrows * ncols * nbands * isz)
+    # skip > 0: a header written by the caller precedes the raster
+    # body (PNM); keep it and lay the body after it
+    with open(data_path, "r+b" if skip else "wb") as f:
+        f.truncate(skip + nrows * ncols * nbands * isz)
 
     if interleave == "bip" and nbands > 1:
         out_schema = T.StructType([
@@ -334,7 +336,7 @@ def _write_raw_data(tiles: DataFrame, data_path: str, *, interleave: str,
                     gy0 = int(r["tile_y"]) * tile_px
                     gx0 = int(r["tile_x"]) * tile_px
                     for i in range(h):
-                        off = ((gy0 + i) * ncols + gx0) * nbands * isz
+                        off = skip + ((gy0 + i) * ncols + gx0) * nbands * isz
                         os.pwrite(fd, cube[i].tobytes(), off)
 
         packed.foreachPartition(write_bip)
@@ -352,17 +354,17 @@ def _write_raw_data(tiles: DataFrame, data_path: str, *, interleave: str,
                 gy0 = int(r["tile_y"]) * tile_px
                 gx0 = int(r["tile_x"]) * tile_px
                 if interleave == "bsq":
-                    base = (b * nrows * ncols) * isz
+                    base = skip + (b * nrows * ncols) * isz
                     for i in range(h):
                         off = base + ((gy0 + i) * ncols + gx0) * isz
                         os.pwrite(fd, arr[i].tobytes(), off)
                 elif interleave == "bil":
                     for i in range(h):
-                        off = (((gy0 + i) * nbands + b) * ncols + gx0) * isz
+                        off = skip + (((gy0 + i) * nbands + b) * ncols + gx0) * isz
                         os.pwrite(fd, arr[i].tobytes(), off)
                 else:  # bip, single band: degenerates to contiguous rows
                     for i in range(h):
-                        off = ((gy0 + i) * ncols + gx0) * isz
+                        off = skip + ((gy0 + i) * ncols + gx0) * isz
                         os.pwrite(fd, arr[i].tobytes(), off)
 
     tiles.foreachPartition(write_part)
