@@ -5801,6 +5801,40 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_saga_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAGA grid loop (gdal/frmts/saga/sagadataset.cpp): the 2x2
+    synth tiles through the .sgrd+.sdat sink (KB keyword header
+    driver-side, bottom-up strips pwrite in parallel), back via the
+    gsg bottom-up strip scan. POSITION_* keywords name cell CENTERS —
+    the half-cell shift must close. Checksums equal the mosaic
+    oracle's exactly."""
+    import tempfile
+
+    from gdal_spark import saga
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    base = tempfile.mkdtemp(prefix="gdal_spark_saga_") + "/rt.sgrd"
+    saga.write_saga(src, base)
+    back = saga.read_saga(spark, base, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
+def _q_lan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erdas LAN loop (gdal/frmts/raw/landataset.cpp): the 2x2 synth
+    tiles through the HEAD74 BIL sink (128-byte header driver-side,
+    strip pwrites after it), back via the ehdr BIL raw scan.
+    Checksums equal the mosaic oracle's exactly."""
+    import tempfile
+
+    from gdal_spark import lan
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_lan_") + "/rt.lan"
+    lan.write_lan(src, path)
+    back = lan.read_lan(spark, path, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_pnm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNM binary P5 loop (gdal/frmts/raw/pnmdataset.cpp): the 2x2
     synth tiles through the header+strip-parallel sink (driver writes
@@ -6424,6 +6458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_roundtrip": _q_bmp_roundtrip,
         "gif_roundtrip": _q_gif_roundtrip,
         "pnm_roundtrip": _q_pnm_roundtrip,
+        "saga_roundtrip": _q_saga_roundtrip,
+        "lan_roundtrip": _q_lan_roundtrip,
         "surfer_roundtrip": _q_surfer_roundtrip,
         "rst_roundtrip": _q_rst_roundtrip,
         "ers_roundtrip": _q_ers_roundtrip,
@@ -8996,6 +9032,8 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("bmp_roundtrip", localref.sql_bmp_checksums())
         d.setdefault("gif_roundtrip", localref.sql_gif_checksums())
         d.setdefault("pnm_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("saga_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("lan_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("surfer_roundtrip", localref.sql_surfer_checksums())
         d.setdefault("rst_roundtrip", localref.sql_bmp_checksums())
         d.setdefault("ers_roundtrip",
