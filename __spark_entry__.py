@@ -5801,6 +5801,26 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_hfa_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erdas Imagine HFA loop (gdal/frmts/hfa/): the 2x2 synth tiles
+    through the uncompressed .img sink (driver writes entry tree +
+    MIF dictionary, blocks pwrite at closed-form offsets — the HFA
+    block IS the tile), back via the block-descriptor-parallel scan
+    whose READ side is parity-proven against 10 of the reference's
+    own fixtures (tests/test_hfa.py: byte/int16/.../float64 4672,
+    utmsmall 50054, 2bit_compressed RLC 11918, spill .ige).
+    Checksums equal the mosaic oracle's exactly."""
+    import tempfile
+
+    from gdal_spark import hfa
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_hfa_") + "/rt.img"
+    hfa.write_hfa(src, path)
+    back = hfa.read_hfa(spark, path, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_saga_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAGA grid loop (gdal/frmts/saga/sagadataset.cpp): the 2x2
     synth tiles through the .sgrd+.sdat sink (KB keyword header
@@ -6458,6 +6478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_roundtrip": _q_bmp_roundtrip,
         "gif_roundtrip": _q_gif_roundtrip,
         "pnm_roundtrip": _q_pnm_roundtrip,
+        "hfa_roundtrip": _q_hfa_roundtrip,
         "saga_roundtrip": _q_saga_roundtrip,
         "lan_roundtrip": _q_lan_roundtrip,
         "surfer_roundtrip": _q_surfer_roundtrip,
@@ -9032,6 +9053,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("bmp_roundtrip", localref.sql_bmp_checksums())
         d.setdefault("gif_roundtrip", localref.sql_gif_checksums())
         d.setdefault("pnm_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("hfa_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("saga_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("lan_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("surfer_roundtrip", localref.sql_surfer_checksums())
