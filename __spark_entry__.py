@@ -5801,6 +5801,26 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_rraster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRASTER loop (gdal/frmts/raw/rrasterdataset.cpp — the R
+    'raster' package's native format): the 2x2 synth tiles through
+    the .grd+.gri sink (KB INI header driver-side, BIL strips pwrite
+    in parallel), back via the ehdr raw-strip map-only scan; the
+    READ side is parity-proven against the reference's own
+    byte_rraster fixture (checksum 4672, tests/test_rawlabels.py).
+    Checksums equal the mosaic oracle's exactly."""
+    import tempfile
+
+    from gdal_spark import rawlabels
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    base = tempfile.mkdtemp(prefix="gdal_spark_rr_") + "/rt.grd"
+    rawlabels.write_rraster(src, base)
+    back = rawlabels.read_rraster(spark, base, raster_id="byte_like",
+                                  zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_hfa_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Erdas Imagine HFA loop (gdal/frmts/hfa/): the 2x2 synth tiles
     through the uncompressed .img sink (driver writes entry tree +
@@ -6478,6 +6498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_roundtrip": _q_bmp_roundtrip,
         "gif_roundtrip": _q_gif_roundtrip,
         "pnm_roundtrip": _q_pnm_roundtrip,
+        "rraster_roundtrip": _q_rraster_roundtrip,
         "hfa_roundtrip": _q_hfa_roundtrip,
         "saga_roundtrip": _q_saga_roundtrip,
         "lan_roundtrip": _q_lan_roundtrip,
@@ -9053,6 +9074,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("bmp_roundtrip", localref.sql_bmp_checksums())
         d.setdefault("gif_roundtrip", localref.sql_gif_checksums())
         d.setdefault("pnm_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("rraster_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("hfa_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("saga_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("lan_roundtrip", localref.sql_raster_checksums_2x2())
