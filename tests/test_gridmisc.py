@@ -64,3 +64,37 @@ def test_pcraster_ldd_4528(spark):
     assert G.gdal_checksum(a) == 4528        # autotest pcraster.py:45
     h = GM.parse_csf(f"{DATA}/pcraster/ldd.map")
     assert (h["width"], h["height"]) == (80, 100)
+
+
+def test_gxf_small_ascii_90(spark):
+    from gdal_spark import gxf as GX
+
+    rows = GX.read_gxf(spark, f"{DATA}/gxf/small.gxf").collect()
+    a = _band(rows)
+    assert a.shape == (3, 4) and a.dtype == np.float32
+    assert G.gdal_checksum(a) == 90           # autotest gxf.py:46
+    # default SENSE=1: first data row is the BOTTOM row
+    np.testing.assert_allclose(a[2], [-9999999.0, 10, 20, 25])
+
+
+def test_gxf_small2_base90_65042(spark):
+    from gdal_spark import gxf as GX
+
+    rows = GX.read_gxf(spark, f"{DATA}/gxf/small2.gxf").collect()
+    a = _band(rows)
+    assert a.shape == (8, 10)
+    assert G.gdal_checksum(a) == 65042        # autotest gxf.py:56
+
+
+@pytest.mark.parametrize("fname,cks", [
+    ("022gdeme_truncated", 1583),
+    ("114p01_0100_deme_truncated.dem", 53864),
+    ("39079G6_truncated.dem", 61424),
+])
+def test_usgsdem_checksums(spark, fname, cks):
+    # autotest/gdrivers/usgsdem.py:45-69
+    from gdal_spark import usgsdem as UD
+
+    rows = UD.read_usgsdem(spark, f"{DATA}/usgsdem/{fname}").collect()
+    a = _band(rows)
+    assert G.gdal_checksum(a) == cks
