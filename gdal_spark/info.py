@@ -189,6 +189,9 @@ _MAGIC_RULES = [
         and p.lower().endswith(".dxf")),
     ("GPX", lambda h, p: b"<gpx" in h[:1024]),
     ("KML", lambda h, p: b"<kml" in h[:1024]),
+    # TopoJSON must outrank GeoJSON (both are '{' + "type")
+    ("TopoJSON", lambda h, p: h.lstrip()[:1] == b"{"
+        and b'"Topology"' in h[:4096]),
     ("GeoJSON", lambda h, p: h.lstrip()[:1] == b"{"
         and (b'"type"' in h[:1024])),
     # fork driver: frmts/cnsdtf/cnsdtfdataset.cpp Identify :489-523
@@ -196,6 +199,33 @@ _MAGIC_RULES = [
         and any(m in h[8:64] for m in
                 (b"CNSDTF-DEM", b"CNSDTF-RAS", b"CSDTF-DEM", b"CSDTF-RAS"))),
     ("AAIGrid", lambda h, p: h[:5].lower() == b"ncols"),
+    # round-5 session-9 driver batch
+    ("HFA", lambda h, p: h[:15] == b"EHFA_HEADER_TAG"),
+    ("GIF", lambda h, p: h[:6] in (b"GIF87a", b"GIF89a")),
+    ("JPEG", lambda h, p: h[:2] == b"\xff\xd8"),
+    ("PNM", lambda h, p: h[:2] in (b"P5", b"P6")
+        and len(h) > 2 and h[2:3].isspace()),
+    ("SGI", lambda h, p: h[:2] == b"\x01\xda"),
+    ("Terragen", lambda h, p: h[:16] == b"TERRAGENTERRAIN "),
+    ("PCRaster", lambda h, p: h[:27]
+        == b"RUU CROSS SYSTEM MAP FORMAT"),
+    ("LAN", lambda h, p: h[:6] in (b"HEAD74", b"HEADER")),
+    ("ELAS", lambda h, p: len(h) >= 32
+        and int.from_bytes(h[28:32], "big") == 4321),
+    ("GXF", lambda h, p: h[:5] in (b"#GRID", b"#TITL", b"#POIN",
+                                   b"#ROWS", b"#PTSE", b"#RWSE")
+        or h.lstrip()[:1] == b"#" and b"#GRID" in h),
+    ("SAGA", lambda h, p: p.lower().endswith((".sdat", ".sgrd"))),
+    ("RRASTER", lambda h, p: h[:9] == b"[general]"
+        and b"[georeference]" in h),
+    ("ILWIS", lambda h, p: p.lower().endswith(".mpr")
+        and b"[Ilwis]" in h),
+    ("ISG", lambda h, p: b"begin_of_head" in h),
+    ("USGSDEM", lambda h, p: p.lower().endswith(".dem")
+        and len(h) > 864
+        and all(c in (9, 10, 13) or 32 <= c <= 126 for c in h[:128])),
+    ("GMT", lambda h, p: h[:8] == b"# @VGMT1"),
+    ("BMP", lambda h, p: h[:2] == b"BM"),
     ("EHdr", lambda h, p: p.lower().endswith((".bil", ".bip", ".bsq"))),
     ("PGDump", lambda h, p: h[:2] == b"--" and b"COPY" in h[:4096]),
 ]

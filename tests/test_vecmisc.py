@@ -118,3 +118,31 @@ def test_gmt_multi(spark):
     assert rows[1].geom_wkt == \
         "MULTILINESTRING ((175.1 -45,175.2 -45.1)," \
         "(180.1 -45.3,180 -45.2))"
+
+
+def test_identify_new_formats(spark):
+    from gdal_spark.info import identify
+
+    G2 = "/root/reference/autotest/gdrivers/data"
+    cases = {
+        f"{G2}/hfa/int.img": "HFA",
+        f"{G2}/gif/bug407.gif": "GIF",
+        f"{G2}/pnm/byte.pgm": "PNM",
+        f"{G2}/sgi/byte.sgi": "SGI",
+        f"{G2}/terragen/float32.ter": "Terragen",
+        f"{G2}/pcraster/ldd.map": "PCRaster",
+        f"{G2}/lan/fakelan.lan": "LAN",
+        f"{G2}/elas/byte_elas.bin": "ELAS",
+        f"{G2}/gxf/small.gxf": "GXF",
+        f"{G2}/saga/4byteFloat.sdat": "SAGA",
+        f"{G2}/rraster/byte_rraster.grd": "RRASTER",
+        f"{G2}/ilwis/LanduseSmall.mpr": "ILWIS",
+        f"{G2}/isg/test.isg": "ISG",
+        f"{G2}/usgsdem/39079G6_truncated.dem": "USGSDEM",
+        f"{DATA}/topojson/topojson1.topojson": "TopoJSON",
+        f"{DATA}/gmt/test_multi.gmt": "GMT",
+    }
+    got = {r.path: r.driver
+           for r in identify(spark, list(cases)).collect()}
+    for p, drv in cases.items():
+        assert got[p] == drv, (p, got[p])
