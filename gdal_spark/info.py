@@ -225,6 +225,7 @@ _MAGIC_RULES = [
         and len(h) > 864
         and all(c in (9, 10, 13) or 32 <= c <= 126 for c in h[:128])),
     ("GMT", lambda h, p: h[:8] == b"# @VGMT1"),
+    ("VICAR", lambda h, p: h[:8] == b"LBLSIZE="),
     ("BMP", lambda h, p: h[:2] == b"BM"),
     ("EHdr", lambda h, p: p.lower().endswith((".bil", ".bip", ".bsq"))),
     ("PGDump", lambda h, p: h[:2] == b"--" and b"COPY" in h[:4096]),
