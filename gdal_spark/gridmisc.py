@@ -375,3 +375,178 @@ def read_pcraster(spark: SparkSession, path: str, *,
         dtype_of=lambda b: h["dtype"], origin_of=lambda b: 256,
         line_stride=h["width"] * isz, gt=h["geotransform"],
         rid=rid, zoom=zoom, tile_px=tile_px)
+
+
+# -------------------------------------------------------------- Leveller
+def parse_leveller(path: str) -> dict:
+    """Leveller .ter tag walk (frmts/leveller/levellerdataset.cpp
+    locate_data :1021 — after the 5-byte 'trrn'+version header,
+    repeated [len u8][name][datalen u32 LE][data]); hf_data is a
+    float32 LE top-down grid (v6+), raw values (the worldscale
+    multiply is compiled out, :586-590); hf_worldspacing centers the
+    origin on the heightfield."""
+    with open(path, "rb") as f:
+        head = f.read(5)
+        if head[:4] != b"trrn":
+            raise ValueError(f"not a Leveller terrain: {path}")
+        version = head[4]
+        tags = {}
+        while True:
+            c = f.read(1)
+            if not c:
+                break
+            dlen = c[0]
+            if dlen == 0 or dlen > 64:
+                break
+            name = f.read(dlen).decode("latin-1", "replace")
+            raw = f.read(4)
+            if len(raw) < 4:
+                break
+            n, = struct.unpack("<I", raw)
+            tags[name] = (f.tell(), n)
+            f.seek(n, 1)
+
+        def tag_int(name):
+            off, n = tags[name]
+            f.seek(off)
+            return struct.unpack("<i", f.read(4))[0]
+
+        def tag_double(name, default=None):
+            if name not in tags:
+                return default
+            off, n = tags[name]
+            f.seek(off)
+            if n == 8:
+                return struct.unpack("<d", f.read(8))[0]
+            return float(struct.unpack("<f", f.read(4))[0])
+
+        W = tag_int("hf_w")
+        H = tag_int("hf_b")
+        if "hf_data" not in tags:
+            raise ValueError("Leveller file without hf_data")
+        data_off, dlen = tags["hf_data"]
+        ws = tag_double("hf_worldspacing")
+    gt = [0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    if ws is not None:
+        gt = [-0.5 * ws * (W - 1), ws, 0.0,
+              -0.5 * ws * (H - 1), 0.0, ws]
+    return dict(width=W, height=H, version=version,
+                data_off=data_off, geotransform=gt)
+
+
+def read_leveller(spark: SparkSession, path: str, *,
+                  tile_px: int = 256, raster_id: str | None = None,
+                  zoom: int = 0) -> DataFrame:
+    h = parse_leveller(path)
+    rid = raster_id or os.path.splitext(os.path.basename(path))[0]
+    return _strip_scan(
+        spark, path, W=h["width"], H=h["height"], nbands=1,
+        dtype_of=lambda b: "<f4",
+        origin_of=lambda b: h["data_off"],
+        line_stride=h["width"] * 4, gt=h["geotransform"],
+        rid=rid, zoom=zoom, tile_px=tile_px)
+
+
+# ---------------------------------------------------------------- DIPEx
+def parse_dipex(path: str) -> dict:
+    """DIPEx — the LITTLE-endian ELAS variant (frmts/raw/
+    dipxdataset.cpp): magic 4322 at offset 28, type=(IH19[1]&0x7e)>>2
+    with size=IH19[0] (note the byte swap vs ELAS), data records of
+    NBPR bytes at literal 1024."""
+    with open(path, "rb") as f:
+        hdr = f.read(1024)
+    nbih, nbpr, il, ll, ie, le, nc, h4322 = struct.unpack(
+        "<8i", hdr[:32])
+    if h4322 != 4322:
+        raise ValueError(f"not a DIPEx file: {path}")
+    ih19 = hdr[72:76]
+    code = (ih19[1] & 0x7E) >> 2
+    size = ih19[0]
+    if code in (0, 1) and size == 1:
+        dtype = "u1"
+    elif code == 16 and size == 4:
+        dtype = "<f4"
+    elif code == 17 and size == 8:
+        dtype = "<f8"
+    else:
+        raise ValueError(f"DIPEx data type {code}/{size}")
+    return dict(width=le - ie + 1, height=ll - il + 1, nbands=nc,
+                dtype=dtype, line_stride=nbpr,
+                geotransform=[0.0, 1.0, 0.0, 0.0, 0.0, 1.0])
+
+
+def read_dipex(spark: SparkSession, path: str, *, tile_px: int = 256,
+               raster_id: str | None = None, zoom: int = 0) -> DataFrame:
+    h = parse_dipex(path)
+    isz = np.dtype(h["dtype"]).itemsize
+    W = h["width"]
+    rid = raster_id or os.path.splitext(os.path.basename(path))[0]
+    return _strip_scan(
+        spark, path, W=W, H=h["height"], nbands=h["nbands"],
+        dtype_of=lambda b: h["dtype"],
+        origin_of=lambda b: 1024 + b * W * isz,
+        line_stride=h["line_stride"], gt=h["geotransform"],
+        rid=rid, zoom=zoom, tile_px=tile_px)
+
+
+# ------------------------------------------------------------------ CTG
+def read_ctg(spark: SparkSession, path: str, *,
+             raster_id: str | None = None, zoom: int = 0) -> DataFrame:
+    """USGS LULC Composite Theme Grid (frmts/ctg/ctgdataset.cpp):
+    five 80-char header records (rows@0, cols@20, cellsize@35, UTM
+    zone@50; NW corner at record 4 offsets 40/50), then one 80-char
+    record per CELL (zone, easting, northing, six 10-char int32
+    themes; >= 2e9 -> 0); cells place by their center coordinates
+    against the NW origin.  Files are small legacy city grids — the
+    FILE is the distributed unit; each kernel fills its 6-band image
+    with one vectorized pass."""
+    with open(path, "rb") as f:
+        hdr = f.read(5 * 80).decode("ascii", "replace")
+    nrows = int(hdr[0:10])
+    ncols = int(hdr[20:30])
+    cell = int(hdr[35:40])
+    zone = int(hdr[50:55])
+    nwe = int(hdr[3 * 80 + 40:3 * 80 + 50])
+    nwn = int(hdr[3 * 80 + 50:3 * 80 + 60])
+    gt = [nwe - cell / 2, cell, 0.0, nwn + cell / 2, 0.0,
+          float(-cell)]
+    rid = raster_id or os.path.basename(path)
+    desc = spark.createDataFrame(
+        [(path,)], "path string").repartition(1)
+
+    def scan(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                with open(p, "rb") as f:
+                    f.seek(5 * 80)
+                    body = f.read()
+                n = len(body) // 80
+                img = np.zeros((6, nrows, ncols), np.int32)
+                for k in range(n):
+                    ln = body[k * 80:(k + 1) * 80].decode(
+                        "ascii", "replace")
+                    x = int(ln[3:11]) - cell // 2
+                    y = int(ln[11:19]) + cell // 2
+                    cx = (x - nwe) // cell
+                    cy = (nwn - y) // cell
+                    if not (0 <= cx < ncols and 0 <= cy < nrows):
+                        continue
+                    for i in range(6):
+                        v = int(ln[20 + 10 * i:30 + 10 * i])
+                        img[i, cy, cx] = 0 if v >= 2000000000 else v
+                for b in range(6):
+                    out.append({
+                        "raster_id": rid, "band": b + 1,
+                        "zoom": int(zoom), "tile_x": 0, "tile_y": 0,
+                        "width": ncols, "height": nrows,
+                        "dtype": "int32", "nodata": float("nan"),
+                        "crs": f"EPSG:{32600 + zone}",
+                        "geotransform": [float(v) for v in gt],
+                        "data": np.ascontiguousarray(
+                            img[b]).tobytes(),
+                    })
+            yield pd.DataFrame(
+                out, columns=[f2.name for f2 in TILE_SCHEMA.fields])
+
+    return desc.mapInPandas(scan, schema=TILE_SCHEMA)

@@ -98,3 +98,25 @@ def test_usgsdem_checksums(spark, fname, cks):
     rows = UD.read_usgsdem(spark, f"{DATA}/usgsdem/{fname}").collect()
     a = _band(rows)
     assert G.gdal_checksum(a) == cks
+
+
+def test_leveller_ter6_33441(spark):
+    rows = GM.read_leveller(
+        spark, f"{DATA}/leveller/ter6test.ter").collect()
+    a = _band(rows)
+    assert a.dtype == np.float32
+    assert G.gdal_checksum(a) == 33441   # autotest leveller.py:41
+
+
+def test_dipex_fake_1(spark):
+    rows = GM.read_dipex(spark, f"{DATA}/dipex/fakedipex.dat").collect()
+    a = _band(rows)
+    assert a.shape == (1, 1)
+    assert G.gdal_checksum(a) == 1       # autotest dipex.py:41
+
+
+def test_ctg_fake_21(spark):
+    rows = GM.read_ctg(spark, f"{DATA}/ctg/fake_grid_cell").collect()
+    assert sorted({r.band for r in rows}) == [1, 2, 3, 4, 5, 6]
+    a = _band(rows, band=1)
+    assert G.gdal_checksum(a) == 21      # autotest ctg.py:42
