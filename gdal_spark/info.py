@@ -226,6 +226,7 @@ _MAGIC_RULES = [
         and all(c in (9, 10, 13) or 32 <= c <= 126 for c in h[:128])),
     ("GMT", lambda h, p: h[:8] == b"# @VGMT1"),
     ("VICAR", lambda h, p: h[:8] == b"LBLSIZE="),
+    ("BSB", lambda h, p: b"BSB/" in h[:1024] and b"RGB/" in h),
     ("BMP", lambda h, p: h[:2] == b"BM"),
     ("EHdr", lambda h, p: p.lower().endswith((".bil", ".bip", ".bsq"))),
     ("PGDump", lambda h, p: h[:2] == b"--" and b"COPY" in h[:4096]),
