@@ -5801,6 +5801,50 @@ def _q_ehdr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_bt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VTerrain BT loop (gdal/frmts/raw/btdataset.cpp): int16 synth
+    tiles through the COLUMN-major bottom-up sink (one keyed shuffle
+    zips each column strip; contiguous column pwrites), back via the
+    column-strip scan (the DTED profile contract). Checksums equal
+    the mosaic oracle's exactly (values preserved through the int16
+    cast)."""
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark import btkro
+
+    base = synth.tiles_src_df(spark, 2, 2)
+    rows = []
+    for r in base.collect():
+        d = r.asDict()
+        d["dtype"] = "int16"
+        d["data"] = np.frombuffer(r.data, np.uint8).astype(
+            np.int16).tobytes()
+        rows.append(d)
+    src = spark.createDataFrame(rows, base.schema)
+    path = tempfile.mkdtemp(prefix="gdal_spark_bt_") + "/rt.bt"
+    btkro.write_bt(src, path)
+    back = btkro.read_bt(spark, path, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
+def _q_kro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KOLOR KRO loop (gdal/frmts/raw/krodataset.cpp): the 2x2 synth
+    tiles through the big-endian BIP sink (20-byte header + parallel
+    strip pwrites), back via the ehdr BIP scan. Checksums equal the
+    mosaic oracle's exactly."""
+    import tempfile
+
+    from gdal_spark import btkro
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_kro_") + "/rt.kro"
+    btkro.write_kro(src, path)
+    back = btkro.read_kro(spark, path, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_rraster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRASTER loop (gdal/frmts/raw/rrasterdataset.cpp — the R
     'raster' package's native format): the 2x2 synth tiles through
@@ -6498,6 +6542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_roundtrip": _q_bmp_roundtrip,
         "gif_roundtrip": _q_gif_roundtrip,
         "pnm_roundtrip": _q_pnm_roundtrip,
+        "bt_roundtrip": _q_bt_roundtrip,
+        "kro_roundtrip": _q_kro_roundtrip,
         "rraster_roundtrip": _q_rraster_roundtrip,
         "hfa_roundtrip": _q_hfa_roundtrip,
         "saga_roundtrip": _q_saga_roundtrip,
@@ -9074,6 +9120,8 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("bmp_roundtrip", localref.sql_bmp_checksums())
         d.setdefault("gif_roundtrip", localref.sql_gif_checksums())
         d.setdefault("pnm_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("bt_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("kro_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("rraster_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("hfa_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("saga_roundtrip", localref.sql_raster_checksums_2x2())
