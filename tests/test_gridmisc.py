@@ -120,3 +120,17 @@ def test_ctg_fake_21(spark):
     assert sorted({r.band for r in rows}) == [1, 2, 3, 4, 5, 6]
     a = _band(rows, band=1)
     assert G.gdal_checksum(a) == 21      # autotest ctg.py:42
+
+
+def test_nwt_grd_four_bands(spark):
+    # autotest/gdrivers/nwt_grd.py:43-49 — shaded RGB + Z checksums
+    from gdal_spark import northwood as NW
+
+    rows = NW.read_grd(
+        spark, f"{DATA}/nwt_grd/nwt_grd.grd").collect()
+    expected = {1: 28093, 2: 33690, 3: 20365, 4: 25856}
+    for band, cks in expected.items():
+        a = _band(rows, band=band)
+        assert G.gdal_checksum(a) == cks, band
+    z = _band(rows, band=4)
+    assert z.dtype == np.float32 and z.shape == (47, 63)
