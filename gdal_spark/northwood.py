@@ -200,3 +200,46 @@ def read_grd(spark: SparkSession, path: str, *, tile_px: int = 256,
                 out, columns=[f2.name for f2 in TILE_SCHEMA.fields])
 
     return desc.mapInPandas(scan, schema=TILE_SCHEMA)
+
+
+def parse_grc(path: str) -> dict:
+    """Northwood classified grid (format char '8'): band 1 = raw
+    class indices at 1024, pixel width = header[1023]*8 bits
+    (grcdataset.cpp + nwt_ParseHeader :196-205)."""
+    with open(path, "rb") as f:
+        hdr = f.read(1024)
+    if hdr[:4] != b"HGPC" or hdr[4:5] != b"8":
+        raise ValueError(f"not a Northwood GRC grid: {path}")
+    W, = struct.unpack_from("<H", hdr, 9)
+    H, = struct.unpack_from("<H", hdr, 11)
+    if W == 0:
+        W, = struct.unpack_from("<I", hdr, 128)
+    if H == 0:
+        H, = struct.unpack_from("<I", hdr, 132)
+    xmin, = struct.unpack_from("<d", hdr, 13)
+    xmax, = struct.unpack_from("<d", hdr, 21)
+    ymax, = struct.unpack_from("<d", hdr, 37)
+    # GRC bit width: header[1023]==0 -> 16, else *4
+    # (nwt_ParseHeader :196-202 — the GRD branch uses *8)
+    bits = 16 if hdr[1023] == 0 else hdr[1023] * 4
+    dtype = {8: "u1", 16: "<u2", 32: "<u4"}.get(bits)
+    if dtype is None:
+        raise ValueError(f"GRC bits per pixel {bits}")
+    step = (xmax - xmin) / (W - 1) if W > 1 else 1.0
+    return dict(width=W, height=H, dtype=dtype,
+                geotransform=[xmin - step * 0.5, step, 0.0,
+                              ymax + step * 0.5, 0.0, -step])
+
+
+def read_grc(spark: SparkSession, path: str, *, tile_px: int = 256,
+             raster_id: str | None = None, zoom: int = 0) -> DataFrame:
+    from .gridmisc import _strip_scan
+
+    h = parse_grc(path)
+    isz = np.dtype(h["dtype"]).itemsize
+    rid = raster_id or os.path.splitext(os.path.basename(path))[0]
+    return _strip_scan(
+        spark, path, W=h["width"], H=h["height"], nbands=1,
+        dtype_of=lambda b: h["dtype"], origin_of=lambda b: 1024,
+        line_stride=h["width"] * isz, gt=h["geotransform"],
+        rid=rid, zoom=zoom, tile_px=tile_px)

@@ -134,3 +134,13 @@ def test_nwt_grd_four_bands(spark):
         assert G.gdal_checksum(a) == cks, band
     z = _band(rows, band=4)
     assert z.dtype == np.float32 and z.shape == (47, 63)
+
+
+def test_nwt_grc_46760(spark):
+    # autotest/gdrivers/nwt_grc.py:41
+    from gdal_spark import northwood as NW
+
+    rows = NW.read_grc(
+        spark, f"{DATA}/nwt_grc/nwt_grc.grc").collect()
+    a = _band(rows)
+    assert G.gdal_checksum(a) == 46760
