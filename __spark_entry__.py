@@ -5936,6 +5936,25 @@ def _q_pnm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_fits_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FITS loop (gdal/frmts/fits/fitsdataset.cpp): the 2x2 synth
+    tiles through the 2880-block sink (cards driver-side, big-endian
+    bottom-up strips pwrite in parallel), back via the map-only
+    bottom-up strip scan. The READ side is parity-proven against the
+    reference's own byte_merc.fits fixture (exact WKT + geotransform
+    of autotest fits.py::test_fits_read_georef_merc, imagery checksum;
+    tests/test_fits.py). Checksums equal the mosaic oracle's."""
+    import tempfile
+
+    from gdal_spark import fits
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_fits_") + "/rt.fits"
+    fits.write_fits(src, path)
+    back = fits.read_fits(spark, path, raster_id="byte_like", zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF full loop (gdal/frmts/gif/gifdataset.cpp + the GIF89a
     spec): the 2x2 synth tiles through the ordered single-stream
@@ -6542,6 +6561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_roundtrip": _q_bmp_roundtrip,
         "gif_roundtrip": _q_gif_roundtrip,
         "pnm_roundtrip": _q_pnm_roundtrip,
+        "fits_roundtrip": _q_fits_roundtrip,
         "bt_roundtrip": _q_bt_roundtrip,
         "kro_roundtrip": _q_kro_roundtrip,
         "rraster_roundtrip": _q_rraster_roundtrip,
@@ -9120,6 +9140,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("bmp_roundtrip", localref.sql_bmp_checksums())
         d.setdefault("gif_roundtrip", localref.sql_gif_checksums())
         d.setdefault("pnm_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("fits_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("bt_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("kro_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("rraster_roundtrip", localref.sql_raster_checksums_2x2())

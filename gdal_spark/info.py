@@ -199,6 +199,8 @@ _MAGIC_RULES = [
         and any(m in h[8:64] for m in
                 (b"CNSDTF-DEM", b"CNSDTF-RAS", b"CSDTF-DEM", b"CSDTF-RAS"))),
     ("AAIGrid", lambda h, p: h[:5].lower() == b"ncols"),
+    # round-5 session-10 driver batch
+    ("FITS", lambda h, p: h[:30] == b"SIMPLE  =                    T"),
     # round-5 session-9 driver batch
     ("HFA", lambda h, p: h[:15] == b"EHFA_HEADER_TAG"),
     ("GIF", lambda h, p: h[:6] in (b"GIF87a", b"GIF89a")),
