@@ -5936,6 +5936,37 @@ def _q_pnm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_tga_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TGA loop (gdal/frmts/tga/tgadataset.cpp): the 2x2 synth tiles
+    through the type-3 grayscale sink plus a 3-band stack through the
+    type-2 truecolor sink (BGR pixels packed by one narrow keyed
+    shuffle, bottom-up strips pwrite in parallel), both back via the
+    strip-parallel scan. The READ side is parity-proven against all
+    8 Truevision reference-suite fixtures and the reference's own
+    expected checksums (tests/test_tga.py: RLE + uncompressed, 5-5-5
+    expansion, colormap, v2 footer metadata, alpha semantics).
+    Oracle: localref.sql_bmp_checksums (same two stacks as BMP)."""
+    import tempfile
+
+    from gdal_spark import tga
+
+    d = tempfile.mkdtemp(prefix="gdal_spark_tga_")
+    src8 = synth.tiles_src_df(spark, 2, 2)
+    tga.write_tga(src8, d + "/g8.tga")
+    rgb = None
+    for band, seed in ((1, 1), (2, 9), (3, 17)):
+        b = synth.tiles_src_df(spark, 2, 2, seed=seed,
+                               raster_id="rgb_like").withColumn(
+            "band", F.lit(band).cast("int"))
+        rgb = b if rgb is None else rgb.unionByName(b)
+    tga.write_tga(rgb, d + "/rgb24.tga")
+    back8 = tga.read_tga(spark, d + "/g8.tga", tile_px=256,
+                         raster_id="byte_like", zoom=12)
+    back24 = tga.read_tga(spark, d + "/rgb24.tga", tile_px=256,
+                          raster_id="rgb_like", zoom=12)
+    return tiling.checksum_table(back8.unionByName(back24))
+
+
 def _q_fits_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FITS loop (gdal/frmts/fits/fitsdataset.cpp): the 2x2 synth
     tiles through the 2880-block sink (cards driver-side, big-endian
@@ -6562,6 +6593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_roundtrip": _q_gif_roundtrip,
         "pnm_roundtrip": _q_pnm_roundtrip,
         "fits_roundtrip": _q_fits_roundtrip,
+        "tga_roundtrip": _q_tga_roundtrip,
         "bt_roundtrip": _q_bt_roundtrip,
         "kro_roundtrip": _q_kro_roundtrip,
         "rraster_roundtrip": _q_rraster_roundtrip,
@@ -9141,6 +9173,7 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("gif_roundtrip", localref.sql_gif_checksums())
         d.setdefault("pnm_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("fits_roundtrip", localref.sql_raster_checksums_2x2())
+        d.setdefault("tga_roundtrip", localref.sql_bmp_checksums())
         d.setdefault("bt_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("kro_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("rraster_roundtrip", localref.sql_raster_checksums_2x2())

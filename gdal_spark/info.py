@@ -201,6 +201,12 @@ _MAGIC_RULES = [
     ("AAIGrid", lambda h, p: h[:5].lower() == b"ncols"),
     # round-5 session-10 driver batch
     ("FITS", lambda h, p: h[:30] == b"SIMPLE  =                    T"),
+    # TGA has no magic; the reference requires sane header bytes AND
+    # (v2 footer or .tga extension) — the footer isn't in the sniff
+    # window, so the extension carries it (tgadataset.cpp Identify)
+    ("TGA", lambda h, p: p.lower().endswith(".tga") and len(h) >= 18
+        and h[1] <= 1 and h[2] in (1, 2, 3, 9, 10, 11)
+        and (h[2] in (1, 9)) == (h[1] == 1)),
     # round-5 session-9 driver batch
     ("HFA", lambda h, p: h[:15] == b"EHFA_HEADER_TAG"),
     ("GIF", lambda h, p: h[:6] in (b"GIF87a", b"GIF89a")),
