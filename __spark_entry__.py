@@ -5936,6 +5936,32 @@ def _q_pnm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling.checksum_table(back)
 
 
+def _q_aig_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc/Info Binary Grid coverage scan (gdal/frmts/aigrid/): the
+    reference's own abc3x1 fixture through the block-descriptor
+    map-only scan — checksum 3, Byte narrowing with nodata 255, the
+    documented geotransform, and the GDA94 UTM-55 projection import
+    (autotest/gdrivers/aigrid.py tests 1-3; tests/test_aig.py adds
+    the uppercase coverage, colormap, and 24-byte-sta cases)."""
+    from gdal_spark import aig
+
+    t = aig.read_aig(
+        spark, "/root/reference/autotest/gdrivers/data/aigrid/abc3x1",
+        raster_id="abc3x1")
+    c = tiling.checksum_table(t)
+    g = t.select(
+        "raster_id", "band", "tile_x", "tile_y", "nodata",
+        F.element_at("geotransform", 1).alias("gt0"),
+        F.element_at("geotransform", 2).alias("gt1"),
+        F.element_at("geotransform", 4).alias("gt3"),
+        F.element_at("geotransform", 6).alias("gt5"),
+    )
+    return c.join(g, ["raster_id", "band", "tile_x", "tile_y"]).select(
+        "raster_id", "band", "tile_x", "tile_y", "checksum", "nodata",
+        "gt0", "gt1", "gt3", "gt5",
+    )
+
+
 def _q_tga_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TGA loop (gdal/frmts/tga/tgadataset.cpp): the 2x2 synth tiles
     through the type-3 grayscale sink plus a 3-band stack through the
@@ -6594,6 +6620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pnm_roundtrip": _q_pnm_roundtrip,
         "fits_roundtrip": _q_fits_roundtrip,
         "tga_roundtrip": _q_tga_roundtrip,
+        "aig_cover_ref": _q_aig_cover_ref,
         "bt_roundtrip": _q_bt_roundtrip,
         "kro_roundtrip": _q_kro_roundtrip,
         "rraster_roundtrip": _q_rraster_roundtrip,
@@ -9279,6 +9306,12 @@ def oracle_sql() -> dict[str, str]:
         )
     except Exception:
         pass
+    d.setdefault(
+        "aig_cover_ref",
+        "SELECT 'abc3x1' AS raster_id, 1 AS band, 0 AS tile_x,"
+        " 0 AS tile_y, 3 AS checksum, 255.0 AS nodata, -0.5 AS gt0,"
+        " 1.0 AS gt1, 0.5 AS gt3, -1.0 AS gt5",
+    )
     d.setdefault(
         "geotiff_byte_ref",
         "SELECT 'byte' AS raster_id, 1 AS band, 0 AS tile_x, 0 AS tile_y,"
