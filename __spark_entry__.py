@@ -5962,6 +5962,84 @@ def _q_aig_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pds_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDS3 label scan (gdal/frmts/pds/pdsdataset.cpp): the
+    reference's own mc02_truncated.img — documented checksum 47151
+    (autotest pds.py::test_pds_1) plus the ParseSRS geotransform at
+    the test's -0.5 offset-shift configuration; one 4096-px tile so
+    the row carries the full-band checksum the reference documents.
+    tests/test_planetary.py adds 5 more PDS fixtures (detached
+    offsets, 16-bit, MISSING_CONSTANT, TIFF-backed labels)."""
+    from gdal_spark import planetary
+
+    t = planetary.read_pds(
+        spark,
+        "/root/reference/autotest/gdrivers/data/pds/mc02_truncated.img",
+        tile_px=4096, sample_shift=-0.5, line_shift=-0.5,
+        raster_id="mc02")
+    c = tiling.checksum_table(t)
+    g = t.select(
+        "raster_id", "band", "tile_x", "tile_y",
+        F.element_at("geotransform", 1).alias("gt0"),
+        F.element_at("geotransform", 2).alias("gt1"),
+        F.element_at("geotransform", 4).alias("gt3"),
+        F.element_at("geotransform", 6).alias("gt5"),
+    )
+    return c.join(g, ["raster_id", "band", "tile_x", "tile_y"]).select(
+        "raster_id", "band", "tile_x", "tile_y", "checksum",
+        "gt0", "gt1", "gt3", "gt5",
+    )
+
+
+def _q_isis_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISIS2 + ISIS3 label scans (gdal/frmts/pds/isis2dataset.cpp,
+    isis3dataset.cpp): the reference's own fixtures at their
+    documented checksums — arvidson_original_truncated.cub 382
+    (autotest isis2.py), isis3_detached.lbl 9978 and the Tile-format
+    isis3_unit_test.cub 42403 (autotest isis.py) — single-tile reads
+    so each row carries the documented full-band value (the tiled
+    cube mosaics its two ISIS tiles through one keyed group)."""
+    import pandas as pd
+
+    from gdal_spark import planetary
+
+    D = "/root/reference/autotest/gdrivers/data"
+    a = tiling.checksum_table(planetary.read_isis2(
+        spark, f"{D}/isis2/arvidson_original_truncated.cub",
+        tile_px=512, raster_id="arvidson"))
+    b = tiling.checksum_table(planetary.read_isis3(
+        spark, f"{D}/isis3/isis3_detached.lbl", tile_px=512,
+        raster_id="isis3_detached"))
+    # tiled cube: assemble the full band in one keyed group, then
+    # checksum (the documented value is full-band)
+    t = planetary.read_isis3(spark, f"{D}/isis3/isis3_unit_test.cub",
+                             raster_id="isis3_tiled")
+    out_schema = ("raster_id string, band int, zoom int, tile_x int,"
+                  " tile_y int, checksum long")
+
+    def full_cks(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from gdal_spark import geomlite as G
+
+        ntx = int(pdf["tile_x"].max()) + 1
+        nty = int(pdf["tile_y"].max()) + 1
+        grid = {(int(r.tile_x), int(r.tile_y)): np.frombuffer(
+            r.data, np.dtype(r.dtype)).reshape(r.height, r.width)
+            for r in pdf.itertuples(index=False)}
+        full = np.vstack([
+            np.hstack([grid[(tx, ty)] for tx in range(ntx)])
+            for ty in range(nty)])
+        return pd.DataFrame([{
+            "raster_id": key[0], "band": int(key[1]), "zoom": 0,
+            "tile_x": 0, "tile_y": 0,
+            "checksum": G.gdal_checksum(full)}])
+
+    c = t.groupBy("raster_id", "band").applyInPandas(
+        full_cks, schema=out_schema)
+    return a.unionByName(b).unionByName(c)
+
+
 def _q_tga_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TGA loop (gdal/frmts/tga/tgadataset.cpp): the 2x2 synth tiles
     through the type-3 grayscale sink plus a 3-band stack through the
@@ -6621,6 +6699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fits_roundtrip": _q_fits_roundtrip,
         "tga_roundtrip": _q_tga_roundtrip,
         "aig_cover_ref": _q_aig_cover_ref,
+        "pds_cover_ref": _q_pds_cover_ref,
+        "isis_cover_ref": _q_isis_cover_ref,
         "bt_roundtrip": _q_bt_roundtrip,
         "kro_roundtrip": _q_kro_roundtrip,
         "rraster_roundtrip": _q_rraster_roundtrip,
@@ -9306,6 +9386,23 @@ def oracle_sql() -> dict[str, str]:
         )
     except Exception:
         pass
+    d.setdefault(
+        "pds_cover_ref",
+        "SELECT 'mc02' AS raster_id, 1 AS band, 0 AS tile_x,"
+        " 0 AS tile_y, 47151 AS checksum,"
+        " -10668385.19835e0 AS gt0,"
+        " 926.1152999999999e0 AS gt1,"
+        " 3852176.5903499997e0 AS gt3,"
+        " -926.1152999999999e0 AS gt5",
+    )
+    d.setdefault(
+        "isis_cover_ref",
+        "SELECT * FROM (VALUES"
+        " ('arvidson', 1, 0, 0, 0, 382),"
+        " ('isis3_detached', 1, 0, 0, 0, 9978),"
+        " ('isis3_tiled', 1, 0, 0, 0, 42403))"
+        " t(raster_id, band, zoom, tile_x, tile_y, checksum)",
+    )
     d.setdefault(
         "aig_cover_ref",
         "SELECT 'abc3x1' AS raster_id, 1 AS band, 0 AS tile_x,"

@@ -201,6 +201,10 @@ _MAGIC_RULES = [
     ("AAIGrid", lambda h, p: h[:5].lower() == b"ncols"),
     # round-5 session-10 driver batch
     ("FITS", lambda h, p: h[:30] == b"SIMPLE  =                    T"),
+    ("ISIS3", lambda h, p: b"IsisCube" in h[:1024]),
+    ("ISIS2", lambda h, p: b"^QUBE" in h[:1024]
+        and b"PDS_VERSION_ID" not in h[:1024]),
+    ("PDS", lambda h, p: b"PDS_VERSION_ID" in h[:512]),
     # TGA has no magic; the reference requires sane header bytes AND
     # (v2 footer or .tga extension) — the footer isn't in the sniff
     # window, so the extension carries it (tgadataset.cpp Identify)
