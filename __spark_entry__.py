@@ -5962,6 +5962,26 @@ def _q_aig_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pcidsk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCIDSK loop (gdal/frmts/pcidsk/sdk/): the 2x2 synth tiles
+    through the BAND-interleaved .pix sink (512-byte file header +
+    1024-byte channel headers driver-side, band planes pwrite in
+    parallel), back via the strip-parallel scan. The READ side is
+    parity-proven against the reference's own utm.pix (checksum
+    39576, autotest pcidsk.py::test_pcidsk_1; tests/test_pcidsk.py).
+    Checksums equal the mosaic oracle's exactly."""
+    import tempfile
+
+    from gdal_spark import pcidsk
+
+    src = synth.tiles_src_df(spark, 2, 2)
+    path = tempfile.mkdtemp(prefix="gdal_spark_pix_") + "/rt.pix"
+    pcidsk.write_pcidsk(src, path)
+    back = pcidsk.read_pcidsk(spark, path, raster_id="byte_like",
+                              zoom=12)
+    return tiling.checksum_table(back)
+
+
 def _q_pds_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDS3 label scan (gdal/frmts/pds/pdsdataset.cpp): the
     reference's own mc02_truncated.img — documented checksum 47151
@@ -6700,6 +6720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tga_roundtrip": _q_tga_roundtrip,
         "aig_cover_ref": _q_aig_cover_ref,
         "pds_cover_ref": _q_pds_cover_ref,
+        "pcidsk_roundtrip": _q_pcidsk_roundtrip,
         "isis_cover_ref": _q_isis_cover_ref,
         "bt_roundtrip": _q_bt_roundtrip,
         "kro_roundtrip": _q_kro_roundtrip,
@@ -9281,6 +9302,8 @@ def oracle_sql() -> dict[str, str]:
         d.setdefault("pnm_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("fits_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("tga_roundtrip", localref.sql_bmp_checksums())
+        d.setdefault("pcidsk_roundtrip",
+                     localref.sql_raster_checksums_2x2())
         d.setdefault("bt_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("kro_roundtrip", localref.sql_raster_checksums_2x2())
         d.setdefault("rraster_roundtrip", localref.sql_raster_checksums_2x2())

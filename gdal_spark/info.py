@@ -201,6 +201,7 @@ _MAGIC_RULES = [
     ("AAIGrid", lambda h, p: h[:5].lower() == b"ncols"),
     # round-5 session-10 driver batch
     ("FITS", lambda h, p: h[:30] == b"SIMPLE  =                    T"),
+    ("PCIDSK", lambda h, p: h[:8] == b"PCIDSK  "),
     ("ISIS3", lambda h, p: b"IsisCube" in h[:1024]),
     ("ISIS2", lambda h, p: b"^QUBE" in h[:1024]
         and b"PDS_VERSION_ID" not in h[:1024]),
