@@ -5962,6 +5962,50 @@ def _q_aig_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tab_all_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapInfo TAB binary read (gdal/ogr/ogrsf_frmts/mitab/): the
+    reference's own all_geoms.tab decoded through the .map object /
+    coord-block walk — every geometry class (symbol/font/custom
+    points, line, pline, multipline, region, rect, roundrect,
+    ellipse, arc, text anchor, multipoint, V650 collection) reduced
+    to (kind, vertex count, rounded coordinate sum). The oracle runs
+    DuckDB over the reference's OWN golden CSV
+    (all_geoms.mif.golden.csv — the oracle of autotest
+    ogr_mitab.py::test_ogr_mitab_41), so the comparison is against
+    the reference's documented result, not this engine."""
+    from gdal_spark import tab
+
+    t = tab.read_tab(
+        spark, "/root/reference/autotest/ogr/data/mitab/all_geoms.tab")
+    nums = F.expr(
+        "transform(filter(split(regexp_replace(geom_wkt,"
+        " '[^-0-9.eE]+', ' '), ' '), v -> v rlike '[0-9]'),"
+        " v -> cast(v as double))")
+    return t.select(
+        "fid",
+        F.regexp_extract("geom_wkt", "^[A-Z]+", 0).alias("kind"),
+        F.size(nums).alias("ncoords"),
+        F.round(F.aggregate(nums, F.lit(0.0), lambda a, v: a + v), 3)
+        .alias("coord_sum"),
+    )
+
+
+def _q_tab_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAB .dat attribute decode (mitab_datfile.cpp): the reference's
+    own poly_indexed.tab — the poly.shp feature set (same EAS_ID /
+    PRFEDEA values the shapefile fixtures document), Decimal + Char
+    native fields with the per-record delete flag honored."""
+    from gdal_spark import tab
+
+    t = tab.read_tab(
+        spark,
+        "/root/reference/autotest/ogr/data/mitab/poly_indexed.tab")
+    return t.select(
+        "fid", F.col("AREA").alias("area"),
+        F.col("EAS_ID").cast("long").alias("eas_id"),
+        F.col("PRFEDEA").alias("prfedea"))
+
+
 def _q_pcidsk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCIDSK loop (gdal/frmts/pcidsk/sdk/): the 2x2 synth tiles
     through the BAND-interleaved .pix sink (512-byte file header +
@@ -6721,6 +6765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aig_cover_ref": _q_aig_cover_ref,
         "pds_cover_ref": _q_pds_cover_ref,
         "pcidsk_roundtrip": _q_pcidsk_roundtrip,
+        "tab_all_geoms": _q_tab_all_geoms,
+        "tab_attributes": _q_tab_attributes,
         "isis_cover_ref": _q_isis_cover_ref,
         "bt_roundtrip": _q_bt_roundtrip,
         "kro_roundtrip": _q_kro_roundtrip,
@@ -9409,6 +9455,32 @@ def oracle_sql() -> dict[str, str]:
         )
     except Exception:
         pass
+    d.setdefault(
+        "tab_all_geoms",
+        "SELECT row_number() OVER () AS fid,"
+        " regexp_extract(WKT, '^[A-Z]+') AS kind,"
+        " len(regexp_extract_all(WKT, '-?[0-9][-0-9.eE]*')) AS ncoords,"
+        " round(list_aggregate(list_transform("
+        "   regexp_extract_all(WKT, '-?[0-9][-0-9.eE]*'),"
+        "   v -> CAST(v AS DOUBLE)), 'sum'), 3) AS coord_sum"
+        " FROM read_csv('/root/reference/autotest/ogr/data/mitab/"
+        "all_geoms.mif.golden.csv', header=true)",
+    )
+    d.setdefault(
+        "tab_attributes",
+        "SELECT * FROM (VALUES"
+        " (1, 215229.266, 168, '35043411'),"
+        " (2, 247328.172, 179, '35043423'),"
+        " (3, 261752.781, 171, '35043414'),"
+        " (4, 547597.188, 173, '35043416'),"
+        " (5, 15775.758, 172, '35043415'),"
+        " (6, 101429.977, 169, '35043412'),"
+        " (7, 268597.625, 166, '35043409'),"
+        " (8, 1634833.375, 158, '35043369'),"
+        " (9, 596610.313, 165, '35043408'),"
+        " (10, 5268.813, 170, '35043413'))"
+        " t(fid, area, eas_id, prfedea)",
+    )
     d.setdefault(
         "pds_cover_ref",
         "SELECT 'mc02' AS raster_id, 1 AS band, 0 AS tile_x,"

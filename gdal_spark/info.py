@@ -202,6 +202,8 @@ _MAGIC_RULES = [
     # round-5 session-10 driver batch
     ("FITS", lambda h, p: h[:30] == b"SIMPLE  =                    T"),
     ("PCIDSK", lambda h, p: h[:8] == b"PCIDSK  "),
+    ("MapInfo File", lambda h, p: p.lower().endswith(".tab")
+        and b"!table" in h[:512]),
     ("ISIS3", lambda h, p: b"IsisCube" in h[:1024]),
     ("ISIS2", lambda h, p: b"^QUBE" in h[:1024]
         and b"PDS_VERSION_ID" not in h[:1024]),
