@@ -6006,6 +6006,31 @@ def _q_tab_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("PRFEDEA").alias("prfedea"))
 
 
+def _q_dgn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microstation DGN v7 read (gdal/ogr/ogrsf_frmts/dgn/): the
+    reference's own smalltest.dgn decoded from the raw element
+    stream (word-swapped ints, VAX D-float doubles, TCB UOR scaling,
+    the 5-degree arc stroking of ogrdgnlayer.cpp) — the anchors are
+    the documented autotest ogr_dgn.py expectations (text point
+    0.7365/4.2198, circle envelope, shape polygon, ColorIndex 83;
+    tests/test_dgn.py value-checks them)."""
+    from gdal_spark import dgn
+
+    t = dgn.read_dgn(
+        spark, "/root/reference/autotest/ogr/data/dgn/smalltest.dgn")
+    nums = F.expr(
+        "transform(filter(split(regexp_replace(geom_wkt,"
+        " '[^-0-9.eE]+', ' '), ' '), v -> v rlike '[0-9]'),"
+        " v -> cast(v as double))")
+    return t.select(
+        "fid", "Type", "Level", "ColorIndex", "Text",
+        F.regexp_extract("geom_wkt", "^[A-Z]+", 0).alias("kind"),
+        F.size(nums).alias("ncoords"),
+        F.round(F.aggregate(nums, F.lit(0.0), lambda a, v: a + v), 3)
+        .alias("coord_sum"),
+    )
+
+
 def _q_pcidsk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCIDSK loop (gdal/frmts/pcidsk/sdk/): the 2x2 synth tiles
     through the BAND-interleaved .pix sink (512-byte file header +
@@ -6766,6 +6791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pds_cover_ref": _q_pds_cover_ref,
         "pcidsk_roundtrip": _q_pcidsk_roundtrip,
         "tab_all_geoms": _q_tab_all_geoms,
+        "dgn_read": _q_dgn_read,
         "tab_attributes": _q_tab_attributes,
         "isis_cover_ref": _q_isis_cover_ref,
         "bt_roundtrip": _q_bt_roundtrip,
@@ -9455,6 +9481,16 @@ def oracle_sql() -> dict[str, str]:
         )
     except Exception:
         pass
+    d.setdefault(
+        "dgn_read",
+        "SELECT * FROM (VALUES"
+        " (1, 17, 1, 0, 'Demo Text', 'POINT', 2, 4.956),"
+        " (2, 15, 2, 0, NULL, 'LINESTRING', 146, 704.874),"
+        " (3, 6, 2, 83, NULL, 'POLYGON', 10, 38.373),"
+        " (4, 3, 2, 83, NULL, 'LINESTRING', 4, 16.873))"
+        " t(fid, Type, Level, ColorIndex, Text, kind, ncoords,"
+        " coord_sum)",
+    )
     d.setdefault(
         "tab_all_geoms",
         "SELECT row_number() OVER () AS fid,"

@@ -204,6 +204,8 @@ _MAGIC_RULES = [
     ("PCIDSK", lambda h, p: h[:8] == b"PCIDSK  "),
     ("MapInfo File", lambda h, p: p.lower().endswith(".tab")
         and b"!table" in h[:512]),
+    ("DGN", lambda h, p: len(h) >= 4 and h[0] in (0x08, 0xC8)
+        and h[1] == 0x09),
     ("ISIS3", lambda h, p: b"IsisCube" in h[:1024]),
     ("ISIS2", lambda h, p: b"^QUBE" in h[:1024]
         and b"PDS_VERSION_ID" not in h[:1024]),
