@@ -6006,6 +6006,74 @@ def _q_tab_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("PRFEDEA").alias("prfedea"))
 
 
+def _q_lcp_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FARSITE LCP scan (gdal/frmts/raw/lcpdataset.cpp): the
+    reference's own test_FARSITE_UTM12.LCP — all 8 int16 BIP bands
+    at their documented checksums plus the documented geotransform
+    (autotest lcp.py::test_lcp_1; tests/test_rawmisc.py adds the
+    band metadata assertions)."""
+    from gdal_spark import rawmisc
+
+    t = rawmisc.read_lcp(
+        spark,
+        "/root/reference/autotest/gdrivers/data/lcp/"
+        "test_FARSITE_UTM12.LCP",
+        tile_px=512, raster_id="farsite")
+    return tiling.checksum_table(t)
+
+
+def _q_zmap_sigdem_roundtrip(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ZMap Plus ASCII grid + SIGDEM loops (gdal/frmts/zmap/,
+    gdal/frmts/sigdem/): the 2x2 synth mosaic as float64 through the
+    column-major fixed-width ZMap sink (parallel per-column pwrite at
+    closed-form text offsets) and the big-endian scaled-int32 SIGDEM
+    sink, both back via their scans. Byte imagery survives both loops
+    exactly (the reference's own byte.tif CreateCopy tests assert
+    checksum 4672), so checksums equal the mosaic oracle's."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark import rawmisc
+
+    src = synth.tiles_src_df(spark, 2, 2)
+
+    def cast(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["data"] = [np.frombuffer(d, np.uint8)
+                           .astype(np.float64).tobytes()
+                           for d in pdf["data"]]
+            pdf["dtype"] = "float64"
+            yield pdf
+
+    srcf = src.mapInPandas(cast, schema=src.schema)
+    d = tempfile.mkdtemp(prefix="gdal_spark_zs_")
+    rawmisc.write_zmap(srcf, d + "/rt.zmap")
+    rawmisc.write_sigdem(srcf, d + "/rt.sigdem")
+    a = rawmisc.read_zmap(spark, d + "/rt.zmap",
+                          raster_id="byte_like", zoom=12)
+    b = rawmisc.read_sigdem(spark, d + "/rt.sigdem",
+                            raster_id="byte_like", zoom=12)
+
+    def to_u8(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["data"] = [np.frombuffer(v, np.float64)
+                           .astype(np.uint8).tobytes()
+                           for v in pdf["data"]]
+            pdf["dtype"] = "uint8"
+            yield pdf
+
+    az = tiling.checksum_table(a.mapInPandas(to_u8, schema=a.schema)) \
+        .withColumn("sink", F.lit("zmap"))
+    bz = tiling.checksum_table(b.mapInPandas(to_u8, schema=b.schema)) \
+        .withColumn("sink", F.lit("sigdem"))
+    return az.unionByName(bz)
+
+
 def _q_dgn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Microstation DGN v7 read (gdal/ogr/ogrsf_frmts/dgn/): the
     reference's own smalltest.dgn decoded from the raw element
@@ -6792,6 +6860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pcidsk_roundtrip": _q_pcidsk_roundtrip,
         "tab_all_geoms": _q_tab_all_geoms,
         "dgn_read": _q_dgn_read,
+        "lcp_cover_ref": _q_lcp_cover_ref,
+        "zmap_sigdem_roundtrip": _q_zmap_sigdem_roundtrip,
         "tab_attributes": _q_tab_attributes,
         "isis_cover_ref": _q_isis_cover_ref,
         "bt_roundtrip": _q_bt_roundtrip,
@@ -9478,6 +9548,25 @@ def oracle_sql() -> dict[str, str]:
                 ["fid", "zone_id", "eas_id", "prfedea"],
                 ["bigint", "bigint", "bigint", "varchar"],
             ),
+        )
+    except Exception:
+        pass
+    d.setdefault(
+        "lcp_cover_ref",
+        "SELECT 'farsite' AS raster_id, band, 0 AS zoom, 0 AS tile_x,"
+        " 0 AS tile_y, checksum FROM (VALUES"
+        " (1, 18645), (2, 16431), (3, 18851), (4, 26182),"
+        " (5, 30038), (6, 22077), (7, 30388), (8, 23249))"
+        " t(band, checksum)",
+    )
+    try:
+        import localref
+
+        _base = localref.sql_raster_checksums_2x2()
+        d.setdefault(
+            "zmap_sigdem_roundtrip",
+            f"SELECT *, 'zmap' AS sink FROM ({_base}) UNION ALL "
+            f"SELECT *, 'sigdem' AS sink FROM ({_base})",
         )
     except Exception:
         pass

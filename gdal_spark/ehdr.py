@@ -194,6 +194,11 @@ def read_raw(spark: SparkSession, data_path: str, hdr: dict, *,
             with open(data_path, "rb") as f:
                 for r in pdf.itertuples(index=False):
                     raw = os.pread(f.fileno(), int(r.nbytes), int(r.offset))
+                    if len(raw) < int(r.nbytes):
+                        # truncated files zero-fill past EOF, the
+                        # reference's RawRasterBand::AccessBlock
+                        # behavior its own truncated fixtures rely on
+                        raw = raw + b"\0" * (int(r.nbytes) - len(raw))
                     arr = np.frombuffer(raw, dtype=np_dtype)
                     h = int(r.height)
                     if interleave == "bsq":

@@ -206,6 +206,14 @@ _MAGIC_RULES = [
         and b"!table" in h[:512]),
     ("DGN", lambda h, p: len(h) >= 4 and h[0] in (0x08, 0xC8)
         and h[1] == 0x09),
+    ("SIGDEM", lambda h, p: h[:6] == b"SIGDEM"),
+    ("DOQ2", lambda h, p: h[:21] == b"BEGIN_USGS_DOQ_HEADER"),
+    ("ZMap", lambda h, p: h[:1] in (b"!", b"@")
+        and b"@GRID" in h.replace(b" ", b"")[:256].upper()
+        or (h[:1] == b"@" and b"GRID" in h[:64].upper())),
+    ("LCP", lambda h, p: p.lower().endswith(".lcp") and len(h) >= 8
+        and int.from_bytes(h[0:4], "little") in (20, 21)
+        and int.from_bytes(h[4:8], "little") in (20, 21)),
     ("ISIS3", lambda h, p: b"IsisCube" in h[:1024]),
     ("ISIS2", lambda h, p: b"^QUBE" in h[:1024]
         and b"PDS_VERSION_ID" not in h[:1024]),
