@@ -6006,6 +6006,48 @@ def _q_tab_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("PRFEDEA").alias("prfedea"))
 
 
+def _q_fast_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EOSAT FAST scan (gdal/frmts/raw/fastdataset.cpp): the
+    reference's own FAST-L7A pan fixture — the documented
+    5000x1-window checksum 60323 (autotest fast.py::test_fast_2) and
+    the corner-GCP least-squares geotransform of ::test_fast_4;
+    tests/test_fast.py adds the thermal pair and the three Euromap
+    IRS channel-convention fixtures with their rotated gts."""
+    import pandas as pd
+
+    from gdal_spark import fast as fastmod
+
+    p = ("/root/reference/autotest/gdrivers/data/fast/"
+         "L71118038_03820020111_HPN.FST")
+    t = fastmod.read_fast(spark, p, tile_px=8192, raster_id="hpn")
+    info = fastmod.parse_fast(p)
+    gt = info["geotransform"]
+    out_schema = "raster_id string, band int, checksum long"
+
+    def win_cks(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from gdal_spark import geomlite as G
+
+        rows = pdf[pdf["tile_y"] == 0].sort_values("tile_x")
+        full = np.hstack([
+            np.frombuffer(r.data, np.dtype(r.dtype))
+            .reshape(r.height, r.width)[:1, :]
+            for r in rows.itertuples(index=False)])
+        return pd.DataFrame([{
+            "raster_id": key[0], "band": int(key[1]),
+            "checksum": G.gdal_checksum(full[:, :5000])}])
+
+    c = t.groupBy("raster_id", "band").applyInPandas(
+        win_cks, schema=out_schema)
+    return c.select(
+        "raster_id", "band", "checksum",
+        F.round(F.lit(gt[0]), 3).alias("gt0"),
+        F.round(F.lit(gt[1]), 3).alias("gt1"),
+        F.round(F.lit(gt[3]), 3).alias("gt3"),
+        F.round(F.lit(gt[5]), 3).alias("gt5"))
+
+
 def _q_lcp_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FARSITE LCP scan (gdal/frmts/raw/lcpdataset.cpp): the
     reference's own test_FARSITE_UTM12.LCP — all 8 int16 BIP bands
@@ -6861,6 +6903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tab_all_geoms": _q_tab_all_geoms,
         "dgn_read": _q_dgn_read,
         "lcp_cover_ref": _q_lcp_cover_ref,
+        "fast_cover_ref": _q_fast_cover_ref,
         "zmap_sigdem_roundtrip": _q_zmap_sigdem_roundtrip,
         "tab_attributes": _q_tab_attributes,
         "isis_cover_ref": _q_isis_cover_ref,
@@ -9551,6 +9594,12 @@ def oracle_sql() -> dict[str, str]:
         )
     except Exception:
         pass
+    d.setdefault(
+        "fast_cover_ref",
+        "SELECT 'hpn' AS raster_id, 1 AS band, 60323 AS checksum,"
+        " 280342.5e0 AS gt0, 15.0e0 AS gt1, 3621457.5e0 AS gt3,"
+        " -15.0e0 AS gt5",
+    )
     d.setdefault(
         "lcp_cover_ref",
         "SELECT 'farsite' AS raster_id, band, 0 AS zoom, 0 AS tile_x,"
