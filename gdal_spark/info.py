@@ -207,6 +207,9 @@ _MAGIC_RULES = [
     ("DGN", lambda h, p: len(h) >= 4 and h[0] in (0x08, 0xC8)
         and h[1] == 0x09),
     ("SIGDEM", lambda h, p: h[:6] == b"SIGDEM"),
+    ("NDF", lambda h, p: h[:12] == b"NDF_REVISION"),
+    ("FAST", lambda h, p: b"ACQUISITION DATE =" in h[:1024]
+        and b"SATELLITE =" in h[:1024]),
     ("DOQ2", lambda h, p: h[:21] == b"BEGIN_USGS_DOQ_HEADER"),
     ("ZMap", lambda h, p: h[:1] in (b"!", b"@")
         and b"@GRID" in h.replace(b" ", b"")[:256].upper()

@@ -450,3 +450,79 @@ def write_sigdem(tiles: DataFrame, path: str, *, tile_px: int = 256,
 
     tiles.foreachPartition(write_part)
     return {"path": path, "width": W, "height": H}
+
+
+# ------------------------------------------------------------------ NDF
+
+
+def parse_ndf(path: str) -> dict:
+    """NLAPS Data Format (gdal/frmts/raw/ndfdataset.cpp): ';'-joined
+    KEY=VALUE text header; BANDn_FILENAME band files (or .In), gt
+    from the corner-coordinate easting/northing columns with the
+    half-pixel shift (:388-417)."""
+    text = open(path, "r", encoding="latin-1",
+                errors="replace").read(1 << 16)
+    kv = {}
+    for stmt in text.replace("\n", "").split(";"):
+        if "=" in stmt:
+            k, v = stmt.split("=", 1)
+            kv[k.strip()] = v.strip()
+    W = int(kv.get("PIXELS_PER_LINE", "0"))
+    H = int(kv.get("LINES_PER_DATA_FILE", "0"))
+    nbands = int(kv.get("NUMBER_OF_BANDS_IN_VOLUME", "1"))
+    dtype = "uint8" if kv.get("PIXEL_FORMAT", "BYTE") == "BYTE" \
+        else "uint16"
+    dirname = os.path.dirname(os.path.abspath(path))
+    bands = []
+    for b in range(1, nbands + 1):
+        name = kv.get(f"BAND{b}_FILENAME", "")
+        if name:
+            cand = os.path.join(dirname, name)
+            if not os.path.exists(cand):
+                for f in os.listdir(dirname):
+                    if f.lower() == name.lower():
+                        cand = os.path.join(dirname, f)
+                        break
+        else:
+            cand = os.path.splitext(path)[0] + f".I{b}"
+        bands.append(cand)
+    gt = [0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    try:
+        ul = kv["UPPER_LEFT_CORNER"].split(",")
+        ur = kv["UPPER_RIGHT_CORNER"].split(",")
+        ll = kv["LOWER_LEFT_CORNER"].split(",")
+        ulx, uly = float(ul[2]), float(ul[3])
+        gt = [ulx,
+              (float(ur[2]) - ulx) / (W - 1),
+              (float(ur[3]) - uly) / (W - 1),
+              uly,
+              (float(ll[2]) - ulx) / (H - 1),
+              (float(ll[3]) - uly) / (H - 1)]
+        gt[0] -= gt[1] * 0.5 + gt[4] * 0.5
+        gt[3] -= gt[2] * 0.5 + gt[5] * 0.5
+        gt = [gt[0], gt[1], gt[4], gt[3], gt[2], gt[5]]
+    except (KeyError, IndexError, ValueError):
+        pass
+    return dict(width=W, height=H, nbands=nbands, dtype=dtype,
+                bands=bands, geotransform=gt, metadata=kv)
+
+
+def read_ndf(spark: SparkSession, path: str, *, tile_px: int = 256,
+             raster_id: str | None = None, zoom: int = 0) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .ehdr import read_raw
+
+    info = parse_ndf(path)
+    rid = raster_id or os.path.splitext(os.path.basename(path))[0]
+    out = None
+    for b, bpath in enumerate(info["bands"], start=1):
+        hdr = dict(nrows=info["height"], ncols=info["width"],
+                   nbands=1, dtype=info["dtype"], interleave="bsq",
+                   skip=0, geotransform=info["geotransform"],
+                   byteorder="<", nodata=None, crs="")
+        t = read_raw(spark, bpath, hdr, tile_px=tile_px,
+                     raster_id=rid, zoom=zoom) \
+            .withColumn("band", F.lit(b).cast("int"))
+        out = t if out is None else out.unionByName(t)
+    return out

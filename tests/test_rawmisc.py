@@ -110,3 +110,19 @@ def test_sigdem_roundtrip(spark, tmp_path):
              if (s.tile_x, s.tile_y) == (r.tile_x, r.tile_y)][0].data,
             np.float64).reshape(r.height, r.width)
         np.testing.assert_allclose(got, want)
+
+
+def test_ndf(spark):
+    # autotest ndf.py::test_ndf_1 — row-0 window checksum + gt
+    p = f"{DATA}/ndf/LE7134052000500350.H3"
+    from gdal_spark.rawmisc import parse_ndf, read_ndf
+    info = parse_ndf(p)
+    np.testing.assert_allclose(
+        info["geotransform"],
+        [320325.75, 14.25, 0, 1383062.25, 0, -14.25], atol=1e-4)
+    rows = [r for r in read_ndf(spark, p, tile_px=16384).collect()
+            if r.tile_y == 0]
+    rows.sort(key=lambda r: r.tile_x)
+    full = np.hstack([np.frombuffer(r.data, np.uint8)
+                      .reshape(r.height, r.width)[:1, :] for r in rows])
+    assert G.gdal_checksum(full[:, :15620]) == 6510
