@@ -6006,6 +6006,33 @@ def _q_tab_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("PRFEDEA").alias("prfedea"))
 
 
+def _q_s57_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-57 ENC read (gdal/ogr/ogrsf_frmts/s57/ over the from-scratch
+    ISO 8211 codec): the reference's own 1B5X02NE.000 cell reduced to
+    per-layer feature counts and geometry summaries — the documented
+    autotest ogr_s57.py layer table (COALNE 1, DEPARE 4, ... M_QUAL
+    1); tests/test_s57.py value-checks the COALNE linestring, the
+    SOUNDG 3-D multipoint (SOMF depths), the M_QUAL ring, LNAM and
+    QUASOU."""
+    from gdal_spark import s57 as s57mod
+
+    t = s57mod.read_s57(
+        spark, "/root/reference/autotest/ogr/data/s57/1B5X02NE.000")
+    nums = F.expr(
+        "transform(filter(split(regexp_replace(geom_wkt,"
+        " '[^-0-9.eE]+', ' '), ' '), v -> v rlike '[0-9]'),"
+        " v -> cast(v as double))")
+    per = t.select(
+        "layer", "RCID",
+        F.size(nums).alias("ncoords"),
+        F.round(F.aggregate(nums, F.lit(0.0), lambda a, v: a + v), 4)
+        .alias("coord_sum"))
+    return per.groupBy("layer").agg(
+        F.count("*").alias("n"),
+        F.sum("ncoords").alias("ncoords"),
+        F.round(F.sum("coord_sum"), 3).alias("coord_sum"))
+
+
 def _q_fast_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EOSAT FAST scan (gdal/frmts/raw/fastdataset.cpp): the
     reference's own FAST-L7A pan fixture — the documented
@@ -6904,6 +6931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dgn_read": _q_dgn_read,
         "lcp_cover_ref": _q_lcp_cover_ref,
         "fast_cover_ref": _q_fast_cover_ref,
+        "s57_read": _q_s57_read,
         "zmap_sigdem_roundtrip": _q_zmap_sigdem_roundtrip,
         "tab_attributes": _q_tab_attributes,
         "isis_cover_ref": _q_isis_cover_ref,
@@ -9594,6 +9622,17 @@ def oracle_sql() -> dict[str, str]:
         )
     except Exception:
         pass
+    d.setdefault(
+        "s57_read",
+        "SELECT * FROM (VALUES"
+        " ('COALNE', 1, 30, 427.223e0), ('DEPARE', 4, 130, 1851.525e0),"
+        " ('DEPCNT', 4, 42, 598.207e0), ('LNDARE', 1, 42, 598.106e0),"
+        " ('LNDELV', 2, 14, 199.364e0), ('M_COVR', 1, 36, 512.705e0),"
+        " ('M_NSYS', 1, 36, 512.705e0), ('M_QUAL', 1, 36, 512.705e0),"
+        " ('SBDARE', 2, 88, 1253.256e0), ('SLCONS', 1, 4, 56.966e0),"
+        " ('SLOTOP', 1, 14, 199.368e0), ('SOUNDG', 2, 33, 307.026e0))"
+        " t(layer, n, ncoords, coord_sum)",
+    )
     d.setdefault(
         "fast_cover_ref",
         "SELECT 'hpn' AS raster_id, 1 AS band, 60323 AS checksum,"

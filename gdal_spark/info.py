@@ -208,6 +208,11 @@ _MAGIC_RULES = [
         and h[1] == 0x09),
     ("SIGDEM", lambda h, p: h[:6] == b"SIGDEM"),
     ("NDF", lambda h, p: h[:12] == b"NDF_REVISION"),
+    # ISO 8211 leader: 5-digit record length + '3LE1' interchange
+    # marks an S-57 DDR (s57filemanager / iso8211 DDFModule::Open)
+    ("S57", lambda h, p: len(h) >= 24 and h[:5].isdigit()
+        and h[5:8] == b"3LE" and p.lower().endswith(
+            tuple(f".{i:03d}" for i in range(10)))),
     ("FAST", lambda h, p: b"ACQUISITION DATE =" in h[:1024]
         and b"SATELLITE =" in h[:1024]),
     ("DOQ2", lambda h, p: h[:21] == b"BEGIN_USGS_DOQ_HEADER"),
