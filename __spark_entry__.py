@@ -6006,6 +6006,29 @@ def _q_tab_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("PRFEDEA").alias("prfedea"))
 
 
+def _q_sdts_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDTS DEM scan (gdal/frmts/sdts/ over the shared ISO 8211
+    codec): the reference's own truncated Alanson transfer at its
+    documented checksum 61672 and geotransform (autotest
+    sdts.py::test_sdts_1); single 512-px tile so the row carries the
+    full-band value."""
+    from gdal_spark import sdts
+
+    t = sdts.read_sdts(
+        spark, "/root/reference/autotest/gdrivers/data/"
+        "STDS_1107834_truncated/1107CATD.DDF",
+        tile_px=512, raster_id="alanson")
+    c = tiling.checksum_table(t)
+    g = t.select(
+        "raster_id", "band", "tile_x", "tile_y",
+        F.element_at("geotransform", 1).alias("gt0"),
+        F.element_at("geotransform", 2).alias("gt1"),
+        F.element_at("geotransform", 4).alias("gt3"),
+        F.element_at("geotransform", 6).alias("gt5"))
+    return c.join(g, ["raster_id", "band", "tile_x", "tile_y"]).select(
+        "raster_id", "band", "checksum", "gt0", "gt1", "gt3", "gt5")
+
+
 def _q_s57_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-57 ENC read (gdal/ogr/ogrsf_frmts/s57/ over the from-scratch
     ISO 8211 codec): the reference's own 1B5X02NE.000 cell reduced to
@@ -6932,6 +6955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcp_cover_ref": _q_lcp_cover_ref,
         "fast_cover_ref": _q_fast_cover_ref,
         "s57_read": _q_s57_read,
+        "sdts_cover_ref": _q_sdts_cover_ref,
         "zmap_sigdem_roundtrip": _q_zmap_sigdem_roundtrip,
         "tab_attributes": _q_tab_attributes,
         "isis_cover_ref": _q_isis_cover_ref,
@@ -9622,6 +9646,12 @@ def oracle_sql() -> dict[str, str]:
         )
     except Exception:
         pass
+    d.setdefault(
+        "sdts_cover_ref",
+        "SELECT 'alanson' AS raster_id, 1 AS band, 61672 AS checksum,"
+        " 666015.0e0 AS gt0, 30.0e0 AS gt1, 5040735.0e0 AS gt3,"
+        " -30.0e0 AS gt5",
+    )
     d.setdefault(
         "s57_read",
         "SELECT * FROM (VALUES"

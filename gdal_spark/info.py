@@ -213,6 +213,8 @@ _MAGIC_RULES = [
     ("S57", lambda h, p: len(h) >= 24 and h[:5].isdigit()
         and h[5:8] == b"3LE" and p.lower().endswith(
             tuple(f".{i:03d}" for i in range(10)))),
+    ("SDTS", lambda h, p: len(h) >= 24 and h[:5].isdigit()
+        and h[6:7] == b"L" and p.lower().endswith("catd.ddf")),
     ("FAST", lambda h, p: b"ACQUISITION DATE =" in h[:1024]
         and b"SATELLITE =" in h[:1024]),
     ("DOQ2", lambda h, p: h[:21] == b"BEGIN_USGS_DOQ_HEADER"),

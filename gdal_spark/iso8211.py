@@ -79,15 +79,16 @@ def _expand_formats(fmt: str) -> list[str]:
 
 
 class FieldDefn:
-    def __init__(self, tag: str, raw: bytes):
+    def __init__(self, tag: str, raw: bytes, fc_len: int = 9):
         self.tag = tag
         self.struct_code = chr(raw[0]) if raw else "0"
         self.type_code = chr(raw[1]) if len(raw) > 1 else "0"
         parts = raw.split(bytes([UT]))
-        # parts[0] = fixed field controls + field name (the controls
-        # length comes from the DDR leader; S-57 uses 9)
-        self.name = parts[0][9:].decode("latin-1", errors="replace") \
-            if len(parts[0]) > 9 else ""
+        # parts[0] = fixed field controls + field name; the controls
+        # length comes from the DDR leader (9 for S-57, 6 for SDTS)
+        self.name = parts[0][fc_len:].decode("latin-1",
+                                             errors="replace") \
+            if len(parts[0]) > fc_len else ""
         labels = parts[1].decode("latin-1") if len(parts) > 1 else ""
         fmts = parts[2].decode("latin-1").rstrip("\x1e") \
             if len(parts) > 2 else ""
@@ -185,6 +186,7 @@ class ISO8211Reader:
             self._data = f.read()
         self._pos = 0
         self._read_ddr()
+        self._ddr_end = self._pos
 
     def _leader(self, buf: bytes):
         reclen = int(buf[0:5])
@@ -195,9 +197,21 @@ class ISO8211Reader:
         return reclen, base, szlen, szpos, sztag
 
     def _read_record_raw(self):
-        if self._pos + 24 > len(self._data):
+        data = self._data
+        if getattr(self, "_reuse", None) is not None:
+            # leader id 'R': every following record is the data
+            # area only, reusing the previous directory
+            # (ddfrecord.cpp ReadHeader nReuseHeader path)
+            entries, datalen = self._reuse
+            if self._pos + datalen > len(data):
+                return None
+            rec = data[self._pos:self._pos + datalen]
+            self._pos += datalen
+            return [(tag, rec[off:off + ln])
+                    for tag, ln, off in entries]
+        if self._pos + 24 > len(data):
             return None
-        buf = self._data[self._pos:]
+        buf = data[self._pos:]
         try:
             reclen, base, szlen, szpos, sztag = self._leader(buf)
         except ValueError:
@@ -214,17 +228,28 @@ class ISO8211Reader:
             off = int(rec[p + sztag + szlen:p + entry_sz])
             entries.append((tag, ln, off))
             p += entry_sz
+        if chr(buf[6]) == "R" and entries:
+            # record length covers this record; subsequent ones are
+            # bare data areas of the same shape
+            self._reuse = ([(t, ln, off) for t, ln, off in entries],
+                           reclen - base)
         return [(tag, rec[base + off:base + off + ln])
                 for tag, ln, off in entries]
 
     def _read_ddr(self):
+        # field control length from the DDR leader (bytes 10-11)
+        try:
+            fc_len = int(self._data[10:12]) or 9
+        except ValueError:
+            fc_len = 9
+        self.fc_len = fc_len
         fields = self._read_record_raw()
         if fields is None:
             raise ValueError(f"iso8211: empty module {self.path}")
         for tag, raw in fields:
             if tag == "0000" or tag.strip("0") == "":
                 continue
-            self.defs[tag] = FieldDefn(tag, raw)
+            self.defs[tag] = FieldDefn(tag, raw, fc_len)
 
     def records(self):
         while True:
@@ -238,3 +263,43 @@ class ISO8211Reader:
                     continue
                 rec.setdefault(tag, []).extend(d.decode(raw))
             yield rec
+
+    def records_raw(self):
+        """Yield [(tag, raw bytes)] per record — for bulk numeric
+        fields (e.g. SDTS CVLS rows) that decode faster as arrays."""
+        while True:
+            fields = self._read_record_raw()
+            if fields is None:
+                return
+            yield fields
+
+    def record_offsets(self) -> list[int]:
+        """Byte offsets of every data record (leader walk only) —
+        the driver-side index for range-parallel record scans."""
+        offs = []
+        pos = self._ddr_end
+        data = self._data
+        reuse_len = None
+        while pos < len(data):
+            if reuse_len is not None:
+                if pos + reuse_len > len(data):
+                    break
+                offs.append(pos)
+                pos += reuse_len
+                continue
+            if pos + 24 > len(data):
+                break
+            try:
+                reclen = int(data[pos:pos + 5])
+                base = int(data[pos + 12:pos + 17])
+            except ValueError:
+                break
+            if reclen < 24:
+                break
+            offs.append(pos)
+            if chr(data[pos + 6]) == "R":
+                reuse_len = reclen - base
+                pos += reclen
+            else:
+                pos += reclen
+        return offs
