@@ -6006,6 +6006,25 @@ def _q_tab_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("PRFEDEA").alias("prfedea"))
 
 
+def _q_nitf_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NITF read (gdal/frmts/nitf/): the reference's own rgb.ntf at
+    its documented band-3 checksum 21349 and adjusted-IGEOLO
+    geotransform (autotest nitf.py::test_nitf_6); tests/test_nitf.py
+    adds the NSIF/BLOCKA metadata and 1-bit i_3034c cases."""
+    from gdal_spark import nitf
+
+    p = "/root/reference/autotest/gdrivers/data/nitf/rgb.ntf"
+    t = nitf.read_nitf(spark, p, raster_id="rgb")
+    gt = nitf.image_geotransform(nitf.parse_nitf(p)["images"][0])
+    c = tiling.checksum_table(t)
+    return c.select(
+        "raster_id", "band", "checksum",
+        F.round(F.lit(gt[0]), 9).alias("gt0"),
+        F.round(F.lit(gt[1]), 9).alias("gt1"),
+        F.round(F.lit(gt[3]), 9).alias("gt3"),
+        F.round(F.lit(gt[5]), 9).alias("gt5"))
+
+
 def _q_sdts_cover_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SDTS DEM scan (gdal/frmts/sdts/ over the shared ISO 8211
     codec): the reference's own truncated Alanson transfer at its
@@ -6956,6 +6975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fast_cover_ref": _q_fast_cover_ref,
         "s57_read": _q_s57_read,
         "sdts_cover_ref": _q_sdts_cover_ref,
+        "nitf_cover_ref": _q_nitf_cover_ref,
         "zmap_sigdem_roundtrip": _q_zmap_sigdem_roundtrip,
         "tab_attributes": _q_tab_attributes,
         "isis_cover_ref": _q_isis_cover_ref,
@@ -9646,6 +9666,14 @@ def oracle_sql() -> dict[str, str]:
         )
     except Exception:
         pass
+    d.setdefault(
+        "nitf_cover_ref",
+        "SELECT * FROM (VALUES"
+        " ('rgb', 1, 21212), ('rgb', 2, 21053), ('rgb', 3, 21349))"
+        " t(raster_id, band, checksum),"
+        " (SELECT -44.842029478e0 AS gt0, 0.003503401e0 AS gt1,"
+        "  -22.930748299e0 AS gt3, -0.003503401e0 AS gt5) g",
+    )
     d.setdefault(
         "sdts_cover_ref",
         "SELECT 'alanson' AS raster_id, 1 AS band, 61672 AS checksum,"

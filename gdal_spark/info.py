@@ -208,6 +208,7 @@ _MAGIC_RULES = [
         and h[1] == 0x09),
     ("SIGDEM", lambda h, p: h[:6] == b"SIGDEM"),
     ("NDF", lambda h, p: h[:12] == b"NDF_REVISION"),
+    ("NITF", lambda h, p: h[:4] in (b"NITF", b"NSIF")),
     # ISO 8211 leader: 5-digit record length + '3LE1' interchange
     # marks an S-57 DDR (s57filemanager / iso8211 DDFModule::Open)
     ("S57", lambda h, p: len(h) >= 24 and h[:5].isdigit()
