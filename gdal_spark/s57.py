@@ -93,7 +93,8 @@ def _name_ptr(b: bytes) -> tuple[int, int]:
     return b[0], int.from_bytes(b[1:5], "little")
 
 
-def parse_s57(path: str, *, csv_dir: str | None = None) -> dict:
+def parse_s57(path: str, *, csv_dir: str | None = None,
+              apply_updates: bool = True) -> dict:
     classes, attrs = _load_tables(csv_dir)
     rdr = ISO8211Reader(path)
     comf, somf = 1.0, 1.0
@@ -147,6 +148,23 @@ def parse_s57(path: str, *, csv_dir: str | None = None) -> dict:
                 agen=agen,
                 lnam=f"{agen:04X}{fidn:08X}{fids:04X}",
                 attributes=att, fspt=fspt))
+    # ENC update cells (.001, .002, ...): merge their DSID fields
+    # (EDTN/UPDN/UADT/ISDT track the applied-update state —
+    # s57reader.cpp FindAndApplyUpdates; feature-level RUIN
+    # insert/delete/modify application is a documented gap)
+    if apply_updates and path.endswith(".000"):
+        n = 1
+        while True:
+            up = f"{path[:-4]}.{n:03d}"
+            if not os.path.exists(up):
+                break
+            for rec in ISO8211Reader(up).records():
+                if "DSID" in rec:
+                    for k in ("EDTN", "UPDN", "UADT", "ISDT"):
+                        v = rec["DSID"][0].get(k)
+                        if v not in (None, ""):
+                            dsid[k] = v
+            n += 1
     return dict(dsid=dsid, comf=comf, somf=somf, nodes=nodes,
                 edges=edges, features=features, classes=classes)
 
@@ -233,19 +251,25 @@ def feature_geometry(info: dict, feat: dict) -> str | None:
             return f"POINT ({fnum(x)} {fnum(y)} {fnum(z)})"
         return None
     if prim == 2:                                # line
-        pts = []
+        parts: list[list] = []
         for sp in feat["fspt"]:
             if sp["mask"] == 1:                  # masked edge
                 continue
             seg = _edge_line(info, sp["ptr"][1], sp["ornt"])
-            if pts and seg and pts[-1] == seg[0]:
-                pts.extend(seg[1:])
+            if not seg:
+                continue
+            if parts and parts[-1][-1] == seg[0]:
+                parts[-1].extend(seg[1:])        # contiguous chain
             else:
-                pts.extend(seg)
-        if not pts:
+                parts.append(list(seg))          # disjoint: new part
+        if not parts:
             return None
-        return "LINESTRING (" + ", ".join(
-            f"{fnum(x)} {fnum(y)}" for x, y in pts) + ")"
+        if len(parts) == 1:
+            return "LINESTRING (" + ", ".join(
+                f"{fnum(x)} {fnum(y)}" for x, y in parts[0]) + ")"
+        return "MULTILINESTRING (" + ", ".join(
+            "(" + ", ".join(f"{fnum(x)} {fnum(y)}" for x, y in p)
+            + ")" for p in parts) + ")"
     if prim == 3:                                # area
         ext_lines = [
             _edge_line(info, sp["ptr"][1], sp["ornt"])

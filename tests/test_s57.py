@@ -100,3 +100,41 @@ def test_s57_dsid():
     info = s57.parse_s57(CELL)
     assert info["dsid"]["DSNM"] == "1B5X02NE.000"
     assert info["comf"] == 500000.0 and info["somf"] == 10.0
+
+
+def test_s57_multilinestring(spark):
+    # autotest ogr_s57.py::test_ogr_s57_multilinestring (#2147) —
+    # disjoint ROADWY edges become MULTILINESTRING parts
+    rows = s57.read_s57(spark, f"{DATA}/bug2147_3R7D0889.000")
+    f = rows.filter(rows.layer == "ROADWY").orderBy("RCID").collect()[0]
+    assert f.geom_wkt.startswith("MULTILINESTRING")
+    got = f.geom_wkt[len("MULTILINESTRING ("):-1].split("), (")
+    assert [p.count(",") + 1 for p in got] == \
+        [21, 3, 12, 6, 11, 5, 3, 4]       # the documented part sizes
+    np.testing.assert_allclose(
+        _nums(got[0])[:6],
+        [22.5659615, 44.5541942, 22.5652045, 44.5531651,
+         22.5654315, 44.5517774], atol=1e-7)
+    np.testing.assert_allclose(
+        _nums(got[-1]),
+        [22.5093748, 44.5311182, 22.5107969, 44.5285258,
+         22.5108905, 44.5267978, 22.5076679, 44.5223309], atol=1e-7)
+
+
+def test_s57_double_byte_attrs(spark):
+    # autotest ogr_s57.py::test_ogr_s57_double_byte_attrs (#1526)
+    rows = s57.read_s57(spark, f"{DATA}/bug1526.000")
+    f = rows.filter(rows.layer == "FOGSIG").collect()[0]
+    assert f.attributes["INFORM"] == (
+        "During South winds nautophone is not always heard in S "
+        "direction from lighthouse")
+
+
+def test_s57_update_dsid():
+    # autotest ogr_s57.py::test_ogr_s57_update_dsid — DSID fields
+    info = s57.parse_s57(f"{DATA}/fake_s57_update_dsid.000")
+    d = info["dsid"]
+    assert d["EDTN"] == "0"
+    assert d["UPDN"] == "1"
+    assert d["UADT"] == "20190211"
+    assert d["ISDT"] == "20190212"
