@@ -526,3 +526,131 @@ def read_ndf(spark: SparkSession, path: str, *, tile_px: int = 256,
             .withColumn("band", F.lit(b).cast("int"))
         out = t if out is None else out.unionByName(t)
     return out
+
+
+# --------------------------------------------------------------- SNODAS
+
+
+def parse_snodas(path: str) -> dict:
+    """NOHRSC SNODAS (gdal/frmts/raw/snodasdataset.cpp): 'Key:
+    value' ASCII .hdr beside a big-endian int16 .dat; gt from the
+    min-x / max-y corner coordinates over the row/col counts."""
+    kv = {}
+    for line in open(path, encoding="latin-1", errors="replace"):
+        if ":" in line:
+            k, v = line.split(":", 1)
+            kv[k.strip()] = v.strip()
+    W = int(kv.get("Number of columns", "0"))
+    H = int(kv.get("Number of rows", "0"))
+    minx = float(kv.get("Minimum x-axis coordinate", "0"))
+    maxx = float(kv.get("Maximum x-axis coordinate", str(minx + W)))
+    miny = float(kv.get("Minimum y-axis coordinate", "0"))
+    maxy = float(kv.get("Maximum y-axis coordinate", str(miny + H)))
+    nodata = float(kv.get("No data value", "nan") or "nan")
+    dat = kv.get("Data file pathname", "")
+    dat_path = os.path.join(os.path.dirname(os.path.abspath(path)),
+                            os.path.basename(dat)) if dat else ""
+    return dict(width=W, height=H, nodata=nodata,
+                geotransform=[minx, (maxx - minx) / W, 0.0,
+                              maxy, 0.0, -(maxy - miny) / H],
+                data_path=dat_path, metadata=kv)
+
+
+def read_snodas(spark: SparkSession, path: str, *, tile_px: int = 256,
+                raster_id: str | None = None, zoom: int = 0
+                ) -> DataFrame:
+    from .ehdr import read_raw
+
+    info = parse_snodas(path)
+    dat = info["data_path"]
+    if not dat or not os.path.exists(dat):
+        # headers without their .dat read as zeros (the truncated-
+        # file zero-fill rule applied to a fully absent body)
+        dat = path  # read past EOF of the header -> zero fill
+        skip = os.path.getsize(path)
+    else:
+        skip = 0
+    hdr = dict(nrows=info["height"], ncols=info["width"], nbands=1,
+               dtype="int16", interleave="bsq", skip=skip,
+               geotransform=info["geotransform"], byteorder=">",
+               nodata=info["nodata"], crs="EPSG:4326")
+    return read_raw(spark, dat, hdr, tile_px=tile_px,
+                    raster_id=raster_id, zoom=zoom)
+
+
+# ------------------------------------------------------------------ TIL
+
+
+def parse_til(path: str) -> dict:
+    """EarthWatch/DigitalGlobe .TIL (gdal/frmts/til/tildataset.cpp):
+    'key = value;' tile list referencing TIFF tiles with UL pixel
+    offsets; the .IMD sidecar's IMAGERY keys surface as metadata."""
+    kv = {}
+    tiles = []
+    for line in open(path, encoding="latin-1", errors="replace"):
+        s = line.strip().rstrip(";")
+        if "=" not in s:
+            continue
+        k, v = (t.strip() for t in s.split("=", 1))
+        v = v.strip('"')
+        kv[k] = v
+        m = re.match(r"TILE_(\d+)\.filename", k)
+        if m:
+            tiles.append({"n": int(m.group(1)), "filename": v})
+        m = re.match(r"TILE_(\d+)\.(ULColOffset|ULRowOffset)", k)
+        if m:
+            t = next(t for t in tiles if t["n"] == int(m.group(1)))
+            t[m.group(2)] = int(v)
+    d = os.path.dirname(os.path.abspath(path))
+    for t in tiles:
+        t["path"] = os.path.join(d, t["filename"])
+    md = {}
+    # IMAGERY-domain names the DigitalGlobe metadata reader uses
+    # (gcore/mdreader/reader_digital_globe.cpp)
+    remap = {"SATID": "SATELLITEID", "CLOUDCOVER": "CLOUDCOVER",
+             "FIRSTLINETIME": "ACQUISITIONDATETIME"}
+    imd = os.path.splitext(path)[0] + ".imd"
+    for cand in (imd, imd.upper()):
+        if os.path.exists(cand):
+            for line in open(cand, encoding="latin-1",
+                             errors="replace"):
+                st = line.strip().rstrip(";")
+                if "=" in st:
+                    k, v = (x.strip() for x in st.split("=", 1))
+                    key = k.upper()
+                    md[remap.get(key, key)] = v.strip('"')
+            break
+    return dict(tiles=tiles, metadata=md, kv=kv)
+
+
+def read_til(spark: SparkSession, path: str, *,
+             raster_id: str | None = None, zoom: int = 0) -> DataFrame:
+    """TIL mosaic: each referenced TIFF scans through the engine's
+    distributed GeoTIFF reader; tile offsets shift the per-tile
+    geotransforms (tile grids of the parts are kept — a virtual
+    mosaic in the VRT sense)."""
+    from pyspark.sql import functions as F
+
+    from . import geotiff
+
+    info = parse_til(path)
+    rid = raster_id or os.path.splitext(os.path.basename(path))[0]
+    out = None
+    for t in info["tiles"]:
+        part = geotiff.read_geotiff(spark, t["path"], raster_id=rid)
+        colo = t.get("ULColOffset", 0)
+        rowo = t.get("ULRowOffset", 0)
+        if colo or rowo:
+            part = part.withColumn(
+                "geotransform",
+                F.array(
+                    F.element_at("geotransform", 1)
+                    - F.lit(float(colo))
+                    * F.element_at("geotransform", 2),
+                    F.element_at("geotransform", 2), F.lit(0.0),
+                    F.element_at("geotransform", 4)
+                    - F.lit(float(rowo))
+                    * F.element_at("geotransform", 6),
+                    F.lit(0.0), F.element_at("geotransform", 6)))
+        out = part if out is None else out.unionByName(part)
+    return out

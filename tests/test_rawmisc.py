@@ -126,3 +126,30 @@ def test_ndf(spark):
     full = np.hstack([np.frombuffer(r.data, np.uint8)
                       .reshape(r.height, r.width)[:1, :] for r in rows])
     assert G.gdal_checksum(full[:, :15620]) == 6510
+
+
+def test_snodas_header(spark):
+    # autotest snodas.py::test_snodas_1 — documented gt (the fake
+    # fixture ships no .dat: reads zero-fill, checksum 0)
+    p = f"{DATA}/snodas/fake_snodas.hdr"
+    info = R.parse_snodas(p)
+    np.testing.assert_allclose(
+        info["geotransform"],
+        [-124.733749999995, 0.0083333333333330643, 0.0,
+         52.874583333331302, 0.0, -0.0083333333333330054],
+        atol=1e-12)
+    rows = R.read_snodas(spark, p, tile_px=8192).collect()
+    a = _band(rows)
+    assert a.shape == (3351, 6935)
+    assert G.gdal_checksum(a[:64, :64]) == 0
+
+
+def test_til(spark):
+    # autotest til.py::test_til_1/2 — single-tile TIL over byte.tif
+    p = "/root/reference/autotest/gdrivers/data/til/testtil.til"
+    info = R.parse_til(p)
+    assert [t["filename"] for t in info["tiles"]] == ["byte.tif"]
+    md = info["metadata"]
+    assert "SATELLITEID" in md and "CLOUDCOVER" in md
+    rows = R.read_til(spark, p).collect()
+    assert G.gdal_checksum(_band(rows)) == 4672
