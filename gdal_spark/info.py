@@ -209,6 +209,11 @@ _MAGIC_RULES = [
     ("SIGDEM", lambda h, p: h[:6] == b"SIGDEM"),
     ("NDF", lambda h, p: h[:12] == b"NDF_REVISION"),
     ("NITF", lambda h, p: h[:4] in (b"NITF", b"NSIF")),
+    ("RMF", lambda h, p: h[:3] in (b"RSW", b"MTW")),
+    ("SNODAS", lambda h, p: h[:15] == b"Format version:"
+        and b"NOHRSC" in h[:64]),
+    ("TIL", lambda h, p: p.lower().endswith(".til")
+        and b"numTiles" in h[:256]),
     # ISO 8211 leader: 5-digit record length + '3LE1' interchange
     # marks an S-57 DDR (s57filemanager / iso8211 DDFModule::Open)
     ("S57", lambda h, p: len(h) >= 24 and h[:5].isdigit()
