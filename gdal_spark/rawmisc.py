@@ -654,3 +654,58 @@ def read_til(spark: SparkSession, path: str, *,
                     F.lit(0.0), F.element_at("geotransform", 6)))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ----------------------------------------------------------- MFF2/HKV
+
+
+def parse_mff2(dirname: str) -> dict:
+    """MFF2/HKV directory dataset (gdal/frmts/raw/hkvdataset.cpp):
+    'attrib' key=value file where '{ *chosen other }' marks the
+    selected enumeration token; raw body in 'image_data'."""
+    kv = {}
+    for line in open(os.path.join(dirname, "attrib"),
+                     encoding="latin-1"):
+        if "=" not in line:
+            continue
+        k, v = (t.strip() for t in line.split("=", 1))
+        if v.startswith("{"):
+            m = re.search(r"\*(\S+)", v)
+            v = m.group(1) if m else v
+        kv[k] = v
+    W = int(kv.get("extent.cols", "0"))
+    H = int(kv.get("extent.rows", "0"))
+    nbands = int(kv.get("channel.enumeration", "1"))
+    bits = int(kv.get("pixel.size", "8"))
+    enc = kv.get("pixel.encoding", "unsigned")
+    field = kv.get("pixel.field", "real")
+    order = "<" if kv.get("pixel.order", "lsbf") == "lsbf" else ">"
+    if field == "complex":
+        dtype = "complex64" if bits == 64 else "complex128"
+    elif enc == "ieee-754":
+        dtype = "float32" if bits == 32 else "float64"
+    elif enc == "twos-complement":
+        dtype = {8: "int8", 16: "int16", 32: "int32"}[bits]
+    else:
+        dtype = {8: "uint8", 16: "uint16", 32: "uint32"}[bits]
+    interleave = {"pixel": "bip", "tile": "bsq",
+                  "sequential": "bsq"}.get(
+        kv.get("channel.interleave", "pixel"), "bip")
+    return dict(width=W, height=H, nbands=nbands, dtype=dtype,
+                byteorder=order, interleave=interleave, kv=kv)
+
+
+def read_mff2(spark: SparkSession, dirname: str, *,
+              tile_px: int = 256, raster_id: str | None = None,
+              zoom: int = 0) -> DataFrame:
+    from .ehdr import read_raw
+
+    info = parse_mff2(dirname)
+    hdr = dict(nrows=info["height"], ncols=info["width"],
+               nbands=info["nbands"], dtype=info["dtype"],
+               interleave=info["interleave"], skip=0,
+               geotransform=[0.0, 1.0, 0.0, 0.0, 0.0, 1.0],
+               byteorder=info["byteorder"], nodata=None, crs="")
+    rid = raster_id or os.path.basename(os.path.abspath(dirname))
+    return read_raw(spark, os.path.join(dirname, "image_data"), hdr,
+                    tile_px=tile_px, raster_id=rid, zoom=zoom)

@@ -153,3 +153,14 @@ def test_til(spark):
     assert "SATELLITEID" in md and "CLOUDCOVER" in md
     rows = R.read_til(spark, p).collect()
     assert G.gdal_checksum(_band(rows)) == 4672
+
+
+def test_mff2(spark):
+    # autotest mff2.py::test_mff2_1 — bytemff2 checksum 4672
+    d = f"{DATA}/mff2/bytemff2"
+    from gdal_spark.rawmisc import parse_mff2, read_mff2
+    info = parse_mff2(d)
+    assert (info["width"], info["height"], info["dtype"]) == \
+        (20, 20, "uint8")
+    rows = read_mff2(spark, d).collect()
+    assert G.gdal_checksum(_band(rows)) == 4672
