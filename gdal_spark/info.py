@@ -212,6 +212,7 @@ _MAGIC_RULES = [
     ("RMF", lambda h, p: h[:3] in (b"RSW", b"MTW")),
     ("SNODAS", lambda h, p: h[:15] == b"Format version:"
         and b"NOHRSC" in h[:64]),
+    ("AVCE00", lambda h, p: h[:4] == b"EXP "),
     ("TIL", lambda h, p: p.lower().endswith(".til")
         and b"numTiles" in h[:256]),
     # ISO 8211 leader: 5-digit record length + '3LE1' interchange
