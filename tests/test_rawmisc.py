@@ -164,3 +164,15 @@ def test_mff2(spark):
         (20, 20, "uint8")
     rows = read_mff2(spark, d).collect()
     assert G.gdal_checksum(_band(rows)) == 4672
+
+
+def test_gsc(spark):
+    # autotest gsc.py::test_gsc_1 — 1x1 fake grid, checksum 0
+    p = f"{DATA}/gsc/fakegsc.gsc"
+    from gdal_spark.rawmisc import parse_gsc, read_gsc
+    info = parse_gsc(p)
+    assert (info["width"], info["height"]) == (1, 1)
+    rows = read_gsc(spark, p).collect()
+    a = _band(rows)
+    assert a.shape == (1, 1)
+    assert G.gdal_checksum(a.astype(np.float64)) == 0
